@@ -1,0 +1,77 @@
+"""Benchmark runner — the driver's per-round perf probe (BASELINE.md).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "headline_query_wall_sec", "value": <total>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+A single trivial warmup job runs first so JVM/codegen startup is not charged
+to the first query; each query is then timed once, end-to-end (plan → execute
+→ collect count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bob_vector_db_spark.session import get_spark  # noqa: E402
+from bob_vector_db_spark import queries as Q  # noqa: E402
+
+# Headline set: the flagship similarity surface + one representative per
+# operator family (join, agg, window, top-k, set, scalar, dedup, streaming).
+HEADLINE = [
+    "knn_cosine_topk",
+    "a1_pricing_summary",
+    "j1_customer_revenue",
+    "j2_customers_per_region",
+    "j3_customer_order_counts",
+    "j4_semi_customers_with_orders",
+    "j4_anti_parts_never_bulk_ordered",
+    "w1_top3_orders_per_priority",
+    "o2_top100_lineitems",
+    "x3_hash_embed_tf",
+    "dedup_exact_groups",
+    "a5_label_centroids",
+    "f1_json_payload_stats",
+    "t3_hourly_event_windows",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    # warmup: touch the JVM + parquet reader once
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    registry = Q.REGISTRY
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in registry:
+            continue
+        t0 = time.time()
+        df = registry[name].fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

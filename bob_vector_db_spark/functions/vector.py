@@ -1,0 +1,54 @@
+"""Vector math as pure Spark SQL expressions (SURVEY.md §2.8 F7/F10).
+
+The reference's only distance metric is cosine (qdrant_embedder.py:96-102,
+``Distance.COSINE`` for both named vectors).  We implement dot/norm/cosine as
+``zip_with`` + ``aggregate`` folds over ``ARRAY<FLOAT>`` columns — these stay
+inside JVM codegen, so a 100 TB scan never crosses into Python.  Everything is
+computed in DOUBLE (cast per element) so results are reproducible against the
+DuckDB oracle, which folds the same arrays in the same index order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns, folded in index order as DOUBLE."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity; NULL if either vector has zero norm."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    diff2 = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+    )
+    return F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def normalize(a: Column) -> Column:
+    """Unit-normalize an array<float> column (stays array<double>)."""
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
+def scale(a: Column, s: Column) -> Column:
+    return F.transform(a, lambda x: x.cast("double") * s)
+
+
+def add(a: Column, b: Column) -> Column:
+    return F.zip_with(a, b, lambda x, y: x.cast("double") + y.cast("double"))

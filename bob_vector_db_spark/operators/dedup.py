@@ -1,0 +1,244 @@
+"""Deduplication family for training-data pipelines (SURVEY.md §2.3 J8,
+§2.8 F4; north star "dedup").
+
+Five strategies, all expressed as DataFrame ops over the ``documents`` table:
+
+  exact          — md5/sha2 content hash group-by (one shuffle on the hash)
+  ngram_jaccard  — token-shingle inverted index self-join: candidate pairs
+                   share ≥1 shingle, Jaccard = |∩|/|∪| computed from
+                   per-pair intersection counts (MinHash's exact ground truth)
+  minhash_lsh    — n permutations of a universal hash over shingles → band
+                   signatures → bucket equi-join (candidates only collide in
+                   a band; no O(n²) pair scan)
+  simhash        — 32-bit sign-aggregated token-hash fingerprint; near-dups
+                   have small Hamming distance (bit_count(xor))
+  embedding      — cosine ≥ τ on an embedding column (exact; LSH/IVF prune
+                   via knn.knn_join_blocked at scale)
+
+Scale notes: every strategy is shuffle-on-key (shingle / band-bucket / hash),
+never a cross join — the O(n²) exact cosine variant exists only as the
+oracle's ground truth at small SF.  Skewed shingles (stopword-only) are
+filtered by document-frequency cap before the self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vector
+from ..functions.hashing import (
+    MINHASH_PRIME,
+    POLY_MOD,
+    minhash_params,
+    poly_hash,
+)
+from ..functions.text import shingles, ws_tokens
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Groups of exact duplicates: (content_hash, n_dups, sorted ids)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.array_sort(F.collect_list(id_col)).alias("ids"),
+        )
+    )
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 n: int = 3) -> DataFrame:
+    """(id, shingle) rows — distinct token n-grams per document."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles(ws_tokens(F.col(text_col)), n))).alias("shingle"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
+    """Exact Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold) via
+    inverted-index self-join — shuffle on shingle, not O(n²).
+
+    ``max_df`` drops shingles appearing in more than that many docs (skew
+    guard: a stopword shingle shared by every document would create a
+    quadratic hot bucket at 100 TB).
+    """
+    sh = doc_shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_hashes: int = 16, seed: int = 42) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>[num_hashes]) MinHash signatures.
+
+    Shingle → poly-hash (h < POLY_MOD) → per-permutation min of
+    (a_i*h + b_i) mod 2^31-1.  Integer-exact, so the DuckDB oracle
+    reproduces it bit-for-bit.  Computed as one groupBy(id).agg(min...) —
+    a single shuffle on id.
+    """
+    params = minhash_params(num_hashes, seed)
+    hashed = doc_shingles(df, text_col, id_col, n).select(
+        "id", poly_hash(F.col("shingle"), POLY_MOD).alias("h")
+    )
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    agg = hashed.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      num_hashes: int = 16, bands: int = 4,
+                      seed: int = 42) -> DataFrame:
+    """LSH candidate pairs: ids whose signatures agree on ≥1 full band.
+
+    Band key = (band index, the band's slice of the signature); candidates
+    come from an equi-join on the band key — the scale path that avoids any
+    all-pairs comparison.  Returns (id_a, id_b, n_bands_matched).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(*[
+                F.concat_ws(",", *[
+                    F.col("sig")[b * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ])
+                for b in range(bands)
+            ])
+        ).alias("band", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands_matched"))
+    )
+
+
+def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  bits: int = 32) -> DataFrame:
+    """(id, fp): SimHash fingerprints.  Bit j of fp is the sign of
+    Σ_tokens ±1, where token t votes +1 at bit j iff
+    ((poly_hash(t) * (2j+3)) mod POLY_MOD) is odd.
+
+    Computed as explode → per-token hash → ``bits`` SUM(CASE) aggregate
+    columns grouped by id — a single codegen'd hash aggregate with one
+    shuffle, instead of per-row interpreted array folds.  Pure integer SQL,
+    bit-identical in the DuckDB oracle.
+    """
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(ws_tokens(F.col(text_col))).alias("tok"))
+    h = poly_hash(F.col("tok"), POLY_MOD)
+    votes = [
+        F.sum(((h * F.lit(2 * j + 3)) % F.lit(POLY_MOD))
+              .bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    per_doc = toks.groupBy("id").agg(*votes)
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("id", fp.alias("fp"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Small-SF form is the all-pairs check; the scale path blocks on
+    fingerprint bytes (split the 32 bits into max_hamming+1 chunks — by
+    pigeonhole two docs within the distance share at least one exact chunk,
+    so an equi-join on (chunk_idx, chunk_value) finds all candidates).
+    """
+    fp = simhash_table(df, text_col, id_col, bits)
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    chunks = fp.select(
+        "id", "fp",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("fp"), c * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            for c in range(n_chunks)
+        ])).alias("chunk_idx", "chunk_val"),
+    )
+    a, c = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(c, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            block_col: str | None = "label",
+                            threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-dup pairs with similarity ≥ threshold.
+
+    With ``block_col`` the self-join is an equi-join inside blocks (IVF-style
+    — at scale the block is the cluster/partition key); without it, exact
+    all-pairs (oracle ground truth only).
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+                  *( [F.col(block_col).alias("blk")] if block_col else [] ))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+                  *( [F.col(block_col).alias("blk")] if block_col else [] ))
+    cond = F.col("id_a") < F.col("id_b")
+    joined = a.join(b, ["blk"]).filter(cond) if block_col else a.join(b, cond)
+    return (
+        joined.withColumn(
+            "sim", F.round(vector.cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6)
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

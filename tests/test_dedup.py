@@ -1,0 +1,87 @@
+"""Dedup family tests: exact, jaccard, minhash recall, simhash, embedding
+(SURVEY.md §2.3 J8; north star dedup)."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from bob_vector_db_spark.operators import dedup
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup
+        (3, "completely different content about spark query engines at scale"),
+        (4, "completely different content about spark query engines at scale plus more"),
+        (5, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    groups = dedup.exact_dedup_groups(_docs(spark)).collect()
+    dup_groups = [g for g in groups if g["n_dups"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["ids"] == [0, 1] or dup_groups[0]["ids"] == "0,1"
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
+    assert (3, 5) not in pairs
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    docs = _docs(spark)
+    exact = {(r["id_a"], r["id_b"])
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()}
+    cand = {(r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8).collect()}
+    # LSH with 8 bands of 2 rows has high recall at jaccard >= 0.6
+    assert exact <= cand
+
+
+def test_minhash_signatures_identical_for_identical_docs(spark):
+    sigs = {r["id"]: r["sig"] for r in dedup.minhash_signatures(_docs(spark)).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+
+
+def test_simhash_hamming_orders_similarity(spark):
+    fp = {r["id"]: r["fp"] for r in dedup.simhash_table(_docs(spark)).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fp[0], fp[1]) == 0
+    assert ham(fp[0], fp[2]) < ham(fp[0], fp[3])
+
+
+def test_simhash_pairs_blocking_finds_all_close_pairs(spark):
+    docs = _docs(spark)
+    fp = {r["id"]: r["fp"] for r in dedup.simhash_table(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    expect = {(a, b) for a, b in itertools.combinations(sorted(fp), 2)
+              if ham(fp[a], fp[b]) <= 3}
+    got = {(r["id_a"], r["id_b"]) for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
+    assert got == expect  # pigeonhole blocking is lossless
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.01, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 0),
+        (3, [1.0, 0.0, 0.001], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    within = dedup.embedding_neardup_pairs(df, block_col="label", threshold=0.99).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in within}
+    assert (0, 1) in ids and (0, 2) not in ids
+    allpairs = dedup.embedding_neardup_pairs(df, block_col=None, threshold=0.99).collect()
+    ids_all = {(r["id_a"], r["id_b"]) for r in allpairs}
+    assert (0, 3) in ids_all  # cross-label pair visible without blocking

@@ -1,0 +1,80 @@
+"""Hash embedder equivalence + text-analysis functions + ML embedder stub
+(SURVEY.md §2.10 X1/X3, §2.8 F6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bob_vector_db_spark.functions import text as tx
+from bob_vector_db_spark.operators import embed
+
+
+def test_hash_embed_df_matches_column_form(spark):
+    df = spark.createDataFrame(
+        [(0, "key agg row scan"), (1, "batch window spark order data"), (2, "")],
+        "doc_id long, text string")
+    col_form = {r["doc_id"]: r["v"] for r in
+                df.select("doc_id", embed.hash_embed(F.col("text"), 16).alias("v")).collect()}
+    df_form = {r["doc_id"]: r["vec"] for r in
+               embed.hash_embed_df(df, dim=16).collect()}
+    assert col_form == df_form
+    assert sum(df_form[0]) == 4.0  # 4 tokens
+    assert sum(df_form[2]) == 0.0  # empty doc → zero vector
+
+
+def test_ws_and_bpe_tokens(spark):
+    df = spark.createDataFrame([("Hello, world! 42 times",)], "t string")
+    row = df.select(
+        tx.ws_tokens(F.col("t")).alias("ws"),
+        tx.bpe_tokens(F.col("t")).alias("bpe"),
+        tx.token_count(F.col("t")).alias("n"),
+    ).first()
+    assert row["ws"] == ["Hello,", "world!", "42", "times"]
+    assert row["bpe"] == ["Hello", ",", "world", "!", "42", "times"]
+    assert row["n"] == 4
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    row = df.select(tx.shingles(tx.ws_tokens(F.col("t")), 3).alias("s")).first()
+    assert row["s"] == ["a b c", "b c d"]
+
+
+def test_quality_and_ratios(spark):
+    good = "the quick brown fox jumps over a lazy dog and runs far away today"
+    bad = "!!! ??? ###"
+    df = spark.createDataFrame([(0, good), (1, bad)], "id long, t string")
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        tx.quality_score(F.col("t")).alias("q"),
+        tx.stopword_ratio(tx.ws_tokens(F.col("t"))).alias("sw"),
+        tx.punct_ratio(F.col("t")).alias("p"),
+    ).collect()}
+    assert rows[0]["q"] == 1.0
+    assert rows[1]["q"] < 0.5
+    assert rows[0]["sw"] > 0.1
+    assert rows[1]["p"] > 0.5
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame([("Hello  World",), ("hello world",)], "t string")
+    fps = [r["f"] for r in df.select(tx.fingerprint(F.col("t")).alias("f")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_ml_embedder_uses_injected_encoder(spark):
+    df = spark.createDataFrame([(0, "abc"), (1, "defg")], "doc_id long, document string")
+    fake = lambda texts: [[float(len(t)), 1.0] for t in texts]  # noqa: E731
+    out = {r["doc_id"]: r["text_vec"] for r in
+           embed.embed_documents(df, dim=2, _encode_fn=fake).collect()}
+    assert out[0] == [3.0, 1.0]
+    assert out[1] == [4.0, 1.0]
+
+
+def test_ml_embedder_missing_dep_raises_not_implemented(spark):
+    df = spark.createDataFrame([(0, "abc")], "doc_id long, document string")
+    out = embed.embed_documents(df, ml_model="sentence-transformers/all-MiniLM-L6-v2")
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "NotImplementedError" in str(ei.value) or "sentence-transformers" in str(ei.value)

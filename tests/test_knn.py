@@ -1,0 +1,71 @@
+"""kNN join correctness vs numpy brute force (SURVEY.md §5.2 item 4)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bob_vector_db_spark.operators import centroid, knn
+from bob_vector_db_spark.sources import load_table
+
+
+def _numpy_topk(qv, corpus, k, exclude_id=None):
+    sims = []
+    for cid, cv in corpus:
+        if exclude_id is not None and cid == exclude_id:
+            continue
+        sim = float(np.dot(qv, cv) / (np.linalg.norm(qv) * np.linalg.norm(cv)))
+        sims.append((round(sim, 6), cid))
+    sims.sort(key=lambda t: (-t[0], t[1]))
+    return [cid for _, cid in sims[:k]]
+
+
+def test_knn_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = [(r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+              for r in emb.collect()]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    got = knn.knn_join(queries, emb, k=5).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in sorted(got, key=lambda r: (r["qid"], r["rank"])):
+        by_q.setdefault(r["qid"], []).append(r["vec_id"])
+    for qid, qv in corpus[:3]:
+        if qid in by_q:
+            assert by_q[qid] == _numpy_topk(qv, corpus, 5, exclude_id=qid)
+
+
+def test_knn_topk_equals_full_sort_when_k_is_n(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    got = knn.knn_join(queries, emb, k=n)
+    assert got.count() == n - 1  # self excluded
+
+
+def test_knn_plan_broadcasts_queries(spark, sf_dir):
+    from bob_vector_db_spark.plans.inspect import formatted_plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    plan = formatted_plan(knn.knn_join(queries, emb, k=5))
+    assert "Broadcast" in plan
+
+
+def test_ivf_blocked_knn_probes_subset(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroid.centroids(emb, "label", "embedding")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    approx = knn.knn_join_blocked(queries, emb, cents, k=5, n_probe=2)
+    rows = approx.collect()
+    assert len(rows) > 0
+    # every result's label must be one of the probed (≤2 per query) labels
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    per_q: dict[int, set] = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], set()).add(labels[r["vec_id"]])
+    for q, ls in per_q.items():
+        assert len(ls) <= 2

@@ -1,0 +1,72 @@
+"""Upsert-by-id semantics (S5/S6, qdrant_embedder.py:58-62,92-103) and
+as-of/range joins (J6/J7)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from bob_vector_db_spark.operators import asof, upsert
+
+
+def test_create_collection_idempotent(spark, tmp_path):
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame([("a", "d1")], "id string, document string")
+    assert upsert.create_collection(spark, root, "c1", df) is True
+    assert upsert.create_collection(spark, root, "c1", df) is False  # qdrant_embedder.py:92
+
+
+def test_upsert_replaces_by_id(spark, tmp_path):
+    root = str(tmp_path / "store")
+    v1 = spark.createDataFrame([("a", "old"), ("b", "keep")], "id string, document string")
+    upsert.upsert(spark, root, "c", v1)
+    v2 = spark.createDataFrame([("a", "new"), ("c", "added")], "id string, document string")
+    merged = upsert.upsert(spark, root, "c", v2)
+    rows = {r["id"]: r["document"] for r in merged.collect()}
+    assert rows == {"a": "new", "b": "keep", "c": "added"}
+
+
+def test_last_write_wins(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("b", 1, "z")],
+        "id string, _version int, document string")
+    rows = {r["id"]: r["document"] for r in upsert.last_write_wins(df).collect()}
+    assert rows == {"a": "y", "b": "z"}
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00"), "q1"), (1, _ts("2024-01-01T12:00"), "q2"),
+         (2, _ts("2024-01-01T10:00"), "q3")],
+        "key int, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00"), 1.0), (1, _ts("2024-01-01T11:00"), 2.0),
+         (2, _ts("2024-01-01T11:00"), 3.0)],
+        "key int, ts timestamp, val double")
+    got = {r["tag"]: r["r_val"] for r in
+           asof.asof_join(left, right, on="key", ts="ts", value_cols=["val"]).collect()}
+    assert got == {"q1": 1.0, "q2": 2.0, "q3": None}
+
+
+def test_asof_join_equal_ts_inclusive(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01T10:00"), "q")],
+                                 "key int, ts timestamp, tag string")
+    right = spark.createDataFrame([(1, _ts("2024-01-01T10:00"), 5.0)],
+                                  "key int, ts timestamp, val double")
+    row = asof.asof_join(left, right, on="key", ts="ts", value_cols=["val"]).first()
+    assert row["r_val"] == 5.0
+
+
+def test_range_join_bands(spark):
+    items = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 25.0)], "id int, v double")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 20.0), ("high", 20.0, 30.0)],
+        "band string, lo double, hi double")
+    got = {r["id"]: r["band"] for r in asof.range_join(
+        items, bands, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))).collect()}
+    assert got == {1: "low", 2: "mid", 3: "high"}

@@ -1,0 +1,58 @@
+"""Property tests for vector math (SURVEY.md §5.2 item 4)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bob_vector_db_spark.functions import vector
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.uniform(-1, 1, 8).tolist(), rng.uniform(-1, 1, 8).tolist())
+            for i in range(20)]
+    return spark.createDataFrame(rows, "id long, a array<double>, b array<double>").cache()
+
+
+def test_dot_matches_numpy(vec_df):
+    got = vec_df.select("id", vector.dot(F.col("a"), F.col("b")).alias("d")).collect()
+    rows = {r["id"]: r["d"] for r in got}
+    for row in vec_df.collect():
+        assert math.isclose(rows[row["id"]], float(np.dot(row["a"], row["b"])), rel_tol=1e-12)
+
+
+def test_cosine_self_is_one(vec_df):
+    got = vec_df.select(vector.cosine_similarity(F.col("a"), F.col("a")).alias("c")).collect()
+    assert all(math.isclose(r["c"], 1.0, abs_tol=1e-12) for r in got)
+
+
+def test_cosine_symmetry_and_scale_invariance(spark, vec_df):
+    ab = vec_df.select(vector.cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()
+    ba = vec_df.select(vector.cosine_similarity(F.col("b"), F.col("a")).alias("c")).collect()
+    for x, y in zip(ab, ba):
+        assert math.isclose(x["c"], y["c"], rel_tol=1e-12)
+    scaled = vec_df.select(
+        vector.cosine_similarity(vector.scale(F.col("a"), F.lit(3.0)), F.col("b")).alias("c")
+    ).collect()
+    for x, y in zip(ab, scaled):
+        assert math.isclose(x["c"], y["c"], rel_tol=1e-9)
+
+
+def test_zero_vector_cosine_is_null(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>")
+    assert df.select(vector.cosine_similarity(F.col("a"), F.col("b")).alias("c")).first()["c"] is None
+
+
+def test_normalize_unit_norm(vec_df):
+    got = vec_df.select(vector.l2_norm(vector.normalize(F.col("a"))).alias("n")).collect()
+    assert all(math.isclose(r["n"], 1.0, rel_tol=1e-12) for r in got)
+
+
+def test_l2_distance(spark):
+    df = spark.createDataFrame([([0.0, 3.0], [4.0, 0.0])], "a array<double>, b array<double>")
+    assert math.isclose(df.select(vector.l2_distance(F.col("a"), F.col("b")).alias("d")).first()["d"], 5.0)
