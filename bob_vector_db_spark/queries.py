@@ -442,6 +442,319 @@ def q_t3_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W2: lag/lead — inter-event gaps per user (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "w2_event_gaps",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+       CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us
+FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+""",
+)
+def q_w2_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.withColumn("gap_us", us - F.lag(us).over(w)).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_us").alias("total_gap_us"),
+        (F.sum("gap_us").cast("double") / F.count(F.lit(1))).alias("avg_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3: running aggregate with frame — cumulative spend per customer
+# ---------------------------------------------------------------------------
+
+@register(
+    "w3_running_customer_spend",
+    oracle=f"""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM({DEC.format(x='o_totalprice')})
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend
+FROM orders
+""",
+)
+def q_w3_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w)
+        .cast("double").alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4: ntile / percent_rank — price quartiles within order priority
+# ---------------------------------------------------------------------------
+
+@register(
+    "w4_price_quartiles",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q_w4_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2: exact + approximate distinct counts
+# ---------------------------------------------------------------------------
+
+@register(
+    "a2_distinct_parts_suppliers",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_a2_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("a2_approx_distinct_parts", oracle=None)  # HLL sketch — rows-only
+def q_a2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3: collect_list/collect_set — per-user event-type sets (sorted for
+# determinism, rendered engine-neutral as comma-joined strings)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a3_user_event_types",
+    oracle="""
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+""",
+)
+def q_a3_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: rollup — multi-granularity totals with subtotal rows
+# ---------------------------------------------------------------------------
+
+@register(
+    "a4_rollup_pricing",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM({DEC.format(x='l_quantity')}) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def q_a4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: exact percentiles (continuous interpolation in both engines)
+# ---------------------------------------------------------------------------
+
+@register(
+    "a6_value_percentiles",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+)
+def q_a6_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1: union-by-name with missing columns (the 4-topic merge, S8/U1)
+# ---------------------------------------------------------------------------
+
+@register(
+    "u1_union_by_name",
+    oracle="""
+WITH hi AS (SELECT event_id, user_id, value FROM events WHERE value > 50),
+     lo AS (SELECT event_id, user_id FROM events WHERE value <= 50)
+SELECT user_id, COUNT(*) AS n, COUNT(value) AS n_with_value
+FROM (FROM hi UNION ALL BY NAME FROM lo)
+GROUP BY user_id
+""",
+)
+def q_u1_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hi = ev.filter(F.col("value") > 50).select("event_id", "user_id", "value")
+    lo = ev.filter(F.col("value") <= 50).select("event_id", "user_id")
+    return (
+        hi.unionByName(lo, allowMissingColumns=True)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.count("value").alias("n_with_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2/U3: intersect / except — id set logic behind idempotent upsert
+# ---------------------------------------------------------------------------
+
+@register(
+    "u2_intersect_big_buyers",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 0
+""",
+)
+def q_u2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.filter(F.col("o_totalprice") > 150000).select(F.col("o_custkey").alias("custkey"))
+        .intersect(c.filter(F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("custkey")))
+    )
+
+
+@register(
+    "u3_except_urgent_only_buyers",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+""",
+)
+def q_u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW")
+    return (
+        urgent.select(F.col("o_custkey").alias("custkey"))
+        .subtract(low.select(F.col("o_custkey").alias("custkey")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6: range (theta) join — events bucketed into value bands
+# ---------------------------------------------------------------------------
+
+VALUE_BANDS = [("low", 0.0, 10.0), ("mid", 10.0, 50.0), ("high", 50.0, 1e9)]
+
+
+@register(
+    "j6_value_band_join",
+    oracle="""
+SELECT band, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 50.0), ('high', 50.0, 1e9))
+     bands(band, lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY band
+""",
+)
+def q_j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import range_join  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(VALUE_BANDS, "band string, lo double, hi double")
+    joined = range_join(
+        ev, bands, (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7: as-of join — latest click value at/before each error event per user
+# (DuckDB has native ASOF JOIN, the perfect oracle)
+# ---------------------------------------------------------------------------
+
+@register(
+    "j7_asof_latest_click",
+    oracle="""
+WITH errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+     clicks AS (SELECT user_id, ts, MAX(value) AS click_value
+                FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, r.click_value, r.ts AS click_ts
+FROM errors l ASOF LEFT JOIN clicks r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def q_j7_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(errors, clicks, on="user_id", ts="ts", value_cols=["click_value"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("r_click_value").alias("click_value"),
+        F.col("right_ts").alias("click_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry accessors used by __spark_entry__.py
 # ---------------------------------------------------------------------------
 
