@@ -48,12 +48,17 @@ def shingles(tokens: Column, n: int = 3) -> Column:
     """Token n-grams as space-joined strings (ARRAY<STRING>).
 
     transform over sequence(0, size-n) keeps this a single codegen'd
-    projection — no explode until the caller needs rows.
+    projection — no explode until the caller needs rows.  Documents shorter
+    than ``n`` tokens yield an empty array (guard required: sequence(0, neg)
+    would count DOWNWARD and corrupt the slice).
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.size(tokens) - n),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-    )
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def stopword_ratio(tokens: Column) -> Column:

@@ -15,9 +15,19 @@ from pyspark.sql import functions as F
 
 def centroids_exploded(df: DataFrame, label_col: str = "label",
                        vec_col: str = "embedding",
-                       round_to: int | None = 6) -> DataFrame:
-    """(label, pos, centroid_val): mean of each vector component per label."""
-    val = F.avg(F.col("val").cast("double"))
+                       round_to: int | None = 6,
+                       exact: bool = False) -> DataFrame:
+    """(label, pos, centroid_val): mean of each vector component per label.
+
+    ``exact=True`` accumulates in DECIMAL(20,10) so the mean is bit-identical
+    regardless of aggregation order — required when the centroid feeds an
+    oracle-checked downstream comparison (e.g. IVF probe ranking).
+    """
+    if exact:
+        val = (F.sum(F.col("val").cast("double").cast("decimal(20,10)"))
+               .cast("double") / F.count(F.lit(1)))
+    else:
+        val = F.avg(F.col("val").cast("double"))
     if round_to is not None:
         val = F.round(val, round_to)
     return (
@@ -29,13 +39,13 @@ def centroids_exploded(df: DataFrame, label_col: str = "label",
 
 
 def centroids(df: DataFrame, label_col: str = "label",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding", exact: bool = False) -> DataFrame:
     """(label, centroid ARRAY<DOUBLE>, n): the IVF centroid table.
 
     collect re-assembly is ordered by pos via array_sort on (pos, val)
     structs, so the result is deterministic regardless of shuffle order.
     """
-    exploded = centroids_exploded(df, label_col, vec_col, round_to=None)
+    exploded = centroids_exploded(df, label_col, vec_col, round_to=None, exact=exact)
     counts = df.groupBy(F.col(label_col).alias("label")).agg(F.count("*").alias("n"))
     assembled = (
         exploded.groupBy("label")

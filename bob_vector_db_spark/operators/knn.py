@@ -79,7 +79,9 @@ def knn_join_blocked(
     )
     probes = (
         q.join(F.broadcast(cent), how="cross")
-        .withColumn("csim", vector.cosine_similarity(F.col("qvec"), F.col("_cvec")))
+        # rounded so probe ranking is reproducible against the SQL oracle
+        .withColumn("csim", F.round(
+            vector.cosine_similarity(F.col("qvec"), F.col("_cvec")), 6))
         .withColumn("crank", F.row_number().over(probe_w))
         .filter(F.col("crank") <= n_probe)
         .select("qid", "qvec", F.col("_label").alias("probe_label"))

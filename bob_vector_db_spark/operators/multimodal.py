@@ -1,0 +1,222 @@
+"""Multimodal (image/audio/video) columns as typed binary + metadata
+(SURVEY.md §2.1 S3, §2.10 X2; reference embedder.py:269-303 converts ROS
+images BGR→RGB→PIL before CLIP; qdrant_embedder.py:105-113 base64-stores the
+bytes in the payload).
+
+Spark treatment: media is an opaque ``BinaryType`` column plus a typed
+metadata struct; decode / feature-extraction / frame-sampling run as
+Arrow-batched ``mapInPandas`` / pandas UDFs.  The image/audio libraries are
+NOT in this container, so real codecs are gated behind import-try
+(:func:`decode_image_real`) and the tested path uses a deterministic fake
+format — but the Spark-side plumbing (schema, batch iteration, UDF
+signatures, explode shape) is the production shape.
+
+Fake media format used by tests and the deterministic pipeline:
+
+    image:  b"FIMG" + bytes([width, height, channels]) + pixel bytes
+            (row-major, width*height*channels of them)
+    video:  b"FVID" + bytes([n_frames]) + n_frames frames, each a FIMG image
+            of identical size
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("media_type", T.StringType()),     # image | audio | video
+    T.StructField("content", T.BinaryType()),
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+])
+
+FIMG_MAGIC = b"FIMG"
+FVID_MAGIC = b"FVID"
+
+
+def fake_image(width: int, height: int, channels: int = 3,
+               seed: int = 0) -> bytes:
+    """Deterministic fake image bytes (test fixture helper)."""
+    n = width * height * channels
+    pixels = bytes((seed + i * 31) % 256 for i in range(n))
+    return FIMG_MAGIC + bytes([width, height, channels]) + pixels
+
+
+def fake_video(n_frames: int, width: int, height: int) -> bytes:
+    frames = b"".join(fake_image(width, height, 3, seed=f) for f in range(n_frames))
+    return FVID_MAGIC + bytes([n_frames]) + frames
+
+
+def text_as_binary(df: DataFrame, text_col: str = "text",
+                   out_col: str = "content") -> DataFrame:
+    """Treat a string column as opaque bytes — the test-path media source."""
+    return df.withColumn(out_col, F.col(text_col).cast("binary"))
+
+
+# ---------------------------------------------------------------------------
+# Binary stats — oracle-checkable mapInPandas plumbing
+# ---------------------------------------------------------------------------
+
+BINARY_STATS_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("first_byte", T.LongType()),
+    T.StructField("sha256", T.StringType()),
+])
+
+
+def binary_stats(df: DataFrame, content_col: str = "content",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-blob stats via ``mapInPandas`` — the minimal real Arrow round-trip
+    every decode UDF shares (batch in, batch out, schema declared up front).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf[content_col]
+            yield pd.DataFrame({
+                "id": pdf[id_col].astype("int64"),
+                "n_bytes": content.map(len).astype("int64"),
+                "first_byte": content.map(
+                    lambda b: int(b[0]) if len(b) else None),
+                "sha256": content.map(
+                    lambda b: hashlib.sha256(bytes(b)).hexdigest()),
+            })
+
+    return df.select(id_col, content_col).mapInPandas(fn, BINARY_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image decode (stub codec, real plumbing)
+# ---------------------------------------------------------------------------
+
+DECODED_IMAGE_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("mean_pixel", T.DoubleType()),
+])
+
+
+def _decode_fake_image(b: bytes) -> tuple[int, int, int, float]:
+    if bytes(b[:4]) != FIMG_MAGIC:
+        raise ValueError("not a FIMG blob")
+    w, h, c = b[4], b[5], b[6]
+    pixels = b[7:7 + w * h * c]
+    mean = sum(pixels) / len(pixels) if pixels else 0.0
+    return w, h, c, mean
+
+
+def decode_image_real(b: bytes):  # pragma: no cover - lib not in container
+    """Real codec path (PIL), gated exactly like the reference's lazy model
+    init (qdrant_embedder.py:76,87).  Raises NotImplementedError when the
+    imaging stack is absent so callers fall back to the fake format.
+    """
+    try:
+        import io  # noqa: PLC0415
+
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            "PIL not installed in this environment; use the FIMG fake format"
+        ) from exc
+    img = Image.open(io.BytesIO(b)).convert("RGB")
+    return img.width, img.height, 3, 0.0
+
+
+def decode_images(df: DataFrame, content_col: str = "content",
+                  id_col: str = "media_id") -> DataFrame:
+    """Decode an image binary column into typed dimensions + a pixel stat.
+
+    FIMG blobs decode in-process; anything else attempts the real codec and
+    surfaces NotImplementedError when the imaging stack is missing.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(b)
+                if b[:4] == FIMG_MAGIC:
+                    w, h, c, mean = _decode_fake_image(b)
+                else:
+                    w, h, c, mean = decode_image_real(b)
+                rows.append((int(i), w, h, c, mean))
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "channels", "mean_pixel"])
+
+    return df.select(id_col, content_col).mapInPandas(fn, DECODED_IMAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction — Arrow-batched pandas UDF, deterministic byte histogram
+# ---------------------------------------------------------------------------
+
+def byte_histogram_udf(bins: int = 16):
+    """array<double> per blob: normalized byte-value histogram.  Stands in
+    for an image-embedding UDF (X2) with the identical column contract."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def hist(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        width = 256 // bins
+        for batch in batches:
+            out = []
+            for b in batch:
+                b = bytes(b)
+                counts = [0] * bins
+                for byte in b:
+                    counts[byte // width] += 1
+                n = len(b) or 1
+                out.append([c / n for c in counts])
+            yield pd.Series(out)
+
+    return hist
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling — one blob → N frame rows (X5 flat-map shape)
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def sample_frames(df: DataFrame, every_k: int = 2,
+                  content_col: str = "content",
+                  id_col: str = "media_id") -> DataFrame:
+    """Explode FVID blobs into every k-th frame as its own FIMG row —
+    the one-message→N-records flat map (qdrant_embedder.py:130-142) applied
+    to media."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(b)
+                if b[:4] != FVID_MAGIC:
+                    continue
+                n_frames = b[5 - 1]
+                off = 5
+                frames = []
+                for _ in range(n_frames):
+                    w, h, c = b[off + 4], b[off + 5], b[off + 6]
+                    size = 7 + w * h * c
+                    frames.append(b[off:off + size])
+                    off += size
+                rows.extend(
+                    (int(i), fi, fr)
+                    for fi, fr in enumerate(frames) if fi % every_k == 0
+                )
+            yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame"])
+
+    return df.select(id_col, content_col).mapInPandas(fn, FRAME_SCHEMA)

@@ -755,6 +755,673 @@ def q_j7_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F2: base64 encode/decode (the reference's image-payload path,
+# qdrant_embedder.py:105-113)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f2_base64_roundtrip",
+    oracle="""
+SELECT doc_id,
+       to_base64(encode(substr(text, 1, 24))) AS b64_head,
+       (decode(from_base64(to_base64(encode(text)))) = text) AS roundtrip_ok
+FROM documents
+""",
+)
+def q_f2_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.base64(F.substring("text", 1, 24).cast("binary")).alias("b64_head"),
+        (F.unbase64(F.base64(F.col("text").cast("binary"))).cast("string")
+         == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5: timestamp build/extract (the reference's sec.nanosec handling,
+# embedder.py:283-287)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f5_time_features",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(hour(ts) AS BIGINT) AS hr,
+       CAST(isodow(ts) - 1 AS BIGINT) AS weekday,
+       COUNT(*) AS n,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us
+FROM events GROUP BY 1, 2, 3
+""",
+)
+def q_f5_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.hour("ts").cast("long").alias("hr"),
+            F.weekday("ts").cast("long").alias("weekday"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.unix_micros("ts")).alias("first_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6/F10: string + math scalar gauntlet (per-row IEEE ops — deterministic
+# across engines, unlike order-dependent float aggregation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f6_f10_scalar_gauntlet",
+    oracle=r"""
+SELECT p_partkey,
+       upper(substr(p_name, 1, 6)) AS name_head,
+       lower(trim(p_brand)) AS brand_lc,
+       replace(p_type, ' ', '_') AS type_us,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       CAST(levenshtein(substr(p_name, 1, 8), 'polished') AS BIGINT) AS lev,
+       round(sqrt(p_retailprice), 6) AS sqrt_price,
+       round(pow(CAST(p_size AS DOUBLE), 2), 6) AS size_sq,
+       round(abs(p_retailprice - 1000.0), 6) AS price_dev,
+       round(greatest(p_retailprice, CAST(p_size AS DOUBLE) * 100), 6) AS g,
+       round(least(p_retailprice, CAST(p_size AS DOUBLE) * 100), 6) AS l
+FROM part
+""",
+)
+def q_f6_f10_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    size_d = F.col("p_size").cast("double")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 6)).alias("name_head"),
+        F.lower(F.trim(F.col("p_brand"))).alias("brand_lc"),
+        F.regexp_replace("p_type", " ", "_").alias("type_us"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.levenshtein(F.substring("p_name", 1, 8), F.lit("polished"))
+        .cast("long").alias("lev"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+        F.round(F.pow(size_d, F.lit(2)), 6).alias("size_sq"),
+        F.round(F.abs(F.col("p_retailprice") - 1000.0), 6).alias("price_dev"),
+        F.round(F.greatest(F.col("p_retailprice"), size_d * 100), 6).alias("g"),
+        F.round(F.least(F.col("p_retailprice"), size_d * 100), 6).alias("l"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9: map functions over the open payload model (qdrant_embedder.py:119-128)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f9_map_payload_access",
+    oracle="""
+SELECT doc_id, lang AS m_lang, source AS m_source,
+       CAST(n_chars AS VARCHAR) AS m_chars, 3 AS n_keys
+FROM documents
+""",
+)
+def q_f9_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    enriched = F.map_concat(
+        base, F.create_map(F.lit("chars"), F.col("n_chars").cast("string"))
+    )
+    return docs.select(
+        "doc_id",
+        F.element_at(enriched, "lang").alias("m_lang"),
+        F.element_at(enriched, "source").alias("m_source"),
+        F.element_at(enriched, "chars").alias("m_chars"),
+        F.size(F.map_keys(enriched)).cast("int").alias("n_keys"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F11: conditional / null-handling chains (the 3-branch probe logic,
+# embedder.py:243-267)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f11_conditional_buckets",
+    oracle="""
+SELECT CASE WHEN value < 10 THEN 'small' WHEN value < 50 THEN 'medium'
+            ELSE 'large' END AS bucket,
+       coalesce(nullif(event_type, 'error'), 'suppressed') AS etype,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+""",
+)
+def q_f11_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 10, "small")
+        .when(F.col("value") < 50, "medium")
+        .otherwise("large")
+    )
+    etype = F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("suppressed"))
+    return (
+        ev.groupBy(bucket.alias("bucket"), etype.alias("etype"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2 + X5 end-to-end: the 3-branch raw normalization → zip-explode pipeline
+# (embedder.py:234-267 + qdrant_embedder.py:130-142) with the oracle
+# computing each branch's expected output directly
+# ---------------------------------------------------------------------------
+
+@register(
+    "s2_normalize_pipeline",
+    oracle="""
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'col' || CAST(doc_id % 5 AS VARCHAR)
+            ELSE 'default' END AS collection,
+       CASE WHEN doc_id % 3 = 0 THEN 'id-' || CAST(doc_id AS VARCHAR)
+            WHEN doc_id % 3 = 1 THEN sha256('default' || chr(31) || text)
+            ELSE sha256('default' || chr(31) || text) END AS id,
+       text AS document,
+       CASE WHEN doc_id % 3 = 0 THEN json_object('src', source)::VARCHAR
+            WHEN doc_id % 3 = 1 THEN json_object('data', text, 'extra', doc_id)::VARCHAR
+            ELSE json_object('data', text)::VARCHAR END AS payload_json
+FROM documents
+""",
+)
+def q_s2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds a mixed raw-input stream out of ``documents`` — one third
+    well-formed embed messages, one third bare JSON dicts, one third plain
+    text — and runs the real S2 normalize → X5 zip-explode pipeline on it.
+    """
+    from .operators.normalize import normalize_raw, zip_explode  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    branch = F.col("doc_id") % 3
+    well_formed = F.to_json(F.struct(
+        F.concat(F.lit("col"), (F.col("doc_id") % 5).cast("string")).alias("collection"),
+        F.array(F.col("text")).alias("documents"),
+        F.array(F.struct(F.col("source").alias("src"))).alias("metadatas"),
+        F.array(F.concat(F.lit("id-"), F.col("doc_id").cast("string"))).alias("ids"),
+    ))
+    bare_dict = F.to_json(F.struct(
+        F.col("text").alias("data"), F.col("doc_id").alias("extra")
+    ))
+    raw = docs.select(
+        F.when(branch == 0, well_formed)
+        .when(branch == 1, bare_dict)
+        .otherwise(F.col("text")).alias("value")
+    )
+    return zip_explode(normalize_raw(raw, "value", "default")).select(
+        "collection", "id", "document", "payload_json"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (J8/F4, north star): every strategy with an integer-exact or
+# rounded-deterministic DuckDB twin.  Shared oracle CTE: distinct 3-gram
+# shingles per doc (DuckDB mirror of operators.dedup.doc_shingles).
+# ---------------------------------------------------------------------------
+
+DUCK_SHINGLES = r"""
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> length(x) > 0) AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(greatest(len(tk)-2, 0)),
+                                 i -> array_to_string(tk[i+1:i+3], ' '))) AS shingle
+    FROM toks)
+)"""
+
+_POLY_H = DUCK_POLY_HASH.format(t="shingle")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {DUCK_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = ia
+JOIN sizes sb ON sb.doc_id = ib
+WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+""",
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    from .functions.hashing import MINHASH_PRIME, minhash_params  # noqa: PLC0415
+
+    params = minhash_params(num_hashes)
+    mins = ",\n       ".join(
+        f"MIN((h * {a} + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    rpb = num_hashes // bands
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS band_key FROM sig".format(
+            b=b, cols=", ".join(f"mh{b * rpb + r}" for r in range(rpb))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {DUCK_SHINGLES},
+hashed AS (SELECT doc_id, ({_POLY_H}) AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+banded AS (
+  {band_rows}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands_matched
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+
+
+def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    votes = ",\n       ".join(
+        f"SUM((((h * {2 * j + 3}) % {POLY_MOD}) & 1) * 2 - 1) AS v{j}"
+        for j in range(bits)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits)
+    )
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    chunk_vals = ", ".join(f"({c})" for c in range(n_chunks))
+    tok_h = DUCK_POLY_HASH.format(t="t")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> length(x) > 0) AS tk
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+h AS (SELECT doc_id, ({tok_h}) AS h FROM tok),
+votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({fp_expr} AS BIGINT) AS fp FROM votes),
+chunks AS (
+  SELECT doc_id, fp, c, (fp >> (c * {chunk_bits})) & {(1 << chunk_bits) - 1} AS cv
+  FROM fp, (VALUES {chunk_vals}) t(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib, a.fp AS fa, b.fp AS fb
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT ia AS id_a, ib AS id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.simhash_pairs(docs, bits=32, max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@register(
+    "dedup_embedding_blocked",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         (SELECT SUM(x*y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x,
+                                       unnest(b.embedding)::DOUBLE AS y))
+         / ( sqrt((SELECT SUM(x*x) FROM (SELECT unnest(a.embedding)::DOUBLE AS x)))
+           * sqrt((SELECT SUM(y*y) FROM (SELECT unnest(b.embedding)::DOUBLE AS y)))),
+         6) AS sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(
+         (SELECT SUM(x*y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x,
+                                       unnest(b.embedding)::DOUBLE AS y))
+         / ( sqrt((SELECT SUM(x*x) FROM (SELECT unnest(a.embedding)::DOUBLE AS x)))
+           * sqrt((SELECT SUM(y*y) FROM (SELECT unnest(b.embedding)::DOUBLE AS y)))),
+         6) >= 0.35
+""",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# X3 full-vector form: the hash embedder's assembled ARRAY<DOUBLE> output
+# ---------------------------------------------------------------------------
+
+@register(
+    "x3_hash_embed_vec",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({DUCK_WS_TOKENS.format(t='text')}) AS tok FROM documents
+),
+tfs AS (
+  SELECT doc_id, ({DUCK_POLY_HASH.format(t='tok')}) % 64 AS bucket, COUNT(*) AS tf
+  FROM toks GROUP BY doc_id, bucket
+)
+SELECT d.doc_id, list(coalesce(tf, 0)::DOUBLE ORDER BY r.j) AS vec
+FROM (SELECT DISTINCT doc_id FROM documents) d
+CROSS JOIN range(64) r(j)
+LEFT JOIN tfs ON tfs.doc_id = d.doc_id AND tfs.bucket = r.j
+GROUP BY d.doc_id
+""",
+)
+def q_x3_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.embed import hash_embed_df  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_embed_df(docs, dim=64, out_col="vec")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (F6 ext, north star): language-ID, quality scoring,
+# token counting, fingerprinting — all JVM-side expressions
+# ---------------------------------------------------------------------------
+
+def _langid_oracle() -> str:
+    from .functions.text import LANG_MARKERS  # noqa: PLC0415
+
+    score_cols = ",\n       ".join(
+        "len(list_filter(tk, t -> list_contains([{words}], lower(t)))) AS s_{lang}".format(
+            words=", ".join(f"'{w}'" for w in words), lang=lang
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    )
+    values = ", ".join(f"('{lang}', s_{lang})" for lang in sorted(LANG_MARKERS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_WS_TOKENS.format(t='text')} AS tk FROM documents
+),
+scored AS (SELECT doc_id, {score_cols} FROM toks)
+SELECT doc_id, CAST(s_en AS BIGINT) AS s_en,
+       (SELECT l FROM (VALUES {values}) t(l, s) ORDER BY s DESC, l LIMIT 1)
+         AS pred_lang
+FROM scored
+"""
+
+
+@register("text_langid", oracle=_langid_oracle())
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import LANG_MARKERS, lang_scores  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    scores = lang_scores(toks)
+    ranked = F.sort_array(F.array(*[
+        F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("l"))
+        for lang in sorted(LANG_MARKERS)
+    ]))
+    return docs.select(
+        "doc_id",
+        scores["en"].cast("long").alias("s_en"),
+        ranked[0]["l"].alias("pred_lang"),
+    )
+
+
+@register(
+    "text_quality_stats",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> length(x) > 0) AS tk
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, tk, len(tk) AS n_tok,
+         len(list_filter(tk, x -> list_contains(
+             ['the','a','of','and','is','to','in'], lower(x)))) AS n_sw,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+  FROM t
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       round(CASE WHEN n_tok > 0 THEN n_sw::DOUBLE / n_tok ELSE 0.0 END, 6) AS sw_ratio,
+       round(CASE WHEN length(text) > 0
+                  THEN n_punct::DOUBLE / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN n_tok > 0
+                  THEN list_sum(list_transform(tk, x -> length(x)))::DOUBLE / n_tok
+                  ELSE 0.0 END, 6) AS avg_tok_len,
+       round((CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN n_tok > 0 AND n_sw::DOUBLE / n_tok >= 0.05 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN length(text) > 0 AND n_punct::DOUBLE / length(text) <= 0.2
+                   THEN 0.3 ELSE 0.0 END), 6) AS quality
+FROM m
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import text as TX  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(TX.stopword_ratio(toks), 6).alias("sw_ratio"),
+        F.round(TX.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(TX.avg_token_len(toks), 6).alias("avg_tok_len"),
+        F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+_NORM_TEXT = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_FP_HASH = DUCK_POLY_HASH.format(t=_NORM_TEXT)
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       ({_FP_HASH}) AS fp,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import text as TX  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.fingerprint(F.col("text")).alias("fp"),
+        F.size(TX.bpe_tokens(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T4: sliding windows (batch-equivalent; every event lands in width/slide
+# overlapping windows — the oracle enumerates them with a range join)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t4_sliding_event_windows",
+    oracle="""
+SELECT time_bucket(INTERVAL 15 MINUTE, ts) - j * INTERVAL 15 MINUTE AS window_start,
+       time_bucket(INTERVAL 15 MINUTE, ts) - j * INTERVAL 15 MINUTE
+         + INTERVAL 1 HOUR AS window_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events, range(4) r(j)
+GROUP BY 1, 2
+""",
+)
+def q_t4_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return windows.sliding(
+        ev, ts="ts", width="1 hour", slide="15 minutes",
+        n_events=F.count(F.lit(1)),
+        total_value=F.sum(F.col("value").cast("decimal(18,4)")).cast("double"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T5: session windows (batch-equivalent; oracle = lag-gap-cumsum)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t5_session_windows",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def q_t5_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return windows.session(
+        ev, ts="ts", key="user_id", gap="30 minutes",
+        n_events=F.count(F.lit(1)),
+        total_value=F.sum(F.col("value").cast("decimal(18,4)")).cast("double"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2: dedup (batch form of streaming dropDuplicates, made deterministic:
+# keep the FIRST event per key by event time)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t2_dedup_first_event",
+    oracle="""
+SELECT user_id, event_type, event_id, ts
+FROM (SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+)
+def q_t2_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 at scale: IVF-blocked approximate kNN (centroid probe → pruned exact)
+# ---------------------------------------------------------------------------
+
+_DUCK_COS = """
+round(
+  (SELECT SUM(x*y) FROM (SELECT unnest({a})::DOUBLE AS x, unnest({b})::DOUBLE AS y))
+  / ( sqrt((SELECT SUM(x*x) FROM (SELECT unnest({a})::DOUBLE AS x)))
+    * sqrt((SELECT SUM(y*y) FROM (SELECT unnest({b})::DOUBLE AS y)))), 6)"""
+
+
+@register(
+    "knn_ivf_blocked",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+cent AS (
+  SELECT label, list(cv ORDER BY pos) AS cvec FROM (
+    SELECT label, pos,
+           CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS cv
+    FROM (SELECT label, unnest(embedding)::DOUBLE AS val,
+                 unnest(range(len(embedding))) AS pos
+          FROM embeddings)
+    GROUP BY label, pos) GROUP BY label
+),
+probes AS (
+  SELECT qid, qvec, label FROM (
+    SELECT q.qid, q.qvec, c.label,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {_DUCK_COS.format(a='q.qvec', b='c.cvec')} DESC,
+                                       c.label) AS rk
+    FROM q, cent c) WHERE rk <= 2
+),
+pairs AS (
+  SELECT p.qid, e.vec_id, {_DUCK_COS.format(a='p.qvec', b='e.embedding')} AS sim
+  FROM probes p JOIN embeddings e ON e.label = p.label AND e.vec_id <> p.qid
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cent = centroid.centroids(emb, exact=True)
+    out = knn.knn_join_blocked(qs, emb, cent, k=10, n_probe=2)
+    return out.select("qid", "vec_id", "sim", F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (S3/X2/X5): the documents' text treated as opaque
+# bytes exercises the same mapInPandas plumbing a real image corpus uses
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_binary_stats",
+    oracle="""
+SELECT doc_id AS id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+       sha256(text) AS sha256
+FROM documents
+""",
+)
+def q_mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as MM  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.binary_stats(MM.text_as_binary(docs))
+
+
+@register("mm_byte_histogram", oracle=None)  # pandas-UDF feature path, rows-only
+def q_mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as MM  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = MM.text_as_binary(docs)
+    return blobs.select(
+        "doc_id", MM.byte_histogram_udf(16)(F.col("content")).alias("features")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry accessors used by __spark_entry__.py
 # ---------------------------------------------------------------------------
 

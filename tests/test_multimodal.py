@@ -1,0 +1,70 @@
+"""Multimodal binary-column plumbing (SURVEY.md §2.1 S3, §2.10 X2/X5):
+schema, Arrow batch round-trips, stub codecs, frame explode shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from bob_vector_db_spark.operators import multimodal as MM
+
+
+def _media_df(spark, *blobs):
+    rows = [(i, "image", b) for i, b in enumerate(blobs)]
+    return spark.createDataFrame(rows, "media_id long, media_type string, content binary")
+
+
+def test_binary_stats_roundtrip(spark):
+    df = spark.createDataFrame([(0, b"hello"), (1, b"")],
+                               "doc_id long, content binary")
+    got = {r["id"]: r for r in MM.binary_stats(df).collect()}
+    assert got[0]["n_bytes"] == 5
+    assert got[0]["first_byte"] == ord("h")
+    assert got[0]["sha256"] == hashlib.sha256(b"hello").hexdigest()
+    assert got[1]["n_bytes"] == 0 and got[1]["first_byte"] is None
+
+
+def test_decode_fake_images(spark):
+    img = MM.fake_image(4, 3, 3, seed=7)
+    df = _media_df(spark, img)
+    row = MM.decode_images(df).first()
+    assert (row["width"], row["height"], row["channels"]) == (4, 3, 3)
+    pixels = img[7:]
+    assert abs(row["mean_pixel"] - sum(pixels) / len(pixels)) < 1e-9
+
+
+def test_decode_real_codec_unavailable_raises(spark):
+    df = _media_df(spark, b"\x89PNG\r\n fake png header")
+    try:
+        MM.decode_images(df).collect()
+        raise AssertionError("expected decode failure for non-FIMG blob")
+    except Exception as exc:  # Py4J wraps the NotImplementedError
+        assert "NotImplementedError" in str(exc) or "FIMG" in str(exc)
+
+
+def test_byte_histogram_shape_and_norm(spark):
+    df = spark.createDataFrame([(0, bytes(range(256)))], "doc_id long, content binary")
+    vec = df.select(MM.byte_histogram_udf(16)(F.col("content")).alias("v")).first()["v"]
+    assert len(vec) == 16
+    assert abs(sum(vec) - 1.0) < 1e-9
+    assert all(abs(x - 1 / 16) < 1e-9 for x in vec)  # uniform bytes
+
+
+def test_sample_frames_every_other(spark):
+    vid = MM.fake_video(5, 2, 2)
+    df = _media_df(spark, vid)
+    frames = MM.sample_frames(df, every_k=2).collect()
+    assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [0, 2, 4]
+    f0 = sorted(frames, key=lambda r: r["frame_idx"])[0]
+    assert bytes(f0["frame"]) == MM.fake_image(2, 2, 3, seed=0)
+
+
+def test_frames_feed_image_decoder(spark):
+    """Video → frames → decode: the composed pipeline shape."""
+    vid = MM.fake_video(3, 2, 2)
+    df = _media_df(spark, vid)
+    frames = MM.sample_frames(df, every_k=1).withColumnRenamed("frame", "content")
+    decoded = MM.decode_images(frames, id_col="frame_idx")
+    assert decoded.count() == 3
+    assert {(r["width"], r["height"]) for r in decoded.collect()} == {(2, 2)}
