@@ -71,10 +71,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     guard: a stopword shingle shared by every document would create a
     quadratic hot bucket at 100 TB).
     """
-    sh = doc_shingles(df, text_col, id_col, n)
+    # The shingle table feeds FOUR consumers (df-cap aggregate, sizes, and
+    # both self-join sides); without persist Spark re-derives the whole
+    # map-only subtree per consumer — measured 8× recompute at sf0.1.
+    sh = doc_shingles(df, text_col, id_col, n).persist()
     if max_df is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df)
-        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti").persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -135,7 +138,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
-    banded = sig.select(
+    banded = sig.select(  # persisted below: both self-join sides read it
         "id",
         F.posexplode(
             F.array(*[
@@ -146,7 +149,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                 for b in range(bands)
             ])
         ).alias("band", "band_key"),
-    )
+    ).persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -202,7 +205,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .bitwiseAND(F.lit((1 << chunk_bits) - 1))
             for c in range(n_chunks)
         ])).alias("chunk_idx", "chunk_val"),
-    )
+    ).persist()  # both self-join sides read it
     a, c = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(c, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
@@ -222,22 +225,34 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             block_col: str | None = "label",
-                            threshold: float = 0.9) -> DataFrame:
+                            threshold: float = 0.9,
+                            dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs with similarity ≥ threshold.
 
     With ``block_col`` the self-join is an equi-join inside blocks (IVF-style
     — at scale the block is the cluster/partition key); without it, exact
     all-pairs (oracle ground truth only).
+
+    Norms are computed ONCE per row before the self-join (|N| evaluations,
+    not |pairs|), and with ``dim`` the per-pair dot product unrolls into
+    codegen arithmetic (same fold order → oracle-identical values).
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
-                  *( [F.col(block_col).alias("blk")] if block_col else [] ))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
-                  *( [F.col(block_col).alias("blk")] if block_col else [] ))
+    norm = (vector.l2_norm_unrolled(F.col(vec_col), dim) if dim is not None
+            else vector.l2_norm(F.col(vec_col)))
+    base = df.withColumn("_n", norm)
+    blk = [F.col(block_col).alias("blk")] if block_col else []
+    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+                    F.col("_n").alias("n_a"), *blk)
+    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+                    F.col("_n").alias("n_b"), *blk)
     cond = F.col("id_a") < F.col("id_b")
     joined = a.join(b, ["blk"]).filter(cond) if block_col else a.join(b, cond)
+    dot = (vector.dot_unrolled(F.col("vec_a"), F.col("vec_b"), dim)
+           if dim is not None else vector.dot(F.col("vec_a"), F.col("vec_b")))
+    denom = F.col("n_a") * F.col("n_b")
     return (
         joined.withColumn(
-            "sim", F.round(vector.cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6)
+            "sim", F.round(F.when(denom != 0.0, dot / denom), 6)
         )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")

@@ -27,26 +27,115 @@ def knn_join(
     corpus_vec: str = "embedding",
     exclude_self: bool = True,
     round_to: int | None = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query vector.
 
     Returns (qid, vec_id, sim, rank) with deterministic tie-breaking on
     corpus id.  The query side is broadcast; the corpus is scanned once with
     no shuffle before the final per-query top-k window.
+
+    With ``dim`` given (the usual case — collection vector config carries the
+    dimension, reference qdrant_embedder.py:95-102), the hot loop runs as
+    unrolled codegen arithmetic with per-side norms computed ONCE before the
+    cross join: |Q|+|C| norm evaluations instead of |Q|·|C|, and no
+    interpreted lambda per pair.  Without ``dim`` it falls back to the
+    dimension-agnostic zip_with/aggregate fold (same values either way).
     """
     q = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"))
-    pairs = corpus.join(F.broadcast(q), how="cross")
+    if dim is not None:
+        q = q.withColumn("_qn", vector.l2_norm_unrolled(F.col("qvec"), dim))
+        c = corpus.withColumn("_cn", vector.l2_norm_unrolled(F.col(corpus_vec), dim))
+        pairs = c.join(F.broadcast(q), how="cross")
+        denom = F.col("_qn") * F.col("_cn")
+        sim = F.when(
+            denom != 0.0,
+            vector.dot_unrolled(F.col("qvec"), F.col(corpus_vec), dim) / denom,
+        )
+    else:
+        pairs = corpus.join(F.broadcast(q), how="cross")
+        sim = vector.cosine_similarity(F.col("qvec"), F.col(corpus_vec))
     if exclude_self:
         pairs = pairs.filter(F.col("qid") != F.col(corpus_id))
-    sim = vector.cosine_similarity(F.col("qvec"), F.col(corpus_vec))
     if round_to is not None:
         sim = F.round(sim, round_to)
     scored = pairs.select("qid", F.col(corpus_id).alias("vec_id"), sim.alias("sim"))
+    # zero-norm vectors have no defined cosine: drop (NaN would rank FIRST
+    # in Spark's descending order — above every real score)
+    scored = scored.filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_join_vectorized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k — the 100 TB physical strategy.
+
+    The query side is SMALL by contract (it is broadcast in :func:`knn_join`
+    too); here it ships to every partition inside the UDF closure as one
+    numpy matrix.  Each corpus partition computes a single BLAS matmul
+    (batch × dim) @ (dim × m) and keeps only its LOCAL top-k per query, so
+    the global merge window sees ``partitions × m × k`` candidate rows
+    instead of ``|corpus| × m`` — the same partial/final shape Spark uses
+    for aggregates.  No shuffle touches the corpus.
+
+    Scores come from float64 BLAS accumulation, which can differ from the
+    sequential fold by ~1 ulp — fine for production ranking, so this is the
+    bench/scale path while :func:`knn_join` (bit-identical to the SQL
+    oracle) is the semantic contract.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    q_pd = queries.select(F.col(query_id).alias("qid"),
+                          F.col(query_vec).alias("qvec")).toPandas()
+    qids = q_pd["qid"].to_numpy()
+    Q = np.stack(q_pd["qvec"].to_numpy()).astype(np.float64)          # (m, d)
+    Qn = np.linalg.norm(Q, axis=1)
+    Qn[Qn == 0.0] = np.nan  # zero-norm query → NULL sims, like the SQL path
+    n_local = k + 1 if exclude_self else k
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)  # (b, d)
+            ids = pdf[corpus_id].to_numpy()
+            Cn = np.linalg.norm(C, axis=1)
+            Cn[Cn == 0.0] = np.nan
+            S = (C @ Q.T) / np.outer(Cn, Qn)                             # (b, m)
+            kk = min(n_local, len(ids))
+            # per-query local top-k (argpartition is O(b) per column)
+            top = np.argpartition(-S, kk - 1, axis=0)[:kk]               # (kk, m)
+            out_qid = np.repeat(qids, kk)
+            rows = top.T.reshape(-1)                                     # query-major
+            yield pd.DataFrame({
+                "qid": out_qid.astype("int64"),
+                "vec_id": ids[rows].astype("int64"),
+                "sim": S[rows, np.repeat(np.arange(len(qids)), kk)],
+            })
+
+    cand = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        part, "qid long, vec_id long, sim double")
+    if exclude_self:
+        cand = cand.filter(F.col("qid") != F.col("vec_id"))
+    if round_to is not None:
+        cand = cand.withColumn("sim", F.round("sim", round_to))
+    cand = cand.filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def knn_join_blocked(
@@ -93,6 +182,6 @@ def knn_join_blocked(
         "qid",
         F.col(corpus_id).alias("vec_id"),
         F.round(vector.cosine_similarity(F.col("qvec"), F.col(corpus_vec)), 6).alias("sim"),
-    )
+    ).filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -97,6 +97,43 @@ def q_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J5 at bench scale: 100-query exact kNN on the vectorized partial-top-k
+# physical path (BLAS matmul per partition + local top-k + tiny global merge)
+# ---------------------------------------------------------------------------
+
+@register(
+    "knn_cosine_topk100",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 100
+),
+pairs AS (
+  SELECT q.qid, e.vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(e.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, embeddings e
+  WHERE q.qid <> e.vec_id
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_knn_topk100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = knn.knn_join_vectorized(queries, emb, k=10)
+    return out.select("qid", "vec_id", "sim", F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
 # A1: hash group-by aggregates (TPC-H Q1 shape on lineitem)
 # ---------------------------------------------------------------------------
 
@@ -982,12 +1019,18 @@ _POLY_H = DUCK_POLY_HASH.format(t="shingle")
 
 @register(
     "dedup_ngram_jaccard",
+    # max_df=50 drops ubiquitous shingles BEFORE the self-join: the fixture's
+    # tiny vocabulary makes common 3-grams appear in hundreds of docs, and a
+    # shingle with df=d contributes d² candidate pairs — the classic skew
+    # blowup this cap exists for (same cap applied in the oracle).
     oracle=f"""
 WITH {DUCK_SHINGLES},
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT ia AS id_a, ib AS id_b,
@@ -1000,7 +1043,7 @@ WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
 )
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=50)
 
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
@@ -1102,7 +1145,7 @@ WHERE round(
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_neardup_pairs(emb, threshold=0.35)
+    return dedup.embedding_neardup_pairs(emb, threshold=0.35, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -1443,4 +1486,4 @@ def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> Dat
         F.col("doc_id").alias("qid"), hash_embed(F.col("text"), 64).alias("qvec")
     ).filter(F.col("qid") < 8)
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn.knn_join(doc_vecs, emb, k=5, exclude_self=False)
+    return knn.knn_join_vectorized(doc_vecs, emb, k=5, exclude_self=False)

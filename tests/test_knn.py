@@ -54,6 +54,38 @@ def test_knn_plan_broadcasts_queries(spark, sf_dir):
     assert "Broadcast" in plan
 
 
+def test_vectorized_equals_sql_path(spark, sf_dir):
+    """The BLAS partial-top-k path must produce the same ranking as the
+    bit-exact SQL fold (modulo 1-ulp score noise absorbed by round 6)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    a = knn.knn_join(queries, emb, k=7).orderBy("qid", "rank").collect()
+    b = knn.knn_join_vectorized(queries, emb, k=7).orderBy("qid", "rank").collect()
+    assert [(r["qid"], r["vec_id"], r["rank"]) for r in a] == \
+           [(r["qid"], r["vec_id"], r["rank"]) for r in b]
+    assert all(abs(x["sim"] - y["sim"]) < 1e-5 for x, y in zip(a, b))
+
+
+def test_vectorized_unrolled_dim_identical(spark, sf_dir):
+    """dot_unrolled adds terms in fold order — bit-identical to the HOF path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    a = knn.knn_join(queries, emb, k=5).orderBy("qid", "rank").collect()
+    b = knn.knn_join(queries, emb, k=5, dim=64).orderBy("qid", "rank").collect()
+    assert a == b
+
+
+def test_vectorized_zero_norm_query_yields_no_rows(spark):
+    """Zero-norm vectors have undefined cosine — both paths drop them."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 2.0])], "vec_id long, embedding array<double>")
+    zq = spark.createDataFrame([(9, [0.0, 0.0])], "qid long, qvec array<double>")
+    assert knn.knn_join(zq, corpus, k=5).count() == 0
+    assert knn.knn_join_vectorized(zq, corpus, k=5).count() == 0
+
+
 def test_ivf_blocked_knn_probes_subset(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     cents = centroid.centroids(emb, "label", "embedding")
