@@ -66,6 +66,9 @@ def main() -> None:
         df = registry[name].fn(spark, sf_dir)
         n = df.count()
         times[name] = round(time.time() - t0, 3)
+        # queries are self-contained: drop their persisted intermediates so
+        # cached blocks don't accumulate across the 48-query sequence
+        spark.catalog.clearCache()
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     headline_total = round(sum(times[n] for n in HEADLINE if n in times), 3)

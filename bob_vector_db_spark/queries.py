@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from .functions import vector
 from .functions.hashing import POLY_MOD, poly_hash
 from .functions.text import ws_tokens
-from .operators import centroid, dedup, knn
+from .operators import centroid, dedup, knn, normalize, upsert
 from .sources import load_table
 from .streaming import windows
 
@@ -1145,7 +1145,7 @@ WHERE round(
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_neardup_pairs(emb, threshold=0.35, dim=64)
+    return dedup.embedding_neardup_pairs_vectorized(emb, threshold=0.35)
 
 
 # ---------------------------------------------------------------------------
@@ -1462,6 +1462,319 @@ def q_mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.select(
         "doc_id", MM.byte_histogram_udf(16)(F.col("content")).alias("features")
     )
+
+
+# ---------------------------------------------------------------------------
+# S1 + P1-P3 + X5: embed-message round trip — construct messages from the
+# corpus, serialize to JSON, parse (S1), zip-explode back to records; output
+# must equal a direct projection of the source table (reference
+# README.md:40-58 message shape, qdrant_embedder.py:130-142 positional zip)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s1_message_roundtrip",
+    oracle="""
+SELECT source AS collection, CAST(doc_id AS VARCHAR) AS id,
+       text AS document, lang
+FROM documents
+""",
+)
+def q_s1_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grouped = docs.groupBy("source").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "text", "lang"))).alias("recs")
+    )
+    msgs = grouped.select(
+        F.to_json(
+            F.struct(
+                F.col("source").alias("collection"),
+                F.transform("recs", lambda r: r["text"]).alias("documents"),
+                F.transform(
+                    "recs", lambda r: F.to_json(F.struct(r["lang"].alias("lang")))
+                ).alias("metadatas"),
+                F.transform("recs", lambda r: r["doc_id"].cast("string")).alias("ids"),
+            )
+        ).alias("value")
+    )
+    rec = normalize.zip_explode(normalize.parse_messages(msgs))
+    return rec.select(
+        "collection",
+        "id",
+        "document",
+        F.get_json_object("payload_json", "$.lang").alias("lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S6/T7: upsert-by-id, last write wins — re-delivered ids replace the stored
+# point (Qdrant upload_points semantics, qdrant_embedder.py:58-62,130-143)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s6_upsert_last_write_wins",
+    oracle="""
+WITH allv AS (
+  SELECT doc_id AS id, text AS document, CAST(1 AS BIGINT) AS version
+  FROM documents
+  UNION ALL
+  SELECT doc_id, text || ' [v2]', CAST(2 AS BIGINT) FROM documents
+  WHERE doc_id % 3 = 0
+)
+SELECT id, document, version FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY version DESC) AS rn
+  FROM allv) WHERE rn = 1
+""",
+)
+def q_s6_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select(
+        F.col("doc_id").alias("id"), F.col("text").alias("document"),
+        F.lit(1).cast("long").alias("version"),
+    )
+    v2 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.col("text"), F.lit(" [v2]")).alias("document"),
+        F.lit(2).cast("long").alias("version"),
+    )
+    return upsert.last_write_wins(v1.unionByName(v2), "id", "version")
+
+
+# ---------------------------------------------------------------------------
+# S7: dead-letter routing — malformed messages split off, stream continues
+# (per-message try/except at embedder.py:217-225)
+# ---------------------------------------------------------------------------
+
+@register(
+    "s7_dead_letter_routing",
+    oracle="""
+SELECT CASE WHEN doc_id % 10 = 0 THEN 'dead_letter' ELSE 'main' END AS route,
+       COUNT(*) AS n
+FROM documents GROUP BY 1
+""",
+)
+def q_s7_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    value = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.lit("not json: "), F.col("text")),  # guaranteed malformed
+    ).otherwise(
+        F.to_json(
+            F.struct(
+                F.lit("c").alias("collection"),
+                F.array(F.col("text")).alias("documents"),
+                F.array(F.lit("{}")).alias("metadatas"),
+            )
+        )
+    )
+    probed = docs.select(
+        F.from_json(
+            value, normalize.RAW_PROBE_SCHEMA,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("_p")
+    )
+    route = F.when(
+        F.col("_p._corrupt_record").isNotNull(), F.lit("dead_letter")
+    ).otherwise(F.lit("main"))
+    return probed.groupBy(route.alias("route")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# P4: payload-key filter — the filterable half of the delegated query surface
+# (README.md:13; payload built at qdrant_embedder.py:119-128)
+# ---------------------------------------------------------------------------
+
+@register(
+    "p4_payload_filter",
+    oracle="""
+SELECT doc_id, source, n_chars FROM documents
+WHERE lang = 'en' AND n_chars > 100
+""",
+)
+def q_p4_payload_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.withColumn(
+        "payload",
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+        ),
+    )
+    return (
+        with_payload.filter(
+            (F.col("payload")["lang"] == "en") & (F.col("n_chars") > 100)
+        )
+        .select("doc_id", F.col("payload")["source"].alias("source"), "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5: conditional payload enrichment — inject image_b64 only when the key is
+# absent (qdrant_embedder.py:119-128 enriches only missing keys)
+# ---------------------------------------------------------------------------
+
+@register(
+    "p5_payload_enrichment",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'image_b64=preset;lang=' || lang
+            ELSE 'image_b64=' || base64(encode(substr(text, 1, 8)))
+                 || ';lang=' || lang END AS payload_str
+FROM documents
+""",
+)
+def q_p5_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("image_b64"), F.lit("preset")
+        ),
+    ).otherwise(F.create_map(F.lit("lang"), F.col("lang")))
+    enriched = F.when(
+        F.map_contains_key(payload, "image_b64"), payload
+    ).otherwise(
+        F.map_concat(
+            payload,
+            F.create_map(
+                F.lit("image_b64"),
+                F.base64(F.substring(F.col("text"), 1, 8).cast("binary")),
+            ),
+        )
+    )
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(enriched)),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        ";",
+    )
+    return docs.select("doc_id", rendered.alias("payload_str"))
+
+
+# ---------------------------------------------------------------------------
+# F3/F4: deterministic content ids — the oracle-safe replacement for the
+# reference's uuid4 default (qdrant_embedder.py:115-117)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f3_f4_content_ids",
+    oracle="""
+SELECT doc_id,
+       sha256('default' || chr(31) || text) AS sha_id,
+       md5(text) AS md5_id
+FROM documents
+""",
+)
+def q_f3_content_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from .functions.hashing import content_id  # noqa: PLC0415
+
+    return docs.select(
+        "doc_id",
+        content_id(F.lit("default"), F.col("text")).alias("sha_id"),
+        F.md5(F.col("text")).alias("md5_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8: array-function gauntlet — size/slice/element_at/transform/aggregate/
+# array_sort over the embedding arrays (the list-zip record model,
+# qdrant_embedder.py:130-142)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f8_array_gauntlet",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       round(list_aggregate(list_transform(list_slice(embedding, 1, 8),
+                                           x -> x::DOUBLE), 'sum'), 6) AS head_sum,
+       round(embedding[1]::DOUBLE, 6) AS first_val,
+       round(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 6) AS max_abs,
+       round(list_min(list_transform(embedding, x -> x::DOUBLE)), 6) AS min_val
+FROM embeddings
+""",
+)
+def q_f8_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.slice("embedding", 1, 8), F.lit(0.0),
+                lambda a, x: a + x.cast("double"),
+            ),
+            6,
+        ).alias("head_sum"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))), 6
+        ).alias("max_abs"),
+        F.round(
+            F.array_min(F.transform("embedding", lambda x: x.cast("double"))), 6
+        ).alias("min_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4: grouped-map UDAF — per-label centroids via applyInPandas (same oracle
+# as the explode-form A5: two physical strategies, one semantic contract)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x4_centroids_applyinpandas",
+    oracle="""
+SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+       round(CAST(SUM(CAST(val AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS centroid_val
+FROM (SELECT label,
+             unnest(embedding)::DOUBLE AS val,
+             unnest(range(0, len(embedding))) AS pos
+      FROM embeddings)
+GROUP BY label, pos
+""",
+)
+def q_x4_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def per_label(pdf: pd.DataFrame) -> pd.DataFrame:
+        # match the oracle's exact DECIMAL(20,10) accumulation: quantize each
+        # float32-widened value to 10 decimals, sum in float64 (exact for
+        # these magnitudes), divide once
+        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        Vq = np.round(V, 10)
+        mean = Vq.sum(axis=0) / len(Vq)
+        return pd.DataFrame({
+            "label": np.repeat(int(pdf["label"].iloc[0]), V.shape[1]),
+            "pos": np.arange(V.shape[1], dtype="int64"),
+            "centroid_val": np.round(mean, 6),
+        })
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.col("label").cast("long").alias("label"), "embedding")
+        .groupBy("label")
+        .applyInPandas(per_label, "label long, pos long, centroid_val double")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1: pluggable ML text embedder (rows-only — the ML path is off the oracle
+# by design; deterministic fake model exercises the lazy-init Iterator UDF)
+# ---------------------------------------------------------------------------
+
+@register("x1_text_embed_udf", oracle=None)
+def q_x1_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.embed import make_text_embedder_udf  # noqa: PLC0415
+
+    def fake_encode(texts):
+        return [
+            [float((len(t) + i) % 7) for i in range(8)] for t in texts
+        ]
+
+    udf = make_text_embedder_udf(dim=8, _encode_fn=fake_encode)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", udf(F.col("text")).alias("text_vec"))
 
 
 # ---------------------------------------------------------------------------

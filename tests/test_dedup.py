@@ -85,3 +85,19 @@ def test_embedding_neardup(spark):
     allpairs = dedup.embedding_neardup_pairs(df, block_col=None, threshold=0.99).collect()
     ids_all = {(r["id_a"], r["id_b"]) for r in allpairs}
     assert (0, 3) in ids_all  # cross-label pair visible without blocking
+
+
+def test_embedding_neardup_vectorized_matches_sql_path(spark, sf_dir):
+    from bob_vector_db_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sql_pairs = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in dedup.embedding_neardup_pairs(emb, threshold=0.35, dim=64).collect()
+    }
+    blas_pairs = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in dedup.embedding_neardup_pairs_vectorized(emb, threshold=0.35).collect()
+    }
+    assert set(sql_pairs) == set(blas_pairs)
+    assert all(abs(sql_pairs[k] - blas_pairs[k]) < 1e-5 for k in sql_pairs)
