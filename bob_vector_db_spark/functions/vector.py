@@ -24,12 +24,16 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """Dot product unrolled to flat arithmetic for a KNOWN dimension.
+    """Dot product unrolled to flat arithmetic for a KNOWN small dimension.
 
-    Spark's higher-order functions (zip_with/aggregate) are interpreted per
-    element; an unrolled left-associated sum compiles into whole-stage
-    codegen — ~10-40× faster in the kNN hot loop — and adds terms in the
-    same index order as :func:`dot`, so results are bit-identical.
+    Adds terms in the same index order as :func:`dot`, so results are
+    bit-identical.  CAVEAT (measured, not guessed): inside join codegen
+    (e.g. the broadcast-nested-loop consume path) Spark cannot split a
+    single expression across methods, so dims ≳32 blow Janino's 64 KB
+    method limit — the stage then pays a failed-compile + interpreted
+    fallback on EVERY run, slower than the plain HOF fold.  Use only in
+    projections / small dims; for wide vectors use :func:`dot` (HOF) or
+    the BLAS paths (knn.knn_join_vectorized, dedup vectorized).
     """
     terms = [
         F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")

@@ -225,8 +225,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             block_col: str | None = "label",
-                            threshold: float = 0.9,
-                            dim: int | None = None) -> DataFrame:
+                            threshold: float = 0.9) -> DataFrame:
     """Embedding-cosine near-dup pairs with similarity ≥ threshold.
 
     With ``block_col`` the self-join is an equi-join inside blocks (IVF-style
@@ -234,12 +233,11 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
     all-pairs (oracle ground truth only).
 
     Norms are computed ONCE per row before the self-join (|N| evaluations,
-    not |pairs|), and with ``dim`` the per-pair dot product unrolls into
-    codegen arithmetic (same fold order → oracle-identical values).
+    not |pairs|); the per-pair work is a single HOF dot fold (unrolled
+    arithmetic is NOT used here — see functions.vector.dot_unrolled caveat:
+    wide unrolled expressions fail Janino inside join codegen).
     """
-    norm = (vector.l2_norm_unrolled(F.col(vec_col), dim) if dim is not None
-            else vector.l2_norm(F.col(vec_col)))
-    base = df.withColumn("_n", norm)
+    base = df.withColumn("_n", vector.l2_norm(F.col(vec_col)))
     blk = [F.col(block_col).alias("blk")] if block_col else []
     a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
                     F.col("_n").alias("n_a"), *blk)
@@ -247,8 +245,7 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                     F.col("_n").alias("n_b"), *blk)
     cond = F.col("id_a") < F.col("id_b")
     joined = a.join(b, ["blk"]).filter(cond) if block_col else a.join(b, cond)
-    dot = (vector.dot_unrolled(F.col("vec_a"), F.col("vec_b"), dim)
-           if dim is not None else vector.dot(F.col("vec_a"), F.col("vec_b")))
+    dot = vector.dot(F.col("vec_a"), F.col("vec_b"))
     denom = F.col("n_a") * F.col("n_b")
     return (
         joined.withColumn(

@@ -27,7 +27,6 @@ def knn_join(
     corpus_vec: str = "embedding",
     exclude_self: bool = True,
     round_to: int | None = 6,
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query vector.
 
@@ -35,26 +34,23 @@ def knn_join(
     corpus id.  The query side is broadcast; the corpus is scanned once with
     no shuffle before the final per-query top-k window.
 
-    With ``dim`` given (the usual case — collection vector config carries the
-    dimension, reference qdrant_embedder.py:95-102), the hot loop runs as
-    unrolled codegen arithmetic with per-side norms computed ONCE before the
-    cross join: |Q|+|C| norm evaluations instead of |Q|·|C|, and no
-    interpreted lambda per pair.  Without ``dim`` it falls back to the
-    dimension-agnostic zip_with/aggregate fold (same values either way).
+    Per-side L2 norms are computed ONCE in projections before the join —
+    |Q|+|C| norm evaluations instead of 2·|Q|·|C| — so the per-pair work is
+    a single dot-product fold.  Norm and dot use the same expressions as
+    :func:`functions.vector.cosine_similarity`, so values are bit-identical
+    to the one-expression form (and to the SQL oracle).
     """
-    q = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"))
-    if dim is not None:
-        q = q.withColumn("_qn", vector.l2_norm_unrolled(F.col("qvec"), dim))
-        c = corpus.withColumn("_cn", vector.l2_norm_unrolled(F.col(corpus_vec), dim))
-        pairs = c.join(F.broadcast(q), how="cross")
-        denom = F.col("_qn") * F.col("_cn")
-        sim = F.when(
-            denom != 0.0,
-            vector.dot_unrolled(F.col("qvec"), F.col(corpus_vec), dim) / denom,
-        )
-    else:
-        pairs = corpus.join(F.broadcast(q), how="cross")
-        sim = vector.cosine_similarity(F.col("qvec"), F.col(corpus_vec))
+    q = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"),
+        vector.l2_norm(F.col(query_vec)).alias("_qn"),
+    )
+    c = corpus.withColumn("_cn", vector.l2_norm(F.col(corpus_vec)))
+    pairs = c.join(F.broadcast(q), how="cross")
+    denom = F.col("_qn") * F.col("_cn")
+    sim = F.when(
+        denom != 0.0,
+        vector.dot(F.col("qvec"), F.col(corpus_vec)) / denom,
+    )
     if exclude_self:
         pairs = pairs.filter(F.col("qid") != F.col(corpus_id))
     if round_to is not None:
@@ -175,13 +171,18 @@ def knn_join_blocked(
         .filter(F.col("crank") <= n_probe)
         .select("qid", "qvec", F.col("_label").alias("probe_label"))
     )
-    pairs = corpus.join(
-        F.broadcast(probes), F.col(corpus_label) == F.col("probe_label")
+    pairs = corpus.withColumn("_cn", vector.l2_norm(F.col(corpus_vec))).join(
+        F.broadcast(probes.withColumn("_qn", vector.l2_norm(F.col("qvec")))),
+        F.col(corpus_label) == F.col("probe_label"),
     ).filter(F.col("qid") != F.col(corpus_id))
+    denom = F.col("_qn") * F.col("_cn")
     scored = pairs.select(
         "qid",
         F.col(corpus_id).alias("vec_id"),
-        F.round(vector.cosine_similarity(F.col("qvec"), F.col(corpus_vec)), 6).alias("sim"),
+        F.round(
+            F.when(denom != 0.0,
+                   vector.dot(F.col("qvec"), F.col(corpus_vec)) / denom), 6
+        ).alias("sim"),
     ).filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

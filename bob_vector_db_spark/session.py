@@ -38,6 +38,14 @@ def get_spark(app_name: str = "bob_vector_db_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Whole-stage codegen emits a fresh class per distinct plan; a long
+        # many-query session overflows the JVM's default 240 MB CodeCache,
+        # after which the JIT flushes hot methods and generated code runs
+        # interpreted (10×+ tail slowdowns). 1 GiB + flushing keeps the JIT
+        # alive for the whole suite — same flag Spark's tuning guide
+        # recommends fleet-wide for codegen-heavy workloads.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -93,7 +93,7 @@ def test_embedding_neardup_vectorized_matches_sql_path(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     sql_pairs = {
         (r["id_a"], r["id_b"]): r["sim"]
-        for r in dedup.embedding_neardup_pairs(emb, threshold=0.35, dim=64).collect()
+        for r in dedup.embedding_neardup_pairs(emb, threshold=0.35).collect()
     }
     blas_pairs = {
         (r["id_a"], r["id_b"]): r["sim"]

@@ -67,14 +67,17 @@ def test_vectorized_equals_sql_path(spark, sf_dir):
     assert all(abs(x["sim"] - y["sim"]) < 1e-5 for x, y in zip(a, b))
 
 
-def test_vectorized_unrolled_dim_identical(spark, sf_dir):
-    """dot_unrolled adds terms in fold order — bit-identical to the HOF path."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-    a = knn.knn_join(queries, emb, k=5).orderBy("qid", "rank").collect()
-    b = knn.knn_join(queries, emb, k=5, dim=64).orderBy("qid", "rank").collect()
-    assert a == b
+def test_dot_unrolled_bit_identical_to_hof(spark, sf_dir):
+    """dot_unrolled adds terms in fold order — bit-identical to the HOF fold
+    (projection context only; see its docstring for the join-codegen caveat)."""
+    from bob_vector_db_spark.functions import vector
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    pair = emb.select(
+        vector.dot(F.col("embedding"), F.col("embedding")).alias("hof"),
+        vector.dot_unrolled(F.col("embedding"), F.col("embedding"), 64).alias("unrolled"),
+    )
+    assert pair.filter(F.col("hof") != F.col("unrolled")).count() == 0
 
 
 def test_vectorized_zero_norm_query_yields_no_rows(spark):
