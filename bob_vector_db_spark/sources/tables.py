@@ -23,6 +23,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); Spark rejects it unless the
+        # legacy nanosAsLong conf is on. It is runtime-settable, so set it here
+        # rather than only in our own session builder — callers (driver, tests)
+        # may hand us a session built elsewhere.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read via nanosAsLong → truncate to µs exactly the
