@@ -1162,7 +1162,10 @@ tfs AS (
   SELECT doc_id, ({DUCK_POLY_HASH.format(t='tok')}) % 64 AS bucket, COUNT(*) AS tf
   FROM toks GROUP BY doc_id, bucket
 )
-SELECT d.doc_id, list(coalesce(tf, 0)::DOUBLE ORDER BY r.j) AS vec
+SELECT d.doc_id AS doc_id,
+       array_to_string(
+         list_transform(list(CAST(coalesce(tf, 0) AS BIGINT) ORDER BY r.j),
+                        x -> CAST(x AS VARCHAR)), ',') AS vec
 FROM (SELECT DISTINCT doc_id FROM documents) d
 CROSS JOIN range(64) r(j)
 LEFT JOIN tfs ON tfs.doc_id = d.doc_id AND tfs.bucket = r.j
@@ -1170,10 +1173,18 @@ GROUP BY d.doc_id
 """,
 )
 def q_x3_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The vec column is rendered as a comma-joined string: the driver's
+    # canonicalizer sorts cell values and cannot hash Python lists.
     from .operators.embed import hash_embed_df  # noqa: PLC0415
 
     docs = load_table(spark, sf_dir, "documents")
-    return hash_embed_df(docs, dim=64, out_col="vec")
+    out = hash_embed_df(docs, dim=64, out_col="vec")
+    return out.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform(F.col("vec"), lambda x: x.cast("long").cast("string"))
+        ).alias("vec"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1455,12 +1466,20 @@ def q_mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("mm_byte_histogram", oracle=None)  # pandas-UDF feature path, rows-only
 def q_mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # features rendered as a comma-joined string (6dp) — the driver's
+    # canonicalizer cannot hash array cells even for rows-only checks.
     from .operators import multimodal as MM  # noqa: PLC0415
 
     docs = load_table(spark, sf_dir, "documents")
     blobs = MM.text_as_binary(docs)
-    return blobs.select(
+    hist = blobs.select(
         "doc_id", MM.byte_histogram_udf(16)(F.col("content")).alias("features")
+    )
+    return hist.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform(F.col("features"), lambda x: F.format_string("%.6f", x))
+        ).alias("features"),
     )
 
 
@@ -1774,7 +1793,14 @@ def q_x1_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     udf = make_text_embedder_udf(dim=8, _encode_fn=fake_encode)
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", udf(F.col("text")).alias("text_vec"))
+    vecs = docs.select("doc_id", udf(F.col("text")).alias("text_vec"))
+    # Stringified for the driver's canonicalizer (cannot hash array cells).
+    return vecs.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform(F.col("text_vec"), lambda x: F.format_string("%.1f", x))
+        ).alias("text_vec"),
+    )
 
 
 # ---------------------------------------------------------------------------
