@@ -6,28 +6,54 @@ lazily iff absent (qdrant_embedder.py:92-103).  On plain parquet (no Delta
 dependency) the same semantics are:
 
     create  — write iff path absent (idempotent DDL)
-    upsert  — union(new, existing) → last-write-wins by (id) on a version
-              ordering → overwrite
+    upsert  — union(new, touched-buckets-of-existing) → last-write-wins by
+              (id) on a version ordering → rewrite ONLY the touched buckets
 
-At scale the store is partitioned by ``collection`` so payload/collection
-filters become partition pruning, and the last-write-wins window shuffles
-only the touched partitions.
+Scale design: each collection is hash-partitioned into ``id_bucket=N``
+directories (``pmod(xxhash64(id), n_buckets)``).  An upsert of a micro-batch
+touches only the buckets its ids hash into, so the read side prunes to those
+partitions (Catalyst partition pruning on the hive-style layout) and the
+write side rewrites only those directories — a one-row upsert into a 100 TB
+collection moves one bucket, not the table.  Bucket swap-in is an atomic
+directory rename (POSIX), so readers never observe a half-written bucket;
+with Delta available this whole module becomes ``MERGE INTO``.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+BUCKET_COL = "id_bucket"
+DEFAULT_N_BUCKETS = 16  # local-mode default; size to ~#cores*4 fleet-wide
 
 
 def collection_path(root: str, collection: str) -> str:
     return os.path.join(root, f"collection={collection}")
 
 
+def _with_bucket(df: DataFrame, id_col: str, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        BUCKET_COL,
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets)).cast("int"),
+    )
+
+
+def _store_exists(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    for entry in os.listdir(path):
+        if entry.startswith(f"{BUCKET_COL}=") or entry.endswith(".parquet"):
+            return True
+    return False
+
+
 def create_collection(spark: SparkSession, root: str, collection: str,
-                      df: DataFrame | None = None) -> bool:
+                      df: DataFrame | None = None, id_col: str = "id",
+                      n_buckets: int = DEFAULT_N_BUCKETS) -> bool:
     """Idempotent create (S5): returns True if newly created.
 
     Mirrors the exists-check at qdrant_embedder.py:92 — existing collections
@@ -37,10 +63,15 @@ def create_collection(spark: SparkSession, root: str, collection: str,
     if os.path.exists(path):
         return False
     if df is not None:
-        df.write.mode("overwrite").parquet(path)
+        (_with_bucket(df, id_col, n_buckets)
+         .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path))
     else:
         os.makedirs(path, exist_ok=True)
     return True
+
+
+def read_collection(spark: SparkSession, root: str, collection: str) -> DataFrame:
+    return spark.read.parquet(collection_path(root, collection)).drop(BUCKET_COL)
 
 
 def last_write_wins(df: DataFrame, id_col: str = "id",
@@ -61,13 +92,10 @@ def last_write_wins(df: DataFrame, id_col: str = "id",
 
 def upsert(spark: SparkSession, root: str, collection: str,
            new_rows: DataFrame, id_col: str = "id",
-           version_col: str | None = None) -> DataFrame:
+           version_col: str | None = None,
+           n_buckets: int = DEFAULT_N_BUCKETS) -> DataFrame:
     """S6: merge ``new_rows`` into the collection, the newest version winning
     on id collision; returns the merged DataFrame after persisting it.
-
-    Plain-parquet MERGE: read existing → last-write-wins → overwrite.  With
-    Delta available this becomes a real ``MERGE INTO`` in foreachBatch;
-    semantics identical.
 
     Without ``version_col`` the merge tags existing=0 / new=1, so any
     re-delivered id replaces the stored point — exactly Qdrant's
@@ -75,32 +103,60 @@ def upsert(spark: SparkSession, root: str, collection: str,
     from file metadata) the column is PERSISTED in the table, so versions
     survive restarts and ordering is correct even when one micro-batch
     re-reads several generations of the same id.
+
+    Only the buckets touched by ``new_rows`` are read (partition pruning) and
+    rewritten (atomic per-bucket directory swap); untouched buckets are never
+    opened.
     """
     path = collection_path(root, collection)
-    exists = os.path.exists(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    )
-    if version_col is None:
-        new_tagged = new_rows.withColumn("_version", F.lit(1))
-        if exists:
-            existing = spark.read.parquet(path).withColumn("_version", F.lit(0))
-            merged = last_write_wins(
-                existing.unionByName(new_tagged, allowMissingColumns=True), id_col
-            ).drop("_version")
-        else:
-            merged = last_write_wins(new_tagged, id_col).drop("_version")
-    else:
-        if exists:
-            existing = spark.read.parquet(path)
-            unioned = existing.unionByName(new_rows, allowMissingColumns=True)
-        else:
-            unioned = new_rows
-        merged = last_write_wins(unioned, id_col, version_col)
-    tmp = path + "__staging"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = merged.sparkSession.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(path)
-    import shutil
+    new_b = _with_bucket(new_rows, id_col, n_buckets)
 
-    shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(path)
+    if not _store_exists(path):
+        merged = (
+            last_write_wins(new_b.withColumn("_version", F.lit(1)), id_col)
+            .drop("_version")
+            if version_col is None else last_write_wins(new_b, id_col, version_col)
+        )
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+        return read_collection(spark, root, collection)
+
+    # Bucket ids are bounded by n_buckets, so this collect is O(n_buckets)
+    # regardless of data size.
+    touched = sorted(
+        r[0] for r in new_b.select(BUCKET_COL).distinct().collect()
+    )
+    existing = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+    if version_col is None:
+        merged = last_write_wins(
+            existing.withColumn("_version", F.lit(0)).unionByName(
+                new_b.withColumn("_version", F.lit(1)), allowMissingColumns=True
+            ),
+            id_col,
+        ).drop("_version")
+    else:
+        merged = last_write_wins(
+            existing.unionByName(new_b, allowMissingColumns=True),
+            id_col, version_col,
+        )
+
+    # Write the merged touched buckets to a staging dir, then swap each bucket
+    # directory in with an atomic rename.  A crash mid-swap leaves every
+    # bucket either fully old (still in place or in its __old trash, which a
+    # rerun of the same batch re-merges idempotently) or fully new — never
+    # half-written files in a live bucket.
+    staging = path + "__staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+    for b in touched:
+        src = os.path.join(staging, f"{BUCKET_COL}={b}")
+        dst = os.path.join(path, f"{BUCKET_COL}={b}")
+        if not os.path.isdir(src):
+            continue
+        trash = dst + "__old"
+        shutil.rmtree(trash, ignore_errors=True)
+        if os.path.isdir(dst):
+            os.rename(dst, trash)
+        os.rename(src, dst)
+        shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    return read_collection(spark, root, collection)

@@ -18,7 +18,8 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 def get_spark(app_name: str = "bob_vector_db_spark",
               shuffle_partitions: int | None = None,
-              extra_conf: dict[str, str] | None = None) -> SparkSession:
+              extra_conf: dict[str, str] | None = None,
+              cpus: int | str | None = None) -> SparkSession:
     """Build (or reuse) the tuned session.
 
     On a 1000-executor cluster the same knobs apply, with
@@ -26,7 +27,7 @@ def get_spark(app_name: str = "bob_vector_db_spark",
     ``spark.sql.files.maxPartitionBytes`` left at 128m so a 100 TB scan fans
     out to ~800k input splits; AQE coalesces the tail.
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")

@@ -13,7 +13,15 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", shuffle_partitions=8)
+    # local[8] + no Python-worker reuse: the 9-file suite runs dozens of
+    # pandas UDFs through one long-lived session; reused workers eventually
+    # hit a py4j socket error on this container (flaked once per ~10 runs).
+    s = get_spark(
+        "tests",
+        shuffle_partitions=8,
+        cpus=8,
+        extra_conf={"spark.python.worker.reuse": "false"},
+    )
     yield s
 
 

@@ -27,6 +27,45 @@ def test_upsert_replaces_by_id(spark, tmp_path):
     assert rows == {"a": "new", "b": "keep", "c": "added"}
 
 
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """A second upsert must leave untouched bucket directories byte-identical
+    (same files, same mtimes) — the scale contract: a small batch into a huge
+    collection moves only the buckets its ids hash into."""
+    import os
+
+    root = str(tmp_path / "store")
+    v1 = spark.createDataFrame(
+        [(f"id{i}", f"doc{i}") for i in range(64)], "id string, document string")
+    upsert.upsert(spark, root, "c", v1)
+    path = upsert.collection_path(root, "c")
+    bucket_dirs = sorted(
+        d for d in os.listdir(path) if d.startswith(upsert.BUCKET_COL + "="))
+    assert len(bucket_dirs) > 1  # 64 ids spread over >1 of 16 buckets
+
+    def snapshot():
+        return {
+            d: sorted((f, os.path.getmtime(os.path.join(path, d, f)))
+                      for f in os.listdir(os.path.join(path, d)))
+            for d in bucket_dirs
+        }
+
+    before = snapshot()
+    v2 = spark.createDataFrame([("id0", "doc0-v2")], "id string, document string")
+    merged = upsert.upsert(spark, root, "c", v2)
+    after = snapshot()
+
+    touched = upsert._with_bucket(v2, "id", upsert.DEFAULT_N_BUCKETS) \
+        .select(upsert.BUCKET_COL).first()[0]
+    touched_dir = f"{upsert.BUCKET_COL}={touched}"
+    assert before[touched_dir] != after[touched_dir]
+    for d in bucket_dirs:
+        if d != touched_dir:
+            assert before[d] == after[d], f"untouched bucket {d} was rewritten"
+
+    rows = {r["id"]: r["document"] for r in merged.collect()}
+    assert rows["id0"] == "doc0-v2" and len(rows) == 64
+
+
 def test_last_write_wins(spark):
     df = spark.createDataFrame(
         [("a", 1, "x"), ("a", 2, "y"), ("b", 1, "z")],
