@@ -10,7 +10,7 @@ Five strategies, all expressed as DataFrame ops over the ``documents`` table:
   minhash_lsh    — n permutations of a universal hash over shingles → band
                    signatures → bucket equi-join (candidates only collide in
                    a band; no O(n²) pair scan)
-  simhash        — 32-bit sign-aggregated token-hash fingerprint; near-dups
+  simhash        — 64-bit sign-aggregated token-hash fingerprint; near-dups
                    have small Hamming distance (bit_count(xor))
   embedding      — cosine ≥ τ on an embedding column (exact; LSH/IVF prune
                    via knn.knn_join_blocked at scale)
@@ -19,6 +19,11 @@ Scale notes: every strategy is shuffle-on-key (shingle / band-bucket / hash),
 never a cross join — the O(n²) exact cosine variant exists only as the
 oracle's ground truth at small SF.  Skewed shingles (stopword-only) are
 filtered by document-frequency cap before the self-join.
+
+Caching: the pair-finders persist() intermediates that feed multiple plan
+consumers (both self-join sides).  The persists are registered; long-lived
+sessions should call :func:`release_cache` after consuming results (bench
+uses ``spark.catalog.clearCache`` which is equivalent).
 """
 
 from __future__ import annotations
@@ -34,6 +39,19 @@ from ..functions.hashing import (
     poly_hash,
 )
 from ..functions.text import shingles, ws_tokens
+
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    _PERSISTED.append(df.persist())
+    return df
+
+
+def release_cache() -> None:
+    """Unpersist every intermediate this module has cached (idempotent)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text",
@@ -74,10 +92,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # The shingle table feeds FOUR consumers (df-cap aggregate, sizes, and
     # both self-join sides); without persist Spark re-derives the whole
     # map-only subtree per consumer — measured 8× recompute at sf0.1.
-    sh = doc_shingles(df, text_col, id_col, n).persist()
+    sh = _persist(doc_shingles(df, text_col, id_col, n))
     if max_df is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df)
-        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti").persist()
+        sh = _persist(sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -111,13 +129,20 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
     Shingle → poly-hash (h < POLY_MOD) → per-permutation min of
     (a_i*h + b_i) mod 2^31-1.  Integer-exact, so the DuckDB oracle
-    reproduces it bit-for-bit.  Computed as one groupBy(id).agg(min...) —
-    a single shuffle on id.
+    reproduces it bit-for-bit.
+
+    The poly-hash is an interpreted char-fold, so it runs once per DISTINCT
+    shingle (shingle dictionary → hash → equi-join back to the posting list)
+    instead of once per (doc, shingle) row — at corpus scale the dictionary
+    is orders of magnitude smaller than the postings.  The permutations are
+    cheap codegen'd integer expressions inside one groupBy(id) min-aggregate.
     """
     params = minhash_params(num_hashes, seed)
-    hashed = doc_shingles(df, text_col, id_col, n).select(
-        "id", poly_hash(F.col("shingle"), POLY_MOD).alias("h")
+    sh = doc_shingles(df, text_col, id_col, n)
+    dictionary = sh.select("shingle").distinct().withColumn(
+        "h", poly_hash(F.col("shingle"), POLY_MOD)
     )
+    hashed = sh.join(dictionary, "shingle").select("id", "h")
     mins = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
         for i, (a, b) in enumerate(params)
@@ -149,7 +174,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                 for b in range(bands)
             ])
         ).alias("band", "band_key"),
-    ).persist()
+    )
+    banded = _persist(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -161,39 +187,48 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 
 def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  bits: int = 32) -> DataFrame:
+                  bits: int = 64) -> DataFrame:
     """(id, fp): SimHash fingerprints.  Bit j of fp is the sign of
     Σ_tokens ±1, where token t votes +1 at bit j iff
     ((poly_hash(t) * (2j+3)) mod POLY_MOD) is odd.
 
-    Computed as explode → per-token hash → ``bits`` SUM(CASE) aggregate
-    columns grouped by id — a single codegen'd hash aggregate with one
-    shuffle, instead of per-row interpreted array folds.  Pure integer SQL,
-    bit-identical in the DuckDB oracle.
+    The interpreted poly-hash runs once per DISTINCT token (dictionary →
+    hash → join back to occurrences); the votes are ``bits`` SUM(CASE)
+    codegen'd aggregate columns grouped by id — one shuffle.  Pure integer
+    SQL, bit-identical in the DuckDB oracle.  Bit 63 is encoded as the
+    signed-long minimum so a 64-bit fingerprint fits BIGINT on both engines.
     """
     toks = df.select(F.col(id_col).alias("id"),
                      F.explode(ws_tokens(F.col(text_col))).alias("tok"))
-    h = poly_hash(F.col("tok"), POLY_MOD)
+    dictionary = toks.select("tok").distinct().withColumn(
+        "th", poly_hash(F.col("tok"), POLY_MOD)
+    )
+    h = F.col("th")
     votes = [
         F.sum(((h * F.lit(2 * j + 3)) % F.lit(POLY_MOD))
               .bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
         for j in range(bits)
     ]
-    per_doc = toks.groupBy("id").agg(*votes)
+    per_doc = toks.join(dictionary, "tok").groupBy("id").agg(*votes)
     fp = F.lit(0).cast("long")
     for j in range(bits):
-        fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        weight = -(2 ** 63) if j == 63 else 2 ** j
+        fp = fp + F.when(F.col(f"v{j}") > 0,
+                         F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
     return per_doc.select("id", fp.alias("fp"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  bits: int = 32, max_hamming: int = 3) -> DataFrame:
+                  bits: int = 64, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Small-SF form is the all-pairs check; the scale path blocks on
-    fingerprint bytes (split the 32 bits into max_hamming+1 chunks — by
-    pigeonhole two docs within the distance share at least one exact chunk,
-    so an equi-join on (chunk_idx, chunk_value) finds all candidates).
+    Pigeonhole blocking: split the fingerprint into max_hamming+1 chunks —
+    two docs within the distance share at least one exact chunk, so an
+    equi-join on (chunk_idx, chunk_value) finds all candidates.  With 64-bit
+    fingerprints and 16-bit chunks each chunk index has up to 65,536 distinct
+    values, so bucket occupancy stays sub-quadratic at corpus scale (the old
+    32-bit/8-bit layout had only 256 values per chunk — a quadratic hot-spot
+    at 100 TB).
     """
     fp = simhash_table(df, text_col, id_col, bits)
     n_chunks = max_hamming + 1
@@ -205,7 +240,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .bitwiseAND(F.lit((1 << chunk_bits) - 1))
             for c in range(n_chunks)
         ])).alias("chunk_idx", "chunk_val"),
-    ).persist()  # both self-join sides read it
+    )
+    chunks = _persist(chunks)  # both self-join sides read it
     a, c = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(c, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))

@@ -1081,13 +1081,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
 
 
-def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+def _simhash_oracle(bits: int = 64, max_hamming: int = 3) -> str:
     votes = ",\n       ".join(
         f"SUM((((h * {2 * j + 3}) % {POLY_MOD}) & 1) * 2 - 1) AS v{j}"
         for j in range(bits)
     )
+    # Bit 63 is the sign bit: encode it as the signed-long minimum so the
+    # fingerprint stays in BIGINT range on both engines.
     fp_expr = " + ".join(
-        f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits)
+        "(CASE WHEN v{j} > 0 THEN CAST({w} AS BIGINT) ELSE 0 END)".format(
+            j=j, w=-(2 ** 63) if j == 63 else 2 ** j)
+        for j in range(bits)
     )
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
@@ -1119,7 +1123,7 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
 @register("dedup_simhash", oracle=_simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    out = dedup.simhash_pairs(docs, bits=32, max_hamming=3)
+    out = dedup.simhash_pairs(docs, bits=64, max_hamming=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 

@@ -71,6 +71,31 @@ def test_simhash_pairs_blocking_finds_all_close_pairs(spark):
     assert got == expect  # pigeonhole blocking is lossless
 
 
+def test_simhash_chunk_blocking_cardinality(spark):
+    """Scale guard: 64-bit fingerprints with 16-bit chunks must diffuse a
+    20k-doc corpus over >10k distinct values per chunk index — the property
+    that keeps per-bucket candidate generation sub-quadratic at 100 TB (an
+    8-bit chunk caps out at 256 buckets and goes quadratic)."""
+    docs = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(f"-{i}"))), 1, 8)
+            for i in range(5)
+        ]).alias("text"),
+    )
+    fp = dedup.simhash_table(docs, bits=64)
+    n_chunks, chunk_bits = 4, 16
+    counts = fp.select(*[
+        F.countDistinct(
+            F.shiftright(F.col("fp"), c * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+        ).alias(f"c{c}")
+        for c in range(n_chunks)
+    ]).first()
+    for c in range(n_chunks):
+        assert counts[f"c{c}"] > 10000, f"chunk {c}: only {counts[f'c{c}']} buckets"
+
+
 def test_embedding_neardup(spark):
     rows = [
         (0, [1.0, 0.0, 0.0], 0),
