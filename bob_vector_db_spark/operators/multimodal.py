@@ -59,6 +59,28 @@ def text_as_binary(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, F.col(text_col).cast("binary"))
 
 
+def attach_media(df: DataFrame, images_col: str = "images",
+                 media_col: str = "media",
+                 flag_col: str = "images_overridden") -> DataFrame:
+    """Merge an image-topic ``media`` list into the message's ``images``.
+
+    Reference semantics (qdrant_embedder.py:83-86): when a media list arrives
+    alongside a message that already carries ``images``, the media list WINS
+    and the collision is surfaced (the reference logs a warning; here it's a
+    boolean flag column so downstream can route/count the collisions).  An
+    empty media list is falsy, exactly like the reference's ``if media:``.
+    """
+    media_present = F.col(media_col).isNotNull() & (F.size(F.col(media_col)) > 0)
+    overridden = media_present & F.col(images_col).isNotNull()
+    return (
+        df.withColumn(flag_col, overridden)
+        .withColumn(
+            images_col,
+            F.when(media_present, F.col(media_col)).otherwise(F.col(images_col)),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Binary stats — oracle-checkable mapInPandas plumbing
 # ---------------------------------------------------------------------------

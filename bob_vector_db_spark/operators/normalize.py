@@ -112,7 +112,13 @@ def normalize_raw(df: DataFrame, text_col: str = "value",
         .when(is_json, F.array(c))       # metadatas := [whole original dict] (embedder.py:254)
         .otherwise(F.array(F.to_json(F.struct(c.alias("data")))))  # {"data": raw}
     )
-    collection = F.coalesce(F.col("_p.collection"), F.lit(default_collection))
+    # Only branch 1 (well-formed) keeps the message's collection; branches
+    # 2/3 force the default even when the dict carries a 'collection' key
+    # (embedder.py:248-250 builds the branch-2 message from scratch).
+    collection = (
+        F.when(is_json & well_formed, F.col("_p.collection"))
+        .otherwise(F.lit(default_collection))
+    )
     return probed.select(
         collection.alias("collection"),
         documents.alias("documents"),

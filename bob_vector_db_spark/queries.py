@@ -15,6 +15,7 @@ Determinism rules (FIXTURES.md §3) enforced throughout:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -1484,6 +1485,43 @@ def q_mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             ",", F.transform(F.col("features"), lambda x: F.format_string("%.6f", x))
         ).alias("features"),
+    )
+
+
+@register("mm_binaryfile_source", oracle=None)  # filesystem source, rows-only
+def q_mm_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: a real ``spark.read.format("binaryFile")`` media source — writes a
+    deterministic set of FIMG blobs to a scratch dir once, reads them back as
+    (path, content) files, and decodes through the mapInPandas codec path.
+    The reference's equivalent source is the ROS image topic subscription
+    (embedder.py:269-303); binaryFile is the batch-Spark spelling, and at
+    scale it parallelizes by file with partition pruning on path globs.
+    """
+    import tempfile  # noqa: PLC0415
+
+    from .operators import multimodal as MM  # noqa: PLC0415
+
+    d = os.path.join(tempfile.gettempdir(), "bvds_fimg_source")
+    os.makedirs(d, exist_ok=True)
+    for i in range(8):
+        p = os.path.join(d, f"img_{i}.fimg")
+        if not os.path.exists(p):
+            with open(p, "wb") as fh:
+                fh.write(MM.fake_image(8 + i, 6 + i, 3, seed=i))
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.fimg")
+        .load(d)
+        .select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.fimg", 1)
+            .cast("long").alias("media_id"),
+            "content",
+        )
+    )
+    decoded = MM.decode_images(blobs)
+    return decoded.select(
+        "id", "width", "height", "channels",
+        F.round(F.col("mean_pixel"), 6).alias("mean_pixel"),
     )
 
 

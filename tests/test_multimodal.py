@@ -60,6 +60,36 @@ def test_sample_frames_every_other(spark):
     assert bytes(f0["frame"]) == MM.fake_image(2, 2, 3, seed=0)
 
 
+def test_attach_media_overrides_images(spark):
+    """qdrant_embedder.py:83-86: a media list wins over message-supplied
+    images, and the collision is flagged; empty media is falsy."""
+    rows = [
+        (0, ["msg.png"], ["topic.png"]),   # both → media wins, flagged
+        (1, ["msg.png"], None),            # no media → images kept
+        (2, None, ["topic.png"]),          # only media → adopted, no flag
+        (3, ["msg.png"], []),              # empty media is falsy → images kept
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, images array<string>, media array<string>")
+    got = {r["id"]: r for r in MM.attach_media(df).collect()}
+    assert got[0]["images"] == ["topic.png"] and got[0]["images_overridden"]
+    assert got[1]["images"] == ["msg.png"] and not got[1]["images_overridden"]
+    assert got[2]["images"] == ["topic.png"] and not got[2]["images_overridden"]
+    assert got[3]["images"] == ["msg.png"] and not got[3]["images_overridden"]
+
+
+def test_binaryfile_source_decodes(spark):
+    """S3: the registered binaryFile-source query reads FIMG blobs off disk
+    and decodes them — 8 deterministic files, stable dims."""
+    from bob_vector_db_spark.queries import REGISTRY
+
+    rows = {r["id"]: r for r in
+            REGISTRY["mm_binaryfile_source"].fn(spark, "").collect()}
+    assert len(rows) == 8
+    assert (rows[0]["width"], rows[0]["height"]) == (8, 6)
+    assert (rows[7]["width"], rows[7]["height"]) == (15, 13)
+
+
 def test_frames_feed_image_decoder(spark):
     """Video → frames → decode: the composed pipeline shape."""
     vid = MM.fake_video(3, 2, 2)

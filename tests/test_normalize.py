@@ -57,6 +57,15 @@ def test_raw_branch2_json_dict_with_documents(spark):
     assert out["documents"] == ["x", "y"]
 
 
+def test_raw_branch2_forces_default_collection(spark):
+    # embedder.py:248-250: a non-well-formed dict gets the DEFAULT collection
+    # even when it carries a 'collection' key (no metadatas → not branch 1).
+    msg = json.dumps({"collection": "sneaky", "documents": ["d"]})
+    out = normalize.normalize_raw(_msgs(spark, msg), default_collection="dc").first()
+    assert out["collection"] == "dc"
+    assert out["documents"] == ["d"]
+
+
 def test_raw_branch3_plain_text(spark):
     # embedder.py:262-267: {documents: [raw], metadatas: [{data: raw}]}
     out = normalize.normalize_raw(_msgs(spark, "just some text")).first()
