@@ -76,6 +76,7 @@ def knn_join_vectorized(
     corpus_vec: str = "embedding",
     exclude_self: bool = True,
     round_to: int | None = 6,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k — the 100 TB physical strategy.
 
@@ -95,8 +96,16 @@ def knn_join_vectorized(
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
-    q_pd = queries.select(F.col(query_id).alias("qid"),
-                          F.col(query_vec).alias("qvec")).toPandas()
+    # The query side is small BY CONTRACT (it ships to every partition in
+    # the UDF closure); the limit turns a misuse into a loud error instead
+    # of a silent driver-side collect of an unbounded DataFrame.
+    q_pd = (queries.select(F.col(query_id).alias("qid"),
+                           F.col(query_vec).alias("qvec"))
+            .limit(max_queries + 1).toPandas())
+    if len(q_pd) > max_queries:
+        raise ValueError(
+            f"knn_join_vectorized collects the query side to the driver; got "
+            f">{max_queries} queries — use knn_join_blocked for large query sets")
     qids = q_pd["qid"].to_numpy()
     Q = np.stack(q_pd["qvec"].to_numpy()).astype(np.float64)          # (m, d)
     Qn = np.linalg.norm(Q, axis=1)
@@ -113,14 +122,22 @@ def knn_join_vectorized(
             Cn[Cn == 0.0] = np.nan
             S = (C @ Q.T) / np.outer(Cn, Qn)                             # (b, m)
             kk = min(n_local, len(ids))
-            # per-query local top-k (argpartition is O(b) per column)
-            top = np.argpartition(-S, kk - 1, axis=0)[:kk]               # (kk, m)
-            out_qid = np.repeat(qids, kk)
-            rows = top.T.reshape(-1)                                     # query-major
+            # Local pruning must agree with the global (rounded sim, vec_id)
+            # ordering: select on ROUNDED scores and keep every row tying the
+            # kk-th rounded score, else a boundary-tying candidate with a
+            # smaller vec_id could be pruned here yet outrank a kept row in
+            # the global window (data-dependent divergence from the oracle).
+            Sr = np.round(S, round_to) if round_to is not None else S
+            Sr = np.where(np.isnan(Sr), -np.inf, Sr)
+            thresh = -np.partition(-Sr, kk - 1, axis=0)[kk - 1, :]       # (m,)
+            # isfinite guard: an all-NaN column has thresh=-inf, and
+            # -inf >= -inf would emit the whole partition for that query
+            i_arr, j_arr = np.nonzero((Sr >= thresh[np.newaxis, :])
+                                      & np.isfinite(Sr))
             yield pd.DataFrame({
-                "qid": out_qid.astype("int64"),
-                "vec_id": ids[rows].astype("int64"),
-                "sim": S[rows, np.repeat(np.arange(len(qids)), kk)],
+                "qid": qids[j_arr].astype("int64"),
+                "vec_id": ids[i_arr].astype("int64"),
+                "sim": S[i_arr, j_arr],
             })
 
     cand = corpus.select(corpus_id, corpus_vec).mapInPandas(
