@@ -186,6 +186,45 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def minhash_lsh_pairs_ml(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 3,
+                         num_hash_tables: int = 8, threshold: float = 0.5,
+                         num_features: int = 1 << 18,
+                         seed: int = 42) -> DataFrame:
+    """Spark ML ``MinHashLSH.approxSimilarityJoin`` variant of
+    :func:`minhash_lsh_pairs` (SURVEY.md §2.3 J8 names this as the at-scale
+    alternative).
+
+    Shingles → ``HashingTF`` binary sparse vectors → MinHash LSH self-join at
+    Jaccard distance ≤ 1-threshold.  Returns (id_a, id_b, jaccard) where the
+    jaccard is computed on the hashed feature space (ulp-level differences vs
+    the exact token jaccard only when HashingTF buckets collide).  Recall is
+    probabilistic (grows with ``num_hash_tables``), so this is registered
+    rows-only; the hand-rolled banding in :func:`minhash_lsh_pairs` is the
+    oracle-checkable twin.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH  # noqa: PLC0415
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(ws_tokens(F.col(text_col)), n)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    feat = HashingTF(inputCol="sh", outputCol="features",
+                     numFeatures=num_features, binary=True).transform(sh)
+    model = MinHashLSH(inputCol="features", outputCol="hashes",
+                       numHashTables=num_hash_tables, seed=seed).fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, 1.0 - threshold,
+                                        distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+    )
+
+
 def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   bits: int = 64) -> DataFrame:
     """(id, fp): SimHash fingerprints.  Bit j of fp is the sign of

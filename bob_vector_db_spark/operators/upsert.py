@@ -21,6 +21,7 @@ with Delta available this whole module becomes ``MERGE INTO``.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -29,6 +30,10 @@ from pyspark.sql import functions as F
 
 BUCKET_COL = "id_bucket"
 DEFAULT_N_BUCKETS = 16  # local-mode default; size to ~#cores*4 fleet-wide
+
+# Underscore prefix: Spark/Hadoop readers skip files starting with "_", so
+# the sidecar never pollutes spark.read.parquet(path).
+META_FILE = "_collection_meta.json"
 
 
 def collection_path(root: str, collection: str) -> str:
@@ -53,11 +58,15 @@ def _store_exists(path: str) -> bool:
 
 def create_collection(spark: SparkSession, root: str, collection: str,
                       df: DataFrame | None = None, id_col: str = "id",
-                      n_buckets: int = DEFAULT_N_BUCKETS) -> bool:
+                      n_buckets: int = DEFAULT_N_BUCKETS,
+                      vector_config: dict[str, dict] | None = None) -> bool:
     """Idempotent create (S5): returns True if newly created.
 
     Mirrors the exists-check at qdrant_embedder.py:92 — existing collections
-    are left untouched.
+    are left untouched.  ``vector_config`` records the collection's named
+    vector spaces like the reference's vectors_config
+    (qdrant_embedder.py:95-102), e.g. ``{"text": {"size": 512, "distance":
+    "cosine"}}``; it persists in a ``_``-prefixed sidecar Spark readers skip.
     """
     path = collection_path(root, collection)
     if os.path.exists(path):
@@ -67,7 +76,24 @@ def create_collection(spark: SparkSession, root: str, collection: str,
          .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path))
     else:
         os.makedirs(path, exist_ok=True)
+    meta = {
+        "collection": collection,
+        "id_col": id_col,
+        "n_buckets": n_buckets,
+        "vectors": vector_config or {},
+    }
+    with open(os.path.join(path, META_FILE), "w") as fh:
+        json.dump(meta, fh, indent=2, sort_keys=True)
     return True
+
+
+def collection_meta(root: str, collection: str) -> dict | None:
+    """Read the collection's persisted config; None when absent."""
+    p = os.path.join(collection_path(root, collection), META_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
 
 
 def read_collection(spark: SparkSession, root: str, collection: str) -> DataFrame:

@@ -1082,6 +1082,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
 
 
+@register("dedup_minhash_ml", oracle=None)  # probabilistic recall, rows-only
+def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs_ml(docs, threshold=0.5)
+
+
 def _simhash_oracle(bits: int = 64, max_hamming: int = 3) -> str:
     votes = ",\n       ".join(
         f"SUM((((h * {2 * j + 3}) % {POLY_MOD}) & 1) * 2 - 1) AS v{j}"

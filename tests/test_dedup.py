@@ -48,6 +48,15 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert exact <= cand
 
 
+def test_minhash_ml_approx_join_finds_exact_dups(spark):
+    """Spark ML MinHashLSH variant: identical docs have identical feature
+    vectors, so the (0,1) pair is always found; jaccard on the pair is 1.0."""
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.minhash_lsh_pairs_ml(_docs(spark), threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert all(j >= 0.5 for j in pairs.values())
+
+
 def test_minhash_signatures_identical_for_identical_docs(spark):
     sigs = {r["id"]: r["sig"] for r in dedup.minhash_signatures(_docs(spark)).collect()}
     assert sigs[0] == sigs[1]

@@ -27,6 +27,21 @@ def test_upsert_replaces_by_id(spark, tmp_path):
     assert rows == {"a": "new", "b": "keep", "c": "added"}
 
 
+def test_create_collection_persists_vector_config(spark, tmp_path):
+    """S5: dims/metric recorded per collection (qdrant_embedder.py:95-102
+    named vectors_config); sidecar invisible to spark.read.parquet."""
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame([("a", "d1")], "id string, document string")
+    cfg = {"text": {"size": 512, "distance": "cosine"},
+           "image": {"size": 512, "distance": "cosine"}}
+    assert upsert.create_collection(spark, root, "c1", df, vector_config=cfg)
+    meta = upsert.collection_meta(root, "c1")
+    assert meta["vectors"] == cfg and meta["n_buckets"] == upsert.DEFAULT_N_BUCKETS
+    assert upsert.collection_meta(root, "nope") is None
+    # the sidecar must not leak into the data read
+    assert set(upsert.read_collection(spark, root, "c1").columns) == {"id", "document"}
+
+
 def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     """A second upsert must leave untouched bucket directories byte-identical
     (same files, same mtimes) — the scale contract: a small batch into a huge
