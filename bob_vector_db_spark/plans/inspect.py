@@ -29,6 +29,29 @@ def assert_broadcast(df: DataFrame) -> None:
     assert "Broadcast" in plan, f"no broadcast in plan:\n{plan}"
 
 
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the pre-execution plan —
+    the unit every scale review counts first.  Counts the ``(n) Exchange``
+    detail headers so each plan node is counted exactly once (the formatted
+    plan also renders every node in the tree sketch)."""
+    import re  # noqa: PLC0415
+
+    plan = formatted_plan(df)
+    return sum(
+        1 for line in plan.splitlines()
+        if re.match(r"^\(\d+\) Exchange", line.strip())
+    )
+
+
+def assert_partition_filters(df: DataFrame, *fragments: str) -> None:
+    """Assert each fragment appears in a PartitionFilters clause — hive-style
+    partition pruning actually reached the scan."""
+    plan = formatted_plan(df)
+    pf = "\n".join(line for line in plan.splitlines() if "PartitionFilters" in line)
+    for frag in fragments:
+        assert frag in pf, f"partition filter {frag!r} not pruned; plan:\n{plan}"
+
+
 def assert_codegen(df: DataFrame) -> None:
     """Assert the hot path runs inside whole-stage codegen.
 

@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 from bob_vector_db_spark.plans.inspect import (
     assert_broadcast,
     assert_codegen,
+    assert_partition_filters,
     assert_pushed_filters,
+    count_exchanges,
     formatted_plan,
 )
 from bob_vector_db_spark.sources import load_table
@@ -42,3 +44,39 @@ def test_global_topk_is_take_ordered(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     plan = formatted_plan(li.orderBy(F.desc("l_extendedprice")).limit(10))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_corpus_never_shuffles(spark, sf_dir):
+    """J5 scale contract: the corpus reaches the local top-k with ZERO
+    shuffles — the only Exchange in the whole plan is the small per-query
+    candidate merge (partitions x m x k rows) feeding the rank window."""
+    from bob_vector_db_spark.operators import knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(F.col("vec_id").alias("qid"),
+                   F.col("embedding").alias("qvec")).limit(4)
+    topk = knn.knn_join_vectorized(q, emb, k=5)
+    assert count_exchanges(topk) <= 1, formatted_plan(topk)
+
+
+def test_exact_dedup_is_single_shuffle(spark, sf_dir):
+    """J8/F4: hash-groupBy dedup = one shuffle on the content hash."""
+    from bob_vector_db_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert count_exchanges(dedup.exact_dedup_groups(docs)) == 1
+
+
+def test_upsert_store_prunes_partitions(spark, tmp_path):
+    """S6 scale contract: reading two buckets of a bucket-partitioned
+    collection shows PartitionFilters on id_bucket — at 100 TB an upsert
+    opens only the touched buckets."""
+    from bob_vector_db_spark.operators import upsert
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(f"id{i}", f"d{i}") for i in range(64)], "id string, document string")
+    upsert.upsert(spark, root, "c", df)
+    stored = spark.read.parquet(upsert.collection_path(root, "c"))
+    pruned = stored.filter(F.col(upsert.BUCKET_COL).isin([0, 1]))
+    assert_partition_filters(pruned, "id_bucket")
