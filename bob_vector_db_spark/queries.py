@@ -135,6 +135,56 @@ def q_knn_topk100(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Flagship composite: FILTERED vector search — payload predicate + kNN + the
+# matched point's payload in the result.  This is Qdrant's filtered search
+# (the query surface README.md:13 delegates, with payload filters built at
+# qdrant_embedder.py:119-128); in Spark the payload predicate is pushed into
+# the parquet scan, so at 100 TB the filter prunes before any vector math.
+# ---------------------------------------------------------------------------
+
+@register(
+    "knn_filtered_search",
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE label IN (1, 3, 5, 7)
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 8
+),
+pairs AS (
+  SELECT q.qid, c.vec_id, c.label,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(c.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, corpus c
+  WHERE q.qid <> c.vec_id
+)
+SELECT qid, vec_id, CAST(label AS BIGINT) AS label, sim,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM pairs)
+WHERE rank <= 5
+""",
+)
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("label").isin([1, 3, 5, 7]))
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = knn.knn_join(queries, corpus, k=5)
+    payload = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    return (
+        out.join(F.broadcast(payload), "vec_id")
+        .select("qid", "vec_id", "label", "sim",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # A1: hash group-by aggregates (TPC-H Q1 shape on lineitem)
 # ---------------------------------------------------------------------------
 

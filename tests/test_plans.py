@@ -59,6 +59,15 @@ def test_knn_corpus_never_shuffles(spark, sf_dir):
     assert count_exchanges(topk) <= 1, formatted_plan(topk)
 
 
+def test_filtered_knn_pushes_payload_filter(spark, sf_dir):
+    """Filtered vector search: the payload predicate must reach the corpus
+    parquet scan — at 100 TB the filter prunes before any vector math."""
+    from bob_vector_db_spark.queries import REGISTRY
+
+    q = REGISTRY["knn_filtered_search"].fn(spark, sf_dir)
+    assert_pushed_filters(q, "In(label, [1,3,5,7])")
+
+
 def test_exact_dedup_is_single_shuffle(spark, sf_dir):
     """J8/F4: hash-groupBy dedup = one shuffle on the content hash."""
     from bob_vector_db_spark.operators import dedup
