@@ -20,15 +20,31 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime-settable confs query correctness depends on, applied here so
+    externally-built sessions (the driver's, a user's) behave like ours:
+
+    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), which Spark
+      otherwise rejects at read time;
+    - UTC session timezone: timestamp arithmetic must be reproducible
+      against the DuckDB oracle regardless of host timezone;
+    - Arrow: pandas-UDF paths degrade 10×+ without it.
+    """
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 - a locked conf beats a crashed read
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS); Spark rejects it unless the
-        # legacy nanosAsLong conf is on. It is runtime-settable, so set it here
-        # rather than only in our own session builder — callers (driver, tests)
-        # may hand us a session built elsewhere.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read via nanosAsLong → truncate to µs exactly the
