@@ -38,6 +38,54 @@ def centroids_exploded(df: DataFrame, label_col: str = "label",
     )
 
 
+def centroids_grouped_map(df: DataFrame, label_col: str = "label",
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          n_salts: int = 8,
+                          round_to: int = 6) -> DataFrame:
+    """X4 grouped-map centroid (label, pos, centroid_val) — scale-safe form.
+
+    A naive ``groupBy(label).applyInPandas`` has parallelism = n_labels and
+    must fit a whole label's vectors in one executor.  This is the two-stage
+    shape Spark uses for its own aggregates: partial sums per
+    (label, salt-of-id) — parallelism = n_labels × n_salts, memory bounded by
+    the salt fan-out — then a per-label combine over n_salts tiny partial
+    rows.  Bit-identical to single-pass accumulation: partials sum
+    10-decimal-quantized values, exact in float64 at these magnitudes, and
+    addition of exact partials is associative.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        s = np.round(V, 10).sum(axis=0)
+        return pd.DataFrame({
+            "label": [int(pdf["label"].iloc[0])],
+            "psum": [s.tolist()],
+            "n": [len(pdf)],
+        })
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        S = np.stack(pdf["psum"].to_numpy()).sum(axis=0)
+        mean = S / int(pdf["n"].sum())
+        return pd.DataFrame({
+            "label": np.repeat(int(pdf["label"].iloc[0]), len(S)),
+            "pos": np.arange(len(S), dtype="int64"),
+            "centroid_val": np.round(mean, round_to),
+        })
+
+    salted = df.select(
+        F.col(label_col).cast("long").alias("label"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).alias("_salt"),
+        F.col(vec_col),
+    )
+    partials = salted.groupBy("label", "_salt").applyInPandas(
+        partial, "label long, psum array<double>, n long")
+    return partials.groupBy("label").applyInPandas(
+        combine, "label long, pos long, centroid_val double")
+
+
 def centroids(df: DataFrame, label_col: str = "label",
               vec_col: str = "embedding", exact: bool = False) -> DataFrame:
     """(label, centroid ARRAY<DOUBLE>, n): the IVF centroid table.

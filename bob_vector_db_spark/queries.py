@@ -1851,28 +1851,8 @@ GROUP BY label, pos
 """,
 )
 def q_x4_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np  # noqa: PLC0415
-    import pandas as pd  # noqa: PLC0415
-
-    def per_label(pdf: pd.DataFrame) -> pd.DataFrame:
-        # match the oracle's exact DECIMAL(20,10) accumulation: quantize each
-        # float32-widened value to 10 decimals, sum in float64 (exact for
-        # these magnitudes), divide once
-        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        Vq = np.round(V, 10)
-        mean = Vq.sum(axis=0) / len(Vq)
-        return pd.DataFrame({
-            "label": np.repeat(int(pdf["label"].iloc[0]), V.shape[1]),
-            "pos": np.arange(V.shape[1], dtype="int64"),
-            "centroid_val": np.round(mean, 6),
-        })
-
     emb = load_table(spark, sf_dir, "embeddings")
-    return (
-        emb.select(F.col("label").cast("long").alias("label"), "embedding")
-        .groupBy("label")
-        .applyInPandas(per_label, "label long, pos long, centroid_val double")
-    )
+    return centroid.centroids_grouped_map(emb)
 
 
 # ---------------------------------------------------------------------------
