@@ -151,6 +151,59 @@ def knn_join_vectorized(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def knn_join_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    max_euclidean: float = 1.2,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via Spark ML ``BucketedRandomProjectionLSH`` — the
+    LSH-bucketed scale path next to the IVF one (:func:`knn_join_blocked`).
+
+    Both sides are L2-normalized, so euclidean distance d on the unit sphere
+    maps monotonically to cosine: sim = 1 - d²/2.  ``approxSimilarityJoin``
+    only compares pairs whose random-projection buckets collide in some hash
+    table — candidate generation is an equi-join on bucket keys, never an
+    all-pairs scan.  Recall is probabilistic (grows with ``num_hash_tables``
+    and ``max_euclidean``), so register rows-only; :func:`knn_join` is the
+    exact contract.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH  # noqa: PLC0415
+    from pyspark.ml.functions import array_to_vector  # noqa: PLC0415
+
+    def unit(df: DataFrame, id_c: str, vec_c: str, out_id: str) -> DataFrame:
+        n = vector.l2_norm(F.col(vec_c))
+        arr = F.transform(F.col(vec_c), lambda x: x.cast("double") / n)
+        return (df.filter(n != 0.0)
+                .select(F.col(id_c).alias(out_id),
+                        array_to_vector(arr).alias("features")))
+
+    q = unit(queries, query_id, query_vec, "qid")
+    c = unit(corpus, corpus_id, corpus_vec, "vec_id")
+    model = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_hash_tables,
+        seed=seed).fit(c)
+    joined = model.approxSimilarityJoin(q, c, max_euclidean, distCol="dist")
+    cand = joined.select(
+        F.col("datasetA.qid").alias("qid"),
+        F.col("datasetB.vec_id").alias("vec_id"),
+        F.round(1.0 - F.col("dist") * F.col("dist") / 2.0, 6).alias("sim"),
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("qid") != F.col("vec_id"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def knn_join_blocked(
     queries: DataFrame,
     corpus: DataFrame,

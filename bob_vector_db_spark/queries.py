@@ -134,6 +134,18 @@ def q_knn_topk100(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", "sim", F.col("rank").cast("long").alias("rank"))
 
 
+@register("knn_lsh_brp", oracle=None)  # probabilistic recall, rows-only
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-projection LSH buckets (rows-only; knn_cosine_topk is
+    the exact twin on the same query set)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = knn.knn_join_lsh(queries, emb, k=10)
+    return out.select("qid", "vec_id", "sim", F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # Flagship composite: FILTERED vector search — payload predicate + kNN + the
 # matched point's payload in the result.  This is Qdrant's filtered search

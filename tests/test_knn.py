@@ -104,3 +104,18 @@ def test_ivf_blocked_knn_probes_subset(spark, sf_dir):
         per_q.setdefault(r["qid"], set()).add(labels[r["vec_id"]])
     for q, ls in per_q.items():
         assert len(ls) <= 2
+
+
+def test_knn_lsh_recall_vs_exact(spark, sf_dir):
+    """BRP-LSH ANN: decent recall of the exact top-10 at these settings, and
+    every returned sim must equal the exact cosine (rounded) for that pair."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    exact = {(r["qid"], r["vec_id"]): r["sim"]
+             for r in knn.knn_join(q, emb, k=10).collect()}
+    approx = {(r["qid"], r["vec_id"]): r["sim"]
+              for r in knn.knn_join_lsh(q, emb, k=10).collect()}
+    overlap = set(exact) & set(approx)
+    assert len(overlap) >= 0.6 * len(exact), (len(overlap), len(exact))
+    assert all(abs(exact[p] - approx[p]) <= 2e-6 for p in overlap)
