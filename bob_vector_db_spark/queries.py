@@ -1894,6 +1894,59 @@ def q_x1_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T1/T7/S7/S8 LIVE: a real Structured Streaming run — readStream over
+# JSON-lines message files → normalize → zip-explode → dead-letter split →
+# foreachBatch upsert sink — with availableNow so the query drains and stops.
+# The stored collection must equal a plain projection of the source table,
+# which is exactly the unified batch/stream API promise.
+# ---------------------------------------------------------------------------
+
+@register(
+    "t1_stream_ingest_roundtrip",
+    oracle="""
+SELECT 'stream' AS collection, CAST(doc_id AS VARCHAR) AS id, text AS document
+FROM documents WHERE doc_id < 200
+""",
+)
+def q_t1_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from .operators.upsert import read_collection  # noqa: PLC0415
+    from .streaming import ingest as ING  # noqa: PLC0415
+
+    token = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"bvds_stream_{token}")
+    in_dir = os.path.join(base, "in")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(in_dir)
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200).select("doc_id", "text").collect()
+    )
+    # two input files → two entries in the file-stream log (S8-adjacent)
+    half = len(rows) // 2 or 1
+    for fi, chunk in enumerate((rows[:half], rows[half:])):
+        if not chunk:
+            continue
+        with open(os.path.join(in_dir, f"batch{fi}.jsonl"), "w") as fh:
+            for r in chunk:
+                msg = {"collection": "stream", "documents": [r["text"]],
+                       "metadatas": [{}], "ids": [str(r["doc_id"])]}
+                fh.write(json.dumps({"value": json.dumps(msg)}) + "\n")
+
+    q = ING.run_ingest_pipeline(spark, in_dir, store, "stream", ckpt,
+                                default_collection="stream")
+    q.awaitTermination(180)
+    return read_collection(spark, store, "stream").select(
+        "collection", "id", "document")
+
+
+# ---------------------------------------------------------------------------
 # registry accessors used by __spark_entry__.py
 # ---------------------------------------------------------------------------
 
