@@ -1,3 +1,14 @@
-from . import asof, centroid, dedup, embed, knn, normalize, topk, upsert
+from . import (
+    asof,
+    centroid,
+    dedup,
+    embed,
+    knn,
+    multimodal,
+    normalize,
+    topk,
+    upsert,
+)
 
-__all__ = ["asof", "centroid", "dedup", "embed", "knn", "normalize", "topk", "upsert"]
+__all__ = ["asof", "centroid", "dedup", "embed", "knn", "multimodal",
+           "normalize", "topk", "upsert"]
