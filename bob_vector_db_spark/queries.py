@@ -1947,6 +1947,49 @@ def q_t1_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T6 LIVE: watermarked streaming aggregation — a real readStream over the
+# events fixture with withWatermark bounding the window state.  Complete-mode
+# memory sink so the emitted result is deterministic on availableNow drain
+# (append mode withholds windows still above the final watermark), which
+# keeps this oracle-checkable: the result equals the batch tumbling window.
+# ---------------------------------------------------------------------------
+
+@register(
+    "t6_stream_watermarked_windows",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+""",
+)
+def q_t6_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events")
+    token = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"bvds_wm_{token}")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    ev.write.parquet(src)
+
+    name = f"t6_wm_{token}".replace(".", "_")
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(src)
+        .transform(lambda df: windows.tumbling(
+            df, watermark="10 minutes", n_events=F.count(F.lit(1))))
+    )
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.table(name).select(
+        "window_start", F.col("n_events").cast("long").alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
 # registry accessors used by __spark_entry__.py
 # ---------------------------------------------------------------------------
 
