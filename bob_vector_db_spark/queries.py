@@ -1556,6 +1556,53 @@ def q_mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_audio_features",
+    # The FAUD codec is deterministic integer arithmetic, so even the DECODE
+    # path is oracle-checkable: DuckDB regenerates the PCM train per doc and
+    # recomputes rate/length/energy.
+    oracle="""
+WITH p AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n, doc_id % 256 AS seed FROM documents
+),
+v AS (
+  SELECT doc_id, n,
+         list_transform(range(n),
+           i -> CASE WHEN (seed + 17*i) % 256 > 127
+                     THEN (seed + 17*i) % 256 - 256
+                     ELSE (seed + 17*i) % 256 END) AS pcm
+  FROM p
+)
+SELECT doc_id, CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       round(n / 16000.0, 6) AS duration_sec,
+       round(sqrt(list_aggregate(list_transform(pcm, s -> s*s), 'sum') / n), 6) AS rms
+FROM v
+""",
+)
+def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    from .operators import multimodal as MM  # noqa: PLC0415
+
+    # no annotations: postponed-evaluation strings ('pd.Series') can't be
+    # resolved by pandas_udf's type-hint inference with a local pd import
+    def _gen(doc_ids):
+        return doc_ids.map(
+            lambda d: MM.fake_audio(64 + int(d) % 64, seed=int(d) % 256))
+
+    gen_faud = F.pandas_udf(_gen, "binary")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    blobs = docs.withColumn("content", gen_faud(F.col("doc_id")))
+    out = MM.decode_audio(blobs, id_col="doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"), "sample_rate", "n_samples",
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 @register("mm_binaryfile_source", oracle=None)  # filesystem source, rows-only
 def q_mm_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: a real ``spark.read.format("binaryFile")`` media source — writes a

@@ -60,6 +60,17 @@ def test_sample_frames_every_other(spark):
     assert bytes(f0["frame"]) == MM.fake_image(2, 2, 3, seed=0)
 
 
+def test_decode_audio_features(spark):
+    aud = MM.fake_audio(100, sample_rate=8000, seed=3)
+    df = spark.createDataFrame([(0, aud)], "media_id long, content binary")
+    row = MM.decode_audio(df).first()
+    assert row["sample_rate"] == 8000 and row["n_samples"] == 100
+    assert abs(row["duration_sec"] - 100 / 8000) < 1e-9
+    pcm = [(3 + 17 * i) % 256 for i in range(100)]
+    pcm = [s - 256 if s > 127 else s for s in pcm]
+    assert abs(row["rms"] - (sum(s * s for s in pcm) / 100) ** 0.5) < 1e-9
+
+
 def test_attach_media_overrides_images(spark):
     """qdrant_embedder.py:83-86: a media list wins over message-supplied
     images, and the collision is flagged; empty media is falsy."""
