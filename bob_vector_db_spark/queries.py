@@ -1941,6 +1941,55 @@ def q_x1_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-pipeline sampling (F4 ext): deterministic hash sampling and
+# train/val/test split assignment — by content hash, never rand(), so the
+# selection is reproducible across runs/partitionings and oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_DUCK_BUCKET = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(substr(md5('{salt}' || chr(31) || "
+    "CAST(doc_id AS VARCHAR)), 1, 8), ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+    "(a, c) -> a*16 + c) % 10000"
+)
+
+
+@register(
+    "pipe_split_counts",
+    oracle=f"""
+WITH b AS (SELECT doc_id, ({_DUCK_BUCKET.format(salt='split')}) AS bkt FROM documents)
+SELECT CASE WHEN bkt < 8000 THEN 'train'
+            WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM b GROUP BY 1
+""",
+)
+def q_pipe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sampling  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(sampling.assign_split(F.col("doc_id")).alias("split"))
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "pipe_hash_sample",
+    oracle=f"""
+SELECT doc_id, lang FROM documents
+WHERE ({_DUCK_BUCKET.format(salt='sample')}) < 500
+""",
+)
+def q_pipe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sampling  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", 0.05).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
 # T1/T7/S7/S8 LIVE: a real Structured Streaming run — readStream over
 # JSON-lines message files → normalize → zip-explode → dead-letter split →
 # foreachBatch upsert sink — with availableNow so the query drains and stops.

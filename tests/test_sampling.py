@@ -1,0 +1,34 @@
+"""Deterministic sampling / split assignment (training-pipeline ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bob_vector_db_spark.operators import sampling
+from bob_vector_db_spark.sources import load_table
+
+
+def test_hash_sample_is_stable_under_repartition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"] for r in sampling.hash_sample(docs, "doc_id", 0.1).collect()}
+    b = {r["doc_id"] for r in
+         sampling.hash_sample(docs.repartition(7), "doc_id", 0.1).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_salts_decorrelate_samples(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = {r["doc_id"] for r in sampling.hash_sample(docs, "doc_id", 0.2, "a").collect()}
+    s2 = {r["doc_id"] for r in sampling.hash_sample(docs, "doc_id", 0.2, "b").collect()}
+    assert s1 != s2  # independent draws
+
+
+def test_split_partitions_everything_once(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select("doc_id", sampling.assign_split(F.col("doc_id")).alias("split"))
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    # ~80/10/10 within generous tolerance at sf0.001 (500 docs)
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
