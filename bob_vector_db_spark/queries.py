@@ -1941,6 +1941,60 @@ def q_x1_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The composed corpus-cleaning pipeline: quality filter + language filter +
+# exact dedup (keep lowest doc_id per content hash) in ONE declarative plan —
+# the shape a real pretraining-data job takes; Catalyst pipelines all three
+# predicates into the scan and the only shuffle is the dedup group-by.
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipe_corpus_clean",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> length(x) > 0) AS tk
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, text, len(tk) AS n_tok,
+         len(list_filter(tk, x -> list_contains(
+             ['the','a','of','and','is','to','in'], lower(x)))) AS n_sw,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+  FROM t
+),
+q AS (
+  SELECT doc_id, source, text,
+         (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 0.4 ELSE 0.0 END)
+       + (CASE WHEN n_tok > 0 AND n_sw::DOUBLE / n_tok >= 0.05 THEN 0.3 ELSE 0.0 END)
+       + (CASE WHEN length(text) > 0 AND n_punct::DOUBLE / length(text) <= 0.2
+               THEN 0.3 ELSE 0.0 END) AS quality
+  FROM m
+),
+kept AS (
+  SELECT doc_id, source, md5(text) AS h,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM q WHERE quality >= 0.7
+)
+SELECT source, COUNT(*) AS n_docs
+FROM kept WHERE rn = 1
+GROUP BY source
+""",
+)
+def q_pipe_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import text as TX  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = docs.filter(TX.quality_score(F.col("text")) >= 0.7)
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
+    deduped = (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return deduped.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
 # Training-pipeline sampling (F4 ext): deterministic hash sampling and
 # train/val/test split assignment — by content hash, never rand(), so the
 # selection is reproducible across runs/partitionings and oracle-checkable.
