@@ -2140,6 +2140,60 @@ def q_t6_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T-ext LIVE: custom stateful operator — applyInPandasWithState maintains one
+# (count, sum) state row per user across micro-batches.  Drained with
+# availableNow over the events fixture, the final update per key equals the
+# batch group-by — the state-store-vs-batch equivalence the oracle checks.
+# ---------------------------------------------------------------------------
+
+@register(
+    "t8_stateful_user_stats",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       round(SUM(CAST(value AS DECIMAL(18,6))), 6)::DOUBLE AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def q_t8_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from .streaming.stateful import running_user_stats  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events")
+    token = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"bvds_state_{token}")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    # exact money-style accumulation so streaming-fold == oracle SUM: ship
+    # value as micro-units (long) and divide once at the end
+    ev.withColumn("value", F.round(F.col("value") * 1_000_000).cast("long")) \
+        .write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    name = f"t8_state_{token}".replace(".", "_")
+    stream = running_user_stats(spark.readStream.schema(schema).parquet(src))
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    # the memory sink keeps every batch's update; the final state per user is
+    # the row with the largest count (counts strictly increase per batch)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(F.col("total_value") / 1_000_000, 6).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry accessors used by __spark_entry__.py
 # ---------------------------------------------------------------------------
 

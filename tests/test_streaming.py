@@ -101,6 +101,41 @@ def test_stream_dedup_batch_equivalent(spark):
     assert windows.stream_dedup(df, ["id"]).count() == 2
 
 
+def test_stateful_operator_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state persists between micro-batches — the
+    second batch's emission includes the first batch's counts."""
+    from bob_vector_db_spark.streaming.stateful import running_user_stats
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "user_id long, value long"
+    spark.createDataFrame([(1, 10), (1, 20), (2, 5)], schema) \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame([(1, 30)], schema) \
+        .coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = running_user_stats(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true").parquet(str(src)))
+    q = (stream.writeStream.format("memory").queryName("t8_acc")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM t8_acc").collect()
+    per_user = {}
+    for r in rows:
+        cur = per_user.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            per_user[r["user_id"]] = r
+    assert per_user[1]["n_events"] == 3 and per_user[1]["total_value"] == 60.0
+    assert per_user[2]["n_events"] == 1 and per_user[2]["total_value"] == 5.0
+    # state genuinely crossed batches: user 1 was updated more than once
+    assert sum(1 for r in rows if r["user_id"] == 1) >= 2
+
+
 def test_dead_letter_split(spark):
     df = spark.createDataFrame([("ok",), (None,)], "document string")
     good, bad = ingest.split_dead_letter(df)
