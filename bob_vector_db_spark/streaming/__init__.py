@@ -1,3 +1,3 @@
-from . import ingest, windows
+from . import ingest, stateful, windows
 
-__all__ = ["ingest", "windows"]
+__all__ = ["ingest", "stateful", "windows"]
