@@ -185,6 +185,41 @@ def decode_images(df: DataFrame, content_col: str = "content",
     return df.select(id_col, content_col).mapInPandas(fn, DECODED_IMAGE_SCHEMA)
 
 
+def resize_images(df: DataFrame, out_w: int, out_h: int,
+                  content_col: str = "content",
+                  id_col: str = "media_id") -> DataFrame:
+    """Nearest-neighbor resize of FIMG blobs to (out_w, out_h), emitted as
+    FIMG again so resized images feed every downstream decode/feature UDF.
+
+    The real-codec analogue is PIL ``Image.resize`` inside the same
+    mapInPandas body; the deterministic FIMG path keeps the operator testable
+    here.  src pixel for out (x, y) = (x*w//out_w, y*h//out_h).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(b)
+                if b[:4] != FIMG_MAGIC:
+                    raise NotImplementedError(
+                        "no image codec in this environment; use FIMG blobs")
+                w, h, c = b[4], b[5], b[6]
+                px = b[7:7 + w * h * c]
+                out = bytearray(FIMG_MAGIC + bytes([out_w, out_h, c]))
+                for y in range(out_h):
+                    sy = y * h // out_h
+                    for x in range(out_w):
+                        sx = x * w // out_w
+                        off = (sy * w + sx) * c
+                        out += px[off:off + c]
+                rows.append((int(i), bytes(out)))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    return df.select(id_col, content_col).mapInPandas(
+        fn, "id long, content binary")
+
+
 # ---------------------------------------------------------------------------
 # Audio decode (stub codec, real plumbing) — same mapInPandas shape as images
 # ---------------------------------------------------------------------------

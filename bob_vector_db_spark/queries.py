@@ -1603,6 +1603,27 @@ def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("mm_resize_pipeline", oracle=None)  # pixel-codec path, rows-only
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X5 composition: generate per-doc FIMG blobs, resize to a fixed
+    thumbnail, decode the thumbnails — the decode→resize→feature chain a
+    real image corpus runs, all through Arrow-batched mapInPandas."""
+    from .operators import multimodal as MM  # noqa: PLC0415
+
+    def _gen(doc_ids):
+        return doc_ids.map(
+            lambda d: MM.fake_image(8 + int(d) % 8, 8, 1, seed=int(d) % 256))
+
+    gen_fimg = F.pandas_udf(_gen, "binary")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    blobs = docs.withColumn("content", gen_fimg(F.col("doc_id")))
+    thumbs = MM.resize_images(blobs, 4, 4, id_col="doc_id")
+    out = MM.decode_images(thumbs, id_col="id")
+    return out.select(
+        F.col("id").alias("doc_id"), "width", "height",
+        F.round("mean_pixel", 6).alias("mean_pixel"))
+
+
 @register("mm_binaryfile_source", oracle=None)  # filesystem source, rows-only
 def q_mm_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: a real ``spark.read.format("binaryFile")`` media source — writes a

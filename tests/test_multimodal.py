@@ -60,6 +60,21 @@ def test_sample_frames_every_other(spark):
     assert bytes(f0["frame"]) == MM.fake_image(2, 2, 3, seed=0)
 
 
+def test_resize_images_nearest_neighbor(spark):
+    img = MM.fake_image(4, 4, 1, seed=0)  # pixels = (31*i) % 256 row-major
+    df = _media_df(spark, img)
+    out = MM.resize_images(df, 2, 2).first()
+    b = bytes(out["content"])
+    assert b[:4] == MM.FIMG_MAGIC and (b[4], b[5], b[6]) == (2, 2, 1)
+    src = img[7:]
+    # out(x,y) = src(x*4//2, y*4//2) = src(2x, 2y)
+    expect = bytes(src[(2 * y) * 4 + (2 * x)] for y in range(2) for x in range(2))
+    assert b[7:] == expect
+    # resized output feeds the decoder unchanged
+    dec = MM.decode_images(MM.resize_images(df, 2, 2), id_col="id").first()
+    assert (dec["width"], dec["height"]) == (2, 2)
+
+
 def test_decode_audio_features(spark):
     aud = MM.fake_audio(100, sample_rate=8000, seed=3)
     df = spark.createDataFrame([(0, aud)], "media_id long, content binary")
