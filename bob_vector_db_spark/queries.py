@@ -1962,7 +1962,86 @@ def q_x1_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# The composed corpus-cleaning pipeline: quality filter + language filter +
+# Vector-DB API surface beyond search: retrieve-by-ids (Qdrant `retrieve` /
+# scroll) and recommend (Qdrant `recommend`: query = mean(positives) -
+# mean(negatives), examples excluded from results).
+# ---------------------------------------------------------------------------
+
+@register(
+    "api_retrieve_by_ids",
+    oracle="""
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       CAST(len(embedding) AS BIGINT) AS dim
+FROM embeddings WHERE vec_id IN (3, 1, 4, 15, 92)
+""",
+)
+def q_api_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup by id list — the GET half of the reference's delegated
+    store API (qdrant upload/retrieve round trip).  At scale the IN-list is
+    a pushed filter (or a broadcast semi-join for big id sets)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    wanted = [3, 1, 4, 15, 92]
+    return emb.filter(F.col("vec_id").isin(wanted)).select(
+        "vec_id", F.col("label").cast("long").alias("label"),
+        F.size("embedding").cast("long").alias("dim"))
+
+
+@register(
+    "api_recommend",
+    # qvec = sum(positives)/|P| - sum(negatives)/|N| componentwise; with
+    # |P|=2, |N|=1 every component is a single add + divide on both engines,
+    # so the query vector (and therefore each similarity) is bit-identical.
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, CASE WHEN vec_id IN (0, 1) THEN 1 ELSE -1 END AS s,
+         unnest(embedding)::DOUBLE AS val,
+         unnest(range(0, len(embedding))) AS pos
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+qv AS (
+  SELECT pos,
+         SUM(CASE WHEN s = 1 THEN val END) / 2
+       - SUM(CASE WHEN s = -1 THEN val END) AS qval
+  FROM ex GROUP BY pos
+),
+qvec AS (SELECT list(qval ORDER BY pos) AS v FROM qv),
+pairs AS (
+  SELECT e.vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.v) AS a,
+                                         unnest(e.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.v) AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM embeddings e, qvec q
+  WHERE e.vec_id NOT IN (0, 1, 2)
+)
+SELECT vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_api_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos_ids, neg_ids = [0, 1], [2]
+    ex = emb.filter(F.col("vec_id").isin(pos_ids + neg_ids)).select(
+        F.when(F.col("vec_id").isin(pos_ids), 1).otherwise(-1).alias("s"),
+        F.posexplode("embedding").alias("pos", "val"),
+    )
+    qv = ex.groupBy("pos").agg(
+        (F.sum(F.when(F.col("s") == 1, F.col("val").cast("double"))) / len(pos_ids)
+         - F.sum(F.when(F.col("s") == -1, F.col("val").cast("double"))) / len(neg_ids)
+         ).alias("qval")
+    )
+    qvec = qv.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "qval"))),
+            lambda st: st["qval"],
+        ).alias("qvec")
+    ).select(F.lit(0).alias("qid"), "qvec")
+    corpus = emb.filter(~F.col("vec_id").isin(pos_ids + neg_ids))
+    out = knn.knn_join(qvec, corpus, k=10, exclude_self=False)
+    return out.select("vec_id", "sim", F.col("rank").cast("long").alias("rank"))
 # exact dedup (keep lowest doc_id per content hash) in ONE declarative plan —
 # the shape a real pretraining-data job takes; Catalyst pipelines all three
 # predicates into the scan and the only shuffle is the dedup group-by.
