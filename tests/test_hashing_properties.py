@@ -55,6 +55,31 @@ def test_poly_hash_matches_python_model(tokens):
         assert got[t] == py_poly_hash(t), t
 
 
+@settings(max_examples=8, deadline=None)
+@given(st.lists(TOKEN, min_size=1, max_size=6))
+def test_simhash_fingerprint_matches_python_model(tokens):
+    """64-bit SimHash incl. the sign-bit encoding: the Spark fingerprint must
+    equal a pure-Python fold interpreted as a two's-complement int64."""
+    from bob_vector_db_spark.operators.dedup import simhash_table
+
+    spark = _get_spark()
+    text = " ".join(tokens)
+    got = {r["id"]: r["fp"] for r in simhash_table(
+        spark.createDataFrame([(0, text)], "doc_id long, text string"),
+        bits=64).collect()}
+
+    votes = [0] * 64
+    for t in tokens:
+        h = py_poly_hash(t)
+        for j in range(64):
+            bit = ((h * (2 * j + 3)) % POLY_MOD) & 1
+            votes[j] += 1 if bit else -1
+    fp = sum((1 << j) for j in range(64) if votes[j] > 0)
+    if fp >= 1 << 63:  # two's-complement int64
+        fp -= 1 << 64
+    assert got[0] == fp
+
+
 @settings(max_examples=10, deadline=None)
 @given(st.lists(TOKEN, min_size=2, max_size=6, unique=True))
 def test_minhash_signature_matches_python_model(tokens):
