@@ -1968,6 +1968,35 @@ def q_x1_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
+    "a7_salted_event_stats",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       round(SUM(CAST(value AS DECIMAL(18,6))), 6)::DOUBLE AS total_value,
+       round(MAX(value), 6) AS max_value
+FROM events GROUP BY event_type
+""",
+)
+def q_a7_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly-salted two-phase aggregation over the (skewed-ish)
+    event_type key — at 100 TB a hot key's rows spread over 16 reducers in
+    the partial stage instead of one.  Money-style sums go through exact
+    micro-units so the two-phase fold matches the oracle's DECIMAL sum."""
+    from .operators.skew import salted_agg  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_u", F.round(F.col("value") * 1_000_000).cast("long"))
+    out = salted_agg(ev, "event_type", {
+        "n": (F.count(F.lit(1)), F.sum("n")),
+        "total_u": (F.sum("value_u"), F.sum("total_u")),
+        "max_value": (F.max("value"), F.max("max_value")),
+    }, salt_on="event_id")
+    return out.select(
+        "event_type", F.col("n").cast("long").alias("n"),
+        F.round(F.col("total_u") / 1_000_000, 6).alias("total_value"),
+        F.round("max_value", 6).alias("max_value"))
+
+
+@register(
     "api_retrieve_by_ids",
     oracle="""
 SELECT vec_id, CAST(label AS BIGINT) AS label,
