@@ -6,9 +6,11 @@ from . import (
     knn,
     multimodal,
     normalize,
+    sampling,
+    skew,
     topk,
     upsert,
 )
 
 __all__ = ["asof", "centroid", "dedup", "embed", "knn", "multimodal",
-           "normalize", "topk", "upsert"]
+           "normalize", "sampling", "skew", "topk", "upsert"]
