@@ -40,7 +40,10 @@ def _get_spark():
     if _spark is None:
         from bob_vector_db_spark.session import get_spark
 
-        _spark = get_spark("hash_props", shuffle_partitions=2, cpus=2)
+        # no shuffle_partitions/cpus overrides: getOrCreate would apply them
+        # as runtime confs to the suite's SHARED session and poison later
+        # tests (the AQE skew test needs the suite's partition count)
+        _spark = get_spark("hash_props")
     return _spark
 
 

@@ -51,6 +51,7 @@ def test_aqe_splits_skewed_join_partition(spark):
         "spark.sql.adaptive.advisoryPartitionSizeInBytes",
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.shuffle.partitions",
     )
     saved = {k: conf.get(k, None) for k in keys}
     try:
@@ -58,6 +59,9 @@ def test_aqe_splits_skewed_join_partition(spark):
         conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # skew detection compares the hot partition against the MEDIAN
+        # partition; too few partitions flattens the ratio below the factor
+        conf.set("spark.sql.shuffle.partitions", "16")
         fact = _skewed(spark, n=200000)
         dim = spark.range(100).select(F.col("id").alias("k"),
                                       F.concat(F.lit("d"), F.col("id")).alias("name"))
