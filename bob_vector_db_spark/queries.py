@@ -1962,6 +1962,92 @@ def q_x1_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J9: the multi-join analytical flagship (TPC-H Q5 shape) — 6-table join
+# where Catalyst must mix broadcast (region/nation/supplier) with shuffle
+# joins (orders/lineitem) and reorder around the selective region filter.
+# ---------------------------------------------------------------------------
+
+@register(
+    "j9_regional_revenue",
+    oracle=f"""
+SELECT n.n_name,
+       CAST(SUM({DEC.format(x='l.l_extendedprice')}
+              * (CAST(1 AS DECIMAL(18,4)) - {DEC.format(x='l.l_discount')})) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM customer c
+JOIN orders o    ON c.c_custkey = o.o_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def q_j9_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dec = lambda col: col.cast("decimal(18,4)")  # noqa: E731
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(dec(F.col("l_extendedprice"))
+              * (F.lit(1).cast("decimal(18,4)") - dec(F.col("l_discount"))))
+        .cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary: top n-grams by document frequency — the vocab-building
+# aggregation every tokenizer/dedup pipeline starts from (one shuffle on the
+# shingle, map-side partials, global top-k via TakeOrderedAndProject).
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_top_ngrams",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> length(x) > 0) AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(greatest(len(tk)-1, 0)),
+                                 i -> array_to_string(tk[i+1:i+2], ' '))) AS shingle
+    FROM toks)
+)
+SELECT shingle, COUNT(*) AS df
+FROM sh GROUP BY shingle
+ORDER BY df DESC, shingle
+LIMIT 100
+""",
+)
+def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(docs, n=2)
+    return (
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("shingle")).limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Vector-DB API surface beyond search: retrieve-by-ids (Qdrant `retrieve` /
 # scroll) and recommend (Qdrant `recommend`: query = mean(positives) -
 # mean(negatives), examples excluded from results).
