@@ -2012,6 +2012,43 @@ def q_j9_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J10: correlated scalar subquery (TPC-H Q17 shape) — revenue of small-
+# quantity orders for a part brand, where "small" is relative to the part's
+# own average.  Catalyst decorrelates the subquery into an aggregate + join;
+# the oracle keeps the textbook correlated form.
+# ---------------------------------------------------------------------------
+
+@register(
+    "j10_small_quantity_revenue",
+    oracle=f"""
+SELECT CAST(SUM({DEC.format(x='l.l_extendedprice')}) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def q_j10_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    li.createOrReplaceTempView("_j10_lineitem")
+    p.createOrReplaceTempView("_j10_part")
+    return spark.sql(f"""
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+                 AS avg_yearly,
+               COUNT(*) AS n_items
+        FROM _j10_lineitem l JOIN _j10_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (
+            SELECT 0.5 * AVG(l2.l_quantity) FROM _j10_lineitem l2
+            WHERE l2.l_partkey = l.l_partkey)
+    """)
+
+
+# ---------------------------------------------------------------------------
 # Corpus vocabulary: top n-grams by document frequency — the vocab-building
 # aggregation every tokenizer/dedup pipeline starts from (one shuffle on the
 # shingle, map-side partials, global top-k via TakeOrderedAndProject).

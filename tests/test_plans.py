@@ -68,6 +68,17 @@ def test_filtered_knn_pushes_payload_filter(spark, sf_dir):
     assert_pushed_filters(q, "In(label, [1,3,5,7])")
 
 
+def test_multijoin_broadcasts_dims_and_pushes_region_filter(spark, sf_dir):
+    """J9 (Q5 shape): the three small dims broadcast and the selective
+    region predicate reaches its parquet scan."""
+    from bob_vector_db_spark.queries import REGISTRY
+
+    q = REGISTRY["j9_regional_revenue"].fn(spark, sf_dir)
+    plan = formatted_plan(q)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:1500]
+    assert_pushed_filters(q, "EqualTo(r_name,ASIA)")
+
+
 def test_exact_dedup_is_single_shuffle(spark, sf_dir):
     """J8/F4: hash-groupBy dedup = one shuffle on the content hash."""
     from bob_vector_db_spark.operators import dedup
