@@ -93,15 +93,29 @@ def main() -> None:
         times[name] = min(times[name], t2)
 
     headline_total = round(sum(times[n] for n in HEADLINE if n in times), 3)
-    print(json.dumps({
+    summary = {
         "metric": "headline_query_wall_sec",
         "value": headline_total,
         "unit": "sec",
-        "queries": times,
         "all_queries_sec": round(sum(times.values()), 3),
         "n_queries": len(times),
         "sf": sf,
-    }))
+    }
+    full = {**summary, "queries": times}
+    # BENCH_r02.json lost its "value" when the driver's tail window truncated
+    # the (now 75-entry) per-query dict mid-JSON. Mitigation (VERDICT r2
+    # "what's wrong" #2): emit the full line first, then a compact summary
+    # line LAST — whichever end of the output a head/tail window keeps, a
+    # parseable line carrying "value" survives. The full per-query breakdown
+    # is also written to BENCH_DETAIL.json alongside this script.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(full))
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

