@@ -11,10 +11,28 @@ query sets use :func:`knn_join_blocked` (IVF-style centroid pruning).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector
+
+# Canonical metric names.  The reference creates every collection with
+# Distance.COSINE (qdrant_embedder.py:96-102), but the vectors_config model it
+# persists (and our collection meta sidecar mirrors) declares a per-space
+# ``distance`` — so search must honor dot / euclidean too.
+_METRIC_ALIASES = {
+    "cosine": "cosine", "cos": "cosine",
+    "dot": "dot", "dotproduct": "dot", "ip": "dot",
+    "euclid": "euclid", "euclidean": "euclid", "l2": "euclid",
+}
+
+
+def resolve_metric(name: str) -> str:
+    m = _METRIC_ALIASES.get(str(name).strip().lower())
+    if m is None:
+        raise ValueError(
+            f"unknown distance metric {name!r}; one of {sorted(set(_METRIC_ALIASES))}")
+    return m
 
 
 def knn_join(
@@ -27,42 +45,99 @@ def knn_join(
     corpus_vec: str = "embedding",
     exclude_self: bool = True,
     round_to: int | None = 6,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact cosine top-k per query vector.
+    """Exact top-k per query vector under ``metric`` (cosine | dot | euclid).
 
     Returns (qid, vec_id, sim, rank) with deterministic tie-breaking on
-    corpus id.  The query side is broadcast; the corpus is scanned once with
-    no shuffle before the final per-query top-k window.
+    corpus id.  ``sim`` is the metric's score: cosine similarity or dot
+    product rank DESCENDING (bigger = nearer); euclidean distance ranks
+    ASCENDING (smaller = nearer).  The query side is broadcast; the corpus
+    is scanned once with no shuffle before the final per-query top-k window.
 
-    Per-side L2 norms are computed ONCE in projections before the join —
-    |Q|+|C| norm evaluations instead of 2·|Q|·|C| — so the per-pair work is
-    a single dot-product fold.  Norm and dot use the same expressions as
-    :func:`functions.vector.cosine_similarity`, so values are bit-identical
-    to the one-expression form (and to the SQL oracle).
+    For cosine, per-side L2 norms are computed ONCE in projections before
+    the join — |Q|+|C| norm evaluations instead of 2·|Q|·|C| — so the
+    per-pair work is a single dot-product fold.  Norm and dot use the same
+    expressions as :func:`functions.vector.cosine_similarity`, so values are
+    bit-identical to the one-expression form (and to the SQL oracle).
     """
-    q = queries.select(
-        F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"),
-        vector.l2_norm(F.col(query_vec)).alias("_qn"),
-    )
-    c = corpus.withColumn("_cn", vector.l2_norm(F.col(corpus_vec)))
-    pairs = c.join(F.broadcast(q), how="cross")
-    denom = F.col("_qn") * F.col("_cn")
-    sim = F.when(
-        denom != 0.0,
-        vector.dot(F.col("qvec"), F.col(corpus_vec)) / denom,
-    )
+    metric = resolve_metric(metric)
+    q_cols = [F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")]
+    if metric == "cosine":
+        q_cols.append(vector.l2_norm(F.col(query_vec)).alias("_qn"))
+        c = corpus.withColumn("_cn", vector.l2_norm(F.col(corpus_vec)))
+    else:
+        c = corpus
+    pairs = c.join(F.broadcast(queries.select(*q_cols)), how="cross")
+    if metric == "cosine":
+        denom = F.col("_qn") * F.col("_cn")
+        sim = F.when(
+            denom != 0.0,
+            vector.dot(F.col("qvec"), F.col(corpus_vec)) / denom,
+        )
+        ascending = False
+    elif metric == "dot":
+        sim = vector.dot(F.col("qvec"), F.col(corpus_vec))
+        ascending = False
+    else:  # euclid
+        sim = vector.l2_distance(F.col("qvec"), F.col(corpus_vec))
+        ascending = True
     if exclude_self:
         pairs = pairs.filter(F.col("qid") != F.col(corpus_id))
     if round_to is not None:
         sim = F.round(sim, round_to)
     scored = pairs.select("qid", F.col(corpus_id).alias("vec_id"), sim.alias("sim"))
     # zero-norm vectors have no defined cosine: drop (NaN would rank FIRST
-    # in Spark's descending order — above every real score)
+    # in Spark's descending order — above every real score).  dot/euclid are
+    # total functions, but the null guard is harmless there.
     scored = scored.filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    order = F.asc("sim") if ascending else F.desc("sim")
+    w = Window.partitionBy("qid").orderBy(order, F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def search_collection(
+    spark: SparkSession,
+    root: str,
+    collection: str,
+    queries: DataFrame,
+    k: int = 10,
+    vector_name: str | None = None,
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    corpus_id: str = "id",
+    metric: str | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Search a stored collection with the metric its meta DECLARES.
+
+    The collection's ``_collection_meta.json`` sidecar records the named
+    vector spaces with their distance (the vectors_config model of
+    qdrant_embedder.py:95-102, persisted by operators.upsert.create_collection);
+    a collection created with ``{"distance": "dot"}`` is searched by dot
+    product without the caller restating it.  ``metric`` overrides only when
+    passed explicitly.
+    """
+    from .upsert import collection_meta, read_collection  # noqa: PLC0415
+
+    meta = collection_meta(root, collection) or {}
+    vectors = meta.get("vectors", {})
+    if vector_name is None:
+        if len(vectors) != 1:
+            raise ValueError(
+                f"collection {collection!r} declares {sorted(vectors)} vector "
+                f"spaces; pass vector_name to pick one")
+        vector_name = next(iter(vectors))
+    if metric is None:
+        metric = vectors.get(vector_name, {}).get("distance", "cosine")
+    corpus = read_collection(spark, root, collection)
+    return knn_join(
+        queries, corpus, k=k, query_id=query_id, query_vec=query_vec,
+        corpus_id=corpus_id, corpus_vec=vector_name,
+        exclude_self=exclude_self, metric=metric,
     )
 
 

@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 
 def salted_agg(df: DataFrame, key: str, measures: dict[str, tuple[Column, Column]],
-               n_salts: int = 16, salt_on: str | None = None) -> DataFrame:
+               n_salts: int = 16,
+               salt_on: str | list[str] | None = None) -> DataFrame:
     """Two-phase aggregation over a possibly-skewed ``key``.
 
     ``measures`` maps output name → (partial aggregate over input rows,
@@ -33,16 +34,29 @@ def salted_agg(df: DataFrame, key: str, measures: dict[str, tuple[Column, Column
             "mx":    (F.max("value"),     F.max("mx")),
         })
 
-    ``salt_on`` picks the column whose hash spreads rows (defaults to a
-    per-row deterministic spread of the whole row via monotonically
-    increasing id — use a real column like an event id when available so
-    the result is reproducible under re-partitioning).
+    ``salt_on`` picks the column(s) whose hash spreads rows; the default is
+    ``pmod(xxhash64(<every input column>), n_salts)`` — a pure function of
+    row CONTENT, so the salt assignment (and with it the partial-agg group
+    boundaries) is identical no matter how the input was partitioned.
+    Never a partition-layout-dependent id: ``monotonically_increasing_id``
+    would salt the same row differently after a ``repartition``, making
+    runs irreproducible.  Pass a unique row id as ``salt_on`` when you have
+    one — hashing one column is cheaper than hashing the full row.
+
+    Reproducibility contract: count/min/max and exact-arithmetic sums
+    (integer, decimal) are bit-identical across physical layouts.  Raw
+    DOUBLE sums are layout-stable only to ulp-level drift — the salt fixes
+    WHICH rows share a partial group, but within-group iteration still
+    follows the scan order; route money/exact flows through
+    ``cast("decimal(…)")`` as the oracle queries do.
     """
-    salt = (
-        F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n_salts))
-        if salt_on is not None
-        else F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
-    )
+    if salt_on is None:
+        salt_cols = [F.col(c) for c in df.columns]
+    elif isinstance(salt_on, str):
+        salt_cols = [F.col(salt_on)]
+    else:
+        salt_cols = [F.col(c) for c in salt_on]
+    salt = F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key, "_salt")

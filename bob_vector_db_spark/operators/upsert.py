@@ -1,13 +1,22 @@
-"""Collection store: idempotent create + upsert-by-id (SURVEY.md §2.1 S5/S6).
+"""Collection store: idempotent create + upsert-by-id + delete + compaction
+(SURVEY.md §2.1 S5/S6).
 
 The reference's sink is Qdrant ``upload_points`` — re-sending an id replaces
 the point (qdrant_embedder.py:58-62,130-143), and collections are created
-lazily iff absent (qdrant_embedder.py:92-103).  On plain parquet (no Delta
-dependency) the same semantics are:
+lazily iff absent (qdrant_embedder.py:92-103).  The delete/compact/catalog
+half of the lifecycle mirrors the client API those upserts imply (Qdrant
+point-delete / Chroma ``get_or_create_collection`` at chroma_embedder.py:30-32
+implies enumerate/drop).  On plain parquet (no Delta dependency) the
+semantics are:
 
     create  — write iff path absent (idempotent DDL)
     upsert  — union(new, touched-buckets-of-existing) → last-write-wins by
               (id) on a version ordering → rewrite ONLY the touched buckets
+    delete  — anti-join rewrite of ONLY the buckets holding doomed ids
+              (by-id: ids hash straight to their buckets; by-filter: one
+              pruned scan finds the buckets with matching rows)
+    compact — rewrite each bucket's accumulated micro-batch files down to
+              ~1 file per bucket, same staged swap, readback-identical
 
 Scale design: each collection is hash-partitioned into ``id_bucket=N``
 directories (``pmod(xxhash64(id), n_buckets)``).  An upsert of a micro-batch
@@ -193,18 +202,31 @@ def upsert(spark: SparkSession, root: str, collection: str,
             id_col, version_col,
         )
 
-    # Write the merged touched buckets to a staging dir, then swap each bucket
-    # directory in with an atomic rename.  A crash mid-swap leaves every
-    # bucket either fully old (still in place or in its __old trash, which a
-    # rerun of the same batch re-merges idempotently) or fully new — never
-    # half-written files in a live bucket.
+    _stage_and_swap(merged, path, touched)
+    return read_collection(spark, root, collection)
+
+
+def _stage_and_swap(df: DataFrame, path: str, touched: list[int],
+                    drop_empty: bool = False) -> None:
+    """Write ``df``'s touched buckets to a staging dir, then swap each bucket
+    directory in with an atomic rename.  A crash mid-swap leaves every
+    bucket either fully old (still in place or in its __old trash, which a
+    rerun of the same batch re-merges idempotently) or fully new — never
+    half-written files in a live bucket.
+
+    ``drop_empty=True`` (the delete path): a touched bucket with NO staged
+    rows means every row in it was deleted — remove the live directory
+    instead of skipping it.
+    """
     staging = path + "__staging"
     shutil.rmtree(staging, ignore_errors=True)
-    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
+    df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
     for b in touched:
         src = os.path.join(staging, f"{BUCKET_COL}={b}")
         dst = os.path.join(path, f"{BUCKET_COL}={b}")
         if not os.path.isdir(src):
+            if drop_empty:
+                shutil.rmtree(dst, ignore_errors=True)
             continue
         trash = dst + "__old"
         shutil.rmtree(trash, ignore_errors=True)
@@ -213,4 +235,147 @@ def upsert(spark: SparkSession, root: str, collection: str,
         os.rename(src, dst)
         shutil.rmtree(trash, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
-    return read_collection(spark, root, collection)
+
+
+# ---------------------------------------------------------------------------
+# Delete — the missing half of the upsert lifecycle (Qdrant's point-delete
+# twin of upload_points, qdrant_embedder.py:58-62)
+# ---------------------------------------------------------------------------
+
+def delete_points(spark: SparkSession, root: str, collection: str,
+                  ids: list | DataFrame, id_col: str | None = None) -> int:
+    """Delete points by id; returns the number of rows removed.
+
+    Ids hash straight to their buckets, so only those bucket directories are
+    read (partition pruning on the hive layout) and rewritten (staged swap) —
+    deleting 100 ids from a 100 TB collection moves a handful of buckets,
+    never the table.  ``ids`` may be a Python list or a single-column
+    DataFrame (for a large doomed set the DataFrame form keeps the id set
+    distributed until the per-bucket anti-join).
+    """
+    path = collection_path(root, collection)
+    id_col, n_buckets = _resolve_layout(root, collection, id_col, None)
+    if isinstance(ids, DataFrame):
+        doomed = ids.select(F.col(ids.columns[0]).cast("string").alias("_del_id"))
+    else:
+        doomed = spark.createDataFrame(
+            [(str(i),) for i in ids], "`_del_id` string")
+    doomed = _with_bucket(doomed, "_del_id", n_buckets)
+    # O(n_buckets) driver-side list, same bound as upsert's touched set
+    touched = sorted(r[0] for r in doomed.select(BUCKET_COL).distinct().collect())
+    if not touched or not _store_exists(path):
+        return 0
+    existing = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+    keep = existing.join(
+        F.broadcast(doomed.select("_del_id")),
+        F.col(id_col).cast("string") == F.col("_del_id"),
+        "left_anti",
+    )
+    n_before = existing.count()
+    n_after = keep.count()
+    _stage_and_swap(keep, path, touched, drop_empty=True)
+    return n_before - n_after
+
+
+def delete_by_filter(spark: SparkSession, root: str, collection: str,
+                     predicate) -> int:
+    """Delete every point matching ``predicate`` (a Column or SQL string) —
+    the payload-filter delete of the delegated store API (README.md:13's
+    filterable surface applied to deletion).  Returns rows removed.
+
+    One pruned scan finds the buckets holding matching rows (Catalyst pushes
+    the predicate into the parquet scan); only those buckets are rewritten
+    with the survivors.  Buckets with no match are never opened twice.
+    """
+    path = collection_path(root, collection)
+    if not _store_exists(path):
+        return 0
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    table = spark.read.parquet(path)
+    touched = sorted(
+        r[0] for r in
+        table.filter(pred).select(BUCKET_COL).distinct().collect()
+    )
+    if not touched:
+        return 0
+    existing = table.filter(F.col(BUCKET_COL).isin(touched))
+    keep = existing.filter(~pred)
+    n_before = existing.count()
+    n_after = keep.count()
+    _stage_and_swap(keep, path, touched, drop_empty=True)
+    return n_before - n_after
+
+
+# ---------------------------------------------------------------------------
+# Compaction — micro-batch upserts (streaming/ingest.py foreachBatch) leave
+# one file per batch per touched bucket; compaction rewrites each bucket to
+# ~files_per_bucket files with identical readback.
+# ---------------------------------------------------------------------------
+
+def compact_collection(spark: SparkSession, root: str, collection: str,
+                       files_per_bucket: int = 1) -> dict:
+    """Rewrite every bucket down to ``files_per_bucket`` parquet files.
+
+    Returns ``{"files_before": n, "files_after": m, "n_rows": r}``.  The
+    rewrite reuses the staged swap, so readers never observe a half-compacted
+    bucket.  At scale this is an embarrassingly parallel per-bucket rewrite:
+    ``repartition(n_buckets × files_per_bucket, id_bucket)`` hash-clusters
+    each bucket's rows into its own tasks, and the partitioned write emits
+    one file per (task, bucket) pair.
+    """
+    path = collection_path(root, collection)
+    meta = collection_meta(root, collection)
+    n_buckets = int(meta["n_buckets"]) if meta else DEFAULT_N_BUCKETS
+    if not _store_exists(path):
+        return {"files_before": 0, "files_after": 0, "n_rows": 0}
+    table = spark.read.parquet(path)
+    n_rows = table.count()
+    touched = sorted(r[0] for r in table.select(BUCKET_COL).distinct().collect())
+    files_before = _count_data_files(path)
+    compacted = table.repartition(
+        max(len(touched), 1) * files_per_bucket, F.col(BUCKET_COL))
+    _stage_and_swap(compacted, path, touched)
+    return {"files_before": files_before,
+            "files_after": _count_data_files(path),
+            "n_rows": n_rows}
+
+
+def _count_data_files(path: str) -> int:
+    n = 0
+    for _root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files
+                 if f.endswith(".parquet") and not f.startswith("_"))
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Catalog — enumerate/drop collections (the get_or_create_collection model at
+# chroma_embedder.py:30-32 implies the list/drop twins)
+# ---------------------------------------------------------------------------
+
+def list_collections(root: str) -> list[dict]:
+    """All collections under ``root``, each with its persisted meta (layout +
+    vector config).  Collections without a sidecar (externally created) get
+    a minimal synthesized entry so the catalog never hides data."""
+    out = []
+    if not os.path.isdir(root):
+        return out
+    for entry in sorted(os.listdir(root)):
+        if not entry.startswith("collection="):
+            continue
+        name = entry.split("=", 1)[1]
+        meta = collection_meta(root, name)
+        out.append(meta if meta is not None else {
+            "collection": name, "id_col": "id",
+            "n_buckets": DEFAULT_N_BUCKETS, "vectors": {},
+        })
+    return out
+
+
+def drop_collection(root: str, collection: str) -> bool:
+    """Remove a collection's directory (data + meta); True if it existed."""
+    path = collection_path(root, collection)
+    if not os.path.isdir(path):
+        return False
+    shutil.rmtree(path)
+    return True

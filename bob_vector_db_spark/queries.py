@@ -2446,31 +2446,286 @@ def q_t8_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Store lifecycle (round 4): the delete/compact/catalog half of the upsert
+# API — Qdrant's point-delete is the twin of upload_points
+# (qdrant_embedder.py:58-62), and get_or_create_collection
+# (chroma_embedder.py:30-32) implies enumerate/drop.  Each query builds a
+# real bucketed store in a temp dir, mutates it through operators.upsert,
+# and returns the parquet READBACK — so the oracle checks the persisted
+# state, not an in-memory shortcut.
+# ---------------------------------------------------------------------------
+
+def _tmp_base(sf_dir: str, tag: str) -> str:
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    token = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"bvds_{tag}_{token}")
+    shutil.rmtree(base, ignore_errors=True)
+    return base
+
+
+@register(
+    "store_delete_points",
+    oracle="""
+SELECT CAST(doc_id AS VARCHAR) AS id, text AS document, lang
+FROM documents WHERE doc_id % 7 <> 0
+""",
+)
+def q_store_delete_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _tmp_base(sf_dir, "del")
+    docs = load_table(spark, sf_dir, "documents")
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8,
+        df=docs.select(F.col("doc_id").cast("string").alias("id"),
+                       F.col("text").alias("document"), "lang"))
+    # DataFrame-form doomed set: the id list never collects to the driver
+    doomed = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").cast("string"))
+    upsert.delete_points(spark, base, "docs", doomed)
+    return upsert.read_collection(spark, base, "docs").select(
+        "id", "document", "lang")
+
+
+@register(
+    "store_delete_by_filter",
+    oracle="""
+SELECT CAST(doc_id AS VARCHAR) AS id, text AS document, lang
+FROM documents WHERE lang <> 'de'
+""",
+)
+def q_store_delete_by_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _tmp_base(sf_dir, "delf")
+    docs = load_table(spark, sf_dir, "documents")
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8,
+        df=docs.select(F.col("doc_id").cast("string").alias("id"),
+                       F.col("text").alias("document"), "lang"))
+    upsert.delete_by_filter(spark, base, "docs", "lang = 'de'")
+    return upsert.read_collection(spark, base, "docs").select(
+        "id", "document", "lang")
+
+
+@register(
+    "store_compaction",
+    oracle="""
+SELECT CAST(doc_id AS VARCHAR) AS id, text AS document FROM documents
+""",
+)
+def q_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _tmp_base(sf_dir, "compact")
+    docs = load_table(spark, sf_dir, "documents")
+    upsert.create_collection(spark, base, "docs", n_buckets=4)
+    # four micro-batch upserts — the file-per-batch-per-bucket growth pattern
+    # of streaming/ingest.py's foreachBatch sink
+    for i in range(4):
+        upsert.upsert(
+            spark, base, "docs",
+            docs.filter(F.col("doc_id") % 4 == i).select(
+                F.col("doc_id").cast("string").alias("id"),
+                F.col("text").alias("document")))
+    stats = upsert.compact_collection(spark, base, "docs")
+    assert stats["files_after"] <= stats["files_before"], stats
+    return upsert.read_collection(spark, base, "docs").select("id", "document")
+
+
+@register(
+    "store_catalog",
+    oracle="""
+SELECT * FROM (VALUES ('cat_alpha', CAST(4 AS BIGINT), CAST(1 AS BIGINT)),
+                      ('cat_gamma', CAST(8 AS BIGINT), CAST(2 AS BIGINT)))
+       AS t(collection, n_buckets, n_vectors)
+""",
+)
+def q_store_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _tmp_base(sf_dir, "cat")
+    upsert.create_collection(spark, base, "cat_alpha", n_buckets=4,
+                             vector_config={"text": {"size": 64, "distance": "cosine"}})
+    upsert.create_collection(spark, base, "cat_beta")
+    upsert.create_collection(spark, base, "cat_gamma", n_buckets=8,
+                             vector_config={"text": {"size": 64, "distance": "dot"},
+                                            "image": {"size": 64, "distance": "euclid"}})
+    # idempotent re-create must NOT clobber the stored layout
+    upsert.create_collection(spark, base, "cat_beta", n_buckets=99)
+    upsert.drop_collection(base, "cat_beta")
+    rows = [(m["collection"], int(m["n_buckets"]), len(m.get("vectors", {})))
+            for m in upsert.list_collections(base)]
+    return spark.createDataFrame(
+        rows, "collection string, n_buckets long, n_vectors long")
+
+
+# ---------------------------------------------------------------------------
+# Metric-aware kNN (round 4): the collection meta sidecar declares each
+# vector space's distance (the vectors_config model, qdrant_embedder.py:95-102
+# — there always COSINE); search_collection reads the DECLARED metric, so a
+# collection created with "dot" or "euclid" is searched correctly without the
+# caller restating it.
+# ---------------------------------------------------------------------------
+
+@register(
+    "knn_dot_metric",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5
+),
+pairs AS (
+  SELECT q.qid, e.vec_id,
+         round((SELECT SUM(a*b)
+                FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                             unnest(e.embedding)::DOUBLE AS b)), 6) AS sim
+  FROM q, embeddings e
+  WHERE q.qid <> e.vec_id
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_knn_dot_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _tmp_base(sf_dir, "knndot")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "dot"}})
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = knn.search_collection(spark, base, "vecs", qdf, k=10,
+                                corpus_id="id", exclude_self=True)
+    return out.select("qid", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "knn_euclidean_metric",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5
+),
+pairs AS (
+  SELECT q.qid, e.vec_id,
+         round(sqrt((SELECT SUM((a-b)*(a-b))
+                     FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                  unnest(e.embedding)::DOUBLE AS b))), 6) AS sim
+  FROM q, embeddings e
+  WHERE q.qid <> e.vec_id
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim ASC, vec_id)
+             AS rank FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_knn_euclidean_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _tmp_base(sf_dir, "knneuc")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "euclid"}})
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = knn.search_collection(spark, base, "vecs", qdf, k=10,
+                                corpus_id="id", exclude_self=True)
+    return out.select("qid", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# T9 LIVE (round 4): multi-topic union under backpressure — a file topic
+# (maxFilesPerTrigger=2 over 4 files → ≥2 micro-batches) unioned with a LIVE
+# rate source (rowsPerSecond cap = the QoS depth-1000 bound,
+# embedder.py:161-174) into one upsert sink.  The rate source is unbounded,
+# so the query polls the store readback and stops at the deterministic
+# target: 100 file records + rate values 0..99.
+# ---------------------------------------------------------------------------
+
+@register(
+    "t9_rate_stream_backpressure",
+    oracle="""
+SELECT CAST(doc_id AS VARCHAR) AS id, text AS document
+FROM documents WHERE doc_id < 100
+UNION ALL
+SELECT 'r' || CAST(r AS VARCHAR), 'rate event ' || CAST(r AS VARCHAR)
+FROM range(100) t(r)
+""",
+)
+def q_t9_rate_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json  # noqa: PLC0415
+    import time  # noqa: PLC0415
+
+    from .operators.upsert import read_collection  # noqa: PLC0415
+    from .streaming import ingest as ING  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "t9")
+    in_dir = os.path.join(base, "in")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(in_dir)
+
+    rows = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 100).select("doc_id", "text").collect())
+    for fi in range(4):
+        with open(os.path.join(in_dir, f"part{fi}.jsonl"), "w") as fh:
+            for r in rows[fi::4]:
+                msg = {"collection": "t9", "documents": [r["text"]],
+                       "metadatas": [{}], "ids": [str(r["doc_id"])]}
+                fh.write(json.dumps({"value": json.dumps(msg)}) + "\n")
+
+    q = ING.run_multi_topic_pipeline(
+        spark, in_dir, store, "t9", ckpt, default_collection="t9",
+        max_files_per_trigger=2, rows_per_second=400, rate_limit_value=100)
+    target = len(rows) + 100
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            try:
+                if read_collection(spark, store, "t9").count() >= target:
+                    break
+            except Exception:
+                pass  # store not created yet / bucket mid-swap
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    q.awaitTermination(60)
+    return read_collection(spark, store, "t9").select("id", "document")
+
+
+# ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
-# driver CORRECTNESS row register first (VERDICT r2 §"What's missing" #1).
-# Everything already driver-green in r1/r2 follows, in original order.
+# driver CORRECTNESS row register first, then names whose last green row is
+# oldest (r02, not sampled in r03).  Unlike round 3's silent `if n in
+# REGISTRY` filter, _reordered() now FAILS LOUDLY on a priority name that
+# doesn't exist (VERDICT r3 §"What's wrong" #3).
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # never driver-adjudicated as of CORRECTNESS_r02.json
-    "j9_regional_revenue", "j10_small_quantity_revenue", "text_top_ngrams",
-    "a7_salted_event_stats", "s1_message_roundtrip", "s6_upsert_last_write_wins",
-    "s7_dead_letter_routing", "p4_payload_filter", "p5_payload_enrichment",
-    "f3_f4_content_ids", "f8_array_gauntlet", "x4_centroids_applyinpandas",
-    "x1_text_embed_udf", "api_retrieve_by_ids", "api_recommend",
-    "pipe_corpus_clean", "pipe_split_counts", "pipe_hash_sample",
-    "t1_stream_ingest_roundtrip", "t6_stream_watermarked_windows",
-    "t8_stateful_user_stats", "mm_byte_histogram", "mm_audio_features",
-    "mm_resize_pipeline", "mm_binaryfile_source",
-    # new this round (round 3)
+    # new this round (round 4) — never driver-adjudicated
     "store_delete_points", "store_delete_by_filter", "store_compaction",
-    "knn_dot_metric", "t9_rate_stream_backpressure",
+    "store_catalog", "knn_dot_metric", "knn_euclidean_metric",
+    "t9_rate_stream_backpressure",
+    # green in r02 but not sampled by the driver in r03 — oldest evidence first
+    "u1_union_by_name", "u2_intersect_big_buyers", "u3_except_urgent_only_buyers",
+    "j6_value_band_join", "j7_asof_latest_click", "f2_base64_roundtrip",
+    "f5_time_features", "f6_f10_scalar_gauntlet", "f9_map_payload_access",
+    "f11_conditional_buckets", "s2_normalize_pipeline", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_minhash_ml", "dedup_simhash",
+    "dedup_embedding_blocked", "x3_hash_embed_vec", "text_langid",
+    "text_quality_stats", "text_fingerprint", "t4_sliding_event_windows",
+    "t5_session_windows", "t2_dedup_first_event", "knn_ivf_blocked",
+    "mm_binary_stats",
 ]
 
 
 def _reordered() -> dict[str, QuerySpec]:
-    head = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    if missing:
+        raise KeyError(
+            f"_PRIORITY names missing from REGISTRY (promised but not "
+            f"implemented): {missing}")
+    head = {n: REGISTRY[n] for n in _PRIORITY}
     tail = {n: s for n, s in REGISTRY.items() if n not in head}
     return {**head, **tail}
 

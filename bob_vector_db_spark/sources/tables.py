@@ -46,12 +46,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read via nanosAsLong → truncate to µs exactly the
-        # way DuckDB does (integer division, no float round-trip).
+    if name == "events":
         from pyspark.sql import functions as F  # noqa: PLC0415
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read via nanosAsLong → truncate to µs exactly
+            # the way DuckDB does (integer division, no float round-trip).
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # timestamp[us] with isAdjustedToUTC=false infers as NTZ, which
+            # watermarks/windows reject.  Session tz is UTC, so this cast
+            # reinterprets the same wall-clock value — numerically a no-op
+            # and identical to DuckDB's naive reading.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -46,6 +46,46 @@ def read_text_stream(spark: SparkSession, path: str,
     )
 
 
+def read_rate_stream(spark: SparkSession, rows_per_second: int = 500,
+                     num_partitions: int = 1,
+                     source_topic: str = "rate") -> DataFrame:
+    """Second live source shape: the built-in rate source.
+
+    ``rowsPerSecond`` IS the backpressure knob — it caps per-micro-batch
+    intake the way the reference's QoS depth-1000 queue bounds in-flight
+    messages (embedder.py:162) and maxFilesPerTrigger bounds the file
+    source.  Emits (timestamp, value) with value a gap-free 0,1,2,…
+    sequence, so downstream results over ``value < N`` are deterministic.
+    """
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", num_partitions)
+        .load()
+        .withColumn("source_topic", F.lit(source_topic))
+    )
+
+
+def rate_records(stream: DataFrame, collection: str = "rate",
+                 limit_value: int | None = None) -> DataFrame:
+    """Map rate-source rows to the canonical record schema (normalize.
+    zip_explode's output), so a rate topic unions with file topics in one
+    pipeline.  ``limit_value`` keeps only ``value < limit_value`` — the
+    deterministic prefix of the unbounded sequence."""
+    if limit_value is not None:
+        stream = stream.filter(F.col("value") < limit_value)
+    return stream.select(
+        F.lit(collection).alias("collection"),
+        F.concat(F.lit("r"), F.col("value")).alias("id"),
+        F.concat(F.lit("rate event "), F.col("value")).alias("document"),
+        F.lit("{}").alias("payload_json"),
+        F.lit(None).cast("string").alias("image_path"),
+        F.lit(0).alias("pos"),
+        F.col("source_topic"),
+        F.col("timestamp").alias("_ingest_ts"),
+    )
+
+
 def union_topics(*streams: DataFrame) -> DataFrame:
     """S8: merge independently-sourced topic streams into one pipeline."""
     out = streams[0]
@@ -67,8 +107,14 @@ def split_dead_letter(records: DataFrame,
 
 def start_upsert_sink(records: DataFrame, store_root: str, collection: str,
                       checkpoint: str, id_col: str = "id",
-                      version_col: str | None = None):
-    """T7: MERGE each micro-batch into the collection table by id."""
+                      version_col: str | None = None,
+                      available_now: bool = True):
+    """T7: MERGE each micro-batch into the collection table by id.
+
+    ``available_now=False`` runs a continuous micro-batch trigger — required
+    when any unioned source is unbounded (rate source); the caller stops the
+    query once its completion condition holds.
+    """
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -76,12 +122,11 @@ def start_upsert_sink(records: DataFrame, store_root: str, collection: str,
         upsert(batch.sparkSession, store_root, collection, batch,
                id_col=id_col, version_col=version_col)
 
-    return (
-        records.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = (records.writeStream.foreachBatch(_merge)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def run_ingest_pipeline(spark: SparkSession, in_dir: str, store_root: str,
@@ -96,3 +141,33 @@ def run_ingest_pipeline(spark: SparkSession, in_dir: str, store_root: str,
     good, _bad = split_dead_letter(records)
     return start_upsert_sink(good, store_root, collection, checkpoint,
                              version_col="_ingest_ts")
+
+
+def run_multi_topic_pipeline(spark: SparkSession, in_dir: str, store_root: str,
+                             collection: str, checkpoint: str,
+                             default_collection: str = "default",
+                             max_files_per_trigger: int = 2,
+                             rows_per_second: int = 500,
+                             rate_limit_value: int | None = None):
+    """Live S8: file topic ∪ rate topic → one normalize/explode/upsert
+    pipeline — the reference's concurrent bounded subscriptions
+    (embedder.py:161-174) with two physically different sources.
+
+    Both sources carry their own backpressure bound (maxFilesPerTrigger /
+    rowsPerSecond).  The rate source is unbounded, so the sink runs a
+    continuous trigger; the caller polls the store and stops the returned
+    query when done.
+    """
+    raw = read_text_stream(spark, in_dir, source_topic="embed",
+                           max_files_per_trigger=max_files_per_trigger)
+    keep = ("source_topic", "_ingest_ts")
+    file_records = zip_explode(
+        normalize_raw(raw, "value", default_collection, keep=keep), keep=keep
+    )
+    rate = rate_records(
+        read_rate_stream(spark, rows_per_second=rows_per_second),
+        collection=default_collection, limit_value=rate_limit_value,
+    )
+    good, _bad = split_dead_letter(union_topics(file_records, rate))
+    return start_upsert_sink(good, store_root, collection, checkpoint,
+                             version_col="_ingest_ts", available_now=False)

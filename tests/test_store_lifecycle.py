@@ -1,0 +1,224 @@
+"""Store lifecycle beyond upsert: delete / compaction / catalog (the twin
+half of Qdrant's upload_points at qdrant_embedder.py:58-62, and the
+enumerate/drop implied by chroma_embedder.py:30-32), plus metric-aware
+search driven by the persisted vectors_config (qdrant_embedder.py:95-102).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bob_vector_db_spark.operators import knn, upsert
+
+
+def _mk(spark, root, name="c", n=64, n_buckets=8):
+    df = spark.createDataFrame(
+        [(f"id{i}", f"doc{i}", i % 4) for i in range(n)],
+        "id string, document string, grp int")
+    upsert.create_collection(spark, root, name, df=df, n_buckets=n_buckets)
+    return df
+
+
+def _bucket_snapshot(path):
+    out = {}
+    for d in os.listdir(path):
+        if not d.startswith(upsert.BUCKET_COL + "="):
+            continue
+        full = os.path.join(path, d)
+        out[d] = sorted(
+            (f, os.path.getmtime(os.path.join(full, f)))
+            for f in os.listdir(full) if not f.startswith("_"))
+    return out
+
+
+def test_delete_points_list_and_count(spark, tmp_path):
+    root = str(tmp_path / "store")
+    _mk(spark, root)
+    removed = upsert.delete_points(spark, root, "c", ["id0", "id1", "nope"])
+    assert removed == 2
+    ids = {r["id"] for r in upsert.read_collection(spark, root, "c").collect()}
+    assert "id0" not in ids and "id1" not in ids and len(ids) == 62
+
+
+def test_delete_points_dataframe_form(spark, tmp_path):
+    root = str(tmp_path / "store")
+    df = _mk(spark, root)
+    doomed = df.filter(F.col("grp") == 0).select("id")
+    removed = upsert.delete_points(spark, root, "c", doomed)
+    assert removed == 16
+    left = upsert.read_collection(spark, root, "c")
+    assert left.filter(F.col("grp") == 0).count() == 0
+    assert left.count() == 48
+
+
+def test_delete_points_touches_only_owning_buckets(spark, tmp_path):
+    """Scale contract: deleting a few ids must leave every bucket that holds
+    none of them byte-identical (same files, same mtimes)."""
+    root = str(tmp_path / "store")
+    _mk(spark, root)
+    path = upsert.collection_path(root, "c")
+    before = _bucket_snapshot(path)
+    upsert.delete_points(spark, root, "c", ["id0"])
+    after = _bucket_snapshot(path)
+    changed = [b for b in before if after.get(b) != before[b]]
+    assert len(changed) == 1  # exactly the bucket id0 hashes into
+
+
+def test_delete_by_filter(spark, tmp_path):
+    root = str(tmp_path / "store")
+    _mk(spark, root)
+    removed = upsert.delete_by_filter(spark, root, "c", "grp = 3")
+    assert removed == 16
+    left = upsert.read_collection(spark, root, "c")
+    assert left.filter("grp = 3").count() == 0 and left.count() == 48
+    # no-match filter is a no-op that opens no bucket
+    assert upsert.delete_by_filter(spark, root, "c", "grp = 99") == 0
+
+
+def test_delete_all_rows_drops_bucket_dirs(spark, tmp_path):
+    root = str(tmp_path / "store")
+    _mk(spark, root, n=8, n_buckets=2)
+    removed = upsert.delete_by_filter(spark, root, "c", "grp >= 0")
+    assert removed == 8
+    path = upsert.collection_path(root, "c")
+    assert not [d for d in os.listdir(path)
+                if d.startswith(upsert.BUCKET_COL + "=")]
+
+
+def test_compaction_reduces_files_identical_readback(spark, tmp_path):
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(f"id{i}", f"doc{i}") for i in range(64)], "id string, document string")
+    # a wide (8-task) partitioned write leaves up to 8 files per bucket —
+    # the same growth shape a parallel upsert's staging write produces
+    upsert.create_collection(spark, root, "c", df=df.repartition(8),
+                             n_buckets=4)
+    before = {(r["id"], r["document"])
+              for r in upsert.read_collection(spark, root, "c").collect()}
+    stats = upsert.compact_collection(spark, root, "c")
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["n_rows"] == 64
+    after = {(r["id"], r["document"])
+             for r in upsert.read_collection(spark, root, "c").collect()}
+    assert after == before
+
+
+def test_catalog_list_drop_and_meta_stability(spark, tmp_path):
+    root = str(tmp_path / "store")
+    upsert.create_collection(spark, root, "a", n_buckets=4)
+    upsert.create_collection(
+        spark, root, "b",
+        vector_config={"text": {"size": 8, "distance": "dot"}})
+    # idempotent re-create must NOT clobber the persisted layout
+    upsert.create_collection(spark, root, "a", n_buckets=99)
+    metas = {m["collection"]: m for m in upsert.list_collections(root)}
+    assert set(metas) == {"a", "b"}
+    assert metas["a"]["n_buckets"] == 4
+    assert metas["b"]["vectors"]["text"]["distance"] == "dot"
+    assert upsert.drop_collection(root, "a") is True
+    assert upsert.drop_collection(root, "a") is False
+    assert [m["collection"] for m in upsert.list_collections(root)] == ["b"]
+
+
+def test_search_collection_uses_declared_metric(spark, tmp_path):
+    """A collection declaring "dot" must rank by raw dot product — with
+    deliberately non-unit vectors, that ordering differs from cosine."""
+    root = str(tmp_path / "store")
+    corpus = spark.createDataFrame(
+        [("big", [10.0, 0.1]), ("aligned", [0.0, 1.0]), ("small", [0.1, 0.2])],
+        "id string, embedding array<double>")
+    upsert.create_collection(
+        spark, root, "v", df=corpus,
+        vector_config={"embedding": {"size": 2, "distance": "dot"}})
+    q = spark.createDataFrame([(0, [0.0, 1.0])],
+                              "qid long, qvec array<double>")
+    got = knn.search_collection(spark, root, "v", q, k=3, corpus_id="id")
+    ranked = [r["vec_id"] for r in got.orderBy("rank").collect()]
+    # dot: aligned=1.0 > small=0.2 > big=0.1; cosine would put aligned then
+    # small(≈0.894) then big(≈0.01) too, but with q=[1,0] they invert — use
+    # a second query to pin the metric distinction
+    assert ranked[0] == "aligned"
+    q2 = spark.createDataFrame([(1, [1.0, 0.0])],
+                               "qid long, qvec array<double>")
+    got2 = knn.search_collection(spark, root, "v", q2, k=3, corpus_id="id")
+    ranked2 = [r["vec_id"] for r in got2.orderBy("rank").collect()]
+    assert ranked2[0] == "big"  # dot=10 wins; cosine would tie big≈1.0 too
+    # explicit override beats the declared metric
+    got3 = knn.search_collection(spark, root, "v", q2, k=3, corpus_id="id",
+                                 metric="euclid")
+    ranked3 = [r["vec_id"] for r in got3.orderBy("rank").collect()]
+    assert ranked3[0] == "small"  # nearest by L2 to [1,0]
+
+
+def test_search_collection_euclid_ranks_ascending(spark, tmp_path):
+    root = str(tmp_path / "store")
+    corpus = spark.createDataFrame(
+        [("near", [1.0, 1.0]), ("far", [9.0, 9.0]), ("mid", [3.0, 3.0])],
+        "id string, embedding array<double>")
+    upsert.create_collection(
+        spark, root, "v", df=corpus,
+        vector_config={"embedding": {"size": 2, "distance": "euclid"}})
+    q = spark.createDataFrame([(0, [0.0, 0.0])], "qid long, qvec array<double>")
+    got = knn.search_collection(spark, root, "v", q, k=3, corpus_id="id")
+    assert [r["vec_id"] for r in got.orderBy("rank").collect()] == \
+        ["near", "mid", "far"]
+
+
+def test_resolve_metric_aliases_and_rejects_unknown():
+    assert knn.resolve_metric("Cosine") == "cosine"
+    assert knn.resolve_metric("IP") == "dot"
+    assert knn.resolve_metric("L2") == "euclid"
+    with pytest.raises(ValueError, match="unknown distance metric"):
+        knn.resolve_metric("manhattan")
+
+
+def test_multi_topic_pipeline_backpressure(spark, tmp_path):
+    """Live S8/T9: file topic (maxFilesPerTrigger=2 over 4 files) ∪ rate
+    topic under a rowsPerSecond cap → one upsert sink.  Asserts the file
+    side really was split into ≥2 micro-batches (the backpressure bound)
+    and the store converges to the deterministic union."""
+    import json
+    import time
+
+    from bob_vector_db_spark.streaming import ingest as ING
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for fi in range(4):
+        with open(in_dir / f"f{fi}.jsonl", "w") as fh:
+            for i in range(fi * 5, fi * 5 + 5):
+                msg = {"collection": "t", "documents": [f"d{i}"],
+                       "metadatas": [{}], "ids": [f"f{i}"]}
+                fh.write(json.dumps({"value": json.dumps(msg)}) + "\n")
+
+    store = str(tmp_path / "store")
+    q = ING.run_multi_topic_pipeline(
+        spark, str(in_dir), store, "t", str(tmp_path / "ck"),
+        default_collection="t", max_files_per_trigger=2,
+        rows_per_second=50, rate_limit_value=20)
+    target = 20 + 20
+    deadline = time.time() + 90
+    try:
+        while time.time() < deadline:
+            try:
+                if upsert.read_collection(spark, store, "t").count() >= target:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        progresses = q.recentProgress
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    rows = {r["id"]: r["document"]
+            for r in upsert.read_collection(spark, store, "t").collect()}
+    assert {f"f{i}" for i in range(20)} <= set(rows)
+    assert {f"r{i}" for i in range(20)} <= set(rows)
+    assert rows["r3"] == "rate event 3" and rows["f7"] == "d7"
+    # ≥2 micro-batches moved data: 4 files under maxFilesPerTrigger=2 cannot
+    # drain in one batch
+    non_empty = [p for p in progresses if p["numInputRows"] > 0]
+    assert len(non_empty) >= 2
