@@ -21,9 +21,12 @@ oracle's ground truth at small SF.  Skewed shingles (stopword-only) are
 filtered by document-frequency cap before the self-join.
 
 Caching: the pair-finders persist() intermediates that feed multiple plan
-consumers (both self-join sides).  The persists are registered; long-lived
-sessions should call :func:`release_cache` after consuming results (bench
-uses ``spark.catalog.clearCache`` which is equivalent).
+consumers (both self-join sides), materialize the (small) pair result once
+via ``localCheckpoint(eager=True)``, and eagerly unpersist the intermediates
+before returning — a long-lived session calling finders in a loop never
+accumulates cache entries.  The checkpointed result's blocks are
+weak-referenced and reclaimed by Spark's ContextCleaner once the caller
+drops the DataFrame.
 """
 
 from __future__ import annotations
@@ -40,18 +43,25 @@ from ..functions.hashing import (
 )
 from ..functions.text import ws_tokens
 
-_PERSISTED: list[DataFrame] = []
+def _finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize ``result`` once (localCheckpoint cuts the lineage back to
+    the persisted intermediates), then eagerly unpersist those intermediates.
 
-
-def _persist(df: DataFrame) -> DataFrame:
-    _PERSISTED.append(df.persist())
-    return df
+    Pair tables are tiny next to their shingle/band inputs, so checkpointing
+    the result and dropping the inputs is strictly cheaper than keeping the
+    inputs cached until some caller remembers to release them (the r2/r3
+    leak: the old module-global registry only drained when bench called
+    release_cache).
+    """
+    out = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
 
 
 def release_cache() -> None:
-    """Unpersist every intermediate this module has cached (idempotent)."""
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+    """Deprecated no-op: finders now release their own intermediates
+    eagerly (see :func:`_finalize`); kept for callers of the old API."""
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text",
@@ -100,10 +110,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # The shingle table feeds FOUR consumers (df-cap aggregate, sizes, and
     # both self-join sides); without persist Spark re-derives the whole
     # map-only subtree per consumer — measured 8× recompute at sf0.1.
-    sh = _persist(doc_shingles(df, text_col, id_col, n))
+    cached = [doc_shingles(df, text_col, id_col, n).persist()]
+    sh = cached[0]
     if max_df is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df)
-        sh = _persist(sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti"))
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti").persist()
+        cached.append(sh)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -115,7 +127,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    pairs = (
         inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
         .withColumn(
             "jaccard",
@@ -128,6 +140,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _finalize(pairs, *cached)
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -183,15 +196,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             ])
         ).alias("band", "band_key"),
     )
-    banded = _persist(banded)
+    banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_bands_matched"))
     )
+    return _finalize(pairs, banded)
 
 
 def minhash_lsh_pairs_ml(df: DataFrame, text_col: str = "text",
@@ -291,7 +305,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             for c in range(n_chunks)
         ])).alias("chunk_idx", "chunk_val"),
     )
-    chunks = _persist(chunks)  # both self-join sides read it
+    chunks = chunks.persist()  # both self-join sides read it
     a, c = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(c, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
@@ -301,11 +315,12 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
         .distinct()
     )
-    return (
+    pairs = (
         cand.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return _finalize(pairs, chunks)
 
 
 def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",

@@ -135,3 +135,42 @@ def test_embedding_neardup_vectorized_matches_sql_path(spark, sf_dir):
     }
     assert set(sql_pairs) == set(blas_pairs)
     assert all(abs(sql_pairs[k] - blas_pairs[k]) < 1e-5 for k in sql_pairs)
+
+
+def test_finders_release_their_caches(spark, sf_dir):
+    """VERDICT r3 #6: repeated finder calls must not grow the session's
+    cache.  Each finder persists intermediates, materializes its (small)
+    pair result, and unpersists before returning — so the CacheManager is
+    empty after every call and the persistent-RDD set stays bounded (only
+    the localCheckpoint blocks of results still referenced from Python)."""
+    import gc
+
+    from bob_vector_db_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    for _ in range(3):
+        for finder in (
+            lambda d: dedup.ngram_jaccard_pairs(d, max_df=50),
+            dedup.minhash_lsh_pairs,
+            dedup.simhash_pairs,
+        ):
+            out = finder(docs)
+            out.count()
+            assert cache_mgr.isEmpty(), "finder left a DataFrame persisted"
+            del out
+    # localCheckpoint blocks of dropped results are ContextCleaner-managed:
+    # after a GC cycle the persistent-RDD set must not retain one per call
+    # (9 calls above; allow the in-flight tail)
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    import time
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        n = spark.sparkContext._jsc.getPersistentRDDs().size()
+        if n <= 2:
+            break
+        time.sleep(1)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+    assert n <= 2, f"{n} persistent RDDs survived GC — checkpoint leak"
