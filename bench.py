@@ -1,14 +1,18 @@
 """Benchmark runner — the driver's per-round perf probe (BASELINE.md).
 
-Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO JSON lines
+on stdout — the full record (with the per-query "queries" dict) first, then
+a compact summary line LAST, so whichever end a head/tail log window keeps
+still carries a parseable "value":
 
     {"metric": "headline_query_wall_sec", "value": <total>, "unit": "sec",
-     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+     "queries": {"<name>": <sec>, ...}, ...}     # full
+    {"metric": "headline_query_wall_sec", "value": <total>, ...}  # summary
 
-A single trivial warmup job runs first so JVM/codegen startup is not charged
-to the first query; each query is then timed once, end-to-end (plan → execute
-→ collect count).
+The full record is also written to ``BENCH_DETAIL.json`` next to this
+script.  "value" sums only the FROZEN headline subset; per-query timing is
+min-of-2 passes (see run_once) with cache clearing between queries.
 """
 
 from __future__ import annotations

@@ -42,7 +42,8 @@ def centroids_grouped_map(df: DataFrame, label_col: str = "label",
                           vec_col: str = "embedding",
                           id_col: str = "vec_id",
                           n_salts: int = 8,
-                          round_to: int = 6) -> DataFrame:
+                          round_to: int = 6,
+                          q_decimals: int = 10) -> DataFrame:
     """X4 grouped-map centroid (label, pos, centroid_val) — scale-safe form.
 
     A naive ``groupBy(label).applyInPandas`` has parallelism = n_labels and
@@ -50,25 +51,47 @@ def centroids_grouped_map(df: DataFrame, label_col: str = "label",
     shape Spark uses for its own aggregates: partial sums per
     (label, salt-of-id) — parallelism = n_labels × n_salts, memory bounded by
     the salt fan-out — then a per-label combine over n_salts tiny partial
-    rows.  Bit-identical to single-pass accumulation: partials sum
-    10-decimal-quantized values, exact in float64 at these magnitudes, and
-    addition of exact partials is associative.
+    rows.
+
+    Bit-identical across any physical layout / salt fan-out, for real: each
+    value is quantized to ``q_decimals`` decimals and accumulated as a SCALED
+    INT64 (the same arithmetic as the oracle's ``DECIMAL(20,10)`` sum), and
+    integer addition is exact and associative — no float partial-sum drift.
+    The exactness envelope |Σ round(v, q)·10^q| < 2^63 is CHECKED from the
+    carried per-partial bounds and overflow raises a loud ValueError telling
+    the caller to lower ``q_decimals`` (each decimal of quantization costs
+    10× of headroom; q=10 holds ~9e8 unit-magnitude rows per label).
     """
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
+    scale = float(10 ** q_decimals)
+
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
         V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        s = np.round(V, 10).sum(axis=0)
+        q = np.round(V, q_decimals)
+        # |sum| ≤ Σ|q|·scale per component — check BEFORE the int sum wraps
+        bound = float(np.abs(q).sum(axis=0).max()) * scale
+        if bound >= 9.2e18:
+            raise ValueError(
+                f"centroid partial sum may exceed int64 (bound {bound:.3g}); "
+                f"lower q_decimals (now {q_decimals})")
+        s = np.round(q * scale).astype(np.int64).sum(axis=0)
         return pd.DataFrame({
             "label": [int(pdf["label"].iloc[0])],
             "psum": [s.tolist()],
             "n": [len(pdf)],
+            "bound": [bound],
         })
 
     def combine(pdf: pd.DataFrame) -> pd.DataFrame:
-        S = np.stack(pdf["psum"].to_numpy()).sum(axis=0)
-        mean = S / int(pdf["n"].sum())
+        total_bound = float(pdf["bound"].sum())
+        if total_bound >= 9.2e18:
+            raise ValueError(
+                f"centroid combine sum may exceed int64 (bound "
+                f"{total_bound:.3g}); lower q_decimals")
+        S = np.stack(pdf["psum"].to_numpy()).astype(np.int64).sum(axis=0)
+        mean = S / scale / int(pdf["n"].sum())
         return pd.DataFrame({
             "label": np.repeat(int(pdf["label"].iloc[0]), len(S)),
             "pos": np.arange(len(S), dtype="int64"),
@@ -81,7 +104,7 @@ def centroids_grouped_map(df: DataFrame, label_col: str = "label",
         F.col(vec_col),
     )
     partials = salted.groupBy("label", "_salt").applyInPandas(
-        partial, "label long, psum array<double>, n long")
+        partial, "label long, psum array<long>, n long, bound double")
     return partials.groupBy("label").applyInPandas(
         combine, "label long, pos long, centroid_val double")
 

@@ -213,6 +213,10 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
                         "no image codec in this environment; use FIMG blobs")
                 w, h, c = b[4], b[5], b[6]
                 px = b[7:7 + w * h * c]
+                if w * h * c == 0 or len(px) < w * h * c:
+                    raise ValueError(
+                        f"malformed FIMG blob id={i}: header says "
+                        f"{w}x{h}x{c} but payload has {len(px)} bytes")
                 # vectorized gather: src pixel for out (x, y) stays
                 # (x*w//out_w, y*h//out_h); row-major tobytes() reproduces the
                 # per-pixel append order byte-for-byte
@@ -282,9 +286,12 @@ def byte_histogram_udf(bins: int = 16):
     """array<double> per blob: normalized byte-value histogram.  Stands in
     for an image-embedding UDF (X2) with the identical column contract."""
 
+    if not 1 <= bins <= 256:
+        raise ValueError(f"bins must be in [1, 256], got {bins}")
+    width = -(-256 // bins)  # ceil: bytes 0..255 always land in [0, bins)
+
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def hist(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        width = 256 // bins
         for batch in batches:
             out = []
             for b in batch:
@@ -292,6 +299,7 @@ def byte_histogram_udf(bins: int = 16):
                 # bincount of the bucketed bytes == the per-byte counter loop;
                 # exact int counts, one float division per bin
                 counts = np.bincount(arr // width, minlength=bins)
+                assert counts.size == bins, (counts.size, bins)
                 n = arr.size or 1
                 out.append((counts / n).tolist())
             yield pd.Series(out)

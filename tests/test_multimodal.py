@@ -124,3 +124,29 @@ def test_frames_feed_image_decoder(spark):
     decoded = MM.decode_images(frames, id_col="frame_idx")
     assert decoded.count() == 3
     assert {(r["width"], r["height"]) for r in decoded.collect()} == {(2, 2)}
+
+
+def test_byte_histogram_non_divisor_bins(spark):
+    """bins that don't divide 256 must still emit exactly `bins` buckets with
+    byte 255 clipped into the last one (ADVICE r3)."""
+    df = spark.createDataFrame([(bytes([0, 128, 255]),)], "content binary")
+    vec = df.select(MM.byte_histogram_udf(10)(F.col("content")).alias("v")
+                    ).first()["v"]
+    assert len(vec) == 10 and abs(sum(vec) - 1.0) < 1e-9
+
+
+def test_byte_histogram_rejects_bad_bins():
+    import pytest
+    with pytest.raises(ValueError, match="bins"):
+        MM.byte_histogram_udf(0)
+    with pytest.raises(ValueError, match="bins"):
+        MM.byte_histogram_udf(257)
+
+
+def test_resize_rejects_malformed_fimg(spark):
+    import pytest
+    # header claims 4x4x1 but payload carries 3 bytes
+    bad = MM.FIMG_MAGIC + bytes([4, 4, 1]) + bytes([1, 2, 3])
+    df = spark.createDataFrame([(1, bad)], "media_id long, content binary")
+    with pytest.raises(Exception, match="malformed FIMG"):
+        MM.resize_images(df, 2, 2).collect()
