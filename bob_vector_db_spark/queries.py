@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from .functions import vector
 from .functions.hashing import POLY_MOD, poly_hash
 from .functions.text import ws_tokens
-from .operators import centroid, dedup, knn, normalize, upsert
+from .operators import centroid, dedup, knn, normalize, quantize, upsert
 from .sources import load_table
 from .streaming import windows
 
@@ -2194,6 +2194,10 @@ def q_api_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(~F.col("vec_id").isin(pos_ids + neg_ids))
     out = knn.knn_join(qvec, corpus, k=10, exclude_self=False)
     return out.select("vec_id", "sim", F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-clean composite: quality filter (length / alpha-ratio / langid) +
 # exact dedup (keep lowest doc_id per content hash) in ONE declarative plan —
 # the shape a real pretraining-data job takes; Catalyst pipelines all three
 # predicates into the scan and the only shuffle is the dedup group-by.
@@ -2693,6 +2697,240 @@ def q_t9_rate_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quantized search (round 4): the Qdrant quantization_config surface —
+# scalar int8 (4× memory, same plan shape) and binary sign-bit + exact
+# rerank (32× memory on the candidate metric).  Both fully declarative and
+# oracle-exact: the quantization arithmetic is integer/deterministic, so
+# DuckDB reproduces codes, Hamming candidates, and the reranked top-k
+# bit-for-bit (sim rounded to 6 like every kNN twin).
+# ---------------------------------------------------------------------------
+
+@register(
+    "knn_sq_int8",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS val,
+         unnest(range(0, len(embedding))) AS pos
+  FROM embeddings
+),
+dims AS (
+  SELECT pos, min(val) AS mn,
+         CASE WHEN max(val) = min(val) THEN 1.0
+              ELSE (max(val) - min(val)) / 255.0 END AS sc
+  FROM ex GROUP BY pos
+),
+deq AS (
+  SELECT vec_id, ex.pos, mn + round((val - mn) / sc) * sc AS dval
+  FROM ex JOIN dims ON ex.pos = dims.pos
+),
+qex AS (
+  SELECT vec_id AS qid, val AS qval, pos FROM ex WHERE vec_id < 5
+),
+qn AS (SELECT qid, sqrt(SUM(qval*qval)) AS qn FROM qex GROUP BY qid),
+pairs AS (
+  SELECT qex.qid, deq.vec_id, SUM(qex.qval * deq.dval) AS dot,
+         sqrt(SUM(deq.dval * deq.dval)) AS cn
+  FROM qex JOIN deq ON qex.pos = deq.pos
+  WHERE qex.qid <> deq.vec_id
+  GROUP BY qex.qid, deq.vec_id
+),
+scored AS (
+  SELECT pairs.qid, vec_id, round(dot / (qn.qn * cn), 6) AS sim
+  FROM pairs JOIN qn ON pairs.qid = qn.qid
+  WHERE qn.qn * cn <> 0
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank FROM scored)
+WHERE rank <= 10
+""",
+)
+def q_knn_sq_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = quantize.sq_knn(qdf, emb, k=10)
+    return out.select("qid", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "knn_binary_rerank",
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS val,
+         unnest(range(0, len(embedding))) AS pos
+  FROM embeddings
+),
+packed AS (
+  SELECT vec_id,
+         SUM(CASE WHEN pos < 32 AND val > 0
+                  THEN CAST(1 AS BIGINT) << pos ELSE 0 END) AS w0,
+         SUM(CASE WHEN pos >= 32 AND val > 0
+                  THEN CAST(1 AS BIGINT) << (pos - 32) ELSE 0 END) AS w1
+  FROM ex GROUP BY vec_id
+),
+q AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM packed WHERE vec_id < 5),
+cand AS (
+  SELECT qid, vec_id,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY bit_count(xor(qw0, w0)) + bit_count(xor(qw1, w1)), vec_id
+         ) AS crank
+  FROM q, packed WHERE qid <> vec_id
+),
+qex AS (
+  SELECT vec_id AS qid, val AS qval, pos FROM ex WHERE vec_id < 5
+),
+qn AS (SELECT qid, sqrt(SUM(qval*qval)) AS qn FROM qex GROUP BY qid),
+rerank AS (
+  SELECT c.qid, c.vec_id, SUM(qex.qval * ex.val) AS dot,
+         sqrt(SUM(ex.val * ex.val)) AS cn
+  FROM cand c
+  JOIN ex ON ex.vec_id = c.vec_id
+  JOIN qex ON qex.qid = c.qid AND qex.pos = ex.pos
+  WHERE c.crank <= 50
+  GROUP BY c.qid, c.vec_id
+),
+scored AS (
+  SELECT rerank.qid, vec_id, round(dot / (qn.qn * cn), 6) AS sim
+  FROM rerank JOIN qn ON rerank.qid = qn.qid
+  WHERE qn.qn * cn <> 0
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank FROM scored)
+WHERE rank <= 10
+""",
+)
+def q_knn_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = quantize.binary_knn_rerank(qdf, emb, k=10, dim=64, rerank_factor=5)
+    return out.select("qid", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Store API parity (round 4): the read-side client surface the delegated
+# stores expose — search_groups (top hits per payload group), count
+# (filtered cardinality), scroll (keyset pagination).
+# ---------------------------------------------------------------------------
+
+@register(
+    "api_search_groups",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3
+),
+pairs AS (
+  SELECT q.qid, e.vec_id, e.label,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(e.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, embeddings e
+  WHERE q.qid <> e.vec_id
+),
+in_group AS (
+  SELECT qid, CAST(label AS BIGINT) AS label, vec_id, sim,
+         row_number() OVER (PARTITION BY qid, label
+                            ORDER BY sim DESC, vec_id) AS hit_rank
+  FROM pairs
+),
+kept AS (SELECT * FROM in_group WHERE hit_rank <= 2),
+grp AS (
+  SELECT qid, label, max(sim) AS best_sim FROM kept GROUP BY qid, label
+),
+top_groups AS (
+  SELECT qid, label,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY best_sim DESC, label) AS group_rank
+  FROM grp
+)
+SELECT k.qid, k.label, CAST(g.group_rank AS BIGINT) AS group_rank,
+       k.vec_id, k.sim, CAST(k.hit_rank AS BIGINT) AS hit_rank
+FROM kept k JOIN top_groups g ON k.qid = g.qid AND k.label = g.label
+WHERE g.group_rank <= 3
+""",
+)
+def q_api_search_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant search_groups: per query, the top-3 payload groups ranked by
+    their best hit, with up to 2 hits per group — dedups near-identical
+    points sharing a group key in one declarative plan (two windows, one
+    tiny group-level aggregate; the corpus scans once)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    hits = knn.knn_join(qdf, emb, k=10**9, corpus_vec="embedding")
+    hits = hits.join(emb.select("vec_id", F.col("label").cast("long").alias("label")),
+                     "vec_id")
+    in_group_w = Window.partitionBy("qid", "label").orderBy(
+        F.desc("sim"), F.asc("vec_id"))
+    kept = (hits.withColumn("hit_rank", F.row_number().over(in_group_w))
+            .filter(F.col("hit_rank") <= 2))
+    grp_w = Window.partitionBy("qid").orderBy(F.desc("best_sim"), F.asc("label"))
+    top_groups = (kept.groupBy("qid", "label")
+                  .agg(F.max("sim").alias("best_sim"))
+                  .withColumn("group_rank", F.row_number().over(grp_w))
+                  .filter(F.col("group_rank") <= 3)
+                  .select("qid", "label", "group_rank"))
+    return (kept.join(top_groups, ["qid", "label"])
+            .select("qid", "label",
+                    F.col("group_rank").cast("long").alias("group_rank"),
+                    "vec_id", "sim",
+                    F.col("hit_rank").cast("long").alias("hit_rank")))
+
+
+@register(
+    "api_count_filtered",
+    oracle="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_points
+FROM documents WHERE length(text) > 200 GROUP BY lang
+""",
+)
+def q_api_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count API: filtered cardinality per payload key — a pure
+    pushed-filter scan + partial-aggregated count (no row movement beyond
+    the 1-row-per-group exchange)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.filter(F.length("text") > 200)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_points")))
+
+
+@register(
+    "api_scroll_keyset",
+    oracle="""
+WITH page1 AS (
+  SELECT doc_id FROM documents WHERE lang = 'en'
+  ORDER BY doc_id LIMIT 20
+)
+SELECT doc_id, CAST(doc_id AS VARCHAR) AS id, lang
+FROM documents
+WHERE lang = 'en' AND doc_id > (SELECT max(doc_id) FROM page1)
+ORDER BY doc_id LIMIT 20
+""",
+)
+def q_api_scroll_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scroll API, keyset-style: page N+1 is ``id > cursor ORDER BY id
+    LIMIT page`` — unlike OFFSET, the skip never rescans at scale (the
+    cursor predicate pushes into the parquet scan).  The 1-value cursor
+    collect mirrors the cursor a scroll client passes back."""
+    docs = load_table(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en")
+    page1 = en.select("doc_id").orderBy("doc_id").limit(20)
+    cursor = page1.agg(F.max("doc_id")).collect()[0][0]
+    return (en.filter(F.col("doc_id") > cursor)
+            .orderBy("doc_id").limit(20)
+            .select("doc_id", F.col("doc_id").cast("string").alias("id"),
+                    "lang"))
+
+
+# ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
 # driver CORRECTNESS row register first, then names whose last green row is
@@ -2705,7 +2943,8 @@ _PRIORITY = [
     # new this round (round 4) — never driver-adjudicated
     "store_delete_points", "store_delete_by_filter", "store_compaction",
     "store_catalog", "knn_dot_metric", "knn_euclidean_metric",
-    "t9_rate_stream_backpressure",
+    "t9_rate_stream_backpressure", "knn_sq_int8", "knn_binary_rerank",
+    "api_search_groups", "api_count_filtered", "api_scroll_keyset",
     # green in r02 but not sampled by the driver in r03 — oldest evidence first
     "u1_union_by_name", "u2_intersect_big_buyers", "u3_except_urgent_only_buyers",
     "j6_value_band_join", "j7_asof_latest_click", "f2_base64_roundtrip",

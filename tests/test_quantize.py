@@ -1,0 +1,93 @@
+"""Quantized ANN search (operators/quantize.py): scalar int8 + binary
+sign-bit with exact rerank — recall against exact kNN, pack determinism,
+and the no-corpus-shuffle plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bob_vector_db_spark.operators import knn, quantize
+from bob_vector_db_spark.sources import load_table
+
+
+def _topk_sets(rows):
+    by_q: dict[int, set[int]] = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], set()).add(r["vec_id"])
+    return by_q
+
+
+def test_sq_encode_roundtrip_error_bounded(spark, sf_dir):
+    """Dequantized value must sit within half a quantization step of the
+    original, per dimension."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    mins, scales = quantize.sq_train(emb)
+    enc = quantize.sq_encode(emb, mins, scales)
+    rows = enc.select("embedding",
+                      quantize.sq_decode_expr(F.col("codes"), mins, scales)
+                      .alias("deq")).collect()
+    max_step = max(scales)
+    for r in rows:
+        err = np.abs(np.array(r["embedding"], dtype=np.float64)
+                     - np.array(r["deq"]))
+        assert err.max() <= max_step / 2 + 1e-9
+
+
+def test_sq_codes_in_range(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    mins, scales = quantize.sq_train(emb)
+    enc = quantize.sq_encode(emb, mins, scales)
+    stats = enc.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi")).first()
+    assert stats["lo"] >= 0 and stats["hi"] <= 255
+
+
+def test_sq_knn_high_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    exact = _topk_sets(knn.knn_join(q, emb, k=10).collect())
+    approx = _topk_sets(quantize.sq_knn(q, emb, k=10).collect())
+    recalls = [len(exact[qid] & approx[qid]) / 10 for qid in exact]
+    assert sum(recalls) / len(recalls) >= 0.9  # int8 loses almost nothing
+
+
+def test_binary_pack_known_bits(spark):
+    df = spark.createDataFrame(
+        [([1.0] + [0.0] * 31 + [-1.0] * 31 + [2.0],)],
+        "v array<double>")
+    got = df.select(quantize.binary_pack_expr(F.col("v"), 64).alias("p")
+                    ).first()["p"]
+    assert got[0] == 1          # only bit 0 of word 0
+    assert got[1] == 1 << 31    # only bit 31 of word 1 (pos 63)
+
+
+def test_binary_rerank_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    exact = _topk_sets(knn.knn_join(q, emb, k=10).collect())
+    approx = _topk_sets(
+        quantize.binary_knn_rerank(q, emb, k=10, rerank_factor=5).collect())
+    recalls = [len(exact[qid] & approx[qid]) / 10 for qid in exact]
+    # 1-bit candidates + exact rerank of 5k candidates: most of the true
+    # top-10 must survive
+    assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_binary_phase1_carries_no_float_vectors(spark, sf_dir):
+    """The |Q|x|C| candidate stream must not include the float embedding
+    column — that 32x reduction IS the operator's reason to exist."""
+    from bob_vector_db_spark.plans.inspect import formatted_plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    plan = formatted_plan(quantize.binary_knn_rerank(q, emb, k=5))
+    # the hamming window (phase 1) must rank on packed words only
+    window_sections = [s for s in plan.split("\n\n") if "hamming" in s]
+    assert window_sections, plan
+    for s in window_sections:
+        assert "qvec" not in s and "_cvec" not in s
