@@ -1,0 +1,73 @@
+"""BM25 keyword retrieval over a document table (SURVEY.md §2 north-star
+text analysis; the lexical twin of the delegated vector search surface —
+reference README.md:13 "Query the DB and return the results").
+
+Okapi BM25 with the Lucene idf form:
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len_d/avgdl))
+
+Everything is JVM-side expressions over one token explode:
+
+  1. corpus stats (N, avgdl) — one tiny aggregate, folded in as literals;
+  2. per-(doc, term) tf — explode + filter to the query terms (the filter
+     prunes the posting stream BEFORE the shuffle: only matching terms move);
+  3. per-term df — aggregate of the pruned stream, |terms| rows, broadcast;
+  4. score + per-query top-k window.
+
+Scale: the only full-corpus pass is the token explode, and the term filter
+cuts it to the query's posting lists immediately — the shape of an inverted
+index probe without materializing the index.  At 100 TB you'd persist stage
+2 bucketed by term; the query-time plan is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import ws_tokens
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text",
+              k1: float = 1.2, b: float = 0.75,
+              round_to: int = 6) -> DataFrame:
+    """Top-k (id, score, rank) for a bag-of-terms query, ties broken by id.
+
+    Tokenization is lowercased whitespace split — the exact twin of the
+    DuckDB oracle's ``DUCK_WS_TOKENS`` on ``lower(text)``.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        ws_tokens(F.lower(F.col(text_col))).alias("toks"))
+    lens = toks.select("id", F.size("toks").alias("len"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("len").alias("avgdl")).first()
+    n_docs, avgdl = stats["n"], float(stats["avgdl"])
+
+    posting = (
+        toks.select("id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin([t.lower() for t in terms]))
+        .groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = posting.groupBy("term").agg(
+        F.countDistinct("id").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    scored = (
+        posting.join(F.broadcast(df_t), "term")
+        .join(lens, "id")
+        .withColumn(
+            "contrib",
+            idf * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("len") / avgdl)))
+        .groupBy("id")
+        .agg(F.round(F.sum("contrib"), round_to).alias("score"))
+    )
+    # TakeOrderedAndProject (per-partition heaps + one merge of k rows) —
+    # not a global row_number window, which would shuffle every scored doc
+    # into a single partition
+    topk = scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return topk.withColumn("rank", F.row_number().over(w))

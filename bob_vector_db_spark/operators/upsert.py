@@ -243,8 +243,11 @@ def _stage_and_swap(df: DataFrame, path: str, touched: list[int],
 # ---------------------------------------------------------------------------
 
 def delete_points(spark: SparkSession, root: str, collection: str,
-                  ids: list | DataFrame, id_col: str | None = None) -> int:
-    """Delete points by id; returns the number of rows removed.
+                  ids: list | DataFrame, id_col: str | None = None,
+                  count_removed: bool = True) -> int:
+    """Delete points by id; returns the number of rows removed
+    (``count_removed=False`` skips the two counting jobs and returns -1 —
+    the Qdrant-style fire-and-forget delete).
 
     Ids hash straight to their buckets, so only those bucket directories are
     read (partition pruning on the hive layout) and rewritten (staged swap) —
@@ -271,17 +274,17 @@ def delete_points(spark: SparkSession, root: str, collection: str,
         F.col(id_col).cast("string") == F.col("_del_id"),
         "left_anti",
     )
-    n_before = existing.count()
-    n_after = keep.count()
+    removed = (existing.count() - keep.count()) if count_removed else -1
     _stage_and_swap(keep, path, touched, drop_empty=True)
-    return n_before - n_after
+    return removed
 
 
 def delete_by_filter(spark: SparkSession, root: str, collection: str,
-                     predicate) -> int:
+                     predicate, count_removed: bool = True) -> int:
     """Delete every point matching ``predicate`` (a Column or SQL string) —
     the payload-filter delete of the delegated store API (README.md:13's
-    filterable surface applied to deletion).  Returns rows removed.
+    filterable surface applied to deletion).  Returns rows removed
+    (-1 with ``count_removed=False``, which skips the counting jobs).
 
     One pruned scan finds the buckets holding matching rows (Catalyst pushes
     the predicate into the parquet scan); only those buckets are rewritten
@@ -300,10 +303,9 @@ def delete_by_filter(spark: SparkSession, root: str, collection: str,
         return 0
     existing = table.filter(F.col(BUCKET_COL).isin(touched))
     keep = existing.filter(~pred)
-    n_before = existing.count()
-    n_after = keep.count()
+    removed = (existing.count() - keep.count()) if count_removed else -1
     _stage_and_swap(keep, path, touched, drop_empty=True)
-    return n_before - n_after
+    return removed
 
 
 # ---------------------------------------------------------------------------

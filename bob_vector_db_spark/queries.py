@@ -2486,7 +2486,7 @@ def q_store_delete_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame-form doomed set: the id list never collects to the driver
     doomed = docs.filter(F.col("doc_id") % 7 == 0).select(
         F.col("doc_id").cast("string"))
-    upsert.delete_points(spark, base, "docs", doomed)
+    upsert.delete_points(spark, base, "docs", doomed, count_removed=False)
     return upsert.read_collection(spark, base, "docs").select(
         "id", "document", "lang")
 
@@ -2505,7 +2505,8 @@ def q_store_delete_by_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, base, "docs", n_buckets=8,
         df=docs.select(F.col("doc_id").cast("string").alias("id"),
                        F.col("text").alias("document"), "lang"))
-    upsert.delete_by_filter(spark, base, "docs", "lang = 'de'")
+    upsert.delete_by_filter(spark, base, "docs", "lang = 'de'",
+                            count_removed=False)
     return upsert.read_collection(spark, base, "docs").select(
         "id", "document", "lang")
 
@@ -2903,6 +2904,117 @@ def q_api_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_named_spaces",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3
+),
+cos_pairs AS (
+  SELECT q.qid, e.vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(e.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, embeddings e WHERE q.qid <> e.vec_id
+),
+euc_pairs AS (
+  SELECT q.qid, e.vec_id,
+         round(sqrt((SELECT SUM((a-b)*(a-b))
+                     FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                  unnest(e.embedding)::DOUBLE AS b))), 6) AS sim
+  FROM q, embeddings e WHERE q.qid <> e.vec_id
+)
+SELECT 'text' AS space, qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank FROM cos_pairs) WHERE rank <= 5
+UNION ALL
+SELECT 'profile' AS space, qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim ASC, vec_id)
+             AS rank FROM euc_pairs) WHERE rank <= 5
+""",
+)
+def q_knn_named_spaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One collection, two NAMED vector spaces with different declared
+    metrics (the multi-space vectors_config model, qdrant_embedder.py:95-102
+    — e.g. a text space and an image space per point); search dispatches on
+    (vector_name → declared distance) without the caller restating either."""
+    base = _tmp_base(sf_dir, "named")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "mv", n_buckets=8, id_col="id",
+        df=emb.select(F.col("vec_id").alias("id"),
+                      F.col("embedding").alias("text_vec"),
+                      F.col("embedding").alias("profile_vec")),
+        vector_config={"text_vec": {"size": 64, "distance": "cosine"},
+                       "profile_vec": {"size": 64, "distance": "euclid"}})
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    by_text = knn.search_collection(
+        spark, base, "mv", qdf, k=5, vector_name="text_vec",
+        corpus_id="id", exclude_self=True)
+    by_profile = knn.search_collection(
+        spark, base, "mv", qdf, k=5, vector_name="profile_vec",
+        corpus_id="id", exclude_self=True)
+    return (
+        by_text.select(F.lit("text").alias("space"), "qid", "vec_id", "sim",
+                       F.col("rank").cast("long").alias("rank"))
+        .unionByName(
+            by_profile.select(F.lit("profile").alias("space"), "qid",
+                              "vec_id", "sim",
+                              F.col("rank").cast("long").alias("rank")))
+    )
+
+
+@register(
+    "text_bm25_search",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+lens AS (SELECT id, len(toks) AS len FROM toks),
+stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),
+posting AS (
+  SELECT id, term, COUNT(*) AS tf
+  FROM (SELECT id, unnest(toks) AS term FROM toks)
+  WHERE term IN ('vector', 'join', 'stream')
+  GROUP BY id, term
+),
+dfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM posting GROUP BY term),
+scored AS (
+  SELECT p.id,
+         round(SUM(
+           ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / stats.avgdl))
+         ), 6) AS score
+  FROM posting p
+  JOIN dfreq ON p.term = dfreq.term
+  JOIN lens ON lens.id = p.id
+  CROSS JOIN stats
+  GROUP BY p.id
+)
+SELECT id, score, CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT)
+       AS rank
+FROM scored ORDER BY score DESC, id LIMIT 10
+""",
+)
+def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval twin of the vector search surface: Okapi BM25
+    top-10 for a bag-of-terms query, all JVM expressions (see
+    operators/text_search.py for the inverted-index-probe plan shape)."""
+    from .operators.text_search import bm25_topk  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_topk(docs, ["vector", "join", "stream"], k=10)
+    return out.select("id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
     "api_scroll_keyset",
     oracle="""
 WITH page1 AS (
@@ -2945,6 +3057,7 @@ _PRIORITY = [
     "store_catalog", "knn_dot_metric", "knn_euclidean_metric",
     "t9_rate_stream_backpressure", "knn_sq_int8", "knn_binary_rerank",
     "api_search_groups", "api_count_filtered", "api_scroll_keyset",
+    "knn_named_spaces", "text_bm25_search",
     # green in r02 but not sampled by the driver in r03 — oldest evidence first
     "u1_union_by_name", "u2_intersect_big_buyers", "u3_except_urgent_only_buyers",
     "j6_value_band_join", "j7_asof_latest_click", "f2_base64_roundtrip",

@@ -1,0 +1,59 @@
+"""BM25 retrieval (operators/text_search.py) vs a pure-Python reference."""
+
+from __future__ import annotations
+
+import math
+
+from bob_vector_db_spark.operators.text_search import bm25_topk
+
+
+def _py_bm25(corpus: dict[int, str], terms: list[str], k1=1.2, b=0.75):
+    toks = {i: t.lower().split() for i, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {t: sum(1 for d in toks.values() if t in d) for t in terms}
+    scores = {}
+    for i, d in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(d) / avgdl))
+        if s > 0:
+            scores[i] = round(s, 6)
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_bm25_matches_python_reference(spark):
+    corpus = {
+        1: "spark shuffles data across the cluster",
+        2: "vector search over spark data frames",
+        3: "the quick brown fox",
+        4: "data data data everywhere and spark too",
+        5: "spark spark spark spark",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = [(r["id"], r["score"]) for r in
+           bm25_topk(df, ["spark", "data"], k=5).orderBy("rank").collect()]
+    assert got == _py_bm25(corpus, ["spark", "data"])[:5]
+
+
+def test_bm25_rare_term_outscores_common(spark):
+    """A doc matching only the rare term must beat a doc matching only the
+    ubiquitous one (the idf property that makes BM25 not-just-tf)."""
+    rows = [(i, "common filler words") for i in range(20)]
+    rows += [(100, "common plus nothing else"), (101, "rare gem here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["rank"] for r in
+           bm25_topk(df, ["common", "rare"], k=30).collect()}
+    assert got[101] == 1  # rare-term doc ranks first
+
+
+def test_bm25_case_insensitive_and_k_bound(spark):
+    df = spark.createDataFrame(
+        [(1, "Spark SPARK spark"), (2, "no match at all")],
+        "doc_id long, text string")
+    out = bm25_topk(df, ["SPARK"], k=5).collect()
+    assert len(out) == 1 and out[0]["id"] == 1
