@@ -71,3 +71,32 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
     topk = scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("id"))
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fuse(ranked: list[DataFrame], k: int = 10, k0: int = 60,
+             id_col: str = "id", rank_col: str = "rank",
+             round_to: int = 6) -> DataFrame:
+    """Reciprocal Rank Fusion of N ranked lists (the hybrid-search combiner:
+    lexical BM25 ∪ vector kNN ∪ …): ``score(d) = Σ_lists 1/(k0 + rank_d)``,
+    summing only the lists where ``d`` appears.
+
+    Rank lists are top-k-sized (tiny), so the fusion is a chain of
+    broadcast-able full-outer joins followed by one TakeOrderedAndProject —
+    nothing here scales with the corpus, only with k·n_lists.  Integer
+    ranks in, so the fused score is bit-deterministic across engines.
+    """
+    fused = None
+    for i, df in enumerate(ranked):
+        part = df.select(
+            F.col(id_col).alias("id"),
+            (F.lit(1.0) / (F.lit(k0) + F.col(rank_col))).alias(f"_c{i}"))
+        fused = part if fused is None else fused.join(part, "id", "full_outer")
+    contribs = [F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+                for i in range(len(ranked))]
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    scored = fused.select("id", F.round(score, round_to).alias("rrf_score"))
+    topk = scored.orderBy(F.desc("rrf_score"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
+    return topk.withColumn("rank", F.row_number().over(w))

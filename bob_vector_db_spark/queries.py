@@ -3015,6 +3015,89 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_rrf_search",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+lens AS (SELECT id, len(toks) AS len FROM toks),
+stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),
+posting AS (
+  SELECT id, term, COUNT(*) AS tf
+  FROM (SELECT id, unnest(toks) AS term FROM toks)
+  WHERE term IN ('vector', 'join', 'stream')
+  GROUP BY id, term
+),
+dfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM posting GROUP BY term),
+bm_scored AS (
+  SELECT p.id,
+         round(SUM(
+           ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / stats.avgdl))
+         ), 6) AS score
+  FROM posting p
+  JOIN dfreq ON p.term = dfreq.term
+  JOIN lens ON lens.id = p.id
+  CROSS JOIN stats
+  GROUP BY p.id
+),
+bm AS (
+  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank
+  FROM (SELECT * FROM bm_scored ORDER BY score DESC, id LIMIT 20)
+),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+vec_pairs AS (
+  SELECT e.vec_id AS id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(e.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, embeddings e
+  WHERE e.vec_id <> 0 AND e.vec_id IN (SELECT doc_id FROM documents)
+),
+vv AS (
+  SELECT id, row_number() OVER (ORDER BY sim DESC, id) AS rank
+  FROM (SELECT * FROM vec_pairs ORDER BY sim DESC, id LIMIT 20)
+),
+fused AS (
+  SELECT COALESCE(bm.id, vv.id) AS id,
+         round(COALESCE(1.0/(60+bm.rank), 0) + COALESCE(1.0/(60+vv.rank), 0),
+               6) AS rrf_score
+  FROM bm FULL OUTER JOIN vv ON bm.id = vv.id
+)
+SELECT id, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, id) AS BIGINT) AS rank
+FROM fused ORDER BY rrf_score DESC, id LIMIT 10
+""",
+)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 lexical top-20 ∪ cosine vector top-20, fused by
+    Reciprocal Rank Fusion — the delegated store's hybrid-query surface.
+    Each ranker keeps its own scale-safe plan; the fusion joins two k-row
+    lists (corpus-size-independent)."""
+    from .operators.text_search import bm25_topk, rrf_fuse  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["vector", "join", "stream"], k=20)
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    corpus = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+    vec = (knn.knn_join(qdf, corpus, k=20)
+           .select(F.col("vec_id").alias("id"), "rank"))
+    out = rrf_fuse([lex.select("id", "rank"), vec], k=10)
+    return out.select("id", "rrf_score",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register(
     "api_scroll_keyset",
     oracle="""
 WITH page1 AS (
@@ -3057,7 +3140,7 @@ _PRIORITY = [
     "store_catalog", "knn_dot_metric", "knn_euclidean_metric",
     "t9_rate_stream_backpressure", "knn_sq_int8", "knn_binary_rerank",
     "api_search_groups", "api_count_filtered", "api_scroll_keyset",
-    "knn_named_spaces", "text_bm25_search",
+    "knn_named_spaces", "text_bm25_search", "hybrid_rrf_search",
     # green in r02 but not sampled by the driver in r03 — oldest evidence first
     "u1_union_by_name", "u2_intersect_big_buyers", "u3_except_urgent_only_buyers",
     "j6_value_band_join", "j7_asof_latest_click", "f2_base64_roundtrip",

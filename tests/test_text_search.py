@@ -57,3 +57,21 @@ def test_bm25_case_insensitive_and_k_bound(spark):
         "doc_id long, text string")
     out = bm25_topk(df, ["SPARK"], k=5).collect()
     assert len(out) == 1 and out[0]["id"] == 1
+
+
+def test_rrf_fuse_properties(spark):
+    from bob_vector_db_spark.operators.text_search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id long, rank int")
+    b = spark.createDataFrame([(3, 1), (4, 2)], "id long, rank int")
+    out = {r["id"]: (r["rrf_score"], r["rank"]) for r in
+           rrf_fuse([a, b], k=10).collect()}
+    # doc 3: in both lists (ranks 3 and 1) -> 1/63 + 1/61
+    assert out[3][0] == round(1 / 63 + 1 / 61, 6)
+    assert out[3][1] == 1  # two sources beat any single source here
+    # doc 4 only in list b -> 1/62, doc 1 only in a -> 1/61
+    assert out[4][0] == round(1 / 62, 6)
+    assert out[1][0] == round(1 / 61, 6)
+    # deterministic ordering: score desc, id asc (docs 2 and 4 tie at 1/62)
+    ranks = [i for i, _ in sorted(out.items(), key=lambda kv: kv[1][1])]
+    assert ranks == [3, 1, 2, 4]
