@@ -25,8 +25,12 @@ only exchange.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import vector
 
@@ -113,6 +117,165 @@ def sq_knn(queries: DataFrame, corpus: DataFrame, k: int = 10,
     scored = scored.filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): per-subspace k-means codebooks + asymmetric
+# distance computation (ADC) — the classic IVF-PQ memory path (Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011)
+# ---------------------------------------------------------------------------
+
+def pq_train(corpus: DataFrame, vec_col: str = "embedding", m: int = 8,
+             ksub: int = 64, iters: int = 10, sample_cap: int = 100_000,
+             seed: int = 42):
+    """Train m per-subspace codebooks of ksub centroids (numpy k-means,
+    seeded — deterministic given the same sample).
+
+    The training sample collects to the driver, CAPPED at ``sample_cap``
+    rows (loud failure beyond it, like the kNN query-side collect) — PQ
+    codebooks are trained on a sample by design; the full corpus is only
+    ever ENCODED, distributed.  Returns list of (ksub, dsub) float64 arrays.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    n = corpus.count()
+    if n > sample_cap:
+        frac = sample_cap / float(n)
+        corpus = corpus.sample(fraction=frac, seed=seed)
+    X = np.array(
+        [r[0] for r in corpus.select(vec_col).collect()], dtype=np.float64)
+    if len(X) > sample_cap * 1.1:
+        raise ValueError(
+            f"PQ training sample {len(X)} exceeds cap {sample_cap}")
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        k = min(ksub, len(S))
+        C = S[rng.choice(len(S), size=k, replace=False)].copy()
+        for _ in range(iters):
+            # (n, k) distances -> assignment -> mean update (empty clusters
+            # keep their previous centroid, deterministic)
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        books.append(C)
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks, vec_col: str = "embedding",
+              out_col: str = "pq_codes") -> DataFrame:
+    """array<int> of m codes per vector — argmin subspace centroid.
+
+    Arrow-batched pandas UDF; each batch does m small BLAS gram matrices
+    ((batch × ksub) each) instead of per-row loops.  At 100 TB this is the
+    one full pass over the float vectors; afterwards searches read only the
+    m-byte codes.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    m = len(codebooks)
+    dsub = codebooks[0].shape[1]
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            V = np.stack(s.to_numpy()).astype(np.float64)
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j, C in enumerate(books):
+                S = V[:, j * dsub:(j + 1) * dsub]
+                # ||s-c||² = ||s||² - 2 s·c + ||c||²; ||s||² constant per row
+                d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (S @ C.T)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.Series(list(codes))
+
+    return df.withColumn(out_col, enc(F.col(vec_col)))
+
+
+def pq_search(queries: DataFrame, encoded: DataFrame, codebooks, k: int = 10,
+              query_id: str = "qid", query_vec: str = "qvec",
+              corpus_id: str = "vec_id", codes_col: str = "pq_codes",
+              exclude_self: bool = True,
+              round_to: int | None = 6,
+              rerank_corpus: DataFrame | None = None,
+              corpus_vec: str = "embedding",
+              rerank_factor: int = 5) -> DataFrame:
+    """ADC top-k: per query, an (m × ksub) look-up table of subspace
+    distances is computed ONCE (tiny, query-side pandas UDF); every corpus
+    row's approximate distance is then ``Σ_j lut[j][code_j]`` — m array
+    look-ups per row, pure JVM codegen over the broadcast query row.  The
+    float corpus vectors never load; the scan reads m int codes per point.
+    Returns (qid, vec_id, dist, rank), ascending distance.
+
+    With ``rerank_corpus`` (the IVF-PQ "refine" stage): ADC keeps
+    ``rerank_factor × k`` candidates, whose float vectors are fetched by a
+    broadcast hash join and reranked by exact euclidean — float reads drop
+    from |Q|·|C| to |Q|·rerank_factor·k, like :func:`binary_knn_rerank`.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    m = len(codebooks)
+    dsub = codebooks[0].shape[1]
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    @F.pandas_udf(T.ArrayType(T.ArrayType(T.DoubleType())))
+    def make_lut(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            out = []
+            for qv in s:
+                q = np.asarray(qv, dtype=np.float64)
+                lut = [
+                    (((books[j] - q[j * dsub:(j + 1) * dsub][None, :]) ** 2)
+                     .sum(axis=1)).tolist()
+                    for j in range(m)
+                ]
+                out.append(lut)
+            yield pd.Series(out)
+
+    q = queries.select(F.col(query_id).alias("qid"),
+                       make_lut(F.col(query_vec)).alias("_lut"))
+    pairs = encoded.select(corpus_id, codes_col).join(
+        F.broadcast(q), how="cross")
+    if exclude_self:
+        pairs = pairs.filter(F.col("qid") != F.col(corpus_id))
+    dist = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at(F.col("_lut"), j + 1),
+            F.element_at(F.col(codes_col), j + 1) + F.lit(1))
+        dist = term if dist is None else dist + term
+    n_keep = k if rerank_corpus is None else rerank_factor * k
+    if round_to is not None and rerank_corpus is None:
+        dist = F.round(dist, round_to)
+    scored = pairs.select("qid", F.col(corpus_id).alias("vec_id"),
+                          dist.alias("dist"))
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    adc = (scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= n_keep))
+    if rerank_corpus is None:
+        return adc
+    q_exact = queries.select(F.col(query_id).alias("qid"),
+                             F.col(query_vec).alias("qvec"))
+    rr = (
+        rerank_corpus.select(F.col(corpus_id).alias("vec_id"),
+                             F.col(corpus_vec).alias("_cvec"))
+        .join(F.broadcast(adc.select("qid", "vec_id")), "vec_id")
+        .join(F.broadcast(q_exact), "qid")
+    )
+    exact = vector.l2_distance(F.col("qvec"), F.col("_cvec"))
+    if round_to is not None:
+        exact = F.round(exact, round_to)
+    rescored = rr.select("qid", "vec_id", exact.alias("dist"))
+    return (rescored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
 
 

@@ -2903,6 +2903,23 @@ def q_api_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_points")))
 
 
+@register("knn_pq_adc", oracle=None)
+def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ADC top-k (rows-only: the k-means codebooks are an
+    iterative algorithm outside SQL; recall vs exact kNN is pinned by
+    tests/test_quantize.py).  8 subspaces × 64 centroids → each 64-dim
+    float vector searches as 8 bytes of codes; distances come from a
+    per-query LUT summed by pure JVM expressions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = quantize.pq_train(emb, m=8, ksub=64, iters=5)
+    enc = quantize.pq_encode(emb, books)
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = quantize.pq_search(qdf, enc, books, k=10)
+    return out.select("qid", "vec_id", "dist",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 @register(
     "knn_named_spaces",
     oracle="""
@@ -3141,6 +3158,7 @@ _PRIORITY = [
     "t9_rate_stream_backpressure", "knn_sq_int8", "knn_binary_rerank",
     "api_search_groups", "api_count_filtered", "api_scroll_keyset",
     "knn_named_spaces", "text_bm25_search", "hybrid_rrf_search",
+    "knn_pq_adc",
     # green in r02 but not sampled by the driver in r03 — oldest evidence first
     "u1_union_by_name", "u2_intersect_big_buyers", "u3_except_urgent_only_buyers",
     "j6_value_band_join", "j7_asof_latest_click", "f2_base64_roundtrip",

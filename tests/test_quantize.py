@@ -91,3 +91,42 @@ def test_binary_phase1_carries_no_float_vectors(spark, sf_dir):
     assert window_sections, plan
     for s in window_sections:
         assert "qvec" not in s and "_cvec" not in s
+
+
+def test_pq_train_deterministic_and_shapes(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = quantize.pq_train(emb, m=8, ksub=16, iters=3)
+    b2 = quantize.pq_train(emb, m=8, ksub=16, iters=3)
+    assert len(b1) == 8 and b1[0].shape == (16, 8)
+    for x, y in zip(b1, b2):
+        assert np.array_equal(x, y)  # seeded k-means: same sample, same bits
+
+
+def test_pq_encode_codes_in_range(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    books = quantize.pq_train(emb, m=8, ksub=16, iters=3)
+    enc = quantize.pq_encode(emb, books)
+    row = enc.select("pq_codes").first()["pq_codes"]
+    assert len(row) == 8 and all(0 <= c < 16 for c in row)
+
+
+def test_pq_adc_recall_vs_exact_euclidean(spark, sf_dir):
+    """ADC is approximate; with 64 centroids per subspace most of the true
+    euclidean top-10 must survive on the fixture."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    exact = _topk_sets(
+        knn.knn_join(q, emb, k=10, metric="euclid").collect())
+    books = quantize.pq_train(emb, m=8, ksub=64, iters=5)
+    enc = quantize.pq_encode(emb, books)
+    adc = _topk_sets(quantize.pq_search(q, enc, books, k=10).collect())
+    recalls = [len(exact[qid] & adc[qid]) / 10 for qid in exact]
+    assert sum(recalls) / len(recalls) >= 0.3  # raw ADC on near-random dims
+    refined = _topk_sets(
+        quantize.pq_search(q, enc, books, k=10, rerank_corpus=emb,
+                           rerank_factor=8).collect())
+    recalls_r = [len(exact[qid] & refined[qid]) / 10 for qid in exact]
+    # the refine stage recovers most of what quantization lost
+    assert sum(recalls_r) / len(recalls_r) >= 0.7
+    assert sum(recalls_r) >= sum(recalls)
