@@ -3143,6 +3143,58 @@ def q_api_scroll_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T10 LIVE (round 4): streaming dedup-by-id on a real stream — the live twin
+# of t2's batch form.  Duplicates are exact row copies spread across
+# micro-batches (maxFilesPerTrigger=1 over 4 files, each half repeated), so
+# whichever copy dropDuplicates keeps, the emitted VALUES are deterministic
+# and the append-mode drain equals DISTINCT over the fixture.
+# ---------------------------------------------------------------------------
+
+@register(
+    "t10_stream_dedup_live",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_id < 200
+""",
+)
+def q_t10_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "t10")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    rows = (load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 200)
+            .select("event_id", "user_id", "event_type", "value",
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                    .alias("ts_str"))
+            .collect())
+    halves = [rows[:100], rows[:100], rows[100:], rows[100:]]
+    for fi, chunk in enumerate(halves):
+        with open(os.path.join(in_dir, f"f{fi}.jsonl"), "w") as fh:
+            for r in chunk:
+                fh.write(json.dumps(r.asDict()) + "\n")
+
+    schema = ("event_id long, user_id long, event_type string, "
+              "value double, ts_str string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+        .withColumn("ts", F.to_timestamp("ts_str"))
+        .transform(lambda df: windows.stream_dedup(
+            df, ["event_id"], watermark="1 hour"))
+    )
+    q = (stream.writeStream.format("memory").queryName("t10_dedup")
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(base, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.sql(
+        "SELECT event_id, user_id, event_type, value FROM t10_dedup")
+
+
+# ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
 # driver CORRECTNESS row register first, then names whose last green row is
@@ -3158,7 +3210,7 @@ _PRIORITY = [
     "t9_rate_stream_backpressure", "knn_sq_int8", "knn_binary_rerank",
     "api_search_groups", "api_count_filtered", "api_scroll_keyset",
     "knn_named_spaces", "text_bm25_search", "hybrid_rrf_search",
-    "knn_pq_adc",
+    "knn_pq_adc", "t10_stream_dedup_live",
     # green in r02 but not sampled by the driver in r03 — oldest evidence first
     "u1_union_by_name", "u2_intersect_big_buyers", "u3_except_urgent_only_buyers",
     "j6_value_band_join", "j7_asof_latest_click", "f2_base64_roundtrip",

@@ -100,3 +100,61 @@ def test_upsert_store_prunes_partitions(spark, tmp_path):
     stored = spark.read.parquet(upsert.collection_path(root, "c"))
     pruned = stored.filter(F.col(upsert.BUCKET_COL).isin([0, 1]))
     assert_partition_filters(pruned, "id_bucket")
+
+
+def test_bm25_term_filter_precedes_shuffle(spark, sf_dir):
+    """The posting stream must be pruned to the query terms BEFORE the
+    (id, term) shuffle — the inverted-index-probe property."""
+    from bob_vector_db_spark.operators.text_search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(bm25_topk(docs, ["vector", "join"], k=10))
+    # a Filter mentioning the term literals must exist, and the final top-k
+    # must be TakeOrderedAndProject, not a global-sort exchange
+    assert "vector" in plan and "TakeOrderedAndProject" in plan, plan
+
+
+def test_sq_knn_corpus_never_shuffles(spark, sf_dir):
+    """Scalar-quantized search keeps exact kNN's shape: queries broadcast,
+    the encoded corpus scans without an exchange before the top-k window."""
+    from bob_vector_db_spark.operators import quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    df = quantize.sq_knn(q, emb, k=5)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # one exchange for the per-query window; the corpus side has none
+    assert count_exchanges(df) <= 1, formatted_plan(df)
+
+
+def test_pq_adc_scoring_is_jvm_side(spark, sf_dir):
+    """ADC scoring must be element_at lookups in the plan (JVM codegen),
+    with Python appearing only in the tiny query-side LUT projection."""
+    from bob_vector_db_spark.operators import quantize
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    books = quantize.pq_train(emb, m=8, ksub=16, iters=2)
+    enc = quantize.pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    plan = formatted_plan(quantize.pq_search(q, enc, books, k=5))
+    # the nested element_at chain IS the ADC sum, in a plain projection;
+    # ArrowEvalPython appears only for the encode/LUT inputs
+    assert "element_at(element_at" in plan, plan
+
+
+def test_delete_by_filter_scan_prunes_buckets(spark, tmp_path):
+    """After a filtered delete, reading back one bucket's ids partition-
+    prunes to that bucket directory (the hive layout survives the swap)."""
+    from bob_vector_db_spark.operators import upsert
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(f"id{i}", i % 3) for i in range(48)], "id string, grp int")
+    upsert.create_collection(spark, root, "c", df=df, n_buckets=8)
+    upsert.delete_by_filter(spark, root, "c", "grp = 1", count_removed=False)
+    readback = spark.read.parquet(upsert.collection_path(root, "c"))
+    pruned = readback.filter(F.col(upsert.BUCKET_COL) == 3)
+    assert_partition_filters(pruned, "id_bucket")
