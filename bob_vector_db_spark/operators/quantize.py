@@ -126,49 +126,59 @@ def sq_knn(queries: DataFrame, corpus: DataFrame, k: int = 10,
 # "Product Quantization for Nearest Neighbor Search", TPAMI 2011)
 # ---------------------------------------------------------------------------
 
-def pq_train(corpus: DataFrame, vec_col: str = "embedding", m: int = 8,
-             ksub: int = 64, iters: int = 10, sample_cap: int = 100_000,
-             seed: int = 42):
-    """Train m per-subspace codebooks of ksub centroids (numpy k-means,
-    seeded — deterministic given the same sample).
-
-    The training sample collects to the driver, CAPPED at ``sample_cap``
-    rows (loud failure beyond it, like the kNN query-side collect) — PQ
-    codebooks are trained on a sample by design; the full corpus is only
-    ever ENCODED, distributed.  Returns list of (ksub, dsub) float64 arrays.
-    """
+def _sample_to_driver(corpus: DataFrame, vec_col: str, sample_cap: int,
+                      seed: int):
+    """Driver-side float64 training sample, CAPPED at ``sample_cap`` rows
+    (loud failure beyond it, like the kNN query-side collect) — index
+    structures train on samples by design; the full corpus is only ever
+    ENCODED/ASSIGNED, distributed."""
     import numpy as np  # noqa: PLC0415
 
     n = corpus.count()
     if n > sample_cap:
-        frac = sample_cap / float(n)
-        corpus = corpus.sample(fraction=frac, seed=seed)
+        corpus = corpus.sample(fraction=sample_cap / float(n), seed=seed)
     X = np.array(
         [r[0] for r in corpus.select(vec_col).collect()], dtype=np.float64)
     if len(X) > sample_cap * 1.1:
         raise ValueError(
-            f"PQ training sample {len(X)} exceeds cap {sample_cap}")
+            f"training sample {len(X)} exceeds cap {sample_cap}")
+    return X
+
+
+def _kmeans(X, k: int, iters: int, rng):
+    """Seeded Lloyd iterations; empty clusters keep their previous centroid
+    (deterministic given the same sample)."""
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                C[c] = X[mask].mean(axis=0)
+    return C
+
+
+def pq_train(corpus: DataFrame, vec_col: str = "embedding", m: int = 8,
+             ksub: int = 64, iters: int = 10, sample_cap: int = 100_000,
+             seed: int = 42):
+    """Train m per-subspace codebooks of ksub centroids (numpy k-means,
+    seeded — deterministic given the same sample).  Returns list of
+    (ksub, dsub) float64 arrays.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    X = _sample_to_driver(corpus, vec_col, sample_cap, seed)
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     rng = np.random.default_rng(seed)
-    books = []
-    for j in range(m):
-        S = X[:, j * dsub:(j + 1) * dsub]
-        k = min(ksub, len(S))
-        C = S[rng.choice(len(S), size=k, replace=False)].copy()
-        for _ in range(iters):
-            # (n, k) distances -> assignment -> mean update (empty clusters
-            # keep their previous centroid, deterministic)
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(k):
-                mask = assign == c
-                if mask.any():
-                    C[c] = S[mask].mean(axis=0)
-        books.append(C)
-    return books
+    return [
+        _kmeans(X[:, j * dsub:(j + 1) * dsub], ksub, iters, rng)
+        for j in range(m)
+    ]
 
 
 def pq_encode(df: DataFrame, codebooks, vec_col: str = "embedding",
@@ -359,6 +369,91 @@ def binary_knn_rerank(queries: DataFrame, corpus: DataFrame, k: int = 10,
     if round_to is not None:
         sim = F.round(sim, round_to)
     scored = rerank.select("qid", "vec_id", sim.alias("sim"))
+    scored = scored.filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# IVF with TRAINED (k-means) partitions — the unsupervised upgrade of
+# knn.knn_join_blocked's label-blocking: cluster ids come from the data, and
+# search probes only the n_probe nearest inverted lists
+# ---------------------------------------------------------------------------
+
+def ivf_train(corpus: DataFrame, vec_col: str = "embedding",
+              n_lists: int = 16, iters: int = 10,
+              sample_cap: int = 100_000, seed: int = 42):
+    """(n_lists, dim) float64 coarse centroids via seeded k-means."""
+    import numpy as np  # noqa: PLC0415
+
+    X = _sample_to_driver(corpus, vec_col, sample_cap, seed)
+    return _kmeans(X, n_lists, iters, np.random.default_rng(seed))
+
+
+def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding",
+               out_col: str = "list_id") -> DataFrame:
+    """Nearest-centroid list assignment (Arrow-batched BLAS argmin).
+
+    At scale the assigned table is then ``repartition(out_col)`` + written
+    bucketed by list, so a probe reads only its lists' files.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            V = np.stack(s.to_numpy()).astype(np.float64)
+            d2 = c2[None, :] - 2.0 * (V @ C.T)
+            yield pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, assign(F.col(vec_col)))
+
+
+def ivf_knn(queries: DataFrame, assigned: DataFrame, centroids,
+            k: int = 10, n_probe: int = 4,
+            query_id: str = "qid", query_vec: str = "qvec",
+            corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+            list_col: str = "list_id", exclude_self: bool = True,
+            round_to: int | None = 6) -> DataFrame:
+    """Probe the ``n_probe`` nearest lists per query, exact cosine inside.
+
+    The probe explodes each query into its probe-list ids and EQUI-joins on
+    ``list_id`` — with the corpus laid out by list, that join touches
+    ~n_probe/n_lists of the data and nothing else.  Same top-k window as
+    every kNN twin.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    n_probe = min(n_probe, len(C))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_lists(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            V = np.stack(s.to_numpy()).astype(np.float64)
+            d2 = c2[None, :] - 2.0 * (V @ C.T)
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            yield pd.Series(list(idx.astype(np.int32)))
+
+    q = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"),
+        vector.l2_norm(F.col(query_vec)).alias("_qn"),
+        F.explode(probe_lists(F.col(query_vec))).alias(list_col))
+    pairs = assigned.join(F.broadcast(q), list_col)
+    if exclude_self:
+        pairs = pairs.filter(F.col("qid") != F.col(corpus_id))
+    denom = F.col("_qn") * vector.l2_norm(F.col(corpus_vec))
+    sim = F.when(denom != 0.0,
+                 vector.dot(F.col("qvec"), F.col(corpus_vec)) / denom)
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    scored = pairs.select("qid", F.col(corpus_id).alias("vec_id"),
+                          sim.alias("sim"))
     scored = scored.filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -2903,6 +2903,24 @@ def q_api_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_points")))
 
 
+@register("knn_ivf_kmeans", oracle=None)
+def q_knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised IVF (rows-only: k-means is iterative, off SQL): coarse
+    centroids trained on a capped sample, corpus assigned to inverted lists
+    by BLAS argmin, search probes only the n_probe nearest lists per query
+    via an exploded equi-join on list_id — at scale the corpus is laid out
+    by list and the probe reads ~n_probe/n_lists of it.  Recall vs exact is
+    pinned in tests/test_quantize.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = quantize.ivf_train(emb, n_lists=16, iters=5)
+    assigned = quantize.ivf_assign(emb, cents)
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = quantize.ivf_knn(qdf, assigned, cents, k=10, n_probe=4)
+    return out.select("qid", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 @register("knn_pq_adc", oracle=None)
 def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ADC top-k (rows-only: the k-means codebooks are an
@@ -3195,6 +3213,46 @@ def q_t10_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T11 LIVE (round 4): stream–static join — every micro-batch enriches
+# against a broadcast dimension snapshot, the canonical streaming-enrichment
+# shape (the payload-join the reference's metadatas perform at ingest,
+# qdrant_embedder.py:130-143, done against a dimension table instead).
+# ---------------------------------------------------------------------------
+
+@register(
+    "t11_stream_static_join",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_id < 500
+""",
+)
+def q_t11_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _tmp_base(sf_dir, "t11")
+    src = os.path.join(base, "src")
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") < 500)
+          .select("event_id", "user_id", "value"))
+    ev.write.parquet(src)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .join(F.broadcast(dim), "user_id")
+        .select("event_id", "user_id", "c_mktsegment", "value")
+    )
+    q = (stream.writeStream.format("memory").queryName("t11_enriched")
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(base, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.sql(
+        "SELECT event_id, user_id, c_mktsegment, value FROM t11_enriched")
+
+
+# ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
 # driver CORRECTNESS row register first, then names whose last green row is
@@ -3210,7 +3268,8 @@ _PRIORITY = [
     "t9_rate_stream_backpressure", "knn_sq_int8", "knn_binary_rerank",
     "api_search_groups", "api_count_filtered", "api_scroll_keyset",
     "knn_named_spaces", "text_bm25_search", "hybrid_rrf_search",
-    "knn_pq_adc", "t10_stream_dedup_live",
+    "knn_pq_adc", "knn_ivf_kmeans", "t10_stream_dedup_live",
+    "t11_stream_static_join",
     # green in r02 but not sampled by the driver in r03 — oldest evidence first
     "u1_union_by_name", "u2_intersect_big_buyers", "u3_except_urgent_only_buyers",
     "j6_value_band_join", "j7_asof_latest_click", "f2_base64_roundtrip",

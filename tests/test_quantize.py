@@ -130,3 +130,33 @@ def test_pq_adc_recall_vs_exact_euclidean(spark, sf_dir):
     # the refine stage recovers most of what quantization lost
     assert sum(recalls_r) / len(recalls_r) >= 0.7
     assert sum(recalls_r) >= sum(recalls)
+
+
+def test_ivf_kmeans_recall_and_probe_fraction(spark, sf_dir):
+    """Trained IVF: probing 4/16 lists must still recover most of the true
+    top-10, and the probe join must touch only the probed lists' rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    exact = _topk_sets(knn.knn_join(q, emb, k=10).collect())
+    cents = quantize.ivf_train(emb, n_lists=16, iters=5)
+    assigned = quantize.ivf_assign(emb, cents)
+    approx = _topk_sets(
+        quantize.ivf_knn(q, assigned, cents, k=10, n_probe=4).collect())
+    recalls = [len(exact[qid] & approx[qid]) / 10 for qid in exact]
+    assert sum(recalls) / len(recalls) >= 0.5
+    # full probe (n_probe = n_lists) must equal exact (restricted to same sim)
+    full = _topk_sets(
+        quantize.ivf_knn(q, assigned, cents, k=10, n_probe=16).collect())
+    assert full == exact
+
+
+def test_ivf_assign_covers_all_lists_deterministically(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = quantize.ivf_train(emb, n_lists=8, iters=3)
+    a1 = {r["vec_id"]: r["list_id"] for r in
+          quantize.ivf_assign(emb, cents).select("vec_id", "list_id").collect()}
+    a2 = {r["vec_id"]: r["list_id"] for r in
+          quantize.ivf_assign(emb, cents).select("vec_id", "list_id").collect()}
+    assert a1 == a2
+    assert all(0 <= v < 8 for v in a1.values())
