@@ -308,6 +308,43 @@ def delete_by_filter(spark: SparkSession, root: str, collection: str,
     return removed
 
 
+def update_columns(spark: SparkSession, root: str, collection: str,
+                   updates: DataFrame, id_col: str | None = None) -> None:
+    """Partial update (Qdrant ``set_payload`` twin): for every id present in
+    ``updates``, overwrite ONLY the non-id columns ``updates`` carries;
+    every other column of the stored point is preserved.
+
+    ``updates``' first column is the id (or pass ``id_col``).  Like delete,
+    ids hash straight to their buckets — only those are read, patched with a
+    broadcast left join + coalesce, and atomically swapped back.  Unlike a
+    full upsert, untouched COLUMNS never round-trip through the caller.
+    """
+    path = collection_path(root, collection)
+    id_col, n_buckets = _resolve_layout(root, collection, id_col, None)
+    upd_id = updates.columns[0]
+    patch_cols = [c for c in updates.columns if c != upd_id]
+    patch = updates.select(
+        F.col(upd_id).cast("string").alias("_upd_id"),
+        *[F.col(c).alias(f"_upd_{c}") for c in patch_cols])
+    patch = _with_bucket(patch, "_upd_id", n_buckets)
+    touched = sorted(r[0] for r in patch.select(BUCKET_COL).distinct().collect())
+    if not touched or not _store_exists(path):
+        return
+    existing = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+    joined = existing.join(
+        F.broadcast(patch.drop(BUCKET_COL)),
+        F.col(id_col).cast("string") == F.col("_upd_id"), "left")
+    out_cols = []
+    for c in existing.columns:
+        if c in patch_cols:
+            out_cols.append(
+                F.when(F.col("_upd_id").isNotNull(), F.col(f"_upd_{c}"))
+                .otherwise(F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    _stage_and_swap(joined.select(*out_cols), path, touched)
+
+
 # ---------------------------------------------------------------------------
 # Compaction — micro-batch upserts (streaming/ingest.py foreachBatch) leave
 # one file per batch per touched bucket; compaction rewrites each bucket to

@@ -2535,6 +2535,34 @@ def q_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_update_payload",
+    oracle="""
+SELECT CAST(doc_id AS VARCHAR) AS id, text AS document,
+       CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+       CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS flagged
+FROM documents
+""",
+)
+def q_store_update_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant set_payload twin: patch only the carried columns of the
+    targeted ids; everything else (document text, other payload keys,
+    untouched buckets) stays byte-identical."""
+    base = _tmp_base(sf_dir, "updpay")
+    docs = load_table(spark, sf_dir, "documents")
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8,
+        df=docs.select(F.col("doc_id").cast("string").alias("id"),
+                       F.col("text").alias("document"), "lang",
+                       F.lit(0).alias("flagged")))
+    patch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.lit("xx").alias("lang"), F.lit(1).alias("flagged"))
+    upsert.update_columns(spark, base, "docs", patch)
+    return upsert.read_collection(spark, base, "docs").select(
+        "id", "document", "lang", "flagged")
+
+
+@register(
     "store_catalog",
     oracle="""
 SELECT * FROM (VALUES ('cat_alpha', CAST(4 AS BIGINT), CAST(1 AS BIGINT)),
@@ -3264,7 +3292,8 @@ def q_t11_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY = [
     # new this round (round 4) — never driver-adjudicated
     "store_delete_points", "store_delete_by_filter", "store_compaction",
-    "store_catalog", "knn_dot_metric", "knn_euclidean_metric",
+    "store_catalog", "store_update_payload", "knn_dot_metric",
+    "knn_euclidean_metric",
     "t9_rate_stream_backpressure", "knn_sq_int8", "knn_binary_rerank",
     "api_search_groups", "api_count_filtered", "api_scroll_keyset",
     "knn_named_spaces", "text_bm25_search", "hybrid_rrf_search",

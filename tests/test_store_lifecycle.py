@@ -222,3 +222,43 @@ def test_multi_topic_pipeline_backpressure(spark, tmp_path):
     # drain in one batch
     non_empty = [p for p in progresses if p["numInputRows"] > 0]
     assert len(non_empty) >= 2
+
+
+def test_update_columns_patches_only_carried_columns(spark, tmp_path):
+    root = str(tmp_path / "store")
+    _mk(spark, root)  # id, document, grp
+    patch = spark.createDataFrame(
+        [("id3", 99), ("id7", 99)], "id string, grp int")
+    upsert.update_columns(spark, root, "c", patch)
+    rows = {r["id"]: (r["document"], r["grp"])
+            for r in upsert.read_collection(spark, root, "c").collect()}
+    assert rows["id3"] == ("doc3", 99)   # grp patched, document preserved
+    assert rows["id7"] == ("doc7", 99)
+    assert rows["id4"] == ("doc4", 0)    # untargeted id untouched
+    assert len(rows) == 64
+
+
+def test_update_columns_touches_only_owning_buckets(spark, tmp_path):
+    root = str(tmp_path / "store")
+    _mk(spark, root)
+    path = upsert.collection_path(root, "c")
+    before = _bucket_snapshot(path)
+    upsert.update_columns(
+        spark, root, "c",
+        spark.createDataFrame([("id0", 42)], "id string, grp int"))
+    after = _bucket_snapshot(path)
+    changed = [b for b in before if after.get(b) != before[b]]
+    assert len(changed) == 1
+
+
+def test_update_columns_explicit_null_overwrites(spark, tmp_path):
+    """A NULL carried by the patch SETS null (set_payload semantics), it is
+    not treated as absent."""
+    root = str(tmp_path / "store")
+    _mk(spark, root)
+    patch = spark.createDataFrame(
+        [("id1", None)], "id string, grp int")
+    upsert.update_columns(spark, root, "c", patch)
+    row = [r for r in upsert.read_collection(spark, root, "c").collect()
+           if r["id"] == "id1"][0]
+    assert row["grp"] is None and row["document"] == "doc1"
