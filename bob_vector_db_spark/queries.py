@@ -2892,11 +2892,21 @@ def q_api_search_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     points sharing a group key in one declarative plan (two windows, one
     tiny group-level aggregate; the corpus scans once)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qdf = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-    hits = knn.knn_join(qdf, emb, k=10**9, corpus_vec="embedding")
-    hits = hits.join(emb.select("vec_id", F.col("label").cast("long").alias("label")),
-                     "vec_id")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
+        vector.l2_norm(F.col("embedding")).alias("_qn"))
+    c = emb.select("vec_id", F.col("label").cast("long").alias("label"),
+                   "embedding", vector.l2_norm(F.col("embedding")).alias("_cn"))
+    pairs = c.join(F.broadcast(q), how="cross").filter(
+        F.col("qid") != F.col("vec_id"))
+    denom = F.col("_qn") * F.col("_cn")
+    sim = F.round(F.when(denom != 0.0,
+                         vector.dot(F.col("qvec"), F.col("embedding")) / denom), 6)
+    hits = (pairs.select("qid", "vec_id", "label", sim.alias("sim"))
+            .filter(F.col("sim").isNotNull() & ~F.isnan("sim")))
+    # rank ONLY inside (qid, label) — no global per-query ranking pass over
+    # the full pair stream; the second (per-qid) window sees just the
+    # ≤ groups × 2 kept rows
     in_group_w = Window.partitionBy("qid", "label").orderBy(
         F.desc("sim"), F.asc("vec_id"))
     kept = (hits.withColumn("hit_rank", F.row_number().over(in_group_w))
