@@ -158,3 +158,20 @@ def test_delete_by_filter_scan_prunes_buckets(spark, tmp_path):
     readback = spark.read.parquet(upsert.collection_path(root, "c"))
     pruned = readback.filter(F.col(upsert.BUCKET_COL) == 3)
     assert_partition_filters(pruned, "id_bucket")
+
+
+def test_ivf_probe_is_equijoin_on_list_id(spark, sf_dir):
+    """The probe must reach the corpus through an equi-join on list_id
+    (hash-partition-prunable at scale), never a cross join against the
+    whole corpus."""
+    from bob_vector_db_spark.operators import quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = quantize.ivf_train(emb, n_lists=8, iters=2)
+    assigned = quantize.ivf_assign(emb, cents)
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    plan = formatted_plan(quantize.ivf_knn(q, assigned, cents, k=5, n_probe=2))
+    assert "list_id" in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
