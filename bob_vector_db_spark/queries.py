@@ -2477,6 +2477,9 @@ FROM documents WHERE doc_id % 7 <> 0
 """,
 )
 def q_store_delete_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-delete by a DISTRIBUTED doomed-id set (Qdrant delete twin of
+    upload_points, qdrant_embedder.py:58-62): ids hash to their buckets,
+    only those rewrite; oracle checks the persisted readback."""
     base = _tmp_base(sf_dir, "del")
     docs = load_table(spark, sf_dir, "documents")
     upsert.create_collection(
@@ -2499,6 +2502,8 @@ FROM documents WHERE lang <> 'de'
 """,
 )
 def q_store_delete_by_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-filter delete: one pruned scan finds the buckets holding
+    matches, survivors rewrite in place; oracle checks the readback."""
     base = _tmp_base(sf_dir, "delf")
     docs = load_table(spark, sf_dir, "documents")
     upsert.create_collection(
@@ -2518,6 +2523,8 @@ SELECT CAST(doc_id AS VARCHAR) AS id, text AS document FROM documents
 """,
 )
 def q_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket compaction after micro-batch upserts: rewrite each bucket to
+    target file counts with byte-identical readback (oracle-checked)."""
     base = _tmp_base(sf_dir, "compact")
     docs = load_table(spark, sf_dir, "documents")
     upsert.create_collection(spark, base, "docs", n_buckets=4)
@@ -2571,6 +2578,9 @@ SELECT * FROM (VALUES ('cat_alpha', CAST(4 AS BIGINT), CAST(1 AS BIGINT)),
 """,
 )
 def q_store_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog half of the store API: create / list / drop collections with
+    persisted layout + vector-config meta; idempotent re-create must not
+    clobber (chroma_embedder.py:30-32 get_or_create model)."""
     base = _tmp_base(sf_dir, "cat")
     upsert.create_collection(spark, base, "cat_alpha", n_buckets=4,
                              vector_config={"text": {"size": 64, "distance": "cosine"}})
@@ -2616,6 +2626,9 @@ WHERE rank <= 10
 """,
 )
 def q_knn_dot_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-aware search: the collection declares distance=dot in its meta
+    sidecar (vectors_config model, qdrant_embedder.py:95-102) and
+    search_collection honors it without the caller restating."""
     base = _tmp_base(sf_dir, "knndot")
     emb = load_table(spark, sf_dir, "embeddings")
     upsert.create_collection(
@@ -2651,6 +2664,8 @@ WHERE rank <= 10
 """,
 )
 def q_knn_euclidean_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-aware search, euclidean: declared distance ranks ASCENDING
+    (smaller = nearer) through the same search_collection dispatch."""
     base = _tmp_base(sf_dir, "knneuc")
     emb = load_table(spark, sf_dir, "embeddings")
     upsert.create_collection(
@@ -2685,6 +2700,9 @@ FROM range(100) t(r)
 """,
 )
 def q_t9_rate_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE multi-topic union under backpressure: file topic
+    (maxFilesPerTrigger) ∪ rate topic (rowsPerSecond cap — the QoS
+    depth-1000 bound, embedder.py:161-174) into one upsert sink."""
     import json  # noqa: PLC0415
     import time  # noqa: PLC0415
 
@@ -2775,6 +2793,9 @@ WHERE rank <= 10
 """,
 )
 def q_knn_sq_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-int8 quantized top-k: per-dim min/max learned in one 64-row
+    aggregate, search runs on dequantized codes with exact kNN's plan
+    shape — DuckDB reproduces the quantization arithmetic exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     qdf = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
@@ -2833,6 +2854,9 @@ WHERE rank <= 10
 """,
 )
 def q_knn_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization + rescore: Hamming candidates over packed sign
+    bits (float-free pair stream), exact cosine rerank of rerank_factor*k
+    candidates — the Qdrant binary-quantization pattern, oracle-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
     qdf = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
@@ -3214,6 +3238,8 @@ FROM events WHERE event_id < 200
 """,
 )
 def q_t10_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE streaming dedup-by-id: watermarked dropDuplicates across
+    micro-batches, deterministic append drain equals DISTINCT (T2 live)."""
     import json  # noqa: PLC0415
 
     base = _tmp_base(sf_dir, "t10")
