@@ -107,3 +107,46 @@ def fingerprint(text: Column) -> Column:
     """
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return poly_hash(norm, POLY_MOD)
+
+
+def chunk_tokens(tokens: Column, chunk_size: int = 64,
+                 overlap: int = 16) -> Column:
+    """ARRAY<STRUCT<chunk_idx INT, chunk STRING>>: overlapping token windows
+    — the RAG-ingest chunking step that precedes embedding (each chunk is
+    what a vector collection stores as one point).
+
+    Window i covers tokens [i·stride, i·stride + chunk_size); the last
+    window starts before ``size(tokens)`` so a short tail still emits.
+    Pure sequence/transform/slice expressions — explode the result for one
+    row per chunk, JVM-side end to end.
+    """
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap {overlap} must be < chunk_size {chunk_size}")
+    stride = chunk_size - overlap
+    n = F.size(tokens)
+    # number of windows: 1 + ceil(max(0, n - chunk_size) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - chunk_size, F.lit(0)) / F.lit(stride)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(tokens, i * stride + 1, chunk_size)
+            ).alias("chunk"),
+        ),
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Training-corpus text normalization, all JVM regex/string expressions:
+    control chars stripped, e-mail addresses and absolute URLs masked to
+    stable placeholders (the PII-scrub step of a pretraining pipeline),
+    whitespace runs collapsed, edges trimmed, lowercased.
+    """
+    t = F.regexp_replace(text, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", " ")
+    t = F.regexp_replace(
+        t, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>")
+    t = F.regexp_replace(t, r"https?://[^\s]+", "<URL>")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.lower(F.trim(t))

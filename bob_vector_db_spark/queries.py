@@ -3223,6 +3223,74 @@ def q_api_scroll_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RAG-ingest preprocessing (round 4): chunking + normalization — the steps
+# that precede every embed/upsert in a real vector-DB pipeline (the
+# reference embeds caller-provided documents wholesale; a corpus pipeline
+# chunks and scrubs them first).
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipe_chunk_documents",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> length(x) > 0) AS tk
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, tk,
+         1 + CAST(ceil(greatest(len(tk) - 16, 0) / 12.0) AS INT) AS n_chunks
+  FROM toks
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(tk, i*12 + 1, i*12 + 16), ' ') AS chunk
+FROM sized, unnest(range(0, n_chunks)) AS t(i)
+""",
+)
+def q_pipe_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (chunk 16, overlap 4): one output
+    row per chunk per document — what a vector collection ingests as
+    points.  Pure sequence/slice expressions + one explode, no Python."""
+    from .functions.text import chunk_tokens  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(chunk_tokens(ws_tokens(F.col("text")),
+                                   chunk_size=16, overlap=4)).alias("c"))
+        .select("doc_id", F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+                F.col("c.chunk").alias("chunk"))
+    )
+
+
+@register(
+    "pipe_text_normalize",
+    oracle=r"""
+SELECT doc_id,
+       lower(trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', ' ', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^\s]+', '<URL>', 'g'),
+         '\s+', ' ', 'g'))) AS norm_text
+FROM documents
+""",
+)
+def q_pipe_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization (control-char strip, e-mail/URL masking,
+    whitespace collapse, casefold) — the PII-scrub stage of a pretraining
+    pipeline, all JVM regex expressions; masking behavior is pinned on
+    synthetic rows in tests/test_text_search.py."""
+    from .functions.text import normalize_text  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalize_text(F.col("text")).alias("norm_text"))
+
+
+# ---------------------------------------------------------------------------
 # T10 LIVE (round 4): streaming dedup-by-id on a real stream — the live twin
 # of t2's batch form.  Duplicates are exact row copies spread across
 # micro-batches (maxFilesPerTrigger=1 over 4 files, each half repeated), so
@@ -3334,7 +3402,7 @@ _PRIORITY = [
     "api_search_groups", "api_count_filtered", "api_scroll_keyset",
     "knn_named_spaces", "text_bm25_search", "hybrid_rrf_search",
     "knn_pq_adc", "knn_ivf_kmeans", "t10_stream_dedup_live",
-    "t11_stream_static_join",
+    "t11_stream_static_join", "pipe_chunk_documents", "pipe_text_normalize",
     # green in r02 but not sampled by the driver in r03 — oldest evidence first
     "u1_union_by_name", "u2_intersect_big_buyers", "u3_except_urgent_only_buyers",
     "j6_value_band_join", "j7_asof_latest_click", "f2_base64_roundtrip",

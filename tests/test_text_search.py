@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from bob_vector_db_spark.operators.text_search import bm25_topk
 
 
@@ -75,3 +77,44 @@ def test_rrf_fuse_properties(spark):
     # deterministic ordering: score desc, id asc (docs 2 and 4 tie at 1/62)
     ranks = [i for i, _ in sorted(out.items(), key=lambda kv: kv[1][1])]
     assert ranks == [3, 1, 2, 4]
+
+
+def test_normalize_text_masks_pii_and_collapses(spark):
+    from bob_vector_db_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "Contact Bob.Smith+x@Example.org  NOW!\tsee https://ex.com/a?b=1 \x07end")],
+        "id long, text string")
+    got = df.select(normalize_text(F.col("text")).alias("t")).first()["t"]
+    assert got == "contact <email> now! see <url> end"
+
+
+def test_chunk_tokens_windows_and_tail(spark):
+    from bob_vector_db_spark.functions.text import chunk_tokens
+    from bob_vector_db_spark.functions.text import ws_tokens
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "id long, text string")
+    rows = (df.select(F.explode(chunk_tokens(
+        ws_tokens(F.col("text")), chunk_size=4, overlap=2)).alias("c"))
+        .select("c.chunk_idx", "c.chunk").collect())
+    chunks = {r["chunk_idx"]: r["chunk"] for r in rows}
+    # stride 2: 1 + ceil((10-4)/2) = 4 windows at starts 0,2,4,6; the last
+    # one reaches the final token, so every token is covered
+    assert chunks[0] == "t0 t1 t2 t3"
+    assert chunks[1] == "t2 t3 t4 t5"
+    assert chunks[3] == "t6 t7 t8 t9"
+    assert len(chunks) == 4
+    # a doc shorter than one chunk emits exactly one window
+    short = spark.createDataFrame([(1, "a b")], "id long, text string")
+    out = short.select(F.explode(chunk_tokens(
+        ws_tokens(F.col("text")), chunk_size=4, overlap=2)).alias("c")).collect()
+    assert len(out) == 1 and out[0]["c"]["chunk"] == "a b"
+
+
+def test_chunk_tokens_rejects_bad_overlap():
+    import pytest
+    from pyspark.sql import functions as SF
+    from bob_vector_db_spark.functions.text import chunk_tokens
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_tokens(SF.col("x"), chunk_size=4, overlap=4)
