@@ -3290,6 +3290,95 @@ def q_pipe_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", normalize_text(F.col("text")).alias("norm_text"))
 
 
+@register(
+    "pipe_rag_end_to_end",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> length(x) > 0) AS tk
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, tk,
+         1 + CAST(ceil(greatest(len(tk) - 16, 0) / 12.0) AS INT) AS n_chunks
+  FROM toks
+),
+chunks AS (
+  SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR) AS id,
+         doc_id, i, list_slice(tk, i*12 + 1, i*12 + 16) AS ctk
+  FROM sized, unnest(range(0, n_chunks)) AS t(i)
+),
+ctoks AS (SELECT id, unnest(ctk) AS tok FROM chunks),
+tfs AS (
+  SELECT id, ({DUCK_POLY_HASH.format(t='tok')}) % 32 AS bucket,
+         COUNT(*) AS tf
+  FROM ctoks GROUP BY id, bucket
+),
+norms AS (SELECT id, sqrt(SUM(tf*tf)) AS nrm FROM tfs GROUP BY id),
+qids AS (SELECT id FROM chunks WHERE doc_id < 3 AND i = 0),
+dots AS (
+  SELECT a.id AS qid, b.id AS vec_id, SUM(a.tf * b.tf) AS dot
+  FROM tfs a JOIN tfs b ON a.bucket = b.bucket
+  WHERE a.id IN (SELECT id FROM qids) AND a.id <> b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT q.id AS qid, c.id AS vec_id,
+         round(coalesce(d.dot, 0) / (nq.nrm * nc.nrm), 6) AS sim
+  FROM qids q
+  CROSS JOIN chunks c
+  LEFT JOIN dots d ON d.qid = q.id AND d.vec_id = c.id
+  JOIN norms nq ON nq.id = q.id
+  JOIN norms nc ON nc.id = c.id
+  WHERE q.id <> c.id
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank FROM pairs)
+WHERE rank <= 5
+""",
+)
+def q_pipe_rag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE lifecycle as one pipeline: chunk documents →
+    deterministic hash-embed each chunk → upsert the chunks into a REAL
+    bucketed collection (vector config declares cosine) → search the stored
+    collection with three query chunks.  Every stage is the scale-path
+    implementation (codegen chunking, one-shuffle embedding, bucketed
+    store, broadcast-query search); the oracle recomputes it all in sparse
+    integer arithmetic."""
+    from .functions.text import chunk_tokens  # noqa: PLC0415
+    from .operators.embed import hash_embed_df  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "rag")
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.explode(chunk_tokens(ws_tokens(F.col("text")),
+                                   chunk_size=16, overlap=4)).alias("c"))
+        .select(
+            F.concat(F.col("doc_id").cast("string"), F.lit("_"),
+                     F.col("c.chunk_idx").cast("string")).alias("id"),
+            F.col("c.chunk").alias("chunk"),
+            F.col("doc_id"), F.col("c.chunk_idx").alias("chunk_idx"))
+    )
+    embedded = hash_embed_df(chunks, text_col="chunk", id_col="id",
+                             dim=32, out_col="embedding")
+    upsert.create_collection(
+        spark, base, "rag_chunks", n_buckets=8,
+        df=embedded.select("id", "embedding"),
+        vector_config={"embedding": {"size": 32, "distance": "cosine"}})
+    q_ids = [f"{d}_0" for d in range(3)]
+    stored = upsert.read_collection(spark, base, "rag_chunks")
+    qdf = stored.filter(F.col("id").isin(q_ids)).select(
+        F.col("id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = knn.search_collection(spark, base, "rag_chunks", qdf, k=5,
+                                corpus_id="id", exclude_self=True)
+    return out.select("qid", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # T10 LIVE (round 4): streaming dedup-by-id on a real stream — the live twin
 # of t2's batch form.  Duplicates are exact row copies spread across
@@ -3403,6 +3492,7 @@ _PRIORITY = [
     "knn_named_spaces", "text_bm25_search", "hybrid_rrf_search",
     "knn_pq_adc", "knn_ivf_kmeans", "t10_stream_dedup_live",
     "t11_stream_static_join", "pipe_chunk_documents", "pipe_text_normalize",
+    "pipe_rag_end_to_end",
     # green in r02 but not sampled by the driver in r03 — oldest evidence first
     "u1_union_by_name", "u2_intersect_big_buyers", "u3_except_urgent_only_buyers",
     "j6_value_band_join", "j7_asof_latest_click", "f2_base64_roundtrip",
