@@ -2430,11 +2430,21 @@ def q_t8_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(src).schema
     name = f"t8_state_{token}".replace(".", "_")
     stream = running_user_stats(spark.readStream.schema(schema).parquet(src))
-    q = (stream.writeStream.format("memory").queryName(name)
-         .outputMode("update")
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    # state-store instances (and their per-batch open/commit cost) scale
+    # with shuffle partitions; 150 user keys need nowhere near the session
+    # default of 32 — size the stateful shuffle to the KEY cardinality.
+    # The count is baked into the (fresh) checkpoint, so this only affects
+    # this query's stream; restore the session conf either way.
+    saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (stream.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
     # the memory sink keeps every batch's update; the final state per user is
     # the row with the largest count (counts strictly increase per batch)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
