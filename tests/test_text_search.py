@@ -118,3 +118,37 @@ def test_chunk_tokens_rejects_bad_overlap():
     from bob_vector_db_spark.functions.text import chunk_tokens
     with pytest.raises(ValueError, match="overlap"):
         chunk_tokens(SF.col("x"), chunk_size=4, overlap=4)
+
+
+def test_chunk_tokens_coverage_sweep(spark):
+    """Invariants across configs and lengths: window starts advance by
+    stride, every token appears in some window, the last window reaches the
+    final token, and window count matches the closed-form formula."""
+    import math as m
+    from bob_vector_db_spark.functions.text import chunk_tokens, ws_tokens
+
+    lengths = list(range(1, 41))
+    df = spark.createDataFrame(
+        [(n, " ".join(f"w{i}" for i in range(n))) for n in lengths],
+        "n int, text string")
+    for chunk, overlap in [(4, 2), (8, 3), (16, 4), (5, 0)]:
+        stride = chunk - overlap
+        rows = (df.select("n", F.explode(chunk_tokens(
+                    ws_tokens(F.col("text")), chunk_size=chunk,
+                    overlap=overlap)).alias("c"))
+                .select("n", "c.chunk_idx", "c.chunk").collect())
+        by_n: dict[int, dict[int, list[str]]] = {}
+        for r in rows:
+            by_n.setdefault(r["n"], {})[r["chunk_idx"]] = r["chunk"].split(" ")
+        for n in lengths:
+            chunks = by_n[n]
+            want = 1 + m.ceil(max(0, n - chunk) / stride)
+            assert len(chunks) == want, (n, chunk, overlap, len(chunks))
+            seen = set()
+            for i in sorted(chunks):
+                toks = chunks[i]
+                assert toks[0] == f"w{i * stride}"      # start = i·stride
+                assert len(toks) <= chunk
+                seen.update(toks)
+            assert seen == {f"w{i}" for i in range(n)}  # total coverage
+            assert chunks[max(chunks)][-1] == f"w{n-1}"  # tail reached
