@@ -3205,6 +3205,62 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "api_batch_filtered_search",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec,
+         CASE vec_id WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE NULL END AS want_label
+  FROM embeddings WHERE vec_id < 3
+),
+pairs AS (
+  SELECT q.qid, e.vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(e.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, embeddings e
+  WHERE q.qid <> e.vec_id
+    AND (q.want_label IS NULL OR e.label = q.want_label)
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank FROM pairs)
+WHERE rank <= 5
+""",
+)
+def q_api_batch_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch search where EACH request carries its own payload filter
+    (query 0 wants label=1, query 1 wants label=4, query 2 is unfiltered)
+    — answered in ONE corpus scan: the per-query predicate rides the
+    broadcast query row into the pair filter, so N searches cost one pass
+    instead of N (the Qdrant search_batch shape)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
+        F.when(F.col("vec_id") == 0, 1)
+         .when(F.col("vec_id") == 1, 4).alias("want_label"),
+        vector.l2_norm(F.col("embedding")).alias("_qn"))
+    c = emb.select("vec_id", "label", "embedding",
+                   vector.l2_norm(F.col("embedding")).alias("_cn"))
+    pairs = (c.join(F.broadcast(qdf), how="cross")
+             .filter(F.col("qid") != F.col("vec_id"))
+             .filter(F.col("want_label").isNull()
+                     | (F.col("label") == F.col("want_label"))))
+    denom = F.col("_qn") * F.col("_cn")
+    sim = F.round(F.when(denom != 0.0,
+                         vector.dot(F.col("qvec"), F.col("embedding")) / denom), 6)
+    scored = (pairs.select("qid", "vec_id", sim.alias("sim"))
+              .filter(F.col("sim").isNotNull() & ~F.isnan("sim")))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("qid", "vec_id", "sim",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+@register(
     "api_scroll_keyset",
     oracle="""
 WITH page1 AS (
@@ -3502,7 +3558,7 @@ _PRIORITY = [
     "knn_named_spaces", "text_bm25_search", "hybrid_rrf_search",
     "knn_pq_adc", "knn_ivf_kmeans", "t10_stream_dedup_live",
     "t11_stream_static_join", "pipe_chunk_documents", "pipe_text_normalize",
-    "pipe_rag_end_to_end",
+    "pipe_rag_end_to_end", "api_batch_filtered_search",
     # green in r02 but not sampled by the driver in r03 — oldest evidence first
     "u1_union_by_name", "u2_intersect_big_buyers", "u3_except_urgent_only_buyers",
     "j6_value_band_join", "j7_asof_latest_click", "f2_base64_roundtrip",
