@@ -7,6 +7,11 @@ so always ``broadcast()`` the query side, never shuffle the corpus.  The
 broadcast-nested-loop produces (query × corpus-partition) locally; the
 per-query top-k is a window over only the surviving rows.  For very large
 query sets use :func:`knn_join_blocked` (IVF-style centroid pruning).
+
+Memory-bounded variants live in :mod:`.quantize` (scalar-int8 / binary /
+product quantization, trained IVF); lexical and hybrid retrieval in
+:mod:`.text_search`.  All share this module's output contract
+(qid, vec_id, sim-or-dist, rank).
 """
 
 from __future__ import annotations
