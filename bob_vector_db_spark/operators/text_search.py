@@ -44,6 +44,9 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
     lens = toks.select("id", F.size("toks").alias("len"))
     stats = lens.agg(
         F.count(F.lit(1)).alias("n"), F.avg("len").alias("avgdl")).first()
+    if not stats["n"]:  # empty corpus: empty result, id keeps its true type
+        return lens.select("id", F.lit(0.0).alias("score"),
+                           F.lit(0).alias("rank")).limit(0)
     n_docs, avgdl = stats["n"], float(stats["avgdl"])
 
     posting = (

@@ -323,6 +323,14 @@ def update_columns(spark: SparkSession, root: str, collection: str,
     id_col, n_buckets = _resolve_layout(root, collection, id_col, None)
     upd_id = updates.columns[0]
     patch_cols = [c for c in updates.columns if c != upd_id]
+    if _store_exists(path):
+        stored_cols = set(spark.read.parquet(path).columns)
+        unknown = [c for c in patch_cols if c not in stored_cols]
+        if unknown:
+            raise ValueError(
+                f"update_columns: {unknown} not in stored schema "
+                f"{sorted(stored_cols - {BUCKET_COL})}; adding new columns "
+                f"needs a full upsert (schema evolution touches every bucket)")
     patch = updates.select(
         F.col(upd_id).cast("string").alias("_upd_id"),
         *[F.col(c).alias(f"_upd_{c}") for c in patch_cols])

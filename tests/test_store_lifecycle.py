@@ -262,3 +262,11 @@ def test_update_columns_explicit_null_overwrites(spark, tmp_path):
     row = [r for r in upsert.read_collection(spark, root, "c").collect()
            if r["id"] == "id1"][0]
     assert row["grp"] is None and row["document"] == "doc1"
+
+
+def test_update_columns_rejects_unknown_column(spark, tmp_path):
+    root = str(tmp_path / "store")
+    _mk(spark, root)
+    patch = spark.createDataFrame([("id0", 1)], "id string, brand_new int")
+    with pytest.raises(ValueError, match="brand_new"):
+        upsert.update_columns(spark, root, "c", patch)

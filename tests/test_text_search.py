@@ -152,3 +152,10 @@ def test_chunk_tokens_coverage_sweep(spark):
                 seen.update(toks)
             assert seen == {f"w{i}" for i in range(n)}  # total coverage
             assert chunks[max(chunks)][-1] == f"w{n-1}"  # tail reached
+
+
+def test_bm25_empty_corpus_returns_empty(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = bm25_topk(df, ["anything"], k=5)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "score", "rank"}
