@@ -35,6 +35,19 @@ from pyspark.sql import types as T
 from ..functions import vector
 
 
+def _rank_topk(scored: DataFrame, k: int, ascending: bool = False,
+               score_col: str = "sim") -> DataFrame:
+    """Shared (qid, vec_id, score) → top-k ranking tail: NaN/NULL scores
+    dropped (NaN would rank above every real value in desc order), ties
+    broken on vec_id, rank ≤ k."""
+    scored = scored.filter(
+        F.col(score_col).isNotNull() & ~F.isnan(score_col))
+    order = F.asc(score_col) if ascending else F.desc(score_col)
+    w = Window.partitionBy("qid").orderBy(order, F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def sq_train(corpus: DataFrame, vec_col: str = "embedding",
              bits: int = 8) -> tuple[list[float], list[float]]:
     """Per-dimension (mins, scales) for scalar quantization.
@@ -98,26 +111,17 @@ def sq_knn(queries: DataFrame, corpus: DataFrame, k: int = 10,
     shape is identical to exact kNN (broadcast queries, corpus scans once,
     per-query top-k window); only the corpus representation changed.
     """
+    from .knn import knn_join  # noqa: PLC0415 - avoid circular import
+
     mins, scales = sq_train(corpus, corpus_vec, bits)
     enc = sq_encode(corpus, mins, scales, corpus_vec).select(
         corpus_id, sq_decode_expr(F.col("codes"), mins, scales).alias("_deq"))
-    q = queries.select(
-        F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"),
-        vector.l2_norm(F.col(query_vec)).alias("_qn"))
-    pairs = enc.withColumn("_cn", vector.l2_norm(F.col("_deq"))).join(
-        F.broadcast(q), how="cross")
-    if exclude_self:
-        pairs = pairs.filter(F.col("qid") != F.col(corpus_id))
-    denom = F.col("_qn") * F.col("_cn")
-    sim = F.when(denom != 0.0, vector.dot(F.col("qvec"), F.col("_deq")) / denom)
-    if round_to is not None:
-        sim = F.round(sim, round_to)
-    scored = pairs.select("qid", F.col(corpus_id).alias("vec_id"),
-                          sim.alias("sim"))
-    scored = scored.filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    # the search IS exact kNN over the dequantized column — delegate so the
+    # score/NaN/tie-break contract lives in exactly one place
+    return knn_join(
+        queries, enc, k=k, query_id=query_id, query_vec=query_vec,
+        corpus_id=corpus_id, corpus_vec="_deq",
+        exclude_self=exclude_self, round_to=round_to)
 
 
 # ---------------------------------------------------------------------------
@@ -268,9 +272,7 @@ def pq_search(queries: DataFrame, encoded: DataFrame, codebooks, k: int = 10,
         dist = F.round(dist, round_to)
     scored = pairs.select("qid", F.col(corpus_id).alias("vec_id"),
                           dist.alias("dist"))
-    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
-    adc = (scored.withColumn("rank", F.row_number().over(w))
-           .filter(F.col("rank") <= n_keep))
+    adc = _rank_topk(scored, n_keep, ascending=True, score_col="dist")
     if rerank_corpus is None:
         return adc
     q_exact = queries.select(F.col(query_id).alias("qid"),
@@ -285,8 +287,7 @@ def pq_search(queries: DataFrame, encoded: DataFrame, codebooks, k: int = 10,
     if round_to is not None:
         exact = F.round(exact, round_to)
     rescored = rr.select("qid", "vec_id", exact.alias("dist"))
-    return (rescored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return _rank_topk(rescored, k, ascending=True, score_col="dist")
 
 
 # ---------------------------------------------------------------------------
@@ -328,6 +329,14 @@ def binary_knn_rerank(queries: DataFrame, corpus: DataFrame, k: int = 10,
     binary-quantization + rescore pattern as one declarative plan.
     """
     n_cand = rerank_factor * k
+    # dim must MATCH the data: packing beyond the real length would treat
+    # the missing dimensions as sign-0 bits (element_at past the end is
+    # NULL → otherwise(0)) and silently corrupt every Hamming distance
+    probe = corpus.select(F.size(F.col(corpus_vec)).alias("n")).first()
+    if probe is not None and probe["n"] != dim:
+        raise ValueError(
+            f"binary_knn_rerank: dim={dim} but corpus vectors have "
+            f"{probe['n']} dimensions")
     # phase 1 carries ONLY (id, packed bits) — the float corpus vectors do
     # not flow through the |Q|·|C| pair stream
     packed_c = corpus.select(
@@ -369,10 +378,7 @@ def binary_knn_rerank(queries: DataFrame, corpus: DataFrame, k: int = 10,
     if round_to is not None:
         sim = F.round(sim, round_to)
     scored = rerank.select("qid", "vec_id", sim.alias("sim"))
-    scored = scored.filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return _rank_topk(scored, k)
 
 
 # ---------------------------------------------------------------------------
@@ -454,7 +460,4 @@ def ivf_knn(queries: DataFrame, assigned: DataFrame, centroids,
         sim = F.round(sim, round_to)
     scored = pairs.select("qid", F.col(corpus_id).alias("vec_id"),
                           sim.alias("sim"))
-    scored = scored.filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    return _rank_topk(scored, k)

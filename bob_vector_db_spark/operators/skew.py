@@ -42,6 +42,10 @@ def salted_agg(df: DataFrame, key: str, measures: dict[str, tuple[Column, Column
     would salt the same row differently after a ``repartition``, making
     runs irreproducible.  Pass a unique row id as ``salt_on`` when you have
     one — hashing one column is cheaper than hashing the full row.
+    Caveat of the content-hash default: EXACT-duplicate rows share a salt,
+    so a hot key whose rows are full duplicates still lands on one reducer
+    — for duplicate-heavy data attach a distinct id first (or dedup
+    upstream; duplicate floods are usually a data bug this makes visible).
 
     Reproducibility contract: count/min/max and exact-arithmetic sums
     (integer, decimal) are bit-identical across physical layouts.  Raw

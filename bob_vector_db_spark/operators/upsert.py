@@ -143,6 +143,22 @@ def _resolve_layout(root: str, collection: str, id_col: str | None,
     return id_col or "id", n_buckets or DEFAULT_N_BUCKETS
 
 
+def _require_layout(root: str, collection: str,
+                    id_col: str | None) -> tuple[str, int]:
+    """Layout resolution for id-hashing mutations (delete/update): the meta
+    sidecar MUST exist — guessing a bucket count on a store of unknown
+    layout would hash ids to the wrong buckets and silently miss rows.
+    Every store created through this module (create_collection or a fresh
+    upsert) has one; only externally-assembled directories don't."""
+    path = collection_path(root, collection)
+    if _store_exists(path) and collection_meta(root, collection) is None:
+        raise ValueError(
+            f"collection {collection!r} has no {META_FILE} sidecar; its "
+            f"bucket layout is unknown, so id-targeted delete/update would "
+            f"silently miss rows. Re-create it via create_collection/upsert.")
+    return _resolve_layout(root, collection, id_col, None)
+
+
 def upsert(spark: SparkSession, root: str, collection: str,
            new_rows: DataFrame, id_col: str = "id",
            version_col: str | None = None,
@@ -175,12 +191,18 @@ def upsert(spark: SparkSession, root: str, collection: str,
         )
         # a collection created empty (create_collection(df=None)) already has
         # a meta sidecar in this directory; mode("overwrite") wipes it, so
-        # re-write it after the data lands
-        meta = collection_meta(root, collection)
+        # re-write it after the data lands.  A store born directly from
+        # upsert() gets a meta NOW — otherwise a later delete/update would
+        # have no layout record and could hash ids to the wrong buckets.
+        meta = collection_meta(root, collection) or {
+            "collection": collection,
+            "id_col": id_col,
+            "n_buckets": n_buckets,
+            "vectors": {},
+        }
         merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
-        if meta is not None:
-            with open(os.path.join(path, META_FILE), "w") as fh:
-                json.dump(meta, fh, indent=2, sort_keys=True)
+        with open(os.path.join(path, META_FILE), "w") as fh:
+            json.dump(meta, fh, indent=2, sort_keys=True)
         return read_collection(spark, root, collection)
 
     # Bucket ids are bounded by n_buckets, so this collect is O(n_buckets)
@@ -257,7 +279,7 @@ def delete_points(spark: SparkSession, root: str, collection: str,
     distributed until the per-bucket anti-join).
     """
     path = collection_path(root, collection)
-    id_col, n_buckets = _resolve_layout(root, collection, id_col, None)
+    id_col, n_buckets = _require_layout(root, collection, id_col)
     if isinstance(ids, DataFrame):
         doomed = ids.select(F.col(ids.columns[0]).cast("string").alias("_del_id"))
     else:
@@ -302,7 +324,9 @@ def delete_by_filter(spark: SparkSession, root: str, collection: str,
     if not touched:
         return 0
     existing = table.filter(F.col(BUCKET_COL).isin(touched))
-    keep = existing.filter(~pred)
+    # three-valued logic: a NULL predicate row did NOT match — keep it
+    # (bare ~pred would drop it: NULL is not true, but not false either)
+    keep = existing.filter(~F.coalesce(pred, F.lit(False)))
     removed = (existing.count() - keep.count()) if count_removed else -1
     _stage_and_swap(keep, path, touched, drop_empty=True)
     return removed
@@ -320,7 +344,7 @@ def update_columns(spark: SparkSession, root: str, collection: str,
     full upsert, untouched COLUMNS never round-trip through the caller.
     """
     path = collection_path(root, collection)
-    id_col, n_buckets = _resolve_layout(root, collection, id_col, None)
+    id_col, n_buckets = _require_layout(root, collection, id_col)
     upd_id = updates.columns[0]
     patch_cols = [c for c in updates.columns if c != upd_id]
     if _store_exists(path):
@@ -334,6 +358,15 @@ def update_columns(spark: SparkSession, root: str, collection: str,
     patch = updates.select(
         F.col(upd_id).cast("string").alias("_upd_id"),
         *[F.col(c).alias(f"_upd_{c}") for c in patch_cols])
+    # a duplicated patch id would fan out the left join and write the
+    # stored point twice, breaking id uniqueness — refuse loudly
+    dup = (patch.groupBy("_upd_id").count()
+           .filter(F.col("count") > 1).limit(1).collect())
+    if dup:
+        raise ValueError(
+            f"update_columns: duplicate id {dup[0][0]!r} in updates; "
+            f"dedupe the patch first (which value should win is yours to "
+            f"decide, not a join artifact)")
     patch = _with_bucket(patch, "_upd_id", n_buckets)
     touched = sorted(r[0] for r in patch.select(BUCKET_COL).distinct().collect())
     if not touched or not _store_exists(path):
@@ -371,8 +404,6 @@ def compact_collection(spark: SparkSession, root: str, collection: str,
     one file per (task, bucket) pair.
     """
     path = collection_path(root, collection)
-    meta = collection_meta(root, collection)
-    n_buckets = int(meta["n_buckets"]) if meta else DEFAULT_N_BUCKETS
     if not _store_exists(path):
         return {"files_before": 0, "files_after": 0, "n_rows": 0}
     table = spark.read.parquet(path)

@@ -2474,7 +2474,11 @@ def _tmp_base(sf_dir: str, tag: str) -> str:
     import tempfile  # noqa: PLC0415
 
     token = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    base = os.path.join(tempfile.gettempdir(), f"bvds_{tag}_{token}")
+    # pid suffix: two processes running the same store query concurrently
+    # (bench + a test session) must not rmtree each other's live stores;
+    # within one process, reruns still reuse and clean the same dir
+    base = os.path.join(tempfile.gettempdir(),
+                        f"bvds_{tag}_{token}_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     return base
 

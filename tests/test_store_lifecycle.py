@@ -270,3 +270,53 @@ def test_update_columns_rejects_unknown_column(spark, tmp_path):
     patch = spark.createDataFrame([("id0", 1)], "id string, brand_new int")
     with pytest.raises(ValueError, match="brand_new"):
         upsert.update_columns(spark, root, "c", patch)
+
+
+def test_delete_by_filter_null_predicate_rows_survive(spark, tmp_path):
+    """Three-valued logic: rows where the predicate is NULL did not match
+    and must NOT be deleted."""
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [("a", "de"), ("b", None), ("c", "en")], "id string, lang string")
+    upsert.create_collection(spark, root, "c", df=df, n_buckets=2)
+    removed = upsert.delete_by_filter(spark, root, "c", "lang = 'de'")
+    assert removed == 1
+    ids = {r["id"] for r in upsert.read_collection(spark, root, "c").collect()}
+    assert ids == {"b", "c"}  # the NULL-lang row survived
+
+
+def test_update_columns_rejects_duplicate_patch_ids(spark, tmp_path):
+    root = str(tmp_path / "store")
+    _mk(spark, root)
+    patch = spark.createDataFrame(
+        [("id3", 1), ("id3", 2)], "id string, grp int")
+    with pytest.raises(ValueError, match="duplicate id"):
+        upsert.update_columns(spark, root, "c", patch)
+
+
+def test_upsert_created_store_records_layout(spark, tmp_path):
+    """A store born from upsert() (no create_collection) must still write
+    the meta sidecar, so delete/update hash with the TRUE bucket count."""
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(f"id{i}", f"d{i}") for i in range(32)], "id string, document string")
+    upsert.upsert(spark, root, "c", df, n_buckets=4)
+    meta = upsert.collection_meta(root, "c")
+    assert meta is not None and meta["n_buckets"] == 4
+    removed = upsert.delete_points(spark, root, "c",
+                                   [f"id{i}" for i in range(32)])
+    assert removed == 32  # every id found in its true bucket
+
+
+def test_delete_refuses_metaless_store(spark, tmp_path):
+    """An externally-assembled directory with no layout record must be
+    rejected, not guessed at (wrong bucket count = silent misses)."""
+    import shutil
+
+    root = str(tmp_path / "store")
+    _mk(spark, root)
+    os.remove(os.path.join(upsert.collection_path(root, "c"),
+                           upsert.META_FILE))
+    with pytest.raises(ValueError, match="no .*sidecar|layout is unknown"):
+        upsert.delete_points(spark, root, "c", ["id0"])
+    shutil.rmtree(root)
