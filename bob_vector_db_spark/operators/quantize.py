@@ -151,11 +151,18 @@ def _sample_to_driver(corpus: DataFrame, vec_col: str, sample_cap: int,
 
 def _kmeans(X, k: int, iters: int, rng):
     """Seeded Lloyd iterations; empty clusters keep their previous centroid
-    (deterministic given the same sample)."""
+    (deterministic given the same sample).
+
+    Assignment uses the BLAS form ``argmin_c ‖c‖² − 2·X@Cᵀ`` (the ‖x‖² term
+    is constant per row, so the argmin is unchanged) — peak temporary is the
+    (n × k) gram matrix, NOT the (n × k × dim) difference tensor the naive
+    broadcast form materializes (~3.3 GB at n=100k, k=64, dim=64).  Same
+    form as :func:`pq_encode` / :func:`ivf_assign`.
+    """
     k = min(k, len(X))
     C = X[rng.choice(len(X), size=k, replace=False)].copy()
     for _ in range(iters):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
         assign = d2.argmin(axis=1)
         for c in range(k):
             mask = assign == c
@@ -165,7 +172,7 @@ def _kmeans(X, k: int, iters: int, rng):
 
 
 def pq_train(corpus: DataFrame, vec_col: str = "embedding", m: int = 8,
-             ksub: int = 64, iters: int = 10, sample_cap: int = 100_000,
+             ksub: int = 64, iters: int = 10, sample_cap: int = 250_000,
              seed: int = 42):
     """Train m per-subspace codebooks of ksub centroids (numpy k-means,
     seeded — deterministic given the same sample).  Returns list of
@@ -295,20 +302,54 @@ def pq_search(queries: DataFrame, encoded: DataFrame, codebooks, k: int = 10,
 # search + exact rerank
 # ---------------------------------------------------------------------------
 
+# Above this many dimensions the unrolled when-chain (dim expressions) is
+# replaced by a per-word aggregate fold: the chain is whole-stage-codegen
+# friendly at embedding-sized dims, but at 768-4096 dims it generates
+# thousands of nested expressions and Catalyst falls back to interpreted
+# eval (or trips the codegen method-size limit).
+_PACK_UNROLL_MAX_DIM = 128
+
+
 def binary_pack_expr(vec_col, dim: int):
     """array<bigint> of ceil(dim/32) packed words; bit i of word w set iff
     ``vec[32w + i] > 0``.  32-bit words keep every partial sum positive, so
     the identical SUM(2^i)-style arithmetic is reproducible in any SQL
-    engine without unsigned/HUGEINT care."""
+    engine without unsigned/HUGEINT care.
+
+    Two physical forms with identical values: dims ≤ 128 unroll to a flat
+    when-chain (stays inside whole-stage codegen); wider dims fold each word
+    with ``aggregate(sequence(0, n-1))`` — O(dim/32) expressions instead of
+    O(dim), so a 4096-dim pack is 128 small folds, not 4096 nested adds.
+    """
+    if dim <= _PACK_UNROLL_MAX_DIM:
+        words = []
+        for w in range(0, dim, 32):
+            n = min(32, dim - w)
+            word = None
+            for i in range(n):
+                bit = F.when(F.element_at(vec_col, w + i + 1) > 0,
+                             F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+                word = bit if word is None else word + bit
+            words.append(word)
+        return F.array(*words)
+    weights = F.array(*[F.lit(1 << j).cast("long") for j in range(32)])
+
+    def word_fold(w: int):
+        # closure factory: pyspark counts every named lambda parameter, so a
+        # `_w=w` default would mis-declare a 3-arg merge function
+        def merge(acc, i):
+            return acc + F.when(
+                F.element_at(vec_col, F.lit(w + 1) + i) > 0,
+                F.element_at(weights, i + 1)
+            ).otherwise(F.lit(0).cast("long"))
+        return merge
+
     words = []
     for w in range(0, dim, 32):
         n = min(32, dim - w)
-        word = None
-        for i in range(n):
-            bit = F.when(F.element_at(vec_col, w + i + 1) > 0,
-                         F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-            word = bit if word is None else word + bit
-        words.append(word)
+        words.append(F.aggregate(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            F.lit(0).cast("long"), word_fold(w)))
     return F.array(*words)
 
 
@@ -332,11 +373,13 @@ def binary_knn_rerank(queries: DataFrame, corpus: DataFrame, k: int = 10,
     # dim must MATCH the data: packing beyond the real length would treat
     # the missing dimensions as sign-0 bits (element_at past the end is
     # NULL → otherwise(0)) and silently corrupt every Hamming distance
-    probe = corpus.select(F.size(F.col(corpus_vec)).alias("n")).first()
-    if probe is not None and probe["n"] != dim:
-        raise ValueError(
-            f"binary_knn_rerank: dim={dim} but corpus vectors have "
-            f"{probe['n']} dimensions")
+    for side, frame, col in (("corpus", corpus, corpus_vec),
+                             ("query", queries, query_vec)):
+        probe = frame.select(F.size(F.col(col)).alias("n")).first()
+        if probe is not None and probe["n"] != dim:
+            raise ValueError(
+                f"binary_knn_rerank: dim={dim} but {side} vectors have "
+                f"{probe['n']} dimensions")
     # phase 1 carries ONLY (id, packed bits) — the float corpus vectors do
     # not flow through the |Q|·|C| pair stream
     packed_c = corpus.select(
@@ -389,7 +432,7 @@ def binary_knn_rerank(queries: DataFrame, corpus: DataFrame, k: int = 10,
 
 def ivf_train(corpus: DataFrame, vec_col: str = "embedding",
               n_lists: int = 16, iters: int = 10,
-              sample_cap: int = 100_000, seed: int = 42):
+              sample_cap: int = 250_000, seed: int = 42):
     """(n_lists, dim) float64 coarse centroids via seeded k-means."""
     import numpy as np  # noqa: PLC0415
 

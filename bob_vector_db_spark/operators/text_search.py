@@ -49,10 +49,16 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
                            F.lit(0).alias("rank")).limit(0)
     n_docs, avgdl = stats["n"], float(stats["avgdl"])
 
+    # doc length rides the explode, so the pruned posting stream already
+    # carries it — the corpus-sized `lens` table is never joined back in
+    # (the only shuffle over corpus-scale data is this one groupBy, and its
+    # input is already pruned to the query's terms)
     posting = (
-        toks.select("id", F.explode("toks").alias("term"))
+        toks.select("id", F.size("toks").alias("len"),
+                    F.explode("toks").alias("term"))
         .filter(F.col("term").isin([t.lower() for t in terms]))
-        .groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("len").alias("len"))
     )
     df_t = posting.groupBy("term").agg(
         F.countDistinct("id").alias("df"))
@@ -60,7 +66,6 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
                 / (F.col("df") + 0.5))
     scored = (
         posting.join(F.broadcast(df_t), "term")
-        .join(lens, "id")
         .withColumn(
             "contrib",
             idf * (F.col("tf") * (k1 + 1))
@@ -88,6 +93,8 @@ def rrf_fuse(ranked: list[DataFrame], k: int = 10, k0: int = 60,
     nothing here scales with the corpus, only with k·n_lists.  Integer
     ranks in, so the fused score is bit-deterministic across engines.
     """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
     fused = None
     for i, df in enumerate(ranked):
         part = df.select(

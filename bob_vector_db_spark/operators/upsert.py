@@ -399,19 +399,28 @@ def compact_collection(spark: SparkSession, root: str, collection: str,
     Returns ``{"files_before": n, "files_after": m, "n_rows": r}``.  The
     rewrite reuses the staged swap, so readers never observe a half-compacted
     bucket.  At scale this is an embarrassingly parallel per-bucket rewrite:
-    ``repartition(n_buckets × files_per_bucket, id_bucket)`` hash-clusters
-    each bucket's rows into its own tasks, and the partitioned write emits
-    one file per (task, bucket) pair.
+    the repartition key is (id_bucket, salt) where salt spreads each
+    bucket's rows over ``files_per_bucket`` tasks, and the partitioned write
+    emits one file per (task, bucket) pair.  The salt hash is seeded with a
+    literal so it is NOT the bucket hash mod files_per_bucket — the raw
+    ``xxhash64(id)`` already determines id_bucket, and reusing it would
+    collapse every bucket back to one salt value.
     """
     path = collection_path(root, collection)
     if not _store_exists(path):
         return {"files_before": 0, "files_after": 0, "n_rows": 0}
+    id_col, _ = _resolve_layout(root, collection, None, None)
     table = spark.read.parquet(path)
     n_rows = table.count()
     touched = sorted(r[0] for r in table.select(BUCKET_COL).distinct().collect())
     files_before = _count_data_files(path)
+    part_cols = [F.col(BUCKET_COL)]
+    if files_per_bucket > 1 and id_col in table.columns:
+        part_cols.append(F.pmod(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit("compact_salt")),
+            F.lit(files_per_bucket)))
     compacted = table.repartition(
-        max(len(touched), 1) * files_per_bucket, F.col(BUCKET_COL))
+        max(len(touched), 1) * files_per_bucket, *part_cols)
     _stage_and_swap(compacted, path, touched)
     return {"files_before": files_before,
             "files_after": _count_data_files(path),

@@ -2751,6 +2751,14 @@ def q_t9_rate_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
             except Exception:
                 pass  # store not created yet / bucket mid-swap
             time.sleep(0.5)
+        # graceful drain: a poll can observe count >= target while the final
+        # batch's _stage_and_swap is still renaming OTHER buckets — stopping
+        # then could strand a bucket in its __old trash.  Wait for the
+        # in-flight trigger to finish first; every later trigger is an empty
+        # batch (rate values >= limit are filtered), so stopping mid-trigger
+        # after this is harmless.
+        while time.time() < deadline and q.status.get("isTriggerActive"):
+            time.sleep(0.2)
     finally:
         q.stop()
     q.awaitTermination(60)

@@ -160,3 +160,79 @@ def test_ivf_assign_covers_all_lists_deterministically(spark, sf_dir):
           quantize.ivf_assign(emb, cents).select("vec_id", "list_id").collect()}
     assert a1 == a2
     assert all(0 <= v < 8 for v in a1.values())
+
+
+# --- round 5: _kmeans BLAS form, wide-dim packing, dim validation ----------
+
+def _naive_kmeans(X, k, iters, rng):
+    """The pre-r5 difference-tensor Lloyd form — the semantic reference the
+    BLAS assignment must reproduce exactly."""
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                C[c] = X[mask].mean(axis=0)
+    return C
+
+
+def test_kmeans_blas_form_matches_naive_bitwise():
+    """argmin(‖c‖² − 2x·c) must pick the same clusters as argmin ‖x−c‖², so
+    the centroids (means of identical assignment sets) are bit-identical."""
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(500, 16))
+    C_blas = quantize._kmeans(X, 8, 10, np.random.default_rng(3))
+    C_ref = _naive_kmeans(X, 8, 10, np.random.default_rng(3))
+    assert np.array_equal(C_blas, C_ref)
+
+
+def _np_pack(v):
+    words = []
+    for w in range(0, len(v), 32):
+        word = 0
+        for i, x in enumerate(v[w:w + 32]):
+            if x > 0:
+                word |= 1 << i
+        words.append(word)
+    return words
+
+
+def test_binary_pack_wide_dim_matches_numpy(spark):
+    """768-dim packs through the aggregate-fold path (dim > unroll max) and
+    must equal the bit-level numpy reference."""
+    rng = np.random.default_rng(11)
+    vecs = [rng.normal(size=768).tolist() for _ in range(5)]
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<double>")
+    rows = df.select(
+        quantize.binary_pack_expr(F.col("v"), 768).alias("p")).collect()
+    for r, v in zip(rows, vecs):
+        assert list(r["p"]) == _np_pack(v)
+
+
+def test_binary_pack_fold_and_unrolled_forms_agree(spark):
+    """Same 64-dim vector through both physical forms → identical words
+    (the fold is forced by monkey-free direct use of the wide-dim branch on
+    a 160-dim vector whose tail exercises a partial word)."""
+    rng = np.random.default_rng(13)
+    v = rng.normal(size=160).tolist()
+    df = spark.createDataFrame([(v,)], "v array<double>")
+    got = df.select(
+        quantize.binary_pack_expr(F.col("v"), 160).alias("p")).first()["p"]
+    assert list(got) == _np_pack(v)
+
+
+def test_binary_rerank_rejects_dim_mismatch_both_sides(spark, sf_dir):
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_short = spark.createDataFrame(
+        [(0, [1.0] * 32)], "qid long, qvec array<double>")
+    with pytest.raises(ValueError, match="query vectors"):
+        quantize.binary_knn_rerank(q_short, emb, k=3, dim=64)
+    q_ok = emb.select(F.col("vec_id").alias("qid"),
+                      F.col("embedding").alias("qvec")).limit(1)
+    with pytest.raises(ValueError, match="corpus vectors"):
+        quantize.binary_knn_rerank(q_ok, emb, k=3, dim=32)

@@ -320,3 +320,21 @@ def test_delete_refuses_metaless_store(spark, tmp_path):
     with pytest.raises(ValueError, match="no .*sidecar|layout is unknown"):
         upsert.delete_points(spark, root, "c", ["id0"])
     shutil.rmtree(root)
+
+
+def test_compaction_files_per_bucket_spreads_files(spark, tmp_path):
+    """files_per_bucket > 1 must actually spread each bucket's rows over
+    that many files (salted repartition key), with identical readback."""
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(f"id{i}", i) for i in range(400)], "id string, v long")
+    upsert.create_collection(spark, root, "c", df=df, n_buckets=4)
+    before = {r["id"]: r["v"]
+              for r in upsert.read_collection(spark, root, "c").collect()}
+    stats = upsert.compact_collection(spark, root, "c", files_per_bucket=2)
+    # 4 buckets × 2 files; salting is hash-based so allow one collision short
+    assert stats["files_after"] > 4
+    assert stats["files_after"] <= 8
+    after = {r["id"]: r["v"]
+             for r in upsert.read_collection(spark, root, "c").collect()}
+    assert after == before

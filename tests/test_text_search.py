@@ -159,3 +159,24 @@ def test_bm25_empty_corpus_returns_empty(spark):
     out = bm25_topk(df, ["anything"], k=5)
     assert out.count() == 0
     assert set(out.columns) == {"id", "score", "rank"}
+
+
+def test_rrf_fuse_empty_list_raises(spark):
+    import pytest
+
+    from bob_vector_db_spark.operators.text_search import rrf_fuse
+    with pytest.raises(ValueError, match="at least one ranked list"):
+        rrf_fuse([])
+
+
+def test_bm25_plan_has_no_corpus_side_merge_join(spark):
+    """Doc length rides the token explode, so the scored stream must never
+    shuffle-join back to a corpus-sized table: the only join in the plan is
+    the broadcast of the per-term df aggregate."""
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 5} filler text {i}") for i in range(200)],
+        "doc_id long, text string")
+    plan = bm25_topk(docs, ["term1", "term2"], k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
