@@ -27,7 +27,10 @@ collection moves one bucket, not the table.  Bucket swap-in is a pair of
 directory renames (old→trash, staged→live), each atomic on POSIX but not
 atomic as a pair: a reader racing the swap can observe a bucket briefly
 absent, and a crash between the renames leaves the bucket in its ``__old``
-trash — recoverable by re-running the same batch (the merge is idempotent).
+trash — :func:`recover_collection` restores it, and re-running the same
+batch converges (the merge is idempotent).  Every mutation bumps a
+``version`` counter in the meta sidecar so persisted index artifacts can
+detect staleness (see :mod:`.index`).
 Half-written files are never visible in a live bucket.  With Delta available
 this whole module becomes ``MERGE INTO``.
 """
@@ -94,9 +97,9 @@ def create_collection(spark: SparkSession, root: str, collection: str,
         "id_col": id_col,
         "n_buckets": n_buckets,
         "vectors": vector_config or {},
+        "version": 0,
     }
-    with open(os.path.join(path, META_FILE), "w") as fh:
-        json.dump(meta, fh, indent=2, sort_keys=True)
+    _write_meta(path, meta)
     return True
 
 
@@ -107,6 +110,34 @@ def collection_meta(root: str, collection: str) -> dict | None:
         return None
     with open(p) as fh:
         return json.load(fh)
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    with open(os.path.join(path, META_FILE), "w") as fh:
+        json.dump(meta, fh, indent=2, sort_keys=True)
+
+
+def collection_version(root: str, collection: str) -> int:
+    """Monotonic data version: bumped by every mutation (upsert / delete /
+    update_columns), NOT by compaction (content-identical rewrite).  Index
+    artifacts record the version they were built at, so a search can tell a
+    fresh index from a stale one (see :mod:`.index`)."""
+    meta = collection_meta(root, collection) or {}
+    return int(meta.get("version", 0))
+
+
+def _bump_version(root: str, collection: str) -> int:
+    """Record a data mutation in the meta sidecar; returns the new version.
+    A store born straight from upsert() (no create_collection) may have had
+    its meta written just before this call, so the read-modify-write is on
+    whatever is persisted."""
+    path = collection_path(root, collection)
+    meta = collection_meta(root, collection)
+    if meta is None:
+        return 0  # metaless external store — nothing to record
+    meta["version"] = int(meta.get("version", 0)) + 1
+    _write_meta(path, meta)
+    return meta["version"]
 
 
 def read_collection(spark: SparkSession, root: str, collection: str) -> DataFrame:
@@ -199,10 +230,11 @@ def upsert(spark: SparkSession, root: str, collection: str,
             "id_col": id_col,
             "n_buckets": n_buckets,
             "vectors": {},
+            "version": 0,
         }
+        meta["version"] = int(meta.get("version", 0)) + 1
         merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
-        with open(os.path.join(path, META_FILE), "w") as fh:
-            json.dump(meta, fh, indent=2, sort_keys=True)
+        _write_meta(path, meta)
         return read_collection(spark, root, collection)
 
     # Bucket ids are bounded by n_buckets, so this collect is O(n_buckets)
@@ -225,6 +257,7 @@ def upsert(spark: SparkSession, root: str, collection: str,
         )
 
     _stage_and_swap(merged, path, touched)
+    _bump_version(root, collection)
     return read_collection(spark, root, collection)
 
 
@@ -298,6 +331,7 @@ def delete_points(spark: SparkSession, root: str, collection: str,
     )
     removed = (existing.count() - keep.count()) if count_removed else -1
     _stage_and_swap(keep, path, touched, drop_empty=True)
+    _bump_version(root, collection)
     return removed
 
 
@@ -329,6 +363,7 @@ def delete_by_filter(spark: SparkSession, root: str, collection: str,
     keep = existing.filter(~F.coalesce(pred, F.lit(False)))
     removed = (existing.count() - keep.count()) if count_removed else -1
     _stage_and_swap(keep, path, touched, drop_empty=True)
+    _bump_version(root, collection)
     return removed
 
 
@@ -384,6 +419,7 @@ def update_columns(spark: SparkSession, root: str, collection: str,
         else:
             out_cols.append(F.col(c))
     _stage_and_swap(joined.select(*out_cols), path, touched)
+    _bump_version(root, collection)
 
 
 # ---------------------------------------------------------------------------
@@ -448,7 +484,9 @@ def list_collections(root: str) -> list[dict]:
     if not os.path.isdir(root):
         return out
     for entry in sorted(os.listdir(root)):
-        if not entry.startswith("collection="):
+        # a crashed swap can leave a collection's __staging sibling behind;
+        # it is scratch space, not a collection (recover_collection removes it)
+        if not entry.startswith("collection=") or entry.endswith("__staging"):
             continue
         name = entry.split("=", 1)[1]
         meta = collection_meta(root, name)
@@ -466,3 +504,30 @@ def drop_collection(root: str, collection: str) -> bool:
         return False
     shutil.rmtree(path)
     return True
+
+
+def recover_collection(root: str, collection: str) -> list[int]:
+    """Repair a store left mid-swap by a crash (or a hard stream stop):
+    a bucket whose live directory is MISSING but whose ``__old`` trash
+    survives is restored from the trash (its pre-batch content — re-running
+    the interrupted batch then converges, the merge being idempotent); a
+    trash dir shadowing a LIVE bucket is a completed swap's leftover and is
+    deleted, as is any orphaned ``__staging`` tree.  Returns the bucket ids
+    restored from trash.  Safe to run any time; a clean store is a no-op.
+    """
+    path = collection_path(root, collection)
+    if not os.path.isdir(path):
+        return []
+    restored: list[int] = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.endswith("__old"):
+            continue
+        live = os.path.join(path, entry[: -len("__old")])
+        trash = os.path.join(path, entry)
+        if os.path.isdir(live):
+            shutil.rmtree(trash, ignore_errors=True)
+        else:
+            os.rename(trash, live)
+            restored.append(int(entry[: -len("__old")].split("=", 1)[1]))
+    shutil.rmtree(path + "__staging", ignore_errors=True)
+    return restored

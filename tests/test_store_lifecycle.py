@@ -338,3 +338,60 @@ def test_compaction_files_per_bucket_spreads_files(spark, tmp_path):
     after = {r["id"]: r["v"]
              for r in upsert.read_collection(spark, root, "c").collect()}
     assert after == before
+
+
+def test_collection_version_bumps_on_mutations_not_compaction(spark, tmp_path):
+    """Every data mutation bumps the meta version; compaction (identical
+    content) does not — the staleness signal persisted indexes key on."""
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(f"id{i}", i) for i in range(40)], "id string, v long")
+    upsert.create_collection(spark, root, "c", df=df, n_buckets=4)
+    assert upsert.collection_version(root, "c") == 0
+    upsert.upsert(spark, root, "c", spark.createDataFrame(
+        [("id1", 99)], "id string, v long"))
+    assert upsert.collection_version(root, "c") == 1
+    upsert.delete_points(spark, root, "c", ["id2"])
+    assert upsert.collection_version(root, "c") == 2
+    upsert.update_columns(spark, root, "c", spark.createDataFrame(
+        [("id3", -1)], "id string, v long"))
+    assert upsert.collection_version(root, "c") == 3
+    upsert.delete_by_filter(spark, root, "c", "v = 5")
+    assert upsert.collection_version(root, "c") == 4
+    upsert.compact_collection(spark, root, "c")
+    assert upsert.collection_version(root, "c") == 4
+
+
+def test_recover_collection_restores_stranded_buckets(spark, tmp_path):
+    """A crash between the two swap renames leaves a bucket only in its
+    __old trash; recover_collection restores it, removes completed-swap
+    leftovers, and clears orphaned staging dirs."""
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(f"id{i}", i) for i in range(80)], "id string, v long")
+    upsert.create_collection(spark, root, "c", df=df, n_buckets=4)
+    before = {r["id"]: r["v"]
+              for r in upsert.read_collection(spark, root, "c").collect()}
+    path = upsert.collection_path(root, "c")
+    buckets = sorted(d for d in os.listdir(path)
+                     if d.startswith(upsert.BUCKET_COL + "="))
+    # crash shape 1: bucket renamed to __old, staged copy never swapped in
+    os.rename(os.path.join(path, buckets[0]),
+              os.path.join(path, buckets[0] + "__old"))
+    # crash shape 2: swap completed but trash cleanup didn't run
+    import shutil
+    shutil.copytree(os.path.join(path, buckets[1]),
+                    os.path.join(path, buckets[1] + "__old"))
+    # crash shape 3: orphaned staging tree
+    os.makedirs(path + "__staging/junk")
+    assert "c__staging" not in [m["collection"]
+                                for m in upsert.list_collections(root)]
+    restored = upsert.recover_collection(root, "c")
+    assert restored == [int(buckets[0].split("=")[1])]
+    assert not os.path.exists(os.path.join(path, buckets[0] + "__old"))
+    assert not os.path.exists(os.path.join(path, buckets[1] + "__old"))
+    assert not os.path.exists(path + "__staging")
+    after = {r["id"]: r["v"]
+             for r in upsert.read_collection(spark, root, "c").collect()}
+    assert after == before
+    assert upsert.recover_collection(root, "c") == []  # clean store: no-op
