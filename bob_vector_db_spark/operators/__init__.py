@@ -3,14 +3,18 @@ from . import (
     centroid,
     dedup,
     embed,
+    index,
     knn,
     multimodal,
     normalize,
+    quantize,
     sampling,
     skew,
+    text_search,
     topk,
     upsert,
 )
 
-__all__ = ["asof", "centroid", "dedup", "embed", "knn", "multimodal",
-           "normalize", "sampling", "skew", "topk", "upsert"]
+__all__ = ["asof", "centroid", "dedup", "embed", "index", "knn",
+           "multimodal", "normalize", "quantize", "sampling", "skew",
+           "text_search", "topk", "upsert"]

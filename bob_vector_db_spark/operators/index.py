@@ -1,0 +1,335 @@
+"""Persisted ANN index artifacts inside the collection store.
+
+The reference's store indexes at UPSERT time, not query time — Qdrant
+builds/updates its vector index the moment ``upload_points`` lands
+(qdrant_embedder.py:95-103 configures the collection the index hangs off);
+queries then probe a stored structure.  This module is the Spark-native
+equivalent of that half of the system: :func:`build_vector_index` turns a
+stored collection's vector column into a partition-pruned, probeable layout
+ONCE, and :func:`search_indexed` (or ``knn.search_collection`` with
+``use_index``) probes it with static partition filters instead of
+re-training per query.
+
+Layout, all inside ``collection=<name>/`` under a ``_``-prefixed directory
+that Spark/Hadoop readers skip when scanning the collection itself:
+
+    _index/<vector_name>/meta.json       kind, params, built_version, metric
+    _index/<vector_name>/centroids/      parquet (list_id, centroid)  [ivf*]
+    _index/<vector_name>/codebooks/      parquet (subspace, code, centroid) [*pq]
+    _index/<vector_name>/data/           the searchable artifact:
+        kind=ivf     (id, vec)       partitioned by list_id
+        kind=pq      (id, pq_codes)  unpartitioned (codes-only full scan)
+        kind=ivf_pq  (id, pq_codes)  partitioned by list_id
+
+Scale design: the build is ONE full pass over the stored vectors (train on
+a capped driver sample, assign/encode distributed via Arrow-batched BLAS,
+one ``repartition(list_id)`` shuffle to cluster the inverted lists); a
+search reads ONLY the probed lists — the probe ids are computed driver-side
+from the O(n_lists × dim) centroids and folded into the scan as a STATIC
+``list_id IN (...)`` filter, which Catalyst turns into partition pruning on
+the hive layout (asserted in tests/test_plans.py).  Centroids and codebooks
+persist as parquet rather than JSON in the meta sidecar: at 4096 lists ×
+4096 dims they are 100+ MB of floats — table data, not config.
+
+Staleness: the build records the collection's data version
+(operators.upsert.collection_version, bumped by every mutation); a search
+through ``search_collection(use_index="auto")`` silently IGNORES a stale
+index and falls back to the exact scan, so post-mutation results are never
+served from a pre-mutation index.  Rebuild with :func:`build_vector_index`
+to re-freshen.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import vector
+from . import quantize
+from .knn import resolve_metric
+from .upsert import (
+    collection_meta,
+    collection_path,
+    collection_version,
+    read_collection,
+)
+
+INDEX_DIR = "_index"
+INDEX_META_FILE = "meta.json"
+VALID_KINDS = ("ivf", "pq", "ivf_pq")
+
+
+def index_path(root: str, collection: str, vector_name: str) -> str:
+    return os.path.join(collection_path(root, collection), INDEX_DIR, vector_name)
+
+
+def vector_index_meta(root: str, collection: str,
+                      vector_name: str) -> dict | None:
+    """The persisted index descriptor; None when no index exists."""
+    p = os.path.join(index_path(root, collection, vector_name), INDEX_META_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def index_is_fresh(root: str, collection: str, vector_name: str) -> bool:
+    """True iff an index exists AND no mutation landed since it was built."""
+    imeta = vector_index_meta(root, collection, vector_name)
+    if imeta is None:
+        return False
+    return int(imeta["built_version"]) == collection_version(root, collection)
+
+
+def drop_vector_index(root: str, collection: str, vector_name: str) -> bool:
+    path = index_path(root, collection, vector_name)
+    if not os.path.isdir(path):
+        return False
+    shutil.rmtree(path)
+    return True
+
+
+def _resolve_vector_name(meta: dict, collection: str,
+                         vector_name: str | None) -> str:
+    vectors = meta.get("vectors", {})
+    if vector_name is not None:
+        return vector_name
+    if len(vectors) != 1:
+        raise ValueError(
+            f"collection {collection!r} declares {sorted(vectors)} vector "
+            f"spaces; pass vector_name to pick one")
+    return next(iter(vectors))
+
+
+def build_vector_index(spark: SparkSession, root: str, collection: str,
+                       vector_name: str | None = None, kind: str = "ivf",
+                       n_lists: int = 16, m: int = 8, ksub: int = 64,
+                       iters: int = 10, sample_cap: int = 250_000,
+                       seed: int = 42,
+                       files_per_list: int = 1) -> dict:
+    """Train + persist the index for one vector space; returns its meta.
+
+    A rebuild replaces the previous index atomically (staged directory +
+    rename), so a concurrent reader sees either the old artifact or the new
+    one, never a half-written tree.  ``built_version`` snapshots the
+    collection's data version BEFORE the corpus read — if a mutation races
+    the build, the index comes out already-stale (detected) rather than
+    silently half-fresh.
+    """
+    if kind not in VALID_KINDS:
+        raise ValueError(f"kind {kind!r} not one of {VALID_KINDS}")
+    meta = collection_meta(root, collection)
+    if meta is None:
+        raise ValueError(
+            f"collection {collection!r} has no meta sidecar; create it via "
+            f"create_collection/upsert before indexing")
+    vector_name = _resolve_vector_name(meta, collection, vector_name)
+    metric = resolve_metric(
+        meta.get("vectors", {}).get(vector_name, {}).get("distance", "cosine"))
+    id_col = meta.get("id_col", "id")
+    built_version = collection_version(root, collection)
+
+    corpus = read_collection(spark, root, collection).select(id_col, vector_name)
+    ipath = index_path(root, collection, vector_name)
+    staging = ipath + "__staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+
+    imeta = {
+        "vector_name": vector_name,
+        "kind": kind,
+        "metric": metric,
+        "id_col": id_col,
+        "built_version": built_version,
+    }
+    data = corpus
+    if kind in ("ivf", "ivf_pq"):
+        cents = quantize.ivf_train(
+            corpus, vec_col=vector_name, n_lists=n_lists, iters=iters,
+            sample_cap=sample_cap, seed=seed)
+        data = quantize.ivf_assign(data, cents, vec_col=vector_name)
+        n_lists = len(cents)  # k-means may return fewer than requested
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "list_id int, centroid array<double>",
+        ).coalesce(1).write.parquet(os.path.join(staging, "centroids"))
+        imeta["n_lists"] = n_lists
+    if kind in ("pq", "ivf_pq"):
+        books = quantize.pq_train(
+            corpus, vec_col=vector_name, m=m, ksub=ksub, iters=iters,
+            sample_cap=sample_cap, seed=seed)
+        data = quantize.pq_encode(data, books, vec_col=vector_name)
+        rows = [
+            (j, c, [float(x) for x in books[j][c]])
+            for j in range(len(books)) for c in range(len(books[j]))
+        ]
+        spark.createDataFrame(
+            rows, "subspace int, code int, centroid array<double>",
+        ).coalesce(1).write.parquet(os.path.join(staging, "codebooks"))
+        imeta["m"] = len(books)
+        imeta["ksub"] = int(books[0].shape[0])
+
+    data_dir = os.path.join(staging, "data")
+    if kind == "ivf":
+        # the artifact IS a list-clustered copy of (id, vector): the probe
+        # reads only its lists' files and never touches the main buckets
+        (data.select(id_col, vector_name, "list_id")
+         .repartition(n_lists * files_per_list, F.col("list_id"))
+         .write.partitionBy("list_id").parquet(data_dir))
+    elif kind == "pq":
+        data.select(id_col, "pq_codes").write.parquet(data_dir)
+    else:  # ivf_pq: codes only, clustered by list — the memory-bounded path
+        (data.select(id_col, "pq_codes", "list_id")
+         .repartition(n_lists * files_per_list, F.col("list_id"))
+         .write.partitionBy("list_id").parquet(data_dir))
+
+    with open(os.path.join(staging, INDEX_META_FILE), "w") as fh:
+        json.dump(imeta, fh, indent=2, sort_keys=True)
+    old = ipath + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(ipath):
+        os.rename(ipath, old)
+    os.rename(staging, ipath)
+    shutil.rmtree(old, ignore_errors=True)
+    return imeta
+
+
+def _load_centroids(spark: SparkSession, ipath: str):
+    import numpy as np  # noqa: PLC0415
+
+    rows = (spark.read.parquet(os.path.join(ipath, "centroids"))
+            .orderBy("list_id").collect())
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def _load_codebooks(spark: SparkSession, ipath: str):
+    import numpy as np  # noqa: PLC0415
+
+    rows = (spark.read.parquet(os.path.join(ipath, "codebooks"))
+            .orderBy("subspace", "code").collect())
+    m = max(r["subspace"] for r in rows) + 1
+    return [
+        np.array([r["centroid"] for r in rows if r["subspace"] == j],
+                 dtype=np.float64)
+        for j in range(m)
+    ]
+
+
+def _probed_list_filter(queries: DataFrame, query_vec: str, centroids,
+                        n_probe: int, max_queries: int) -> list[int]:
+    """Driver-side union of every query's probe lists — the STATIC prune
+    set.  Bounded by the kNN small-query-side contract (loud failure past
+    ``max_queries``, like knn_join_vectorized); uses the same arithmetic as
+    the probe UDF so the static set always covers the dynamic join."""
+    vecs = [r[0] for r in
+            queries.select(query_vec).limit(max_queries + 1).collect()]
+    if len(vecs) > max_queries:
+        raise ValueError(
+            f"search_indexed computes probe lists driver-side; got "
+            f">{max_queries} queries — raise max_queries or batch the input")
+    if not vecs:
+        return []
+    ids = quantize.probe_list_ids(vecs, centroids, n_probe)
+    return sorted({int(x) for row in ids for x in row})
+
+
+def search_indexed(spark: SparkSession, root: str, collection: str,
+                   queries: DataFrame, k: int = 10,
+                   vector_name: str | None = None, n_probe: int = 4,
+                   query_id: str = "qid", query_vec: str = "qvec",
+                   exclude_self: bool = False, round_to: int | None = 6,
+                   rerank_factor: int = 5,
+                   max_queries: int = 100_000,
+                   allow_stale: bool = False) -> DataFrame:
+    """Top-k over the PERSISTED index; (qid, vec_id, sim, rank) in the
+    declared metric for every kind (cosine/dot descending, euclid
+    ascending — the ``search_collection`` contract).
+
+    kind=ivf     exact metric scoring inside the probed lists only.
+    kind=pq      ADC candidate scan over stored codes (euclidean LUT), then
+                 exact metric rescore of rerank_factor × k candidates
+                 fetched from the collection by broadcast join.
+    kind=ivf_pq  probed-list ADC + the same exact rescore — the classic
+                 IVF-PQ "refine" (Jégou et al. 2011), fully stored.
+
+    The probed lists arrive at the scan as a static ``list_id IN (...)``
+    filter → real partition pruning; a stale index raises unless
+    ``allow_stale`` (use ``search_collection(use_index='auto')`` for the
+    silent exact-scan fallback instead).
+    """
+    meta = collection_meta(root, collection) or {}
+    vector_name = _resolve_vector_name(meta, collection, vector_name)
+    imeta = vector_index_meta(root, collection, vector_name)
+    if imeta is None:
+        raise ValueError(
+            f"no persisted index for {collection!r}/{vector_name!r}; "
+            f"run build_vector_index first")
+    if not allow_stale and not index_is_fresh(root, collection, vector_name):
+        raise ValueError(
+            f"index for {collection!r}/{vector_name!r} was built at data "
+            f"version {imeta['built_version']} but the collection is at "
+            f"{collection_version(root, collection)}; rebuild it or search "
+            f"with use_index='auto' to fall back to the exact scan")
+    kind, metric, id_col = imeta["kind"], imeta["metric"], imeta["id_col"]
+    ipath = index_path(root, collection, vector_name)
+    data = spark.read.parquet(os.path.join(ipath, "data"))
+
+    if kind == "ivf":
+        cents = _load_centroids(spark, ipath)
+        probed = _probed_list_filter(
+            queries, query_vec, cents, n_probe, max_queries)
+        pruned = data.filter(F.col("list_id").isin(probed))
+        return quantize.ivf_knn(
+            queries, pruned, cents, k=k, n_probe=n_probe,
+            query_id=query_id, query_vec=query_vec, corpus_id=id_col,
+            corpus_vec=vector_name, exclude_self=exclude_self,
+            round_to=round_to, metric=metric)
+
+    # pq kinds: ADC candidates (euclidean code-space) + exact metric rescore
+    books = _load_codebooks(spark, ipath)
+    make_lut = quantize.make_lut_udf(books)
+    if kind == "ivf_pq":
+        cents = _load_centroids(spark, ipath)
+        probed = _probed_list_filter(
+            queries, query_vec, cents, n_probe, max_queries)
+        data = data.filter(F.col("list_id").isin(probed))
+        probe = quantize.probe_lists_udf(cents, n_probe)
+        q = queries.select(
+            F.col(query_id).alias("qid"),
+            make_lut(F.col(query_vec)).alias("_lut"),
+            F.explode(probe(F.col(query_vec))).alias("list_id"))
+        pairs = data.join(F.broadcast(q), "list_id")
+    else:  # pq: full codes scan (no list layout)
+        q = queries.select(F.col(query_id).alias("qid"),
+                           make_lut(F.col(query_vec)).alias("_lut"))
+        pairs = data.join(F.broadcast(q), how="cross")
+    if exclude_self:
+        pairs = pairs.filter(F.col("qid") != F.col(id_col))
+    dist = quantize.adc_dist_expr(F.col("_lut"), F.col("pq_codes"), len(books))
+    cands = quantize._rank_topk(
+        pairs.select("qid", F.col(id_col).alias("vec_id"),
+                     dist.alias("dist")),
+        rerank_factor * k, ascending=True, score_col="dist",
+    ).select("qid", "vec_id")
+
+    # exact rescore: fetch ONLY the candidates' float vectors from the
+    # stored collection (broadcast candidate set probes the buckets)
+    q_exact = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"),
+        vector.l2_norm(F.col(query_vec)).alias("_qn"))
+    fetched = (
+        read_collection(spark, root, collection)
+        .select(F.col(id_col).alias("vec_id"), F.col(vector_name).alias("_cvec"))
+        .join(F.broadcast(cands), "vec_id")
+        .join(F.broadcast(q_exact), "qid")
+    )
+    sim, ascending = quantize.metric_score_expr(
+        F.col("qvec"), F.col("_cvec"), F.col("_qn"), metric)
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    rescored = fetched.select("qid", "vec_id", sim.alias("sim"))
+    return quantize._rank_topk(rescored, k, ascending=ascending)

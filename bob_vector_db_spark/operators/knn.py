@@ -116,6 +116,8 @@ def search_collection(
     corpus_id: str = "id",
     metric: str | None = None,
     exclude_self: bool = False,
+    use_index: str | bool = "auto",
+    n_probe: int = 4,
 ) -> DataFrame:
     """Search a stored collection with the metric its meta DECLARES.
 
@@ -125,7 +127,29 @@ def search_collection(
     a collection created with ``{"distance": "dot"}`` is searched by dot
     product without the caller restating it.  ``metric`` overrides only when
     passed explicitly.
+
+    ``use_index`` dispatches to a PERSISTED index (operators.index) when one
+    exists — the Qdrant model, where searches probe the structure built at
+    upsert time rather than scanning:
+
+      "auto"   probe the stored index iff present AND fresh (its
+               built_version matches the collection's data version) AND no
+               explicit ``metric`` override conflicts with it; otherwise
+               silently fall back to the exact scan — a mutation can
+               therefore never be masked by a stale index.
+      "always" require the index: raise when absent or stale (tests /
+               latency-guaranteed paths).
+      False    exact scan regardless.
+
+    Index searches return the same (qid, vec_id, sim, rank) contract for
+    every index kind; with ``n_probe >= n_lists`` the ivf probe degenerates
+    to the exact result.
     """
+    from .index import (  # noqa: PLC0415
+        index_is_fresh,
+        search_indexed,
+        vector_index_meta,
+    )
     from .upsert import collection_meta, read_collection  # noqa: PLC0415
 
     meta = collection_meta(root, collection) or {}
@@ -136,8 +160,33 @@ def search_collection(
                 f"collection {collection!r} declares {sorted(vectors)} vector "
                 f"spaces; pass vector_name to pick one")
         vector_name = next(iter(vectors))
+    declared = vectors.get(vector_name, {}).get("distance", "cosine")
+    if use_index in ("auto", "always"):
+        imeta = vector_index_meta(root, collection, vector_name)
+        fresh = index_is_fresh(root, collection, vector_name)
+        metric_ok = metric is None or (
+            imeta is not None
+            and resolve_metric(metric) == imeta.get("metric"))
+        if use_index == "always":
+            if imeta is None or not fresh or not metric_ok:
+                raise ValueError(
+                    f"use_index='always' but the index for {collection!r}/"
+                    f"{vector_name!r} is "
+                    + ("absent" if imeta is None
+                       else "stale" if not fresh
+                       else f"built for metric {imeta['metric']!r}")
+                    + "; build_vector_index or search with use_index='auto'")
+            usable = True
+        else:
+            usable = imeta is not None and fresh and metric_ok
+        if usable:
+            return search_indexed(
+                spark, root, collection, queries, k=k,
+                vector_name=vector_name, n_probe=n_probe,
+                query_id=query_id, query_vec=query_vec,
+                exclude_self=exclude_self)
     if metric is None:
-        metric = vectors.get(vector_name, {}).get("distance", "cosine")
+        metric = declared
     corpus = read_collection(spark, root, collection)
     return knn_join(
         queries, corpus, k=k, query_id=query_id, query_vec=query_vec,

@@ -222,26 +222,11 @@ def pq_encode(df: DataFrame, codebooks, vec_col: str = "embedding",
     return df.withColumn(out_col, enc(F.col(vec_col)))
 
 
-def pq_search(queries: DataFrame, encoded: DataFrame, codebooks, k: int = 10,
-              query_id: str = "qid", query_vec: str = "qvec",
-              corpus_id: str = "vec_id", codes_col: str = "pq_codes",
-              exclude_self: bool = True,
-              round_to: int | None = 6,
-              rerank_corpus: DataFrame | None = None,
-              corpus_vec: str = "embedding",
-              rerank_factor: int = 5) -> DataFrame:
-    """ADC top-k: per query, an (m × ksub) look-up table of subspace
-    distances is computed ONCE (tiny, query-side pandas UDF); every corpus
-    row's approximate distance is then ``Σ_j lut[j][code_j]`` — m array
-    look-ups per row, pure JVM codegen over the broadcast query row.  The
-    float corpus vectors never load; the scan reads m int codes per point.
-    Returns (qid, vec_id, dist, rank), ascending distance.
-
-    With ``rerank_corpus`` (the IVF-PQ "refine" stage): ADC keeps
-    ``rerank_factor × k`` candidates, whose float vectors are fetched by a
-    broadcast hash join and reranked by exact euclidean — float reads drop
-    from |Q|·|C| to |Q|·rerank_factor·k, like :func:`binary_knn_rerank`.
-    """
+def make_lut_udf(codebooks):
+    """Pandas UDF: query vector → (m × ksub) nested list of subspace squared
+    distances — the per-query ADC look-up table.  Tiny (runs over the
+    broadcast-sized query side only); shared by :func:`pq_search` and the
+    persisted-index probe (:mod:`.index`)."""
     import numpy as np  # noqa: PLC0415
 
     m = len(codebooks)
@@ -262,18 +247,50 @@ def pq_search(queries: DataFrame, encoded: DataFrame, codebooks, k: int = 10,
                 out.append(lut)
             yield pd.Series(out)
 
+    return make_lut
+
+
+def adc_dist_expr(lut_col, codes_col, m: int):
+    """ADC distance ``Σ_j lut[j][code_j]`` as m chained element_at look-ups —
+    pure JVM codegen over the per-query LUT column."""
+    dist = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at(lut_col, j + 1),
+            F.element_at(codes_col, j + 1) + F.lit(1))
+        dist = term if dist is None else dist + term
+    return dist
+
+
+def pq_search(queries: DataFrame, encoded: DataFrame, codebooks, k: int = 10,
+              query_id: str = "qid", query_vec: str = "qvec",
+              corpus_id: str = "vec_id", codes_col: str = "pq_codes",
+              exclude_self: bool = True,
+              round_to: int | None = 6,
+              rerank_corpus: DataFrame | None = None,
+              corpus_vec: str = "embedding",
+              rerank_factor: int = 5) -> DataFrame:
+    """ADC top-k: per query, an (m × ksub) look-up table of subspace
+    distances is computed ONCE (tiny, query-side pandas UDF); every corpus
+    row's approximate distance is then ``Σ_j lut[j][code_j]`` — m array
+    look-ups per row, pure JVM codegen over the broadcast query row.  The
+    float corpus vectors never load; the scan reads m int codes per point.
+    Returns (qid, vec_id, dist, rank), ascending distance.
+
+    With ``rerank_corpus`` (the IVF-PQ "refine" stage): ADC keeps
+    ``rerank_factor × k`` candidates, whose float vectors are fetched by a
+    broadcast hash join and reranked by exact euclidean — float reads drop
+    from |Q|·|C| to |Q|·rerank_factor·k, like :func:`binary_knn_rerank`.
+    """
+    m = len(codebooks)
+    make_lut = make_lut_udf(codebooks)
     q = queries.select(F.col(query_id).alias("qid"),
                        make_lut(F.col(query_vec)).alias("_lut"))
     pairs = encoded.select(corpus_id, codes_col).join(
         F.broadcast(q), how="cross")
     if exclude_self:
         pairs = pairs.filter(F.col("qid") != F.col(corpus_id))
-    dist = None
-    for j in range(m):
-        term = F.element_at(
-            F.element_at(F.col("_lut"), j + 1),
-            F.element_at(F.col(codes_col), j + 1) + F.lit(1))
-        dist = term if dist is None else dist + term
+    dist = adc_dist_expr(F.col("_lut"), F.col(codes_col), m)
     n_keep = k if rerank_corpus is None else rerank_factor * k
     if round_to is not None and rerank_corpus is None:
         dist = F.round(dist, round_to)
@@ -462,45 +479,77 @@ def ivf_assign(df: DataFrame, centroids, vec_col: str = "embedding",
     return df.withColumn(out_col, assign(F.col(vec_col)))
 
 
+def probe_list_ids(V, centroids, n_probe: int):
+    """Stable nearest-centroid probe assignment: (n, n_probe) int32 list
+    ids per query row.  Shared by the :func:`ivf_knn` query-side UDF and
+    the persisted index's DRIVER-side partition pruner
+    (:mod:`.index`) — identical arithmetic on both sides, so the static
+    prune list can never exclude a list the probe join expects."""
+    import numpy as np  # noqa: PLC0415
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    V = np.asarray(V, dtype=np.float64)
+    d2 = c2[None, :] - 2.0 * (V @ C.T)
+    n_probe = min(n_probe, len(C))
+    return np.argsort(d2, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
+
+
+def probe_lists_udf(centroids, n_probe: int):
+    """Pandas UDF wrapping :func:`probe_list_ids` (array<int> per query)."""
+    import numpy as np  # noqa: PLC0415
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_lists(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            V = np.stack(s.to_numpy())
+            yield pd.Series(list(probe_list_ids(V, C, n_probe)))
+
+    return probe_lists
+
+
+def metric_score_expr(qvec_col, cvec_col, qnorm_col, metric: str):
+    """(score Column, ascending) for cosine | dot | euclid — the same
+    expressions as :func:`knn.knn_join`, factored for the IVF paths."""
+    if metric == "cosine":
+        denom = qnorm_col * vector.l2_norm(cvec_col)
+        return F.when(denom != 0.0, vector.dot(qvec_col, cvec_col) / denom), False
+    if metric == "dot":
+        return vector.dot(qvec_col, cvec_col), False
+    if metric == "euclid":
+        return vector.l2_distance(qvec_col, cvec_col), True
+    raise ValueError(f"unknown metric {metric!r}")
+
+
 def ivf_knn(queries: DataFrame, assigned: DataFrame, centroids,
             k: int = 10, n_probe: int = 4,
             query_id: str = "qid", query_vec: str = "qvec",
             corpus_id: str = "vec_id", corpus_vec: str = "embedding",
             list_col: str = "list_id", exclude_self: bool = True,
-            round_to: int | None = 6) -> DataFrame:
-    """Probe the ``n_probe`` nearest lists per query, exact cosine inside.
+            round_to: int | None = 6, metric: str = "cosine") -> DataFrame:
+    """Probe the ``n_probe`` nearest lists per query, exact ``metric``
+    scoring inside (cosine | dot rank descending, euclid ascending — the
+    :func:`knn.knn_join` contract).
 
     The probe explodes each query into its probe-list ids and EQUI-joins on
     ``list_id`` — with the corpus laid out by list, that join touches
     ~n_probe/n_lists of the data and nothing else.  Same top-k window as
     every kNN twin.
     """
-    import numpy as np  # noqa: PLC0415
-
-    C = np.asarray(centroids, dtype=np.float64)
-    c2 = (C * C).sum(axis=1)
-    n_probe = min(n_probe, len(C))
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def probe_lists(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for s in it:
-            V = np.stack(s.to_numpy()).astype(np.float64)
-            d2 = c2[None, :] - 2.0 * (V @ C.T)
-            idx = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
-            yield pd.Series(list(idx.astype(np.int32)))
-
+    probe = probe_lists_udf(centroids, n_probe)
     q = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"),
         vector.l2_norm(F.col(query_vec)).alias("_qn"),
-        F.explode(probe_lists(F.col(query_vec))).alias(list_col))
+        F.explode(probe(F.col(query_vec))).alias(list_col))
     pairs = assigned.join(F.broadcast(q), list_col)
     if exclude_self:
         pairs = pairs.filter(F.col("qid") != F.col(corpus_id))
-    denom = F.col("_qn") * vector.l2_norm(F.col(corpus_vec))
-    sim = F.when(denom != 0.0,
-                 vector.dot(F.col("qvec"), F.col(corpus_vec)) / denom)
+    sim, ascending = metric_score_expr(
+        F.col("qvec"), F.col(corpus_vec), F.col("_qn"), metric)
     if round_to is not None:
         sim = F.round(sim, round_to)
     scored = pairs.select("qid", F.col(corpus_id).alias("vec_id"),
                           sim.alias("sim"))
-    return _rank_topk(scored, k)
+    return _rank_topk(scored, k, ascending=ascending)

@@ -256,6 +256,17 @@ def upsert(spark: SparkSession, root: str, collection: str,
             id_col, version_col,
         )
 
+    # pin columns the store already has to their STORED types: the union
+    # widens (float ∪ double → double), and writing widened buckets next to
+    # untouched ones leaves mixed parquet physical types that break the
+    # vectorized reader on the next scan
+    stored_types = {f.name: f.dataType for f in existing.schema.fields}
+    merged = merged.select(*[
+        F.col(c).cast(stored_types[c]).alias(c) if c in stored_types
+        else F.col(c)
+        for c in merged.columns
+    ])
+
     _stage_and_swap(merged, path, touched)
     _bump_version(root, collection)
     return read_collection(spark, root, collection)

@@ -1,0 +1,183 @@
+"""Persisted vector index (operators/index.py): build/probe/staleness —
+the stored-artifact half of the ANN stack (the reference's Qdrant indexes
+at upsert time; search probes the stored structure)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bob_vector_db_spark.operators import index, knn, upsert
+from bob_vector_db_spark.plans.inspect import (
+    assert_partition_filters,
+    formatted_plan,
+)
+from bob_vector_db_spark.sources import load_table
+
+
+def _mk_store(spark, sf_dir, root, metric="cosine"):
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, root, "vecs", n_buckets=8, id_col="id",
+        df=emb.select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": metric}})
+    return emb
+
+
+def _queries(emb, n=5):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+
+
+def _rows(df):
+    return sorted(map(tuple, df.select("qid", "vec_id", "sim", "rank").collect()))
+
+
+def test_full_probe_indexed_search_equals_exact(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "store")
+    emb = _mk_store(spark, sf_dir, root)
+    index.build_vector_index(spark, root, "vecs", kind="ivf",
+                             n_lists=8, iters=4)
+    q = _queries(emb)
+    exact = knn.search_collection(spark, root, "vecs", q, k=10,
+                                  corpus_id="id", exclude_self=True,
+                                  use_index=False)
+    full = knn.search_collection(spark, root, "vecs", q, k=10,
+                                 corpus_id="id", exclude_self=True,
+                                 use_index="always", n_probe=8)
+    assert _rows(full) == _rows(exact)
+
+
+def test_indexed_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The scale contract: the probe must reach the stored lists through a
+    STATIC list_id filter — real partition pruning, so a 100 TB index scan
+    opens only n_probe/n_lists of its files."""
+    root = str(tmp_path / "store")
+    emb = _mk_store(spark, sf_dir, root)
+    index.build_vector_index(spark, root, "vecs", kind="ivf",
+                             n_lists=8, iters=4)
+    out = index.search_indexed(spark, root, "vecs", _queries(emb, 2),
+                               k=5, n_probe=2, exclude_self=True)
+    assert_partition_filters(out, "list_id")
+    plan = formatted_plan(out)
+    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "list_id" in pf and "IN" in pf.upper(), pf
+
+
+def test_indexed_probe_recall(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "store")
+    emb = _mk_store(spark, sf_dir, root)
+    index.build_vector_index(spark, root, "vecs", kind="ivf",
+                             n_lists=16, iters=5)
+    q = _queries(emb)
+    exact: dict = {}
+    for r in knn.search_collection(spark, root, "vecs", q, k=10,
+                                   corpus_id="id", exclude_self=True,
+                                   use_index=False).collect():
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+    got: dict = {}
+    for r in index.search_indexed(spark, root, "vecs", q, k=10, n_probe=4,
+                                  exclude_self=True).collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(exact[qid] & got.get(qid, set())) / 10 for qid in exact]
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_stale_index_is_never_silently_used(spark, sf_dir, tmp_path):
+    """After a mutation, auto-dispatch must fall back to the exact scan
+    (new point visible, deleted point gone) and 'always' must raise —
+    the upsert-then-search staleness gate."""
+    root = str(tmp_path / "store")
+    emb = _mk_store(spark, sf_dir, root)
+    index.build_vector_index(spark, root, "vecs", kind="ivf",
+                             n_lists=8, iters=3)
+    assert index.index_is_fresh(root, "vecs", "embedding")
+    probe_vec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    new = spark.createDataFrame([(99999, list(probe_vec))],
+                                "id long, embedding array<double>")
+    upsert.upsert(spark, root, "vecs", new)
+    assert not index.index_is_fresh(root, "vecs", "embedding")
+    q = _queries(emb, 1)
+    auto = knn.search_collection(spark, root, "vecs", q, k=3,
+                                 corpus_id="id", exclude_self=True,
+                                 use_index="auto", n_probe=8)
+    # the duplicate of vec 0's embedding must surface → exact scan ran
+    assert auto.filter(F.col("vec_id") == 99999).count() == 1
+    with pytest.raises(ValueError, match="stale"):
+        knn.search_collection(spark, root, "vecs", q, k=3,
+                              use_index="always")
+    index.build_vector_index(spark, root, "vecs", kind="ivf",
+                             n_lists=8, iters=3)
+    assert index.index_is_fresh(root, "vecs", "embedding")
+    fresh = knn.search_collection(spark, root, "vecs", q, k=3,
+                                  corpus_id="id", exclude_self=True,
+                                  use_index="always", n_probe=8)
+    assert fresh.filter(F.col("vec_id") == 99999).count() == 1
+
+
+def test_interleaved_mutations_then_rebuild_property(spark, sf_dir, tmp_path):
+    """Property (VERDICT r4 #7): N interleaved upserts/deletes followed by
+    build_vector_index + full-probe indexed search == exact search on the
+    FINAL state."""
+    import random
+
+    rnd = random.Random(42)
+    root = str(tmp_path / "store")
+    emb = _mk_store(spark, sf_dir, root)
+    base = [(r["id"], list(r["embedding"]))
+            for r in upsert.read_collection(spark, root, "vecs")
+            .select("id", "embedding").limit(200).collect()]
+    for step in range(4):
+        if step % 2 == 0:
+            picked = rnd.sample(base, 10)
+            mutated = spark.createDataFrame(
+                [(i + 10_000 * (step + 1), v) for i, v in picked],
+                "id long, embedding array<double>")
+            upsert.upsert(spark, root, "vecs", mutated)
+        else:
+            doomed = [i for i, _ in rnd.sample(base, 10)]
+            upsert.delete_points(spark, root, "vecs", doomed)
+    index.build_vector_index(spark, root, "vecs", kind="ivf",
+                             n_lists=8, iters=3)
+    q = _queries(emb)
+    exact = knn.search_collection(spark, root, "vecs", q, k=10,
+                                  corpus_id="id", exclude_self=True,
+                                  use_index=False)
+    full = knn.search_collection(spark, root, "vecs", q, k=10,
+                                 corpus_id="id", exclude_self=True,
+                                 use_index="always", n_probe=8)
+    assert _rows(full) == _rows(exact)
+
+
+def test_ivf_pq_refine_recall_and_contract(spark, sf_dir, tmp_path):
+    """The stored IVF-PQ path: ADC candidates from the codes-only artifact,
+    exact metric rescore from the collection; full probe + generous rerank
+    recovers most of the exact top-k."""
+    root = str(tmp_path / "store")
+    emb = _mk_store(spark, sf_dir, root)
+    index.build_vector_index(spark, root, "vecs", kind="ivf_pq",
+                             n_lists=8, m=8, ksub=32, iters=3)
+    q = _queries(emb)
+    exact: dict = {}
+    for r in knn.search_collection(spark, root, "vecs", q, k=10,
+                                   corpus_id="id", exclude_self=True,
+                                   use_index=False).collect():
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+    out = index.search_indexed(spark, root, "vecs", q, k=10, n_probe=8,
+                               rerank_factor=8, exclude_self=True)
+    assert out.columns == ["qid", "vec_id", "sim", "rank"]
+    got: dict = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(exact[qid] & got.get(qid, set())) / 10 for qid in exact]
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_index_requires_meta_and_rejects_unknown_kind(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "store")
+    _mk_store(spark, sf_dir, root)
+    with pytest.raises(ValueError, match="kind"):
+        index.build_vector_index(spark, root, "vecs", kind="hnsw")
+    with pytest.raises(ValueError, match="no persisted index"):
+        index.search_indexed(spark, root, "vecs",
+                             _queries(load_table(spark, sf_dir, "embeddings")))
