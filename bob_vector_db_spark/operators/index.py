@@ -93,6 +93,19 @@ def drop_vector_index(root: str, collection: str, vector_name: str) -> bool:
     return True
 
 
+def atomic_replace_dir(staging: str, path: str) -> None:
+    """Swap a fully-built staging tree in over ``path``: old→trash rename,
+    staging→live rename, trash cleanup — a reader sees the old artifact or
+    the new one, never a half-written tree.  Shared with the BM25 text
+    index (operators.text_search.build_text_index)."""
+    old = path + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def _resolve_vector_name(meta: dict, collection: str,
                          vector_name: str | None) -> str:
     vectors = meta.get("vectors", {})
@@ -189,12 +202,7 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
 
     with open(os.path.join(staging, INDEX_META_FILE), "w") as fh:
         json.dump(imeta, fh, indent=2, sort_keys=True)
-    old = ipath + "__old"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.isdir(ipath):
-        os.rename(ipath, old)
-    os.rename(staging, ipath)
-    shutil.rmtree(old, ignore_errors=True)
+    atomic_replace_dir(staging, ipath)
     return imeta
 
 

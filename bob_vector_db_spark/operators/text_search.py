@@ -17,13 +17,20 @@ Everything is JVM-side expressions over one token explode:
 
 Scale: the only full-corpus pass is the token explode, and the term filter
 cuts it to the query's posting lists immediately — the shape of an inverted
-index probe without materializing the index.  At 100 TB you'd persist stage
-2 bucketed by term; the query-time plan is unchanged.
+index probe without materializing the index.  :func:`build_text_index`
+MATERIALIZES that index into the collection store (postings bucketed by
+term hash + corpus stats), so :func:`bm25_topk_indexed` probes a
+partition-pruned stored table with zero corpus passes at query time — the
+round-5 "index once at ingest" model shared with operators.index.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import ws_tokens
@@ -60,6 +67,17 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("len").alias("len"))
     )
+    return _score_posting(posting, n_docs, avgdl, k, k1, b, round_to)
+
+
+def _score_posting(posting: DataFrame, n_docs: int, avgdl: float, k: int,
+                   k1: float, b: float, round_to: int) -> DataFrame:
+    """Shared BM25 scoring tail over a (id, term, tf, len) posting stream
+    already pruned to the query's terms — per-term df is exact on the
+    pruned stream (pruning cuts TERMS, never a term's documents).  The
+    final top-k is TakeOrderedAndProject (per-partition heaps + one k-row
+    merge), not a global row_number window that would shuffle every scored
+    doc into one partition."""
     df_t = posting.groupBy("term").agg(
         F.countDistinct("id").alias("df"))
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
@@ -73,12 +91,164 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
         .groupBy("id")
         .agg(F.round(F.sum("contrib"), round_to).alias("score"))
     )
-    # TakeOrderedAndProject (per-partition heaps + one merge of k rows) —
-    # not a global row_number window, which would shuffle every scored doc
-    # into a single partition
     topk = scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("id"))
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index (round 5): the posting table is built ONCE into
+# the collection store — term-hash-bucketed so a query's terms partition-
+# prune the scan — and bm25_topk_indexed probes it with zero corpus passes.
+# Shares the staleness model (collection data version) and atomic artifact
+# swap with operators.index.
+# ---------------------------------------------------------------------------
+
+def _text_index_name(text_col: str) -> str:
+    return f"{text_col}__bm25"
+
+
+def text_index_meta(root: str, collection: str,
+                    text_col: str = "document") -> dict | None:
+    from .index import vector_index_meta  # noqa: PLC0415
+
+    return vector_index_meta(root, collection, _text_index_name(text_col))
+
+
+def text_index_is_fresh(root: str, collection: str,
+                        text_col: str = "document") -> bool:
+    from .upsert import collection_version  # noqa: PLC0415
+
+    imeta = text_index_meta(root, collection, text_col)
+    if imeta is None:
+        return False
+    return int(imeta["built_version"]) == collection_version(root, collection)
+
+
+def build_text_index(spark: SparkSession, root: str, collection: str,
+                     text_col: str = "document", n_term_buckets: int = 32,
+                     files_per_bucket: int = 1) -> dict:
+    """Materialize the BM25 inverted index for a stored collection.
+
+    One pass: tokenize → (term, id, tf, len) posting rows → ONE shuffle on
+    (term, id) for the tf aggregate → clustered write partitioned by
+    ``term_bucket = pmod(xxhash64(term), n_term_buckets)``.  Corpus stats
+    (N, avgdl) land in the index meta; per-term df is NOT stored — the
+    pruned posting stream reproduces it exactly at query time, since bucket
+    pruning cuts terms, never a surviving term's documents.  Same staged
+    atomic swap and built_version staleness gate as the vector index.
+    """
+    from .index import INDEX_META_FILE, atomic_replace_dir, index_path  # noqa: PLC0415
+    from .upsert import collection_meta, collection_version, read_collection  # noqa: PLC0415
+
+    meta = collection_meta(root, collection)
+    if meta is None:
+        raise ValueError(
+            f"collection {collection!r} has no meta sidecar; create it via "
+            f"create_collection/upsert before indexing")
+    id_col = meta.get("id_col", "id")
+    built_version = collection_version(root, collection)
+    from .upsert import _store_exists, collection_path  # noqa: PLC0415
+
+    if not _store_exists(collection_path(root, collection)):
+        # a collection with zero rows has no parquet files at all (the
+        # partitioned write emits nothing) — index it as an empty corpus
+        n_docs, avgdl, id_type, toks = 0, 0.0, "string", None
+    else:
+        docs = read_collection(spark, root, collection)
+        toks = docs.select(
+            F.col(id_col).alias("id"),
+            ws_tokens(F.lower(F.col(text_col))).alias("toks"))
+        stats = toks.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.size("toks")).alias("avgdl")).first()
+        n_docs = int(stats["n"])
+        avgdl = float(stats["avgdl"] or 0.0)
+        id_type = dict(docs.dtypes)[id_col]
+
+    ipath = index_path(root, collection, _text_index_name(text_col))
+    staging = ipath + "__staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    if n_docs:
+        posting = (
+            toks.select("id", F.size("toks").alias("len"),
+                        F.explode("toks").alias("term"))
+            .groupBy("term", "id")
+            .agg(F.count(F.lit(1)).alias("tf"), F.first("len").alias("len"))
+            .withColumn("term_bucket",
+                        F.pmod(F.xxhash64("term"),
+                               F.lit(n_term_buckets)).cast("int"))
+        )
+        (posting
+         .repartition(n_term_buckets * files_per_bucket, F.col("term_bucket"))
+         .write.partitionBy("term_bucket")
+         .parquet(os.path.join(staging, "postings")))
+    imeta = {
+        "kind": "bm25",
+        "text_col": text_col,
+        "id_col": id_col,
+        "id_type": id_type,
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "n_term_buckets": n_term_buckets,
+        "built_version": built_version,
+    }
+    with open(os.path.join(staging, INDEX_META_FILE), "w") as fh:
+        json.dump(imeta, fh, indent=2, sort_keys=True)
+    atomic_replace_dir(staging, ipath)
+    return imeta
+
+
+def bm25_topk_indexed(spark: SparkSession, root: str, collection: str,
+                      terms: list[str], k: int = 10,
+                      text_col: str = "document",
+                      k1: float = 1.2, b: float = 0.75,
+                      round_to: int = 6,
+                      allow_stale: bool = False) -> DataFrame:
+    """Top-k BM25 over the PERSISTED posting table — identical results to
+    :func:`bm25_topk` on the same corpus (pytest-pinned), but the query
+    reads only the query terms' hash buckets of the stored index (static
+    ``term_bucket IN (...)`` filter → partition pruning; the residual
+    ``term IN (...)`` predicate pushes into the parquet scan).  Zero
+    corpus-table passes at query time.  Raises on a stale index unless
+    ``allow_stale`` — rebuild after mutations with :func:`build_text_index`.
+    """
+    from .index import index_path  # noqa: PLC0415
+    from .upsert import collection_version  # noqa: PLC0415
+
+    imeta = text_index_meta(root, collection, text_col)
+    if imeta is None:
+        raise ValueError(
+            f"no persisted text index for {collection!r}/{text_col!r}; "
+            f"run build_text_index first")
+    if not allow_stale and int(imeta["built_version"]) != \
+            collection_version(root, collection):
+        raise ValueError(
+            f"text index for {collection!r}/{text_col!r} was built at data "
+            f"version {imeta['built_version']} but the collection is at "
+            f"{collection_version(root, collection)}; rebuild it")
+    if not imeta["n_docs"]:
+        return spark.createDataFrame(
+            [], f"id {imeta['id_type']}, score double, rank int")
+    terms_l = sorted({t.lower() for t in terms})
+    # the probed buckets come from the SAME hash Spark wrote with — computed
+    # on a |terms|-row literal frame, collected O(|terms|)
+    buckets = sorted(
+        r[0] for r in spark.createDataFrame([(t,) for t in terms_l],
+                                            "term string")
+        .select(F.pmod(F.xxhash64("term"),
+                       F.lit(imeta["n_term_buckets"])).cast("int").alias("b"))
+        .distinct().collect())
+    ipath = index_path(root, collection, _text_index_name(text_col))
+    posting = (
+        spark.read.parquet(os.path.join(ipath, "postings"))
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms_l))
+        .select("id", "term", "tf", "len")
+    )
+    return _score_posting(posting, imeta["n_docs"], float(imeta["avgdl"]),
+                          k, k1, b, round_to)
 
 
 def rrf_fuse(ranked: list[DataFrame], k: int = 10, k0: int = 60,

@@ -3629,6 +3629,62 @@ def q_store_indexed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "text_bm25_indexed",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+lens AS (SELECT id, len(toks) AS len FROM toks),
+stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),
+posting AS (
+  SELECT id, term, COUNT(*) AS tf
+  FROM (SELECT id, unnest(toks) AS term FROM toks)
+  WHERE term IN ('vector', 'join', 'stream')
+  GROUP BY id, term
+),
+dfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM posting GROUP BY term),
+scored AS (
+  SELECT p.id,
+         round(SUM(
+           ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / stats.avgdl))
+         ), 6) AS score
+  FROM posting p
+  JOIN dfreq ON p.term = dfreq.term
+  JOIN lens ON lens.id = p.id
+  CROSS JOIN stats
+  GROUP BY p.id
+)
+SELECT id, score, CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT)
+       AS rank
+FROM scored ORDER BY score DESC, id LIMIT 10
+""",
+)
+def q_text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the PERSISTED inverted index: build_text_index materializes
+    the (term, id, tf, len) posting table bucketed by term hash into the
+    collection store once; the query probes only its terms' buckets (static
+    partition pruning) with ZERO corpus passes — same oracle as the
+    in-memory text_bm25_search, proving stored-index parity."""
+    from .operators.text_search import bm25_topk_indexed, build_text_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "bmidx")
+    docs = load_table(spark, sf_dir, "documents")
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8, id_col="id",
+        df=docs.select(F.col("doc_id").alias("id"), "text"))
+    build_text_index(spark, base, "docs", text_col="text", n_term_buckets=16)
+    out = bm25_topk_indexed(spark, base, "docs",
+                            ["vector", "join", "stream"], k=10,
+                            text_col="text")
+    return out.select("id", "score", F.col("rank").cast("long").alias("rank"))
+
+
 @register("store_indexed_pq", oracle=None)
 def q_store_indexed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stored IVF-PQ: the searchable artifact holds m-byte codes clustered

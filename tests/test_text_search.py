@@ -180,3 +180,90 @@ def test_bm25_plan_has_no_corpus_side_merge_join(spark):
         .executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# --- round 5: persisted inverted index --------------------------------------
+
+def _mk_doc_store(spark, tmp_path, rows):
+    from bob_vector_db_spark.operators import upsert
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(rows, "id long, text string")
+    upsert.create_collection(spark, root, "docs", df=df, n_buckets=4)
+    return root, df
+
+
+def test_bm25_indexed_matches_in_memory(spark, tmp_path):
+    from bob_vector_db_spark.operators.text_search import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    rows = [(i, f"alpha beta{' gamma' * (i % 4)} delta{i % 7} alpha")
+            for i in range(120)]
+    root, df = _mk_doc_store(spark, tmp_path, rows)
+    build_text_index(spark, root, "docs", text_col="text", n_term_buckets=8)
+    terms = ["alpha", "gamma", "delta3"]
+    mem = sorted(map(tuple, bm25_topk(df, terms, k=10, id_col="id",
+                                      text_col="text").collect()))
+    idx = sorted(map(tuple, bm25_topk_indexed(
+        spark, root, "docs", terms, k=10, text_col="text").collect()))
+    assert idx == mem and len(idx) == 10
+
+
+def test_bm25_indexed_prunes_term_buckets(spark, tmp_path):
+    from bob_vector_db_spark.operators.text_search import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+    from bob_vector_db_spark.plans.inspect import assert_partition_filters
+
+    rows = [(i, f"w{i % 50} common filler") for i in range(100)]
+    root, _ = _mk_doc_store(spark, tmp_path, rows)
+    build_text_index(spark, root, "docs", text_col="text", n_term_buckets=16)
+    out = bm25_topk_indexed(spark, root, "docs", ["w3", "common"], k=5,
+                            text_col="text")
+    assert_partition_filters(out, "term_bucket")
+
+
+def test_bm25_index_staleness_and_rebuild(spark, tmp_path):
+    """Mutating the collection must invalidate the index (loud), and a
+    rebuild must reflect the mutation in the results."""
+    import pytest
+
+    from bob_vector_db_spark.operators import upsert
+    from bob_vector_db_spark.operators.text_search import (
+        bm25_topk_indexed,
+        build_text_index,
+        text_index_is_fresh,
+    )
+
+    rows = [(i, "plain filler text") for i in range(50)]
+    root, _ = _mk_doc_store(spark, tmp_path, rows)
+    build_text_index(spark, root, "docs", text_col="text")
+    assert text_index_is_fresh(root, "docs", "text")
+    hit = spark.createDataFrame(
+        [(999, ("needle " * 10).strip())], "id long, text string")
+    upsert.upsert(spark, root, "docs", hit)
+    assert not text_index_is_fresh(root, "docs", "text")
+    with pytest.raises(ValueError, match="stale|rebuild"):
+        bm25_topk_indexed(spark, root, "docs", ["needle"], k=5,
+                          text_col="text")
+    build_text_index(spark, root, "docs", text_col="text")
+    got = bm25_topk_indexed(spark, root, "docs", ["needle"], k=5,
+                            text_col="text").collect()
+    assert [r["id"] for r in got] == [999]
+
+
+def test_bm25_index_empty_collection(spark, tmp_path):
+    from bob_vector_db_spark.operators.text_search import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    root, _ = _mk_doc_store(spark, tmp_path, [])
+    build_text_index(spark, root, "docs", text_col="text")
+    out = bm25_topk_indexed(spark, root, "docs", ["anything"], k=5,
+                            text_col="text")
+    assert out.count() == 0
+    assert out.columns == ["id", "score", "rank"]
