@@ -3552,6 +3552,85 @@ def q_t11_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T12 LIVE (round 5): three physically different sources in ONE pipeline —
+# file topic ∪ rate topic ∪ durable-queue topic (directory commit-log with
+# explicit offsets, streaming/queue_source.py) — completing the reference's
+# four-bounded-subscriptions model (embedder.py:161-174) with a
+# replayable-offset source shape.  Each source carries its own intake bound.
+# ---------------------------------------------------------------------------
+
+@register(
+    "t12_queue_multi_source",
+    oracle="""
+SELECT CAST(doc_id AS VARCHAR) AS id, text AS document
+FROM documents WHERE doc_id < 50
+UNION ALL
+SELECT 'r' || CAST(r AS VARCHAR), 'rate event ' || CAST(r AS VARCHAR)
+FROM range(50) t(r)
+UNION ALL
+SELECT 'q' || CAST(r AS VARCHAR), 'queue event ' || CAST(r AS VARCHAR)
+FROM range(50) t(r)
+""",
+)
+def q_t12_queue_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE three-source union: file (maxFilesPerTrigger) ∪ rate
+    (rowsPerSecond) ∪ durable queue (atomic offset-named segments,
+    maxSegmentsPerTrigger) → one normalize/explode/upsert sink.  The
+    restart/exactly-once half of the queue contract is pytest-proven
+    (tests/test_streaming.py::test_queue_pipeline_restart_exactly_once)."""
+    import json  # noqa: PLC0415
+    import time  # noqa: PLC0415
+
+    from .operators.upsert import read_collection  # noqa: PLC0415
+    from .streaming import ingest as ING  # noqa: PLC0415
+    from .streaming import queue_source as QS  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "t12")
+    in_dir = os.path.join(base, "in")
+    log_dir = os.path.join(base, "queue")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(in_dir)
+
+    rows = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 50).select("doc_id", "text").collect())
+    for fi in range(2):
+        with open(os.path.join(in_dir, f"part{fi}.jsonl"), "w") as fh:
+            for r in rows[fi::2]:
+                msg = {"collection": "t12", "documents": [r["text"]],
+                       "metadatas": [{}], "ids": [str(r["doc_id"])]}
+                fh.write(json.dumps({"value": json.dumps(msg)}) + "\n")
+    for seg in range(2):
+        QS.append_segment(log_dir, [
+            {"collection": "t12", "documents": [f"queue event {i}"],
+             "metadatas": [{}], "ids": [f"q{i}"]}
+            for i in range(seg * 25, (seg + 1) * 25)
+        ])
+
+    q = ING.run_multi_topic_pipeline(
+        spark, in_dir, store, "t12", ckpt, default_collection="t12",
+        max_files_per_trigger=1, rows_per_second=400, rate_limit_value=50,
+        queue_dir=log_dir, max_segments_per_trigger=1)
+    target = len(rows) + 50 + 50
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            try:
+                if read_collection(spark, store, "t12").count() >= target:
+                    break
+            except Exception:
+                pass  # store not created yet / bucket mid-swap
+            time.sleep(0.5)
+        # graceful drain before stop — same rationale as t9
+        while time.time() < deadline and q.status.get("isTriggerActive"):
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    q.awaitTermination(60)
+    return read_collection(spark, store, "t12").select("id", "document")
+
+
+# ---------------------------------------------------------------------------
 # Persisted vector index (round 5): the index is built ONCE into the
 # collection store (the Qdrant model — the reference's collection indexes at
 # upsert time, qdrant_embedder.py:95-103) and searches probe the stored,

@@ -1,3 +1,3 @@
-from . import ingest, stateful, windows
+from . import ingest, queue_source, stateful, windows
 
-__all__ = ["ingest", "stateful", "windows"]
+__all__ = ["ingest", "queue_source", "stateful", "windows"]

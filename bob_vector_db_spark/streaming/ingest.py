@@ -148,15 +148,19 @@ def run_multi_topic_pipeline(spark: SparkSession, in_dir: str, store_root: str,
                              default_collection: str = "default",
                              max_files_per_trigger: int = 2,
                              rows_per_second: int = 500,
-                             rate_limit_value: int | None = None):
-    """Live S8: file topic ∪ rate topic → one normalize/explode/upsert
-    pipeline — the reference's concurrent bounded subscriptions
-    (embedder.py:161-174) with two physically different sources.
+                             rate_limit_value: int | None = None,
+                             queue_dir: str | None = None,
+                             max_segments_per_trigger: int = 2):
+    """Live S8: file topic ∪ rate topic (∪ durable-queue topic) → one
+    normalize/explode/upsert pipeline — the reference's concurrent bounded
+    subscriptions (embedder.py:161-174) with physically different sources.
 
-    Both sources carry their own backpressure bound (maxFilesPerTrigger /
-    rowsPerSecond).  The rate source is unbounded, so the sink runs a
-    continuous trigger; the caller polls the store and stops the returned
-    query when done.
+    Every source carries its own backpressure bound (maxFilesPerTrigger /
+    rowsPerSecond / maxSegmentsPerTrigger).  The rate source is unbounded,
+    so the sink runs a continuous trigger; the caller polls the store and
+    stops the returned query when done.  ``queue_dir`` adds the
+    commit-log topic (streaming.queue_source) — the replayable-offset
+    fourth shape of the reference's subscription model.
     """
     raw = read_text_stream(spark, in_dir, source_topic="embed",
                            max_files_per_trigger=max_files_per_trigger)
@@ -168,6 +172,40 @@ def run_multi_topic_pipeline(spark: SparkSession, in_dir: str, store_root: str,
         read_rate_stream(spark, rows_per_second=rows_per_second),
         collection=default_collection, limit_value=rate_limit_value,
     )
-    good, _bad = split_dead_letter(union_topics(file_records, rate))
+    topics = [file_records, rate]
+    if queue_dir is not None:
+        from .queue_source import read_queue_stream  # noqa: PLC0415
+
+        q_raw = read_queue_stream(
+            spark, queue_dir,
+            max_segments_per_trigger=max_segments_per_trigger).drop("_offset")
+        topics.append(zip_explode(
+            normalize_raw(q_raw, "value", default_collection, keep=keep),
+            keep=keep))
+    good, _bad = split_dead_letter(union_topics(*topics))
     return start_upsert_sink(good, store_root, collection, checkpoint,
                              version_col="_ingest_ts", available_now=False)
+
+
+def run_queue_pipeline(spark: SparkSession, log_dir: str, store_root: str,
+                       collection: str, checkpoint: str,
+                       default_collection: str = "default",
+                       max_segments_per_trigger: int = 2):
+    """Bounded drain of the durable-queue topic alone: consume every
+    published segment (availableNow), merge into the store, stop.  Re-run
+    with the same checkpoint after more appends and only the NEW offsets
+    process — the restart/exactly-once surface of the commit-log source."""
+    from .queue_source import read_queue_stream  # noqa: PLC0415
+
+    raw = read_queue_stream(
+        spark, log_dir, max_segments_per_trigger=max_segments_per_trigger)
+    keep = ("source_topic", "_ingest_ts", "_offset")
+    records = zip_explode(
+        normalize_raw(raw, "value", default_collection, keep=keep), keep=keep
+    )
+    good, _bad = split_dead_letter(records)
+    # the commit-log offset, not wall-clock, is the version authority here:
+    # a re-delivered id from a later segment wins deterministically even if
+    # two segments share one mtime granule
+    return start_upsert_sink(good, store_root, collection, checkpoint,
+                             version_col="_offset")

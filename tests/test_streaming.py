@@ -174,3 +174,88 @@ def test_stream_restart_processes_only_new_files(spark, tmp_path):
     stored = spark.read.parquet(str(tmp_path / "store" / "collection=c"))
     assert stored.count() == 15
     assert stored.filter(F.col("id") == "3").count() == 1  # no replay dupes
+
+
+# --- round 5: durable-queue commit-log source --------------------------------
+
+def test_queue_append_segments_are_ordered_and_atomic(tmp_path):
+    from bob_vector_db_spark.streaming import queue_source as QS
+
+    log = str(tmp_path / "log")
+    assert QS.append_segment(log, [{"collection": "c", "documents": ["a"],
+                                    "metadatas": [{}], "ids": ["1"]}]) == 0
+    assert QS.append_segment(log, ["raw text"]) == 1
+    assert QS.append_segment(log, []) == 2
+    import os
+    names = sorted(f for f in os.listdir(log) if f.endswith(".jsonl"))
+    assert names == ["segment-00000000.jsonl", "segment-00000001.jsonl",
+                     "segment-00000002.jsonl"]
+    assert not [f for f in os.listdir(log) if f.endswith(".tmp")]
+
+
+def test_queue_pipeline_restart_exactly_once(spark, tmp_path):
+    """The commit-log contract end-to-end: drain published offsets into the
+    store, append more segments (including a re-delivery of an existing id),
+    resume from the SAME checkpoint — only the new offsets process, the
+    re-delivered id is replaced not duplicated, and the store equals the
+    log's last-write-per-id state."""
+    import os
+
+    from bob_vector_db_spark.streaming import ingest, queue_source as QS
+
+    log = str(tmp_path / "log")
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+
+    def msg(i, text):
+        return {"collection": "c", "documents": [text],
+                "metadatas": [{}], "ids": [str(i)]}
+
+    QS.append_segment(log, [msg(i, f"v1-{i}") for i in range(5)])
+    QS.append_segment(log, [msg(i, f"v1-{i}") for i in range(5, 10)])
+    q = ingest.run_queue_pipeline(spark, log, store, "c", ckpt,
+                                  default_collection="c")
+    q.awaitTermination(120)
+    stored = spark.read.parquet(os.path.join(store, "collection=c"))
+    assert stored.count() == 10
+
+    # offset 2: re-deliver id 3 with new content + a brand-new id
+    QS.append_segment(log, [msg(3, "v2-3"), msg(42, "v1-42")])
+    q2 = ingest.run_queue_pipeline(spark, log, store, "c", ckpt,
+                                   default_collection="c")
+    q2.awaitTermination(120)
+    # restart continued the batch sequence (no replay of offsets 0-1)
+    with open(os.path.join(ckpt, "sources", "0", "1")) as fh:
+        batch1 = fh.read()
+    assert "segment-00000002" in batch1
+    assert "segment-00000000" not in batch1 and "segment-00000001" not in batch1
+    stored = spark.read.parquet(os.path.join(store, "collection=c"))
+    assert stored.count() == 11  # 10 ids + id 42; id 3 replaced, not duped
+    by_id = {r["id"]: r["document"] for r in stored.collect()}
+    assert by_id["3"] == "v2-3" and by_id["42"] == "v1-42"
+    assert stored.filter(F.col("id") == "3").count() == 1
+
+
+def test_queue_offset_is_version_authority(spark, tmp_path):
+    """Two segments published within one mtime granule: the OFFSET, not the
+    file clock, must decide last-write-wins for a re-delivered id."""
+    import os
+
+    from bob_vector_db_spark.streaming import ingest, queue_source as QS
+
+    log = str(tmp_path / "log")
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+
+    def msg(i, text):
+        return {"collection": "c", "documents": [text],
+                "metadatas": [{}], "ids": [str(i)]}
+
+    o1 = QS.append_segment(log, [msg(7, "older")])
+    o2 = QS.append_segment(log, [msg(7, "newer")])
+    # force identical mtimes — worse than any real filesystem race
+    t = os.path.getmtime(os.path.join(log, f"segment-{o1:08d}.jsonl"))
+    os.utime(os.path.join(log, f"segment-{o2:08d}.jsonl"), (t, t))
+    q = ingest.run_queue_pipeline(spark, log, store, "c", ckpt,
+                                  default_collection="c")
+    q.awaitTermination(120)
+    stored = spark.read.parquet(os.path.join(store, "collection=c"))
+    assert [r["document"] for r in stored.collect()] == ["newer"]
