@@ -10,6 +10,7 @@ from . import (
     quantize,
     sampling,
     skew,
+    sparse,
     text_search,
     topk,
     upsert,
@@ -17,4 +18,4 @@ from . import (
 
 __all__ = ["asof", "centroid", "dedup", "embed", "index", "knn",
            "multimodal", "normalize", "quantize", "sampling", "skew",
-           "text_search", "topk", "upsert"]
+           "sparse", "text_search", "topk", "upsert"]

@@ -52,10 +52,12 @@ from ..functions import vector
 from . import quantize
 from .knn import resolve_metric
 from .upsert import (
+    atomic_replace_dir,  # noqa: F401  (re-export: text_search imports it here)
     collection_meta,
     collection_path,
     collection_version,
     read_collection,
+    read_delta,
 )
 
 INDEX_DIR = "_index"
@@ -91,19 +93,6 @@ def drop_vector_index(root: str, collection: str, vector_name: str) -> bool:
         return False
     shutil.rmtree(path)
     return True
-
-
-def atomic_replace_dir(staging: str, path: str) -> None:
-    """Swap a fully-built staging tree in over ``path``: old→trash rename,
-    staging→live rename, trash cleanup — a reader sees the old artifact or
-    the new one, never a half-written tree.  Shared with the BM25 text
-    index (operators.text_search.build_text_index)."""
-    old = path + "__old"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.isdir(path):
-        os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old, ignore_errors=True)
 
 
 def _resolve_vector_name(meta: dict, collection: str,
@@ -158,6 +147,12 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
         "metric": metric,
         "id_col": id_col,
         "built_version": built_version,
+        # LSM-style incremental maintenance: rows carry the generation that
+        # wrote them (full build = 0); refresh_vector_index appends mutated
+        # ids at generation g and masks their older entries, so a rebuild is
+        # never needed just to absorb an upsert.  masks/ holds (id, upto_gen)
+        # tombstones — "ignore this id's rows at gen <= upto_gen".
+        "generation": 0,
     }
     data = corpus
     if kind in ("ivf", "ivf_pq"):
@@ -187,22 +182,158 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
         imeta["ksub"] = int(books[0].shape[0])
 
     data_dir = os.path.join(staging, "data")
+    gen0 = F.lit(0).alias("gen")
     if kind == "ivf":
         # the artifact IS a list-clustered copy of (id, vector): the probe
         # reads only its lists' files and never touches the main buckets
-        (data.select(id_col, vector_name, "list_id")
+        (data.select(id_col, vector_name, gen0, "list_id")
          .repartition(n_lists * files_per_list, F.col("list_id"))
          .write.partitionBy("list_id").parquet(data_dir))
     elif kind == "pq":
-        data.select(id_col, "pq_codes").write.parquet(data_dir)
+        data.select(id_col, "pq_codes", gen0).write.parquet(data_dir)
     else:  # ivf_pq: codes only, clustered by list — the memory-bounded path
-        (data.select(id_col, "pq_codes", "list_id")
+        (data.select(id_col, "pq_codes", gen0, "list_id")
          .repartition(n_lists * files_per_list, F.col("list_id"))
          .write.partitionBy("list_id").parquet(data_dir))
 
     with open(os.path.join(staging, INDEX_META_FILE), "w") as fh:
         json.dump(imeta, fh, indent=2, sort_keys=True)
     atomic_replace_dir(staging, ipath)
+    return imeta
+
+
+def _write_index_meta(ipath: str, imeta: dict) -> None:
+    """Durable meta update (tmp + rename): a reader sees the old descriptor
+    or the new one, never a torn file."""
+    p = os.path.join(ipath, INDEX_META_FILE)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(imeta, fh, indent=2, sort_keys=True)
+    os.replace(tmp, p)
+
+
+def _apply_masks(spark: SparkSession, ipath: str, df: DataFrame,
+                 id_col: str) -> DataFrame:
+    """Filter out index rows superseded by a later refresh generation: a
+    mask (id, upto_gen) hides that id's rows with ``gen <= upto_gen``.
+    Masks are bounded by the mutation count since the last FULL build (a
+    rebuild swaps in a mask-free tree), aggregated to one row per id before
+    the join — small enough for AQE to broadcast in the common case."""
+    mdir = os.path.join(ipath, "masks")
+    if not os.path.isdir(mdir):
+        return df
+    masks = (spark.read.parquet(mdir)
+             .groupBy("id").agg(F.max("upto_gen").alias("_mask_gen"))
+             .withColumnRenamed("id", "_mask_id"))
+    return (df.join(F.broadcast(masks),
+                    F.col(id_col).cast("string") == F.col("_mask_id"), "left")
+            .filter(F.col("_mask_gen").isNull()
+                    | (F.col("gen") > F.col("_mask_gen")))
+            .drop("_mask_id", "_mask_gen"))
+
+
+def _delta_split(spark: SparkSession, root: str, collection: str,
+                 built_version: int) -> tuple[DataFrame, DataFrame]:
+    """(upserted_ids, deleted_ids) since ``built_version`` — one row per id,
+    classified by its LAST logged operation (each mutation holds a unique
+    version, so max(version) is a total order)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    delta = read_delta(spark, root, collection, built_version)
+    if delta is None:
+        raise ValueError(
+            f"collection {collection!r} has no delta log covering versions "
+            f"> {built_version} (missing or pruned); incremental refresh "
+            f"cannot know what changed — rebuild the index instead")
+    w = Window.partitionBy("id").orderBy(F.desc("version"))
+    last = (delta.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+    return (last.filter(F.col("op") == "upsert").select("id"),
+            last.filter(F.col("op") == "delete").select("id"))
+
+
+def refresh_vector_index(spark: SparkSession, root: str, collection: str,
+                         vector_name: str | None = None) -> dict:
+    """Absorb every mutation since ``built_version`` into the PERSISTED
+    index without retraining or rewriting it — the Qdrant "index updates on
+    upsert" model (qdrant_embedder.py:95-103 configures the collection the
+    incremental HNSW hangs off) re-expressed for a parquet store:
+
+      1. the delta log names exactly the ids that changed;
+      2. their current vectors are fetched from the collection (semi-join —
+         O(|delta|), never a corpus diff) and assigned/encoded with the
+         STORED centroids/codebooks;
+      3. the new rows APPEND into the same list-partitioned layout at
+         generation g (new files in existing list dirs — no rewrite), and
+         (id, upto_gen) masks hide the ids' older rows.
+
+    Crash-safe by write order: generation g is persisted to the index meta
+    BEFORE any data lands, so a died-and-rerun refresh re-appends at g+1 and
+    its masks (g) hide the dead attempt's rows; ``built_version`` advances
+    only at the very end.  Mid-refresh the index is simply still stale —
+    the version gate keeps auto-dispatch on the exact scan until the
+    refresh commits.  Centroids do NOT move (standard IVF practice —
+    recall drifts only if the data distribution does); rebuild with
+    :func:`build_vector_index` to retrain and to compact the masks away.
+    """
+    meta = collection_meta(root, collection)
+    if meta is None:
+        raise ValueError(f"collection {collection!r} has no meta sidecar")
+    vector_name = _resolve_vector_name(meta, collection, vector_name)
+    imeta = vector_index_meta(root, collection, vector_name)
+    if imeta is None:
+        raise ValueError(
+            f"no persisted index for {collection!r}/{vector_name!r}; "
+            f"run build_vector_index first")
+    cur = collection_version(root, collection)
+    built = int(imeta["built_version"])
+    if built == cur:
+        return imeta  # already fresh — no-op
+    up_ids, del_ids = _delta_split(spark, root, collection, built)
+    kind, id_col = imeta["kind"], imeta["id_col"]
+    ipath = index_path(root, collection, vector_name)
+
+    # 1. claim generation g durably before any data write (rerun safety)
+    g = int(imeta.get("generation", 0)) + 1
+    imeta["generation"] = g
+    _write_index_meta(ipath, imeta)
+
+    # 2. masks first: a crash after this leaves the affected ids hidden —
+    # harmless, because built_version still says "stale" and dispatch
+    # stays on the exact scan until step 4 commits
+    masks = (up_ids.withColumn("upto_gen", F.lit(g - 1))
+             .unionByName(del_ids.withColumn("upto_gen", F.lit(g))))
+    masks.coalesce(8).write.mode("append").parquet(
+        os.path.join(ipath, "masks"))
+
+    # 3. fetch + assign/encode + append the changed ids' current rows
+    fresh = (read_collection(spark, root, collection)
+             .select(id_col, vector_name)
+             .join(up_ids.withColumnRenamed("id", "_d_id"),
+                   F.col(id_col).cast("string") == F.col("_d_id"),
+                   "left_semi"))
+    data = fresh
+    data_dir = os.path.join(ipath, "data")
+    geng = F.lit(g).alias("gen")
+    if kind in ("ivf", "ivf_pq"):
+        cents = _load_centroids(spark, ipath)
+        data = quantize.ivf_assign(data, cents, vec_col=vector_name)
+    if kind in ("pq", "ivf_pq"):
+        books = _load_codebooks(spark, ipath)
+        data = quantize.pq_encode(data, books, vec_col=vector_name)
+    if kind == "ivf":
+        (data.select(id_col, vector_name, geng, "list_id")
+         .write.mode("append").partitionBy("list_id").parquet(data_dir))
+    elif kind == "pq":
+        (data.select(id_col, "pq_codes", geng)
+         .write.mode("append").parquet(data_dir))
+    else:
+        (data.select(id_col, "pq_codes", geng, "list_id")
+         .write.mode("append").partitionBy("list_id").parquet(data_dir))
+
+    # 4. commit: the index now reflects the collection at version `cur`
+    imeta["built_version"] = cur
+    _write_index_meta(ipath, imeta)
     return imeta
 
 
@@ -280,8 +411,9 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
         raise ValueError(
             f"index for {collection!r}/{vector_name!r} was built at data "
             f"version {imeta['built_version']} but the collection is at "
-            f"{collection_version(root, collection)}; rebuild it or search "
-            f"with use_index='auto' to fall back to the exact scan")
+            f"{collection_version(root, collection)}; refresh_vector_index "
+            f"absorbs the mutations incrementally (or rebuild, or search "
+            f"with use_index='auto' to fall back to the exact scan)")
     kind, metric, id_col = imeta["kind"], imeta["metric"], imeta["id_col"]
     ipath = index_path(root, collection, vector_name)
     data = spark.read.parquet(os.path.join(ipath, "data"))
@@ -290,7 +422,9 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
         cents = _load_centroids(spark, ipath)
         probed = _probed_list_filter(
             queries, query_vec, cents, n_probe, max_queries)
-        pruned = data.filter(F.col("list_id").isin(probed))
+        pruned = _apply_masks(
+            spark, ipath, data.filter(F.col("list_id").isin(probed)), id_col
+        ).drop("gen")
         return quantize.ivf_knn(
             queries, pruned, cents, k=k, n_probe=n_probe,
             query_id=query_id, query_vec=query_vec, corpus_id=id_col,
@@ -304,7 +438,9 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
         cents = _load_centroids(spark, ipath)
         probed = _probed_list_filter(
             queries, query_vec, cents, n_probe, max_queries)
-        data = data.filter(F.col("list_id").isin(probed))
+        data = _apply_masks(
+            spark, ipath, data.filter(F.col("list_id").isin(probed)), id_col
+        ).drop("gen")
         probe = quantize.probe_lists_udf(cents, n_probe)
         q = queries.select(
             F.col(query_id).alias("qid"),
@@ -312,6 +448,7 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
             F.explode(probe(F.col(query_vec))).alias("list_id"))
         pairs = data.join(F.broadcast(q), "list_id")
     else:  # pq: full codes scan (no list layout)
+        data = _apply_masks(spark, ipath, data, id_col).drop("gen")
         q = queries.select(F.col(query_id).alias("qid"),
                            make_lut(F.col(query_vec)).alias("_lut"))
         pairs = data.join(F.broadcast(q), how="cross")

@@ -176,6 +176,7 @@ def build_text_index(spark: SparkSession, root: str, collection: str,
                         F.explode("toks").alias("term"))
             .groupBy("term", "id")
             .agg(F.count(F.lit(1)).alias("tf"), F.first("len").alias("len"))
+            .withColumn("gen", F.lit(0))
             .withColumn("term_bucket",
                         F.pmod(F.xxhash64("term"),
                                F.lit(n_term_buckets)).cast("int"))
@@ -184,6 +185,12 @@ def build_text_index(spark: SparkSession, root: str, collection: str,
          .repartition(n_term_buckets * files_per_bucket, F.col("term_bucket"))
          .write.partitionBy("term_bucket")
          .parquet(os.path.join(staging, "postings")))
+        # per-doc lengths as their own tiny table: incremental refresh
+        # recomputes (n_docs, avgdl) from the masked doclens instead of
+        # scanning the postings (one row per doc, two numeric columns)
+        (toks.select(F.col("id").cast("string").alias("id"),
+                     F.size("toks").alias("len"), F.lit(0).alias("gen"))
+         .coalesce(8).write.parquet(os.path.join(staging, "doclens")))
     imeta = {
         "kind": "bm25",
         "text_col": text_col,
@@ -193,10 +200,90 @@ def build_text_index(spark: SparkSession, root: str, collection: str,
         "avgdl": avgdl,
         "n_term_buckets": n_term_buckets,
         "built_version": built_version,
+        # same LSM maintenance scheme as the vector index (see
+        # operators.index): refresh appends postings at generation g and
+        # masks the changed ids' older rows
+        "generation": 0,
     }
     with open(os.path.join(staging, INDEX_META_FILE), "w") as fh:
         json.dump(imeta, fh, indent=2, sort_keys=True)
     atomic_replace_dir(staging, ipath)
+    return imeta
+
+
+def refresh_text_index(spark: SparkSession, root: str, collection: str,
+                       text_col: str = "document") -> dict:
+    """Absorb mutations since ``built_version`` into the stored BM25 index
+    without rebuilding it — the text twin of
+    :func:`operators.index.refresh_vector_index`, same delta-log feed, same
+    generation/mask LSM scheme, same crash-safe write order (claim g →
+    masks → appends → commit built_version).  Changed docs re-tokenize and
+    APPEND their postings at generation g into the existing term-bucket
+    layout; (n_docs, avgdl) recompute from the masked per-doc length table
+    — one tiny scan, never the postings.  Rebuild with
+    :func:`build_text_index` to compact masks away."""
+    from .index import _apply_masks, _delta_split, _write_index_meta, index_path  # noqa: PLC0415
+    from .upsert import collection_meta, collection_version, read_collection  # noqa: PLC0415
+
+    meta = collection_meta(root, collection)
+    if meta is None:
+        raise ValueError(f"collection {collection!r} has no meta sidecar")
+    imeta = text_index_meta(root, collection, text_col)
+    if imeta is None:
+        raise ValueError(
+            f"no persisted text index for {collection!r}/{text_col!r}; "
+            f"run build_text_index first")
+    cur = collection_version(root, collection)
+    built = int(imeta["built_version"])
+    if built == cur:
+        return imeta
+    up_ids, del_ids = _delta_split(spark, root, collection, built)
+    id_col = imeta["id_col"]
+    ipath = index_path(root, collection, _text_index_name(text_col))
+
+    g = int(imeta.get("generation", 0)) + 1
+    imeta["generation"] = g
+    _write_index_meta(ipath, imeta)
+
+    masks = (up_ids.withColumn("upto_gen", F.lit(g - 1))
+             .unionByName(del_ids.withColumn("upto_gen", F.lit(g))))
+    masks.coalesce(8).write.mode("append").parquet(
+        os.path.join(ipath, "masks"))
+
+    fresh = (read_collection(spark, root, collection)
+             .select(F.col(id_col).alias("id"), F.col(text_col))
+             .join(up_ids.withColumnRenamed("id", "_d_id"),
+                   F.col("id").cast("string") == F.col("_d_id"), "left_semi"))
+    toks = fresh.select(
+        "id", ws_tokens(F.lower(F.col(text_col))).alias("toks"))
+    posting = (
+        toks.select("id", F.size("toks").alias("len"),
+                    F.explode("toks").alias("term"))
+        .groupBy("term", "id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("len").alias("len"))
+        .withColumn("gen", F.lit(g))
+        .withColumn("term_bucket",
+                    F.pmod(F.xxhash64("term"),
+                           F.lit(imeta["n_term_buckets"])).cast("int"))
+    )
+    (posting.write.mode("append").partitionBy("term_bucket")
+     .parquet(os.path.join(ipath, "postings")))
+    (toks.select(F.col("id").cast("string").alias("id"),
+                 F.size("toks").alias("len"), F.lit(g).alias("gen"))
+     .coalesce(8).write.mode("append").parquet(os.path.join(ipath, "doclens")))
+
+    # corpus stats over the masked doclens — the surviving docs only
+    dl_dir = os.path.join(ipath, "doclens")
+    if os.path.isdir(dl_dir):
+        stats = (_apply_masks(spark, ipath,
+                              spark.read.parquet(dl_dir), "id")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.avg("len").alias("avgdl"))
+                 .first())
+        imeta["n_docs"] = int(stats["n"])
+        imeta["avgdl"] = float(stats["avgdl"] or 0.0)
+    imeta["built_version"] = cur
+    _write_index_meta(ipath, imeta)
     return imeta
 
 
@@ -227,7 +314,8 @@ def bm25_topk_indexed(spark: SparkSession, root: str, collection: str,
         raise ValueError(
             f"text index for {collection!r}/{text_col!r} was built at data "
             f"version {imeta['built_version']} but the collection is at "
-            f"{collection_version(root, collection)}; rebuild it")
+            f"{collection_version(root, collection)}; refresh_text_index "
+            f"absorbs the mutations incrementally (or rebuild)")
     if not imeta["n_docs"]:
         return spark.createDataFrame(
             [], f"id {imeta['id_type']}, score double, rank int")
@@ -241,12 +329,15 @@ def bm25_topk_indexed(spark: SparkSession, root: str, collection: str,
                        F.lit(imeta["n_term_buckets"])).cast("int").alias("b"))
         .distinct().collect())
     ipath = index_path(root, collection, _text_index_name(text_col))
-    posting = (
+    from .index import _apply_masks  # noqa: PLC0415
+
+    posting = _apply_masks(
+        spark, ipath,
         spark.read.parquet(os.path.join(ipath, "postings"))
         .filter(F.col("term_bucket").isin(buckets))
-        .filter(F.col("term").isin(terms_l))
-        .select("id", "term", "tf", "len")
-    )
+        .filter(F.col("term").isin(terms_l)),
+        "id",
+    ).select("id", "term", "tf", "len")
     return _score_posting(posting, imeta["n_docs"], float(imeta["avgdl"]),
                           k, k1, b, round_to)
 

@@ -51,6 +51,14 @@ DEFAULT_N_BUCKETS = 16  # local-mode default; size to ~#cores*4 fleet-wide
 # the sidecar never pollutes spark.read.parquet(path).
 META_FILE = "_collection_meta.json"
 
+# Mutation delta log: every version bump appends its touched ids under
+# _delta/ as (version, op, id) parquet — the incremental-index feed
+# (operators.index.refresh_vector_index reads "what changed since
+# built_version" from here instead of diffing the whole corpus).  The
+# underscore prefix keeps it out of collection scans; compaction prunes
+# entries every live index has already absorbed.
+DELTA_DIR = "_delta"
+
 
 def collection_path(root: str, collection: str) -> str:
     return os.path.join(root, f"collection={collection}")
@@ -138,6 +146,80 @@ def _bump_version(root: str, collection: str) -> int:
     meta["version"] = int(meta.get("version", 0)) + 1
     _write_meta(path, meta)
     return meta["version"]
+
+
+def _log_delta(path: str, version: int, op: str, ids_df: DataFrame) -> None:
+    """Append this mutation's touched ids to the delta log.  ``op`` is
+    ``upsert`` (id now carries fresh content — also used for partial
+    updates, which MAY have changed indexed columns) or ``delete`` (id is
+    gone).  ``version <= 0`` means a metaless external store — no version
+    counter, so no deltas either.  Ids are stringified for one uniform log
+    schema across collections.
+
+    Crash contract: a delta row whose version exceeds the persisted meta
+    version is a phantom from a mutation that died before its version bump
+    — delta consumers MUST filter ``version <= collection_version`` (the
+    refresh functions do), never trust the raw log tail.
+    """
+    if version <= 0:
+        return
+    (ids_df.select(F.col(ids_df.columns[0]).cast("string").alias("id"))
+     .withColumn("version", F.lit(int(version)))
+     .withColumn("op", F.lit(op))
+     .coalesce(8)
+     .write.mode("append").parquet(os.path.join(path, DELTA_DIR)))
+
+
+def read_delta(spark: SparkSession, root: str, collection: str,
+               since_version: int) -> DataFrame | None:
+    """Delta rows with ``since_version < version <= collection_version`` —
+    exactly the mutations an index built at ``since_version`` has not seen.
+    None when the log can't answer: no log at all, or the log was pruned
+    past ``since_version`` (``delta_pruned_to`` in the meta) — the caller
+    must fall back to a full rebuild."""
+    meta = collection_meta(root, collection) or {}
+    if int(meta.get("delta_pruned_to", 0)) > since_version:
+        return None
+    p = os.path.join(collection_path(root, collection), DELTA_DIR)
+    if not os.path.isdir(p):
+        return None
+    cur = collection_version(root, collection)
+    return (spark.read.parquet(p)
+            .filter((F.col("version") > since_version)
+                    & (F.col("version") <= cur)))
+
+
+def prune_delta_log(spark: SparkSession, root: str, collection: str,
+                    upto: int) -> None:
+    """Drop delta entries with ``version <= upto`` (every live index has
+    absorbed them) and record the high-water mark in the meta so a later
+    refresh can tell "no deltas" from "deltas discarded".  Staged rewrite +
+    atomic dir swap, like every other store artifact."""
+    path = collection_path(root, collection)
+    p = os.path.join(path, DELTA_DIR)
+    meta = collection_meta(root, collection)
+    if meta is None or not os.path.isdir(p) or upto <= 0:
+        return
+    staging = p + "__staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    kept = spark.read.parquet(p).filter(F.col("version") > upto)
+    kept.coalesce(8).write.parquet(staging)
+    atomic_replace_dir(staging, p)
+    meta["delta_pruned_to"] = max(int(meta.get("delta_pruned_to", 0)), upto)
+    _write_meta(path, meta)
+
+
+def atomic_replace_dir(staging: str, path: str) -> None:
+    """Swap a fully-built staging tree in over ``path``: old→trash rename,
+    staging→live rename, trash cleanup — a reader sees the old artifact or
+    the new one, never a half-written tree.  Shared by the vector index,
+    the BM25 text index, and the delta log."""
+    old = path + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def read_collection(spark: SparkSession, root: str, collection: str) -> DataFrame:
@@ -235,6 +317,8 @@ def upsert(spark: SparkSession, root: str, collection: str,
         meta["version"] = int(meta.get("version", 0)) + 1
         merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
         _write_meta(path, meta)
+        _log_delta(path, meta["version"], "upsert",
+                   new_b.select(id_col).distinct())
         return read_collection(spark, root, collection)
 
     # Bucket ids are bounded by n_buckets, so this collect is O(n_buckets)
@@ -268,7 +352,8 @@ def upsert(spark: SparkSession, root: str, collection: str,
     ])
 
     _stage_and_swap(merged, path, touched)
-    _bump_version(root, collection)
+    v = _bump_version(root, collection)
+    _log_delta(path, v, "upsert", new_b.select(id_col).distinct())
     return read_collection(spark, root, collection)
 
 
@@ -342,7 +427,8 @@ def delete_points(spark: SparkSession, root: str, collection: str,
     )
     removed = (existing.count() - keep.count()) if count_removed else -1
     _stage_and_swap(keep, path, touched, drop_empty=True)
-    _bump_version(root, collection)
+    v = _bump_version(root, collection)
+    _log_delta(path, v, "delete", doomed.select("_del_id").distinct())
     return removed
 
 
@@ -373,6 +459,15 @@ def delete_by_filter(spark: SparkSession, root: str, collection: str,
     # (bare ~pred would drop it: NULL is not true, but not false either)
     keep = existing.filter(~F.coalesce(pred, F.lit(False)))
     removed = (existing.count() - keep.count()) if count_removed else -1
+    # the victim ids only exist in the PRE-swap data, so the delta must be
+    # written first — with the version the bump will assign.  A crash in
+    # between leaves a phantom delta row whose version exceeds the persisted
+    # one; read_delta's version<=current filter discards it.
+    id_col, _ = _resolve_layout(root, collection, None, None)
+    if collection_meta(root, collection) is not None and id_col in table.columns:
+        _log_delta(path, collection_version(root, collection) + 1, "delete",
+                   existing.filter(F.coalesce(pred, F.lit(False)))
+                   .select(id_col))
     _stage_and_swap(keep, path, touched, drop_empty=True)
     _bump_version(root, collection)
     return removed
@@ -422,15 +517,23 @@ def update_columns(spark: SparkSession, root: str, collection: str,
         F.broadcast(patch.drop(BUCKET_COL)),
         F.col(id_col).cast("string") == F.col("_upd_id"), "left")
     out_cols = []
+    stored_types = {f.name: f.dataType for f in existing.schema.fields}
     for c in existing.columns:
         if c in patch_cols:
+            # pin to the STORED type: when() widens (float ∪ double →
+            # double) and a widened bucket next to untouched ones breaks
+            # the vectorized reader — same guard as upsert's merge
             out_cols.append(
                 F.when(F.col("_upd_id").isNotNull(), F.col(f"_upd_{c}"))
-                .otherwise(F.col(c)).alias(c))
+                .otherwise(F.col(c)).cast(stored_types[c]).alias(c))
         else:
             out_cols.append(F.col(c))
     _stage_and_swap(joined.select(*out_cols), path, touched)
-    _bump_version(root, collection)
+    v = _bump_version(root, collection)
+    # partial updates MAY touch indexed columns (vector / text payload), so
+    # they feed the delta log as upserts; refresh re-reads the ids' current
+    # rows, which is correct whether or not the indexed column changed
+    _log_delta(path, v, "upsert", patch.select("_upd_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -469,9 +572,31 @@ def compact_collection(spark: SparkSession, root: str, collection: str,
     compacted = table.repartition(
         max(len(touched), 1) * files_per_bucket, *part_cols)
     _stage_and_swap(compacted, path, touched)
+    # housekeeping ride-along: delta entries every live index has absorbed
+    # (version <= min built_version) feed nothing anymore — drop them.  With
+    # no indexes at all the whole log is prunable.
+    prune_delta_log(spark, root, collection,
+                    _min_index_built_version(root, collection))
     return {"files_before": files_before,
             "files_after": _count_data_files(path),
             "n_rows": n_rows}
+
+
+def _min_index_built_version(root: str, collection: str) -> int:
+    """The oldest ``built_version`` across the collection's persisted index
+    artifacts (vector + text live under ``_index/<name>/meta.json``); the
+    current data version when no index exists.  Deltas at or below this are
+    dead weight."""
+    path = collection_path(root, collection)
+    idx_root = os.path.join(path, "_index")
+    versions = []
+    if os.path.isdir(idx_root):
+        for name in os.listdir(idx_root):
+            p = os.path.join(idx_root, name, "meta.json")
+            if os.path.exists(p):
+                with open(p) as fh:
+                    versions.append(int(json.load(fh).get("built_version", 0)))
+    return min(versions) if versions else collection_version(root, collection)
 
 
 def _count_data_files(path: str) -> int:
@@ -514,6 +639,83 @@ def drop_collection(root: str, collection: str) -> bool:
     if not os.path.isdir(path):
         return False
     shutil.rmtree(path)
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Snapshots — the Qdrant snapshot API twin (create_snapshot / recover): a
+# point-in-time copy of the collection (data + meta + indexes + delta log)
+# that later mutations cannot touch, and an atomic restore from it.
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_DIR = "_snapshots"
+
+
+def _snapshot_copy(src: str, dst: str) -> None:
+    """Copy a collection tree, HARDLINKING the parquet data files: the store
+    never modifies a parquet file in place (every mutation stages new files
+    and swaps directories; the delta log and index refreshes only APPEND new
+    files), so a link-based snapshot is safe and O(metadata), not O(data) —
+    the local twin of an object store's server-side copy.  Sidecar JSON is
+    byte-copied because meta files ARE rewritten in place."""
+    import shutil as _sh  # noqa: PLC0415
+
+    def _copy(s: str, d: str):
+        if s.endswith(".parquet"):
+            os.link(s, d)
+        else:
+            _sh.copy2(s, d)
+
+    _sh.copytree(src, dst, copy_function=_copy)
+
+
+def snapshot_collection(root: str, collection: str,
+                        name: str | None = None) -> str:
+    """Point-in-time snapshot under ``<root>/_snapshots/``; returns its
+    path.  Default name embeds the data version.  Staged + atomic rename,
+    so a listed snapshot is always complete; refuses to overwrite."""
+    path = collection_path(root, collection)
+    if not os.path.isdir(path):
+        raise ValueError(f"collection {collection!r} does not exist")
+    name = name or f"{collection}__v{collection_version(root, collection)}"
+    sdir = os.path.join(root, SNAPSHOT_DIR)
+    os.makedirs(sdir, exist_ok=True)
+    dst = os.path.join(sdir, name)
+    if os.path.exists(dst):
+        raise ValueError(f"snapshot {name!r} already exists")
+    staging = dst + "__staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    _snapshot_copy(path, staging)
+    os.rename(staging, dst)
+    return dst
+
+
+def list_snapshots(root: str) -> list[str]:
+    sdir = os.path.join(root, SNAPSHOT_DIR)
+    if not os.path.isdir(sdir):
+        return []
+    return sorted(n for n in os.listdir(sdir) if not n.endswith("__staging"))
+
+
+def restore_collection(root: str, collection: str, name: str) -> None:
+    """Atomically replace the live collection with a snapshot's state (data,
+    meta, indexes, delta log — the full point-in-time tree).  The snapshot
+    itself survives the restore and can be restored again."""
+    src = os.path.join(root, SNAPSHOT_DIR, name)
+    if not os.path.isdir(src):
+        raise ValueError(f"no snapshot {name!r} under {root!r}")
+    path = collection_path(root, collection)
+    staging = path + "__restore_staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    _snapshot_copy(src, staging)
+    atomic_replace_dir(staging, path)
+
+
+def drop_snapshot(root: str, name: str) -> bool:
+    p = os.path.join(root, SNAPSHOT_DIR, name)
+    if not os.path.isdir(p):
+        return False
+    shutil.rmtree(p)
     return True
 
 

@@ -3787,6 +3787,437 @@ def q_store_indexed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "store_index_refresh",
+    oracle="""
+WITH corpus AS (
+  SELECT e.vec_id AS vid, e2.embedding AS emb
+  FROM embeddings e JOIN embeddings e2 ON e2.vec_id = e.vec_id + 300
+  WHERE e.vec_id < 10
+  UNION ALL
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings
+  WHERE vec_id BETWEEN 50 AND 59
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5
+),
+pairs AS (
+  SELECT q.qid, c.vid AS vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(c.emb)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(c.emb)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, corpus c
+  WHERE q.qid <> c.vid
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_store_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance end-to-end: build the stored IVF index,
+    then overwrite 10 points, insert 10 new ones and delete 10 — and absorb
+    it all with ONE refresh_vector_index call (delta log → assign with the
+    STORED centroids → append at generation 1 + masks), no retrain, no
+    rewrite.  use_index='always' proves the index is fresh again, and the
+    full-probe result must equal the exact scan over the FINAL corpus —
+    which is what the oracle recomputes."""
+    base = _tmp_base(sf_dir, "sidxr")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    index.build_vector_index(spark, base, "vecs", kind="ivf",
+                             n_lists=8, iters=4)
+    overwrite = (emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 310))
+                 .select((F.col("vec_id") - 300).alias("id"), "embedding"))
+    fresh_pts = (emb.filter(F.col("vec_id").between(50, 59))
+                 .select((F.col("vec_id") + 100000).alias("id"), "embedding"))
+    upsert.upsert(spark, base, "vecs", overwrite.unionByName(fresh_pts),
+                  id_col="id")
+    upsert.delete_points(spark, base, "vecs", list(range(10, 20)))
+    index.refresh_vector_index(spark, base, "vecs")
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = knn.search_collection(
+        spark, base, "vecs", qdf, k=10, corpus_id="id", exclude_self=True,
+        use_index="always", n_probe=8)
+    return out.select("qid", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "text_bm25_refresh",
+    oracle=r"""
+WITH corpus AS (
+  SELECT d.doc_id AS id, d2.text AS text
+  FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 100
+  WHERE d.doc_id < 5
+  UNION ALL
+  SELECT doc_id, text FROM documents
+  WHERE doc_id >= 5 AND doc_id NOT BETWEEN 20 AND 29
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id BETWEEN 30 AND 39
+),
+toks AS (
+  SELECT id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM corpus
+),
+lens AS (SELECT id, len(toks) AS len FROM toks),
+stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),
+posting AS (
+  SELECT id, term, COUNT(*) AS tf
+  FROM (SELECT id, unnest(toks) AS term FROM toks)
+  WHERE term IN ('vector', 'join', 'stream')
+  GROUP BY id, term
+),
+dfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM posting GROUP BY term),
+scored AS (
+  SELECT p.id,
+         round(SUM(
+           ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / stats.avgdl))
+         ), 6) AS score
+  FROM posting p
+  JOIN dfreq ON p.term = dfreq.term
+  JOIN lens ON lens.id = p.id
+  CROSS JOIN stats
+  GROUP BY p.id
+)
+SELECT id, score, CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT)
+       AS rank
+FROM scored ORDER BY score DESC, id LIMIT 10
+""",
+)
+def q_text_bm25_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 index absorbs mutations incrementally too: overwrite 5 docs,
+    add 10, delete 10, then ONE refresh_text_index call appends the changed
+    docs' postings at generation 1, masks their old rows, and recomputes
+    (n_docs, avgdl) from the masked doc-length table.  The probe stays a
+    partition-pruned stored-index read; results must equal BM25 over the
+    final corpus (the oracle's recomputation)."""
+    from .operators.text_search import bm25_topk_indexed, build_text_index, refresh_text_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "bmidxr")
+    docs = load_table(spark, sf_dir, "documents")
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8, id_col="id",
+        df=docs.select(F.col("doc_id").alias("id"), "text"))
+    build_text_index(spark, base, "docs", text_col="text", n_term_buckets=16)
+    overwrite = (docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 105))
+                 .select((F.col("doc_id") - 100).alias("id"), "text"))
+    fresh_docs = (docs.filter(F.col("doc_id").between(30, 39))
+                  .select((F.col("doc_id") + 100000).alias("id"), "text"))
+    upsert.upsert(spark, base, "docs", overwrite.unionByName(fresh_docs),
+                  id_col="id")
+    upsert.delete_points(spark, base, "docs", list(range(20, 30)))
+    refresh_text_index(spark, base, "docs", text_col="text")
+    out = bm25_topk_indexed(spark, base, "docs",
+                            ["vector", "join", "stream"], k=10,
+                            text_col="text")
+    return out.select("id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Sparse vector search (round 5): the Qdrant sparse-space twin.  A sparse
+# vector lives in posting form (id, idx, val); search is an inverted-index
+# probe — query dims prune the corpus nonzeros BEFORE the shuffle, exactly
+# the BM25 shape, so nothing ever densifies to vocab_size.
+# ---------------------------------------------------------------------------
+
+_SPARSE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest({DUCK_WS_TOKENS.format(t='lower(text)')}) AS tok
+  FROM documents
+),
+post AS (
+  SELECT id, ({DUCK_POLY_HASH.format(t='tok')}) % 512 AS idx,
+         CAST(COUNT(*) AS DOUBLE) AS val
+  FROM toks GROUP BY id, idx
+),
+q AS (SELECT id AS qid, idx, val AS qval FROM post WHERE id < 3),
+pairs AS (
+  SELECT q.qid, p.id AS vec_id, round(SUM(p.val * q.qval), 6) AS sim
+  FROM post p JOIN q ON p.idx = q.idx
+  WHERE q.qid <> p.id
+  GROUP BY q.qid, p.id
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM pairs)
+WHERE rank <= 10
+"""
+
+
+@register("sparse_knn_text", oracle=_SPARSE_ORACLE)
+def q_sparse_knn_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse top-k over hashed-TF encodings (the deterministic stand-in
+    for a SPLADE-style learned sparse encoder): corpus postings prune to
+    the queries' active dimensions through ONE broadcast equi-join on the
+    dimension id, then a partial-aggregated dot product and a per-query
+    rank window — no dense vocab_size vector exists anywhere."""
+    from .operators.sparse import postings_from_text, sparse_dot_topk  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    post = postings_from_text(docs, id_col="doc_id", text_col="text",
+                              vocab_size=512)
+    q = post.filter(F.col("id") < 3)
+    out = sparse_dot_topk(q, post, k=10, exclude_self=True)
+    return out.select("qid", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register("api_sparse_search", oracle=_SPARSE_ORACLE)
+def q_api_sparse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse search against a STORED collection in the Qdrant wire format:
+    points persist (id, indices array, values array) in the bucketed store,
+    the searcher explodes them back to posting form with arrays_zip and
+    probes with the same pruned inverted-index plan — proving the
+    array-pair storage layout and the posting search layout are loss-free
+    mirrors (same oracle as sparse_knn_text)."""
+    from .operators.sparse import (  # noqa: PLC0415
+        postings_from_arrays,
+        postings_from_text,
+        sparse_dot_topk,
+    )
+
+    base = _tmp_base(sf_dir, "sparse")
+    docs = load_table(spark, sf_dir, "documents")
+    post = postings_from_text(docs, id_col="doc_id", text_col="text",
+                              vocab_size=512)
+    pts = (post.groupBy("id")
+           .agg(F.array_sort(F.collect_list(F.struct("idx", "val")))
+                .alias("z"))
+           .select("id",
+                   F.col("z.idx").alias("indices"),
+                   F.col("z.val").alias("values")))
+    upsert.create_collection(
+        spark, base, "sparse_pts", df=pts, id_col="id", n_buckets=8,
+        vector_config={"text_sparse": {"kind": "sparse", "distance": "dot"}})
+    stored = upsert.read_collection(spark, base, "sparse_pts")
+    cpost = postings_from_arrays(stored, id_col="id")
+    qpost = cpost.filter(F.col("id") < 3)
+    out = sparse_dot_topk(qpost, cpost, k=10, exclude_self=True)
+    return out.select("qid", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Qdrant API surface completions (round 5): discover (context-pair search),
+# facet (filtered value counts), order_by scroll (composite keyset), and the
+# distance matrix (pairwise sims over a sampled point set).
+# ---------------------------------------------------------------------------
+
+def _duck_cos(a: str, b: str) -> str:
+    """DuckDB cosine(a, b) rounded to 6 — the same arithmetic the Spark side
+    uses, so comparisons BETWEEN two cosines agree across engines."""
+    return (
+        f"round((SELECT SUM(a*b) FROM (SELECT unnest({a})::DOUBLE AS a, "
+        f"unnest({b})::DOUBLE AS b)) / "
+        f"(sqrt((SELECT SUM(a*a) FROM (SELECT unnest({a})::DOUBLE AS a))) * "
+        f"sqrt((SELECT SUM(b*b) FROM (SELECT unnest({b})::DOUBLE AS b)))), 6)"
+    )
+
+
+@register(
+    "api_discover",
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id NOT IN (0, 10, 11, 12, 13)
+),
+ref AS (
+  SELECT (SELECT embedding FROM embeddings WHERE vec_id = 0)  AS tgt,
+         (SELECT embedding FROM embeddings WHERE vec_id = 10) AS p1,
+         (SELECT embedding FROM embeddings WHERE vec_id = 11) AS n1,
+         (SELECT embedding FROM embeddings WHERE vec_id = 12) AS p2,
+         (SELECT embedding FROM embeddings WHERE vec_id = 13) AS n2
+),
+scored AS (
+  SELECT c.vec_id,
+         {_duck_cos('c.embedding', 'r.tgt')} AS sim,
+         (CASE WHEN {_duck_cos('c.embedding', 'r.p1')}
+                  > {_duck_cos('c.embedding', 'r.n1')} THEN 1 ELSE 0 END
+        + CASE WHEN {_duck_cos('c.embedding', 'r.p2')}
+                  > {_duck_cos('c.embedding', 'r.n2')} THEN 1 ELSE 0 END)
+         AS ctx_wins
+  FROM corpus c, ref r
+)
+SELECT vec_id, CAST(ctx_wins AS BIGINT) AS ctx_wins, sim,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number()
+             OVER (ORDER BY ctx_wins DESC, sim DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= 10
+""",
+)
+def q_api_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant `discover`: a target vector plus context (positive, negative)
+    pairs — points rank FIRST by how many pairs they sit on the positive
+    side of (closer to the pair's positive than its negative), THEN by
+    similarity to the target.  The 5 reference vectors fold into a 1-row
+    broadcast frame, so the corpus is scanned once with per-row JVM
+    expressions and never shuffles; cosines are rounded to 6 on both
+    engines BEFORE comparison so the win/loss classification is
+    engine-stable."""
+    from .functions.vector import cosine_similarity  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    names = {0: "tgt", 10: "p1", 11: "n1", 12: "p2", 13: "n2"}
+    ref = emb.filter(F.col("vec_id").isin(list(names))).groupBy().agg(*[
+        F.first(F.when(F.col("vec_id") == i, F.col("embedding")),
+                ignorenulls=True).alias(n)
+        for i, n in names.items()
+    ])
+    corpus = emb.filter(~F.col("vec_id").isin(list(names)))
+    joined = corpus.crossJoin(F.broadcast(ref))
+
+    def cos(ref_col: str):
+        return F.round(
+            cosine_similarity(F.col("embedding").cast("array<double>"),
+                              F.col(ref_col).cast("array<double>")), 6)
+
+    scored = joined.select(
+        "vec_id",
+        ((cos("p1") > cos("n1")).cast("long")
+         + (cos("p2") > cos("n2")).cast("long")).alias("ctx_wins"),
+        cos("tgt").alias("sim"))
+    w = Window.orderBy(F.desc("ctx_wins"), F.desc("sim"), F.asc("vec_id"))
+    return (scored
+            .orderBy(F.desc("ctx_wins"), F.desc("sim"), F.asc("vec_id"))
+            .limit(10)
+            .withColumn("rank", F.row_number().over(w))
+            .select("vec_id", "ctx_wins", "sim",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+@register(
+    "api_facet",
+    oracle="""
+SELECT source AS value, COUNT(*) AS count
+FROM documents
+WHERE n_chars >= 200
+GROUP BY source
+ORDER BY count DESC, value
+""",
+)
+def q_api_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant `facet`: distinct values of a payload key with their counts,
+    under a filter — a pushed-filter scan plus one partial-aggregated
+    groupBy, counts descending.  At 100 TB the filter prunes at the parquet
+    scan and only |distinct values| rows reach the driver."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.filter(F.col("n_chars") >= 200)
+            .groupBy(F.col("source").alias("value"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"), F.asc("value")))
+
+
+@register(
+    "api_scroll_order_by",
+    oracle="""
+SELECT event_id, round(value, 6) AS value
+FROM events
+ORDER BY value, event_id
+LIMIT 20 OFFSET 20
+""",
+)
+def q_api_scroll_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant `scroll(order_by=...)`: pagination ordered by a PAYLOAD field
+    needs a composite keyset cursor (value, id) — the id tiebreak makes the
+    cursor total even when values repeat.  Page 2 filters
+    ``(value, id) > cursor`` (pushed to the scan; no OFFSET rescan of page
+    1's rows — the oracle's OFFSET is just the expected answer, not the
+    plan) and re-sorts only the survivors."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    page1 = ev.orderBy("value", "event_id").limit(20).collect()
+    c_val, c_id = page1[-1]["value"], page1[-1]["event_id"]
+    page2 = (ev.filter((F.col("value") > c_val)
+                       | ((F.col("value") == c_val)
+                          & (F.col("event_id") > c_id)))
+             .orderBy("value", "event_id").limit(20))
+    return page2.select("event_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "api_distance_matrix",
+    oracle="""
+WITH sample AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8
+),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round(
+           (SELECT SUM(x*y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x,
+                                         unnest(b.embedding)::DOUBLE AS y))
+           / ( sqrt((SELECT SUM(x*x) FROM (SELECT unnest(a.embedding)::DOUBLE AS x)))
+             * sqrt((SELECT SUM(y*y) FROM (SELECT unnest(b.embedding)::DOUBLE AS y)))),
+           6) AS sim
+  FROM sample a, sample b
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT a_id, b_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id)
+             AS rank
+      FROM pairs)
+WHERE rank <= 3
+""",
+)
+def q_api_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant `search_matrix`: pairwise similarities over a sampled point
+    set, each sample keeping its top-3 neighbours WITHIN the sample.  The
+    sample is tiny by construction (that is the API's contract), so the
+    pairing is a broadcast self-join of the |sample| rows — the corpus
+    itself is touched only by the pushed ``vec_id < 8`` sample filter."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    out = knn.knn_join(
+        sample.select(F.col("vec_id").alias("qid"),
+                      F.col("embedding").alias("qvec")),
+        sample, k=3, exclude_self=True)
+    return out.select(F.col("qid").alias("a_id"),
+                      F.col("vec_id").alias("b_id"), "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "store_snapshot_restore",
+    oracle="""
+SELECT doc_id AS id, text FROM documents WHERE doc_id < 200
+""",
+)
+def q_store_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant snapshot API twin: snapshot the collection, mutate it hard
+    (delete a third, overwrite, insert junk), then restore — the readback
+    must be the exact pre-snapshot state (the oracle recomputes it from the
+    source table).  Snapshots hardlink the immutable parquet files (O(file
+    count), not O(bytes) — the local twin of an object store's server-side
+    copy), and the restore is one atomic directory swap."""
+    base = _tmp_base(sf_dir, "snap")
+    docs = load_table(spark, sf_dir, "documents")
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8, id_col="id",
+        df=docs.filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").alias("id"), "text"))
+    upsert.snapshot_collection(base, "docs", name="before")
+    upsert.delete_points(spark, base, "docs", list(range(0, 200, 3)))
+    upsert.upsert(spark, base, "docs", spark.createDataFrame(
+        [(5, "overwritten"), (9999, "junk row")], "id long, text string"))
+    upsert.restore_collection(base, "docs", "before")
+    return upsert.read_collection(spark, base, "docs").select("id", "text")
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -3797,26 +4228,32 @@ def q_store_indexed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # new this round (round 4) — never driver-adjudicated
-    "store_delete_points", "store_delete_by_filter", "store_compaction",
-    "store_catalog", "store_update_payload", "knn_dot_metric",
-    "knn_euclidean_metric",
-    "t9_rate_stream_backpressure", "knn_sq_int8", "knn_binary_rerank",
-    "api_search_groups", "api_count_filtered", "api_scroll_keyset",
-    "knn_named_spaces", "text_bm25_search", "hybrid_rrf_search",
-    "knn_pq_adc", "knn_ivf_kmeans", "t10_stream_dedup_live",
-    "t11_stream_static_join", "pipe_chunk_documents", "pipe_text_normalize",
-    "pipe_rag_end_to_end", "api_batch_filtered_search",
-    # green in r02 but not sampled by the driver in r03 — oldest evidence first
-    "u1_union_by_name", "u2_intersect_big_buyers", "u3_except_urgent_only_buyers",
-    "j6_value_band_join", "j7_asof_latest_click", "f2_base64_roundtrip",
-    "f5_time_features", "f6_f10_scalar_gauntlet", "f9_map_payload_access",
-    "f11_conditional_buckets", "s2_normalize_pipeline", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_minhash_ml", "dedup_simhash",
-    "dedup_embedding_blocked", "x3_hash_embed_vec", "text_langid",
-    "text_quality_stats", "text_fingerprint", "t4_sliding_event_windows",
-    "t5_session_windows", "t2_dedup_first_event", "knn_ivf_blocked",
-    "mm_binary_stats",
+    # new this round (round 5) — never driver-adjudicated
+    "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
+    "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",
+    "api_sparse_search", "api_discover", "api_facet", "api_scroll_order_by",
+    "api_distance_matrix", "store_snapshot_restore",
+    "store_indexed_probe", "store_indexed_pq",
+    # last green in r03, not sampled by the driver in r04 — oldest evidence
+    "knn_cosine_topk100", "knn_lsh_brp", "knn_filtered_search",
+    "a1_pricing_summary", "j1_customer_revenue", "j2_customers_per_region",
+    "j3_customer_order_counts", "j4_semi_customers_with_orders",
+    "j4_anti_parts_never_bulk_ordered", "w1_top3_orders_per_priority",
+    "o2_top100_lineitems", "x3_hash_embed_tf", "dedup_exact_groups",
+    "a5_label_centroids", "f1_json_payload_stats", "t3_hourly_event_windows",
+    "w2_event_gaps", "w3_running_customer_spend", "w4_price_quartiles",
+    "a2_distinct_parts_suppliers", "a2_approx_distinct_parts",
+    "a3_user_event_types", "a4_rollup_pricing", "a6_value_percentiles",
+    "mm_byte_histogram", "mm_audio_features", "mm_resize_pipeline",
+    "mm_binaryfile_source", "s1_message_roundtrip",
+    "s6_upsert_last_write_wins", "s7_dead_letter_routing",
+    "p4_payload_filter", "p5_payload_enrichment", "f3_f4_content_ids",
+    "f8_array_gauntlet", "x4_centroids_applyinpandas", "x1_text_embed_udf",
+    "j9_regional_revenue", "j10_small_quantity_revenue", "text_top_ngrams",
+    "a7_salted_event_stats", "api_retrieve_by_ids", "api_recommend",
+    "pipe_corpus_clean", "pipe_split_counts", "pipe_hash_sample",
+    "t1_stream_ingest_roundtrip", "t6_stream_watermarked_windows",
+    "t8_stateful_user_stats",
 ]
 
 

@@ -181,3 +181,171 @@ def test_index_requires_meta_and_rejects_unknown_kind(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="no persisted index"):
         index.search_indexed(spark, root, "vecs",
                              _queries(load_table(spark, sf_dir, "embeddings")))
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance (round 5): mutations feed the delta log; refresh
+# appends at generation g and masks superseded rows — no retrain, no rewrite.
+# ---------------------------------------------------------------------------
+
+def _mutate(spark, root, rnd, step):
+    """One round of mixed mutations against the 'vecs' collection."""
+    stored = upsert.read_collection(spark, root, "vecs")
+    base = [(r["id"], list(r["embedding"]))
+            for r in stored.select("id", "embedding").limit(150).collect()]
+    new = spark.createDataFrame(
+        [(i + 50_000 * (step + 1), v) for i, v in rnd.sample(base, 8)]
+        + [(i, [x * 0.5 for x in v]) for i, v in rnd.sample(base, 4)],
+        "id long, embedding array<double>")
+    upsert.upsert(spark, root, "vecs", new)
+    upsert.delete_points(spark, root, "vecs",
+                         [i for i, _ in rnd.sample(base, 6)])
+
+
+def test_refresh_absorbs_mutations_without_rebuild(spark, sf_dir, tmp_path):
+    """upsert+overwrite+delete+delete_by_filter+update_columns, one refresh:
+    full-probe indexed search == exact scan on the FINAL state, and the
+    index reports fresh again — without retraining a single centroid."""
+    rnd = __import__("random").Random(5)
+    root = str(tmp_path / "store")
+    emb = _mk_store(spark, sf_dir, root)
+    index.build_vector_index(spark, root, "vecs", kind="ivf",
+                             n_lists=8, iters=3)
+    gen0 = index.vector_index_meta(root, "vecs", "embedding")["generation"]
+    _mutate(spark, root, rnd, 0)
+    upsert.delete_by_filter(spark, root, "vecs", F.col("id").between(200, 205))
+    first = upsert.read_collection(spark, root, "vecs").first()
+    upsert.update_columns(
+        spark, root, "vecs",
+        spark.createDataFrame(
+            [(first["id"], [0.25] * len(first["embedding"]))],
+            "id long, embedding array<double>"))
+    assert not index.index_is_fresh(root, "vecs", "embedding")
+
+    imeta = index.refresh_vector_index(spark, root, "vecs")
+    assert index.index_is_fresh(root, "vecs", "embedding")
+    assert imeta["generation"] == gen0 + 1
+
+    q = _queries(emb)
+    exact = knn.search_collection(spark, root, "vecs", q, k=10,
+                                  corpus_id="id", exclude_self=True,
+                                  use_index=False)
+    full = knn.search_collection(spark, root, "vecs", q, k=10,
+                                 corpus_id="id", exclude_self=True,
+                                 use_index="always", n_probe=8)
+    assert _rows(full) == _rows(exact)
+
+
+def test_refresh_keeps_partition_pruning(spark, sf_dir, tmp_path):
+    """Appended generations land INSIDE the list_id dirs, so the probe's
+    static partition filter survives a refresh untouched."""
+    root = str(tmp_path / "store")
+    emb = _mk_store(spark, sf_dir, root)
+    index.build_vector_index(spark, root, "vecs", kind="ivf",
+                             n_lists=8, iters=3)
+    _mutate(spark, root, __import__("random").Random(6), 0)
+    index.refresh_vector_index(spark, root, "vecs")
+    out = index.search_indexed(spark, root, "vecs", _queries(emb, 2),
+                               k=5, n_probe=2, exclude_self=True)
+    assert_partition_filters(out, "list_id")
+
+
+def test_repeated_refresh_property(spark, sf_dir, tmp_path):
+    """N rounds of (mutate → refresh): every round the index answers
+    exactly like the exact scan — generations and masks stack correctly."""
+    rnd = __import__("random").Random(7)
+    root = str(tmp_path / "store")
+    emb = _mk_store(spark, sf_dir, root)
+    index.build_vector_index(spark, root, "vecs", kind="ivf",
+                             n_lists=8, iters=3)
+    q = _queries(emb, 3)
+    for step in range(3):
+        _mutate(spark, root, rnd, step)
+        index.refresh_vector_index(spark, root, "vecs")
+        exact = knn.search_collection(spark, root, "vecs", q, k=8,
+                                      corpus_id="id", exclude_self=True,
+                                      use_index=False)
+        full = knn.search_collection(spark, root, "vecs", q, k=8,
+                                     corpus_id="id", exclude_self=True,
+                                     use_index="always", n_probe=8)
+        assert _rows(full) == _rows(exact), f"diverged at step {step}"
+
+
+def test_refresh_rerun_after_simulated_crash_converges(spark, sf_dir, tmp_path):
+    """A refresh that died after its data append (built_version never
+    committed) must be safely re-runnable: the rerun's masks hide the dead
+    attempt's rows, so no id is ever returned twice."""
+    import json
+    import os
+
+    rnd = __import__("random").Random(8)
+    root = str(tmp_path / "store")
+    emb = _mk_store(spark, sf_dir, root)
+    index.build_vector_index(spark, root, "vecs", kind="ivf",
+                             n_lists=8, iters=3)
+    built0 = index.vector_index_meta(root, "vecs", "embedding")["built_version"]
+    _mutate(spark, root, rnd, 0)
+    index.refresh_vector_index(spark, root, "vecs")
+    # simulate the crash: roll built_version back as if step 4 never ran
+    ipath = index.index_path(root, "vecs", "embedding")
+    mp = os.path.join(ipath, index.INDEX_META_FILE)
+    with open(mp) as fh:
+        imeta = json.load(fh)
+    imeta["built_version"] = built0
+    with open(mp, "w") as fh:
+        json.dump(imeta, fh)
+    imeta2 = index.refresh_vector_index(spark, root, "vecs")
+    assert imeta2["generation"] == 2  # rerun claimed a NEW generation
+    q = _queries(emb)
+    full = knn.search_collection(spark, root, "vecs", q, k=10,
+                                 corpus_id="id", exclude_self=True,
+                                 use_index="always", n_probe=8)
+    exact = knn.search_collection(spark, root, "vecs", q, k=10,
+                                  corpus_id="id", exclude_self=True,
+                                  use_index=False)
+    assert _rows(full) == _rows(exact)
+    # no duplicate (qid, vec_id) pairs from the double append
+    pairs = [(r["qid"], r["vec_id"]) for r in full.collect()]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_refresh_noop_and_delta_coverage_guard(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "store")
+    _mk_store(spark, sf_dir, root)
+    index.build_vector_index(spark, root, "vecs", kind="ivf",
+                             n_lists=8, iters=3)
+    # fresh index: refresh is a no-op
+    before = index.vector_index_meta(root, "vecs", "embedding")
+    assert index.refresh_vector_index(spark, root, "vecs") == before
+    # mutate, then prune the delta log PAST the index's built_version —
+    # refresh must refuse (it can no longer know what changed)
+    upsert.delete_points(spark, root, "vecs", [0])
+    upsert.prune_delta_log(spark, root, "vecs",
+                           upsert.collection_version(root, "vecs"))
+    with pytest.raises(ValueError, match="delta log"):
+        index.refresh_vector_index(spark, root, "vecs")
+
+
+def test_refresh_ivf_pq_recall_after_mutations(spark, sf_dir, tmp_path):
+    """PQ kinds refresh too: new ids encode with the STORED codebooks and
+    the refine step still rescores exactly."""
+    rnd = __import__("random").Random(9)
+    root = str(tmp_path / "store")
+    emb = _mk_store(spark, sf_dir, root)
+    index.build_vector_index(spark, root, "vecs", kind="ivf_pq",
+                             n_lists=8, m=8, ksub=32, iters=3)
+    _mutate(spark, root, rnd, 0)
+    index.refresh_vector_index(spark, root, "vecs")
+    q = _queries(emb)
+    exact: dict = {}
+    for r in knn.search_collection(spark, root, "vecs", q, k=10,
+                                   corpus_id="id", exclude_self=True,
+                                   use_index=False).collect():
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+    got: dict = {}
+    for r in index.search_indexed(spark, root, "vecs", q, k=10, n_probe=8,
+                                  rerank_factor=8,
+                                  exclude_self=True).collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(exact[qid] & got.get(qid, set())) / 10 for qid in exact]
+    assert sum(recalls) / len(recalls) >= 0.5

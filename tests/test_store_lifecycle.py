@@ -209,6 +209,12 @@ def test_multi_topic_pipeline_backpressure(spark, tmp_path):
             except Exception:
                 pass
             time.sleep(0.5)
+        # rows become visible at the bucket swap INSIDE a micro-batch, i.e.
+        # before that batch's progress event posts (the delta-log append
+        # still runs after the swap) — drain the in-flight trigger so
+        # recentProgress reflects every batch that moved the data
+        while time.time() < deadline and q.status.get("isTriggerActive"):
+            time.sleep(0.2)
         progresses = q.recentProgress
     finally:
         q.stop()
@@ -395,3 +401,148 @@ def test_recover_collection_restores_stranded_buckets(spark, tmp_path):
              for r in upsert.read_collection(spark, root, "c").collect()}
     assert after == before
     assert upsert.recover_collection(root, "c") == []  # clean store: no-op
+
+
+def test_delta_log_records_every_mutation(spark, tmp_path):
+    """Each mutation appends (version, op, id) rows: the incremental-index
+    feed.  Ops classify correctly and versions line up with the meta
+    counter; read_delta windows on (since, current]."""
+    root = str(tmp_path / "store")
+    _mk(spark, root, n=16, n_buckets=4)
+    upsert.upsert(spark, root, "c", spark.createDataFrame(
+        [("id1", "rewritten", 9), ("idNEW", "fresh", 0)],
+        "id string, document string, grp int"))          # v1
+    upsert.delete_points(spark, root, "c", ["id2", "id3"])   # v2
+    upsert.update_columns(spark, root, "c", spark.createDataFrame(
+        [("id4", "patched")], "id string, document string"))  # v3
+    upsert.delete_by_filter(spark, root, "c", F.col("grp") == 3)  # v4
+    assert upsert.collection_version(root, "c") == 4
+
+    delta = upsert.read_delta(spark, root, "c", 0)
+    got = {(r["version"], r["op"], r["id"]) for r in delta.collect()}
+    assert (1, "upsert", "id1") in got and (1, "upsert", "idNEW") in got
+    assert (2, "delete", "id2") in got and (2, "delete", "id3") in got
+    assert (3, "upsert", "id4") in got
+    # grp==3 ids: id3, id7, id11, id15 — id3 was already deleted at v2, so
+    # only the still-present ones are logged at v4
+    v4 = {i for v, op, i in got if v == 4}
+    assert v4 == {"id7", "id11", "id15"}
+    # windowing
+    assert {r["version"] for r in
+            upsert.read_delta(spark, root, "c", 2).collect()} == {3, 4}
+
+
+def test_compaction_prunes_absorbed_delta(spark, tmp_path):
+    """With no index artifacts every delta entry is dead weight: compaction
+    empties the log and records the high-water mark, after which read_delta
+    refuses to answer for pre-prune versions (None → callers rebuild)."""
+    root = str(tmp_path / "store")
+    _mk(spark, root, n=16, n_buckets=4)
+    upsert.delete_points(spark, root, "c", ["id1"])
+    upsert.compact_collection(spark, root, "c")
+    meta = upsert.collection_meta(root, "c")
+    assert meta["delta_pruned_to"] == 1
+    assert upsert.read_delta(spark, root, "c", 0) is None
+    # new mutations after the prune are answerable again
+    upsert.delete_points(spark, root, "c", ["id2"])
+    d = upsert.read_delta(spark, root, "c", 1)
+    assert [(r["op"], r["id"]) for r in d.collect()] == [("delete", "id2")]
+
+
+def test_compaction_keeps_delta_an_index_still_needs(spark, tmp_path):
+    """An index built at version v pins deltas > v: compaction may prune
+    only what EVERY live index has absorbed, so a later incremental
+    refresh still has its feed."""
+    from bob_vector_db_spark.operators import index
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0, 0.5]) for i in range(64)],
+        "id int, embedding array<double>")
+    upsert.create_collection(spark, root, "v", df=df, id_col="id",
+                             n_buckets=4,
+                             vector_config={"embedding": {
+                                 "size": 4, "distance": "cosine"}})
+    index.build_vector_index(spark, root, "v", kind="ivf",
+                             n_lists=4, iters=2)      # built at v0
+    upsert.delete_points(spark, root, "v", [1, 2])    # v1
+    upsert.compact_collection(spark, root, "v")       # may prune <= 0 only
+    assert upsert.collection_meta(root, "v").get("delta_pruned_to", 0) == 0
+    # the refresh still works on the preserved delta
+    index.refresh_vector_index(spark, root, "v")
+    assert index.index_is_fresh(root, "v", "embedding")
+    # now everything is absorbed — compaction can empty the log
+    upsert.compact_collection(spark, root, "v")
+    assert upsert.collection_meta(root, "v")["delta_pruned_to"] == 1
+
+
+def test_snapshot_is_immune_to_later_mutations(spark, tmp_path):
+    """Hardlink snapshots rely on the store's files being immutable: every
+    mutation writes NEW files and unlinks old ones.  Mutate hard after the
+    snapshot — delete, upsert, update, compact, delta prune — then restore:
+    the exact pre-snapshot rows come back, including meta/version state."""
+    root = str(tmp_path / "store")
+    _mk(spark, root, n=32, n_buckets=4)
+    before = sorted(map(tuple,
+                        upsert.read_collection(spark, root, "c").collect()))
+    v0 = upsert.collection_version(root, "c")
+    path = upsert.snapshot_collection(root, "c", name="s1")
+    assert upsert.list_snapshots(root) == ["s1"]
+
+    upsert.delete_points(spark, root, "c", [f"id{i}" for i in range(10)])
+    upsert.upsert(spark, root, "c", spark.createDataFrame(
+        [("id3", "mutated", 0), ("idX", "new", 1)],
+        "id string, document string, grp int"))
+    upsert.update_columns(spark, root, "c", spark.createDataFrame(
+        [("id20", "patched")], "id string, document string"))
+    upsert.compact_collection(spark, root, "c")
+
+    upsert.restore_collection(root, "c", "s1")
+    after = sorted(map(tuple,
+                       upsert.read_collection(spark, root, "c").collect()))
+    assert after == before
+    assert upsert.collection_version(root, "c") == v0
+    # restoring again still works (snapshot survives restore)
+    upsert.restore_collection(root, "c", "s1")
+    assert os.path.isdir(path)
+    assert upsert.drop_snapshot(root, "s1")
+    assert upsert.list_snapshots(root) == []
+
+
+def test_snapshot_captures_indexes_and_delta(spark, tmp_path):
+    """The snapshot is the FULL point-in-time tree: a restored collection
+    comes back with its index artifact fresh and searchable, and its delta
+    log consistent with the meta version."""
+    from bob_vector_db_spark.operators import index
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(64)],
+        "id int, embedding array<double>")
+    upsert.create_collection(
+        spark, root, "v", df=df, id_col="id", n_buckets=4,
+        vector_config={"embedding": {"size": 8, "distance": "cosine"}})
+    index.build_vector_index(spark, root, "v", kind="ivf", n_lists=4, iters=2)
+    upsert.snapshot_collection(root, "v", name="s1")
+    # poison the live state: mutate and leave the index stale
+    upsert.delete_points(spark, root, "v", list(range(20)))
+    assert not index.index_is_fresh(root, "v", "embedding")
+    upsert.restore_collection(root, "v", "s1")
+    assert index.index_is_fresh(root, "v", "embedding")
+    q = spark.createDataFrame(
+        [(0, [float(j % 13) for j in range(8)])],
+        "qid int, qvec array<double>")
+    out = index.search_indexed(spark, root, "v", q, k=5, n_probe=4)
+    assert out.count() == 5
+
+
+def test_snapshot_refuses_overwrite_and_missing(spark, tmp_path):
+    root = str(tmp_path / "store")
+    _mk(spark, root, n=8, n_buckets=2)
+    upsert.snapshot_collection(root, "c", name="s1")
+    with pytest.raises(ValueError, match="already exists"):
+        upsert.snapshot_collection(root, "c", name="s1")
+    with pytest.raises(ValueError, match="no snapshot"):
+        upsert.restore_collection(root, "c", "nope")
+    with pytest.raises(ValueError, match="does not exist"):
+        upsert.snapshot_collection(root, "ghost")

@@ -267,3 +267,51 @@ def test_bm25_index_empty_collection(spark, tmp_path):
                             text_col="text")
     assert out.count() == 0
     assert out.columns == ["id", "score", "rank"]
+
+
+def test_bm25_refresh_matches_fresh_build(spark, tmp_path):
+    """Incremental refresh (delta log → append postings at gen g + masks)
+    must answer EXACTLY like the in-memory BM25 on the final corpus:
+    stats (n_docs, avgdl), df, tf all reflect upserts, overwrites and
+    deletes absorbed without a rebuild."""
+    from bob_vector_db_spark.operators import upsert
+    from bob_vector_db_spark.operators.text_search import (
+        bm25_topk_indexed,
+        build_text_index,
+        refresh_text_index,
+        text_index_is_fresh,
+    )
+
+    rows = [(i, f"alpha beta{' gamma' * (i % 3)} delta{i % 5}")
+            for i in range(100)]
+    root, _ = _mk_doc_store(spark, tmp_path, rows)
+    build_text_index(spark, root, "docs", text_col="text", n_term_buckets=8)
+    # overwrite 5 docs, add 10, delete 7
+    upsert.upsert(spark, root, "docs", spark.createDataFrame(
+        [(i, "alpha alpha alpha rewritten") for i in range(5)]
+        + [(i, "gamma fresh appended") for i in range(100, 110)],
+        "id long, text string"))
+    upsert.delete_points(spark, root, "docs", list(range(20, 27)))
+    assert not text_index_is_fresh(root, "docs", "text")
+    imeta = refresh_text_index(spark, root, "docs", text_col="text")
+    assert text_index_is_fresh(root, "docs", "text")
+    assert imeta["n_docs"] == 100 + 10 - 7 and imeta["generation"] == 1
+
+    final = upsert.read_collection(spark, root, "docs")
+    terms = ["alpha", "gamma", "delta3"]
+    mem = sorted(map(tuple, bm25_topk(final, terms, k=10, id_col="id",
+                                      text_col="text").collect()))
+    idx = sorted(map(tuple, bm25_topk_indexed(
+        spark, root, "docs", terms, k=10, text_col="text").collect()))
+    assert idx == mem
+
+    # second refresh round on top of the first
+    upsert.upsert(spark, root, "docs", spark.createDataFrame(
+        [(200, "delta3 delta3 delta3")], "id long, text string"))
+    refresh_text_index(spark, root, "docs", text_col="text")
+    final = upsert.read_collection(spark, root, "docs")
+    mem = sorted(map(tuple, bm25_topk(final, terms, k=10, id_col="id",
+                                      text_col="text").collect()))
+    idx = sorted(map(tuple, bm25_topk_indexed(
+        spark, root, "docs", terms, k=10, text_col="text").collect()))
+    assert idx == mem
