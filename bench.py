@@ -83,15 +83,26 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
+    # Store/streaming FIXTURE queries build a collection (or run a live
+    # stream) end-to-end each pass: their multi-second cost is deterministic
+    # setup work, not JIT noise, so the min-of-2 buys nothing and doubles
+    # the suite wall-clock.  They run ONCE; every headline query still gets
+    # the min-of-2.
+    single_pass_prefixes = ("store_", "t9_", "t10_", "t12_", "t13_",
+                            "pipe_rag", "text_bm25_refresh")
+    single_pass = {n for n in registry if n.startswith(single_pass_prefixes)}
+
     times: dict[str, float] = {}
     for name in order:
         times[name] = run_once(name)
         print(f"# {name}: {times[name]}s", file=sys.stderr)
-    # second pass over EVERY query, keeping the per-query min: the first pass
-    # charges whole-suite JVM state (codegen churn, GC, JIT deopt) to whoever
-    # runs late in the sequence — round-1 saw 5-20× inflation on s1/s6/s7/x4.
+    # second pass, keeping the per-query min: the first pass charges
+    # whole-suite JVM state (codegen churn, GC, JIT deopt) to whoever runs
+    # late in the sequence — round-1 saw 5-20× inflation on s1/s6/s7/x4.
     # The min-of-2 reflects the plan, not the code cache.
     for name in order:
+        if name in single_pass:
+            continue
         t2 = run_once(name)
         print(f"# {name} (pass 2): {t2}s", file=sys.stderr)
         times[name] = min(times[name], t2)

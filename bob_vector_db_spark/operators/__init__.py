@@ -7,6 +7,7 @@ from . import (
     knn,
     multimodal,
     normalize,
+    payload_index,
     quantize,
     sampling,
     skew,
@@ -17,5 +18,5 @@ from . import (
 )
 
 __all__ = ["asof", "centroid", "dedup", "embed", "index", "knn",
-           "multimodal", "normalize", "quantize", "sampling", "skew",
-           "sparse", "text_search", "topk", "upsert"]
+           "multimodal", "normalize", "payload_index", "quantize",
+           "sampling", "skew", "sparse", "text_search", "topk", "upsert"]

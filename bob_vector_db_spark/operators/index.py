@@ -337,6 +337,59 @@ def refresh_vector_index(spark: SparkSession, root: str, collection: str,
     return imeta
 
 
+def list_indexes(root: str, collection: str) -> list[dict]:
+    """Every persisted index artifact of a collection (vector, BM25,
+    sparse), each with its meta — the catalog half of the index surface."""
+    idx_root = os.path.join(collection_path(root, collection), INDEX_DIR)
+    out = []
+    if not os.path.isdir(idx_root):
+        return out
+    for name in sorted(os.listdir(idx_root)):
+        p = os.path.join(idx_root, name, INDEX_META_FILE)
+        if os.path.exists(p):
+            with open(p) as fh:
+                meta = json.load(fh)
+            meta["_name"] = name
+            out.append(meta)
+    return out
+
+
+def refresh_all_indexes(spark: SparkSession, root: str,
+                        collection: str) -> list[dict]:
+    """One call after a batch of mutations: every persisted index of the
+    collection absorbs the delta log incrementally, dispatched by kind —
+    the Qdrant model where a single upsert keeps ALL the collection's
+    indexes (dense, sparse, payload) current.  Returns the refreshed metas.
+    The shared delta log makes this safe to call at any cadence: each index
+    tracks its own built_version, so indexes refreshed at different times
+    each consume exactly their own gap."""
+    from .sparse import refresh_sparse_index  # noqa: PLC0415
+    from .text_search import refresh_text_index  # noqa: PLC0415
+
+    out = []
+    for imeta in list_indexes(root, collection):
+        kind = imeta.get("kind")
+        if kind in VALID_KINDS:
+            out.append(refresh_vector_index(
+                spark, root, collection, vector_name=imeta["vector_name"]))
+        elif kind == "bm25":
+            out.append(refresh_text_index(
+                spark, root, collection, text_col=imeta["text_col"]))
+        elif kind == "sparse":
+            out.append(refresh_sparse_index(
+                spark, root, collection, indices_col=imeta["indices_col"]))
+        elif kind == "payload":
+            from .payload_index import refresh_payload_index  # noqa: PLC0415
+
+            out.append(refresh_payload_index(
+                spark, root, collection, column=imeta["column"]))
+        else:  # unknown artifact: surface it, don't silently skip
+            raise ValueError(
+                f"index {imeta.get('_name')!r} of collection {collection!r} "
+                f"has unknown kind {kind!r}; cannot refresh")
+    return out
+
+
 def _load_centroids(spark: SparkSession, ipath: str):
     import numpy as np  # noqa: PLC0415
 

@@ -1,0 +1,237 @@
+"""Persisted payload (secondary) index — the Qdrant ``create_payload_index``
+twin.  The reference's delegated store indexes payload fields so filtered
+searches resolve the filter FIRST and score only matching points
+(README.md:13's filterable query surface); on the bucketed parquet store the
+equivalent is an inverted value index:
+
+    _index/<column>__payload/
+        meta.json                       kind=payload, column, built_version
+        postings/                       (val, id, gen) partitioned by
+                                        val_bucket = pmod(xxhash64(val), N)
+
+A filter probe reads ONLY its values' hash buckets (static ``val_bucket IN``
+partition filter + pushed ``val IN`` predicate) and returns the matching
+ids; a filtered search then fetches exactly those points from the
+collection — whose candidate id set prunes the id-hash buckets the same way
+— and scores them.  Two pruned probes, zero full scans: the selective-filter
+fast path a 100 TB filtered search needs (the main store's pushed-predicate
+scan remains the non-selective fallback).
+
+Maintenance: the same delta-log / generation / mask LSM scheme as every
+other index artifact (operators.index) — mutations append, refresh is
+O(|delta|), rebuild compacts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index import (
+    INDEX_META_FILE,
+    _apply_masks,
+    _delta_split,
+    _write_index_meta,
+    atomic_replace_dir,
+    index_path,
+    vector_index_meta,
+)
+from .upsert import (
+    BUCKET_COL,
+    _store_exists,
+    collection_meta,
+    collection_path,
+    collection_version,
+    read_collection,
+)
+
+
+def _payload_index_name(column: str) -> str:
+    return f"{column}__payload"
+
+
+def payload_index_meta(root: str, collection: str, column: str) -> dict | None:
+    return vector_index_meta(root, collection, _payload_index_name(column))
+
+
+def _postings(df: DataFrame, id_col: str, column: str,
+              n_val_buckets: int, gen: int) -> DataFrame:
+    # ids stringify for one uniform posting schema (matches the delta log
+    # and mask tables; the fetch joins on cast-to-string anyway)
+    return (df.select(F.col(id_col).cast("string").alias("id"),
+                      F.col(column).cast("string").alias("val"))
+            .filter(F.col("val").isNotNull())
+            .withColumn("gen", F.lit(gen))
+            .withColumn("val_bucket",
+                        F.pmod(F.xxhash64("val"),
+                               F.lit(n_val_buckets)).cast("int")))
+
+
+def build_payload_index(spark: SparkSession, root: str, collection: str,
+                        column: str, n_val_buckets: int = 32,
+                        files_per_bucket: int = 1) -> dict:
+    """Materialize the (val, id) inverted index for one payload column.
+    Values index as strings (exact-match semantics across types — the probe
+    casts its literals the same way).  One pass over the collection, one
+    shuffle to cluster by value hash, staged atomic swap."""
+    meta = collection_meta(root, collection)
+    if meta is None:
+        raise ValueError(
+            f"collection {collection!r} has no meta sidecar; create it via "
+            f"create_collection/upsert before indexing")
+    id_col = meta.get("id_col", "id")
+    built_version = collection_version(root, collection)
+    ipath = index_path(root, collection, _payload_index_name(column))
+    staging = ipath + "__staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    if _store_exists(collection_path(root, collection)):
+        post = _postings(read_collection(spark, root, collection),
+                         id_col, column, n_val_buckets, gen=0)
+        (post.repartition(n_val_buckets * files_per_bucket,
+                          F.col("val_bucket"))
+         .write.partitionBy("val_bucket")
+         .parquet(os.path.join(staging, "postings")))
+    imeta = {
+        "kind": "payload",
+        "column": column,
+        "id_col": id_col,
+        "n_val_buckets": n_val_buckets,
+        "built_version": built_version,
+        "generation": 0,
+    }
+    with open(os.path.join(staging, INDEX_META_FILE), "w") as fh:
+        json.dump(imeta, fh, indent=2, sort_keys=True)
+    atomic_replace_dir(staging, ipath)
+    return imeta
+
+
+def refresh_payload_index(spark: SparkSession, root: str, collection: str,
+                          column: str) -> dict:
+    """Absorb mutations incrementally — same crash-safe claim-g → masks →
+    append → commit order as refresh_vector_index."""
+    imeta = payload_index_meta(root, collection, column)
+    if imeta is None:
+        raise ValueError(
+            f"no persisted payload index for {collection!r}/{column!r}; "
+            f"run build_payload_index first")
+    cur = collection_version(root, collection)
+    built = int(imeta["built_version"])
+    if built == cur:
+        return imeta
+    up_ids, del_ids = _delta_split(spark, root, collection, built)
+    ipath = index_path(root, collection, _payload_index_name(column))
+    id_col = imeta["id_col"]
+
+    g = int(imeta.get("generation", 0)) + 1
+    imeta["generation"] = g
+    _write_index_meta(ipath, imeta)
+
+    masks = (up_ids.withColumn("upto_gen", F.lit(g - 1))
+             .unionByName(del_ids.withColumn("upto_gen", F.lit(g))))
+    masks.coalesce(8).write.mode("append").parquet(
+        os.path.join(ipath, "masks"))
+
+    fresh = (read_collection(spark, root, collection)
+             .join(up_ids.withColumnRenamed("id", "_d_id"),
+                   F.col(id_col).cast("string") == F.col("_d_id"),
+                   "left_semi"))
+    post = _postings(fresh, id_col, imeta["column"],
+                     imeta["n_val_buckets"], gen=g)
+    (post.write.mode("append").partitionBy("val_bucket")
+     .parquet(os.path.join(ipath, "postings")))
+
+    imeta["built_version"] = cur
+    _write_index_meta(ipath, imeta)
+    return imeta
+
+
+def payload_match_ids(spark: SparkSession, root: str, collection: str,
+                      column: str, values: list,
+                      allow_stale: bool = False) -> DataFrame:
+    """Ids whose ``column`` equals any of ``values``, resolved from the
+    stored index: static ``val_bucket IN (...)`` partition filter + pushed
+    ``val IN (...)`` predicate — only the probed value buckets are read."""
+    imeta = payload_index_meta(root, collection, column)
+    if imeta is None:
+        raise ValueError(
+            f"no persisted payload index for {collection!r}/{column!r}; "
+            f"run build_payload_index first")
+    if not allow_stale and int(imeta["built_version"]) != \
+            collection_version(root, collection):
+        raise ValueError(
+            f"payload index for {collection!r}/{column!r} was built at data "
+            f"version {imeta['built_version']} but the collection is at "
+            f"{collection_version(root, collection)}; refresh_payload_index "
+            f"absorbs the mutations (or rebuild)")
+    vals = sorted({str(v) for v in values})
+    n = imeta["n_val_buckets"]
+    buckets = sorted(
+        r[0] for r in spark.createDataFrame([(v,) for v in vals],
+                                            "val string")
+        .select(F.pmod(F.xxhash64("val"), F.lit(n)).cast("int").alias("b"))
+        .distinct().collect()) if vals else []
+    ipath = index_path(root, collection, _payload_index_name(column))
+    post = (spark.read.parquet(os.path.join(ipath, "postings"))
+            .filter(F.col("val_bucket").isin(buckets))
+            .filter(F.col("val").isin(vals)))
+    return _apply_masks(spark, ipath, post, "id").select("id", "val")
+
+
+def filtered_search_indexed(spark: SparkSession, root: str, collection: str,
+                            queries: DataFrame, column: str, values: list,
+                            k: int = 10, vector_name: str | None = None,
+                            query_id: str = "qid", query_vec: str = "qvec",
+                            round_to: int | None = 6,
+                            max_candidates: int = 1_000_000) -> DataFrame:
+    """Filtered kNN through the payload index: resolve the filter to its id
+    set FIRST (pruned value-bucket probe), fetch exactly those points from
+    the collection via a static id-bucket filter + broadcast semi-join, and
+    score only them with the collection's declared metric.  This is the
+    Qdrant selective-filter plan; for non-selective filters prefer
+    ``knn.search_collection`` with a pushed predicate (scanning beats
+    fetching when most points match).  ``max_candidates`` bounds the
+    driver-side candidate materialization loudly."""
+    from .knn import knn_join, resolve_metric  # noqa: PLC0415
+
+    meta = collection_meta(root, collection) or {}
+    id_col = meta.get("id_col", "id")
+    if vector_name is None:
+        vectors = meta.get("vectors", {})
+        if len(vectors) == 1:
+            vector_name = next(iter(vectors))
+        else:
+            raise ValueError(
+                f"collection {collection!r} declares {sorted(vectors)} "
+                f"vector spaces; pass vector_name")
+    metric = resolve_metric(
+        meta.get("vectors", {}).get(vector_name, {}).get("distance", "cosine"))
+
+    cand = payload_match_ids(spark, root, collection, column, values)
+    ids = [r["id"] for r in cand.select("id").limit(max_candidates + 1).collect()]
+    if len(ids) > max_candidates:
+        raise ValueError(
+            f"filter matches >{max_candidates} points — not a selective "
+            f"filter; use search_collection with a pushed predicate instead")
+    n_buckets = int(meta.get("n_buckets", 16))
+    id_buckets = sorted(
+        r[0] for r in spark.createDataFrame([(str(i),) for i in ids],
+                                            "id string")
+        .select(F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int")
+                .alias("b")).distinct().collect()) if ids else []
+    path = collection_path(root, collection)
+    fetched = (
+        spark.read.parquet(path)
+        .filter(F.col(BUCKET_COL).isin(id_buckets))
+        .join(F.broadcast(cand.select("id").withColumnRenamed("id", "_f_id")),
+              F.col(id_col).cast("string") == F.col("_f_id"), "left_semi")
+        .select(id_col, vector_name)
+    )
+    return knn_join(queries, fetched, k=k, query_id=query_id,
+                    query_vec=query_vec, corpus_id=id_col,
+                    corpus_vec=vector_name, exclude_self=False,
+                    round_to=round_to, metric=metric)

@@ -95,3 +95,195 @@ def sparse_dot_topk(query_postings: DataFrame, corpus_postings: DataFrame,
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+# ---------------------------------------------------------------------------
+# Persisted sparse index: the posting table lives in the collection store,
+# partitioned by dimension hash bucket — a query's active dims partition-
+# prune the scan, the same stored-inverted-index shape as the BM25 index
+# (operators.text_search.build_text_index) but without corpus stats (plain
+# dot product needs none).  Shares the delta-log / generation / mask
+# incremental-maintenance scheme of operators.index.
+# ---------------------------------------------------------------------------
+
+def _sparse_index_name(indices_col: str) -> str:
+    return f"{indices_col}__sparse"
+
+
+def sparse_index_meta(root: str, collection: str,
+                      indices_col: str = "indices") -> dict | None:
+    from .index import vector_index_meta  # noqa: PLC0415
+
+    return vector_index_meta(root, collection, _sparse_index_name(indices_col))
+
+
+def build_sparse_index(spark, root: str, collection: str,
+                       indices_col: str = "indices",
+                       values_col: str = "values",
+                       n_dim_buckets: int = 32,
+                       files_per_bucket: int = 1) -> dict:
+    """Materialize the sparse posting table ONCE into the collection store:
+    explode the (indices, values) array pairs, bucket by
+    ``pmod(xxhash64(idx), n_dim_buckets)`` (hash, not plain mod — BPE-style
+    vocabularies concentrate low ids), clustered write partitioned by
+    bucket.  Same staged atomic swap and built_version staleness gate as
+    the dense and BM25 indexes."""
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    from .index import INDEX_META_FILE, atomic_replace_dir, index_path  # noqa: PLC0415
+    from .upsert import (  # noqa: PLC0415
+        _store_exists,
+        collection_meta,
+        collection_path,
+        collection_version,
+        read_collection,
+    )
+
+    meta = collection_meta(root, collection)
+    if meta is None:
+        raise ValueError(
+            f"collection {collection!r} has no meta sidecar; create it via "
+            f"create_collection/upsert before indexing")
+    id_col = meta.get("id_col", "id")
+    built_version = collection_version(root, collection)
+    ipath = index_path(root, collection, _sparse_index_name(indices_col))
+    staging = ipath + "__staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    if _store_exists(collection_path(root, collection)):
+        post = postings_from_arrays(
+            read_collection(spark, root, collection),
+            id_col=id_col, indices_col=indices_col, values_col=values_col)
+        (post.withColumn("gen", F.lit(0))
+         .withColumn("dim_bucket",
+                     F.pmod(F.xxhash64("idx"),
+                            F.lit(n_dim_buckets)).cast("int"))
+         .repartition(n_dim_buckets * files_per_bucket, F.col("dim_bucket"))
+         .write.partitionBy("dim_bucket")
+         .parquet(os.path.join(staging, "postings")))
+    imeta = {
+        "kind": "sparse",
+        "indices_col": indices_col,
+        "values_col": values_col,
+        "id_col": id_col,
+        "n_dim_buckets": n_dim_buckets,
+        "built_version": built_version,
+        "generation": 0,
+    }
+    with open(os.path.join(staging, INDEX_META_FILE), "w") as fh:
+        json.dump(imeta, fh, indent=2, sort_keys=True)
+    atomic_replace_dir(staging, ipath)
+    return imeta
+
+
+def refresh_sparse_index(spark, root: str, collection: str,
+                         indices_col: str = "indices") -> dict:
+    """Absorb mutations since ``built_version`` incrementally — the sparse
+    twin of ``operators.index.refresh_vector_index``: changed ids re-explode
+    their array pairs and APPEND at generation g into the existing
+    dim-bucket layout; masks hide the ids' older posting rows.  Same
+    crash-safe write order (claim g → masks → appends → commit)."""
+    import os  # noqa: PLC0415
+
+    from .index import _apply_masks, _delta_split, _write_index_meta, index_path  # noqa: PLC0415
+    from .upsert import collection_meta, collection_version, read_collection  # noqa: PLC0415
+
+    meta = collection_meta(root, collection)
+    if meta is None:
+        raise ValueError(f"collection {collection!r} has no meta sidecar")
+    imeta = sparse_index_meta(root, collection, indices_col)
+    if imeta is None:
+        raise ValueError(
+            f"no persisted sparse index for {collection!r}/{indices_col!r}; "
+            f"run build_sparse_index first")
+    cur = collection_version(root, collection)
+    built = int(imeta["built_version"])
+    if built == cur:
+        return imeta
+    up_ids, del_ids = _delta_split(spark, root, collection, built)
+    ipath = index_path(root, collection, _sparse_index_name(indices_col))
+    id_col = imeta["id_col"]
+
+    g = int(imeta.get("generation", 0)) + 1
+    imeta["generation"] = g
+    _write_index_meta(ipath, imeta)
+
+    masks = (up_ids.withColumn("upto_gen", F.lit(g - 1))
+             .unionByName(del_ids.withColumn("upto_gen", F.lit(g))))
+    masks.coalesce(8).write.mode("append").parquet(
+        os.path.join(ipath, "masks"))
+
+    fresh = (read_collection(spark, root, collection)
+             .join(up_ids.withColumnRenamed("id", "_d_id"),
+                   F.col(id_col).cast("string") == F.col("_d_id"),
+                   "left_semi"))
+    post = postings_from_arrays(
+        fresh, id_col=id_col, indices_col=imeta["indices_col"],
+        values_col=imeta["values_col"])
+    (post.withColumn("gen", F.lit(g))
+     .withColumn("dim_bucket",
+                 F.pmod(F.xxhash64("idx"),
+                        F.lit(imeta["n_dim_buckets"])).cast("int"))
+     .write.mode("append").partitionBy("dim_bucket")
+     .parquet(os.path.join(ipath, "postings")))
+
+    imeta["built_version"] = cur
+    _write_index_meta(ipath, imeta)
+    return imeta
+
+
+def sparse_search_indexed(spark, root: str, collection: str,
+                          query_postings: DataFrame, k: int = 10,
+                          indices_col: str = "indices",
+                          exclude_self: bool = False,
+                          round_to: int | None = 6,
+                          max_query_dims: int = 100_000,
+                          allow_stale: bool = False) -> DataFrame:
+    """Top-k over the PERSISTED sparse index: the queries' active dims
+    become a STATIC ``dim_bucket IN (...)`` partition filter plus an
+    ``idx IN (...)`` predicate pushed into the parquet scan — only the
+    probed posting lists are ever read, zero corpus passes.  Results are
+    identical to :func:`sparse_dot_topk` over the live collection
+    (pytest-pinned + shared oracle).  Raises on a stale index unless
+    ``allow_stale``; refresh with :func:`refresh_sparse_index`."""
+    import os  # noqa: PLC0415
+
+    from .index import _apply_masks, index_path  # noqa: PLC0415
+    from .upsert import collection_version  # noqa: PLC0415
+
+    imeta = sparse_index_meta(root, collection, indices_col)
+    if imeta is None:
+        raise ValueError(
+            f"no persisted sparse index for {collection!r}/{indices_col!r}; "
+            f"run build_sparse_index first")
+    if not allow_stale and int(imeta["built_version"]) != \
+            collection_version(root, collection):
+        raise ValueError(
+            f"sparse index for {collection!r}/{indices_col!r} was built at "
+            f"data version {imeta['built_version']} but the collection is "
+            f"at {collection_version(root, collection)}; "
+            f"refresh_sparse_index absorbs the mutations (or rebuild)")
+    # driver-side probe set — bounded by the kNN small-query-side contract
+    dims = [r[0] for r in
+            query_postings.select("idx").distinct()
+            .limit(max_query_dims + 1).collect()]
+    if len(dims) > max_query_dims:
+        raise ValueError(
+            f"sparse_search_indexed computes the probe set driver-side; got "
+            f">{max_query_dims} distinct query dims — raise max_query_dims "
+            f"or batch the input")
+    n = imeta["n_dim_buckets"]
+    buckets = sorted(
+        r[0] for r in spark.createDataFrame([(int(d),) for d in dims],
+                                            "idx long")
+        .select(F.pmod(F.xxhash64("idx"), F.lit(n)).cast("int").alias("b"))
+        .distinct().collect()) if dims else []
+    ipath = index_path(root, collection, _sparse_index_name(indices_col))
+    post = (spark.read.parquet(os.path.join(ipath, "postings"))
+            .filter(F.col("dim_bucket").isin(buckets))
+            .filter(F.col("idx").isin(dims)))
+    post = _apply_masks(spark, ipath, post, "id").select("id", "idx", "val")
+    return sparse_dot_topk(query_postings, post, k=k,
+                           exclude_self=exclude_self, round_to=round_to)

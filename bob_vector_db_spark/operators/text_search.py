@@ -342,6 +342,52 @@ def bm25_topk_indexed(spark: SparkSession, root: str, collection: str,
                           k, k1, b, round_to)
 
 
+def match_text_ids(spark: SparkSession, root: str, collection: str,
+                   phrase: str, text_col: str = "document",
+                   allow_stale: bool = False) -> DataFrame:
+    """Full-text filter (Qdrant ``MatchText``): ids whose ``text_col``
+    contains EVERY token of ``phrase``, resolved from the stored BM25
+    posting table — probe only the tokens' hash buckets (static partition
+    filter), then one ``groupBy(id) having count(distinct term) == n``
+    over the pruned stream.  No corpus pass; the id set feeds filtered
+    search or delete_points the same way a payload-index probe does."""
+    from .index import _apply_masks, index_path  # noqa: PLC0415
+    from .upsert import collection_version  # noqa: PLC0415
+
+    imeta = text_index_meta(root, collection, text_col)
+    if imeta is None:
+        raise ValueError(
+            f"no persisted text index for {collection!r}/{text_col!r}; "
+            f"run build_text_index first")
+    if not allow_stale and int(imeta["built_version"]) != \
+            collection_version(root, collection):
+        raise ValueError(
+            f"text index for {collection!r}/{text_col!r} is stale; "
+            f"refresh_text_index first")
+    terms = sorted({t for t in phrase.lower().split() if t})
+    if not terms:
+        raise ValueError("match_text_ids needs at least one token")
+    if not imeta["n_docs"]:
+        return spark.createDataFrame([], f"id {imeta['id_type']}")
+    buckets = sorted(
+        r[0] for r in spark.createDataFrame([(t,) for t in terms],
+                                            "term string")
+        .select(F.pmod(F.xxhash64("term"),
+                       F.lit(imeta["n_term_buckets"])).cast("int").alias("b"))
+        .distinct().collect())
+    ipath = index_path(root, collection, _text_index_name(text_col))
+    post = _apply_masks(
+        spark, ipath,
+        spark.read.parquet(os.path.join(ipath, "postings"))
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms)),
+        "id")
+    return (post.groupBy("id")
+            .agg(F.countDistinct("term").alias("_n"))
+            .filter(F.col("_n") == len(terms))
+            .select("id"))
+
+
 def rrf_fuse(ranked: list[DataFrame], k: int = 10, k0: int = 60,
              id_col: str = "id", rank_col: str = "rank",
              round_to: int = 6) -> DataFrame:

@@ -60,8 +60,66 @@ META_FILE = "_collection_meta.json"
 DELTA_DIR = "_delta"
 
 
+ALIASES_FILE = "_aliases.json"  # store-root sidecar: alias -> collection
+
+
+def _read_aliases(root: str) -> dict[str, str]:
+    p = os.path.join(root, ALIASES_FILE)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _write_aliases(root: str, aliases: dict[str, str]) -> None:
+    os.makedirs(root, exist_ok=True)
+    p = os.path.join(root, ALIASES_FILE)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(aliases, fh, indent=2, sort_keys=True)
+    os.replace(tmp, p)  # atomic repoint — readers see old map or new map
+
+
+def resolve_collection(root: str, name: str) -> str:
+    """Alias → target collection (one hop, no chains); a non-alias name
+    resolves to itself."""
+    return _read_aliases(root).get(name, name)
+
+
+def create_alias(root: str, alias: str, collection: str) -> None:
+    """Point ``alias`` at ``collection`` (Qdrant update_collection_aliases).
+    Re-pointing an existing alias is the zero-downtime reindex switch:
+    build the new collection under a fresh name, then atomically swing the
+    alias — readers never see a half-reindexed state."""
+    if not os.path.isdir(os.path.join(root, f"collection={collection}")):
+        raise ValueError(f"collection {collection!r} does not exist")
+    if os.path.isdir(os.path.join(root, f"collection={alias}")):
+        raise ValueError(
+            f"{alias!r} is an existing collection name; aliases and "
+            f"collections share a namespace")
+    aliases = _read_aliases(root)
+    aliases[alias] = collection
+    _write_aliases(root, aliases)
+
+
+def delete_alias(root: str, alias: str) -> bool:
+    aliases = _read_aliases(root)
+    if alias not in aliases:
+        return False
+    del aliases[alias]
+    _write_aliases(root, aliases)
+    return True
+
+
+def list_aliases(root: str) -> dict[str, str]:
+    return dict(_read_aliases(root))
+
+
 def collection_path(root: str, collection: str) -> str:
-    return os.path.join(root, f"collection={collection}")
+    # alias resolution happens HERE, the single choke point every store
+    # operation goes through — reads, mutations, indexing and snapshots all
+    # transparently follow the alias to its target collection
+    return os.path.join(root, f"collection={resolve_collection(root, collection)}")
 
 
 def _with_bucket(df: DataFrame, id_col: str, n_buckets: int) -> DataFrame:
@@ -92,6 +150,11 @@ def create_collection(spark: SparkSession, root: str, collection: str,
     (qdrant_embedder.py:95-102), e.g. ``{"text": {"size": 512, "distance":
     "cosine"}}``; it persists in a ``_``-prefixed sidecar Spark readers skip.
     """
+    if collection in _read_aliases(root):
+        raise ValueError(
+            f"{collection!r} is an alias (→ "
+            f"{resolve_collection(root, collection)!r}); collections and "
+            f"aliases share a namespace — create under a fresh name")
     path = collection_path(root, collection)
     if os.path.exists(path):
         return False
@@ -634,8 +697,15 @@ def list_collections(root: str) -> list[dict]:
 
 
 def drop_collection(root: str, collection: str) -> bool:
-    """Remove a collection's directory (data + meta); True if it existed."""
-    path = collection_path(root, collection)
+    """Remove a collection's directory (data + meta); True if it existed.
+    Refuses an alias — deleting THROUGH an alias would silently destroy the
+    target while other aliases may still point at it; drop the real name
+    (delete_alias removes the pointer itself)."""
+    if collection in _read_aliases(root):
+        raise ValueError(
+            f"{collection!r} is an alias; drop_collection wants the real "
+            f"collection name (or delete_alias to remove the pointer)")
+    path = os.path.join(root, f"collection={collection}")
     if not os.path.isdir(path):
         return False
     shutil.rmtree(path)

@@ -4191,6 +4191,335 @@ def q_api_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+@register("store_sparse_indexed", oracle=_SPARSE_ORACLE)
+def q_store_sparse_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse search over the PERSISTED sparse index: the posting table is
+    materialized once into the collection store partitioned by dimension
+    hash bucket; the query's active dims arrive as a static ``dim_bucket
+    IN (...)`` partition filter plus an ``idx IN (...)`` pushed predicate —
+    only the probed posting lists are read, zero corpus passes at query
+    time.  Same oracle as the in-memory sparse_knn_text, proving
+    stored-index parity."""
+    from .operators.sparse import (  # noqa: PLC0415
+        build_sparse_index,
+        postings_from_text,
+        sparse_search_indexed,
+    )
+
+    base = _tmp_base(sf_dir, "sparseidx")
+    docs = load_table(spark, sf_dir, "documents")
+    post = postings_from_text(docs, id_col="doc_id", text_col="text",
+                              vocab_size=512)
+    pts = (post.groupBy("id")
+           .agg(F.array_sort(F.collect_list(F.struct("idx", "val")))
+                .alias("z"))
+           .select("id",
+                   F.col("z.idx").alias("indices"),
+                   F.col("z.val").alias("values")))
+    upsert.create_collection(
+        spark, base, "sp", df=pts, id_col="id", n_buckets=8,
+        vector_config={"text_sparse": {"kind": "sparse", "distance": "dot"}})
+    build_sparse_index(spark, base, "sp", n_dim_buckets=16)
+    qpost = post.filter(F.col("id") < 3)
+    out = sparse_search_indexed(spark, base, "sp", qpost, k=10,
+                                exclude_self=True)
+    return out.select("qid", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "t13_stream_index_refresh",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({DUCK_WS_TOKENS.format(t='text')}) AS tok
+  FROM documents WHERE doc_id < 100
+),
+tfs AS (
+  SELECT doc_id, ({DUCK_POLY_HASH.format(t='tok')}) % 64 AS bucket,
+         COUNT(*) AS tf
+  FROM toks GROUP BY doc_id, bucket
+),
+vecs AS (
+  SELECT d.doc_id,
+         list(CAST(coalesce(tf, 0) AS DOUBLE) ORDER BY r.j) AS vec
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 100) d
+  CROSS JOIN range(64) r(j)
+  LEFT JOIN tfs ON tfs.doc_id = d.doc_id AND tfs.bucket = r.j
+  GROUP BY d.doc_id
+),
+q AS (SELECT doc_id AS qid, vec AS qvec FROM vecs WHERE doc_id < 3),
+pairs AS (
+  SELECT q.qid, v.doc_id AS vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec) AS a,
+                                         unnest(v.vec) AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec) AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(v.vec) AS b)))),
+           6) AS sim
+  FROM q, vecs v
+  WHERE q.qid <> v.doc_id
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM pairs)
+WHERE rank <= 5
+""",
+)
+def q_t13_stream_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE ingest that keeps the stored ANN index FRESH: seed the
+    collection with half the docs and build the IVF index once; stream the
+    other half in micro-batches whose foreachBatch does upsert →
+    refresh_all_indexes — the Qdrant index-at-upsert loop end-to-end.  The
+    final search runs with use_index='always' (raises if ANY batch left the
+    index stale) at full probe, so the result must equal the exact kNN over
+    ALL 120 hash-embedded docs — which is what the oracle recomputes."""
+    import json  # noqa: PLC0415
+
+    from .operators.embed import hash_embed_df  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "t13")
+    store = os.path.join(base, "store")
+    in_dir = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ck")
+    os.makedirs(in_dir)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    seed = (hash_embed_df(docs.filter(F.col("doc_id") < 60),
+                          dim=64, out_col="vec")
+            .select(F.col("doc_id").alias("id"), "vec"))
+    upsert.create_collection(
+        spark, store, "docs", df=seed, id_col="id", n_buckets=8,
+        vector_config={"vec": {"size": 64, "distance": "cosine"}})
+    index.build_vector_index(spark, store, "docs", kind="ivf",
+                             n_lists=8, iters=3)
+
+    rows = docs.filter(F.col("doc_id") >= 60).select("doc_id", "text").collect()
+    for fi in range(2):
+        with open(os.path.join(in_dir, f"f{fi}.jsonl"), "w") as fh:
+            for r in rows[fi::2]:
+                fh.write(json.dumps(
+                    {"id": r["doc_id"], "text": r["text"]}) + "\n")
+
+    schema = "id long, text string"
+
+    def _merge(batch, _bid):
+        if batch.isEmpty():
+            return
+        emb = (hash_embed_df(batch, text_col="text", id_col="id",
+                             dim=64, out_col="vec")
+               .select("id", "vec"))
+        upsert.upsert(batch.sparkSession, store, "docs", emb, id_col="id")
+        index.refresh_all_indexes(batch.sparkSession, store, "docs")
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).json(in_dir)
+         .writeStream.foreachBatch(_merge)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    stored = upsert.read_collection(spark, store, "docs")
+    qdf = (stored.filter(F.col("id") < 3)
+           .select(F.col("id").alias("qid"), F.col("vec").alias("qvec")))
+    out = knn.search_collection(
+        spark, store, "docs", qdf, k=5, corpus_id="id", exclude_self=True,
+        use_index="always", n_probe=8)
+    return out.select("qid", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "text_repetition_stats",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> length(x) > 0) AS tk
+  FROM documents WHERE doc_id < 200
+),
+uni AS (
+  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_tok
+  FROM (SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(tk) AS tok FROM t)
+        GROUP BY doc_id, tok)
+  GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3 THEN
+           list_transform(range(0, len(tk) - 2),
+                          i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
+         ELSE [] END AS gs
+  FROM t
+),
+tristats AS (
+  SELECT doc_id, COUNT(*) AS total3, COUNT(DISTINCT g) AS uniq3
+  FROM (SELECT doc_id, unnest(gs) AS g FROM tri)
+  GROUP BY doc_id
+)
+SELECT u.doc_id,
+       CAST(u.n_tok AS BIGINT) AS n_tok,
+       round(CAST(u.top_c AS DOUBLE) / u.n_tok, 6) AS top_tok_frac,
+       round(CASE WHEN coalesce(ts.total3, 0) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(ts.uniq3 AS DOUBLE) / ts.total3 END,
+             6) AS dup_3gram_frac
+FROM uni u LEFT JOIN tristats ts ON ts.doc_id = u.doc_id
+""",
+)
+def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals for pretraining-data filtering (the
+    Gopher/MassiveText style): per doc, the most-frequent-token fraction
+    and the duplicated-3-gram fraction.  Both are one explode + hash
+    aggregate — whole-stage codegen, map-side partials, shuffle keyed on
+    (doc, token/gram); the 3-grams build from the token array with a
+    sequence transform, no self-join."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = docs.select(
+        "doc_id", ws_tokens(F.lower(F.col("text"))).alias("tk"))
+
+    uni = (toks.select("doc_id", F.explode("tk").alias("tok"))
+           .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("doc_id")
+           .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tok")))
+
+    grams = toks.select(
+        "doc_id",
+        F.when(
+            F.size("tk") >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 3),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("tk"), i + 1),
+                    F.element_at(F.col("tk"), i + 2),
+                    F.element_at(F.col("tk"), i + 3)),
+            )).otherwise(F.array().cast("array<string>")).alias("gs"))
+    tristats = (grams.select("doc_id", F.explode("gs").alias("g"))
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("total3"),
+                     F.countDistinct("g").alias("uniq3")))
+
+    out = uni.join(tristats, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.round(F.col("top_c").cast("double") / F.col("n_tok"), 6)
+        .alias("top_tok_frac"),
+        F.round(
+            F.when(F.coalesce(F.col("total3"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.lit(1.0) - F.col("uniq3").cast("double")
+                       / F.col("total3")), 6).alias("dup_3gram_frac"))
+
+
+@register(
+    "store_payload_search",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3
+),
+cand AS (
+  SELECT vec_id, embedding FROM embeddings WHERE label IN (2, 5)
+),
+pairs AS (
+  SELECT q.qid, c.vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(c.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, cand c
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_store_payload_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search through a PERSISTED payload index (Qdrant
+    create_payload_index): the filter resolves to its id set from the
+    value-hash-bucketed inverted index (static val_bucket partition filter),
+    those ids fetch through a static id_bucket filter + broadcast semi-join,
+    and only the matching points are scored — two pruned probes, zero full
+    scans.  Results must equal the exact filtered kNN (the oracle)."""
+    from .operators.payload_index import (  # noqa: PLC0415
+        build_payload_index,
+        filtered_search_indexed,
+    )
+
+    base = _tmp_base(sf_dir, "pidx")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.select(F.col("vec_id").alias("id"), "embedding", "label"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    build_payload_index(spark, base, "vecs", "label", n_val_buckets=16)
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = filtered_search_indexed(spark, base, "vecs", qdf,
+                                  column="label", values=[2, 5], k=10)
+    return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"),
+                      "sim", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "api_match_text",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> length(x) > 0) AS tk
+  FROM documents
+)
+SELECT doc_id AS id FROM toks
+WHERE list_contains(tk, 'vector') AND list_contains(tk, 'stream')
+""",
+)
+def q_api_match_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text filter (Qdrant MatchText) over the STORED inverted index:
+    docs containing every token of the phrase, resolved by probing only the
+    tokens' term-hash buckets and intersecting posting lists with one
+    count-distinct aggregate — zero corpus passes."""
+    from .operators.text_search import build_text_index, match_text_ids  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "mtext")
+    docs = load_table(spark, sf_dir, "documents")
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8, id_col="id",
+        df=docs.select(F.col("doc_id").alias("id"), "text"))
+    build_text_index(spark, base, "docs", text_col="text", n_term_buckets=16)
+    return match_text_ids(spark, base, "docs", "vector stream",
+                          text_col="text")
+
+
+@register(
+    "store_alias_switch",
+    oracle="""
+SELECT doc_id AS id, upper(text) AS text FROM documents WHERE doc_id < 150
+""",
+)
+def q_store_alias_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aliases (Qdrant update_collection_aliases): readers go
+    through the alias, reindexes build a NEW collection under a fresh name
+    and atomically swing the pointer — the zero-downtime reindex pattern.
+    Here 'prod' starts on the green copy, a transformed blue copy is built
+    beside it, the alias repoints, and the read through 'prod' must show
+    blue (the oracle recomputes blue's content)."""
+    base = _tmp_base(sf_dir, "alias")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    upsert.create_collection(
+        spark, base, "green", n_buckets=4, id_col="id",
+        df=docs.select(F.col("doc_id").alias("id"), "text"))
+    upsert.create_alias(base, "prod", "green")
+    upsert.create_collection(
+        spark, base, "blue", n_buckets=4, id_col="id",
+        df=docs.select(F.col("doc_id").alias("id"),
+                       F.upper("text").alias("text")))
+    upsert.create_alias(base, "prod", "blue")  # atomic repoint
+    return upsert.read_collection(spark, base, "prod").select("id", "text")
+
+
 @register(
     "store_snapshot_restore",
     oracle="""
@@ -4232,7 +4561,9 @@ _PRIORITY = [
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
     "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",
     "api_sparse_search", "api_discover", "api_facet", "api_scroll_order_by",
-    "api_distance_matrix", "store_snapshot_restore",
+    "api_distance_matrix", "store_snapshot_restore", "store_sparse_indexed",
+    "t13_stream_index_refresh", "text_repetition_stats",
+    "store_payload_search", "store_alias_switch", "api_match_text",
     "store_indexed_probe", "store_indexed_pq",
     # last green in r03, not sampled by the driver in r04 — oldest evidence
     "knn_cosine_topk100", "knn_lsh_brp", "knn_filtered_search",

@@ -349,3 +349,59 @@ def test_refresh_ivf_pq_recall_after_mutations(spark, sf_dir, tmp_path):
         got.setdefault(r["qid"], set()).add(r["vec_id"])
     recalls = [len(exact[qid] & got.get(qid, set())) / 10 for qid in exact]
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_refresh_all_indexes_multi_kind(spark, tmp_path):
+    """One collection carrying a dense IVF index, a BM25 text index AND a
+    sparse index; one mutation batch; ONE refresh_all_indexes call brings
+    every artifact fresh — each consuming exactly its own delta gap."""
+    from bob_vector_db_spark.operators.sparse import (
+        build_sparse_index,
+        sparse_index_meta,
+    )
+    from bob_vector_db_spark.operators.text_search import (
+        build_text_index,
+        text_index_is_fresh,
+    )
+
+    root = str(tmp_path / "store")
+    rows = [(i, f"tok{i % 7} word{i % 3} shared",
+             [float((i * 5 + j) % 11) for j in range(8)],
+             [i % 9, 9 + i % 5], [1.0, 2.0])
+            for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "id int, text string, embedding array<double>, "
+              "indices array<int>, values array<double>")
+    upsert.create_collection(
+        spark, root, "c", df=df, id_col="id", n_buckets=4,
+        vector_config={"embedding": {"size": 8, "distance": "cosine"}})
+    index.build_vector_index(spark, root, "c", kind="ivf",
+                             n_lists=4, iters=2)
+    build_text_index(spark, root, "c", text_col="text", n_term_buckets=8)
+    build_sparse_index(spark, root, "c", n_dim_buckets=8)
+    assert len(index.list_indexes(root, "c")) == 3
+
+    # stagger: BM25 refreshes early, then more mutations land — the three
+    # indexes sit at DIFFERENT built_versions before the final refresh_all
+    upsert.delete_points(spark, root, "c", [1, 2])
+    from bob_vector_db_spark.operators.text_search import refresh_text_index
+    refresh_text_index(spark, root, "c", text_col="text")
+    upsert.upsert(spark, root, "c", spark.createDataFrame(
+        [(100, "fresh tok0 shared", [1.0] * 8, [3, 12], [5.0, 1.0])],
+        "id int, text string, embedding array<double>, "
+        "indices array<int>, values array<double>"))
+
+    metas = index.refresh_all_indexes(spark, root, "c")
+    assert len(metas) == 3
+    cur = upsert.collection_version(root, "c")
+    assert all(int(m["built_version"]) == cur for m in metas)
+    assert index.index_is_fresh(root, "c", "embedding")
+    assert text_index_is_fresh(root, "c", "text")
+    assert int(sparse_index_meta(root, "c")["built_version"]) == cur
+    # and the refreshed dense index answers exactly like the exact scan
+    q = spark.createDataFrame([(0, [1.0] * 8)], "qid int, qvec array<double>")
+    full = knn.search_collection(spark, root, "c", q, k=5, corpus_id="id",
+                                 use_index="always", n_probe=4)
+    exact = knn.search_collection(spark, root, "c", q, k=5, corpus_id="id",
+                                  use_index=False)
+    assert _rows(full) == _rows(exact)

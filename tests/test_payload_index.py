@@ -1,0 +1,83 @@
+"""Payload (secondary) index: value-bucketed inverted index, pruned filter
+probe, indexed filtered search, incremental refresh."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bob_vector_db_spark.operators import index, upsert
+from bob_vector_db_spark.operators.payload_index import (
+    build_payload_index,
+    filtered_search_indexed,
+    payload_match_ids,
+    refresh_payload_index,
+)
+from bob_vector_db_spark.plans.inspect import assert_partition_filters
+
+
+def _mk(spark, tmp_path, n=80):
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, f"cat{i % 5}", [float((i * 3 + j) % 7) for j in range(6)])
+         for i in range(n)],
+        "id long, category string, embedding array<double>")
+    upsert.create_collection(
+        spark, root, "c", df=df, id_col="id", n_buckets=4,
+        vector_config={"embedding": {"size": 6, "distance": "cosine"}})
+    return root, df
+
+
+def test_match_ids_and_pruning(spark, tmp_path):
+    root, df = _mk(spark, tmp_path)
+    build_payload_index(spark, root, "c", "category", n_val_buckets=8)
+    got = payload_match_ids(spark, root, "c", "category", ["cat2"])
+    want = {str(r["id"]) for r in df.filter("category = 'cat2'").collect()}
+    assert {r["id"] for r in got.collect()} == want
+    assert_partition_filters(got, "val_bucket")
+
+
+def test_filtered_search_matches_exact(spark, tmp_path):
+    root, df = _mk(spark, tmp_path)
+    build_payload_index(spark, root, "c", "category", n_val_buckets=8)
+    q = spark.createDataFrame([(0, [1.0, 2.0, 3.0, 1.0, 0.5, 2.0])],
+                              "qid long, qvec array<double>")
+    out = filtered_search_indexed(spark, root, "c", q,
+                                  column="category",
+                                  values=["cat1", "cat3"], k=50)
+    got_ids = {r["vec_id"] for r in out.collect()}
+    want_ids = {r["id"] for r in
+                df.filter(F.col("category").isin("cat1", "cat3")).collect()}
+    assert got_ids <= want_ids and len(got_ids) == min(50, len(want_ids))
+    # ranking equals a plain kNN over the filtered subset
+    from bob_vector_db_spark.operators.knn import knn_join
+    exact = knn_join(
+        q, df.filter(F.col("category").isin("cat1", "cat3")),
+        k=50, corpus_id="id", corpus_vec="embedding", exclude_self=False)
+    assert sorted(map(tuple, out.select("qid", "vec_id", "sim", "rank")
+                      .collect())) == \
+        sorted(map(tuple, exact.select("qid", "vec_id", "sim", "rank")
+                  .collect()))
+
+
+def test_payload_refresh_and_refresh_all(spark, tmp_path):
+    root, df = _mk(spark, tmp_path)
+    build_payload_index(spark, root, "c", "category", n_val_buckets=8)
+    # flip id 0 into cat4, add a new cat4 point, delete two cat4 points
+    upsert.upsert(spark, root, "c", spark.createDataFrame(
+        [(0, "cat4", [1.0] * 6), (500, "cat4", [2.0] * 6)],
+        "id long, category string, embedding array<double>"))
+    upsert.delete_points(spark, root, "c", [4, 9])
+    with pytest.raises(ValueError, match="stale|refresh"):
+        payload_match_ids(spark, root, "c", "category", ["cat4"])
+    # refresh_all dispatches the payload kind too
+    metas = index.refresh_all_indexes(spark, root, "c")
+    assert any(m["kind"] == "payload" for m in metas)
+    got = {r["id"] for r in
+           payload_match_ids(spark, root, "c", "category", ["cat4"])
+           .collect()}
+    want = {str(r["id"]) for r in
+            upsert.read_collection(spark, root, "c")
+            .filter("category = 'cat4'").collect()}
+    assert got == want and "0" in got and "500" in got
+    assert "4" not in got and "9" not in got

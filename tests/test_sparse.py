@@ -107,3 +107,105 @@ def test_ragged_array_pair_yields_null_free_postings(spark):
     # as a NULL val row rather than vanishing silently
     assert (1, 3, None) in rows
     assert (2, 4, 4.0) in rows
+
+
+# ---------------------------------------------------------------------------
+# Persisted sparse index: build / probe / staleness / incremental refresh
+# ---------------------------------------------------------------------------
+
+def _mk_sparse_store(spark, tmp_path, n=60):
+    from bob_vector_db_spark.operators import upsert
+
+    root = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 13} tok{i % 7} shared word{i % 3}") for i in range(n)],
+        "doc_id long, text string")
+    post = postings_from_text(docs, vocab_size=128)
+    pts = (post.groupBy("id")
+           .agg(F.array_sort(F.collect_list(F.struct("idx", "val")))
+                .alias("z"))
+           .select("id", F.col("z.idx").alias("indices"),
+                   F.col("z.val").alias("values")))
+    upsert.create_collection(spark, root, "sp", df=pts, id_col="id",
+                             n_buckets=4)
+    return root, post
+
+
+def _ranked(df):
+    return sorted(map(tuple,
+                      df.select("qid", "vec_id", "sim", "rank").collect()))
+
+
+def test_sparse_indexed_matches_in_memory(spark, tmp_path):
+    from bob_vector_db_spark.operators.sparse import (
+        build_sparse_index,
+        sparse_search_indexed,
+    )
+
+    root, post = _mk_sparse_store(spark, tmp_path)
+    build_sparse_index(spark, root, "sp", n_dim_buckets=8)
+    q = post.filter(F.col("id") < 3)
+    mem = sparse_dot_topk(q, post, k=5, exclude_self=True)
+    idx = sparse_search_indexed(spark, root, "sp", q, k=5, exclude_self=True)
+    assert _ranked(idx) == _ranked(mem)
+
+
+def test_sparse_indexed_prunes_dim_buckets(spark, tmp_path):
+    from bob_vector_db_spark.operators.sparse import (
+        build_sparse_index,
+        sparse_search_indexed,
+    )
+    from bob_vector_db_spark.plans.inspect import assert_partition_filters
+
+    root, post = _mk_sparse_store(spark, tmp_path)
+    build_sparse_index(spark, root, "sp", n_dim_buckets=16)
+    out = sparse_search_indexed(spark, root, "sp",
+                                post.filter(F.col("id") == 0), k=5)
+    assert_partition_filters(out, "dim_bucket")
+
+
+def test_sparse_refresh_absorbs_mutations(spark, tmp_path):
+    """mutate (overwrite + add + delete) → ONE refresh → indexed search ==
+    in-memory search over the FINAL collection state."""
+    from bob_vector_db_spark.operators import upsert
+    from bob_vector_db_spark.operators.sparse import (
+        build_sparse_index,
+        refresh_sparse_index,
+        sparse_search_indexed,
+    )
+
+    root, post = _mk_sparse_store(spark, tmp_path)
+    build_sparse_index(spark, root, "sp", n_dim_buckets=8)
+    # overwrite id 1 and 2, add 3 new ids, delete ids 10..14
+    newdocs = spark.createDataFrame(
+        [(1, "tok1 tok1 tok1"), (2, "word0 word0")]
+        + [(100 + i, f"tok{i} shared") for i in range(3)],
+        "doc_id long, text string")
+    newpost = postings_from_text(newdocs, vocab_size=128)
+    newpts = (newpost.groupBy("id")
+              .agg(F.array_sort(F.collect_list(F.struct("idx", "val")))
+                   .alias("z"))
+              .select("id", F.col("z.idx").alias("indices"),
+                      F.col("z.val").alias("values")))
+    upsert.upsert(spark, root, "sp", newpts, id_col="id")
+    upsert.delete_points(spark, root, "sp", list(range(10, 15)))
+
+    import pytest as _pt
+    q = post.filter(F.col("id") == 0)
+    with _pt.raises(ValueError, match="stale|refresh"):
+        sparse_search_indexed(spark, root, "sp", q, k=5)
+    imeta = refresh_sparse_index(spark, root, "sp")
+    assert imeta["generation"] == 1
+
+    from bob_vector_db_spark.operators.sparse import postings_from_arrays
+    final = postings_from_arrays(
+        upsert.read_collection(spark, root, "sp"), id_col="id")
+    mem = sparse_dot_topk(q, final, k=5, exclude_self=True)
+    idx = sparse_search_indexed(spark, root, "sp", q, k=5,
+                                exclude_self=True)
+    assert _ranked(idx) == _ranked(mem)
+    # and the refreshed index sees the new ids / not the deleted ones
+    all_hits = sparse_search_indexed(
+        spark, root, "sp", final.filter(F.col("id") == 100), k=50)
+    ids = {r["vec_id"] for r in all_hits.collect()}
+    assert not ids & set(range(10, 15))

@@ -546,3 +546,33 @@ def test_snapshot_refuses_overwrite_and_missing(spark, tmp_path):
         upsert.restore_collection(root, "c", "nope")
     with pytest.raises(ValueError, match="does not exist"):
         upsert.snapshot_collection(root, "ghost")
+
+
+def test_aliases_resolve_transparently_and_guard(spark, tmp_path):
+    """Alias CRUD + the namespace guards: every store op goes through the
+    alias to its target; creating/dropping THROUGH an alias is refused."""
+    root = str(tmp_path / "store")
+    _mk(spark, root, name="v1", n=16, n_buckets=2)
+    upsert.create_alias(root, "live", "v1")
+    assert upsert.list_aliases(root) == {"live": "v1"}
+    # reads and mutations through the alias hit the target
+    assert upsert.read_collection(spark, root, "live").count() == 16
+    upsert.delete_points(spark, root, "live", ["id0"])
+    assert upsert.read_collection(spark, root, "v1").count() == 15
+    assert upsert.collection_version(root, "live") == \
+        upsert.collection_version(root, "v1") == 1
+    # guards
+    with pytest.raises(ValueError, match="alias"):
+        upsert.create_collection(spark, root, "live", n_buckets=2)
+    with pytest.raises(ValueError, match="alias"):
+        upsert.drop_collection(root, "live")
+    with pytest.raises(ValueError, match="existing collection"):
+        upsert.create_alias(root, "v1", "v1")
+    with pytest.raises(ValueError, match="does not exist"):
+        upsert.create_alias(root, "x", "ghost")
+    # repoint + delete
+    _mk(spark, root, name="v2", n=8, n_buckets=2)
+    upsert.create_alias(root, "live", "v2")
+    assert upsert.read_collection(spark, root, "live").count() == 8
+    assert upsert.delete_alias(root, "live") is True
+    assert upsert.delete_alias(root, "live") is False

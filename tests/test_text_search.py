@@ -315,3 +315,33 @@ def test_bm25_refresh_matches_fresh_build(spark, tmp_path):
     idx = sorted(map(tuple, bm25_topk_indexed(
         spark, root, "docs", terms, k=10, text_col="text").collect()))
     assert idx == mem
+
+
+def test_match_text_requires_all_tokens_and_respects_refresh(spark, tmp_path):
+    from bob_vector_db_spark.operators import upsert
+    from bob_vector_db_spark.operators.text_search import (
+        build_text_index,
+        match_text_ids,
+        refresh_text_index,
+    )
+
+    rows = [(1, "alpha beta gamma"), (2, "alpha beta"), (3, "beta gamma"),
+            (4, "alpha beta gamma delta")]
+    root, _ = _mk_doc_store(spark, tmp_path, rows)
+    build_text_index(spark, root, "docs", text_col="text", n_term_buckets=8)
+    got = {r["id"] for r in
+           match_text_ids(spark, root, "docs", "Alpha  GAMMA",
+                          text_col="text").collect()}
+    assert got == {1, 4}  # every token must match, case-insensitive
+    # mutation → stale raises; refresh → new doc found, deleted doc gone
+    upsert.upsert(spark, root, "docs", spark.createDataFrame(
+        [(9, "gamma alpha extra")], "id long, text string"))
+    upsert.delete_points(spark, root, "docs", [1])
+    import pytest as _pt
+    with _pt.raises(ValueError, match="stale"):
+        match_text_ids(spark, root, "docs", "alpha gamma", text_col="text")
+    refresh_text_index(spark, root, "docs", text_col="text")
+    got = {r["id"] for r in
+           match_text_ids(spark, root, "docs", "alpha gamma",
+                          text_col="text").collect()}
+    assert got == {4, 9}
