@@ -134,6 +134,12 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
         meta.get("vectors", {}).get(vector_name, {}).get("distance", "cosine"))
     id_col = meta.get("id_col", "id")
     built_version = collection_version(root, collection)
+    from .upsert import _store_exists  # noqa: PLC0415
+
+    if not _store_exists(collection_path(root, collection)):
+        raise ValueError(
+            f"collection {collection!r} holds no rows; a vector index "
+            f"trains on the stored corpus — upsert data first")
 
     corpus = read_collection(spark, root, collection).select(id_col, vector_name)
     ipath = index_path(root, collection, vector_name)
@@ -252,6 +258,58 @@ def _delta_split(spark: SparkSession, root: str, collection: str,
             last.filter(F.col("op") == "delete").select("id"))
 
 
+def run_incremental_refresh(spark: SparkSession, root: str, collection: str,
+                            ipath: str, imeta: dict, append_fn,
+                            finalize_fn=None) -> dict:
+    """The shared claim-g → masks → pruned-fetch → append → commit scaffold
+    every index kind's refresh runs (dense, BM25, sparse, payload — ONE
+    implementation, so the crash-safety invariant lives in one spot):
+
+      1. no-op when ``built_version`` already equals the collection version;
+      2. split the delta log into last-op upserted / deleted id sets;
+      3. claim generation g DURABLY in the index meta before any data write
+         (a died-and-rerun refresh re-appends at g+1 and its masks hide the
+         dead attempt's rows);
+      4. append (id, upto_gen) masks — upserts mask `< g`, deletes mask
+         `<= g`;
+      5. fetch ONLY the upserted ids' current rows through the store's
+         static id-bucket filter (operators.upsert.read_rows_for_ids —
+         O(|delta|), never a collection scan) and hand them to
+         ``append_fn(fresh_rows, g)`` for the kind-specific encode+append;
+      6. optional ``finalize_fn(imeta)`` (e.g. BM25's corpus-stat
+         recompute), then commit ``built_version``.
+
+    Mid-refresh the index is simply still stale — the version gate keeps
+    dispatch off it until step 6 lands.
+    """
+    cur = collection_version(root, collection)
+    built = int(imeta["built_version"])
+    if built == cur:
+        return imeta
+    up_ids, del_ids = _delta_split(spark, root, collection, built)
+
+    g = int(imeta.get("generation", 0)) + 1
+    imeta["generation"] = g
+    _write_index_meta(ipath, imeta)
+
+    masks = (up_ids.withColumn("upto_gen", F.lit(g - 1))
+             .unionByName(del_ids.withColumn("upto_gen", F.lit(g))))
+    masks.coalesce(8).write.mode("append").parquet(
+        os.path.join(ipath, "masks"))
+
+    from .upsert import read_rows_for_ids  # noqa: PLC0415
+
+    fresh = read_rows_for_ids(spark, root, collection, up_ids)
+    if fresh is not None:
+        append_fn(fresh, g)
+
+    if finalize_fn is not None:
+        finalize_fn(imeta)
+    imeta["built_version"] = cur
+    _write_index_meta(ipath, imeta)
+    return imeta
+
+
 def refresh_vector_index(spark: SparkSession, root: str, collection: str,
                          vector_name: str | None = None) -> dict:
     """Absorb every mutation since ``built_version`` into the PERSISTED
@@ -267,14 +325,11 @@ def refresh_vector_index(spark: SparkSession, root: str, collection: str,
          generation g (new files in existing list dirs — no rewrite), and
          (id, upto_gen) masks hide the ids' older rows.
 
-    Crash-safe by write order: generation g is persisted to the index meta
-    BEFORE any data lands, so a died-and-rerun refresh re-appends at g+1 and
-    its masks (g) hide the dead attempt's rows; ``built_version`` advances
-    only at the very end.  Mid-refresh the index is simply still stale —
-    the version gate keeps auto-dispatch on the exact scan until the
-    refresh commits.  Centroids do NOT move (standard IVF practice —
-    recall drifts only if the data distribution does); rebuild with
-    :func:`build_vector_index` to retrain and to compact the masks away.
+    Crash safety, staleness gating and the pruned O(|delta|) fetch live in
+    the shared :func:`run_incremental_refresh` scaffold.  Centroids do NOT
+    move (standard IVF practice — recall drifts only if the data
+    distribution does); rebuild with :func:`build_vector_index` to retrain
+    and to compact the masks away.
     """
     meta = collection_meta(root, collection)
     if meta is None:
@@ -285,56 +340,32 @@ def refresh_vector_index(spark: SparkSession, root: str, collection: str,
         raise ValueError(
             f"no persisted index for {collection!r}/{vector_name!r}; "
             f"run build_vector_index first")
-    cur = collection_version(root, collection)
-    built = int(imeta["built_version"])
-    if built == cur:
-        return imeta  # already fresh — no-op
-    up_ids, del_ids = _delta_split(spark, root, collection, built)
     kind, id_col = imeta["kind"], imeta["id_col"]
     ipath = index_path(root, collection, vector_name)
+    vn = vector_name
 
-    # 1. claim generation g durably before any data write (rerun safety)
-    g = int(imeta.get("generation", 0)) + 1
-    imeta["generation"] = g
-    _write_index_meta(ipath, imeta)
+    def append_fn(fresh: DataFrame, g: int) -> None:
+        data = fresh.select(id_col, vn)
+        data_dir = os.path.join(ipath, "data")
+        geng = F.lit(g).alias("gen")
+        if kind in ("ivf", "ivf_pq"):
+            cents = _load_centroids(spark, ipath)
+            data = quantize.ivf_assign(data, cents, vec_col=vn)
+        if kind in ("pq", "ivf_pq"):
+            books = _load_codebooks(spark, ipath)
+            data = quantize.pq_encode(data, books, vec_col=vn)
+        if kind == "ivf":
+            (data.select(id_col, vn, geng, "list_id")
+             .write.mode("append").partitionBy("list_id").parquet(data_dir))
+        elif kind == "pq":
+            (data.select(id_col, "pq_codes", geng)
+             .write.mode("append").parquet(data_dir))
+        else:
+            (data.select(id_col, "pq_codes", geng, "list_id")
+             .write.mode("append").partitionBy("list_id").parquet(data_dir))
 
-    # 2. masks first: a crash after this leaves the affected ids hidden —
-    # harmless, because built_version still says "stale" and dispatch
-    # stays on the exact scan until step 4 commits
-    masks = (up_ids.withColumn("upto_gen", F.lit(g - 1))
-             .unionByName(del_ids.withColumn("upto_gen", F.lit(g))))
-    masks.coalesce(8).write.mode("append").parquet(
-        os.path.join(ipath, "masks"))
-
-    # 3. fetch + assign/encode + append the changed ids' current rows
-    fresh = (read_collection(spark, root, collection)
-             .select(id_col, vector_name)
-             .join(up_ids.withColumnRenamed("id", "_d_id"),
-                   F.col(id_col).cast("string") == F.col("_d_id"),
-                   "left_semi"))
-    data = fresh
-    data_dir = os.path.join(ipath, "data")
-    geng = F.lit(g).alias("gen")
-    if kind in ("ivf", "ivf_pq"):
-        cents = _load_centroids(spark, ipath)
-        data = quantize.ivf_assign(data, cents, vec_col=vector_name)
-    if kind in ("pq", "ivf_pq"):
-        books = _load_codebooks(spark, ipath)
-        data = quantize.pq_encode(data, books, vec_col=vector_name)
-    if kind == "ivf":
-        (data.select(id_col, vector_name, geng, "list_id")
-         .write.mode("append").partitionBy("list_id").parquet(data_dir))
-    elif kind == "pq":
-        (data.select(id_col, "pq_codes", geng)
-         .write.mode("append").parquet(data_dir))
-    else:
-        (data.select(id_col, "pq_codes", geng, "list_id")
-         .write.mode("append").partitionBy("list_id").parquet(data_dir))
-
-    # 4. commit: the index now reflects the collection at version `cur`
-    imeta["built_version"] = cur
-    _write_index_meta(ipath, imeta)
-    return imeta
+    return run_incremental_refresh(spark, root, collection, ipath, imeta,
+                                   append_fn)
 
 
 def list_indexes(root: str, collection: str) -> list[dict]:
@@ -431,7 +462,7 @@ def _probed_list_filter(queries: DataFrame, query_vec: str, centroids,
 
 def search_indexed(spark: SparkSession, root: str, collection: str,
                    queries: DataFrame, k: int = 10,
-                   vector_name: str | None = None, n_probe: int = 4,
+                   vector_name: str | None = None, n_probe: int | None = 4,
                    query_id: str = "qid", query_vec: str = "qvec",
                    exclude_self: bool = False, round_to: int | None = 6,
                    rerank_factor: int = 5,
@@ -468,6 +499,10 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
             f"absorbs the mutations incrementally (or rebuild, or search "
             f"with use_index='auto' to fall back to the exact scan)")
     kind, metric, id_col = imeta["kind"], imeta["metric"], imeta["id_col"]
+    if n_probe is None:
+        # probe every list: the stored layout is used but the answer equals
+        # the exact scan — accuracy is only traded when the caller asks
+        n_probe = int(imeta.get("n_lists", 1))
     ipath = index_path(root, collection, vector_name)
     data = spark.read.parquet(os.path.join(ipath, "data"))
 

@@ -117,7 +117,7 @@ def search_collection(
     metric: str | None = None,
     exclude_self: bool = False,
     use_index: str | bool = "auto",
-    n_probe: int = 4,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """Search a stored collection with the metric its meta DECLARES.
 
@@ -137,13 +137,16 @@ def search_collection(
                explicit ``metric`` override conflicts with it; otherwise
                silently fall back to the exact scan — a mutation can
                therefore never be masked by a stale index.
-      "always" require the index: raise when absent or stale (tests /
-               latency-guaranteed paths).
+      "always" (or ``True``) require the index: raise when absent or stale
+               (tests / latency-guaranteed paths).
       False    exact scan regardless.
 
-    Index searches return the same (qid, vec_id, sim, rank) contract for
-    every index kind; with ``n_probe >= n_lists`` the ivf probe degenerates
-    to the exact result.
+    ``n_probe=None`` (the default) probes EVERY list, so index dispatch
+    changes the physical plan but never the answer — accuracy is traded
+    for speed only when the caller passes an explicit ``n_probe``.  Index
+    searches return the same (qid, vec_id, sim, rank) contract for every
+    index kind; with ``n_probe >= n_lists`` the ivf probe degenerates to
+    the exact result.
     """
     from .index import (  # noqa: PLC0415
         index_is_fresh,
@@ -161,6 +164,8 @@ def search_collection(
                 f"spaces; pass vector_name to pick one")
         vector_name = next(iter(vectors))
     declared = vectors.get(vector_name, {}).get("distance", "cosine")
+    if use_index is True:  # the natural bool complement of False
+        use_index = "always"
     if use_index in ("auto", "always"):
         imeta = vector_index_meta(root, collection, vector_name)
         fresh = index_is_fresh(root, collection, vector_name)

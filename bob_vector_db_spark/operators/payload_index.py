@@ -34,8 +34,6 @@ from pyspark.sql import functions as F
 from .index import (
     INDEX_META_FILE,
     _apply_masks,
-    _delta_split,
-    _write_index_meta,
     atomic_replace_dir,
     index_path,
     vector_index_meta,
@@ -114,40 +112,24 @@ def refresh_payload_index(spark: SparkSession, root: str, collection: str,
                           column: str) -> dict:
     """Absorb mutations incrementally — same crash-safe claim-g → masks →
     append → commit order as refresh_vector_index."""
+    from .index import run_incremental_refresh  # noqa: PLC0415
+
     imeta = payload_index_meta(root, collection, column)
     if imeta is None:
         raise ValueError(
             f"no persisted payload index for {collection!r}/{column!r}; "
             f"run build_payload_index first")
-    cur = collection_version(root, collection)
-    built = int(imeta["built_version"])
-    if built == cur:
-        return imeta
-    up_ids, del_ids = _delta_split(spark, root, collection, built)
     ipath = index_path(root, collection, _payload_index_name(column))
     id_col = imeta["id_col"]
 
-    g = int(imeta.get("generation", 0)) + 1
-    imeta["generation"] = g
-    _write_index_meta(ipath, imeta)
+    def append_fn(fresh: DataFrame, g: int) -> None:
+        post = _postings(fresh, id_col, imeta["column"],
+                         imeta["n_val_buckets"], gen=g)
+        (post.write.mode("append").partitionBy("val_bucket")
+         .parquet(os.path.join(ipath, "postings")))
 
-    masks = (up_ids.withColumn("upto_gen", F.lit(g - 1))
-             .unionByName(del_ids.withColumn("upto_gen", F.lit(g))))
-    masks.coalesce(8).write.mode("append").parquet(
-        os.path.join(ipath, "masks"))
-
-    fresh = (read_collection(spark, root, collection)
-             .join(up_ids.withColumnRenamed("id", "_d_id"),
-                   F.col(id_col).cast("string") == F.col("_d_id"),
-                   "left_semi"))
-    post = _postings(fresh, id_col, imeta["column"],
-                     imeta["n_val_buckets"], gen=g)
-    (post.write.mode("append").partitionBy("val_bucket")
-     .parquet(os.path.join(ipath, "postings")))
-
-    imeta["built_version"] = cur
-    _write_index_meta(ipath, imeta)
-    return imeta
+    return run_incremental_refresh(spark, root, collection, ipath, imeta,
+                                   append_fn)
 
 
 def payload_match_ids(spark: SparkSession, root: str, collection: str,
@@ -168,7 +150,17 @@ def payload_match_ids(spark: SparkSession, root: str, collection: str,
             f"version {imeta['built_version']} but the collection is at "
             f"{collection_version(root, collection)}; refresh_payload_index "
             f"absorbs the mutations (or rebuild)")
-    vals = sorted({str(v) for v in values})
+    # stringify through SPARK's cast, not Python str(): the index stored
+    # cast-to-string values ('true', not 'True'; '2.0', not '2' for a
+    # double column) — one 1-row job renders every probe literal the same
+    # way the build did
+    if values:
+        row = (spark.range(1).select(*[
+            F.lit(v).cast("string").alias(f"v{i}")
+            for i, v in enumerate(values)]).first())
+        vals = sorted({x for x in row if x is not None})
+    else:
+        vals = []
     n = imeta["n_val_buckets"]
     buckets = sorted(
         r[0] for r in spark.createDataFrame([(v,) for v in vals],
@@ -176,7 +168,10 @@ def payload_match_ids(spark: SparkSession, root: str, collection: str,
         .select(F.pmod(F.xxhash64("val"), F.lit(n)).cast("int").alias("b"))
         .distinct().collect()) if vals else []
     ipath = index_path(root, collection, _payload_index_name(column))
-    post = (spark.read.parquet(os.path.join(ipath, "postings"))
+    pdir = os.path.join(ipath, "postings")
+    if not os.path.isdir(pdir):  # index built over an empty collection
+        return spark.createDataFrame([], "id string, val string")
+    post = (spark.read.parquet(pdir)
             .filter(F.col("val_bucket").isin(buckets))
             .filter(F.col("val").isin(vals)))
     return _apply_masks(spark, ipath, post, "id").select("id", "val")

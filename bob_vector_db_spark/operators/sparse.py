@@ -187,8 +187,8 @@ def refresh_sparse_index(spark, root: str, collection: str,
     crash-safe write order (claim g → masks → appends → commit)."""
     import os  # noqa: PLC0415
 
-    from .index import _apply_masks, _delta_split, _write_index_meta, index_path  # noqa: PLC0415
-    from .upsert import collection_meta, collection_version, read_collection  # noqa: PLC0415
+    from .index import index_path, run_incremental_refresh  # noqa: PLC0415
+    from .upsert import collection_meta  # noqa: PLC0415
 
     meta = collection_meta(root, collection)
     if meta is None:
@@ -198,40 +198,22 @@ def refresh_sparse_index(spark, root: str, collection: str,
         raise ValueError(
             f"no persisted sparse index for {collection!r}/{indices_col!r}; "
             f"run build_sparse_index first")
-    cur = collection_version(root, collection)
-    built = int(imeta["built_version"])
-    if built == cur:
-        return imeta
-    up_ids, del_ids = _delta_split(spark, root, collection, built)
     ipath = index_path(root, collection, _sparse_index_name(indices_col))
     id_col = imeta["id_col"]
 
-    g = int(imeta.get("generation", 0)) + 1
-    imeta["generation"] = g
-    _write_index_meta(ipath, imeta)
+    def append_fn(fresh, g: int) -> None:
+        post = postings_from_arrays(
+            fresh, id_col=id_col, indices_col=imeta["indices_col"],
+            values_col=imeta["values_col"])
+        (post.withColumn("gen", F.lit(g))
+         .withColumn("dim_bucket",
+                     F.pmod(F.xxhash64("idx"),
+                            F.lit(imeta["n_dim_buckets"])).cast("int"))
+         .write.mode("append").partitionBy("dim_bucket")
+         .parquet(os.path.join(ipath, "postings")))
 
-    masks = (up_ids.withColumn("upto_gen", F.lit(g - 1))
-             .unionByName(del_ids.withColumn("upto_gen", F.lit(g))))
-    masks.coalesce(8).write.mode("append").parquet(
-        os.path.join(ipath, "masks"))
-
-    fresh = (read_collection(spark, root, collection)
-             .join(up_ids.withColumnRenamed("id", "_d_id"),
-                   F.col(id_col).cast("string") == F.col("_d_id"),
-                   "left_semi"))
-    post = postings_from_arrays(
-        fresh, id_col=id_col, indices_col=imeta["indices_col"],
-        values_col=imeta["values_col"])
-    (post.withColumn("gen", F.lit(g))
-     .withColumn("dim_bucket",
-                 F.pmod(F.xxhash64("idx"),
-                        F.lit(imeta["n_dim_buckets"])).cast("int"))
-     .write.mode("append").partitionBy("dim_bucket")
-     .parquet(os.path.join(ipath, "postings")))
-
-    imeta["built_version"] = cur
-    _write_index_meta(ipath, imeta)
-    return imeta
+    return run_incremental_refresh(spark, root, collection, ipath, imeta,
+                                   append_fn)
 
 
 def sparse_search_indexed(spark, root: str, collection: str,
@@ -281,7 +263,12 @@ def sparse_search_indexed(spark, root: str, collection: str,
         .select(F.pmod(F.xxhash64("idx"), F.lit(n)).cast("int").alias("b"))
         .distinct().collect()) if dims else []
     ipath = index_path(root, collection, _sparse_index_name(indices_col))
-    post = (spark.read.parquet(os.path.join(ipath, "postings"))
+    pdir = os.path.join(ipath, "postings")
+    if not os.path.isdir(pdir):  # index built over an empty collection
+        return sparse_dot_topk(
+            query_postings, query_postings.limit(0), k=k,
+            exclude_self=exclude_self, round_to=round_to)
+    post = (spark.read.parquet(pdir)
             .filter(F.col("dim_bucket").isin(buckets))
             .filter(F.col("idx").isin(dims)))
     post = _apply_masks(spark, ipath, post, "id").select("id", "idx", "val")

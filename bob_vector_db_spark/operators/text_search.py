@@ -222,8 +222,8 @@ def refresh_text_index(spark: SparkSession, root: str, collection: str,
     layout; (n_docs, avgdl) recompute from the masked per-doc length table
     — one tiny scan, never the postings.  Rebuild with
     :func:`build_text_index` to compact masks away."""
-    from .index import _apply_masks, _delta_split, _write_index_meta, index_path  # noqa: PLC0415
-    from .upsert import collection_meta, collection_version, read_collection  # noqa: PLC0415
+    from .index import _apply_masks, index_path, run_incremental_refresh  # noqa: PLC0415
+    from .upsert import collection_meta  # noqa: PLC0415
 
     meta = collection_meta(root, collection)
     if meta is None:
@@ -233,58 +233,44 @@ def refresh_text_index(spark: SparkSession, root: str, collection: str,
         raise ValueError(
             f"no persisted text index for {collection!r}/{text_col!r}; "
             f"run build_text_index first")
-    cur = collection_version(root, collection)
-    built = int(imeta["built_version"])
-    if built == cur:
-        return imeta
-    up_ids, del_ids = _delta_split(spark, root, collection, built)
     id_col = imeta["id_col"]
     ipath = index_path(root, collection, _text_index_name(text_col))
 
-    g = int(imeta.get("generation", 0)) + 1
-    imeta["generation"] = g
-    _write_index_meta(ipath, imeta)
+    def append_fn(fresh, g: int) -> None:
+        toks = fresh.select(
+            F.col(id_col).alias("id"),
+            ws_tokens(F.lower(F.col(text_col))).alias("toks"))
+        posting = (
+            toks.select("id", F.size("toks").alias("len"),
+                        F.explode("toks").alias("term"))
+            .groupBy("term", "id")
+            .agg(F.count(F.lit(1)).alias("tf"), F.first("len").alias("len"))
+            .withColumn("gen", F.lit(g))
+            .withColumn("term_bucket",
+                        F.pmod(F.xxhash64("term"),
+                               F.lit(imeta["n_term_buckets"])).cast("int"))
+        )
+        (posting.write.mode("append").partitionBy("term_bucket")
+         .parquet(os.path.join(ipath, "postings")))
+        (toks.select(F.col("id").cast("string").alias("id"),
+                     F.size("toks").alias("len"), F.lit(g).alias("gen"))
+         .coalesce(8).write.mode("append")
+         .parquet(os.path.join(ipath, "doclens")))
 
-    masks = (up_ids.withColumn("upto_gen", F.lit(g - 1))
-             .unionByName(del_ids.withColumn("upto_gen", F.lit(g))))
-    masks.coalesce(8).write.mode("append").parquet(
-        os.path.join(ipath, "masks"))
+    def finalize_fn(im: dict) -> None:
+        # corpus stats over the masked doclens — the surviving docs only
+        dl_dir = os.path.join(ipath, "doclens")
+        if os.path.isdir(dl_dir):
+            stats = (_apply_masks(spark, ipath,
+                                  spark.read.parquet(dl_dir), "id")
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.avg("len").alias("avgdl"))
+                     .first())
+            im["n_docs"] = int(stats["n"])
+            im["avgdl"] = float(stats["avgdl"] or 0.0)
 
-    fresh = (read_collection(spark, root, collection)
-             .select(F.col(id_col).alias("id"), F.col(text_col))
-             .join(up_ids.withColumnRenamed("id", "_d_id"),
-                   F.col("id").cast("string") == F.col("_d_id"), "left_semi"))
-    toks = fresh.select(
-        "id", ws_tokens(F.lower(F.col(text_col))).alias("toks"))
-    posting = (
-        toks.select("id", F.size("toks").alias("len"),
-                    F.explode("toks").alias("term"))
-        .groupBy("term", "id")
-        .agg(F.count(F.lit(1)).alias("tf"), F.first("len").alias("len"))
-        .withColumn("gen", F.lit(g))
-        .withColumn("term_bucket",
-                    F.pmod(F.xxhash64("term"),
-                           F.lit(imeta["n_term_buckets"])).cast("int"))
-    )
-    (posting.write.mode("append").partitionBy("term_bucket")
-     .parquet(os.path.join(ipath, "postings")))
-    (toks.select(F.col("id").cast("string").alias("id"),
-                 F.size("toks").alias("len"), F.lit(g).alias("gen"))
-     .coalesce(8).write.mode("append").parquet(os.path.join(ipath, "doclens")))
-
-    # corpus stats over the masked doclens — the surviving docs only
-    dl_dir = os.path.join(ipath, "doclens")
-    if os.path.isdir(dl_dir):
-        stats = (_apply_masks(spark, ipath,
-                              spark.read.parquet(dl_dir), "id")
-                 .agg(F.count(F.lit(1)).alias("n"),
-                      F.avg("len").alias("avgdl"))
-                 .first())
-        imeta["n_docs"] = int(stats["n"])
-        imeta["avgdl"] = float(stats["avgdl"] or 0.0)
-    imeta["built_version"] = cur
-    _write_index_meta(ipath, imeta)
-    return imeta
+    return run_incremental_refresh(spark, root, collection, ipath, imeta,
+                                   append_fn, finalize_fn)
 
 
 def bm25_topk_indexed(spark: SparkSession, root: str, collection: str,

@@ -28,9 +28,11 @@ directory renames (old→trash, staged→live), each atomic on POSIX but not
 atomic as a pair: a reader racing the swap can observe a bucket briefly
 absent, and a crash between the renames leaves the bucket in its ``__old``
 trash — :func:`recover_collection` restores it, and re-running the same
-batch converges (the merge is idempotent).  Every mutation bumps a
-``version`` counter in the meta sidecar so persisted index artifacts can
-detect staleness (see :mod:`.index`).
+batch converges (the merge is idempotent).  Every mutation publishes a
+delta (its touched ids), swaps its data, then advances the ``version``
+counter — in that order, so persisted index artifacts can detect
+staleness (see :mod:`.index`) across ANY crash point (the delta-log
+contract above ``DELTA_DIR``).
 Half-written files are never visible in a live bucket.  With Delta available
 this whole module becomes ``MERGE INTO``.
 """
@@ -51,12 +53,22 @@ DEFAULT_N_BUCKETS = 16  # local-mode default; size to ~#cores*4 fleet-wide
 # the sidecar never pollutes spark.read.parquet(path).
 META_FILE = "_collection_meta.json"
 
-# Mutation delta log: every version bump appends its touched ids under
-# _delta/ as (version, op, id) parquet — the incremental-index feed
-# (operators.index.refresh_vector_index reads "what changed since
-# built_version" from here instead of diffing the whole corpus).  The
-# underscore prefix keeps it out of collection scans; compaction prunes
-# entries every live index has already absorbed.
+# Mutation delta log: every mutation publishes its touched ids under
+# _delta/v=<version>/ as (version, op, id) parquet — the incremental-index
+# feed (operators.index.refresh_vector_index reads "what changed since
+# built_version" from here instead of diffing the whole corpus).  One
+# directory per version, written to a __pending sibling and PUBLISHED with
+# a single atomic rename BEFORE the data swap and the meta version bump,
+# so the log can never silently lose a committed mutation: a version
+# counter that moved without its delta dir is detectable (read_delta
+# returns None → callers rebuild), and a crash that published the delta
+# but never swapped just makes refresh re-absorb the ids' CURRENT rows —
+# convergent, not corrupting.  collection_version() treats the highest
+# published delta as authoritative when it exceeds the meta counter
+# (adopting a crash-interrupted mutation's version), so an index can never
+# report fresh across an unabsorbed delta.  The underscore prefix keeps
+# the log out of collection scans; compaction prunes version dirs every
+# live index has absorbed (one rmtree per version — no rewrite).
 DELTA_DIR = "_delta"
 
 
@@ -188,86 +200,127 @@ def _write_meta(path: str, meta: dict) -> None:
         json.dump(meta, fh, indent=2, sort_keys=True)
 
 
+def _published_delta_versions(path: str) -> list[int]:
+    """Version numbers with a PUBLISHED delta dir (``_delta/v=<n>``);
+    ``__pending`` staging dirs from a crashed mutation are not published."""
+    p = os.path.join(path, DELTA_DIR)
+    if not os.path.isdir(p):
+        return []
+    out = []
+    for entry in os.listdir(p):
+        if entry.startswith("v=") and not entry.endswith("__pending"):
+            try:
+                out.append(int(entry[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
 def collection_version(root: str, collection: str) -> int:
-    """Monotonic data version: bumped by every mutation (upsert / delete /
+    """Monotonic data version: advanced by every mutation (upsert / delete /
     update_columns), NOT by compaction (content-identical rewrite).  Index
     artifacts record the version they were built at, so a search can tell a
-    fresh index from a stale one (see :mod:`.index`)."""
-    meta = collection_meta(root, collection) or {}
-    return int(meta.get("version", 0))
+    fresh index from a stale one (see :mod:`.index`).
+
+    The version is max(meta counter, highest published delta): a mutation
+    publishes its delta BEFORE it bumps the meta, so a crash in between
+    leaves the published delta as the version authority — the index can
+    never look fresh across a mutation the log already announced."""
+    meta = collection_meta(root, collection)
+    if meta is None:
+        return 0
+    path = collection_path(root, collection)
+    published = _published_delta_versions(path)
+    return max(int(meta.get("version", 0)), published[-1] if published else 0)
 
 
-def _bump_version(root: str, collection: str) -> int:
-    """Record a data mutation in the meta sidecar; returns the new version.
-    A store born straight from upsert() (no create_collection) may have had
-    its meta written just before this call, so the read-modify-write is on
-    whatever is persisted."""
+def _set_version(root: str, collection: str, version: int) -> None:
+    """Advance the meta counter to ``version`` (idempotent; never moves
+    backwards).  Metaless external stores have no counter to advance."""
     path = collection_path(root, collection)
     meta = collection_meta(root, collection)
     if meta is None:
-        return 0  # metaless external store — nothing to record
-    meta["version"] = int(meta.get("version", 0)) + 1
+        return
+    meta["version"] = max(int(meta.get("version", 0)), int(version))
     _write_meta(path, meta)
-    return meta["version"]
 
 
 def _log_delta(path: str, version: int, op: str, ids_df: DataFrame) -> None:
-    """Append this mutation's touched ids to the delta log.  ``op`` is
-    ``upsert`` (id now carries fresh content — also used for partial
-    updates, which MAY have changed indexed columns) or ``delete`` (id is
-    gone).  ``version <= 0`` means a metaless external store — no version
-    counter, so no deltas either.  Ids are stringified for one uniform log
-    schema across collections.
+    """PUBLISH this mutation's touched ids as the delta for ``version``:
+    write ``_delta/v=<n>__pending`` then one atomic rename to
+    ``_delta/v=<n>``.  ``op`` is ``upsert`` (id now carries fresh content —
+    also used for partial updates, which MAY have changed indexed columns)
+    or ``delete`` (id is gone).  ``version <= 0`` means a metaless external
+    store — no version counter, so no deltas either.  Ids stringify for one
+    uniform log schema across collections.
 
-    Crash contract: a delta row whose version exceeds the persisted meta
-    version is a phantom from a mutation that died before its version bump
-    — delta consumers MUST filter ``version <= collection_version`` (the
-    refresh functions do), never trust the raw log tail.
+    Called BEFORE the data swap and the meta bump (see the module-level
+    delta-log contract): a crash after the publish leaves the published
+    delta as the version authority, and the refresh that absorbs it
+    re-reads the ids' CURRENT rows — convergent whether or not the swap
+    happened.  (A crashed delete's window is the one asymmetry: its ids
+    are masked from the index while still live until the delete is re-run
+    or the index rebuilt — the index under-returns, it never corrupts.)
     """
     if version <= 0:
         return
+    final = os.path.join(path, DELTA_DIR, f"v={int(version)}")
+    pending = final + "__pending"
+    shutil.rmtree(pending, ignore_errors=True)
     (ids_df.select(F.col(ids_df.columns[0]).cast("string").alias("id"))
      .withColumn("version", F.lit(int(version)))
      .withColumn("op", F.lit(op))
      .coalesce(8)
-     .write.mode("append").parquet(os.path.join(path, DELTA_DIR)))
+     .write.mode("overwrite").parquet(pending))
+    os.rename(pending, final)
 
 
 def read_delta(spark: SparkSession, root: str, collection: str,
                since_version: int) -> DataFrame | None:
     """Delta rows with ``since_version < version <= collection_version`` —
     exactly the mutations an index built at ``since_version`` has not seen.
-    None when the log can't answer: no log at all, or the log was pruned
-    past ``since_version`` (``delta_pruned_to`` in the meta) — the caller
-    must fall back to a full rebuild."""
+    None when the log can't answer: pruned past ``since_version``
+    (``delta_pruned_to``), or a version in the window has NO published
+    delta dir (a log hole — nothing modern should produce one, but an
+    externally-damaged log must force a rebuild, never a silent
+    nothing-changed)."""
     meta = collection_meta(root, collection) or {}
     if int(meta.get("delta_pruned_to", 0)) > since_version:
         return None
-    p = os.path.join(collection_path(root, collection), DELTA_DIR)
-    if not os.path.isdir(p):
-        return None
+    path = collection_path(root, collection)
     cur = collection_version(root, collection)
-    return (spark.read.parquet(p)
-            .filter((F.col("version") > since_version)
-                    & (F.col("version") <= cur)))
+    wanted = list(range(since_version + 1, cur + 1))
+    if not wanted:
+        # empty window: a well-formed no-op — return an empty frame
+        return spark.createDataFrame([], "id string, version int, op string")
+    published = set(_published_delta_versions(path))
+    missing = [v for v in wanted if v not in published]
+    if missing:
+        return None  # log hole — the caller must rebuild, loudly
+    dirs = [os.path.join(path, DELTA_DIR, f"v={v}") for v in wanted]
+    return spark.read.parquet(*dirs)
 
 
 def prune_delta_log(spark: SparkSession, root: str, collection: str,
                     upto: int) -> None:
-    """Drop delta entries with ``version <= upto`` (every live index has
-    absorbed them) and record the high-water mark in the meta so a later
-    refresh can tell "no deltas" from "deltas discarded".  Staged rewrite +
-    atomic dir swap, like every other store artifact."""
+    """Drop delta version dirs ``<= upto`` (every live index has absorbed
+    them) and record the high-water mark in the meta so a later refresh can
+    tell "no deltas" from "deltas discarded".  One rmtree per retired
+    version — no rewrite; also sweeps ``__pending`` orphans from crashed
+    mutations (never published, never readable)."""
     path = collection_path(root, collection)
     p = os.path.join(path, DELTA_DIR)
     meta = collection_meta(root, collection)
-    if meta is None or not os.path.isdir(p) or upto <= 0:
+    if meta is None or not os.path.isdir(p):
         return
-    staging = p + "__staging"
-    shutil.rmtree(staging, ignore_errors=True)
-    kept = spark.read.parquet(p).filter(F.col("version") > upto)
-    kept.coalesce(8).write.parquet(staging)
-    atomic_replace_dir(staging, p)
+    for entry in os.listdir(p):
+        if entry.endswith("__pending"):
+            shutil.rmtree(os.path.join(p, entry), ignore_errors=True)
+    if upto <= 0:
+        return
+    for v in _published_delta_versions(path):
+        if v <= upto:
+            shutil.rmtree(os.path.join(p, f"v={v}"), ignore_errors=True)
     meta["delta_pruned_to"] = max(int(meta.get("delta_pruned_to", 0)), upto)
     _write_meta(path, meta)
 
@@ -287,6 +340,29 @@ def atomic_replace_dir(staging: str, path: str) -> None:
 
 def read_collection(spark: SparkSession, root: str, collection: str) -> DataFrame:
     return spark.read.parquet(collection_path(root, collection)).drop(BUCKET_COL)
+
+
+def read_rows_for_ids(spark: SparkSession, root: str, collection: str,
+                      ids_df: DataFrame) -> DataFrame | None:
+    """Collection rows whose id appears in ``ids_df`` (first column), read
+    through a STATIC ``id_bucket IN (...)`` partition filter computed from
+    the ids' hashes — the incremental-refresh fetch path: O(|ids| + their
+    buckets), never a full-collection scan.  None when nothing can match
+    (empty id set or empty store) — callers skip their append step."""
+    path = collection_path(root, collection)
+    id_col, n_buckets = _resolve_layout(root, collection, None, None)
+    wanted = ids_df.select(
+        F.col(ids_df.columns[0]).cast("string").alias("_m_id"))
+    b = _with_bucket(wanted, "_m_id", n_buckets)
+    # O(n_buckets) driver-side list, same bound as every other touched set
+    touched = sorted(r[0] for r in b.select(BUCKET_COL).distinct().collect())
+    if not touched or not _store_exists(path):
+        return None
+    pruned = (spark.read.parquet(path)
+              .filter(F.col(BUCKET_COL).isin(touched))
+              .drop(BUCKET_COL))
+    return pruned.join(
+        wanted, F.col(id_col).cast("string") == F.col("_m_id"), "left_semi")
 
 
 def last_write_wins(df: DataFrame, id_col: str = "id",
@@ -414,9 +490,13 @@ def upsert(spark: SparkSession, root: str, collection: str,
         for c in merged.columns
     ])
 
+    # delta-log contract: publish the delta, swap the data, then commit the
+    # version — in that order (see the module docstring's crash matrix)
+    next_v = collection_version(root, collection) + 1 \
+        if collection_meta(root, collection) is not None else 0
+    _log_delta(path, next_v, "upsert", new_b.select(id_col).distinct())
     _stage_and_swap(merged, path, touched)
-    v = _bump_version(root, collection)
-    _log_delta(path, v, "upsert", new_b.select(id_col).distinct())
+    _set_version(root, collection, next_v)
     return read_collection(spark, root, collection)
 
 
@@ -489,9 +569,11 @@ def delete_points(spark: SparkSession, root: str, collection: str,
         "left_anti",
     )
     removed = (existing.count() - keep.count()) if count_removed else -1
+    next_v = collection_version(root, collection) + 1 \
+        if collection_meta(root, collection) is not None else 0
+    _log_delta(path, next_v, "delete", doomed.select("_del_id").distinct())
     _stage_and_swap(keep, path, touched, drop_empty=True)
-    v = _bump_version(root, collection)
-    _log_delta(path, v, "delete", doomed.select("_del_id").distinct())
+    _set_version(root, collection, next_v)
     return removed
 
 
@@ -522,17 +604,17 @@ def delete_by_filter(spark: SparkSession, root: str, collection: str,
     # (bare ~pred would drop it: NULL is not true, but not false either)
     keep = existing.filter(~F.coalesce(pred, F.lit(False)))
     removed = (existing.count() - keep.count()) if count_removed else -1
-    # the victim ids only exist in the PRE-swap data, so the delta must be
-    # written first — with the version the bump will assign.  A crash in
-    # between leaves a phantom delta row whose version exceeds the persisted
-    # one; read_delta's version<=current filter discards it.
+    # the victim ids only exist in the PRE-swap data, so the delta publishes
+    # first — which is the required order anyway (publish → swap → commit)
     id_col, _ = _resolve_layout(root, collection, None, None)
+    next_v = 0
     if collection_meta(root, collection) is not None and id_col in table.columns:
-        _log_delta(path, collection_version(root, collection) + 1, "delete",
+        next_v = collection_version(root, collection) + 1
+        _log_delta(path, next_v, "delete",
                    existing.filter(F.coalesce(pred, F.lit(False)))
                    .select(id_col))
     _stage_and_swap(keep, path, touched, drop_empty=True)
-    _bump_version(root, collection)
+    _set_version(root, collection, next_v)
     return removed
 
 
@@ -591,12 +673,14 @@ def update_columns(spark: SparkSession, root: str, collection: str,
                 .otherwise(F.col(c)).cast(stored_types[c]).alias(c))
         else:
             out_cols.append(F.col(c))
-    _stage_and_swap(joined.select(*out_cols), path, touched)
-    v = _bump_version(root, collection)
     # partial updates MAY touch indexed columns (vector / text payload), so
     # they feed the delta log as upserts; refresh re-reads the ids' current
     # rows, which is correct whether or not the indexed column changed
-    _log_delta(path, v, "upsert", patch.select("_upd_id"))
+    next_v = collection_version(root, collection) + 1 \
+        if collection_meta(root, collection) is not None else 0
+    _log_delta(path, next_v, "upsert", patch.select("_upd_id"))
+    _stage_and_swap(joined.select(*out_cols), path, touched)
+    _set_version(root, collection, next_v)
 
 
 # ---------------------------------------------------------------------------
@@ -685,7 +769,10 @@ def list_collections(root: str) -> list[dict]:
     for entry in sorted(os.listdir(root)):
         # a crashed swap can leave a collection's __staging sibling behind;
         # it is scratch space, not a collection (recover_collection removes it)
-        if not entry.startswith("collection=") or entry.endswith("__staging"):
+        if (not entry.startswith("collection=")
+                or entry.endswith("__staging")   # crashed swap scratch
+                or entry.endswith("__restore_staging")  # crashed restore
+                or entry.endswith("__old")):     # swap trash, not a collection
             continue
         name = entry.split("=", 1)[1]
         meta = collection_meta(root, name)
@@ -797,10 +884,21 @@ def recover_collection(root: str, collection: str) -> list[int]:
     trash dir shadowing a LIVE bucket is a completed swap's leftover and is
     deleted, as is any orphaned ``__staging`` tree.  Returns the bucket ids
     restored from trash.  Safe to run any time; a clean store is a no-op.
+    Also repairs a crashed restore_collection: a missing live dir with a
+    collection-level ``__old`` trash sibling renames back to the
+    pre-restore state (re-run the restore to finish it).
     """
     path = collection_path(root, collection)
+    # crashed whole-collection swap (restore_collection): live dir missing,
+    # collection-level __old trash survives -> rename it back; orphaned
+    # restore staging is scratch either way
+    coll_old = path + "__old"
+    if not os.path.isdir(path) and os.path.isdir(coll_old):
+        os.rename(coll_old, path)
+    shutil.rmtree(path + "__restore_staging", ignore_errors=True)
     if not os.path.isdir(path):
         return []
+    shutil.rmtree(coll_old, ignore_errors=True)  # completed-swap leftover
     restored: list[int] = []
     for entry in sorted(os.listdir(path)):
         if not entry.endswith("__old"):

@@ -49,20 +49,30 @@ def append_segment(log_dir: str, messages: Iterable[str | dict]) -> int:
     """Atomically publish one segment of messages; returns its offset.
 
     Each message becomes one ``{"value": <json-string>}`` line (the same
-    wire shape the file topic consumes).  The tmp-write + rename publish
+    wire shape the file topic consumes).  The tmp-write + link publish
     means a concurrent consumer either sees the whole segment or none of
-    it — the commit-log append contract.
+    it, and the offset claim is EXCLUSIVE: ``os.link`` fails on an existing
+    name (unlike rename, which silently clobbers), so two concurrent
+    producers racing to the same offset cannot overwrite each other —
+    the loser retries at the next offset.  The commit-log append contract.
     """
     os.makedirs(log_dir, exist_ok=True)
-    offset = _next_offset(log_dir)
-    final = os.path.join(log_dir, f"segment-{offset:08d}.jsonl")
     fd, tmp = tempfile.mkstemp(dir=log_dir, suffix=".tmp")
     with os.fdopen(fd, "w") as fh:
         for m in messages:
             value = m if isinstance(m, str) else json.dumps(m)
             fh.write(json.dumps({"value": value}) + "\n")
-    os.rename(tmp, final)
-    return offset
+    try:
+        while True:
+            offset = _next_offset(log_dir)
+            final = os.path.join(log_dir, f"segment-{offset:08d}.jsonl")
+            try:
+                os.link(tmp, final)  # atomic claim; EEXIST = lost the race
+                return offset
+            except FileExistsError:
+                continue
+    finally:
+        os.unlink(tmp)
 
 
 def read_queue_stream(spark: SparkSession, log_dir: str,

@@ -81,3 +81,31 @@ def test_payload_refresh_and_refresh_all(spark, tmp_path):
             .filter("category = 'cat4'").collect()}
     assert got == want and "0" in got and "500" in got
     assert "4" not in got and "9" not in got
+
+
+def test_probe_literals_render_like_the_build(spark, tmp_path):
+    """Python literals must stringify through Spark's cast, not str():
+    booleans store as 'true'/'false', doubles as '2.0' — probing with
+    True / 2 must still match."""
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(1, True, 2.0), (2, False, 3.5), (3, True, 2.0)],
+        "id long, flag boolean, score double")
+    upsert.create_collection(spark, root, "c", df=df, id_col="id",
+                             n_buckets=2)
+    build_payload_index(spark, root, "c", "flag", n_val_buckets=4)
+    build_payload_index(spark, root, "c", "score", n_val_buckets=4)
+    got = {r["id"] for r in
+           payload_match_ids(spark, root, "c", "flag", [True]).collect()}
+    assert got == {"1", "3"}
+    got = {r["id"] for r in
+           payload_match_ids(spark, root, "c", "score", [2.0]).collect()}
+    assert got == {"1", "3"}
+
+
+def test_empty_collection_payload_index_probes_empty(spark, tmp_path):
+    root = str(tmp_path / "store")
+    upsert.create_collection(spark, root, "c", n_buckets=2)
+    build_payload_index(spark, root, "c", "anything", n_val_buckets=4)
+    assert payload_match_ids(spark, root, "c", "anything",
+                             ["x"]).count() == 0

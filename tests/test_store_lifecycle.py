@@ -576,3 +576,95 @@ def test_aliases_resolve_transparently_and_guard(spark, tmp_path):
     assert upsert.read_collection(spark, root, "live").count() == 8
     assert upsert.delete_alias(root, "live") is True
     assert upsert.delete_alias(root, "live") is False
+
+
+def test_delta_publish_is_version_authority_after_crash(spark, tmp_path):
+    """Crash matrix of the publish → swap → commit order: a delta that
+    published without its meta bump still advances collection_version (the
+    index can never look fresh across it), and a refresh over that adopted
+    version converges instead of corrupting."""
+    from bob_vector_db_spark.operators import index
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, [float((i * 3 + j) % 5) for j in range(4)]) for i in range(40)],
+        "id int, embedding array<double>")
+    upsert.create_collection(
+        spark, root, "v", df=df, id_col="id", n_buckets=4,
+        vector_config={"embedding": {"size": 4, "distance": "cosine"}})
+    index.build_vector_index(spark, root, "v", kind="ivf", n_lists=4, iters=2)
+    # simulate "published delta, crashed before swap+bump": publish a delta
+    # for an upsert of ids that (still) hold their current rows
+    path = upsert.collection_path(root, "v")
+    ids_df = spark.createDataFrame([("1",), ("2",)], "id string")
+    upsert._log_delta(path, 1, "upsert", ids_df)
+    assert upsert.collection_version(root, "v") == 1  # adopted
+    assert not index.index_is_fresh(root, "v", "embedding")
+    # refresh absorbs the adopted delta: re-reads ids 1,2's CURRENT rows
+    index.refresh_vector_index(spark, root, "v")
+    assert index.index_is_fresh(root, "v", "embedding")
+    q = spark.createDataFrame([(0, [1.0, 2.0, 1.0, 0.0])],
+                              "qid int, qvec array<double>")
+    from bob_vector_db_spark.operators import knn
+    full = knn.search_collection(spark, root, "v", q, k=5, corpus_id="id",
+                                 use_index="always")
+    exact = knn.search_collection(spark, root, "v", q, k=5, corpus_id="id",
+                                  use_index=False)
+    assert sorted(map(tuple, full.collect())) == \
+        sorted(map(tuple, exact.collect()))
+    # the next real mutation does NOT collide with the adopted version
+    upsert.delete_points(spark, root, "v", [3])
+    assert upsert.collection_version(root, "v") == 2
+
+
+def test_delta_log_hole_forces_rebuild_not_silent_fresh(spark, tmp_path):
+    """A version counter that moved without its delta dir (externally
+    damaged log) must make read_delta return None and refresh raise —
+    never a silent nothing-changed refresh that reports fresh."""
+    import shutil as _sh
+
+    from bob_vector_db_spark.operators import index
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(20)],
+        "id int, embedding array<double>")
+    upsert.create_collection(
+        spark, root, "v", df=df, id_col="id", n_buckets=2,
+        vector_config={"embedding": {"size": 2, "distance": "cosine"}})
+    index.build_vector_index(spark, root, "v", kind="ivf", n_lists=2, iters=2)
+    upsert.delete_points(spark, root, "v", [1])
+    # damage: remove the published delta dir but leave the version bump
+    path = upsert.collection_path(root, "v")
+    _sh.rmtree(os.path.join(path, upsert.DELTA_DIR, "v=1"))
+    assert upsert.read_delta(spark, root, "v", 0) is None
+    with pytest.raises(ValueError, match="delta log"):
+        index.refresh_vector_index(spark, root, "v")
+
+
+def test_recover_collection_repairs_crashed_restore(spark, tmp_path):
+    root = str(tmp_path / "store")
+    _mk(spark, root, n=12, n_buckets=2)
+    path = upsert.collection_path(root, "c")
+    # simulate restore_collection dying between its two renames: live dir
+    # moved to trash, staging never swung in
+    os.rename(path, path + "__old")
+    assert upsert.read_collection.__name__  # (no live dir now)
+    assert "c__old" not in [m["collection"]
+                            for m in upsert.list_collections(root)]
+    upsert.recover_collection(root, "c")
+    assert upsert.read_collection(spark, root, "c").count() == 12
+
+
+def test_queue_append_claims_offsets_exclusively(tmp_path):
+    from bob_vector_db_spark.streaming import queue_source as QS
+
+    log = str(tmp_path / "log")
+    o1 = QS.append_segment(log, [{"a": 1}])
+    # squat the next offset the way a racing producer would
+    with open(os.path.join(log, f"segment-{o1 + 1:08d}.jsonl"), "w") as fh:
+        fh.write('{"value": "{}"}\n')
+    o2 = QS.append_segment(log, [{"b": 2}])
+    assert o2 == o1 + 2  # lost the race at o1+1, retried, never clobbered
+    with open(os.path.join(log, f"segment-{o1 + 1:08d}.jsonl")) as fh:
+        assert fh.read() == '{"value": "{}"}\n'  # squatter intact
