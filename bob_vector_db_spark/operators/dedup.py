@@ -96,6 +96,31 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def cross_corpus_contamination(train: DataFrame, benchmark: DataFrame,
+                               text_col: str = "text",
+                               id_col: str = "doc_id", n: int = 3,
+                               min_hits: int = 1) -> DataFrame:
+    """Benchmark decontamination for pretraining data: training docs that
+    share ≥ ``min_hits`` distinct token n-grams with ANY benchmark doc —
+    the standard eval-leakage sweep (flagged docs are dropped or audited
+    before training).  Returns (id, n_hits), n_hits = distinct
+    contaminated shingles.
+
+    Scale shape: the benchmark's distinct shingle set is tiny next to the
+    training corpus (eval suites are small by construction), so the probe
+    is ONE broadcast semi-ish join on the shingle — the training side
+    shuffles nothing, and each training doc aggregates its hit count
+    map-side.  No train×benchmark pair ever materializes.
+    """
+    tr = doc_shingles(train, text_col, id_col, n)
+    be = (doc_shingles(benchmark, text_col, id_col, n)
+          .select("shingle").distinct())
+    hits = (tr.join(F.broadcast(be), "shingle")
+            .groupBy("id")
+            .agg(F.countDistinct("shingle").alias("n_hits")))
+    return hits.filter(F.col("n_hits") >= min_hits)
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5,

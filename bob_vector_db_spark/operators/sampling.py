@@ -10,7 +10,7 @@ shuffles and DuckDB reproduces them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SPLIT_BUCKETS = 10_000
@@ -55,3 +55,19 @@ def assign_split(key: Column, train: float = 0.8, val: float = 0.1,
         .when(b < t2, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+def stratified_sample(df: DataFrame, group_col: str, id_col: str,
+                      n_per_group: int, salt: str = "strat") -> DataFrame:
+    """EXACTLY ``n_per_group`` rows per group (fewer when the group is
+    smaller), picked deterministically: rows rank by md5(salt ⊕ id) within
+    their group (uniform, layout-independent — the same md5 rationale as
+    :func:`hash_bucket`) and the first n win.  One shuffle on the group
+    key; the rank window never sees more than a group's rows.  This is the
+    per-stratum quota sampling a training-mix builder needs where
+    ``df.sampleBy`` gives only approximate fractions."""
+    order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n_per_group)
+            .drop("_rn"))

@@ -4521,6 +4521,71 @@ def q_store_alias_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_decontaminate",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> length(x) > 0) AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(greatest(len(tk)-2, 0)),
+                                 i -> array_to_string(tk[i+1:i+3], ' '))) AS shingle
+    FROM toks)
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+hits AS (
+  SELECT s.doc_id AS id, COUNT(DISTINCT s.shingle) AS n_hits
+  FROM sh s JOIN bench USING (shingle)
+  WHERE s.doc_id >= 20
+  GROUP BY s.doc_id
+)
+SELECT id, CAST(n_hits AS BIGINT) AS n_hits FROM hits WHERE n_hits >= 1
+""",
+)
+def q_pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the eval-leakage sweep every pretraining
+    pipeline runs): training docs sharing any token 3-gram with the held-out
+    benchmark set get flagged with their contaminated-shingle count.  The
+    benchmark shingle set broadcasts (eval suites are small by
+    construction); the training corpus never shuffles — no train×benchmark
+    pair materializes."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.cross_corpus_contamination(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        text_col="text", id_col="doc_id", n=3, min_hits=1)
+    return out.select("id", F.col("n_hits").cast("long").alias("n_hits"))
+
+
+@register(
+    "pipe_stratified_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('strat' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, lang FROM ranked WHERE rn <= 5
+""",
+)
+def q_pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quota sampling for training-mix construction: EXACTLY 5
+    docs per source, picked by a deterministic md5 rank within the group
+    (layout-independent, unlike sampleBy's approximate fractions).  One
+    shuffle on the stratum key; the rank window sees only a group's rows."""
+    from .operators.sampling import stratified_sample  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "source", "doc_id", 5)
+    return out.select("doc_id", "source", "lang")
+
+
+@register(
     "store_snapshot_restore",
     oracle="""
 SELECT doc_id AS id, text FROM documents WHERE doc_id < 200
@@ -4564,6 +4629,7 @@ _PRIORITY = [
     "api_distance_matrix", "store_snapshot_restore", "store_sparse_indexed",
     "t13_stream_index_refresh", "text_repetition_stats",
     "store_payload_search", "store_alias_switch", "api_match_text",
+    "pipe_decontaminate", "pipe_stratified_sample",
     "store_indexed_probe", "store_indexed_pq",
     # last green in r03, not sampled by the driver in r04 — oldest evidence
     "knn_cosine_topk100", "knn_lsh_brp", "knn_filtered_search",

@@ -174,3 +174,19 @@ def test_finders_release_their_caches(spark, sf_dir):
         gc.collect()
         spark.sparkContext._jvm.System.gc()
     assert n <= 2, f"{n} persistent RDDs survived GC — checkpoint leak"
+
+
+def test_cross_corpus_contamination(spark):
+    from bob_vector_db_spark.operators.dedup import cross_corpus_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "a quick brown fox appeared"),      # shares "quick brown fox"
+         (2, "totally unrelated content here"),  # clean
+         (3, "the quick brown fox jumps again")],  # shares several
+        "doc_id long, text string")
+    out = {r["id"]: r["n_hits"]
+           for r in cross_corpus_contamination(train, bench, n=3).collect()}
+    assert set(out) == {1, 3}
+    assert out[3] > out[1] >= 1

@@ -32,3 +32,20 @@ def test_split_partitions_everything_once(spark, sf_dir):
     assert sum(counts.values()) == docs.count()
     # ~80/10/10 within generous tolerance at sf0.001 (500 docs)
     assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark):
+    from bob_vector_db_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(60)] + [(1000, "tiny")],
+        "id long, grp string")
+    out = stratified_sample(df, "grp", "id", 7)
+    counts = {r["grp"]: r["n"] for r in
+              out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"g0": 7, "g1": 7, "g2": 7, "tiny": 1}
+    # deterministic across repartitioned layouts
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in
+               stratified_sample(df.repartition(13), "grp", "id", 7).collect())
+    assert a == b
