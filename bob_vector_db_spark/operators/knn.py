@@ -141,12 +141,14 @@ def search_collection(
                (tests / latency-guaranteed paths).
       False    exact scan regardless.
 
-    ``n_probe=None`` (the default) probes EVERY list, so index dispatch
-    changes the physical plan but never the answer — accuracy is traded
-    for speed only when the caller passes an explicit ``n_probe``.  Index
+    ``n_probe=None`` (the default) probes EVERY list, so for a kind='ivf'
+    index dispatch changes the physical plan but never the answer —
+    accuracy is traded for speed only when the caller passes an explicit
+    ``n_probe``.  pq/ivf_pq indexes remain approximate by construction
+    (ADC candidate selection precedes the exact rescore) regardless of
+    probe width — building one IS the accuracy/memory trade.  Index
     searches return the same (qid, vec_id, sim, rank) contract for every
-    index kind; with ``n_probe >= n_lists`` the ivf probe degenerates to
-    the exact result.
+    index kind.
     """
     from .index import (  # noqa: PLC0415
         index_is_fresh,

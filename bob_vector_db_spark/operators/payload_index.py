@@ -152,21 +152,23 @@ def payload_match_ids(spark: SparkSession, root: str, collection: str,
             f"absorbs the mutations (or rebuild)")
     # stringify through SPARK's cast, not Python str(): the index stored
     # cast-to-string values ('true', not 'True'; '2.0', not '2' for a
-    # double column) — one 1-row job renders every probe literal the same
-    # way the build did
-    if values:
-        row = (spark.range(1).select(*[
-            F.lit(v).cast("string").alias(f"v{i}")
-            for i, v in enumerate(values)]).first())
-        vals = sorted({x for x in row if x is not None})
-    else:
-        vals = []
+    # double column).  ONE 1-row job renders every probe literal the way
+    # the build did AND hashes it into its bucket.
     n = imeta["n_val_buckets"]
-    buckets = sorted(
-        r[0] for r in spark.createDataFrame([(v,) for v in vals],
-                                            "val string")
-        .select(F.pmod(F.xxhash64("val"), F.lit(n)).cast("int").alias("b"))
-        .distinct().collect()) if vals else []
+    vals: list = []
+    buckets: list = []
+    if values:
+        cols = []
+        for i, v in enumerate(values):
+            s = F.lit(v).cast("string")
+            cols.append(s.alias(f"v{i}"))
+            cols.append(F.pmod(F.xxhash64(s), F.lit(n)).cast("int")
+                        .alias(f"b{i}"))
+        row = spark.range(1).select(*cols).first()
+        vals = sorted({row[f"v{i}"] for i in range(len(values))
+                       if row[f"v{i}"] is not None})
+        buckets = sorted({row[f"b{i}"] for i in range(len(values))
+                          if row[f"v{i}"] is not None})
     ipath = index_path(root, collection, _payload_index_name(column))
     pdir = os.path.join(ipath, "postings")
     if not os.path.isdir(pdir):  # index built over an empty collection

@@ -74,6 +74,11 @@ DELTA_DIR = "_delta"
 
 ALIASES_FILE = "_aliases.json"  # store-root sidecar: alias -> collection
 
+# Directory-name suffixes the store uses for swap trash and staging
+# scratch; collection (and alias) names may not end with them — 'c__old'
+# is literally where collection 'c' parks its trash mid-swap.
+RESERVED_SUFFIXES = ("__old", "__staging", "__restore_staging", "__pending")
+
 
 def _read_aliases(root: str) -> dict[str, str]:
     p = os.path.join(root, ALIASES_FILE)
@@ -109,6 +114,10 @@ def create_alias(root: str, alias: str, collection: str) -> None:
         raise ValueError(
             f"{alias!r} is an existing collection name; aliases and "
             f"collections share a namespace")
+    if alias.endswith(RESERVED_SUFFIXES):
+        raise ValueError(
+            f"alias {alias!r} ends with a reserved suffix "
+            f"{RESERVED_SUFFIXES}; pick another name")
     aliases = _read_aliases(root)
     aliases[alias] = collection
     _write_aliases(root, aliases)
@@ -167,6 +176,13 @@ def create_collection(spark: SparkSession, root: str, collection: str,
             f"{collection!r} is an alias (→ "
             f"{resolve_collection(root, collection)!r}); collections and "
             f"aliases share a namespace — create under a fresh name")
+    if collection.endswith(RESERVED_SUFFIXES):
+        # these suffixes name swap trash / staging scratch: a collection
+        # called 'c__old' would collide with collection 'c's trash dir and
+        # recovery could destroy or resurrect the wrong tree
+        raise ValueError(
+            f"collection name {collection!r} ends with a reserved suffix "
+            f"{RESERVED_SUFFIXES}; pick another name")
     path = collection_path(root, collection)
     if os.path.exists(path):
         return False
@@ -232,6 +248,15 @@ def collection_version(root: str, collection: str) -> int:
     path = collection_path(root, collection)
     published = _published_delta_versions(path)
     return max(int(meta.get("version", 0)), published[-1] if published else 0)
+
+
+def _next_version(root: str, collection: str) -> int:
+    """The version the in-flight mutation will commit: current + 1, or 0
+    for a metaless external store (no counter, no deltas).  Shared by every
+    mutation site so the publish→swap→commit contract lives in one spot."""
+    if collection_meta(root, collection) is None:
+        return 0
+    return collection_version(root, collection) + 1
 
 
 def _set_version(root: str, collection: str, version: int) -> None:
@@ -318,7 +343,15 @@ def prune_delta_log(spark: SparkSession, root: str, collection: str,
             shutil.rmtree(os.path.join(p, entry), ignore_errors=True)
     if upto <= 0:
         return
-    for v in _published_delta_versions(path):
+    published = _published_delta_versions(path)
+    if published:
+        # fold any crash-adopted version into the meta counter BEFORE
+        # removing the dirs that back it — otherwise collection_version
+        # would regress and the next mutation could REUSE a version number,
+        # re-opening the silent-stale-index window
+        _set_version(root, collection, published[-1])
+        meta = collection_meta(root, collection)
+    for v in published:
         if v <= upto:
             shutil.rmtree(os.path.join(p, f"v={v}"), ignore_errors=True)
     meta["delta_pruned_to"] = max(int(meta.get("delta_pruned_to", 0)), upto)
@@ -492,8 +525,7 @@ def upsert(spark: SparkSession, root: str, collection: str,
 
     # delta-log contract: publish the delta, swap the data, then commit the
     # version — in that order (see the module docstring's crash matrix)
-    next_v = collection_version(root, collection) + 1 \
-        if collection_meta(root, collection) is not None else 0
+    next_v = _next_version(root, collection)
     _log_delta(path, next_v, "upsert", new_b.select(id_col).distinct())
     _stage_and_swap(merged, path, touched)
     _set_version(root, collection, next_v)
@@ -569,8 +601,7 @@ def delete_points(spark: SparkSession, root: str, collection: str,
         "left_anti",
     )
     removed = (existing.count() - keep.count()) if count_removed else -1
-    next_v = collection_version(root, collection) + 1 \
-        if collection_meta(root, collection) is not None else 0
+    next_v = _next_version(root, collection)
     _log_delta(path, next_v, "delete", doomed.select("_del_id").distinct())
     _stage_and_swap(keep, path, touched, drop_empty=True)
     _set_version(root, collection, next_v)
@@ -607,12 +638,14 @@ def delete_by_filter(spark: SparkSession, root: str, collection: str,
     # the victim ids only exist in the PRE-swap data, so the delta publishes
     # first — which is the required order anyway (publish → swap → commit)
     id_col, _ = _resolve_layout(root, collection, None, None)
-    next_v = 0
-    if collection_meta(root, collection) is not None and id_col in table.columns:
-        next_v = collection_version(root, collection) + 1
+    next_v = _next_version(root, collection)
+    if id_col in table.columns:
         _log_delta(path, next_v, "delete",
                    existing.filter(F.coalesce(pred, F.lit(False)))
                    .select(id_col))
+    # id column unknown in the stored schema: the version STILL advances —
+    # its published-delta hole makes read_delta return None, so indexes
+    # rebuild loudly instead of silently serving the deleted rows
     _stage_and_swap(keep, path, touched, drop_empty=True)
     _set_version(root, collection, next_v)
     return removed
@@ -676,8 +709,7 @@ def update_columns(spark: SparkSession, root: str, collection: str,
     # partial updates MAY touch indexed columns (vector / text payload), so
     # they feed the delta log as upserts; refresh re-reads the ids' current
     # rows, which is correct whether or not the indexed column changed
-    next_v = collection_version(root, collection) + 1 \
-        if collection_meta(root, collection) is not None else 0
+    next_v = _next_version(root, collection)
     _log_delta(path, next_v, "upsert", patch.select("_upd_id"))
     _stage_and_swap(joined.select(*out_cols), path, touched)
     _set_version(root, collection, next_v)

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from .ingest import RAW_SCHEMA
 
-_SEGMENT_RE = re.compile(r"^segment-(\d{8})\.jsonl$")
+_SEGMENT_RE = re.compile(r"^segment-(\d{8,})\.jsonl$")  # 8+: %08d grows past 10^8
 
 
 def _next_offset(log_dir: str) -> int:

@@ -649,7 +649,8 @@ def test_recover_collection_repairs_crashed_restore(spark, tmp_path):
     # simulate restore_collection dying between its two renames: live dir
     # moved to trash, staging never swung in
     os.rename(path, path + "__old")
-    assert upsert.read_collection.__name__  # (no live dir now)
+    with pytest.raises(Exception):  # live dir is gone — reads must fail
+        upsert.read_collection(spark, root, "c").count()
     assert "c__old" not in [m["collection"]
                             for m in upsert.list_collections(root)]
     upsert.recover_collection(root, "c")
@@ -668,3 +669,31 @@ def test_queue_append_claims_offsets_exclusively(tmp_path):
     assert o2 == o1 + 2  # lost the race at o1+1, retried, never clobbered
     with open(os.path.join(log, f"segment-{o1 + 1:08d}.jsonl")) as fh:
         assert fh.read() == '{"value": "{}"}\n'  # squatter intact
+
+
+def test_prune_never_regresses_an_adopted_version(spark, tmp_path):
+    """Review regression: compaction pruning an adopted (published-but-
+    never-committed) delta version must fold it into the meta counter
+    first — otherwise the next mutation would REUSE the version number and
+    a stale index would report fresh."""
+    root = str(tmp_path / "store")
+    _mk(spark, root, n=8, n_buckets=2)  # created at version 0
+    path = upsert.collection_path(root, "c")
+    # simulate a crash-adopted mutation: published delta, no meta bump
+    upsert._log_delta(path, 1, "upsert",
+                      spark.createDataFrame([("id1",)], "id string"))
+    assert upsert.collection_version(root, "c") == 1
+    upsert.prune_delta_log(spark, root, "c", 1)  # retire the delta dir
+    assert upsert.collection_version(root, "c") == 1  # NOT back to 0
+    upsert.delete_points(spark, root, "c", ["id2"])
+    assert upsert.collection_version(root, "c") == 2  # fresh number
+
+
+def test_reserved_collection_names_rejected(spark, tmp_path):
+    root = str(tmp_path / "store")
+    _mk(spark, root, n=4, n_buckets=2)
+    for bad in ("c__old", "x__staging", "y__restore_staging", "z__pending"):
+        with pytest.raises(ValueError, match="reserved"):
+            upsert.create_collection(spark, root, bad, n_buckets=2)
+    with pytest.raises(ValueError, match="reserved"):
+        upsert.create_alias(root, "a__old", "c")
