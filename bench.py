@@ -89,7 +89,8 @@ def main() -> None:
     # the suite wall-clock.  They run ONCE; every headline query still gets
     # the min-of-2.
     single_pass_prefixes = ("store_", "t9_", "t10_", "t12_", "t13_",
-                            "pipe_rag", "text_bm25_refresh")
+                            "pipe_rag", "text_bm25_refresh",
+                            "api_query_fusion")
     single_pass = {n for n in registry if n.startswith(single_pass_prefixes)}
 
     times: dict[str, float] = {}

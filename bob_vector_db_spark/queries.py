@@ -4586,6 +4586,172 @@ def q_pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "api_query_fusion",
+    # RRF over three independently-ranked branches, each recomputed exactly:
+    # dense = cosine over 64-bucket hash embeddings, lexical = BM25, sparse
+    # = hashed-TF dot product.  All three tie-break by id; rrf = Σ 1/(60+r).
+    oracle=f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+dtoks AS (
+  SELECT doc_id, unnest({DUCK_WS_TOKENS.format(t='text')}) AS tok FROM corpus
+),
+dtfs AS (
+  SELECT doc_id, ({DUCK_POLY_HASH.format(t='tok')}) % 64 AS bucket,
+         COUNT(*) AS tf
+  FROM dtoks GROUP BY doc_id, bucket
+),
+dvecs AS (
+  SELECT d.doc_id, list(CAST(coalesce(tf, 0) AS DOUBLE) ORDER BY r.j) AS vec
+  FROM (SELECT DISTINCT doc_id FROM corpus) d
+  CROSS JOIN range(64) r(j)
+  LEFT JOIN dtfs ON dtfs.doc_id = d.doc_id AND dtfs.bucket = r.j
+  GROUP BY d.doc_id
+),
+qb AS (
+  SELECT ({DUCK_POLY_HASH.format(t='t')}) % 64 AS bucket, COUNT(*) AS tf
+  FROM (SELECT unnest(['vector', 'join', 'stream']) AS t) GROUP BY bucket
+),
+qvec AS (
+  SELECT list(CAST(coalesce(tf, 0) AS DOUBLE) ORDER BY r.j) AS v
+  FROM range(64) r(j) LEFT JOIN qb ON qb.bucket = r.j
+),
+dense AS (
+  SELECT id, rank FROM (
+    SELECT v.doc_id AS id,
+           row_number() OVER (ORDER BY
+             (SELECT SUM(a*b) FROM (SELECT unnest(q.v) AS a,
+                                           unnest(v.vec) AS b))
+             / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.v) AS a)))
+               * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(v.vec) AS b))))
+             DESC, v.doc_id) AS rank
+    FROM dvecs v, qvec q)
+  WHERE rank <= 10
+),
+ltoks AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> length(x) > 0) AS tk
+  FROM corpus
+),
+lens AS (SELECT id, len(tk) AS len FROM ltoks),
+stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),
+posting AS (
+  SELECT id, term, COUNT(*) AS tf
+  FROM (SELECT id, unnest(tk) AS term FROM ltoks)
+  WHERE term IN ('vector', 'join', 'stream')
+  GROUP BY id, term
+),
+dfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM posting GROUP BY term),
+bm25 AS (
+  SELECT id, rank FROM (
+    SELECT s.id, row_number() OVER (ORDER BY s.score DESC, s.id) AS rank
+    FROM (
+      SELECT p.id,
+             round(SUM(
+               ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / stats.avgdl))
+             ), 6) AS score
+      FROM posting p
+      JOIN dfreq ON p.term = dfreq.term
+      JOIN lens ON lens.id = p.id
+      CROSS JOIN stats
+      GROUP BY p.id) s)
+  WHERE rank <= 10
+),
+spost AS (
+  SELECT id, ({DUCK_POLY_HASH.format(t='tok')}) % 512 AS idx,
+         CAST(COUNT(*) AS DOUBLE) AS val
+  FROM (SELECT id, unnest(tk) AS tok FROM ltoks)
+  GROUP BY id, idx
+),
+sq AS (
+  SELECT ({DUCK_POLY_HASH.format(t='t')}) % 512 AS idx,
+         CAST(COUNT(*) AS DOUBLE) AS qval
+  FROM (SELECT unnest(['vector', 'join', 'stream']) AS t) GROUP BY idx
+),
+sparse AS (
+  SELECT id, rank FROM (
+    SELECT s.id, row_number() OVER (ORDER BY s.sim DESC, s.id) AS rank
+    FROM (SELECT p.id, round(SUM(p.val * sq.qval), 6) AS sim
+          FROM spost p JOIN sq ON p.idx = sq.idx GROUP BY p.id) s)
+  WHERE rank <= 10
+),
+fused AS (
+  SELECT id, round(SUM(1.0 / (60 + rank)), 6) AS rrf_score
+  FROM (SELECT * FROM dense UNION ALL SELECT * FROM bm25
+        UNION ALL SELECT * FROM sparse)
+  GROUP BY id
+)
+SELECT id, rrf_score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY rrf_score DESC, id) AS rank
+      FROM fused)
+WHERE rank <= 10
+""",
+)
+def q_api_query_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Qdrant Query API's prefetch+fusion shape as a capstone over the
+    WHOLE stored-index stack: ONE collection carries the raw text, a dense
+    hash-embedding space, and a sparse hashed-TF space; the query runs
+    three branches — dense kNN through the stored IVF index (full probe),
+    BM25 through the stored posting table, sparse dot through the stored
+    dim-bucketed index — and fuses the three top-10 lists with Reciprocal
+    Rank Fusion.  Every branch reads a partition-pruned stored artifact;
+    the fusion joins three k-row lists (corpus-size-independent)."""
+    from .operators.embed import hash_embed_df  # noqa: PLC0415
+    from .operators.sparse import (  # noqa: PLC0415
+        build_sparse_index,
+        postings_from_text,
+        sparse_search_indexed,
+    )
+    from .operators.text_search import (  # noqa: PLC0415
+        bm25_topk_indexed,
+        build_text_index,
+        rrf_fuse,
+    )
+
+    base = _tmp_base(sf_dir, "qfuse")
+    phrase = "vector join stream"
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    dense = hash_embed_df(docs, dim=64, out_col="vec")
+    spost = postings_from_text(docs, id_col="doc_id", text_col="text",
+                               vocab_size=512)
+    sparse_pts = (spost.groupBy("id")
+                  .agg(F.array_sort(F.collect_list(F.struct("idx", "val")))
+                       .alias("z"))
+                  .select("id", F.col("z.idx").alias("indices"),
+                          F.col("z.val").alias("values")))
+    pts = (docs.select(F.col("doc_id").alias("id"), "text")
+           .join(dense.select(F.col("doc_id").alias("id"), "vec"), "id")
+           .join(sparse_pts, "id"))
+    upsert.create_collection(
+        spark, base, "docs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"vec": {"size": 64, "distance": "cosine"}})
+    index.build_vector_index(spark, base, "docs", vector_name="vec",
+                             kind="ivf", n_lists=8, iters=3)
+    build_text_index(spark, base, "docs", text_col="text", n_term_buckets=16)
+    build_sparse_index(spark, base, "docs", n_dim_buckets=16)
+
+    qrow = spark.createDataFrame([(0, phrase)], "doc_id long, text string")
+    qvec = (hash_embed_df(qrow, dim=64, out_col="vec")
+            .select(F.lit(0).alias("qid"), F.col("vec").alias("qvec")))
+    dense_branch = (knn.search_collection(
+        spark, base, "docs", qvec, k=10, corpus_id="id",
+        use_index="always")
+        .select(F.col("vec_id").alias("id"), "rank"))
+    bm25_branch = bm25_topk_indexed(
+        spark, base, "docs", phrase.split(), k=10, text_col="text")
+    qpost = (postings_from_text(qrow, id_col="doc_id", text_col="text",
+                                vocab_size=512)
+             .withColumn("id", F.lit(0)))
+    sparse_branch = (sparse_search_indexed(spark, base, "docs", qpost, k=10)
+                     .select(F.col("vec_id").alias("id"), "rank"))
+    fused = rrf_fuse([dense_branch, bm25_branch, sparse_branch], k=10)
+    return fused.select("id", "rrf_score",
+                        F.col("rank").cast("long").alias("rank"))
+
+
+@register(
     "store_snapshot_restore",
     oracle="""
 SELECT doc_id AS id, text FROM documents WHERE doc_id < 200
@@ -4629,7 +4795,7 @@ _PRIORITY = [
     "api_distance_matrix", "store_snapshot_restore", "store_sparse_indexed",
     "t13_stream_index_refresh", "text_repetition_stats",
     "store_payload_search", "store_alias_switch", "api_match_text",
-    "pipe_decontaminate", "pipe_stratified_sample",
+    "pipe_decontaminate", "pipe_stratified_sample", "api_query_fusion",
     "store_indexed_probe", "store_indexed_pq",
     # last green in r03, not sampled by the driver in r04 — oldest evidence
     "knn_cosine_topk100", "knn_lsh_brp", "knn_filtered_search",

@@ -109,3 +109,12 @@ def test_empty_collection_payload_index_probes_empty(spark, tmp_path):
     build_payload_index(spark, root, "c", "anything", n_val_buckets=4)
     assert payload_match_ids(spark, root, "c", "anything",
                              ["x"]).count() == 0
+
+
+def test_payload_probe_pushes_val_predicate(spark, tmp_path):
+    from bob_vector_db_spark.plans.inspect import assert_pushed_filters
+
+    root, _ = _mk(spark, tmp_path)
+    build_payload_index(spark, root, "c", "category", n_val_buckets=8)
+    got = payload_match_ids(spark, root, "c", "category", ["cat2", "cat3"])
+    assert_pushed_filters(got, "val")

@@ -209,3 +209,19 @@ def test_sparse_refresh_absorbs_mutations(spark, tmp_path):
         spark, root, "sp", final.filter(F.col("id") == 100), k=50)
     ids = {r["vec_id"] for r in all_hits.collect()}
     assert not ids & set(range(10, 15))
+
+
+def test_sparse_indexed_pushes_idx_predicate(spark, tmp_path):
+    """Beyond partition pruning, the residual ``idx IN`` predicate must
+    reach the parquet scan of the probed buckets."""
+    from bob_vector_db_spark.operators.sparse import (
+        build_sparse_index,
+        sparse_search_indexed,
+    )
+    from bob_vector_db_spark.plans.inspect import assert_pushed_filters
+
+    root, post = _mk_sparse_store(spark, tmp_path)
+    build_sparse_index(spark, root, "sp", n_dim_buckets=8)
+    out = sparse_search_indexed(spark, root, "sp",
+                                post.filter(F.col("id") == 0), k=5)
+    assert_pushed_filters(out, "idx")
