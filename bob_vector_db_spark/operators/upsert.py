@@ -139,8 +139,18 @@ def list_aliases(root: str) -> dict[str, str]:
 def collection_path(root: str, collection: str) -> str:
     # alias resolution happens HERE, the single choke point every store
     # operation goes through — reads, mutations, indexing and snapshots all
-    # transparently follow the alias to its target collection
-    return os.path.join(root, f"collection={resolve_collection(root, collection)}")
+    # transparently follow the alias to its target collection.  The
+    # reserved-suffix guard lives here too, so no entry point (including
+    # upsert()'s implicit create) can ever address a name that collides
+    # with swap trash / staging scratch — internal code reaches those dirs
+    # by string concatenation, never through this function.
+    name = resolve_collection(root, collection)
+    if name.endswith(RESERVED_SUFFIXES):
+        raise ValueError(
+            f"collection name {name!r} ends with a reserved suffix "
+            f"{RESERVED_SUFFIXES} (swap trash / staging scratch); "
+            f"pick another name")
+    return os.path.join(root, f"collection={name}")
 
 
 def _with_bucket(df: DataFrame, id_col: str, n_buckets: int) -> DataFrame:
@@ -802,9 +812,7 @@ def list_collections(root: str) -> list[dict]:
         # a crashed swap can leave a collection's __staging sibling behind;
         # it is scratch space, not a collection (recover_collection removes it)
         if (not entry.startswith("collection=")
-                or entry.endswith("__staging")   # crashed swap scratch
-                or entry.endswith("__restore_staging")  # crashed restore
-                or entry.endswith("__old")):     # swap trash, not a collection
+                or entry.endswith(RESERVED_SUFFIXES)):  # swap trash/scratch
             continue
         name = entry.split("=", 1)[1]
         meta = collection_meta(root, name)
@@ -867,6 +875,12 @@ def snapshot_collection(root: str, collection: str,
     if not os.path.isdir(path):
         raise ValueError(f"collection {collection!r} does not exist")
     name = name or f"{collection}__v{collection_version(root, collection)}"
+    if name.endswith(RESERVED_SUFFIXES):
+        # same namespace rule as collections: 'x__staging' is literally
+        # where snapshot 'x' stages its copy, and would be rmtree'd by it
+        raise ValueError(
+            f"snapshot name {name!r} ends with a reserved suffix "
+            f"{RESERVED_SUFFIXES}; pick another name")
     sdir = os.path.join(root, SNAPSHOT_DIR)
     os.makedirs(sdir, exist_ok=True)
     dst = os.path.join(sdir, name)

@@ -4617,14 +4617,16 @@ qvec AS (
 ),
 dense AS (
   SELECT id, rank FROM (
-    SELECT v.doc_id AS id,
-           row_number() OVER (ORDER BY
-             (SELECT SUM(a*b) FROM (SELECT unnest(q.v) AS a,
-                                           unnest(v.vec) AS b))
-             / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.v) AS a)))
-               * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(v.vec) AS b))))
-             DESC, v.doc_id) AS rank
-    FROM dvecs v, qvec q)
+    SELECT s.id, row_number() OVER (ORDER BY s.sim DESC, s.id) AS rank
+    FROM (
+      SELECT v.doc_id AS id,
+             round(
+               (SELECT SUM(a*b) FROM (SELECT unnest(q.v) AS a,
+                                             unnest(v.vec) AS b))
+               / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.v) AS a)))
+                 * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(v.vec) AS b)))),
+               6) AS sim
+      FROM dvecs v, qvec q) s)
   WHERE rank <= 10
 ),
 ltoks AS (
@@ -4741,9 +4743,8 @@ def q_api_query_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("id"), "rank"))
     bm25_branch = bm25_topk_indexed(
         spark, base, "docs", phrase.split(), k=10, text_col="text")
-    qpost = (postings_from_text(qrow, id_col="doc_id", text_col="text",
-                                vocab_size=512)
-             .withColumn("id", F.lit(0)))
+    qpost = postings_from_text(qrow, id_col="doc_id", text_col="text",
+                               vocab_size=512)  # qrow's doc_id 0 → id 0
     sparse_branch = (sparse_search_indexed(spark, base, "docs", qpost, k=10)
                      .select(F.col("vec_id").alias("id"), "rank"))
     fused = rrf_fuse([dense_branch, bm25_branch, sparse_branch], k=10)

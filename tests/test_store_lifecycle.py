@@ -697,3 +697,19 @@ def test_reserved_collection_names_rejected(spark, tmp_path):
             upsert.create_collection(spark, root, bad, n_buckets=2)
     with pytest.raises(ValueError, match="reserved"):
         upsert.create_alias(root, "a__old", "c")
+
+
+def test_reserved_suffix_guard_covers_every_entry_point(spark, tmp_path):
+    """The guard lives at collection_path — the choke point — so even
+    upsert's implicit create (which bypasses create_collection) and
+    snapshot names can never address a swap-trash/staging name."""
+    root = str(tmp_path / "store")
+    _mk(spark, root, n=4, n_buckets=2)
+    rows = spark.createDataFrame([("a", "d", 0)],
+                                 "id string, document string, grp int")
+    with pytest.raises(ValueError, match="reserved"):
+        upsert.upsert(spark, root, "c__old", rows)
+    with pytest.raises(ValueError, match="reserved"):
+        upsert.read_collection(spark, root, "c__pending")
+    with pytest.raises(ValueError, match="reserved"):
+        upsert.snapshot_collection(root, "c", name="x__staging")
