@@ -124,9 +124,12 @@ def build_sparse_index(spark, root: str, collection: str,
                        files_per_bucket: int = 1) -> dict:
     """Materialize the sparse posting table ONCE into the collection store:
     explode the (indices, values) array pairs, bucket by
-    ``pmod(xxhash64(idx), n_dim_buckets)`` (hash, not plain mod — BPE-style
-    vocabularies concentrate low ids), clustered write partitioned by
-    bucket.  Same staged atomic swap and built_version staleness gate as
+    ``pmod(xxhash64(idx CAST AS long), n_dim_buckets)`` (hash, not plain
+    mod — BPE-style vocabularies concentrate low ids; the cast is
+    load-bearing: Spark's xxhash64 hashes int and long to DIFFERENT values,
+    and the search-time probe hashes a long column, so both sides must hash
+    the canonical long type or ``indices array<int>`` collections would
+    prune the correct buckets away).  Same staged atomic swap and built_version staleness gate as
     the dense and BM25 indexes."""
     import json  # noqa: PLC0415
     import os  # noqa: PLC0415
@@ -158,7 +161,7 @@ def build_sparse_index(spark, root: str, collection: str,
             id_col=id_col, indices_col=indices_col, values_col=values_col)
         (post.withColumn("gen", F.lit(0))
          .withColumn("dim_bucket",
-                     F.pmod(F.xxhash64("idx"),
+                     F.pmod(F.xxhash64(F.col("idx").cast("long")),
                             F.lit(n_dim_buckets)).cast("int"))
          .repartition(n_dim_buckets * files_per_bucket, F.col("dim_bucket"))
          .write.partitionBy("dim_bucket")
@@ -207,7 +210,7 @@ def refresh_sparse_index(spark, root: str, collection: str,
             values_col=imeta["values_col"])
         (post.withColumn("gen", F.lit(g))
          .withColumn("dim_bucket",
-                     F.pmod(F.xxhash64("idx"),
+                     F.pmod(F.xxhash64(F.col("idx").cast("long")),
                             F.lit(imeta["n_dim_buckets"])).cast("int"))
          .write.mode("append").partitionBy("dim_bucket")
          .parquet(os.path.join(ipath, "postings")))

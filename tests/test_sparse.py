@@ -211,6 +211,36 @@ def test_sparse_refresh_absorbs_mutations(spark, tmp_path):
     assert not ids & set(range(10, 15))
 
 
+def test_sparse_indexed_int_typed_indices(spark, tmp_path):
+    """Regression: collections storing ``indices array<int>`` (the Qdrant
+    uint32 wire format) must probe the same dim buckets the build wrote.
+    Spark's xxhash64 hashes int and long to DIFFERENT values, so unless
+    both sides hash a canonical long, the partition filter prunes the
+    correct buckets away and the search silently returns empty/wrong."""
+    from bob_vector_db_spark.operators import upsert
+    from bob_vector_db_spark.operators.sparse import (
+        build_sparse_index,
+        sparse_search_indexed,
+    )
+
+    root = str(tmp_path / "store")
+    rows = [(i, [i % 7, 7 + i % 5, 50], [1.0, 2.0, float(1 + i % 3)])
+            for i in range(40)]
+    pts = spark.createDataFrame(
+        rows, "id long, indices array<int>, values array<float>")
+    upsert.create_collection(spark, root, "spi", df=pts, id_col="id",
+                             n_buckets=4)
+    build_sparse_index(spark, root, "spi", n_dim_buckets=8)
+    post = postings_from_arrays(pts)
+    q = post.filter(F.col("id") < 3)
+    mem = sparse_dot_topk(q, post, k=5, exclude_self=True)
+    idx = sparse_search_indexed(spark, root, "spi", q, k=5,
+                                exclude_self=True)
+    got, want = _ranked(idx), _ranked(mem)
+    assert got == want
+    assert len(got) > 0  # the failure mode was a silently empty result
+
+
 def test_sparse_indexed_pushes_idx_predicate(spark, tmp_path):
     """Beyond partition pruning, the residual ``idx IN`` predicate must
     reach the parquet scan of the probed buckets."""
