@@ -87,9 +87,14 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
     staging = ipath + "__staging"
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(staging)
+    column_type = None
     if _store_exists(collection_path(root, collection)):
-        post = _postings(read_collection(spark, root, collection),
-                         id_col, column, n_val_buckets, gen=0)
+        data = read_collection(spark, root, collection)
+        # persist the indexed column's Spark type: probe literals must cast
+        # through it before stringifying, or values=[2] against a double
+        # column renders '2' while the index stored '2.0' (silent miss)
+        column_type = data.schema[column].dataType.simpleString()
+        post = _postings(data, id_col, column, n_val_buckets, gen=0)
         (post.repartition(n_val_buckets * files_per_bucket,
                           F.col("val_bucket"))
          .write.partitionBy("val_bucket")
@@ -97,6 +102,7 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
     imeta = {
         "kind": "payload",
         "column": column,
+        "column_type": column_type,
         "id_col": id_col,
         "n_val_buckets": n_val_buckets,
         "built_version": built_version,
@@ -152,15 +158,20 @@ def payload_match_ids(spark: SparkSession, root: str, collection: str,
             f"absorbs the mutations (or rebuild)")
     # stringify through SPARK's cast, not Python str(): the index stored
     # cast-to-string values ('true', not 'True'; '2.0', not '2' for a
-    # double column).  ONE 1-row job renders every probe literal the way
-    # the build did AND hashes it into its bucket.
+    # double column).  Literals first cast to the column's STORED type
+    # (persisted in the index meta) so a Python int probes a double column
+    # as '2.0', exactly the string the build wrote.  ONE 1-row job renders
+    # every probe literal the way the build did AND hashes it into its
+    # bucket.
     n = imeta["n_val_buckets"]
+    ctype = imeta.get("column_type")
     vals: list = []
     buckets: list = []
     if values:
         cols = []
         for i, v in enumerate(values):
-            s = F.lit(v).cast("string")
+            lit = F.lit(v).cast(ctype) if ctype else F.lit(v)
+            s = lit.cast("string")
             cols.append(s.alias(f"v{i}"))
             cols.append(F.pmod(F.xxhash64(s), F.lit(n)).cast("int")
                         .alias(f"b{i}"))
@@ -191,8 +202,9 @@ def filtered_search_indexed(spark: SparkSession, root: str, collection: str,
     score only them with the collection's declared metric.  This is the
     Qdrant selective-filter plan; for non-selective filters prefer
     ``knn.search_collection`` with a pushed predicate (scanning beats
-    fetching when most points match).  ``max_candidates`` bounds the
-    driver-side candidate materialization loudly."""
+    fetching when most points match).  ``max_candidates`` is a loud
+    selectivity bound (checked via a distributed count — candidate ids
+    never materialize on the driver)."""
     from .knn import knn_join, resolve_metric  # noqa: PLC0415
 
     meta = collection_meta(root, collection) or {}
@@ -209,17 +221,22 @@ def filtered_search_indexed(spark: SparkSession, root: str, collection: str,
         meta.get("vectors", {}).get(vector_name, {}).get("distance", "cosine"))
 
     cand = payload_match_ids(spark, root, collection, column, values)
-    ids = [r["id"] for r in cand.select("id").limit(max_candidates + 1).collect()]
-    if len(ids) > max_candidates:
+    # both driver interactions stay O(small): the selectivity guard is a
+    # count aggregate over the (already bucket-pruned) posting probe, and
+    # the id-bucket set is a <= n_buckets-row distinct aggregate computed
+    # ON the distributed cand frame — candidate ids themselves never
+    # round-trip through the driver.
+    n_cand = cand.count()
+    if n_cand > max_candidates:
         raise ValueError(
-            f"filter matches >{max_candidates} points — not a selective "
-            f"filter; use search_collection with a pushed predicate instead")
+            f"filter matches {n_cand} > {max_candidates} points — not a "
+            f"selective filter; use search_collection with a pushed "
+            f"predicate instead")
     n_buckets = int(meta.get("n_buckets", 16))
     id_buckets = sorted(
-        r[0] for r in spark.createDataFrame([(str(i),) for i in ids],
-                                            "id string")
+        r[0] for r in cand
         .select(F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int")
-                .alias("b")).distinct().collect()) if ids else []
+                .alias("b")).distinct().collect()) if n_cand else []
     path = collection_path(root, collection)
     fetched = (
         spark.read.parquet(path)

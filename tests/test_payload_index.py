@@ -103,6 +103,62 @@ def test_probe_literals_render_like_the_build(spark, tmp_path):
     assert got == {"1", "3"}
 
 
+def test_probe_literal_coerces_to_indexed_column_type(spark, tmp_path):
+    """A probe literal whose PYTHON type differs from the indexed column's
+    Spark type must still match: values=[2] against a double column has to
+    render '2.0' (the string the build wrote), not '2'.  The index meta
+    persists the column's dataType for exactly this cast."""
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(1, 2.0, 7), (2, 3.5, 8), (3, 2.0, 7)],
+        "id long, score double, n int")
+    upsert.create_collection(spark, root, "c", df=df, id_col="id",
+                             n_buckets=2)
+    build_payload_index(spark, root, "c", "score", n_val_buckets=4)
+    build_payload_index(spark, root, "c", "n", n_val_buckets=4)
+    # int literal probing a double column
+    got = {r["id"] for r in
+           payload_match_ids(spark, root, "c", "score", [2]).collect()}
+    assert got == {"1", "3"}
+    # float literal probing an int column
+    got = {r["id"] for r in
+           payload_match_ids(spark, root, "c", "n", [7.0]).collect()}
+    assert got == {"1", "3"}
+
+
+def test_filtered_search_never_collects_candidate_ids(spark, tmp_path,
+                                                      monkeypatch):
+    """Scale contract: filtered_search_indexed's driver interactions are a
+    count() selectivity guard and a <= n_buckets-row bucket-set aggregate —
+    the candidate id list itself must never round-trip through the
+    driver."""
+    root, df = _mk(spark, tmp_path)          # 80 points, 4 id buckets
+    build_payload_index(spark, root, "c", "category", n_val_buckets=8)
+    q = spark.createDataFrame([(0, [1.0, 2.0, 3.0, 1.0, 0.5, 2.0])],
+                              "qid long, qvec array<double>")
+
+    # patch the CONCRETE DataFrame class (pyspark 4's classic subclass
+    # overrides collect — patching the pyspark.sql.DataFrame base misses it)
+    cls = type(q)
+    collected_sizes: list[int] = []
+    orig = cls.collect
+
+    def counting_collect(self):
+        rows = orig(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", counting_collect)
+    out = filtered_search_indexed(spark, root, "c", q, column="category",
+                                  values=["cat1", "cat3"], k=50)
+    monkeypatch.undo()
+    # cat1+cat3 match 32 of 80 ids; any collect during planning must stay
+    # far below that (1-row literal render, <=4 bucket rows, 1 query row)
+    assert collected_sizes, "expected planning-time collects"
+    assert max(collected_sizes) <= 8, collected_sizes
+    assert out.count() == 32
+
+
 def test_empty_collection_payload_index_probes_empty(spark, tmp_path):
     root = str(tmp_path / "store")
     upsert.create_collection(spark, root, "c", n_buckets=2)
