@@ -266,7 +266,12 @@ def run_incremental_refresh(spark: SparkSession, root: str, collection: str,
     implementation, so the crash-safety invariant lives in one spot):
 
       1. no-op when ``built_version`` already equals the collection version;
-      2. split the delta log into last-op upserted / deleted id sets;
+      2. split the delta log into last-op upserted / deleted id sets, then
+         VERIFY the deletes: a crash-adopted delete delta (published but
+         never swapped) would otherwise mask ids that are still live in the
+         store, making indexed and exact results disagree while both claim
+         freshness — delete-classified ids still present in the collection
+         are reclassified as upserts (an O(|delta|) pruned fetch);
       3. claim generation g DURABLY in the index meta before any data write
          (a died-and-rerun refresh re-appends at g+1 and its masks hide the
          dead attempt's rows);
@@ -288,6 +293,16 @@ def run_incremental_refresh(spark: SparkSession, root: str, collection: str,
         return imeta
     up_ids, del_ids = _delta_split(spark, root, collection, built)
 
+    from .upsert import read_rows_for_ids  # noqa: PLC0415
+
+    live = read_rows_for_ids(spark, root, collection, del_ids)
+    if live is not None:
+        id_col = imeta["id_col"]
+        still_live = (live.select(F.col(id_col).cast("string").alias("id"))
+                      .distinct())
+        up_ids = up_ids.unionByName(still_live).distinct()
+        del_ids = del_ids.join(still_live, "id", "left_anti")
+
     g = int(imeta.get("generation", 0)) + 1
     imeta["generation"] = g
     _write_index_meta(ipath, imeta)
@@ -296,8 +311,6 @@ def run_incremental_refresh(spark: SparkSession, root: str, collection: str,
              .unionByName(del_ids.withColumn("upto_gen", F.lit(g))))
     masks.coalesce(8).write.mode("append").parquet(
         os.path.join(ipath, "masks"))
-
-    from .upsert import read_rows_for_ids  # noqa: PLC0415
 
     fresh = read_rows_for_ids(spark, root, collection, up_ids)
     if fresh is not None:

@@ -293,9 +293,10 @@ def _log_delta(path: str, version: int, op: str, ids_df: DataFrame) -> None:
     delta-log contract): a crash after the publish leaves the published
     delta as the version authority, and the refresh that absorbs it
     re-reads the ids' CURRENT rows — convergent whether or not the swap
-    happened.  (A crashed delete's window is the one asymmetry: its ids
-    are masked from the index while still live until the delete is re-run
-    or the index rebuilt — the index under-returns, it never corrupts.)
+    happened.  (A crashed delete — published but never swapped — is handled
+    at refresh time: run_incremental_refresh verifies delete-classified ids
+    are actually absent and reclassifies still-live ids as upserts, so the
+    index never masks a row the store still serves.)
     """
     if version <= 0:
         return
@@ -484,23 +485,29 @@ def upsert(spark: SparkSession, root: str, collection: str,
             .drop("_version")
             if version_col is None else last_write_wins(new_b, id_col, version_col)
         )
-        # a collection created empty (create_collection(df=None)) already has
-        # a meta sidecar in this directory; mode("overwrite") wipes it, so
-        # re-write it after the data lands.  A store born directly from
-        # upsert() gets a meta NOW — otherwise a later delete/update would
-        # have no layout record and could hash ids to the wrong buckets.
-        meta = collection_meta(root, collection) or {
-            "collection": collection,
-            "id_col": id_col,
-            "n_buckets": n_buckets,
-            "vectors": {},
-            "version": 0,
-        }
-        meta["version"] = int(meta.get("version", 0)) + 1
-        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
-        _write_meta(path, meta)
-        _log_delta(path, meta["version"], "upsert",
-                   new_b.select(id_col).distinct())
+        # the empty-store branch must NOT overwrite the collection root: a
+        # delete-all-points → upsert cycle arrives here with _delta/,
+        # _index/ and the meta sidecar still in place, and a root-level
+        # mode("overwrite") would destroy all three.  Instead: write the
+        # layout meta FIRST if the store was born directly from upsert()
+        # (so a crash can never leave data without its n_buckets/id_col
+        # record), then follow the same publish-delta → swap-buckets →
+        # commit-version order as every other mutation.
+        if collection_meta(root, collection) is None:
+            os.makedirs(path, exist_ok=True)
+            _write_meta(path, {
+                "collection": collection,
+                "id_col": id_col,
+                "n_buckets": n_buckets,
+                "vectors": {},
+                "version": 0,
+            })
+        next_v = _next_version(root, collection)
+        _log_delta(path, next_v, "upsert", new_b.select(id_col).distinct())
+        touched = sorted(
+            r[0] for r in new_b.select(BUCKET_COL).distinct().collect())
+        _stage_and_swap(merged, path, touched)
+        _set_version(root, collection, next_v)
         return read_collection(spark, root, collection)
 
     # Bucket ids are bounded by n_buckets, so this collect is O(n_buckets)

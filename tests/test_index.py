@@ -405,3 +405,39 @@ def test_refresh_all_indexes_multi_kind(spark, tmp_path):
     exact = knn.search_collection(spark, root, "c", q, k=5, corpus_id="id",
                                   use_index=False)
     assert _rows(full) == _rows(exact)
+
+
+def test_refresh_reclassifies_crash_adopted_delete(spark, sf_dir, tmp_path):
+    """A delete whose delta was PUBLISHED but whose data swap never ran
+    (crash between publish and swap) leaves its ids live in the store.
+    Refresh must verify delete-classified ids against the collection and
+    reclassify still-present ones as upserts — indexed and exact search
+    then agree instead of the index silently under-returning."""
+    root = str(tmp_path / "store")
+    emb = _mk_store(spark, sf_dir, root)
+    index.build_vector_index(spark, root, "vecs", kind="ivf",
+                             n_lists=8, iters=3)
+    path = upsert.collection_path(root, "vecs")
+    # crash-adopted delete: published delta, data never swapped
+    doomed = [int(r["vec_id"]) for r in
+              emb.select("vec_id").limit(3).collect()]
+    v = upsert.collection_version(root, "vecs") + 1
+    upsert._log_delta(path, v, "delete",
+                      spark.createDataFrame([(str(i),) for i in doomed],
+                                            "id string"))
+    assert upsert.collection_version(root, "vecs") == v  # delta = authority
+    index.refresh_vector_index(spark, root, "vecs")
+    q = _queries(emb)
+    idx = knn.search_collection(spark, root, "vecs", q, k=10,
+                                corpus_id="id", exclude_self=True,
+                                use_index="always", n_probe=8)
+    exact = knn.search_collection(spark, root, "vecs", q, k=10,
+                                  corpus_id="id", exclude_self=True,
+                                  use_index=False)
+    assert _rows(idx) == _rows(exact)
+    # the still-live "deleted" ids are searchable through the index
+    idx_ids = {r["vec_id"] for r in
+               knn.search_collection(spark, root, "vecs", q, k=1000,
+                                     corpus_id="id", use_index="always",
+                                     n_probe=8).collect()}
+    assert set(doomed) <= idx_ids

@@ -713,3 +713,44 @@ def test_reserved_suffix_guard_covers_every_entry_point(spark, tmp_path):
         upsert.read_collection(spark, root, "c__pending")
     with pytest.raises(ValueError, match="reserved"):
         upsert.snapshot_collection(root, "c", name="x__staging")
+
+
+def test_upsert_into_emptied_store_preserves_artifacts(spark, tmp_path):
+    """A delete-all-points → upsert cycle lands in the empty-store branch;
+    it must NOT overwrite the collection root — _delta/, _index/ and the
+    meta sidecar survive, the version keeps advancing, and a later refresh
+    absorbs the whole history."""
+    from bob_vector_db_spark.operators import index
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(f"id{i}", [float(i % 5), 1.0, float(i % 3)]) for i in range(16)],
+        "id string, embedding array<double>")
+    upsert.create_collection(
+        spark, root, "c", df=df, n_buckets=2,
+        vector_config={"embedding": {"size": 3, "distance": "cosine"}})
+    index.build_vector_index(spark, root, "c", n_lists=2)
+    v0 = upsert.collection_version(root, "c")
+
+    upsert.delete_by_filter(spark, root, "c", "id is not null")
+    fresh = spark.createDataFrame(
+        [(f"new{i}", [1.0, float(i), 0.0]) for i in range(6)],
+        "id string, embedding array<double>")
+    upsert.upsert(spark, root, "c", fresh)
+
+    # artifacts survived the cycle
+    path = upsert.collection_path(root, "c")
+    assert os.path.isdir(os.path.join(path, "_index", "embedding"))
+    assert os.path.isdir(os.path.join(path, "_delta"))
+    meta = upsert.collection_meta(root, "c")
+    assert meta is not None and meta["vectors"]  # vector_config intact
+    assert upsert.collection_version(root, "c") == v0 + 2
+
+    # the surviving delta log lets the index refresh instead of rebuild
+    index.refresh_vector_index(spark, root, "c")
+    q = spark.createDataFrame([(0, [1.0, 2.0, 0.0])],
+                              "qid long, qvec array<double>")
+    hits = {r["vec_id"] for r in
+            index.search_indexed(spark, root, "c", q, k=20,
+                                 n_probe=None).collect()}
+    assert hits == {f"new{i}" for i in range(6)}
