@@ -222,20 +222,105 @@ def _apply_masks(spark: SparkSession, ipath: str, df: DataFrame,
                  id_col: str) -> DataFrame:
     """Filter out index rows superseded by a later refresh generation: a
     mask (id, upto_gen) hides that id's rows with ``gen <= upto_gen``.
-    Masks are bounded by the mutation count since the last FULL build (a
-    rebuild swaps in a mask-free tree), aggregated to one row per id before
-    the join — small enough for AQE to broadcast in the common case."""
+    Masks are bounded by mask auto-compaction (refresh folds them into the
+    data layout past ``mask_compact_threshold``) and cleared entirely by a
+    full rebuild; the join strategy is left to AQE — small mask tables
+    broadcast on their own, and a collection under extreme unrebuilt churn
+    degrades to a shuffle join instead of OOMing a forced broadcast."""
     mdir = os.path.join(ipath, "masks")
     if not os.path.isdir(mdir):
         return df
     masks = (spark.read.parquet(mdir)
              .groupBy("id").agg(F.max("upto_gen").alias("_mask_gen"))
              .withColumnRenamed("id", "_mask_id"))
-    return (df.join(F.broadcast(masks),
+    return (df.join(masks,
                     F.col(id_col).cast("string") == F.col("_mask_id"), "left")
             .filter(F.col("_mask_gen").isNull()
                     | (F.col("gen") > F.col("_mask_gen")))
             .drop("_mask_id", "_mask_gen"))
+
+
+DEFAULT_MASK_COMPACT_THRESHOLD = 100_000
+
+
+def compact_index_masks(spark: SparkSession, ipath: str,
+                        layouts: list[tuple[str, str, str | None]]) -> bool:
+    """Fold accumulated (id, upto_gen) masks INTO the artifact's data
+    layout(s), bounding mask growth under long unrebuilt churn.  Each
+    layout is ``(data_subdir, id_col, partition_col)``; partitioned
+    layouts rewrite ONLY the partitions that hold masked rows (located by
+    a column-pruned id/gen scan) and swap each partition dir atomically,
+    unpartitioned ones (kind=pq, BM25 doclens) rewrite their single data
+    tree the same staged way.  The masks dir is cleared only after EVERY
+    layout has folded — a multi-artifact index (BM25's postings + doclens)
+    never loses mask protection on one artifact because the other
+    compacted first.
+
+    Crash-safe by idempotence: a mask applied to an already-compacted
+    partition filters nothing (the superseded rows are gone and surviving
+    rows carry gen > upto_gen), so a crash anywhere between swaps and the
+    final mask removal just leaves a rerunnable state — search through
+    ``_apply_masks`` stays correct throughout.  Returns True iff a
+    compaction ran."""
+    mdir = os.path.join(ipath, "masks")
+    if not os.path.isdir(mdir):
+        return False
+    masks = (spark.read.parquet(mdir)
+             .groupBy("id").agg(F.max("upto_gen").alias("_mask_gen"))
+             .withColumnRenamed("id", "_mask_id"))
+    ran = False
+    for data_subdir, id_col, partition_col in layouts:
+        ddir = os.path.join(ipath, data_subdir)
+        if not os.path.isdir(ddir):
+            continue
+        ran = True
+        data = spark.read.parquet(ddir)
+        on = F.col(id_col).cast("string") == F.col("_mask_id")
+        keep = (F.col("_mask_gen").isNull()
+                | (F.col("gen") > F.col("_mask_gen")))
+        staging = ddir + "__staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        if partition_col is None:
+            kept = data.join(masks, on, "left").filter(keep) \
+                .drop("_mask_id", "_mask_gen")
+            kept.write.parquet(staging)
+            atomic_replace_dir(staging, ddir)
+            continue
+        # locate affected partitions via a scan of (id, gen, partition)
+        # only — column pruning keeps this cheap even for vector payloads
+        affected = sorted(
+            r[0] for r in data.join(masks, on)
+            .filter(F.col("gen") <= F.col("_mask_gen"))
+            .select(partition_col).distinct().collect())
+        if not affected:
+            continue
+        kept = (data.filter(F.col(partition_col).isin(affected))
+                .join(masks, on, "left").filter(keep)
+                .drop("_mask_id", "_mask_gen"))
+        kept.write.partitionBy(partition_col).parquet(staging)
+        for v in affected:
+            src = os.path.join(staging, f"{partition_col}={v}")
+            dst = os.path.join(ddir, f"{partition_col}={v}")
+            trash = dst + "__old"
+            shutil.rmtree(trash, ignore_errors=True)
+            if os.path.isdir(dst):
+                os.rename(dst, trash)
+            if os.path.isdir(src):
+                os.rename(src, dst)
+            # a partition whose rows were ALL masked stages nothing — the
+            # old→trash rename above already removed the live dir
+            shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+    if ran:
+        shutil.rmtree(mdir, ignore_errors=True)
+    return ran
+
+
+def _mask_row_count(spark: SparkSession, ipath: str) -> int:
+    mdir = os.path.join(ipath, "masks")
+    if not os.path.isdir(mdir):
+        return 0
+    return spark.read.parquet(mdir).count()
 
 
 def _delta_split(spark: SparkSession, root: str, collection: str,
@@ -260,7 +345,10 @@ def _delta_split(spark: SparkSession, root: str, collection: str,
 
 def run_incremental_refresh(spark: SparkSession, root: str, collection: str,
                             ipath: str, imeta: dict, append_fn,
-                            finalize_fn=None) -> dict:
+                            finalize_fn=None,
+                            data_layouts: list[tuple[str, str, str | None]]
+                            | None = None,
+                            mask_compact_threshold: int | None = None) -> dict:
     """The shared claim-g → masks → pruned-fetch → append → commit scaffold
     every index kind's refresh runs (dense, BM25, sparse, payload — ONE
     implementation, so the crash-safety invariant lives in one spot):
@@ -281,11 +369,17 @@ def run_incremental_refresh(spark: SparkSession, root: str, collection: str,
          static id-bucket filter (operators.upsert.read_rows_for_ids —
          O(|delta|), never a collection scan) and hand them to
          ``append_fn(fresh_rows, g)`` for the kind-specific encode+append;
-      6. optional ``finalize_fn(imeta)`` (e.g. BM25's corpus-stat
+      6. when the accumulated mask rows exceed ``mask_compact_threshold``
+         (default :data:`DEFAULT_MASK_COMPACT_THRESHOLD`; the caller
+         supplies its artifact layout(s) via ``data_layouts`` — each a
+         ``(data_subdir, id_col, partition_col)`` triple), fold the masks
+         into the data layout so mask growth stays bounded under arbitrary
+         unrebuilt churn;
+      7. optional ``finalize_fn(imeta)`` (e.g. BM25's corpus-stat
          recompute), then commit ``built_version``.
 
     Mid-refresh the index is simply still stale — the version gate keeps
-    dispatch off it until step 6 lands.
+    dispatch off it until step 7 lands.
     """
     cur = collection_version(root, collection)
     built = int(imeta["built_version"])
@@ -316,6 +410,12 @@ def run_incremental_refresh(spark: SparkSession, root: str, collection: str,
     if fresh is not None:
         append_fn(fresh, g)
 
+    threshold = (DEFAULT_MASK_COMPACT_THRESHOLD
+                 if mask_compact_threshold is None
+                 else mask_compact_threshold)
+    if data_layouts and _mask_row_count(spark, ipath) > threshold:
+        compact_index_masks(spark, ipath, data_layouts)
+
     if finalize_fn is not None:
         finalize_fn(imeta)
     imeta["built_version"] = cur
@@ -324,7 +424,8 @@ def run_incremental_refresh(spark: SparkSession, root: str, collection: str,
 
 
 def refresh_vector_index(spark: SparkSession, root: str, collection: str,
-                         vector_name: str | None = None) -> dict:
+                         vector_name: str | None = None,
+                         mask_compact_threshold: int | None = None) -> dict:
     """Absorb every mutation since ``built_version`` into the PERSISTED
     index without retraining or rewriting it — the Qdrant "index updates on
     upsert" model (qdrant_embedder.py:95-103 configures the collection the
@@ -377,8 +478,11 @@ def refresh_vector_index(spark: SparkSession, root: str, collection: str,
             (data.select(id_col, "pq_codes", geng, "list_id")
              .write.mode("append").partitionBy("list_id").parquet(data_dir))
 
-    return run_incremental_refresh(spark, root, collection, ipath, imeta,
-                                   append_fn)
+    return run_incremental_refresh(
+        spark, root, collection, ipath, imeta, append_fn,
+        data_layouts=[("data", id_col,
+                       "list_id" if kind in ("ivf", "ivf_pq") else None)],
+        mask_compact_threshold=mask_compact_threshold)
 
 
 def list_indexes(root: str, collection: str) -> list[dict]:

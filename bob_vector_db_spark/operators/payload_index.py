@@ -115,7 +115,8 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
 
 
 def refresh_payload_index(spark: SparkSession, root: str, collection: str,
-                          column: str) -> dict:
+                          column: str,
+                          mask_compact_threshold: int | None = None) -> dict:
     """Absorb mutations incrementally — same crash-safe claim-g → masks →
     append → commit order as refresh_vector_index."""
     from .index import run_incremental_refresh  # noqa: PLC0415
@@ -134,8 +135,10 @@ def refresh_payload_index(spark: SparkSession, root: str, collection: str,
         (post.write.mode("append").partitionBy("val_bucket")
          .parquet(os.path.join(ipath, "postings")))
 
-    return run_incremental_refresh(spark, root, collection, ipath, imeta,
-                                   append_fn)
+    return run_incremental_refresh(
+        spark, root, collection, ipath, imeta, append_fn,
+        data_layouts=[("postings", "id", "val_bucket")],
+        mask_compact_threshold=mask_compact_threshold)
 
 
 def payload_match_ids(spark: SparkSession, root: str, collection: str,

@@ -182,7 +182,8 @@ def build_sparse_index(spark, root: str, collection: str,
 
 
 def refresh_sparse_index(spark, root: str, collection: str,
-                         indices_col: str = "indices") -> dict:
+                         indices_col: str = "indices",
+                         mask_compact_threshold: int | None = None) -> dict:
     """Absorb mutations since ``built_version`` incrementally — the sparse
     twin of ``operators.index.refresh_vector_index``: changed ids re-explode
     their array pairs and APPEND at generation g into the existing
@@ -215,8 +216,10 @@ def refresh_sparse_index(spark, root: str, collection: str,
          .write.mode("append").partitionBy("dim_bucket")
          .parquet(os.path.join(ipath, "postings")))
 
-    return run_incremental_refresh(spark, root, collection, ipath, imeta,
-                                   append_fn)
+    return run_incremental_refresh(
+        spark, root, collection, ipath, imeta, append_fn,
+        data_layouts=[("postings", "id", "dim_bucket")],
+        mask_compact_threshold=mask_compact_threshold)
 
 
 def sparse_search_indexed(spark, root: str, collection: str,

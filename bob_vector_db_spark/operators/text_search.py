@@ -212,7 +212,8 @@ def build_text_index(spark: SparkSession, root: str, collection: str,
 
 
 def refresh_text_index(spark: SparkSession, root: str, collection: str,
-                       text_col: str = "document") -> dict:
+                       text_col: str = "document",
+                       mask_compact_threshold: int | None = None) -> dict:
     """Absorb mutations since ``built_version`` into the stored BM25 index
     without rebuilding it — the text twin of
     :func:`operators.index.refresh_vector_index`, same delta-log feed, same
@@ -269,8 +270,11 @@ def refresh_text_index(spark: SparkSession, root: str, collection: str,
             im["n_docs"] = int(stats["n"])
             im["avgdl"] = float(stats["avgdl"] or 0.0)
 
-    return run_incremental_refresh(spark, root, collection, ipath, imeta,
-                                   append_fn, finalize_fn)
+    return run_incremental_refresh(
+        spark, root, collection, ipath, imeta, append_fn, finalize_fn,
+        data_layouts=[("postings", "id", "term_bucket"),
+                      ("doclens", "id", None)],
+        mask_compact_threshold=mask_compact_threshold)
 
 
 def bm25_topk_indexed(spark: SparkSession, root: str, collection: str,

@@ -441,3 +441,56 @@ def test_refresh_reclassifies_crash_adopted_delete(spark, sf_dir, tmp_path):
                                      corpus_id="id", use_index="always",
                                      n_probe=8).collect()}
     assert set(doomed) <= idx_ids
+
+
+def test_mask_auto_compaction_bounds_churn(spark, sf_dir, tmp_path):
+    """Many refresh cycles with NO rebuild: mask auto-compaction keeps the
+    mask table bounded and indexed results stay equal to the exact scan —
+    the unbounded-churn scale hazard the forced-broadcast mask join used
+    to carry."""
+    import os
+
+    rnd = __import__("random").Random(21)
+    root = str(tmp_path / "store")
+    emb = _mk_store(spark, sf_dir, root)
+    index.build_vector_index(spark, root, "vecs", kind="ivf",
+                             n_lists=8, iters=3)
+    ipath = index.index_path(root, "vecs", "embedding")
+    mdir = os.path.join(ipath, "masks")
+    for step in range(5):
+        _mutate(spark, root, rnd, step)
+        index.refresh_vector_index(spark, root, "vecs",
+                                   mask_compact_threshold=4)
+        n_masks = index._mask_row_count(spark, ipath)
+        assert n_masks <= 4, f"step {step}: {n_masks} mask rows survived"
+    q = _queries(emb)
+    idx = knn.search_collection(spark, root, "vecs", q, k=10,
+                                corpus_id="id", exclude_self=True,
+                                use_index="always", n_probe=8)
+    exact = knn.search_collection(spark, root, "vecs", q, k=10,
+                                  corpus_id="id", exclude_self=True,
+                                  use_index=False)
+    assert _rows(idx) == _rows(exact)
+    assert not os.path.isdir(mdir) or \
+        index._mask_row_count(spark, ipath) <= 4
+
+
+def test_mask_compaction_unpartitioned_pq(spark, sf_dir, tmp_path):
+    """kind=pq has no partition layout — compaction rewrites the single
+    data tree through the staged atomic swap and results stay exact."""
+    rnd = __import__("random").Random(22)
+    root = str(tmp_path / "store")
+    emb = _mk_store(spark, sf_dir, root)
+    index.build_vector_index(spark, root, "vecs", kind="pq",
+                             m=8, ksub=16, iters=3)
+    _mutate(spark, root, rnd, 0)
+    index.refresh_vector_index(spark, root, "vecs",
+                               mask_compact_threshold=0)
+    ipath = index.index_path(root, "vecs", "embedding")
+    assert index._mask_row_count(spark, ipath) == 0
+    q = _queries(emb)
+    # pq is approximate but the candidate set must contain no masked dupes
+    out = index.search_indexed(spark, root, "vecs", q, k=10,
+                               rerank_factor=8)
+    pairs = [(r["qid"], r["vec_id"]) for r in out.collect()]
+    assert len(pairs) == len(set(pairs)) and len(pairs) > 0

@@ -345,3 +345,59 @@ def test_match_text_requires_all_tokens_and_respects_refresh(spark, tmp_path):
            match_text_ids(spark, root, "docs", "alpha gamma",
                           text_col="text").collect()}
     assert got == {4, 9}
+
+
+def test_bm25_mask_compaction_folds_both_artifacts(spark, tmp_path):
+    """BM25 carries TWO masked artifacts (postings + doclens); compaction
+    must fold masks into BOTH before clearing them, or stale doclens rows
+    would resurface in the corpus stats.  With threshold 0 every refresh
+    compacts — results and (n_docs, avgdl) must still equal the in-memory
+    BM25 over the final corpus."""
+    import os
+
+    from bob_vector_db_spark.operators import upsert
+    from bob_vector_db_spark.operators.index import (
+        _mask_row_count,
+        index_path,
+    )
+    from bob_vector_db_spark.operators.text_search import (
+        bm25_topk_indexed,
+        build_text_index,
+        refresh_text_index,
+    )
+
+    rows = [(i, f"alpha beta{' gamma' * (i % 3)} delta{i % 5}")
+            for i in range(80)]
+    root, _ = _mk_doc_store(spark, tmp_path, rows)
+    build_text_index(spark, root, "docs", text_col="text", n_term_buckets=8)
+    upsert.upsert(spark, root, "docs", spark.createDataFrame(
+        [(i, "alpha rewritten") for i in range(4)]
+        + [(100 + i, "gamma fresh") for i in range(5)],
+        "id long, text string"))
+    upsert.delete_points(spark, root, "docs", [10, 11, 12])
+    imeta = refresh_text_index(spark, root, "docs", text_col="text",
+                               mask_compact_threshold=0)
+    ipath = index_path(root, "docs", "text__bm25")
+    assert _mask_row_count(spark, ipath) == 0
+    assert not os.path.isdir(os.path.join(ipath, "masks"))
+    assert imeta["n_docs"] == 80 + 5 - 3
+
+    final = upsert.read_collection(spark, root, "docs")
+    terms = ["alpha", "gamma", "delta3"]
+    mem = sorted(map(tuple, bm25_topk(final, terms, k=10, id_col="id",
+                                      text_col="text").collect()))
+    idx = sorted(map(tuple, bm25_topk_indexed(
+        spark, root, "docs", terms, k=10, text_col="text").collect()))
+    assert idx == mem
+
+    # a second mutate+compacting-refresh cycle on the folded layout
+    upsert.upsert(spark, root, "docs", spark.createDataFrame(
+        [(200, "delta3 delta3")], "id long, text string"))
+    refresh_text_index(spark, root, "docs", text_col="text",
+                       mask_compact_threshold=0)
+    final = upsert.read_collection(spark, root, "docs")
+    mem = sorted(map(tuple, bm25_topk(final, terms, k=10, id_col="id",
+                                      text_col="text").collect()))
+    idx = sorted(map(tuple, bm25_topk_indexed(
+        spark, root, "docs", terms, k=10, text_col="text").collect()))
+    assert idx == mem
