@@ -1,0 +1,359 @@
+"""Composable filter DSL — the Qdrant ``Filter`` model (must / should /
+must_not nesting over MatchValue / MatchAny / MatchExcept / Range / IsNull
+/ MatchText / Geo leaves) re-expressed for a Spark parquet store.
+
+The reference's delegated store accepts this filter object on every search,
+count, facet and scroll call (the payload-filterable query surface of
+README.md:13 over the open payloads built at qdrant_embedder.py:119-128).
+Here the filter compiles ONCE to a SQL boolean expression in the dialect
+subset Spark SQL and DuckDB share, and that single string is consumed by
+both engines:
+
+- Spark: ``F.expr(flt.to_sql())`` — Catalyst folds the comparisons into
+  the parquet scan (PushedFilters; plan-asserted in tests/test_filters.py),
+  so a DSL filter prunes exactly like a hand-written ``Column`` predicate;
+- the correctness oracle: the SAME string drops into a DuckDB ``WHERE``
+  clause, making Spark/oracle symmetry structural rather than maintained.
+
+Scale notes: leaves compile to sargable comparisons wherever the semantics
+allow — ``GeoRadius`` emits a bounding-box pre-filter (pushed to the scan)
+ahead of the exact haversine test, ``MatchText`` normalizes whitespace once
+and tests anchored ``LIKE`` containment per token.  Selective filters can
+additionally route through the persisted payload index
+(:func:`filter_match_ids`): every top-level ``must`` MatchValue/MatchAny
+leaf over an indexed column resolves to a pruned posting probe, the id
+sets intersect, and only the residual conditions evaluate on the fetched
+rows.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_EARTH_RADIUS_M = 6371000.0
+
+
+def _ident(name: str) -> str:
+    """Validate a column name for bare-identifier embedding (the one form
+    Spark SQL and DuckDB quote identically — not at all)."""
+    if not _IDENT.match(name):
+        raise ValueError(
+            f"filter key {name!r} is not a plain identifier; the filter "
+            f"DSL compiles to engine-shared SQL and cannot quote it "
+            f"portably")
+    return name
+
+
+def _lit(v) -> str:
+    """Render a Python literal in the shared SQL dialect."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        if isinstance(v, float) and not math.isfinite(v):
+            raise ValueError(f"non-finite literal {v!r} in filter")
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise ValueError(f"unsupported filter literal type {type(v).__name__}")
+
+
+@dataclass(frozen=True)
+class MatchValue:
+    """``key == value`` (Qdrant MatchValue)."""
+    key: str
+    value: object
+
+    def to_sql(self) -> str:
+        return f"{_ident(self.key)} = {_lit(self.value)}"
+
+
+@dataclass(frozen=True)
+class MatchAny:
+    """``key IN values`` (Qdrant MatchAny)."""
+    key: str
+    values: tuple
+
+    def __init__(self, key: str, values):
+        object.__setattr__(self, "key", key)
+        object.__setattr__(self, "values", tuple(values))
+
+    def to_sql(self) -> str:
+        if not self.values:
+            return "FALSE"  # IN () is empty-set: matches nothing
+        return (f"{_ident(self.key)} IN "
+                f"({', '.join(_lit(v) for v in self.values)})")
+
+
+@dataclass(frozen=True)
+class MatchExcept:
+    """``key NOT IN values`` — NULL-safe like Qdrant's MatchExcept: a NULL
+    payload value is 'not any of these', so it matches."""
+    key: str
+    values: tuple
+
+    def __init__(self, key: str, values):
+        object.__setattr__(self, "key", key)
+        object.__setattr__(self, "values", tuple(values))
+
+    def to_sql(self) -> str:
+        if not self.values:
+            return "TRUE"
+        k = _ident(self.key)
+        vals = ", ".join(_lit(v) for v in self.values)
+        return f"({k} IS NULL OR {k} NOT IN ({vals}))"
+
+
+@dataclass(frozen=True)
+class Range:
+    """Open/closed numeric-or-string range (Qdrant Range): any subset of
+    gt / gte / lt / lte."""
+    key: str
+    gt: object = None
+    gte: object = None
+    lt: object = None
+    lte: object = None
+
+    def to_sql(self) -> str:
+        k = _ident(self.key)
+        parts = []
+        if self.gt is not None:
+            parts.append(f"{k} > {_lit(self.gt)}")
+        if self.gte is not None:
+            parts.append(f"{k} >= {_lit(self.gte)}")
+        if self.lt is not None:
+            parts.append(f"{k} < {_lit(self.lt)}")
+        if self.lte is not None:
+            parts.append(f"{k} <= {_lit(self.lte)}")
+        if not parts:
+            raise ValueError(f"Range({self.key!r}) has no bounds")
+        return "(" + " AND ".join(parts) + ")"
+
+
+@dataclass(frozen=True)
+class IsNull:
+    """``key IS NULL`` (Qdrant IsNullCondition)."""
+    key: str
+
+    def to_sql(self) -> str:
+        return f"{_ident(self.key)} IS NULL"
+
+
+@dataclass(frozen=True)
+class MatchText:
+    """Full-token containment (Qdrant MatchText's filter form): every
+    whitespace token of ``text`` must appear as a whole whitespace-delimited
+    token of ``key``.  Compiles to anchored LIKE over a whitespace-
+    normalized copy — one regexp_replace, then sargable-ish string tests
+    both engines evaluate identically."""
+    key: str
+    text: str
+
+    def to_sql(self) -> str:
+        toks = [t for t in self.text.lower().split() if t]
+        if not toks:
+            return "TRUE"
+        k = _ident(self.key)
+        # whitespace-normalize via replace/chr (NOT regexp or LIKE: Spark
+        # parses backslash escapes inside SQL string literals and DuckDB
+        # does not, and the two disagree on LIKE's default escape char —
+        # instr over a space-delimited copy needs neither)
+        norm = (f"(' ' || replace(replace(replace(lower({k}), "
+                f"chr(9), ' '), chr(10), ' '), chr(13), ' ') || ' ')")
+        tests = [f"instr({norm}, {_lit(' ' + t + ' ')}) > 0"
+                 for t in toks]
+        return "(" + " AND ".join(tests) + ")"
+
+
+@dataclass(frozen=True)
+class GeoBoundingBox:
+    """Points inside a lat/lon box (Qdrant GeoBoundingBox).  The store
+    keeps coordinates as two plain double columns, so the test is four
+    pushed comparisons; a box crossing the antimeridian (left > right)
+    splits the longitude test into an OR."""
+    lat_key: str
+    lon_key: str
+    top: float      # max latitude
+    left: float     # min longitude (west edge)
+    bottom: float   # min latitude
+    right: float    # max longitude (east edge)
+
+    def to_sql(self) -> str:
+        la, lo = _ident(self.lat_key), _ident(self.lon_key)
+        lat_sql = (f"{la} >= {_lit(float(self.bottom))} AND "
+                   f"{la} <= {_lit(float(self.top))}")
+        if self.left <= self.right:
+            lon_sql = (f"{lo} >= {_lit(float(self.left))} AND "
+                       f"{lo} <= {_lit(float(self.right))}")
+        else:  # antimeridian wrap
+            lon_sql = (f"({lo} >= {_lit(float(self.left))} OR "
+                       f"{lo} <= {_lit(float(self.right))})")
+        return f"({lat_sql} AND {lon_sql})"
+
+
+@dataclass(frozen=True)
+class GeoRadius:
+    """Points within ``radius_m`` meters of (lat, lon) by haversine
+    distance (Qdrant GeoRadius).  Compiles to a PUSHED bounding-box
+    pre-filter (computed driver-side from the radius — the cheap sargable
+    cut) AND the exact haversine test; near the poles the longitude bound
+    degenerates to unbounded (correct, just less pruning)."""
+    lat_key: str
+    lon_key: str
+    lat: float
+    lon: float
+    radius_m: float
+
+    def _bbox_sql(self) -> str:
+        la, lo = _ident(self.lat_key), _ident(self.lon_key)
+        dlat = math.degrees(self.radius_m / _EARTH_RADIUS_M)
+        lat_lo, lat_hi = self.lat - dlat, self.lat + dlat
+        parts = [f"{la} >= {_lit(max(lat_lo, -90.0))}",
+                 f"{la} <= {_lit(min(lat_hi, 90.0))}"]
+        # longitude shrinks by cos(lat) at the widest |lat| inside the box;
+        # past a pole the box wraps every meridian — skip the lon bound
+        max_abs_lat = min(max(abs(lat_lo), abs(lat_hi)), 90.0)
+        cos_lat = math.cos(math.radians(max_abs_lat))
+        if lat_lo > -90.0 and lat_hi < 90.0 and cos_lat > 1e-9:
+            dlon = math.degrees(
+                self.radius_m / (_EARTH_RADIUS_M * cos_lat))
+            if dlon < 180.0:
+                lon_lo, lon_hi = self.lon - dlon, self.lon + dlon
+                if lon_lo >= -180.0 and lon_hi <= 180.0:
+                    parts.append(f"{lo} >= {_lit(lon_lo)}")
+                    parts.append(f"{lo} <= {_lit(lon_hi)}")
+                # a wrap-around lon window would need an OR that blocks
+                # pushdown — the lat bound still prunes
+        return " AND ".join(parts)
+
+    def haversine_sql(self) -> str:
+        la, lo = _ident(self.lat_key), _ident(self.lon_key)
+        qla, qlo = _lit(float(self.lat)), _lit(float(self.lon))
+        return (
+            f"2.0 * {_EARTH_RADIUS_M!r} * ASIN(SQRT("
+            f"POWER(SIN(RADIANS({la} - {qla}) / 2), 2) + "
+            f"COS(RADIANS({qla})) * COS(RADIANS({la})) * "
+            f"POWER(SIN(RADIANS({lo} - {qlo}) / 2), 2)))"
+        )
+
+    def to_sql(self) -> str:
+        return (f"({self._bbox_sql()} AND "
+                f"{self.haversine_sql()} <= {_lit(float(self.radius_m))})")
+
+
+@dataclass(frozen=True)
+class Filter:
+    """Boolean composition (Qdrant Filter): ALL of ``must``, NONE of
+    ``must_not``, and — when ``should`` is non-empty — at least
+    ``min_should`` of ``should``.  Conditions are leaves or nested
+    Filters; an empty Filter matches everything."""
+    must: tuple = field(default_factory=tuple)
+    should: tuple = field(default_factory=tuple)
+    must_not: tuple = field(default_factory=tuple)
+    min_should: int = 1
+
+    def __init__(self, must=(), should=(), must_not=(), min_should=1):
+        as_tuple = (lambda x: tuple(x) if isinstance(x, (list, tuple))
+                    else (x,))
+        object.__setattr__(self, "must", as_tuple(must))
+        object.__setattr__(self, "should", as_tuple(should))
+        object.__setattr__(self, "must_not", as_tuple(must_not))
+        object.__setattr__(self, "min_should", int(min_should))
+
+    def to_sql(self) -> str:
+        parts = [c.to_sql() for c in self.must]
+        if self.should:
+            shoulds = [c.to_sql() for c in self.should]
+            if self.min_should <= 1:
+                parts.append("(" + " OR ".join(shoulds) + ")")
+            else:
+                # "at least N of M": sum the boolean tests as ints — both
+                # engines cast TRUE to 1 under an explicit CAST
+                total = " + ".join(
+                    f"(CASE WHEN {s} THEN 1 ELSE 0 END)" for s in shoulds)
+                parts.append(f"({total}) >= {int(self.min_should)}")
+        for c in self.must_not:
+            # NULL-safe negation: NOT(x = 1) is NULL (→ dropped) for NULL
+            # x, but Qdrant's must_not means "does not positively match"
+            parts.append(f"(NOT COALESCE({c.to_sql()}, FALSE))")
+        if not parts:
+            return "TRUE"
+        return "(" + " AND ".join(parts) + ")"
+
+    def to_column(self) -> Column:
+        """The Spark predicate — same compiled SQL, so scan paths push the
+        leaf comparisons into the parquet scan for free."""
+        return F.expr(self.to_sql())
+
+    # -- payload-index routing --------------------------------------------
+
+    def indexable_must_leaves(self) -> list[tuple[str, tuple]]:
+        """Top-level must leaves the payload index can resolve: (column,
+        probe values) for every MatchValue / MatchAny.  Nested filters and
+        every other leaf kind stay in the residual."""
+        out = []
+        for c in self.must:
+            if isinstance(c, MatchValue):
+                out.append((c.key, (c.value,)))
+            elif isinstance(c, MatchAny):
+                out.append((c.key, c.values))
+        return out
+
+    def residual_without(self, keys: set[str]) -> "Filter":
+        """This filter minus the top-level must MatchValue/MatchAny leaves
+        on ``keys`` (they were answered by the index); everything else —
+        other musts, the whole should/must_not structure — remains."""
+        kept = tuple(
+            c for c in self.must
+            if not (isinstance(c, (MatchValue, MatchAny)) and c.key in keys))
+        return Filter(must=kept, should=self.should,
+                      must_not=self.must_not, min_should=self.min_should)
+
+
+def as_filter(flt) -> Filter:
+    """Coerce a bare condition (or a Filter) to a Filter."""
+    return flt if isinstance(flt, Filter) else Filter(must=(flt,))
+
+
+def filter_match_ids(spark, root: str, collection: str, flt,
+                     allow_stale: bool = False):
+    """Resolve a filter's indexable must-leaves through the persisted
+    payload indexes: each MatchValue/MatchAny over an indexed column
+    becomes a pruned value-bucket probe, the per-leaf id sets INTERSECT
+    (semi-joins — every set is already filter-selective), and the caller
+    applies the residual filter to the fetched rows.
+
+    Returns ``(ids_df | None, residual: Filter)``: None when no top-level
+    must leaf has a FRESH payload index (caller falls back to the pushed-
+    predicate scan — the right plan for non-selective filters anyway; a
+    stale index is usable only under ``allow_stale``).
+    """
+    from .payload_index import payload_index_meta, payload_match_ids  # noqa: PLC0415
+    from .upsert import collection_version  # noqa: PLC0415
+
+    flt = as_filter(flt)
+    cur = collection_version(root, collection)
+
+    def usable(key: str) -> bool:
+        imeta = payload_index_meta(root, collection, key)
+        if imeta is None:
+            return False
+        return allow_stale or int(imeta["built_version"]) == cur
+
+    probes = [(key, vals) for key, vals in flt.indexable_must_leaves()
+              if usable(key)]
+    if not probes:
+        return None, flt
+    ids = None
+    for key, vals in probes:
+        got = payload_match_ids(spark, root, collection, key, list(vals),
+                                allow_stale=allow_stale).select("id")
+        ids = got if ids is None else ids.join(got, "id", "left_semi")
+    return ids, flt.residual_without({k for k, _ in probes})

@@ -1,0 +1,195 @@
+"""The filtered Query API over a stored collection — search / count /
+facet / scroll, each accepting the composable :mod:`filters` DSL.
+
+This is the surface the reference delegates to its store for
+(README.md:13 "Query the DB and return the results" over the payloads
+built at qdrant_embedder.py:119-128): every entry point takes ONE
+``Filter`` object and resolves it through a single planner,
+:func:`operators.filters.filter_match_ids`:
+
+- **selective path** — top-level must MatchValue/MatchAny leaves over
+  columns with a FRESH payload index resolve to pruned posting probes;
+  the candidate ids fetch their rows through the store's static
+  id-bucket filter (``upsert.read_rows_for_ids`` — O(|candidates|),
+  never a collection scan) and only the residual conditions evaluate on
+  the fetched rows;
+- **scan path** — everything else compiles to one pushed SQL predicate
+  (``Filter.to_sql`` → ``F.expr``), so Catalyst folds the leaf
+  comparisons into the parquet scan.  Non-selective filters WANT this
+  plan: scanning with pushdown beats fetching when most points match.
+
+``use_payload_index`` mirrors the vector-search dispatch contract of
+``knn.search_collection``: "auto" (default) routes through the index iff
+it helps and is fresh, "always" raises when it can't, False scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .filters import Filter, as_filter, filter_match_ids
+from .upsert import (
+    collection_meta,
+    read_collection,
+    read_rows_for_ids,
+)
+
+
+def _resolve_candidates(spark: SparkSession, root: str, collection: str,
+                        flt, use_payload_index,
+                        max_candidates: int) -> tuple[DataFrame | None, Filter]:
+    """Shared dispatch: (candidate rows | None, residual filter).  None
+    means "use the pushed-predicate scan" — no usable index, the filter
+    matched too many points for the fetch plan to win, or routing was
+    disabled."""
+    flt = as_filter(flt)
+    if use_payload_index is False:
+        return None, flt
+    ids, residual = filter_match_ids(spark, root, collection, flt)
+    if ids is None:
+        if use_payload_index == "always":
+            raise ValueError(
+                f"use_payload_index='always' but no top-level must leaf of "
+                f"the filter has a fresh payload index on {collection!r}; "
+                f"build_payload_index the filtered column(s) or use 'auto'")
+        return None, flt
+    n_cand = ids.count()
+    if n_cand > max_candidates:
+        if use_payload_index == "always":
+            raise ValueError(
+                f"filter matches {n_cand} > {max_candidates} points — not "
+                f"selective; use the scan path (use_payload_index='auto')")
+        return None, flt
+    rows = read_rows_for_ids(spark, root, collection, ids)
+    if rows is None:  # empty store / empty candidate set
+        rows = read_collection(spark, root, collection).limit(0)
+    return rows.filter(residual.to_column()), residual
+
+
+def search_points(spark: SparkSession, root: str, collection: str,
+                  queries: DataFrame, flt=None, k: int = 10,
+                  vector_name: str | None = None,
+                  query_id: str = "qid", query_vec: str = "qvec",
+                  round_to: int | None = 6,
+                  use_payload_index: str | bool = "auto",
+                  max_candidates: int = 1_000_000) -> DataFrame:
+    """Filtered kNN with the collection's declared metric — the Qdrant
+    ``search(query_vector, query_filter=Filter(...))`` twin.  With no
+    filter this defers to ``knn.search_collection`` (which may dispatch
+    to the vector index); with one, the filter resolves FIRST (Qdrant's
+    filtered-search order) through the payload index when selective,
+    else as a pushed predicate on the exact scan."""
+    from .knn import knn_join, resolve_metric, search_collection  # noqa: PLC0415
+
+    if flt is None:
+        return search_collection(spark, root, collection, queries, k=k,
+                                 vector_name=vector_name, query_id=query_id,
+                                 query_vec=query_vec)
+    meta = collection_meta(root, collection) or {}
+    id_col = meta.get("id_col", "id")
+    vectors = meta.get("vectors", {})
+    if vector_name is None:
+        if len(vectors) != 1:
+            raise ValueError(
+                f"collection {collection!r} declares {sorted(vectors)} "
+                f"vector spaces; pass vector_name")
+        vector_name = next(iter(vectors))
+    metric = resolve_metric(
+        vectors.get(vector_name, {}).get("distance", "cosine"))
+    cand, _residual = _resolve_candidates(
+        spark, root, collection, flt, use_payload_index, max_candidates)
+    if cand is None:
+        corpus = (read_collection(spark, root, collection)
+                  .filter(as_filter(flt).to_column()))
+    else:
+        corpus = cand
+    return knn_join(queries, corpus.select(id_col, vector_name), k=k,
+                    query_id=query_id, query_vec=query_vec,
+                    corpus_id=id_col, corpus_vec=vector_name,
+                    exclude_self=False, round_to=round_to, metric=metric)
+
+
+def count_points(spark: SparkSession, root: str, collection: str,
+                 flt=None, use_payload_index: str | bool = "auto",
+                 max_candidates: int = 1_000_000) -> int:
+    """Qdrant ``count(count_filter=...)``: exact filtered cardinality.
+    The count itself is a distributed aggregate either way; the index
+    path avoids touching the collection entirely when the residual is
+    empty (the posting probe already knows the answer)."""
+    if flt is None:
+        return read_collection(spark, root, collection).count()
+    flt = as_filter(flt)
+    if use_payload_index is not False:
+        ids, residual = filter_match_ids(spark, root, collection, flt)
+        if ids is not None:
+            if residual == Filter():
+                return ids.count()
+            rows = read_rows_for_ids(spark, root, collection, ids)
+            if rows is None:
+                return 0
+            return rows.filter(residual.to_column()).count()
+        if use_payload_index == "always":
+            raise ValueError(
+                f"use_payload_index='always' but no top-level must leaf "
+                f"has a fresh payload index on {collection!r}")
+    return (read_collection(spark, root, collection)
+            .filter(flt.to_column()).count())
+
+
+def facet_values(spark: SparkSession, root: str, collection: str,
+                 key: str, flt=None, limit: int = 10,
+                 use_payload_index: str | bool = "auto",
+                 max_candidates: int = 1_000_000) -> DataFrame:
+    """Qdrant ``facet``: distinct values of a payload key with counts,
+    under a filter — (value, count) descending.  One pushed-filter scan
+    (or candidate fetch) plus one partial-aggregated groupBy; only
+    |distinct values| rows move."""
+    if flt is None:
+        base = read_collection(spark, root, collection)
+    else:
+        cand, _ = _resolve_candidates(
+            spark, root, collection, flt, use_payload_index, max_candidates)
+        base = (cand if cand is not None else
+                read_collection(spark, root, collection)
+                .filter(as_filter(flt).to_column()))
+    return (base.groupBy(F.col(key).alias("value"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"), F.asc("value"))
+            .limit(limit))
+
+
+def scroll_points(spark: SparkSession, root: str, collection: str,
+                  flt=None, limit: int = 20,
+                  order_by: str | None = None,
+                  cursor: tuple | None = None,
+                  use_payload_index: str | bool = "auto",
+                  max_candidates: int = 1_000_000) -> DataFrame:
+    """Qdrant ``scroll``: filtered pagination with a KEYSET cursor (no
+    OFFSET rescans).  Default order is by id; ``order_by`` pages by a
+    payload field with an (value, id) composite cursor — the id tiebreak
+    keeps the cursor total when values repeat.  ``cursor`` is the last
+    row of the previous page: ``(id,)`` for id order, ``(value, id)``
+    for order_by.  The cursor inequality is part of the pushed filter,
+    so page N+1's scan prunes everything at or before the cursor."""
+    meta = collection_meta(root, collection) or {}
+    id_col = meta.get("id_col", "id")
+    if flt is None:
+        base = read_collection(spark, root, collection)
+    else:
+        cand, _ = _resolve_candidates(
+            spark, root, collection, flt, use_payload_index, max_candidates)
+        base = (cand if cand is not None else
+                read_collection(spark, root, collection)
+                .filter(as_filter(flt).to_column()))
+    if order_by is None:
+        if cursor is not None:
+            base = base.filter(F.col(id_col) > F.lit(cursor[0]))
+        return base.orderBy(id_col).limit(limit)
+    if cursor is not None:
+        c_val, c_id = cursor
+        base = base.filter(
+            (F.col(order_by) > F.lit(c_val))
+            | ((F.col(order_by) == F.lit(c_val))
+               & (F.col(id_col) > F.lit(c_id))))
+    return base.orderBy(order_by, id_col).limit(limit)

@@ -1,0 +1,282 @@
+"""Composable filter DSL (operators/filters.py) and the filtered Query API
+(operators/query_api.py): cross-engine SQL compilation, pushed-predicate
+plans, payload-index routing, geo filters, keyset scroll."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bob_vector_db_spark.operators import query_api, upsert
+from bob_vector_db_spark.operators.filters import (
+    Filter,
+    GeoBoundingBox,
+    GeoRadius,
+    IsNull,
+    MatchAny,
+    MatchExcept,
+    MatchText,
+    MatchValue,
+    Range,
+    as_filter,
+    filter_match_ids,
+)
+from bob_vector_db_spark.plans.inspect import assert_pushed_filters
+
+
+# ---------------------------------------------------------------------------
+# Compilation: the ONE compiled SQL string must mean the same thing to
+# Spark (via F.expr) and DuckDB (the oracle side) — structural symmetry.
+# ---------------------------------------------------------------------------
+
+def _both_engines(spark, pdf, flt):
+    import duckdb
+
+    sdf = spark.createDataFrame(pdf)
+    got_spark = [tuple(r) for r in sdf.filter(flt.to_column())
+                 .toPandas().itertuples(index=False)]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got_duck = [tuple(r) for r in
+                con.execute(f"SELECT * FROM t WHERE {flt.to_sql()}")
+                .fetchdf().itertuples(index=False)]
+
+    def norm(rows):
+        return sorted(
+            (tuple(None if (isinstance(x, float) and math.isnan(x))
+                   else x for x in r) for r in rows),
+            key=repr)
+    return norm(got_spark), norm(got_duck)
+
+
+def test_nested_filter_cross_engine_agreement(spark):
+    import pandas as pd
+
+    flt = Filter(
+        must=[MatchAny("lang", ["en", "fr"]), Range("n", gte=10, lt=100)],
+        should=[MatchValue("src", "web"), MatchText("txt", "Alpha beta")],
+        must_not=[IsNull("score"), MatchValue("flag", True)],
+    )
+    rows = [
+        ("en", 50, "web", "alpha\tbeta gamma", 1.0, False),  # match
+        ("fr", 20, "api", "the alpha  beta", 2.0, False),    # match via text
+        ("de", 50, "web", "alpha beta", 1.0, False),         # lang fails
+        ("en", 5, "web", "alpha beta", 1.0, False),          # range fails
+        ("en", 50, "api", "alpha only", 1.0, False),         # should fails
+        ("en", 50, "web", "alpha beta", None, False),        # must_not null
+        ("en", 50, "web", "alpha beta", 1.0, True),          # must_not flag
+        ("en", 50, "web", "betaalpha x", 1.0, False),        # src rescues
+    ]
+    pdf = pd.DataFrame(rows, columns=["lang", "n", "src", "txt",
+                                      "score", "flag"])
+    a, b = _both_engines(spark, pdf, flt)
+    assert a == b and len(a) == 3
+
+
+def test_match_except_and_min_should(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [("en", 1, 5.0), ("de", 2, 5.0), (None, 3, 5.0), ("fr", 9, None)],
+        columns=["lang", "n", "v"])
+    # MatchExcept is NULL-safe: a NULL lang is "not any of these"
+    flt = Filter(must=[MatchExcept("lang", ["de", "fr"])])
+    a, b = _both_engines(spark, pdf, flt)
+    assert a == b and len(a) == 2  # en + NULL
+    # min_should=2 of 3
+    flt = Filter(should=[MatchValue("lang", "en"), Range("n", lte=2),
+                         MatchValue("v", 5.0)], min_should=2)
+    a, b = _both_engines(spark, pdf, flt)
+    assert a == b and len(a) == 2  # (en,1,5.0) and (de,2,5.0)
+
+
+def test_empty_filter_and_identifier_guard(spark):
+    assert Filter().to_sql() == "TRUE"
+    with pytest.raises(ValueError, match="identifier"):
+        MatchValue("bad-name; drop", 1).to_sql()
+    with pytest.raises(ValueError, match="bounds"):
+        Range("x").to_sql()
+    assert MatchAny("k", []).to_sql() == "FALSE"
+
+
+def test_dsl_predicates_reach_parquet_scan(spark, sf_dir):
+    """The compiled filter must push its leaf comparisons into the parquet
+    scan exactly like a hand-written Column predicate."""
+    from bob_vector_db_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    flt = Filter(must=[MatchAny("lang", ["en", "de"]),
+                       Range("n_chars", gte=200)])
+    out = docs.filter(flt.to_column()).select("doc_id")
+    assert_pushed_filters(out, "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Geo
+# ---------------------------------------------------------------------------
+
+def _haversine(lat1, lon1, lat2, lon2):
+    r = 6371000.0
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp, dl = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+    a = (math.sin(dp / 2) ** 2
+         + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2)
+    return 2 * r * math.asin(math.sqrt(a))
+
+
+def test_geo_radius_matches_brute_force(spark):
+    import random
+
+    rnd = random.Random(5)
+    pts = [(i, rnd.uniform(40, 60), rnd.uniform(-10, 30))
+           for i in range(400)]
+    df = spark.createDataFrame(pts, "id int, lat double, lon double")
+    center, radius = (48.85, 2.35), 300_000.0
+    flt = Filter(must=[GeoRadius("lat", "lon", center[0], center[1],
+                                 radius)])
+    got = {r["id"] for r in df.filter(flt.to_column()).collect()}
+    want = {i for i, la, lo in pts
+            if _haversine(center[0], center[1], la, lo) <= radius}
+    assert got == want and len(want) > 0
+
+
+def test_geo_bbox_prefilter_is_pushed(spark, tmp_path):
+    """GeoRadius's bounding box must reach the parquet scan as pushed
+    comparisons — the exact haversine test runs only on box survivors."""
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, 40.0 + i * 0.1, 2.0 + i * 0.05) for i in range(100)],
+        "id int, lat double, lon double")
+    upsert.create_collection(spark, root, "geo", df=df, n_buckets=2)
+    flt = Filter(must=[GeoRadius("lat", "lon", 45.0, 4.0, 100_000.0)])
+    out = (upsert.read_collection(spark, root, "geo")
+           .filter(flt.to_column()))
+    assert_pushed_filters(out, "lat", "lon")
+
+
+def test_geo_bounding_box_with_wrap(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 179.0), (2, 10.0, -179.0), (3, 10.0, 0.0),
+         (4, 50.0, 179.0)],
+        "id int, lat double, lon double")
+    wrap = Filter(must=[GeoBoundingBox("lat", "lon", top=20, left=170,
+                                       bottom=0, right=-170)])
+    got = {r["id"] for r in df.filter(wrap.to_column()).collect()}
+    assert got == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# Payload-index routing + the Query API
+# ---------------------------------------------------------------------------
+
+def _mk_indexed(spark, tmp_path, n=120):
+    from bob_vector_db_spark.operators.payload_index import (
+        build_payload_index,
+    )
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, f"cat{i % 6}", float(i % 10),
+          [float((i * 3 + j) % 7) for j in range(6)])
+         for i in range(n)],
+        "id long, category string, score double, embedding array<double>")
+    upsert.create_collection(
+        spark, root, "c", df=df, id_col="id", n_buckets=4,
+        vector_config={"embedding": {"size": 6, "distance": "cosine"}})
+    build_payload_index(spark, root, "c", "category", n_val_buckets=8)
+    return root, df
+
+
+def test_filter_match_ids_splits_indexable_and_residual(spark, tmp_path):
+    root, df = _mk_indexed(spark, tmp_path)
+    flt = Filter(must=[MatchAny("category", ["cat1", "cat2"]),
+                       Range("score", gte=5.0)])
+    ids, residual = filter_match_ids(spark, root, "c", flt)
+    assert ids is not None
+    got = {r["id"] for r in ids.collect()}
+    want = {str(r["id"]) for r in
+            df.filter(F.col("category").isin("cat1", "cat2")).collect()}
+    assert got == want
+    assert residual == Filter(must=[Range("score", gte=5.0)])
+    # stale index: mutate → auto routing declines, scan path remains
+    upsert.delete_points(spark, root, "c", [0])
+    ids2, res2 = filter_match_ids(spark, root, "c", flt)
+    assert ids2 is None and res2 == flt
+
+
+def test_search_points_index_and_scan_paths_agree(spark, tmp_path):
+    root, df = _mk_indexed(spark, tmp_path)
+    q = spark.createDataFrame([(0, [1.0, 2.0, 3.0, 1.0, 0.5, 2.0])],
+                              "qid long, qvec array<double>")
+    flt = Filter(must=[MatchAny("category", ["cat1", "cat3"]),
+                       Range("score", gte=2.0)])
+    via_index = query_api.search_points(
+        spark, root, "c", q, flt=flt, k=30, use_payload_index="always")
+    via_scan = query_api.search_points(
+        spark, root, "c", q, flt=flt, k=30, use_payload_index=False)
+    rows = lambda d: sorted(map(tuple,  # noqa: E731
+                                d.select("qid", "vec_id", "sim", "rank")
+                                .collect()))
+    assert rows(via_index) == rows(via_scan)
+    want_ids = {r["id"] for r in
+                df.filter(F.col("category").isin("cat1", "cat3")
+                          & (F.col("score") >= 2.0)).collect()}
+    got_ids = {r["vec_id"] for r in via_index.collect()}
+    assert got_ids <= want_ids and len(got_ids) == min(30, len(want_ids))
+
+
+def test_count_and_facet_with_filter(spark, tmp_path):
+    root, df = _mk_indexed(spark, tmp_path)
+    flt = Filter(must=[MatchValue("category", "cat2")],
+                 must_not=[Range("score", lt=3.0)])
+    want = df.filter((F.col("category") == "cat2")
+                     & ~(F.col("score") < 3.0)).count()
+    assert query_api.count_points(spark, root, "c", flt) == want
+    assert query_api.count_points(spark, root, "c", flt,
+                                  use_payload_index=False) == want
+    # facet under a filter
+    fac = query_api.facet_values(
+        spark, root, "c", "category",
+        flt=Filter(must=[Range("score", gte=5.0)]), limit=10)
+    got = {(r["value"], r["count"]) for r in fac.collect()}
+    want_fac = {(r["category"], r["cnt"]) for r in
+                df.filter(F.col("score") >= 5.0).groupBy("category")
+                .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == want_fac
+
+
+def test_scroll_keyset_pages_disjoint_and_complete(spark, tmp_path):
+    root, df = _mk_indexed(spark, tmp_path, n=50)
+    flt = Filter(must=[Range("score", gte=4.0)])
+    seen, cursor = [], None
+    while True:
+        page = query_api.scroll_points(spark, root, "c", flt=flt,
+                                       limit=7, cursor=cursor).collect()
+        if not page:
+            break
+        seen.extend(r["id"] for r in page)
+        cursor = (page[-1]["id"],)
+    want = sorted(r["id"] for r in
+                  df.filter(F.col("score") >= 4.0).collect())
+    assert seen == want  # ordered, disjoint, complete
+    # order_by scroll with composite cursor
+    p1 = query_api.scroll_points(spark, root, "c", flt=flt, limit=5,
+                                 order_by="score").collect()
+    c = (p1[-1]["score"], p1[-1]["id"])
+    p2 = query_api.scroll_points(spark, root, "c", flt=flt, limit=5,
+                                 order_by="score", cursor=c).collect()
+    ids1, ids2 = {r["id"] for r in p1}, {r["id"] for r in p2}
+    assert not ids1 & ids2
+    key = lambda r: (r["score"], r["id"])  # noqa: E731
+    assert max(map(key, p1)) < min(map(key, p2))
+
+
+def test_search_points_no_filter_defers_to_collection_search(spark,
+                                                             tmp_path):
+    root, df = _mk_indexed(spark, tmp_path, n=40)
+    q = spark.createDataFrame([(0, [1.0, 0.0, 2.0, 0.0, 1.0, 0.0])],
+                              "qid long, qvec array<double>")
+    out = query_api.search_points(spark, root, "c", q, k=5)
+    assert out.count() == 5
