@@ -193,3 +193,45 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
             | ((F.col(order_by) == F.lit(c_val))
                & (F.col(id_col) > F.lit(c_id))))
     return base.orderBy(order_by, id_col).limit(limit)
+
+
+def fuse_prefetch(node, k: int = 10, round_to: int = 6) -> DataFrame:
+    """Nested prefetch fusion — the Qdrant Query API's recursive
+    ``query_points(prefetch=[Prefetch(...), ...], query=FusionQuery(...))``
+    shape.  ``node`` is either
+
+    - a **leaf**: a ranked DataFrame with an ``id`` column plus ``rank``
+      (for RRF parents) and/or ``score`` (for DBSF parents) — any search
+      branch in this repo (dense kNN, BM25, sparse dot, a payload-filtered
+      search) produces one; or
+    - a **fusion node**: ``{"fusion": "rrf" | "dbsf",
+      "prefetch": [child, ...], "k": int?}`` whose children are resolved
+      bottom-up.
+
+    Every fusion's output is normalized to ``(id, score, rank)`` so it can
+    itself be a branch of its parent — arbitrary nesting depth for free.
+    Each fusion joins k·n_children rows (corpus-size-independent); the
+    leaves carry whatever physical plan produced them, so a nested tree
+    over three stored indexes stays partition-pruned end-to-end.
+    """
+    from .text_search import dbsf_fuse, rrf_fuse  # noqa: PLC0415
+
+    if isinstance(node, DataFrame):
+        return node
+    if not isinstance(node, dict):
+        raise TypeError(
+            f"prefetch node must be a DataFrame leaf or a fusion dict, "
+            f"got {type(node).__name__}")
+    fusion = str(node.get("fusion", "rrf")).lower()
+    kk = int(node.get("k", k))
+    children = [fuse_prefetch(c, k=kk, round_to=round_to)
+                for c in node.get("prefetch", [])]
+    if not children:
+        raise ValueError("fusion node needs at least one prefetch child")
+    if fusion == "rrf":
+        out = rrf_fuse(children, k=kk, round_to=round_to)
+        return out.select("id", F.col("rrf_score").alias("score"), "rank")
+    if fusion == "dbsf":
+        out = dbsf_fuse(children, k=kk, round_to=round_to)
+        return out.select("id", F.col("dbsf_score").alias("score"), "rank")
+    raise ValueError(f"unknown fusion {fusion!r} (expected 'rrf' or 'dbsf')")

@@ -407,3 +407,52 @@ def rrf_fuse(ranked: list[DataFrame], k: int = 10, k0: int = 60,
     topk = scored.orderBy(F.desc("rrf_score"), F.asc("id")).limit(k)
     w = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def dbsf_fuse(ranked: list[DataFrame], k: int = 10, id_col: str = "id",
+              score_col: str = "score", round_to: int = 6) -> DataFrame:
+    """Distribution-Based Score Fusion — the Query API's second fusion mode
+    next to :func:`rrf_fuse` (the reference's store exposes both through
+    the delegated query surface, README.md:13).
+
+    Each list's scores are min-max normalized over the interval
+    ``[mean − 3σ, mean + 3σ]`` (σ = population stddev of the list's own
+    scores); the fused score is the sum of normalized scores over the
+    lists where the id appears (absent → contributes 0).  A degenerate
+    list (σ = 0: every score equal) normalizes to 0.5 — every member is
+    exactly mid-interval.
+
+    Unlike RRF this uses the score DISTRIBUTION, so a branch whose top
+    hits are far above its own noise floor outvotes a branch with a flat
+    score profile.  Like RRF, nothing here scales with the corpus: each
+    per-list stat is an aggregate of a top-k-sized list, the fusion is a
+    chain of broadcast-able full-outer joins over k·n_lists rows, and the
+    final top-k is one TakeOrderedAndProject.  Feed it scores already
+    rounded (every branch in this repo rounds to 6), so the stats see the
+    same decimals on any engine and the fused score is reproducible.
+    """
+    if not ranked:
+        raise ValueError("dbsf_fuse needs at least one ranked list")
+    fused = None
+    for i, df in enumerate(ranked):
+        part = df.select(F.col(id_col).alias("id"),
+                         F.col(score_col).cast("double").alias("_s"))
+        stats = part.agg(F.avg("_s").alias("_mu"),
+                         F.stddev_pop("_s").alias("_sd"))
+        norm = (part.crossJoin(F.broadcast(stats))
+                .select("id",
+                        F.when(F.col("_sd") > 0,
+                               (F.col("_s") - (F.col("_mu")
+                                               - 3 * F.col("_sd")))
+                               / (6 * F.col("_sd")))
+                        .otherwise(F.lit(0.5)).alias(f"_c{i}")))
+        fused = norm if fused is None else fused.join(norm, "id", "full_outer")
+    contribs = [F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+                for i in range(len(ranked))]
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    scored = fused.select("id", F.round(score, round_to).alias("dbsf_score"))
+    topk = scored.orderBy(F.desc("dbsf_score"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("dbsf_score"), F.asc("id"))
+    return topk.withColumn("rank", F.row_number().over(w))

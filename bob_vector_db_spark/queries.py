@@ -4926,6 +4926,151 @@ def q_api_geo_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderpriority"))
 
 
+@register(
+    "api_query_dbsf",
+    # Nested Query-API fusion: outer DBSF over [dense leaf, inner RRF over
+    # (dense, bm25)].  DBSF normalizes each list's scores over
+    # [mean − 3σ, mean + 3σ] (σ = population stddev) and sums; σ = 0
+    # degenerates to 0.5.  Every branch score is rounded to 6 before the
+    # stats, so both engines aggregate identical decimals.
+    oracle=f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+dtoks AS (
+  SELECT doc_id, unnest({DUCK_WS_TOKENS.format(t='text')}) AS tok FROM corpus
+),
+dtfs AS (
+  SELECT doc_id, ({DUCK_POLY_HASH.format(t='tok')}) % 64 AS bucket,
+         COUNT(*) AS tf
+  FROM dtoks GROUP BY doc_id, bucket
+),
+dvecs AS (
+  SELECT d.doc_id, list(CAST(coalesce(tf, 0) AS DOUBLE) ORDER BY r.j) AS vec
+  FROM (SELECT DISTINCT doc_id FROM corpus) d
+  CROSS JOIN range(64) r(j)
+  LEFT JOIN dtfs ON dtfs.doc_id = d.doc_id AND dtfs.bucket = r.j
+  GROUP BY d.doc_id
+),
+qb AS (
+  SELECT ({DUCK_POLY_HASH.format(t='t')}) % 64 AS bucket, COUNT(*) AS tf
+  FROM (SELECT unnest(['vector', 'join', 'stream']) AS t) GROUP BY bucket
+),
+qvec AS (
+  SELECT list(CAST(coalesce(tf, 0) AS DOUBLE) ORDER BY r.j) AS v
+  FROM range(64) r(j) LEFT JOIN qb ON qb.bucket = r.j
+),
+dense AS (
+  SELECT id, sim AS score, rank FROM (
+    SELECT s.id, s.sim, row_number() OVER (ORDER BY s.sim DESC, s.id) AS rank
+    FROM (
+      SELECT v.doc_id AS id,
+             round(
+               (SELECT SUM(a*b) FROM (SELECT unnest(q.v) AS a,
+                                             unnest(v.vec) AS b))
+               / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.v) AS a)))
+                 * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(v.vec) AS b)))),
+               6) AS sim
+      FROM dvecs v, qvec q) s)
+  WHERE rank <= 10
+),
+ltoks AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> length(x) > 0) AS tk
+  FROM corpus
+),
+lens AS (SELECT id, len(tk) AS len FROM ltoks),
+stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),
+posting AS (
+  SELECT id, term, COUNT(*) AS tf
+  FROM (SELECT id, unnest(tk) AS term FROM ltoks)
+  WHERE term IN ('vector', 'join', 'stream')
+  GROUP BY id, term
+),
+dfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM posting GROUP BY term),
+bm25 AS (
+  SELECT id, score, rank FROM (
+    SELECT s.id, s.score,
+           row_number() OVER (ORDER BY s.score DESC, s.id) AS rank
+    FROM (
+      SELECT p.id,
+             round(SUM(
+               ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / stats.avgdl))
+             ), 6) AS score
+      FROM posting p
+      JOIN dfreq ON p.term = dfreq.term
+      JOIN lens ON lens.id = p.id
+      CROSS JOIN stats
+      GROUP BY p.id) s)
+  WHERE rank <= 10
+),
+rrf AS (
+  SELECT id, rrf_score AS score, rank FROM (
+    SELECT id, rrf_score,
+           row_number() OVER (ORDER BY rrf_score DESC, id) AS rank
+    FROM (SELECT id, round(SUM(1.0 / (60 + rank)), 6) AS rrf_score
+          FROM (SELECT id, rank FROM dense
+                UNION ALL SELECT id, rank FROM bm25)
+          GROUP BY id))
+  WHERE rank <= 10
+),
+dn AS (
+  SELECT id, CASE WHEN sd > 0 THEN (score - (mu - 3*sd)) / (6*sd)
+              ELSE 0.5 END AS c
+  FROM (SELECT id, score, AVG(score) OVER () AS mu,
+               STDDEV_POP(score) OVER () AS sd FROM dense)
+),
+rn AS (
+  SELECT id, CASE WHEN sd > 0 THEN (score - (mu - 3*sd)) / (6*sd)
+              ELSE 0.5 END AS c
+  FROM (SELECT id, score, AVG(score) OVER () AS mu,
+               STDDEV_POP(score) OVER () AS sd FROM rrf)
+),
+fused AS (
+  SELECT COALESCE(dn.id, rn.id) AS id,
+         round(COALESCE(dn.c, 0) + COALESCE(rn.c, 0), 6) AS dbsf_score
+  FROM dn FULL OUTER JOIN rn ON dn.id = rn.id
+)
+SELECT id, dbsf_score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY dbsf_score DESC, id) AS rank
+      FROM fused)
+WHERE rank <= 10
+""",
+)
+def q_api_query_dbsf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Query API's SECOND fusion mode (DBSF) in a NESTED prefetch tree
+    — the recursive ``query_points(prefetch=[...], query=FusionQuery(...))``
+    shape the Qdrant store behind the reference accepts (README.md:13):
+    the inner node RRF-fuses a dense branch with a BM25 branch, and the
+    outer node DBSF-fuses the dense branch with that inner fusion's
+    output.  Both fusers and the recursive planner
+    (operators.query_api.fuse_prefetch) join only k-row lists — nothing
+    scales with the corpus."""
+    from .operators.embed import hash_embed_df  # noqa: PLC0415
+    from .operators.query_api import fuse_prefetch  # noqa: PLC0415
+    from .operators.text_search import bm25_topk  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    qrow = spark.createDataFrame([(0, "vector join stream")],
+                                 "doc_id long, text string")
+    qvec = (hash_embed_df(qrow, dim=64, out_col="vec")
+            .select(F.lit(0).alias("qid"), F.col("vec").alias("qvec")))
+    dense = (knn.knn_join(
+        qvec, hash_embed_df(docs, dim=64, out_col="vec")
+        .select(F.col("doc_id").alias("id"), "vec"),
+        k=10, corpus_id="id", corpus_vec="vec", exclude_self=False)
+        .select(F.col("vec_id").alias("id"), F.col("sim").alias("score"),
+                "rank"))
+    lex = bm25_topk(docs, ["vector", "join", "stream"], k=10)
+    fused = fuse_prefetch({
+        "fusion": "dbsf", "k": 10,
+        "prefetch": [dense, {"fusion": "rrf", "prefetch": [dense, lex]}],
+    })
+    return fused.select("id", F.col("score").alias("dbsf_score"),
+                        F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -4938,6 +5083,7 @@ def q_api_geo_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY = [
     # new this round (round 6) — never driver-adjudicated
     "api_filter_dsl", "store_filter_dsl_indexed", "api_geo_search",
+    "api_query_dbsf",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
     "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",

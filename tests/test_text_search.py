@@ -79,6 +79,65 @@ def test_rrf_fuse_properties(spark):
     assert ranks == [3, 1, 2, 4]
 
 
+def test_dbsf_fuse_normalization(spark):
+    import math
+
+    from bob_vector_db_spark.operators.text_search import dbsf_fuse
+
+    a = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)],
+                              "id long, score double")
+    # degenerate list: every score equal -> sigma = 0 -> each member is 0.5
+    b = spark.createDataFrame([(3, 5.0), (4, 5.0)], "id long, score double")
+    out = {r["id"]: (r["dbsf_score"], r["rank"]) for r in
+           dbsf_fuse([a, b], k=10).collect()}
+    sd = math.sqrt(2.0 / 3.0)  # population stddev of [1, 2, 3]
+    norm = {s: (s - (2.0 - 3 * sd)) / (6 * sd) for s in (1.0, 2.0, 3.0)}
+    assert out[3][0] == round(norm[3.0] + 0.5, 6)
+    assert out[3][1] == 1
+    assert out[2][0] == round(norm[2.0], 6) == 0.5  # the list mean is 0.5
+    assert out[4][0] == 0.5
+    assert out[1][0] == round(norm[1.0], 6)
+    # ties (2 and 4 both 0.5) break by id asc
+    ranks = [i for i, _ in sorted(out.items(), key=lambda kv: kv[1][1])]
+    assert ranks == [3, 2, 4, 1]
+
+
+def test_fuse_prefetch_nested_equals_manual(spark):
+    from pyspark.sql import functions as F
+
+    from bob_vector_db_spark.operators.query_api import fuse_prefetch
+    from bob_vector_db_spark.operators.text_search import dbsf_fuse, rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 0.9, 1), (2, 0.5, 2), (3, 0.4, 3)],
+        "id long, score double, rank int")
+    b = spark.createDataFrame(
+        [(3, 7.0, 1), (4, 6.0, 2)], "id long, score double, rank int")
+    tree = {"fusion": "dbsf", "k": 10,
+            "prefetch": [a, {"fusion": "rrf", "prefetch": [a, b]}]}
+    got = {(r["id"], r["score"], r["rank"])
+           for r in fuse_prefetch(tree).collect()}
+    inner = rrf_fuse([a, b], k=10).select(
+        "id", F.col("rrf_score").alias("score"), "rank")
+    manual = {(r["id"], r["dbsf_score"], r["rank"])
+              for r in dbsf_fuse([a, inner], k=10).collect()}
+    assert got == manual
+
+
+def test_fuse_prefetch_errors(spark):
+    import pytest
+
+    from bob_vector_db_spark.operators.query_api import fuse_prefetch
+
+    a = spark.createDataFrame([(1, 1.0, 1)], "id long, score double, rank int")
+    with pytest.raises(ValueError, match="at least one prefetch"):
+        fuse_prefetch({"fusion": "rrf", "prefetch": []})
+    with pytest.raises(ValueError, match="unknown fusion"):
+        fuse_prefetch({"fusion": "borda", "prefetch": [a]})
+    with pytest.raises(TypeError, match="DataFrame leaf"):
+        fuse_prefetch(42)
+
+
 def test_normalize_text_masks_pii_and_collapses(spark):
     from bob_vector_db_spark.functions.text import normalize_text
 
