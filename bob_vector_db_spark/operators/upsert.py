@@ -732,6 +732,62 @@ def update_columns(spark: SparkSession, root: str, collection: str,
     _set_version(root, collection, next_v)
 
 
+def update_vectors(spark: SparkSession, root: str, collection: str,
+                   updates: DataFrame, id_col: str | None = None) -> None:
+    """Per-space vector patch (Qdrant ``update_vectors``, the vector twin of
+    ``set_payload``): for every id in ``updates`` (first column), replace
+    ONLY the named vector column(s) it carries; every payload column and
+    any other vector space of the stored point is preserved.
+
+    A thin contract layer over :func:`update_columns` that enforces what a
+    raw column patch can't know: each patched column must be a DECLARED
+    vector space of the collection (``create_collection``'s
+    ``vector_config`` — the reference's vectors_config at
+    qdrant_embedder.py:95-102), and every patch vector must be non-null
+    with the space's declared size — a wrong-dim or null vector would
+    poison kNN scoring and the stored index's IVF assignment silently.
+    The validation is one aggregate over the (patch-sized) updates frame.
+
+    Like every mutation, the patch logs its ids to the delta as upserts,
+    so the next ``refresh_all_indexes`` re-fetches the ids' current rows —
+    re-assigning them to their new IVF lists / re-encoding their PQ codes
+    / re-bucketing their sparse postings, O(|patch|), no rebuild.
+    """
+    meta = collection_meta(root, collection)
+    if meta is None:
+        raise ValueError(
+            f"collection {collection!r} has no meta sidecar; update_vectors "
+            f"needs the declared vector_config (create via create_collection)")
+    vectors = meta.get("vectors", {})
+    patch_cols = [c for c in updates.columns[1:]]
+    if not patch_cols:
+        raise ValueError("update_vectors needs at least one vector column "
+                         "after the id column")
+    undeclared = [c for c in patch_cols if c not in vectors]
+    if undeclared:
+        raise ValueError(
+            f"update_vectors: {undeclared} are not declared vector spaces "
+            f"of {collection!r} (declared: {sorted(vectors)}); payload "
+            f"columns go through update_columns, new spaces through a full "
+            f"upsert")
+    checks = []
+    for c in patch_cols:
+        declared = int(vectors[c].get("size", 0) or 0)
+        bad = F.col(c).isNull()
+        if declared:
+            bad = bad | (F.size(F.col(c)) != declared)
+        checks.append(F.sum(bad.cast("int")).alias(c))
+    bad_counts = updates.agg(*checks).first()
+    for c in patch_cols:
+        if bad_counts[c]:
+            declared = vectors[c].get("size")
+            raise ValueError(
+                f"update_vectors: {bad_counts[c]} patch row(s) for space "
+                f"{c!r} are null or not length {declared}; a malformed "
+                f"vector would silently poison similarity scores")
+    update_columns(spark, root, collection, updates, id_col=id_col)
+
+
 # ---------------------------------------------------------------------------
 # Compaction — micro-batch upserts (streaming/ingest.py foreachBatch) leave
 # one file per batch per touched bucket; compaction rewrites each bucket to

@@ -5071,6 +5071,71 @@ def q_api_query_dbsf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "store_update_vectors",
+    # corpus = vec_id < 200, with ids < 20 re-pointed at the embedding of
+    # vec_id + 300 (the update_vectors patch); exact cosine top-10 for three
+    # query vectors drawn from rows 400-402 (outside the collection).
+    oracle="""
+WITH corpus AS (
+  SELECT e.vec_id AS id,
+         CASE WHEN e.vec_id < 20
+              THEN (SELECT p.embedding FROM embeddings p
+                    WHERE p.vec_id = e.vec_id + 300)
+              ELSE e.embedding END AS embedding
+  FROM embeddings e WHERE e.vec_id < 200
+),
+q AS (
+  SELECT vec_id - 400 AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id >= 400 AND vec_id < 403
+),
+pairs AS (
+  SELECT q.qid, c.id AS vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(c.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, corpus c
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_store_update_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``update_vectors`` twin: patch 20 points' vectors in place
+    (payloads untouched), refresh_all_indexes absorbs the patch through the
+    delta log — O(|patch|), re-assigning each patched id to its NEW IVF
+    list — and the search through the stored index (full probe) returns
+    exactly the post-patch kNN the oracle recomputes from the source
+    table."""
+    base = _tmp_base(sf_dir, "updvec")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 200)
+        .select(F.col("vec_id").alias("id"), "embedding", "label"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    index.build_vector_index(spark, base, "vecs", kind="ivf",
+                             n_lists=8, iters=3)
+    patch = (emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 320))
+             .select((F.col("vec_id") - 300).alias("id"), "embedding"))
+    upsert.update_vectors(spark, base, "vecs", patch)
+    index.refresh_all_indexes(spark, base, "vecs")
+    qdf = (emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 403))
+           .select((F.col("vec_id") - 400).alias("qid"),
+                   F.col("embedding").alias("qvec")))
+    out = knn.search_collection(
+        spark, base, "vecs", qdf, k=10, corpus_id="id", exclude_self=False,
+        use_index="always", n_probe=8)
+    return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"),
+                      "sim", F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -5083,7 +5148,7 @@ def q_api_query_dbsf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY = [
     # new this round (round 6) — never driver-adjudicated
     "api_filter_dsl", "store_filter_dsl_indexed", "api_geo_search",
-    "api_query_dbsf",
+    "api_query_dbsf", "store_update_vectors",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
     "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",

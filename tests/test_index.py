@@ -494,3 +494,78 @@ def test_mask_compaction_unpartitioned_pq(spark, sf_dir, tmp_path):
                                rerank_factor=8)
     pairs = [(r["qid"], r["vec_id"]) for r in out.collect()]
     assert len(pairs) == len(set(pairs)) and len(pairs) > 0
+
+
+def test_update_vectors_reassigns_ivf_list(spark, tmp_path):
+    """Qdrant update_vectors twin: a patched vector logs to the delta, and
+    refresh re-assigns the id to the IVF list its NEW vector belongs to —
+    payloads untouched, O(|patch|), no rebuild."""
+    import os
+
+    from bob_vector_db_spark.operators.index import _apply_masks
+
+    root = str(tmp_path / "store")
+    # two tight clusters far apart: A along axis 0, B along axis 1
+    rows = [(i, [10.0 + i * 0.01, 0.0, 0.0, 0.0], "a") for i in range(10)]
+    rows += [(i, [0.0, 10.0 + i * 0.01, 0.0, 0.0], "b") for i in range(10, 20)]
+    upsert.create_collection(
+        spark, root, "vecs", n_buckets=4, id_col="id",
+        df=spark.createDataFrame(rows, "id long, vec array<double>, tag string"),
+        vector_config={"vec": {"size": 4, "distance": "cosine"}})
+    index.build_vector_index(spark, root, "vecs", vector_name="vec",
+                             kind="ivf", n_lists=2, iters=5)
+    ipath = index.index_path(root, "vecs", "vec")
+    data = os.path.join(ipath, "data")
+    before = {r["id"]: r["list_id"]
+              for r in spark.read.parquet(data).collect()}
+    # sanity: k-means separated the two clusters
+    assert before[0] != before[10]
+    assert all(before[i] == before[0] for i in range(10))
+    assert all(before[i] == before[10] for i in range(10, 20))
+
+    patch = spark.createDataFrame([(0, [0.0, 9.9, 0.0, 0.0])],
+                                  "id long, vec array<double>")
+    upsert.update_vectors(spark, root, "vecs", patch)
+    index.refresh_vector_index(spark, root, "vecs", vector_name="vec")
+    live = {r["id"]: r["list_id"] for r in _apply_masks(
+        spark, ipath, spark.read.parquet(data), "id").collect()}
+    assert len(live) == 20  # masks hide exactly the patched id's old row
+    assert live[0] == before[10]  # re-assigned to cluster B's list
+    assert all(live[i] == before[i] for i in range(1, 20))
+    # payloads survived the vector patch
+    tags = {r["id"]: r["tag"]
+            for r in upsert.read_collection(spark, root, "vecs").collect()}
+    assert tags[0] == "a"
+    # and the refreshed index still answers exactly
+    q = spark.createDataFrame([(0, [0.0, 1.0, 0.0, 0.0])],
+                              "qid long, qvec array<double>")
+    idx = knn.search_collection(spark, root, "vecs", q, k=5, corpus_id="id",
+                                exclude_self=False, use_index="always",
+                                n_probe=2)
+    exact = knn.search_collection(spark, root, "vecs", q, k=5, corpus_id="id",
+                                  exclude_self=False, use_index=False)
+    assert _rows(idx) == _rows(exact)
+    assert 0 in {r["vec_id"] for r in idx.collect()}
+
+
+def test_update_vectors_contract_violations(spark, tmp_path):
+    """The vector patch refuses what a raw column patch can't know is
+    wrong: undeclared spaces, wrong-dim vectors, null vectors."""
+    root = str(tmp_path / "store")
+    upsert.create_collection(
+        spark, root, "vecs", n_buckets=4, id_col="id",
+        df=spark.createDataFrame([(0, [1.0, 0.0], "x")],
+                                 "id long, vec array<double>, tag string"),
+        vector_config={"vec": {"size": 2, "distance": "cosine"}})
+    with pytest.raises(ValueError, match="not declared vector spaces"):
+        upsert.update_vectors(spark, root, "vecs", spark.createDataFrame(
+            [(0, "y")], "id long, tag string"))
+    with pytest.raises(ValueError, match="not length 2"):
+        upsert.update_vectors(spark, root, "vecs", spark.createDataFrame(
+            [(0, [1.0, 2.0, 3.0])], "id long, vec array<double>"))
+    with pytest.raises(ValueError, match="null or not length"):
+        upsert.update_vectors(spark, root, "vecs", spark.createDataFrame(
+            [(0, None)], "id long, vec array<double>"))
+    with pytest.raises(ValueError, match="at least one vector column"):
+        upsert.update_vectors(spark, root, "vecs", spark.createDataFrame(
+            [(0,)], "id long"))
