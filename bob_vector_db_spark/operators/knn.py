@@ -118,6 +118,7 @@ def search_collection(
     exclude_self: bool = False,
     use_index: str | bool = "auto",
     n_probe: int | None = None,
+    tenant: str | None = None,
 ) -> DataFrame:
     """Search a stored collection with the metric its meta DECLARES.
 
@@ -149,6 +150,14 @@ def search_collection(
     probe width — building one IS the accuracy/memory trade.  Index
     searches return the same (qid, vec_id, sim, rank) contract for every
     index kind.
+
+    ``tenant`` scopes the search to one tenant of a multitenant collection
+    (the Qdrant shard-key selector): the exact scan prunes to the tenant's
+    partition subtree — at scale a tenant's slice IS the prunable unit, so
+    the pruned exact scan is the intended plan and the global ANN index
+    (which clusters across tenants) is deliberately NOT used —
+    ``use_index='always'`` with a tenant raises rather than silently
+    scanning or answering from an unscoped index.
     """
     from .index import (  # noqa: PLC0415
         index_is_fresh,
@@ -157,6 +166,14 @@ def search_collection(
     )
     from .upsert import collection_meta, read_collection  # noqa: PLC0415
 
+    if tenant is not None:
+        if use_index in ("always", True):
+            raise ValueError(
+                "tenant-scoped search uses the pruned exact scan (the "
+                "stored vector index clusters across tenants and cannot "
+                "prune to one tenant's subtree); pass use_index='auto' or "
+                "False")
+        use_index = False
     meta = collection_meta(root, collection) or {}
     vectors = meta.get("vectors", {})
     if vector_name is None:
@@ -194,7 +211,7 @@ def search_collection(
                 exclude_self=exclude_self)
     if metric is None:
         metric = declared
-    corpus = read_collection(spark, root, collection)
+    corpus = read_collection(spark, root, collection, tenant=tenant)
     return knn_join(
         queries, corpus, k=k, query_id=query_id, query_vec=query_vec,
         corpus_id=corpus_id, corpus_vec=vector_name,

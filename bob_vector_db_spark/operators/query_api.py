@@ -36,6 +36,24 @@ from .upsert import (
 )
 
 
+def _scope_tenant(root: str, collection: str, rows: DataFrame,
+                  tenant: str | None) -> DataFrame:
+    """Restrict candidate rows (already fetched by id) to one tenant — the
+    residual tenant check of the payload-index path, where the fetch was
+    id-bucket-pruned rather than tenant-pruned.  Scan paths scope through
+    ``read_collection(tenant=...)`` instead, which prunes partitions."""
+    if tenant is None:
+        return rows
+    from .upsert import _tenant_col  # noqa: PLC0415
+
+    tcol = _tenant_col(root, collection)
+    if tcol is None:
+        raise ValueError(
+            f"collection {collection!r} was not created with a tenant_col; "
+            f"tenant-scoped queries need the multitenant layout")
+    return rows.filter(F.col(tcol) == str(tenant))
+
+
 def _resolve_candidates(spark: SparkSession, root: str, collection: str,
                         flt, use_payload_index,
                         max_candidates: int) -> tuple[DataFrame | None, Filter]:
@@ -73,7 +91,8 @@ def search_points(spark: SparkSession, root: str, collection: str,
                   query_id: str = "qid", query_vec: str = "qvec",
                   round_to: int | None = 6,
                   use_payload_index: str | bool = "auto",
-                  max_candidates: int = 1_000_000) -> DataFrame:
+                  max_candidates: int = 1_000_000,
+                  tenant: str | None = None) -> DataFrame:
     """Filtered kNN with the collection's declared metric — the Qdrant
     ``search(query_vector, query_filter=Filter(...))`` twin.  With no
     filter this defers to ``knn.search_collection`` (which may dispatch
@@ -85,7 +104,7 @@ def search_points(spark: SparkSession, root: str, collection: str,
     if flt is None:
         return search_collection(spark, root, collection, queries, k=k,
                                  vector_name=vector_name, query_id=query_id,
-                                 query_vec=query_vec)
+                                 query_vec=query_vec, tenant=tenant)
     meta = collection_meta(root, collection) or {}
     id_col = meta.get("id_col", "id")
     vectors = meta.get("vectors", {})
@@ -100,10 +119,10 @@ def search_points(spark: SparkSession, root: str, collection: str,
     cand, _residual = _resolve_candidates(
         spark, root, collection, flt, use_payload_index, max_candidates)
     if cand is None:
-        corpus = (read_collection(spark, root, collection)
+        corpus = (read_collection(spark, root, collection, tenant=tenant)
                   .filter(as_filter(flt).to_column()))
     else:
-        corpus = cand
+        corpus = _scope_tenant(root, collection, cand, tenant)
     return knn_join(queries, corpus.select(id_col, vector_name), k=k,
                     query_id=query_id, query_vec=query_vec,
                     corpus_id=id_col, corpus_vec=vector_name,
@@ -112,46 +131,50 @@ def search_points(spark: SparkSession, root: str, collection: str,
 
 def count_points(spark: SparkSession, root: str, collection: str,
                  flt=None, use_payload_index: str | bool = "auto",
-                 max_candidates: int = 1_000_000) -> int:
+                 max_candidates: int = 1_000_000,
+                 tenant: str | None = None) -> int:
     """Qdrant ``count(count_filter=...)``: exact filtered cardinality.
     The count itself is a distributed aggregate either way; the index
     path avoids touching the collection entirely when the residual is
     empty (the posting probe already knows the answer)."""
     if flt is None:
-        return read_collection(spark, root, collection).count()
+        return read_collection(spark, root, collection, tenant=tenant).count()
     flt = as_filter(flt)
     if use_payload_index is not False:
         ids, residual = filter_match_ids(spark, root, collection, flt)
         if ids is not None:
-            if residual == Filter():
+            if residual == Filter() and tenant is None:
                 return ids.count()
             rows = read_rows_for_ids(spark, root, collection, ids)
             if rows is None:
                 return 0
+            rows = _scope_tenant(root, collection, rows, tenant)
             return rows.filter(residual.to_column()).count()
         if use_payload_index == "always":
             raise ValueError(
                 f"use_payload_index='always' but no top-level must leaf "
                 f"has a fresh payload index on {collection!r}")
-    return (read_collection(spark, root, collection)
+    return (read_collection(spark, root, collection, tenant=tenant)
             .filter(flt.to_column()).count())
 
 
 def facet_values(spark: SparkSession, root: str, collection: str,
                  key: str, flt=None, limit: int = 10,
                  use_payload_index: str | bool = "auto",
-                 max_candidates: int = 1_000_000) -> DataFrame:
+                 max_candidates: int = 1_000_000,
+                 tenant: str | None = None) -> DataFrame:
     """Qdrant ``facet``: distinct values of a payload key with counts,
     under a filter — (value, count) descending.  One pushed-filter scan
     (or candidate fetch) plus one partial-aggregated groupBy; only
     |distinct values| rows move."""
     if flt is None:
-        base = read_collection(spark, root, collection)
+        base = read_collection(spark, root, collection, tenant=tenant)
     else:
         cand, _ = _resolve_candidates(
             spark, root, collection, flt, use_payload_index, max_candidates)
-        base = (cand if cand is not None else
-                read_collection(spark, root, collection)
+        base = (_scope_tenant(root, collection, cand, tenant)
+                if cand is not None else
+                read_collection(spark, root, collection, tenant=tenant)
                 .filter(as_filter(flt).to_column()))
     return (base.groupBy(F.col(key).alias("value"))
             .agg(F.count(F.lit(1)).alias("count"))
@@ -164,7 +187,8 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
                   order_by: str | None = None,
                   cursor: tuple | None = None,
                   use_payload_index: str | bool = "auto",
-                  max_candidates: int = 1_000_000) -> DataFrame:
+                  max_candidates: int = 1_000_000,
+                  tenant: str | None = None) -> DataFrame:
     """Qdrant ``scroll``: filtered pagination with a KEYSET cursor (no
     OFFSET rescans).  Default order is by id; ``order_by`` pages by a
     payload field with an (value, id) composite cursor — the id tiebreak
@@ -175,12 +199,13 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
     meta = collection_meta(root, collection) or {}
     id_col = meta.get("id_col", "id")
     if flt is None:
-        base = read_collection(spark, root, collection)
+        base = read_collection(spark, root, collection, tenant=tenant)
     else:
         cand, _ = _resolve_candidates(
             spark, root, collection, flt, use_payload_index, max_candidates)
-        base = (cand if cand is not None else
-                read_collection(spark, root, collection)
+        base = (_scope_tenant(root, collection, cand, tenant)
+                if cand is not None else
+                read_collection(spark, root, collection, tenant=tenant)
                 .filter(as_filter(flt).to_column()))
     if order_by is None:
         if cursor is not None:

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -160,19 +161,105 @@ def _with_bucket(df: DataFrame, id_col: str, n_buckets: int) -> DataFrame:
     )
 
 
+# Multitenancy (the Qdrant shard-key / group_id pattern): a collection
+# created with ``tenant_col`` partitions ``tenant=<v>/id_bucket=<n>`` — one
+# directory level ABOVE the id bucket, so a tenant-scoped search/scroll/
+# count prunes to that tenant's subtree and never lists another tenant's
+# data.  Tenant values are restricted to a hive-safe, inference-proof
+# charset: they must start with a letter or underscore (a leading digit
+# would make Spark's partition-value inference read the column back as
+# int/double/date and silently change its type) and may contain only
+# [A-Za-z0-9_.-]; 'nan'/'infinity' are refused for the same reason.
+_TENANT_VALUE_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.\-]*$")
+
+
+def _tenant_col(root: str, collection: str) -> str | None:
+    meta = collection_meta(root, collection)
+    return meta.get("tenant_col") if meta else None
+
+
+def _part_cols(tenant_col: str | None) -> list[str]:
+    """The store's physical partition columns, outermost first."""
+    return ([tenant_col] if tenant_col else []) + [BUCKET_COL]
+
+
+def _validate_tenant_values(df: DataFrame, tenant_col: str) -> None:
+    """Refuse tenant values the hive layout can't round-trip (one pruned
+    aggregate over the batch's distinct tenants — bounded by tenant count,
+    not rows)."""
+    if tenant_col not in df.columns:
+        raise ValueError(
+            f"rows are missing the tenant column {tenant_col!r} this "
+            f"collection partitions by")
+    bad = (df.select(F.col(tenant_col).cast("string").alias("_t")).distinct()
+           .filter(F.col("_t").isNull()
+                   | ~F.col("_t").rlike(r"^[A-Za-z_][A-Za-z0-9_.\-]*$")
+                   | F.lower(F.col("_t")).isin("nan", "infinity"))
+           .limit(3).collect())
+    if bad:
+        raise ValueError(
+            f"tenant values {[r[0] for r in bad]} are not storable: a "
+            f"tenant key must match {_TENANT_VALUE_RE.pattern!r} (and not "
+            f"be 'nan'/'infinity') so the hive partition layout round-trips "
+            f"it as a string")
+
+
+def _touched_parts(df: DataFrame, part_cols: list[str]) -> list[tuple]:
+    """Distinct partition-value tuples present in ``df`` — the touched set.
+    Driver-bounded by (batch tenants × n_buckets), never by row count."""
+    return sorted(
+        tuple(r) for r in
+        df.select(*[F.col(c).cast("string") if c != BUCKET_COL else F.col(c)
+                    for c in part_cols]).distinct().collect())
+
+
+def _parts_filter(part_cols: list[str], parts: list[tuple]):
+    """A pruning predicate selecting exactly ``parts``: plain ``IN`` for the
+    bucket-only layout; per-tenant ``(tenant = t AND id_bucket IN (...))``
+    disjunction for the tenant layout (both shapes partition-prune)."""
+    if not parts:
+        return F.lit(False)
+    if len(part_cols) == 1:
+        return F.col(part_cols[0]).isin([p[0] for p in parts])
+    by_tenant: dict = {}
+    for t, b in parts:
+        by_tenant.setdefault(t, []).append(b)
+    cond = None
+    for t, bs in sorted(by_tenant.items()):
+        c = ((F.col(part_cols[0]).cast("string") == t)
+             & F.col(part_cols[1]).isin(sorted(bs)))
+        cond = c if cond is None else cond | c
+    return cond
+
+
+def _rel_part_dir(part_cols: list[str], part: tuple) -> str:
+    """``tenant=acme/id_bucket=3`` — exact because tenant values are
+    charset-validated (no hive escaping) and buckets are ints."""
+    return os.path.join(*[f"{c}={v}" for c, v in zip(part_cols, part)])
+
+
 def _store_exists(path: str) -> bool:
     if not os.path.isdir(path):
         return False
     for entry in os.listdir(path):
+        if entry.endswith(RESERVED_SUFFIXES):
+            continue
+        p = os.path.join(path, entry)
         if entry.startswith(f"{BUCKET_COL}=") or entry.endswith(".parquet"):
             return True
+        # tenant level: a tenant dir counts only if it holds a bucket dir
+        # (a delete can empty a tenant's subtree without removing it)
+        if "=" in entry and not entry.startswith("_") and os.path.isdir(p):
+            if any(e.startswith(f"{BUCKET_COL}=") for e in os.listdir(p)):
+                return True
     return False
 
 
 def create_collection(spark: SparkSession, root: str, collection: str,
                       df: DataFrame | None = None, id_col: str = "id",
                       n_buckets: int = DEFAULT_N_BUCKETS,
-                      vector_config: dict[str, dict] | None = None) -> bool:
+                      vector_config: dict[str, dict] | None = None,
+                      tenant_col: str | None = None) -> bool:
     """Idempotent create (S5): returns True if newly created.
 
     Mirrors the exists-check at qdrant_embedder.py:92 — existing collections
@@ -180,6 +267,13 @@ def create_collection(spark: SparkSession, root: str, collection: str,
     vector spaces like the reference's vectors_config
     (qdrant_embedder.py:95-102), e.g. ``{"text": {"size": 512, "distance":
     "cosine"}}``; it persists in a ``_``-prefixed sidecar Spark readers skip.
+
+    ``tenant_col`` opts the collection into the multitenant layout (the
+    Qdrant shard-key / group_id pattern): data partitions
+    ``tenant=<v>/id_bucket=<n>``, so tenant-scoped reads prune to one
+    tenant's subtree.  The tenant column is a payload column like any
+    other — it just ALSO drives the physical layout, which is why its
+    values are charset-validated (see ``_TENANT_VALUE_RE``).
     """
     if collection in _read_aliases(root):
         raise ValueError(
@@ -193,12 +287,18 @@ def create_collection(spark: SparkSession, root: str, collection: str,
         raise ValueError(
             f"collection name {collection!r} ends with a reserved suffix "
             f"{RESERVED_SUFFIXES}; pick another name")
+    if tenant_col is not None and tenant_col == id_col:
+        raise ValueError("tenant_col and id_col must be different columns")
     path = collection_path(root, collection)
     if os.path.exists(path):
         return False
     if df is not None:
+        if tenant_col is not None:
+            _validate_tenant_values(df, tenant_col)
+            df = df.withColumn(tenant_col, F.col(tenant_col).cast("string"))
         (_with_bucket(df, id_col, n_buckets)
-         .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path))
+         .write.mode("overwrite")
+         .partitionBy(*_part_cols(tenant_col)).parquet(path))
     else:
         os.makedirs(path, exist_ok=True)
     meta = {
@@ -208,6 +308,8 @@ def create_collection(spark: SparkSession, root: str, collection: str,
         "vectors": vector_config or {},
         "version": 0,
     }
+    if tenant_col is not None:
+        meta["tenant_col"] = tenant_col
     _write_meta(path, meta)
     return True
 
@@ -382,8 +484,24 @@ def atomic_replace_dir(staging: str, path: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
-def read_collection(spark: SparkSession, root: str, collection: str) -> DataFrame:
-    return spark.read.parquet(collection_path(root, collection)).drop(BUCKET_COL)
+def read_collection(spark: SparkSession, root: str, collection: str,
+                    tenant: str | None = None) -> DataFrame:
+    """The collection as a DataFrame (bucket column dropped; the tenant
+    column, when the collection has one, reads back as a payload column).
+    ``tenant`` scopes the read to one tenant's partition subtree — a
+    STATIC equality on the outermost partition column, so the scan lists
+    and opens only that tenant's directories (the multitenant pruning
+    contract, plan-asserted in tests/test_tenant.py)."""
+    df = spark.read.parquet(collection_path(root, collection)).drop(BUCKET_COL)
+    if tenant is not None:
+        tcol = _tenant_col(root, collection)
+        if tcol is None:
+            raise ValueError(
+                f"collection {collection!r} was not created with a "
+                f"tenant_col; tenant-scoped reads need the multitenant "
+                f"layout (create_collection(..., tenant_col=...))")
+        df = df.filter(F.col(tcol) == str(tenant))
+    return df
 
 
 def read_rows_for_ids(spark: SparkSession, root: str, collection: str,
@@ -477,6 +595,12 @@ def upsert(spark: SparkSession, root: str, collection: str,
     """
     path = collection_path(root, collection)
     id_col, n_buckets = _resolve_layout(root, collection, id_col, n_buckets)
+    tenant_col = _tenant_col(root, collection)
+    part_cols = _part_cols(tenant_col)
+    if tenant_col is not None:
+        _validate_tenant_values(new_rows, tenant_col)
+        new_rows = new_rows.withColumn(
+            tenant_col, F.col(tenant_col).cast("string"))
     new_b = _with_bucket(new_rows, id_col, n_buckets)
 
     if not _store_exists(path):
@@ -504,18 +628,36 @@ def upsert(spark: SparkSession, root: str, collection: str,
             })
         next_v = _next_version(root, collection)
         _log_delta(path, next_v, "upsert", new_b.select(id_col).distinct())
-        touched = sorted(
-            r[0] for r in new_b.select(BUCKET_COL).distinct().collect())
-        _stage_and_swap(merged, path, touched)
+        touched = _touched_parts(new_b, part_cols)
+        _stage_and_swap(merged, path, touched, part_cols=part_cols)
         _set_version(root, collection, next_v)
         return read_collection(spark, root, collection)
 
     # Bucket ids are bounded by n_buckets, so this collect is O(n_buckets)
     # regardless of data size.
-    touched = sorted(
+    touched_buckets = sorted(
         r[0] for r in new_b.select(BUCKET_COL).distinct().collect()
     )
-    existing = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+    existing = spark.read.parquet(path).filter(
+        F.col(BUCKET_COL).isin(touched_buckets))
+    if tenant_col is None:
+        touched = touched_buckets
+    else:
+        # an id's tenant value may have CHANGED in this batch, and ids hash
+        # to buckets independently of tenant — so the replaced row can live
+        # under ANY tenant's copy of its bucket.  The merge therefore reads
+        # the touched buckets ACROSS tenants (still bucket-pruned), and the
+        # rewrite set is the partitions holding a replaced row plus the
+        # partitions the new rows land in — a tenant-move rewrites exactly
+        # its source and destination directories, nothing else.
+        new_ids = (new_b.select(F.col(id_col).cast("string").alias("_new_id"))
+                   .distinct())
+        replaced = existing.join(
+            new_ids, F.col(id_col).cast("string") == F.col("_new_id"),
+            "left_semi")
+        touched = sorted(set(_touched_parts(replaced, part_cols))
+                         | set(_touched_parts(new_b, part_cols)))
+        existing = existing.filter(_parts_filter(part_cols, touched))
     if version_col is None:
         merged = last_write_wins(
             existing.withColumn("_version", F.lit(0)).unionByName(
@@ -544,29 +686,37 @@ def upsert(spark: SparkSession, root: str, collection: str,
     # version — in that order (see the module docstring's crash matrix)
     next_v = _next_version(root, collection)
     _log_delta(path, next_v, "upsert", new_b.select(id_col).distinct())
-    _stage_and_swap(merged, path, touched)
+    # a tenant-move can empty its source partition — drop the husk
+    _stage_and_swap(merged, path, touched, part_cols=part_cols,
+                    drop_empty=tenant_col is not None)
     _set_version(root, collection, next_v)
     return read_collection(spark, root, collection)
 
 
-def _stage_and_swap(df: DataFrame, path: str, touched: list[int],
-                    drop_empty: bool = False) -> None:
-    """Write ``df``'s touched buckets to a staging dir, then swap each bucket
-    directory in with an atomic rename.  A crash mid-swap leaves every
-    bucket either fully old (still in place or in its __old trash, which a
-    rerun of the same batch re-merges idempotently) or fully new — never
-    half-written files in a live bucket.
+def _stage_and_swap(df: DataFrame, path: str, touched: list,
+                    drop_empty: bool = False,
+                    part_cols: list[str] | None = None) -> None:
+    """Write ``df``'s touched partitions to a staging dir, then swap each
+    partition directory in with an atomic rename.  A crash mid-swap leaves
+    every partition either fully old (still in place or in its __old trash,
+    which a rerun of the same batch re-merges idempotently) or fully new —
+    never half-written files in a live partition.
 
-    ``drop_empty=True`` (the delete path): a touched bucket with NO staged
-    rows means every row in it was deleted — remove the live directory
-    instead of skipping it.
+    ``touched`` is a list of bucket ints (bucket-only layout) or partition
+    tuples matching ``part_cols`` (tenant layout: ``("acme", 3)`` swaps
+    ``tenant=acme/id_bucket=3``).  ``drop_empty=True`` (the delete path): a
+    touched partition with NO staged rows means every row in it was
+    deleted — remove the live directory instead of skipping it.
     """
+    part_cols = part_cols or [BUCKET_COL]
     staging = path + "__staging"
     shutil.rmtree(staging, ignore_errors=True)
-    df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(staging)
-    for b in touched:
-        src = os.path.join(staging, f"{BUCKET_COL}={b}")
-        dst = os.path.join(path, f"{BUCKET_COL}={b}")
+    df.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
+    for p in touched:
+        part = p if isinstance(p, tuple) else (p,)
+        rel = _rel_part_dir(part_cols, part)
+        src = os.path.join(staging, rel)
+        dst = os.path.join(path, rel)
         if not os.path.isdir(src):
             if drop_empty:
                 shutil.rmtree(dst, ignore_errors=True)
@@ -575,8 +725,17 @@ def _stage_and_swap(df: DataFrame, path: str, touched: list[int],
         shutil.rmtree(trash, ignore_errors=True)
         if os.path.isdir(dst):
             os.rename(dst, trash)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)  # new tenant dir
         os.rename(src, dst)
         shutil.rmtree(trash, ignore_errors=True)
+    if drop_empty and len(part_cols) > 1:
+        # a delete can empty a tenant's whole subtree — drop the husk so
+        # the reader's partition discovery never lists a dead tenant
+        for p in touched:
+            part = p if isinstance(p, tuple) else (p,)
+            tdir = os.path.join(path, f"{part_cols[0]}={part[0]}")
+            if os.path.isdir(tdir) and not os.listdir(tdir):
+                os.rmdir(tdir)
     shutil.rmtree(staging, ignore_errors=True)
 
 
@@ -587,7 +746,8 @@ def _stage_and_swap(df: DataFrame, path: str, touched: list[int],
 
 def delete_points(spark: SparkSession, root: str, collection: str,
                   ids: list | DataFrame, id_col: str | None = None,
-                  count_removed: bool = True) -> int:
+                  count_removed: bool = True,
+                  tenant: str | None = None) -> int:
     """Delete points by id; returns the number of rows removed
     (``count_removed=False`` skips the two counting jobs and returns -1 —
     the Qdrant-style fire-and-forget delete).
@@ -598,9 +758,22 @@ def delete_points(spark: SparkSession, root: str, collection: str,
     never the table.  ``ids`` may be a Python list or a single-column
     DataFrame (for a large doomed set the DataFrame form keeps the id set
     distributed until the per-bucket anti-join).
+
+    On a multitenant collection the doomed rows may live under any tenant
+    (ids hash to buckets tenant-independently), so the scan prunes by
+    bucket across tenants and the rewrite set narrows to the partitions
+    that actually hold a doomed row.  ``tenant`` scopes the delete to one
+    tenant's subtree (the Qdrant shard-key selector): pruning then covers
+    both levels, and ids living under other tenants survive.
     """
     path = collection_path(root, collection)
     id_col, n_buckets = _require_layout(root, collection, id_col)
+    tenant_col = _tenant_col(root, collection)
+    part_cols = _part_cols(tenant_col)
+    if tenant is not None and tenant_col is None:
+        raise ValueError(
+            f"collection {collection!r} has no tenant_col; tenant-scoped "
+            f"delete needs the multitenant layout")
     if isinstance(ids, DataFrame):
         doomed = ids.select(F.col(ids.columns[0]).cast("string").alias("_del_id"))
     else:
@@ -608,10 +781,26 @@ def delete_points(spark: SparkSession, root: str, collection: str,
             [(str(i),) for i in ids], "`_del_id` string")
     doomed = _with_bucket(doomed, "_del_id", n_buckets)
     # O(n_buckets) driver-side list, same bound as upsert's touched set
-    touched = sorted(r[0] for r in doomed.select(BUCKET_COL).distinct().collect())
-    if not touched or not _store_exists(path):
+    touched_buckets = sorted(
+        r[0] for r in doomed.select(BUCKET_COL).distinct().collect())
+    if not touched_buckets or not _store_exists(path):
         return 0
-    existing = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+    existing = spark.read.parquet(path).filter(
+        F.col(BUCKET_COL).isin(touched_buckets))
+    if tenant is not None:
+        existing = existing.filter(
+            F.col(tenant_col).cast("string") == str(tenant))
+    if tenant_col is None:
+        touched = touched_buckets
+    else:
+        # narrow the rewrite to partitions that actually hold a doomed row
+        victims = existing.join(
+            F.broadcast(doomed.select("_del_id")),
+            F.col(id_col).cast("string") == F.col("_del_id"), "left_semi")
+        touched = _touched_parts(victims, part_cols)
+        if not touched:
+            return 0
+        existing = existing.filter(_parts_filter(part_cols, touched))
     keep = existing.join(
         F.broadcast(doomed.select("_del_id")),
         F.col(id_col).cast("string") == F.col("_del_id"),
@@ -619,8 +808,13 @@ def delete_points(spark: SparkSession, root: str, collection: str,
     )
     removed = (existing.count() - keep.count()) if count_removed else -1
     next_v = _next_version(root, collection)
-    _log_delta(path, next_v, "delete", doomed.select("_del_id").distinct())
-    _stage_and_swap(keep, path, touched, drop_empty=True)
+    # a tenant-scoped delete must log only the ids it actually removed —
+    # the same id under another tenant survives and must stay indexed
+    # (the delta reads pre-swap data; it publishes before the swap anyway)
+    log_ids = (victims.select(id_col) if tenant is not None
+               else doomed.select("_del_id").distinct())
+    _log_delta(path, next_v, "delete", log_ids)
+    _stage_and_swap(keep, path, touched, drop_empty=True, part_cols=part_cols)
     _set_version(root, collection, next_v)
     return removed
 
@@ -640,14 +834,16 @@ def delete_by_filter(spark: SparkSession, root: str, collection: str,
     if not _store_exists(path):
         return 0
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    tenant_col = _tenant_col(root, collection)
+    part_cols = _part_cols(tenant_col)
     table = spark.read.parquet(path)
-    touched = sorted(
-        r[0] for r in
-        table.filter(pred).select(BUCKET_COL).distinct().collect()
-    )
+    # one pruned scan finds the partitions holding matching rows — with the
+    # tenant layout that's (tenant, bucket) pairs, so a filter that names a
+    # tenant (directly or via the DSL) rewrites only that tenant's subtree
+    touched = _touched_parts(table.filter(pred), part_cols)
     if not touched:
         return 0
-    existing = table.filter(F.col(BUCKET_COL).isin(touched))
+    existing = table.filter(_parts_filter(part_cols, touched))
     # three-valued logic: a NULL predicate row did NOT match — keep it
     # (bare ~pred would drop it: NULL is not true, but not false either)
     keep = existing.filter(~F.coalesce(pred, F.lit(False)))
@@ -663,7 +859,7 @@ def delete_by_filter(spark: SparkSession, root: str, collection: str,
     # id column unknown in the stored schema: the version STILL advances —
     # its published-delta hole makes read_delta return None, so indexes
     # rebuild loudly instead of silently serving the deleted rows
-    _stage_and_swap(keep, path, touched, drop_empty=True)
+    _stage_and_swap(keep, path, touched, drop_empty=True, part_cols=part_cols)
     _set_version(root, collection, next_v)
     return removed
 
@@ -678,9 +874,17 @@ def update_columns(spark: SparkSession, root: str, collection: str,
     ids hash straight to their buckets — only those are read, patched with a
     broadcast left join + coalesce, and atomically swapped back.  Unlike a
     full upsert, untouched COLUMNS never round-trip through the caller.
+
+    On a multitenant collection the rewrite narrows to the partitions that
+    hold a patched row; patching the TENANT column itself moves the row
+    between tenant subtrees — the source and destination partitions both
+    rewrite (the Qdrant "re-shard on group-key change" semantic), nothing
+    else does.
     """
     path = collection_path(root, collection)
     id_col, n_buckets = _require_layout(root, collection, id_col)
+    tenant_col = _tenant_col(root, collection)
+    part_cols = _part_cols(tenant_col)
     upd_id = updates.columns[0]
     patch_cols = [c for c in updates.columns if c != upd_id]
     if _store_exists(path):
@@ -691,6 +895,10 @@ def update_columns(spark: SparkSession, root: str, collection: str,
                 f"update_columns: {unknown} not in stored schema "
                 f"{sorted(stored_cols - {BUCKET_COL})}; adding new columns "
                 f"needs a full upsert (schema evolution touches every bucket)")
+    if tenant_col is not None and tenant_col in patch_cols:
+        _validate_tenant_values(updates, tenant_col)
+        updates = updates.withColumn(
+            tenant_col, F.col(tenant_col).cast("string"))
     patch = updates.select(
         F.col(upd_id).cast("string").alias("_upd_id"),
         *[F.col(c).alias(f"_upd_{c}") for c in patch_cols])
@@ -704,10 +912,12 @@ def update_columns(spark: SparkSession, root: str, collection: str,
             f"dedupe the patch first (which value should win is yours to "
             f"decide, not a join artifact)")
     patch = _with_bucket(patch, "_upd_id", n_buckets)
-    touched = sorted(r[0] for r in patch.select(BUCKET_COL).distinct().collect())
-    if not touched or not _store_exists(path):
+    touched_buckets = sorted(
+        r[0] for r in patch.select(BUCKET_COL).distinct().collect())
+    if not touched_buckets or not _store_exists(path):
         return
-    existing = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
+    existing = spark.read.parquet(path).filter(
+        F.col(BUCKET_COL).isin(touched_buckets))
     joined = existing.join(
         F.broadcast(patch.drop(BUCKET_COL)),
         F.col(id_col).cast("string") == F.col("_upd_id"), "left")
@@ -723,12 +933,29 @@ def update_columns(spark: SparkSession, root: str, collection: str,
                 .otherwise(F.col(c)).cast(stored_types[c]).alias(c))
         else:
             out_cols.append(F.col(c))
+    patched = joined.select(*out_cols, F.col("_upd_id").alias("_hit"))
+    if tenant_col is None:
+        touched = touched_buckets
+        to_write = patched.drop("_hit")
+    else:
+        # source partitions: pre-patch parts of the hit rows; destination
+        # partitions: their post-patch parts (differ only on a tenant move)
+        pre = _touched_parts(
+            joined.filter(F.col("_upd_id").isNotNull()), part_cols)
+        post = _touched_parts(
+            patched.filter(F.col("_hit").isNotNull()), part_cols)
+        touched = sorted(set(pre) | set(post))
+        if not touched:
+            return
+        to_write = (patched.drop("_hit")
+                    .filter(_parts_filter(part_cols, touched)))
     # partial updates MAY touch indexed columns (vector / text payload), so
     # they feed the delta log as upserts; refresh re-reads the ids' current
     # rows, which is correct whether or not the indexed column changed
     next_v = _next_version(root, collection)
     _log_delta(path, next_v, "upsert", patch.select("_upd_id"))
-    _stage_and_swap(joined.select(*out_cols), path, touched)
+    _stage_and_swap(to_write, path, touched, part_cols=part_cols,
+                    drop_empty=tenant_col is not None)
     _set_version(root, collection, next_v)
 
 
@@ -812,18 +1039,20 @@ def compact_collection(spark: SparkSession, root: str, collection: str,
     if not _store_exists(path):
         return {"files_before": 0, "files_after": 0, "n_rows": 0}
     id_col, _ = _resolve_layout(root, collection, None, None)
+    tenant_col = _tenant_col(root, collection)
+    part_cols = _part_cols(tenant_col)
     table = spark.read.parquet(path)
     n_rows = table.count()
-    touched = sorted(r[0] for r in table.select(BUCKET_COL).distinct().collect())
+    touched = _touched_parts(table, part_cols)
     files_before = _count_data_files(path)
-    part_cols = [F.col(BUCKET_COL)]
+    shuffle_cols = [F.col(c) for c in part_cols]
     if files_per_bucket > 1 and id_col in table.columns:
-        part_cols.append(F.pmod(
+        shuffle_cols.append(F.pmod(
             F.xxhash64(F.col(id_col).cast("string"), F.lit("compact_salt")),
             F.lit(files_per_bucket)))
     compacted = table.repartition(
-        max(len(touched), 1) * files_per_bucket, *part_cols)
-    _stage_and_swap(compacted, path, touched)
+        max(len(touched), 1) * files_per_bucket, *shuffle_cols)
+    _stage_and_swap(compacted, path, touched, part_cols=part_cols)
     # housekeeping ride-along: delta entries every live index has absorbed
     # (version <= min built_version) feed nothing anymore — drop them.  With
     # no indexes at all the whole log is prunable.
@@ -1009,15 +1238,19 @@ def recover_collection(root: str, collection: str) -> list[int]:
         return []
     shutil.rmtree(coll_old, ignore_errors=True)  # completed-swap leftover
     restored: list[int] = []
-    for entry in sorted(os.listdir(path)):
-        if not entry.endswith("__old"):
-            continue
-        live = os.path.join(path, entry[: -len("__old")])
-        trash = os.path.join(path, entry)
-        if os.path.isdir(live):
-            shutil.rmtree(trash, ignore_errors=True)
-        else:
-            os.rename(trash, live)
-            restored.append(int(entry[: -len("__old")].split("=", 1)[1]))
+    # walk the whole tree: bucket trash sits at the top level for the
+    # bucket-only layout and INSIDE each tenant dir for the tenant layout
+    for dirpath, dirnames, _files in os.walk(path):
+        for entry in sorted(dirnames):
+            if not entry.endswith("__old"):
+                continue
+            live = os.path.join(dirpath, entry[: -len("__old")])
+            trash = os.path.join(dirpath, entry)
+            if os.path.isdir(live):
+                shutil.rmtree(trash, ignore_errors=True)
+            else:
+                os.rename(trash, live)
+                restored.append(int(entry[: -len("__old")].split("=", 1)[1]))
+            dirnames.remove(entry)  # never descend into trash
     shutil.rmtree(path + "__staging", ignore_errors=True)
     return restored

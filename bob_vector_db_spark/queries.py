@@ -5136,6 +5136,63 @@ def q_store_update_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "sim", F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "store_tenant_search",
+    # tenant = 't' || (label % 3); the scoped search sees ONLY tenant t1's
+    # points — the oracle recomputes that tenant's exact cosine top-10.
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id AS id, embedding FROM embeddings WHERE (label % 3) = 1
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id >= 490 AND vec_id < 493
+),
+pairs AS (
+  SELECT q.qid, c.id AS vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(c.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, corpus c
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_store_tenant_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multitenant search (Qdrant shard-key / group_id pattern): the
+    collection partitions ``tenant=<v>/id_bucket=<n>`` — one level ABOVE
+    the id bucket — so the tenant-scoped search prunes to tenant t1's
+    subtree (a static partition filter on the outermost level,
+    plan-asserted in tests/test_tenant.py) and never lists another
+    tenant's data.  At 100 TB a tenant's slice is the prunable unit: the
+    scoped exact scan reads |tenant| rows, not |collection|."""
+    base = _tmp_base(sf_dir, "mtsearch")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"), "embedding",
+        F.concat(F.lit("t"), (F.col("label") % 3).cast("string"))
+        .alias("tenant"))
+    upsert.create_collection(
+        spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
+        tenant_col="tenant",
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    qdf = (emb.filter((F.col("vec_id") >= 490) & (F.col("vec_id") < 493))
+           .select(F.col("vec_id").alias("qid"),
+                   F.col("embedding").alias("qvec")))
+    out = knn.search_collection(spark, base, "vecs", qdf, k=10,
+                                corpus_id="id", exclude_self=False,
+                                tenant="t1")
+    return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"),
+                      "sim", F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -5148,7 +5205,7 @@ def q_store_update_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY = [
     # new this round (round 6) — never driver-adjudicated
     "api_filter_dsl", "store_filter_dsl_indexed", "api_geo_search",
-    "api_query_dbsf", "store_update_vectors",
+    "api_query_dbsf", "store_update_vectors", "store_tenant_search",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
     "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",

@@ -1,0 +1,232 @@
+"""Multitenant collections (operators/upsert.py tenant layout): one
+partition level ABOVE the id bucket (``tenant=<v>/id_bucket=<n>``), the
+Qdrant shard-key / group_id pattern — tenant-scoped reads prune to one
+tenant's subtree, mutations rewrite only the partitions they touch, and
+a tenant move (an id's tenant value changing) rewrites exactly its
+source and destination directories."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bob_vector_db_spark.operators import knn, upsert
+from bob_vector_db_spark.plans.inspect import (
+    assert_partition_filters,
+    formatted_plan,
+)
+
+
+def _mk(spark, root, n=30, collection="mt", n_buckets=4):
+    rows = [(i, f"t{i % 3}", f"doc {i}", float(i)) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "id long, tenant string, text string, score double")
+    upsert.create_collection(spark, root, collection, df=df, id_col="id",
+                             n_buckets=n_buckets, tenant_col="tenant")
+    return df
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_tenant_layout_and_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "s")
+    _mk(spark, root)
+    path = upsert.collection_path(root, "mt")
+    tenants = sorted(e for e in os.listdir(path) if e.startswith("tenant="))
+    assert tenants == ["tenant=t0", "tenant=t1", "tenant=t2"]
+    assert any(e.startswith("id_bucket=")
+               for e in os.listdir(os.path.join(path, "tenant=t0")))
+    got = upsert.read_collection(spark, root, "mt")
+    assert got.count() == 30
+    assert _ids(upsert.read_collection(spark, root, "mt", tenant="t1")) == \
+        sorted(i for i in range(30) if i % 3 == 1)
+
+
+def test_tenant_scoped_read_prunes_partitions(spark, tmp_path):
+    """The multitenant contract: a tenant-scoped read reaches the scan as a
+    PARTITION filter on the tenant level — other tenants' subtrees are
+    pruned away, not read-and-filtered."""
+    root = str(tmp_path / "s")
+    _mk(spark, root)
+    scoped = upsert.read_collection(spark, root, "mt", tenant="t1")
+    assert_partition_filters(scoped, "tenant")
+    pf = next(ln for ln in formatted_plan(scoped).splitlines()
+              if "PartitionFilters" in ln)
+    assert "t1" in pf, pf
+    # and the non-target tenants' files never appear in the scan
+    files = scoped.select(F.input_file_name().alias("f")).distinct().collect()
+    assert files, "scoped read returned no files"
+    assert all("tenant=t1" in r["f"] for r in files)
+
+
+def test_tenant_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    root = str(tmp_path / "s")
+    _mk(spark, root)
+    path = upsert.collection_path(root, "mt")
+
+    def mtimes(tenant):
+        tdir = os.path.join(path, f"tenant={tenant}")
+        return {e: os.path.getmtime(os.path.join(tdir, e))
+                for e in os.listdir(tdir) if e.startswith("id_bucket=")}
+
+    before_t2 = mtimes("t2")
+    upsert.upsert(spark, root, "mt", spark.createDataFrame(
+        [(0, "t0", "patched", 99.0)],
+        "id long, tenant string, text string, score double"))
+    assert mtimes("t2") == before_t2  # untouched tenant: no dir swapped
+    got = upsert.read_collection(spark, root, "mt")
+    assert got.count() == 30
+    assert got.filter(F.col("id") == 0).first()["text"] == "patched"
+
+
+def test_tenant_move_via_upsert(spark, tmp_path):
+    """Re-sending an id under a DIFFERENT tenant moves the point: exactly
+    one copy survives, in the new tenant's subtree."""
+    root = str(tmp_path / "s")
+    _mk(spark, root)
+    upsert.upsert(spark, root, "mt", spark.createDataFrame(
+        [(3, "t1", "moved", 3.0)],  # id 3 was tenant t0
+        "id long, tenant string, text string, score double"))
+    got = upsert.read_collection(spark, root, "mt")
+    assert got.count() == 30  # moved, not duplicated
+    assert got.filter(F.col("id") == 3).count() == 1
+    assert 3 in _ids(upsert.read_collection(spark, root, "mt", tenant="t1"))
+    assert 3 not in _ids(upsert.read_collection(spark, root, "mt", tenant="t0"))
+
+
+def test_tenant_move_via_update_columns(spark, tmp_path):
+    """Patching the tenant column re-shards the row: source and destination
+    partitions rewrite, payload survives."""
+    root = str(tmp_path / "s")
+    _mk(spark, root)
+    upsert.update_columns(spark, root, "mt", spark.createDataFrame(
+        [(6, "t2")], "id long, tenant string"))  # id 6 was t0
+    got = upsert.read_collection(spark, root, "mt")
+    assert got.count() == 30
+    row = got.filter(F.col("id") == 6).first()
+    assert row["tenant"] == "t2" and row["text"] == "doc 6"
+    assert 6 in _ids(upsert.read_collection(spark, root, "mt", tenant="t2"))
+    assert 6 not in _ids(upsert.read_collection(spark, root, "mt", tenant="t0"))
+
+
+def test_tenant_scoped_delete(spark, tmp_path):
+    root = str(tmp_path / "s")
+    _mk(spark, root)
+    # unscoped delete finds the id wherever it lives
+    assert upsert.delete_points(spark, root, "mt", [4]) == 1
+    # tenant-scoped delete only removes ids under that tenant
+    assert upsert.delete_points(spark, root, "mt", [5, 6], tenant="t0") == 1
+    left = _ids(upsert.read_collection(spark, root, "mt"))
+    assert 4 not in left and 6 not in left and 5 in left
+    # deleting every row of a tenant removes its subtree husk
+    t2_ids = [i for i in range(30) if i % 3 == 2]
+    upsert.delete_points(spark, root, "mt", t2_ids)
+    path = upsert.collection_path(root, "mt")
+    assert not os.path.isdir(os.path.join(path, "tenant=t2"))
+    assert upsert.read_collection(spark, root, "mt").count() == 30 - 2 - len(t2_ids)
+
+
+def test_tenant_delete_by_filter_prunes_to_tenant(spark, tmp_path):
+    root = str(tmp_path / "s")
+    _mk(spark, root)
+    removed = upsert.delete_by_filter(
+        spark, root, "mt", (F.col("tenant") == "t1") & (F.col("score") < 10))
+    assert removed == len([i for i in range(10) if i % 3 == 1])
+    assert upsert.read_collection(
+        spark, root, "mt", tenant="t2").count() == 10
+
+
+def test_tenant_value_validation(spark, tmp_path):
+    root = str(tmp_path / "s")
+    bad_rows = [(1, "123", "x"), (2, "ok_tenant", "y")]
+    with pytest.raises(ValueError, match="not storable"):
+        upsert.create_collection(
+            spark, root, "bad",
+            df=spark.createDataFrame(bad_rows,
+                                     "id long, tenant string, text string"),
+            id_col="id", tenant_col="tenant")
+    _mk(spark, root)
+    for v in ("has space", None, "NaN", "a/b"):
+        with pytest.raises(ValueError, match="not storable|missing"):
+            upsert.upsert(spark, root, "mt", spark.createDataFrame(
+                [(99, v, "x", 0.0)],
+                "id long, tenant string, text string, score double"))
+    with pytest.raises(ValueError, match="tenant_col and id_col"):
+        upsert.create_collection(spark, root, "bad2", id_col="id",
+                                 tenant_col="id")
+    with pytest.raises(ValueError, match="not created with a tenant_col"):
+        upsert.read_collection(spark, root, "mt2_none", tenant="t0") \
+            if upsert.create_collection(
+                spark, root, "mt2_none",
+                df=spark.createDataFrame([(1, "x")], "id long, text string"),
+                id_col="id") else None
+
+
+def test_tenant_search_equals_filtered_exact(spark, tmp_path):
+    root = str(tmp_path / "s")
+    rows = [(i, f"t{i % 2}", [float(i % 7), float((i * 3) % 5), 1.0])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, tenant string, vec array<double>")
+    upsert.create_collection(
+        spark, root, "vt", df=df, id_col="id", n_buckets=4,
+        tenant_col="tenant",
+        vector_config={"vec": {"size": 3, "distance": "cosine"}})
+    q = spark.createDataFrame([(0, [1.0, 1.0, 1.0])],
+                              "qid long, qvec array<double>")
+    scoped = knn.search_collection(spark, root, "vt", q, k=5, corpus_id="id",
+                                   tenant="t1")
+    manual = knn.knn_join(
+        q, df.filter(F.col("tenant") == "t1").select("id", "vec"),
+        k=5, corpus_id="id", corpus_vec="vec", exclude_self=False)
+    assert sorted(map(tuple, scoped.collect())) == \
+        sorted(map(tuple, manual.collect()))
+    with pytest.raises(ValueError, match="tenant-scoped search"):
+        knn.search_collection(spark, root, "vt", q, k=5, tenant="t1",
+                              use_index="always")
+
+
+def test_tenant_query_api_scoping(spark, tmp_path):
+    from bob_vector_db_spark.operators import query_api
+    from bob_vector_db_spark.operators.filters import Filter, Range
+
+    root = str(tmp_path / "s")
+    _mk(spark, root)
+    assert query_api.count_points(spark, root, "mt", tenant="t0") == 10
+    flt = Filter(must=[Range("score", gte=15)])
+    assert query_api.count_points(spark, root, "mt", flt=flt, tenant="t0") \
+        == len([i for i in range(15, 30) if i % 3 == 0])
+    page = query_api.scroll_points(spark, root, "mt", limit=4, tenant="t1")
+    assert [r["id"] for r in page.collect()] == [1, 4, 7, 10]
+    fv = {r["value"]: r["count"] for r in
+          query_api.facet_values(spark, root, "mt", "tenant").collect()}
+    assert fv == {"t0": 10, "t1": 10, "t2": 10}
+
+
+def test_tenant_compact_and_recover(spark, tmp_path):
+    root = str(tmp_path / "s")
+    _mk(spark, root)
+    # pile up files via per-tenant micro-upserts, then compact
+    for i in (101, 102, 103):
+        upsert.upsert(spark, root, "mt", spark.createDataFrame(
+            [(i, "t0", f"extra {i}", float(i))],
+            "id long, tenant string, text string, score double"))
+    before = sorted(map(tuple, upsert.read_collection(
+        spark, root, "mt").collect()))
+    stats = upsert.compact_collection(spark, root, "mt")
+    assert stats["files_after"] <= stats["files_before"]
+    after = sorted(map(tuple, upsert.read_collection(
+        spark, root, "mt").collect()))
+    assert after == before
+    # crash-sim: a bucket dir inside a tenant vanished mid-swap, trash left
+    path = upsert.collection_path(root, "mt")
+    tdir = os.path.join(path, "tenant=t0")
+    bucket = next(e for e in os.listdir(tdir) if e.startswith("id_bucket="))
+    os.rename(os.path.join(tdir, bucket), os.path.join(tdir, bucket + "__old"))
+    restored = upsert.recover_collection(root, "mt")
+    assert restored == [int(bucket.split("=")[1])]
+    assert sorted(map(tuple, upsert.read_collection(
+        spark, root, "mt").collect())) == before
