@@ -382,6 +382,18 @@ def _set_version(root: str, collection: str, version: int) -> None:
     _write_meta(path, meta)
 
 
+def _has_live_index(path: str) -> bool:
+    """Does ANY persisted index artifact (vector/BM25/sparse/payload) exist
+    under the collection's ``_index/``?  One listdir — the delta log's only
+    consumer is index refresh, so a collection with no index has no log
+    reader."""
+    idx_root = os.path.join(path, "_index")
+    if not os.path.isdir(idx_root):
+        return False
+    return any(os.path.exists(os.path.join(idx_root, name, "meta.json"))
+               for name in os.listdir(idx_root))
+
+
 def _log_delta(path: str, version: int, op: str, ids_df: DataFrame) -> None:
     """PUBLISH this mutation's touched ids as the delta for ``version``:
     write ``_delta/v=<n>__pending`` then one atomic rename to
@@ -399,8 +411,28 @@ def _log_delta(path: str, version: int, op: str, ids_df: DataFrame) -> None:
     at refresh time: run_incremental_refresh verifies delete-classified ids
     are actually absent and reclassifies still-live ids as upserts, so the
     index never masks a row the store still serves.)
+
+    Fast path: with NO index artifact on the collection there is no log
+    consumer, so the publish (a Spark write job per mutation) is skipped
+    and the version is recorded in ``delta_pruned_to`` instead — byte-for-
+    byte the state ``prune_delta_log`` leaves after every index absorbed a
+    version.  An index built LATER starts its window at the then-current
+    version, never crossing the gap; a refresh whose window somehow does
+    cross it sees the pruned marker and rebuilds loudly.  (The crash-
+    window version-authority role of the published dir is moot here: that
+    authority exists to keep an INDEX from reporting fresh across an
+    unabsorbed mutation, and this path runs only when no index exists.)
     """
     if version <= 0:
+        return
+    if not _has_live_index(path):
+        meta_p = os.path.join(path, META_FILE)
+        if os.path.exists(meta_p):
+            with open(meta_p) as fh:
+                meta = json.load(fh)
+            meta["delta_pruned_to"] = max(
+                int(meta.get("delta_pruned_to", 0)), int(version))
+            _write_meta(path, meta)
         return
     final = os.path.join(path, DELTA_DIR, f"v={int(version)}")
     pending = final + "__pending"

@@ -22,6 +22,20 @@ def _mk(spark, root, name="c", n=64, n_buckets=8):
     return df
 
 
+def _fake_index(root, collection, built_version=0):
+    """A minimal index meta sidecar — enough for ``_has_live_index``, so
+    delta publishing has a consumer (the skip-without-consumer fast path
+    stands down) without paying a real index build in lifecycle tests."""
+    import json  # noqa: PLC0415
+
+    p = os.path.join(upsert.collection_path(root, collection),
+                     "_index", "probe")
+    os.makedirs(p, exist_ok=True)
+    with open(os.path.join(p, "meta.json"), "w") as fh:
+        json.dump({"kind": "payload", "column": "grp",
+                   "built_version": built_version}, fh)
+
+
 def _bucket_snapshot(path):
     out = {}
     for d in os.listdir(path):
@@ -406,9 +420,12 @@ def test_recover_collection_restores_stranded_buckets(spark, tmp_path):
 def test_delta_log_records_every_mutation(spark, tmp_path):
     """Each mutation appends (version, op, id) rows: the incremental-index
     feed.  Ops classify correctly and versions line up with the meta
-    counter; read_delta windows on (since, current]."""
+    counter; read_delta windows on (since, current].  An index artifact
+    exists throughout — without one the log has no consumer and mutations
+    skip the publish (covered by test_compaction_prunes_absorbed_delta)."""
     root = str(tmp_path / "store")
     _mk(spark, root, n=16, n_buckets=4)
+    _fake_index(root, "c")
     upsert.upsert(spark, root, "c", spark.createDataFrame(
         [("id1", "rewritten", 9), ("idNEW", "fresh", 0)],
         "id string, document string, grp int"))          # v1
@@ -433,18 +450,25 @@ def test_delta_log_records_every_mutation(spark, tmp_path):
 
 
 def test_compaction_prunes_absorbed_delta(spark, tmp_path):
-    """With no index artifacts every delta entry is dead weight: compaction
-    empties the log and records the high-water mark, after which read_delta
-    refuses to answer for pre-prune versions (None → callers rebuild)."""
+    """With no index artifacts the log has no consumer: mutations skip the
+    publish entirely (``delta_pruned_to`` advances in its place — byte-for-
+    byte the state a prune-after-absorb leaves), read_delta refuses to
+    answer across the gap (None → callers rebuild), and compaction has
+    nothing to sweep.  Once an index artifact exists, mutations publish
+    again and their windows are answerable."""
     root = str(tmp_path / "store")
     _mk(spark, root, n=16, n_buckets=4)
-    upsert.delete_points(spark, root, "c", ["id1"])
-    upsert.compact_collection(spark, root, "c")
+    upsert.delete_points(spark, root, "c", ["id1"])      # v1 — skipped
+    path = upsert.collection_path(root, "c")
+    assert upsert._published_delta_versions(path) == []  # no write job paid
     meta = upsert.collection_meta(root, "c")
     assert meta["delta_pruned_to"] == 1
     assert upsert.read_delta(spark, root, "c", 0) is None
-    # new mutations after the prune are answerable again
-    upsert.delete_points(spark, root, "c", ["id2"])
+    upsert.compact_collection(spark, root, "c")
+    assert upsert.collection_version(root, "c") == 1  # compaction: no bump
+    # an index artifact turns publishing back on
+    _fake_index(root, "c", built_version=1)
+    upsert.delete_points(spark, root, "c", ["id2"])      # v2 — published
     d = upsert.read_delta(spark, root, "c", 1)
     assert [(r["op"], r["id"]) for r in d.collect()] == [("delete", "id2")]
 
@@ -678,6 +702,7 @@ def test_prune_never_regresses_an_adopted_version(spark, tmp_path):
     a stale index would report fresh."""
     root = str(tmp_path / "store")
     _mk(spark, root, n=8, n_buckets=2)  # created at version 0
+    _fake_index(root, "c")  # a consumer, so the publish actually happens
     path = upsert.collection_path(root, "c")
     # simulate a crash-adopted mutation: published delta, no meta bump
     upsert._log_delta(path, 1, "upsert",
