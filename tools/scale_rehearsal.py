@@ -1,0 +1,170 @@
+"""10× scale rehearsal (VERDICT r5 §next #9): generate a ~10× documents/
+embeddings fixture locally and drive the store/index stack through one
+full lifecycle, watching for driver-side ceilings — mask growth under
+churn, candidate caps, probe-list collects, broadcast limits.
+
+Usage: python tools/scale_rehearsal.py [base_sf_dir] [work_dir]
+Defaults: /root/testdata/sf0.1 → /tmp/spark_graft_scale10x
+
+Prints one timing line per stage and a final JSON summary; any cap or
+guard that trips raises loudly (that is the point of the rehearsal).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bob_vector_db_spark.operators import index, knn, upsert  # noqa: E402
+from bob_vector_db_spark.operators.payload_index import (  # noqa: E402
+    build_payload_index,
+)
+from bob_vector_db_spark.operators.query_api import (  # noqa: E402
+    count_points,
+    search_points,
+)
+from bob_vector_db_spark.operators.filters import Filter, MatchAny  # noqa: E402
+from bob_vector_db_spark.operators.text_search import (  # noqa: E402
+    bm25_topk_indexed,
+    build_text_index,
+)
+from bob_vector_db_spark.session import get_spark  # noqa: E402
+
+COPIES = 10
+
+
+def _timed(label, timings, fn):
+    t0 = time.time()
+    out = fn()
+    dt = round(time.time() - t0, 2)
+    timings[label] = dt
+    print(f"  {label:<32s} {dt:>8.2f} s", flush=True)
+    return out
+
+
+def make_fixture(spark, base_sf, work):
+    """10 shifted copies of the sf0.1 tables: doc/vec ids offset per copy,
+    embeddings perturbed deterministically so copies aren't exact dups."""
+    docs = spark.read.parquet(os.path.join(base_sf, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(base_sf, "embeddings.parquet"))
+    n_docs = docs.count()
+    n_emb = emb.count()
+    copies = spark.range(COPIES).select(F.col("id").alias("_k"))
+    big_docs = (docs.crossJoin(copies)
+                .select((F.col("doc_id") + F.col("_k") * n_docs)
+                        .alias("doc_id"),
+                        "text", "lang", "source", "n_chars"))
+    big_emb = (emb.crossJoin(copies)
+               .select((F.col("vec_id") + F.col("_k") * n_emb)
+                       .alias("vec_id"),
+                       F.transform(
+                           "embedding",
+                           lambda x, i: x + (F.col("_k") * 0.001)
+                           * ((i % 3) - 1)).alias("embedding"),
+                       "label"))
+    big_docs.write.mode("overwrite").parquet(os.path.join(work, "documents"))
+    big_emb.write.mode("overwrite").parquet(os.path.join(work, "embeddings"))
+    return n_docs * COPIES, n_emb * COPIES
+
+
+def main():
+    base_sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale10x"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    spark = get_spark("scale10x")
+    timings: dict[str, float] = {}
+    t_all = time.time()
+
+    n_docs, n_emb = _timed("fixture_generate", timings,
+                           lambda: make_fixture(spark, base_sf, work))
+    print(f"fixture: {n_docs} docs, {n_emb} embeddings")
+
+    store = os.path.join(work, "store")
+    emb = spark.read.parquet(os.path.join(work, "embeddings"))
+    docs = spark.read.parquet(os.path.join(work, "documents"))
+
+    _timed("create_collection_vecs", timings, lambda: upsert.create_collection(
+        spark, store, "vecs", n_buckets=32, id_col="id",
+        df=emb.select(F.col("vec_id").alias("id"), "embedding", "label"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}}))
+    _timed("build_ivf_32lists", timings, lambda: index.build_vector_index(
+        spark, store, "vecs", kind="ivf", n_lists=32, iters=4))
+
+    q = (emb.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qvec")))
+    full = _timed("search_full_probe", timings, lambda: sorted(
+        map(tuple, knn.search_collection(
+            spark, store, "vecs", q, k=10, corpus_id="id",
+            exclude_self=True, use_index="always", n_probe=32).collect())))
+    exact = _timed("search_exact_scan", timings, lambda: sorted(
+        map(tuple, knn.search_collection(
+            spark, store, "vecs", q, k=10, corpus_id="id",
+            exclude_self=True, use_index=False).collect())))
+    assert full == exact, "full-probe indexed search diverged from exact"
+    probe = _timed("search_probe4", timings, lambda: index.search_indexed(
+        spark, store, "vecs", q, k=10, n_probe=4, exclude_self=True).count())
+    assert probe == 50, probe
+
+    # churn: 3 cycles of upsert+delete+refresh — the mask path under load
+    for cyc in range(3):
+        lo = cyc * 700
+        patch = (emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 500))
+                 .select(F.col("vec_id").alias("id"),
+                         F.transform("embedding", lambda x: x * 1.01)
+                         .alias("embedding"), "label"))
+        _timed(f"churn{cyc}_upsert500", timings,
+               lambda p=patch: upsert.upsert(spark, store, "vecs", p))
+        _timed(f"churn{cyc}_delete200", timings,
+               lambda c=cyc: upsert.delete_points(
+                   spark, store, "vecs",
+                   list(range(15000 + c * 200, 15000 + (c + 1) * 200))))
+        _timed(f"churn{cyc}_refresh", timings,
+               lambda: index.refresh_all_indexes(spark, store, "vecs"))
+    full2 = sorted(map(tuple, knn.search_collection(
+        spark, store, "vecs", q, k=10, corpus_id="id",
+        exclude_self=True, use_index="always", n_probe=32).collect()))
+    exact2 = sorted(map(tuple, knn.search_collection(
+        spark, store, "vecs", q, k=10, corpus_id="id",
+        exclude_self=True, use_index=False).collect()))
+    assert full2 == exact2, "post-churn indexed search diverged from exact"
+    print("  post-churn indexed == exact   OK")
+
+    _timed("build_payload_index", timings, lambda: build_payload_index(
+        spark, store, "vecs", "label", n_val_buckets=16))
+    flt = Filter(must=[MatchAny("label", [2, 5])])
+    n_f = _timed("filtered_count_indexed", timings, lambda: count_points(
+        spark, store, "vecs", flt=flt, use_payload_index="always"))
+    n_s = _timed("filtered_search_indexed", timings, lambda: search_points(
+        spark, store, "vecs", q, flt=flt, k=10,
+        use_payload_index="always").count())
+    print(f"  filtered: {n_f} candidates, {n_s} result rows")
+
+    _timed("create_collection_docs", timings, lambda: upsert.create_collection(
+        spark, store, "docs", n_buckets=32, id_col="id",
+        df=docs.select(F.col("doc_id").alias("id"), "text")))
+    _timed("build_bm25_50k_docs", timings, lambda: build_text_index(
+        spark, store, "docs", text_col="text", n_term_buckets=32))
+    top = _timed("bm25_query", timings, lambda: bm25_topk_indexed(
+        spark, store, "docs", ["vector", "join", "stream"], k=10,
+        text_col="text").count())
+    assert top == 10, top
+
+    _timed("compact_vecs", timings, lambda: upsert.compact_collection(
+        spark, store, "vecs"))
+
+    summary = {"n_docs": n_docs, "n_emb": n_emb,
+               "total_s": round(time.time() - t_all, 2), "timings": timings}
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
