@@ -147,6 +147,52 @@ class IsNull:
 
 
 @dataclass(frozen=True)
+class IsEmpty:
+    """Missing-or-empty array payload (Qdrant IsEmptyCondition): matches
+    when ``key`` is NULL or an empty list.  The one array-cardinality
+    expression Spark SQL and DuckDB share is ``json_array_length(
+    to_json(k))`` (``size``/``len``/``array_length`` all exist in exactly
+    one of the two engines), verified to agree on NULL (→ NULL) and empty
+    (→ 0).  Array leaves are residual-evaluated, never index-routed —
+    same as Qdrant, where array emptiness is not an indexable predicate."""
+    key: str
+
+    def to_sql(self) -> str:
+        k = _ident(self.key)
+        return (f"({k} IS NULL OR "
+                f"json_array_length(to_json({k})) = 0)")
+
+
+@dataclass(frozen=True)
+class ValuesCount:
+    """Bounds on the NUMBER of values in an array payload (Qdrant
+    ValuesCount): any subset of gt / gte / lt / lte over the element
+    count; a NULL array counts 0 (Qdrant: a missing field has no
+    values).  Shares the ``json_array_length(to_json(k))`` cardinality
+    form with :class:`IsEmpty`."""
+    key: str
+    gt: int | None = None
+    gte: int | None = None
+    lt: int | None = None
+    lte: int | None = None
+
+    def to_sql(self) -> str:
+        n = (f"COALESCE(json_array_length(to_json({_ident(self.key)})), 0)")
+        parts = []
+        if self.gt is not None:
+            parts.append(f"{n} > {int(self.gt)}")
+        if self.gte is not None:
+            parts.append(f"{n} >= {int(self.gte)}")
+        if self.lt is not None:
+            parts.append(f"{n} < {int(self.lt)}")
+        if self.lte is not None:
+            parts.append(f"{n} <= {int(self.lte)}")
+        if not parts:
+            raise ValueError(f"ValuesCount({self.key!r}) has no bounds")
+        return "(" + " AND ".join(parts) + ")"
+
+
+@dataclass(frozen=True)
 class MatchText:
     """Full-token containment (Qdrant MatchText's filter form): every
     whitespace token of ``text`` must appear as a whole whitespace-delimited

@@ -220,6 +220,93 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
     return base.orderBy(order_by, id_col).limit(limit)
 
 
+def search_groups(spark: SparkSession, root: str, collection: str,
+                  queries: DataFrame, group_by: str,
+                  k_groups: int = 5, group_size: int = 3,
+                  flt=None, vector_name: str | None = None,
+                  query_id: str = "qid", query_vec: str = "qvec",
+                  round_to: int | None = 6,
+                  tenant: str | None = None) -> DataFrame:
+    """Grouped kNN — the Qdrant ``search_groups`` / ``query_groups`` API:
+    per query, the best ``k_groups`` groups (a group = one distinct value
+    of the ``group_by`` payload key), each carrying its own top
+    ``group_size`` hits.  The use case is result diversification: top
+    documents per SOURCE, best chunk per parent document, one hit per
+    product — instead of one dominant group filling the whole top-k.
+
+    Returns (qid, group, group_rank, vec_id, sim, rank_in_group); groups
+    rank by their BEST hit's score (ties by group value), hits within a
+    group by score (ties by id) — all deterministic.
+
+    Physical shape: one pushed-filter corpus scan scores every (query,
+    point) pair exactly like the exact kNN (broadcast queries, no corpus
+    shuffle), then TWO windows: rank-in-group over (qid, group) cuts to
+    ``group_size`` rows per group, and a dense group ranking over the
+    surviving ≤ |groups|·group_size rows picks the best ``k_groups``.
+    Nothing after the scan scales with the corpus — only with the number
+    of distinct groups."""
+    from .knn import resolve_metric  # noqa: PLC0415
+    from ..functions import vector  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    meta = collection_meta(root, collection) or {}
+    id_col = meta.get("id_col", "id")
+    vectors = meta.get("vectors", {})
+    if vector_name is None:
+        if len(vectors) != 1:
+            raise ValueError(
+                f"collection {collection!r} declares {sorted(vectors)} "
+                f"vector spaces; pass vector_name")
+        vector_name = next(iter(vectors))
+    metric = resolve_metric(
+        vectors.get(vector_name, {}).get("distance", "cosine"))
+    corpus = read_collection(spark, root, collection, tenant=tenant)
+    if flt is not None:
+        corpus = corpus.filter(as_filter(flt).to_column())
+    corpus = corpus.select(F.col(id_col).alias("vec_id"),
+                           F.col(vector_name).alias("_cv"),
+                           F.col(group_by).alias("group"))
+
+    q = queries.select(F.col(query_id).alias("qid"),
+                       F.col(query_vec).alias("qvec"))
+    if metric == "cosine":
+        q = q.withColumn("_qn", vector.l2_norm(F.col("qvec")))
+        corpus = corpus.withColumn("_cn", vector.l2_norm(F.col("_cv")))
+        pairs = corpus.join(F.broadcast(q), how="cross")
+        denom = F.col("_qn") * F.col("_cn")
+        sim = F.when(denom != 0.0,
+                     vector.dot(F.col("qvec"), F.col("_cv")) / denom)
+        ascending = False
+    elif metric == "dot":
+        pairs = corpus.join(F.broadcast(q), how="cross")
+        sim = vector.dot(F.col("qvec"), F.col("_cv"))
+        ascending = False
+    else:  # euclid
+        pairs = corpus.join(F.broadcast(q), how="cross")
+        sim = vector.l2_distance(F.col("qvec"), F.col("_cv"))
+        ascending = True
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    scored = (pairs.select("qid", "vec_id", "group", sim.alias("sim"))
+              .filter(F.col("sim").isNotNull() & ~F.isnan("sim")))
+    order = F.asc("sim") if ascending else F.desc("sim")
+    w_in = Window.partitionBy("qid", "group").orderBy(order, F.asc("vec_id"))
+    top_in = (scored.withColumn("rank_in_group", F.row_number().over(w_in))
+              .filter(F.col("rank_in_group") <= group_size))
+    # each group's representative score is its best hit's (rank_in_group 1)
+    w_grp = Window.partitionBy("qid", "group")
+    best = (F.min("sim").over(w_grp) if ascending
+            else F.max("sim").over(w_grp))
+    ranked = top_in.withColumn("_best", best)
+    g_order = [F.asc("_best") if ascending else F.desc("_best"),
+               F.asc("group")]
+    w_rank = Window.partitionBy("qid").orderBy(*g_order)
+    return (ranked.withColumn("group_rank", F.dense_rank().over(w_rank))
+            .filter(F.col("group_rank") <= k_groups)
+            .select("qid", "group", "group_rank", "vec_id", "sim",
+                    "rank_in_group"))
+
+
 def fuse_prefetch(node, k: int = 10, round_to: int = 6) -> DataFrame:
     """Nested prefetch fusion — the Qdrant Query API's recursive
     ``query_points(prefetch=[Prefetch(...), ...], query=FusionQuery(...))``

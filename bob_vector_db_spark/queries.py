@@ -4789,10 +4789,13 @@ def q_store_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .operators.filters import (  # noqa: E402
     Filter,
     GeoRadius,
+    IsEmpty,
     MatchAny,
+    MatchExcept,
     MatchText,
     MatchValue,
     Range,
+    ValuesCount,
 )
 
 _DSL_FLT = Filter(
@@ -5193,6 +5196,114 @@ def q_store_tenant_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "sim", F.col("rank").cast("long").alias("rank"))
 
 
+_VC_FLT = Filter(
+    must=[MatchExcept("lang", ["fr"])],
+    should=[IsEmpty("tags"), ValuesCount("tags", gte=2, lte=3)],
+)
+
+
+@register(
+    "api_values_count",
+    # tags: NULL when doc_id%7=0, else the first doc_id%4 tokens (so empty
+    # when doc_id%4=0) — exercising IsEmpty (null-or-empty), ValuesCount
+    # bounds, and the NULL-safe MatchExcept in one compiled filter string.
+    oracle=f"""
+WITH pts AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN NULL
+              ELSE list_slice({DUCK_WS_TOKENS.format(t='lower(text)')},
+                              1, CAST(doc_id % 4 AS INT)) END AS tags,
+         lang
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pts
+WHERE {_VC_FLT.to_sql()}
+GROUP BY lang ORDER BY lang
+""",
+)
+def q_api_values_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-payload filter leaves (Qdrant IsEmptyCondition +
+    ValuesCount): match points whose ``tags`` list is missing/empty OR has
+    2-3 values, excluding one language NULL-safely.  Both leaves compile
+    to the one array-cardinality expression the two engines share
+    (``json_array_length(to_json(k))``), so the oracle runs the literal
+    same filter string over the same derived table."""
+    docs = load_table(spark, sf_dir, "documents")
+    pts = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+        .otherwise(F.slice(ws_tokens(F.lower(F.col("text"))), F.lit(1),
+                           (F.col("doc_id") % 4).cast("int")))
+        .alias("tags"),
+        "lang")
+    return (pts.filter(_VC_FLT.to_column())
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .orderBy("lang"))
+
+
+@register(
+    "api_search_groups",
+    # grouped kNN: per query the best 4 label-groups, each with its top-3
+    # hits; groups rank by their best hit (ties by label), hits by score
+    # (ties by id).
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 2
+),
+pairs AS (
+  SELECT q.qid, e.vec_id, e.label AS "group",
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(e.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, embeddings e
+),
+tin AS (
+  SELECT *, row_number() OVER (PARTITION BY qid, "group"
+                               ORDER BY sim DESC, vec_id) AS rank_in_group
+  FROM pairs
+),
+cut AS (SELECT * FROM tin WHERE rank_in_group <= 3),
+wb AS (
+  SELECT *, MAX(sim) OVER (PARTITION BY qid, "group") AS best FROM cut
+)
+SELECT qid, "group", CAST(group_rank AS BIGINT) AS group_rank, vec_id, sim,
+       CAST(rank_in_group AS BIGINT) AS rank_in_group
+FROM (SELECT *, dense_rank() OVER (PARTITION BY qid
+                                   ORDER BY best DESC, "group") AS group_rank
+      FROM wb)
+WHERE group_rank <= 4
+""",
+)
+def q_api_search_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped kNN (Qdrant search_groups / query_groups): result
+    diversification — per query, the best 4 groups by label with their own
+    top-3 hits each, instead of one dominant label filling the top-k.  One
+    broadcast-query corpus scan plus two windows; nothing after the scan
+    scales with the corpus (see operators.query_api.search_groups)."""
+    from .operators.query_api import search_groups  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "sgroups")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.select(F.col("vec_id").alias("id"), "embedding", "label"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    qdf = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = search_groups(spark, base, "vecs", qdf, group_by="label",
+                        k_groups=4, group_size=3)
+    return out.select("qid", "group",
+                      F.col("group_rank").cast("long").alias("group_rank"),
+                      F.col("vec_id").cast("long").alias("vec_id"), "sim",
+                      F.col("rank_in_group").cast("long")
+                      .alias("rank_in_group"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -5206,6 +5317,7 @@ _PRIORITY = [
     # new this round (round 6) — never driver-adjudicated
     "api_filter_dsl", "store_filter_dsl_indexed", "api_geo_search",
     "api_query_dbsf", "store_update_vectors", "store_tenant_search",
+    "api_values_count", "api_search_groups",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
     "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",

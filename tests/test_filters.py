@@ -14,12 +14,14 @@ from bob_vector_db_spark.operators.filters import (
     Filter,
     GeoBoundingBox,
     GeoRadius,
+    IsEmpty,
     IsNull,
     MatchAny,
     MatchExcept,
     MatchText,
     MatchValue,
     Range,
+    ValuesCount,
     as_filter,
     filter_match_ids,
 )
@@ -280,3 +282,70 @@ def test_search_points_no_filter_defers_to_collection_search(spark,
                               "qid long, qvec array<double>")
     out = query_api.search_points(spark, root, "c", q, k=5)
     assert out.count() == 5
+
+
+def test_is_empty_and_values_count_cross_engine(spark):
+    """The array-cardinality leaves compile to the one expression both
+    engines share; verify against DuckDB on the same rows."""
+    import duckdb
+
+    rows = [(1, ["a", "b"]), (2, []), (3, None), (4, ["x"]),
+            (5, ["p", "q", "r", "s"])]
+    df = spark.createDataFrame(rows, "id long, tags array<string>")
+    for flt, want in [
+        (Filter(must=[IsEmpty("tags")]), {2, 3}),
+        (Filter(must_not=[IsEmpty("tags")]), {1, 4, 5}),
+        (Filter(must=[ValuesCount("tags", gte=1, lte=2)]), {1, 4}),
+        (Filter(must=[ValuesCount("tags", gt=2)]), {5}),
+        # NULL counts 0 values (Qdrant: a missing field has none)
+        (Filter(must=[ValuesCount("tags", lt=1)]), {2, 3}),
+        (Filter(should=[IsEmpty("tags"), ValuesCount("tags", gt=3)]),
+         {2, 3, 5}),
+    ]:
+        got = {r["id"] for r in df.filter(flt.to_column()).collect()}
+        assert got == want, (flt.to_sql(), got)
+        duck = duckdb.connect()
+        duck.execute("CREATE TABLE t (id BIGINT, tags VARCHAR[])")
+        for i, tags in rows:
+            duck.execute("INSERT INTO t VALUES (?, ?)", [i, tags])
+        oracle = {r[0] for r in duck.execute(
+            f"SELECT id FROM t WHERE {flt.to_sql()}").fetchall()}
+        assert oracle == want, (flt.to_sql(), oracle)
+    with pytest.raises(ValueError, match="no bounds"):
+        ValuesCount("tags").to_sql()
+
+
+def test_search_groups_diversifies_and_ranks(spark, tmp_path):
+    """Grouped kNN: exactly k_groups groups, each capped at group_size,
+    groups ordered by their best hit, hits ordered within the group —
+    and a plain top-k would have been dominated by one group."""
+    root = str(tmp_path / "s")
+    # group 0: three vectors nearly parallel to the query (dominant);
+    # groups 1..3: progressively farther
+    rows = []
+    for g in range(4):
+        for j in range(3):
+            rows.append((g * 10 + j, g,
+                         [1.0, 0.1 * g + 0.01 * j, 0.0]))
+    df = spark.createDataFrame(rows, "id long, grp int, vec array<double>")
+    upsert.create_collection(
+        spark, root, "g", df=df, id_col="id", n_buckets=4,
+        vector_config={"vec": {"size": 3, "distance": "cosine"}})
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0])],
+                              "qid long, qvec array<double>")
+    out = query_api.search_groups(spark, root, "g", q, group_by="grp",
+                                  k_groups=3, group_size=2).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group"], []).append(r)
+    assert set(by_group) == {0, 1, 2}  # best 3 of 4 groups
+    assert all(len(v) == 2 for v in by_group.values())
+    # group 0 is nearest (rank 1); within it the j=0 vector is best
+    assert {r["group_rank"] for r in by_group[0]} == {1}
+    assert [r["vec_id"] for r in
+            sorted(by_group[0], key=lambda r: r["rank_in_group"])] == [0, 1]
+    # filtered + grouped compose
+    flt = Filter(must=[Range("grp", gte=1)])
+    out2 = query_api.search_groups(spark, root, "g", q, group_by="grp",
+                                   k_groups=2, group_size=1, flt=flt)
+    assert {r["group"] for r in out2.collect()} == {1, 2}
