@@ -146,6 +146,50 @@ class IsNull:
         return f"{_ident(self.key)} IS NULL"
 
 
+_TS_LITERAL = re.compile(
+    r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d{1,6})?$")
+
+
+@dataclass(frozen=True)
+class DatetimeRange:
+    """Timestamp bounds (Qdrant DatetimeRange): any subset of gt / gte /
+    lt / lte over a timestamp column.  Bounds are
+    ``YYYY-MM-DD HH:MM:SS[.ffffff]`` strings rendered as ``TIMESTAMP``
+    literals — the one temporal literal form Spark SQL and DuckDB parse
+    identically (both resolve it in the session zone; this repo pins
+    UTC).  The format is regex-validated so a malformed bound fails at
+    compile time, not as a silent engine-specific parse."""
+    key: str
+    gt: str | None = None
+    gte: str | None = None
+    lt: str | None = None
+    lte: str | None = None
+
+    @staticmethod
+    def _ts(v: str) -> str:
+        v = str(v).replace("T", " ")
+        if not _TS_LITERAL.match(v):
+            raise ValueError(
+                f"DatetimeRange bound {v!r} is not "
+                f"'YYYY-MM-DD HH:MM:SS[.ffffff]'")
+        return f"TIMESTAMP '{v}'"
+
+    def to_sql(self) -> str:
+        k = _ident(self.key)
+        parts = []
+        if self.gt is not None:
+            parts.append(f"{k} > {self._ts(self.gt)}")
+        if self.gte is not None:
+            parts.append(f"{k} >= {self._ts(self.gte)}")
+        if self.lt is not None:
+            parts.append(f"{k} < {self._ts(self.lt)}")
+        if self.lte is not None:
+            parts.append(f"{k} <= {self._ts(self.lte)}")
+        if not parts:
+            raise ValueError(f"DatetimeRange({self.key!r}) has no bounds")
+        return "(" + " AND ".join(parts) + ")"
+
+
 @dataclass(frozen=True)
 class IsEmpty:
     """Missing-or-empty array payload (Qdrant IsEmptyCondition): matches

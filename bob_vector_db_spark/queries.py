@@ -5196,6 +5196,39 @@ def q_store_tenant_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "sim", F.col("rank").cast("long").alias("rank"))
 
 
+from .operators.filters import DatetimeRange  # noqa: E402
+
+_DT_FLT = Filter(
+    must=[DatetimeRange("ts", gte="2024-01-10 00:00:00",
+                        lt="2024-01-20 00:00:00")],
+    must_not=[MatchValue("event_type", "view")],
+)
+
+
+@register(
+    "api_datetime_range",
+    oracle=f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(event_id) AS BIGINT) AS min_event
+FROM events
+WHERE {_DT_FLT.to_sql()}
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_api_datetime_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal payload filter (Qdrant DatetimeRange): a ten-day window
+    over the events stream, excluding one event type NULL-safely — the
+    bounds render as TIMESTAMP literals both engines parse identically
+    (session zone pinned UTC), and the comparisons push into the parquet
+    scan like any other Range leaf."""
+    events = load_table(spark, sf_dir, "events")
+    return (events.filter(_DT_FLT.to_column())
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.min("event_id").cast("long").alias("min_event"))
+            .orderBy("event_type"))
+
+
 _VC_FLT = Filter(
     must=[MatchExcept("lang", ["fr"])],
     should=[IsEmpty("tags"), ValuesCount("tags", gte=2, lte=3)],
@@ -5317,7 +5350,7 @@ _PRIORITY = [
     # new this round (round 6) — never driver-adjudicated
     "api_filter_dsl", "store_filter_dsl_indexed", "api_geo_search",
     "api_query_dbsf", "store_update_vectors", "store_tenant_search",
-    "api_values_count", "api_search_groups",
+    "api_values_count", "api_search_groups", "api_datetime_range",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
     "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",

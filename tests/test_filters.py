@@ -349,3 +349,25 @@ def test_search_groups_diversifies_and_ranks(spark, tmp_path):
     out2 = query_api.search_groups(spark, root, "g", q, group_by="grp",
                                    k_groups=2, group_size=1, flt=flt)
     assert {r["group"] for r in out2.collect()} == {1, 2}
+
+
+def test_datetime_range_compiles_and_validates(spark):
+    from bob_vector_db_spark.operators.filters import DatetimeRange
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-05 10:00:00"), (2, "2024-01-15 10:00:00"),
+         (3, "2024-01-25 10:00:00"), (4, None)],
+        "id long, s string").select(
+        "id", F.to_timestamp("s").alias("ts"))
+    flt = Filter(must=[DatetimeRange("ts", gte="2024-01-10 00:00:00",
+                                     lt="2024-01-20 00:00:00")])
+    assert {r["id"] for r in df.filter(flt.to_column()).collect()} == {2}
+    # the T separator normalizes; malformed bounds fail at compile time
+    assert "2024-01-10 00:00:00" in DatetimeRange(
+        "ts", gte="2024-01-10T00:00:00").to_sql()
+    with pytest.raises(ValueError, match="not 'YYYY"):
+        DatetimeRange("ts", gte="Jan 10 2024").to_sql()
+    with pytest.raises(ValueError, match="not 'YYYY"):
+        DatetimeRange("ts", gte="2024-01-10 00:00:00' OR '1'='1").to_sql()
+    with pytest.raises(ValueError, match="no bounds"):
+        DatetimeRange("ts").to_sql()
