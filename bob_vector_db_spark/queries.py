@@ -4698,9 +4698,13 @@ def q_api_query_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     three branches — dense kNN through the stored IVF index (full probe),
     BM25 through the stored posting table, sparse dot through the stored
     dim-bucketed index — and fuses the three top-10 lists with Reciprocal
-    Rank Fusion.  Every branch reads a partition-pruned stored artifact;
-    the fusion joins three k-row lists (corpus-size-independent)."""
+    Rank Fusion THROUGH the Query API's prefetch planner
+    (operators.query_api.fuse_prefetch — the same recursive entry point
+    that serves the nested tree in api_query_dbsf).  Every branch reads a
+    partition-pruned stored artifact; the fusion joins three k-row lists
+    (corpus-size-independent)."""
     from .operators.embed import hash_embed_df  # noqa: PLC0415
+    from .operators.query_api import fuse_prefetch  # noqa: PLC0415
     from .operators.sparse import (  # noqa: PLC0415
         build_sparse_index,
         postings_from_text,
@@ -4709,7 +4713,6 @@ def q_api_query_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_search import (  # noqa: PLC0415
         bm25_topk_indexed,
         build_text_index,
-        rrf_fuse,
     )
 
     base = _tmp_base(sf_dir, "qfuse")
@@ -4747,8 +4750,11 @@ def q_api_query_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                                vocab_size=512)  # qrow's doc_id 0 → id 0
     sparse_branch = (sparse_search_indexed(spark, base, "docs", qpost, k=10)
                      .select(F.col("vec_id").alias("id"), "rank"))
-    fused = rrf_fuse([dense_branch, bm25_branch, sparse_branch], k=10)
-    return fused.select("id", "rrf_score",
+    fused = fuse_prefetch({
+        "fusion": "rrf", "k": 10,
+        "prefetch": [dense_branch, bm25_branch, sparse_branch],
+    })
+    return fused.select("id", F.col("score").alias("rrf_score"),
                         F.col("rank").cast("long").alias("rank"))
 
 
