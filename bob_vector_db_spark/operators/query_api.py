@@ -307,6 +307,37 @@ def search_groups(spark: SparkSession, root: str, collection: str,
                     "rank_in_group"))
 
 
+def with_group_lookup(spark: SparkSession, root: str,
+                      lookup_collection: str, groups: DataFrame,
+                      group_col: str = "group",
+                      prefix: str = "lookup_") -> DataFrame:
+    """The groups API's ``with_lookup`` (Qdrant search_groups): attach the
+    record BEHIND each group id from another collection — chunks grouped
+    by parent document, lookup the document; products grouped by brand,
+    lookup the brand record.  Every lookup column joins in under
+    ``prefix`` (the lookup's own id column is dropped — ``group`` already
+    carries it).
+
+    The group values fetch through the store's static id-bucket filter
+    (``read_rows_for_ids`` — O(|groups|), never a scan of the lookup
+    collection), and the join side is k_groups·n_queries rows —
+    broadcast, corpus-size-independent."""
+    meta = collection_meta(root, lookup_collection) or {}
+    id_col = meta.get("id_col", "id")
+    ids = groups.select(group_col).distinct()
+    rows = read_rows_for_ids(spark, root, lookup_collection, ids)
+    if rows is None:  # empty lookup store: every lookup column is absent
+        return groups
+    looked = rows.select(
+        *[F.col(c).alias(prefix + c) for c in rows.columns])
+    return (groups.join(
+        F.broadcast(looked),
+        F.col(group_col).cast("string")
+        == F.col(prefix + id_col).cast("string"),
+        "left")
+        .drop(prefix + id_col))
+
+
 def fuse_prefetch(node, k: int = 10, round_to: int = 6) -> DataFrame:
     """Nested prefetch fusion — the Qdrant Query API's recursive
     ``query_points(prefetch=[Prefetch(...), ...], query=FusionQuery(...))``

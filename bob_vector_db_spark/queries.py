@@ -5343,6 +5343,85 @@ def q_api_search_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("rank_in_group"))
 
 
+@register(
+    "api_group_lookup",
+    # the api_search_groups shape + with_lookup: each group row joins the
+    # record behind its group id from a second collection.
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 2
+),
+pairs AS (
+  SELECT q.qid, e.vec_id, e.label AS "group",
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(e.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, embeddings e
+),
+tin AS (
+  SELECT *, row_number() OVER (PARTITION BY qid, "group"
+                               ORDER BY sim DESC, vec_id) AS rank_in_group
+  FROM pairs
+),
+cut AS (SELECT * FROM tin WHERE rank_in_group <= 2),
+wb AS (
+  SELECT *, MAX(sim) OVER (PARTITION BY qid, "group") AS best FROM cut
+),
+grp AS (
+  SELECT qid, "group", CAST(group_rank AS BIGINT) AS group_rank, vec_id, sim,
+         CAST(rank_in_group AS BIGINT) AS rank_in_group
+  FROM (SELECT *, dense_rank() OVER (PARTITION BY qid
+                                     ORDER BY best DESC, "group") AS group_rank
+        FROM wb)
+  WHERE group_rank <= 3
+),
+cats AS (
+  SELECT DISTINCT label AS id, 'L' || CAST(label AS VARCHAR) AS name,
+         label * 1.5 AS weight
+  FROM embeddings
+)
+SELECT g.qid, g."group", g.group_rank, g.vec_id, g.sim, g.rank_in_group,
+       c.name AS lookup_name, c.weight AS lookup_weight
+FROM grp g LEFT JOIN cats c ON g."group" = c.id
+""",
+)
+def q_api_group_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped search with lookup (Qdrant search_groups ``with_lookup``):
+    the chunks-grouped-by-parent-document RAG pattern — after grouping,
+    each group id fetches its record from a SECOND collection through the
+    store's static id-bucket filter (O(|groups|), never a lookup-side
+    scan) and joins broadcast."""
+    from .operators.query_api import search_groups, with_group_lookup  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "glookup")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.select(F.col("vec_id").alias("id"), "embedding", "label"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    cats = (emb.select("label").distinct()
+            .select(F.col("label").alias("id"),
+                    F.concat(F.lit("L"), F.col("label").cast("string"))
+                    .alias("name"),
+                    (F.col("label") * 1.5).alias("weight")))
+    upsert.create_collection(spark, base, "cats", df=cats, id_col="id",
+                             n_buckets=4)
+    qdf = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = search_groups(spark, base, "vecs", qdf, group_by="label",
+                        k_groups=3, group_size=2)
+    out = with_group_lookup(spark, base, "cats", out)
+    return out.select("qid", "group",
+                      F.col("group_rank").cast("long").alias("group_rank"),
+                      F.col("vec_id").cast("long").alias("vec_id"), "sim",
+                      F.col("rank_in_group").cast("long")
+                      .alias("rank_in_group"),
+                      "lookup_name", "lookup_weight")
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -5357,6 +5436,7 @@ _PRIORITY = [
     "api_filter_dsl", "store_filter_dsl_indexed", "api_geo_search",
     "api_query_dbsf", "store_update_vectors", "store_tenant_search",
     "api_values_count", "api_search_groups", "api_datetime_range",
+    "api_group_lookup",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
     "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",
