@@ -204,23 +204,57 @@ def _validate_tenant_values(df: DataFrame, tenant_col: str) -> None:
             f"it as a string")
 
 
+# A mutation batch spanning more partitions than this should load through
+# create_collection / a rebuild, not the per-partition swap: the touched
+# set is collected to the driver and every touched directory is renamed
+# individually — fine for any incremental batch, wrong for a full-corpus
+# load into a 100k-tenant collection.
+MAX_TOUCHED_PARTS = 100_000
+
+# Past this many (tenant, bucket) pairs the exact per-pair OR disjunction
+# stops being a reasonable Catalyst predicate; a superset
+# ``tenant IN (...) AND id_bucket IN (...)`` filter prunes almost as well
+# (it may read a few extra partitions whose rows are staged and then
+# discarded — the swap still renames only the exact touched set).
+_EXACT_PARTS_FILTER_MAX = 64
+
+
 def _touched_parts(df: DataFrame, part_cols: list[str]) -> list[tuple]:
     """Distinct partition-value tuples present in ``df`` — the touched set.
-    Driver-bounded by (batch tenants × n_buckets), never by row count."""
-    return sorted(
+    Driver-bounded by (batch tenants × n_buckets), never by row count; a
+    batch past ``MAX_TOUCHED_PARTS`` fails loudly with guidance instead of
+    grinding through sub-linear driver work."""
+    parts = sorted(
         tuple(r) for r in
         df.select(*[F.col(c).cast("string") if c != BUCKET_COL else F.col(c)
-                    for c in part_cols]).distinct().collect())
+                    for c in part_cols]).distinct()
+        .limit(MAX_TOUCHED_PARTS + 1).collect())
+    if len(parts) > MAX_TOUCHED_PARTS:
+        raise ValueError(
+            f"mutation touches more than {MAX_TOUCHED_PARTS} partitions — "
+            f"this is a bulk load, not an incremental batch; write it with "
+            f"create_collection(df=...) (a direct partitioned write) or "
+            f"split the batch by tenant")
+    return parts
 
 
 def _parts_filter(part_cols: list[str], parts: list[tuple]):
-    """A pruning predicate selecting exactly ``parts``: plain ``IN`` for the
-    bucket-only layout; per-tenant ``(tenant = t AND id_bucket IN (...))``
-    disjunction for the tenant layout (both shapes partition-prune)."""
+    """A pruning predicate selecting ``parts``: plain ``IN`` for the
+    bucket-only layout; for the tenant layout an exact per-tenant
+    ``(tenant = t AND id_bucket IN (...))`` disjunction up to
+    ``_EXACT_PARTS_FILTER_MAX`` pairs, else the superset
+    ``tenant IN (...) AND id_bucket IN (...)`` (still partition-pruned;
+    callers tolerate extra rows because the swap renames only the exact
+    touched set)."""
     if not parts:
         return F.lit(False)
     if len(part_cols) == 1:
         return F.col(part_cols[0]).isin([p[0] for p in parts])
+    if len(parts) > _EXACT_PARTS_FILTER_MAX:
+        tenants = sorted({t for t, _ in parts})
+        buckets = sorted({b for _, b in parts})
+        return (F.col(part_cols[0]).cast("string").isin(tenants)
+                & F.col(part_cols[1]).isin(buckets))
     by_tenant: dict = {}
     for t, b in parts:
         by_tenant.setdefault(t, []).append(b)

@@ -230,3 +230,30 @@ def test_tenant_compact_and_recover(spark, tmp_path):
     assert restored == [int(bucket.split("=")[1])]
     assert sorted(map(tuple, upsert.read_collection(
         spark, root, "mt").collect())) == before
+
+
+def test_many_partition_upsert_uses_superset_filter(spark, tmp_path):
+    """A batch touching more (tenant, bucket) pairs than the exact-OR
+    predicate cap falls back to the superset tenant-IN × bucket-IN filter;
+    the merge and the exact-swap set stay correct (no dups, all rows
+    updated, nothing lost)."""
+    from bob_vector_db_spark.operators.upsert import _EXACT_PARTS_FILTER_MAX
+
+    root = str(tmp_path / "s")
+    n_tenants, n = 20, 400
+    rows = [(i, f"t{i % n_tenants}", f"old {i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, tenant string, text string")
+    upsert.create_collection(spark, root, "mt", df=df, id_col="id",
+                             n_buckets=4, tenant_col="tenant")
+    assert n_tenants * 4 > _EXACT_PARTS_FILTER_MAX  # trips the fallback
+    patch = spark.createDataFrame(
+        [(i, f"t{i % n_tenants}", f"new {i}") for i in range(n)],
+        "id long, tenant string, text string")
+    upsert.upsert(spark, root, "mt", patch)
+    got = upsert.read_collection(spark, root, "mt")
+    assert got.count() == n
+    assert got.filter(F.col("text").startswith("old")).count() == 0
+    assert got.select("id").distinct().count() == n
+    # tenant-scoped read still exact
+    assert upsert.read_collection(spark, root, "mt", tenant="t3").count() \
+        == n // n_tenants
