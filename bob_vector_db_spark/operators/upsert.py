@@ -1304,11 +1304,18 @@ def recover_collection(root: str, collection: str) -> list[int]:
         return []
     shutil.rmtree(coll_old, ignore_errors=True)  # completed-swap leftover
     restored: list[int] = []
-    # walk the whole tree: bucket trash sits at the top level for the
-    # bucket-only layout and INSIDE each tenant dir for the tenant layout
+    # walk the data tree only: bucket trash sits at the top level for the
+    # bucket-only layout and INSIDE each tenant dir for the tenant layout.
+    # Underscore-prefixed sidecars (_delta/_index/_snapshots) are managed
+    # by their own staged-swap machinery — an `_index/<name>__old` from a
+    # crashed index build is NOT bucket trash and must not be touched here.
     for dirpath, dirnames, _files in os.walk(path):
         for entry in sorted(dirnames):
-            if not entry.endswith("__old"):
+            if entry.startswith("_"):
+                dirnames.remove(entry)  # sidecar subtree: don't descend
+                continue
+            if not (entry.startswith(f"{BUCKET_COL}=")
+                    and entry.endswith("__old")):
                 continue
             live = os.path.join(dirpath, entry[: -len("__old")])
             trash = os.path.join(dirpath, entry)

@@ -779,3 +779,29 @@ def test_upsert_into_emptied_store_preserves_artifacts(spark, tmp_path):
             index.search_indexed(spark, root, "c", q, k=20,
                                  n_probe=None).collect()}
     assert hits == {f"new{i}" for i in range(6)}
+
+
+def test_recover_ignores_sidecar_trash(spark, tmp_path):
+    """recover_collection repairs BUCKET swap trash only: an
+    `_index/<name>__old` left by a crashed index swap belongs to the index
+    machinery's own staged-replace and must survive recovery untouched
+    (the old walk-everything version crashed parsing it as a bucket id)."""
+    root = str(tmp_path / "store")
+    _mk(spark, root, n=8, n_buckets=2)
+    path = upsert.collection_path(root, "c")
+    # crashed index swap: trash next to a live artifact
+    idx = os.path.join(path, "_index", "vec_embedding")
+    os.makedirs(idx)
+    trash = idx + "__old"
+    os.makedirs(trash)
+    with open(os.path.join(trash, "meta.json"), "w") as fh:
+        fh.write("{}")
+    # plus real bucket trash with its live dir missing
+    bucket = next(e for e in os.listdir(path)
+                  if e.startswith(upsert.BUCKET_COL + "="))
+    os.rename(os.path.join(path, bucket), os.path.join(path, bucket + "__old"))
+    restored = upsert.recover_collection(root, "c")
+    assert restored == [int(bucket.split("=")[1])]
+    assert os.path.isdir(trash)  # index trash untouched
+    assert os.path.isdir(os.path.join(path, bucket))
+    assert upsert.read_collection(spark, root, "c").count() == 8
