@@ -307,6 +307,72 @@ def search_groups(spark: SparkSession, root: str, collection: str,
                     "rank_in_group"))
 
 
+def query_points(spark: SparkSession, root: str, collection: str,
+                 query=None, prefetch=None, fusion: str = "rrf",
+                 k: int = 10, flt=None, vector_name: str | None = None,
+                 use_payload_index: str | bool = "auto",
+                 tenant: str | None = None) -> DataFrame:
+    """The unified Query API entry (Qdrant ``query_points``), dispatching
+    on the query's shape:
+
+    - ``query`` a **DataFrame** of (qid, qvec): plain (filtered) kNN —
+      defers to :func:`search_points`;
+    - ``query`` a **point id** (int/str): query BY STORED POINT — the
+      point's vector is fetched through the store's static id-bucket
+      filter and used as the query (its own id is excluded from results,
+      Qdrant's lookup semantics);
+    - ``prefetch`` a list (with ``fusion`` = 'rrf' | 'dbsf'): a fusion
+      tree — defers to :func:`fuse_prefetch`; each element is a ranked
+      DataFrame or a nested fusion dict.
+
+    Exactly one of ``query`` / ``prefetch`` must be given.
+    """
+    if (query is None) == (prefetch is None):
+        raise ValueError("query_points takes exactly one of query= (a "
+                         "DataFrame or a point id) or prefetch= (a fusion "
+                         "tree)")
+    if prefetch is not None:
+        return fuse_prefetch({"fusion": fusion, "k": k,
+                              "prefetch": list(prefetch)})
+    if isinstance(query, DataFrame):
+        return search_points(spark, root, collection, query, flt=flt, k=k,
+                             vector_name=vector_name,
+                             use_payload_index=use_payload_index,
+                             tenant=tenant)
+    # query by stored point id
+    meta = collection_meta(root, collection) or {}
+    id_col = meta.get("id_col", "id")
+    vectors = meta.get("vectors", {})
+    if vector_name is None:
+        if len(vectors) != 1:
+            raise ValueError(
+                f"collection {collection!r} declares {sorted(vectors)} "
+                f"vector spaces; pass vector_name")
+        vector_name = next(iter(vectors))
+    ids = spark.createDataFrame([(str(query),)], "`_q_id` string")
+    rows = read_rows_for_ids(spark, root, collection, ids)
+    got = ([] if rows is None else
+           rows.select(id_col, vector_name).limit(2).collect())
+    if not got:
+        raise ValueError(
+            f"query_points: no point with id {query!r} in {collection!r}")
+    qdf = spark.createDataFrame(
+        [(got[0][id_col], list(got[0][vector_name]))],
+        f"qid string, qvec array<double>").select(
+        F.col("qid"), F.col("qvec"))
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    out = search_points(spark, root, collection, qdf, flt=flt, k=k + 1,
+                        vector_name=vector_name,
+                        use_payload_index=use_payload_index, tenant=tenant)
+    # Qdrant excludes the looked-up point itself from its own results:
+    # over-fetch by one, drop self, close the rank gap
+    kept = out.filter(F.col("vec_id").cast("string") != str(query))
+    w = Window.partitionBy("qid").orderBy("rank")
+    return (kept.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def with_group_lookup(spark: SparkSession, root: str,
                       lookup_collection: str, groups: DataFrame,
                       group_col: str = "group",

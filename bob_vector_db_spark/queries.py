@@ -5422,6 +5422,48 @@ def q_api_group_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "lookup_name", "lookup_weight")
 
 
+@register(
+    "api_query_by_id",
+    oracle="""
+WITH qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7),
+corpus AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < 300 AND vec_id <> 7),
+pairs AS (
+  SELECT '7' AS qid, c.vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(c.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM qv q, corpus c
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+      FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_api_query_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query by stored point (the unified Qdrant ``query_points`` with a
+    point id): the id's vector fetches through the store's static
+    id-bucket filter (one pruned read, one row collected) and becomes the
+    query; the point itself is excluded from its own results — Qdrant's
+    lookup semantics."""
+    from .operators.query_api import query_points  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "qbyid")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 300)
+        .select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    out = query_points(spark, base, "vecs", query=7, k=10)
+    return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"),
+                      "sim", F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -5436,7 +5478,7 @@ _PRIORITY = [
     "api_filter_dsl", "store_filter_dsl_indexed", "api_geo_search",
     "api_query_dbsf", "store_update_vectors", "store_tenant_search",
     "api_values_count", "api_search_groups", "api_datetime_range",
-    "api_group_lookup",
+    "api_group_lookup", "api_query_by_id",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
     "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",

@@ -371,3 +371,41 @@ def test_datetime_range_compiles_and_validates(spark):
         DatetimeRange("ts", gte="2024-01-10 00:00:00' OR '1'='1").to_sql()
     with pytest.raises(ValueError, match="no bounds"):
         DatetimeRange("ts").to_sql()
+
+
+def test_query_points_unified_dispatch(spark, tmp_path):
+    """The unified query_points entry: DataFrame -> filtered kNN, point id
+    -> query-by-stored-vector (self excluded, ranks closed up), prefetch
+    -> fusion tree; exactly one input shape allowed."""
+    root = str(tmp_path / "store")
+    rows = [(i, [float(i % 5), float((i * 7) % 3), 1.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    upsert.create_collection(
+        spark, root, "c", df=df, id_col="id", n_buckets=4,
+        vector_config={"vec": {"size": 3, "distance": "cosine"}})
+    by_id = query_api.query_points(spark, root, "c", query=7, k=5).collect()
+    assert len(by_id) == 5
+    assert all(r["vec_id"] != 7 for r in by_id)
+    assert [r["rank"] for r in sorted(by_id, key=lambda r: r["rank"])] == \
+        [1, 2, 3, 4, 5]
+    # the id's own vector as an explicit DataFrame query ranks itself first;
+    # dropping that self row must equal the by-id result
+    q = spark.createDataFrame([(7, rows[7][1])], "qid long, qvec array<double>")
+    manual = [r["vec_id"] for r in
+              query_api.query_points(spark, root, "c", query=q, k=6)
+              .filter(F.col("vec_id") != 7).orderBy("rank").limit(5).collect()]
+    assert [r["vec_id"] for r in
+            sorted(by_id, key=lambda r: r["rank"])] == manual
+    with pytest.raises(ValueError, match="exactly one of"):
+        query_api.query_points(spark, root, "c")
+    with pytest.raises(ValueError, match="exactly one of"):
+        query_api.query_points(spark, root, "c", query=7, prefetch=[q])
+    with pytest.raises(ValueError, match="no point with id"):
+        query_api.query_points(spark, root, "c", query=999)
+    # prefetch path defers to fuse_prefetch
+    a = spark.createDataFrame([(1, 0.5, 1), (2, 0.4, 2)],
+                              "id long, score double, rank int")
+    fused = query_api.query_points(spark, root, "c", prefetch=[a, a],
+                                   fusion="rrf", k=2)
+    assert fused.columns == ["id", "score", "rank"]
+    assert fused.count() == 2
