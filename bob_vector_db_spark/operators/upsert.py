@@ -1081,6 +1081,84 @@ def update_vectors(spark: SparkSession, root: str, collection: str,
     update_columns(spark, root, collection, updates, id_col=id_col)
 
 
+def batch_update_points(spark: SparkSession, root: str, collection: str,
+                        ops: list[tuple]) -> list[int]:
+    """Qdrant ``batch_update_points``: a SEQUENCE of mutations applied in
+    order, each with its own delta entry and version bump — later ops see
+    earlier ops' effects (an upsert then a delete of the same id leaves
+    the id deleted).  Each op is a tuple:
+
+    - ``("upsert", df)`` — full-point upsert (:func:`upsert`)
+    - ``("delete", ids_or_df)`` — delete by id (:func:`delete_points`)
+    - ``("delete_by_filter", predicate)`` — (:func:`delete_by_filter`)
+    - ``("set_payload", df)`` — column patch (:func:`update_columns`)
+    - ``("update_vectors", df)`` — vector patch (:func:`update_vectors`)
+
+    Returns the data version after each op.  This is deliberately a thin
+    sequencer over the store's mutations — the crash contract is
+    per-mutation (each op publishes → swaps → commits on its own), so a
+    crash mid-batch leaves a prefix of the batch applied, exactly like
+    Qdrant's non-transactional batch semantics.
+    """
+    dispatch = {
+        "upsert": lambda a: upsert(spark, root, collection, a),
+        "delete": lambda a: delete_points(spark, root, collection, a,
+                                          count_removed=False),
+        "delete_by_filter": lambda a: delete_by_filter(
+            spark, root, collection, a, count_removed=False),
+        "set_payload": lambda a: update_columns(spark, root, collection, a),
+        "update_vectors": lambda a: update_vectors(spark, root, collection, a),
+    }
+    versions = []
+    for i, op in enumerate(ops):
+        if not (isinstance(op, tuple) and len(op) == 2):
+            raise ValueError(
+                f"batch op #{i} must be a (kind, arg) tuple, got {op!r}")
+        kind, arg = op
+        if kind not in dispatch:
+            raise ValueError(
+                f"batch op #{i} has unknown kind {kind!r} "
+                f"(expected one of {sorted(dispatch)})")
+        dispatch[kind](arg)
+        versions.append(collection_version(root, collection))
+    return versions
+
+
+def collection_info(spark: SparkSession, root: str, collection: str) -> dict:
+    """Qdrant ``get_collection``: live status of a collection — point
+    count, data version, layout, declared vector spaces, and every
+    persisted index artifact with its freshness (``built_version ==
+    version``).  One pruned count job plus sidecar reads."""
+    from .index import list_indexes  # noqa: PLC0415
+
+    path = collection_path(root, collection)
+    meta = collection_meta(root, collection)
+    if meta is None and not _store_exists(path):
+        raise ValueError(f"collection {collection!r} does not exist")
+    meta = meta or {}
+    version = collection_version(root, collection)
+    points = (read_collection(spark, root, collection).count()
+              if _store_exists(path) else 0)
+    indexes = []
+    for im in list_indexes(root, collection):
+        indexes.append({
+            "name": im.get("_name"),
+            "kind": im.get("kind"),
+            "built_version": int(im.get("built_version", 0)),
+            "fresh": int(im.get("built_version", 0)) == version,
+        })
+    return {
+        "collection": resolve_collection(root, collection),
+        "points_count": points,
+        "version": version,
+        "id_col": meta.get("id_col", "id"),
+        "n_buckets": int(meta.get("n_buckets", DEFAULT_N_BUCKETS)),
+        "tenant_col": meta.get("tenant_col"),
+        "vectors": meta.get("vectors", {}),
+        "indexes": indexes,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Compaction — micro-batch upserts (streaming/ingest.py foreachBatch) leave
 # one file per batch per touched bucket; compaction rewrites each bucket to

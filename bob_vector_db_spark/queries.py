@@ -5464,6 +5464,67 @@ def q_api_query_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "sim", F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "store_batch_update",
+    # the batch: upsert (5 overwrites + 10 new rows) -> delete ids 5-9 ->
+    # set_payload flagged=1 on multiples of 20 -> delete_by_filter lang='fr';
+    # the oracle composes the same four steps over the source table.
+    oracle="""
+WITH kept AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         CASE WHEN doc_id < 5 THEN 'rewritten ' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS document,
+         CASE WHEN doc_id < 5 THEN 'en' ELSE lang END AS lang,
+         doc_id AS key
+  FROM documents
+  WHERE doc_id < 300 AND doc_id NOT BETWEEN 5 AND 9
+),
+newrows AS (
+  SELECT CAST(300 + i AS VARCHAR) AS id,
+         'new doc ' || CAST(i AS VARCHAR) AS document, 'xx' AS lang,
+         300 + i AS key
+  FROM range(10) t(i)
+),
+unioned AS (SELECT * FROM kept UNION ALL SELECT * FROM newrows)
+SELECT id, document, lang,
+       CAST(CASE WHEN key % 20 = 0 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM unioned WHERE lang <> 'fr'
+""",
+)
+def q_store_batch_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``batch_update_points``: four mutations applied IN ORDER in
+    one call — upsert (overwrites + inserts), delete-by-id, set_payload,
+    delete-by-filter — each publishing its own delta and version, later
+    ops seeing earlier ops' effects.  The readback equals the oracle's
+    composition of the same four steps."""
+    base = _tmp_base(sf_dir, "batchup")
+    docs = load_table(spark, sf_dir, "documents")
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8, id_col="id",
+        df=docs.filter(F.col("doc_id") < 300)
+        .select(F.col("doc_id").cast("string").alias("id"),
+                F.col("text").alias("document"), "lang",
+                F.lit(0).alias("flagged")))
+    up = spark.createDataFrame(
+        [(str(i), f"rewritten {i}", "en", 0) for i in range(5)]
+        + [(str(300 + i), f"new doc {i}", "xx", 0) for i in range(10)],
+        "id string, document string, lang string, flagged int")
+    patch = spark.createDataFrame(
+        [(str(k), 1) for k in range(0, 310, 20)], "id string, flagged int")
+    versions = upsert.batch_update_points(spark, base, "docs", [
+        ("upsert", up),
+        ("delete", [str(i) for i in range(5, 10)]),
+        ("set_payload", patch),
+        ("delete_by_filter", "lang = 'fr'"),
+    ])
+    assert versions == [1, 2, 3, 4], versions
+    info = upsert.collection_info(spark, base, "docs")
+    assert info["version"] == 4 and info["points_count"] > 0, info
+    return (upsert.read_collection(spark, base, "docs")
+            .select("id", "document", "lang",
+                    F.col("flagged").cast("long").alias("flagged")))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -5478,7 +5539,7 @@ _PRIORITY = [
     "api_filter_dsl", "store_filter_dsl_indexed", "api_geo_search",
     "api_query_dbsf", "store_update_vectors", "store_tenant_search",
     "api_values_count", "api_search_groups", "api_datetime_range",
-    "api_group_lookup", "api_query_by_id",
+    "api_group_lookup", "api_query_by_id", "store_batch_update",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
     "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",

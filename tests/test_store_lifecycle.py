@@ -805,3 +805,47 @@ def test_recover_ignores_sidecar_trash(spark, tmp_path):
     assert os.path.isdir(trash)  # index trash untouched
     assert os.path.isdir(os.path.join(path, bucket))
     assert upsert.read_collection(spark, root, "c").count() == 8
+
+
+def test_batch_update_sequencing_and_errors(spark, tmp_path):
+    root = str(tmp_path / "store")
+    _mk(spark, root, n=16, n_buckets=4)
+    # upsert then delete THE SAME id in one batch: later op wins
+    up = spark.createDataFrame([("id1", "fresh", 9)],
+                               "id string, document string, grp int")
+    versions = upsert.batch_update_points(spark, root, "c", [
+        ("upsert", up), ("delete", ["id1"])])
+    assert versions == [1, 2]
+    ids = {r["id"] for r in upsert.read_collection(spark, root, "c").collect()}
+    assert "id1" not in ids and len(ids) == 15
+    with pytest.raises(ValueError, match="unknown kind"):
+        upsert.batch_update_points(spark, root, "c", [("truncate", None)])
+    with pytest.raises(ValueError, match="must be a .kind, arg. tuple"):
+        upsert.batch_update_points(spark, root, "c", ["upsert"])
+
+
+def test_collection_info_reports_freshness(spark, tmp_path):
+    from bob_vector_db_spark.operators import index
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0, 0.5]) for i in range(64)],
+        "id int, embedding array<double>")
+    upsert.create_collection(spark, root, "v", df=df, id_col="id",
+                             n_buckets=4,
+                             vector_config={"embedding": {
+                                 "size": 4, "distance": "cosine"}})
+    index.build_vector_index(spark, root, "v", kind="ivf", n_lists=2,
+                             iters=2)
+    info = upsert.collection_info(spark, root, "v")
+    assert info["points_count"] == 64 and info["version"] == 0
+    assert info["tenant_col"] is None
+    assert info["vectors"]["embedding"]["distance"] == "cosine"
+    assert len(info["indexes"]) == 1 and info["indexes"][0]["fresh"]
+    # a mutation makes the index stale in the report
+    upsert.delete_points(spark, root, "v", [0])
+    info2 = upsert.collection_info(spark, root, "v")
+    assert info2["version"] == 1 and not info2["indexes"][0]["fresh"]
+    assert info2["points_count"] == 63
+    with pytest.raises(ValueError, match="does not exist"):
+        upsert.collection_info(spark, root, "nope")
