@@ -257,3 +257,69 @@ def test_many_partition_upsert_uses_superset_filter(spark, tmp_path):
     # tenant-scoped read still exact
     assert upsert.read_collection(spark, root, "mt", tenant="t3").count() \
         == n // n_tenants
+
+
+def test_tenant_store_random_ops_match_dict_model(spark, tmp_path):
+    """Model-based property: a random interleaving of upserts (including
+    tenant moves), tenant-column patches, scoped and unscoped deletes must
+    leave the store equal to a plain dict model of the same ops — and
+    every tenant-scoped read equal to the model's slice."""
+    rnd = __import__("random").Random(606)
+    root = str(tmp_path / "s")
+    tenants = ["ta", "tb", "tc"]
+    model: dict[int, tuple[str, str]] = {}  # id -> (tenant, text)
+
+    init = [(i, rnd.choice(tenants), f"v0 {i}") for i in range(40)]
+    model.update({i: (t, x) for i, t, x in init})
+    upsert.create_collection(
+        spark, root, "m", id_col="id", n_buckets=4, tenant_col="tenant",
+        df=spark.createDataFrame(init, "id long, tenant string, text string"))
+
+    for step in range(8):
+        op = rnd.choice(["upsert", "move", "delete", "scoped_delete",
+                         "patch_tenant"])
+        if op == "upsert":
+            ids = rnd.sample(range(60), 5)
+            rows = [(i, rnd.choice(tenants), f"v{step} {i}") for i in ids]
+            model.update({i: (t, x) for i, t, x in rows})
+            upsert.upsert(spark, root, "m", spark.createDataFrame(
+                rows, "id long, tenant string, text string"))
+        elif op == "move":
+            live = sorted(model)
+            if not live:
+                continue
+            i = rnd.choice(live)
+            t = rnd.choice(tenants)
+            model[i] = (t, f"moved{step} {i}")
+            upsert.upsert(spark, root, "m", spark.createDataFrame(
+                [(i, t, f"moved{step} {i}")],
+                "id long, tenant string, text string"))
+        elif op == "delete":
+            ids = rnd.sample(range(60), 4)
+            for i in ids:
+                model.pop(i, None)
+            upsert.delete_points(spark, root, "m", ids)
+        elif op == "scoped_delete":
+            t = rnd.choice(tenants)
+            ids = rnd.sample(range(60), 4)
+            for i in ids:
+                if i in model and model[i][0] == t:
+                    del model[i]
+            upsert.delete_points(spark, root, "m", ids, tenant=t)
+        else:  # patch_tenant via update_columns
+            live = sorted(model)
+            if not live:
+                continue
+            i = rnd.choice(live)
+            t = rnd.choice(tenants)
+            model[i] = (t, model[i][1])
+            upsert.update_columns(spark, root, "m", spark.createDataFrame(
+                [(i, t)], "id long, tenant string"))
+
+    got = {r["id"]: (r["tenant"], r["text"]) for r in
+           upsert.read_collection(spark, root, "m").collect()}
+    assert got == model
+    for t in tenants:
+        scoped = {r["id"] for r in
+                  upsert.read_collection(spark, root, "m", tenant=t).collect()}
+        assert scoped == {i for i, (mt, _) in model.items() if mt == t}
