@@ -55,6 +55,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn):
+        if name in REGISTRY:
+            # a silent dict overwrite would shadow an existing green query
+            # (it happened: round 6 re-used round 4's api_search_groups
+            # name) — refuse at import time instead
+            raise ValueError(f"duplicate query registration: {name!r}")
         REGISTRY[name] = QuerySpec(name, fn, oracle)
         return fn
     return deco
@@ -5283,10 +5288,10 @@ def q_api_values_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "api_search_groups",
-    # grouped kNN: per query the best 4 label-groups, each with its top-3
-    # hits; groups rank by their best hit (ties by label), hits by score
-    # (ties by id).
+    "api_search_groups_stored",
+    # grouped kNN over a STORED collection: per query the best 4
+    # label-groups, each with its top-3 hits; groups rank by their best hit
+    # (ties by label), hits by score (ties by id).
     oracle="""
 WITH q AS (
   SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 2
@@ -5538,7 +5543,7 @@ _PRIORITY = [
     # new this round (round 6) — never driver-adjudicated
     "api_filter_dsl", "store_filter_dsl_indexed", "api_geo_search",
     "api_query_dbsf", "store_update_vectors", "store_tenant_search",
-    "api_values_count", "api_search_groups", "api_datetime_range",
+    "api_values_count", "api_search_groups_stored", "api_datetime_range",
     "api_group_lookup", "api_query_by_id", "store_batch_update",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
