@@ -263,6 +263,30 @@ class MatchText:
 
 
 @dataclass(frozen=True)
+class MatchPhrase:
+    """Exact adjacent-token phrase (Qdrant MatchPhrase): the phrase's
+    tokens must appear IN ORDER AND ADJACENT, token-aligned on whitespace
+    — unlike :class:`MatchText`, which accepts the tokens anywhere in any
+    order.  Compiles to one ``instr`` over the same whitespace-normalized
+    lowercase copy MatchText uses.  Tokens must be separated by exactly
+    one whitespace character in the document (tab/newline normalize to a
+    space, but runs of spaces do NOT collapse — the engines' regexp
+    dialects disagree on global replacement, and this DSL compiles to one
+    shared string)."""
+    key: str
+    text: str
+
+    def to_sql(self) -> str:
+        toks = [t for t in self.text.lower().split() if t]
+        if not toks:
+            return "TRUE"
+        k = _ident(self.key)
+        norm = (f"(' ' || replace(replace(replace(lower({k}), "
+                f"chr(9), ' '), chr(10), ' '), chr(13), ' ') || ' ')")
+        return f"instr({norm}, {_lit(' ' + ' '.join(toks) + ' ')}) > 0"
+
+
+@dataclass(frozen=True)
 class GeoBoundingBox:
     """Points inside a lat/lon box (Qdrant GeoBoundingBox).  The store
     keeps coordinates as two plain double columns, so the test is four

@@ -373,6 +373,35 @@ def query_points(spark: SparkSession, root: str, collection: str,
             .filter(F.col("rank") <= k))
 
 
+def sample_points(spark: SparkSession, root: str, collection: str,
+                  n: int, seed: str = "", flt=None,
+                  use_payload_index: str | bool = "auto",
+                  max_candidates: int = 1_000_000,
+                  tenant: str | None = None) -> DataFrame:
+    """Qdrant ``query(sample=random)`` made REPRODUCIBLE: a deterministic
+    pseudo-random draw of ``n`` points — order by ``md5(seed || '|' ||
+    id)``, which is layout- and partition-invariant (the same ids on any
+    cluster, any file order, any day), unlike ``rand()`` or
+    ``TABLESAMPLE``.  Changing ``seed`` redraws.  Composes with the
+    filter DSL and tenant scoping; the plan is one pushed-filter scan
+    plus a TakeOrderedAndProject on the hash — no full sort
+    materializes."""
+    meta = collection_meta(root, collection) or {}
+    id_col = meta.get("id_col", "id")
+    if flt is None:
+        base = read_collection(spark, root, collection, tenant=tenant)
+    else:
+        cand, _ = _resolve_candidates(
+            spark, root, collection, flt, use_payload_index, max_candidates)
+        base = (_scope_tenant(root, collection, cand, tenant)
+                if cand is not None else
+                read_collection(spark, root, collection, tenant=tenant)
+                .filter(as_filter(flt).to_column()))
+    order = F.md5(F.concat(F.lit(str(seed)), F.lit("|"),
+                           F.col(id_col).cast("string")))
+    return base.orderBy(order, F.col(id_col)).limit(n)
+
+
 def with_group_lookup(spark: SparkSession, root: str,
                       lookup_collection: str, groups: DataFrame,
                       group_col: str = "group",

@@ -5530,6 +5530,67 @@ def q_store_batch_update(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("flagged").cast("long").alias("flagged")))
 
 
+from .operators.filters import MatchPhrase  # noqa: E402
+
+_PHRASE_FLT = Filter(must=[MatchPhrase("text", "data table"),
+                           Range("n_chars", gte=100)])
+
+
+@register(
+    "api_match_phrase",
+    oracle=f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM documents
+WHERE {_PHRASE_FLT.to_sql()}
+GROUP BY lang ORDER BY lang
+""",
+)
+def q_api_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token phrase filter (Qdrant MatchPhrase): docs containing
+    the exact phrase "data table" (tokens in order and adjacent — unlike
+    MatchText's any-order containment), composed with a Range leaf; the
+    oracle runs the literal compiled filter string."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.filter(_PHRASE_FLT.to_column())
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("doc_id").cast("long").alias("min_doc"))
+            .orderBy("lang"))
+
+
+_SAMPLE_FLT = Filter(must_not=[MatchValue("lang", "fr")])
+
+
+@register(
+    "api_sample",
+    oracle=f"""
+SELECT id, lang FROM (
+  SELECT CAST(doc_id AS VARCHAR) AS id, lang FROM documents
+  WHERE doc_id < 400
+)
+WHERE {_SAMPLE_FLT.to_sql()}
+ORDER BY md5('s6|' || id), id LIMIT 25
+""",
+)
+def q_api_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible random sampling (Qdrant ``query(sample=random)``): a
+    deterministic seeded draw — order by md5(seed || id), layout- and
+    partition-invariant, composed with a DSL filter; one pushed-filter
+    scan plus TakeOrderedAndProject, no full sort.  Redraw = new seed."""
+    from .operators.query_api import sample_points  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "sample")
+    docs = load_table(spark, sf_dir, "documents")
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8, id_col="id",
+        df=docs.filter(F.col("doc_id") < 400)
+        .select(F.col("doc_id").cast("string").alias("id"), "lang"))
+    out = sample_points(spark, base, "docs", n=25, seed="s6",
+                        flt=_SAMPLE_FLT)
+    return out.select("id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -5545,6 +5606,7 @@ _PRIORITY = [
     "api_query_dbsf", "store_update_vectors", "store_tenant_search",
     "api_values_count", "api_search_groups_stored", "api_datetime_range",
     "api_group_lookup", "api_query_by_id", "store_batch_update",
+    "api_match_phrase", "api_sample",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
     "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",

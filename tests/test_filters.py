@@ -409,3 +409,40 @@ def test_query_points_unified_dispatch(spark, tmp_path):
                                    fusion="rrf", k=2)
     assert fused.columns == ["id", "score", "rank"]
     assert fused.count() == 2
+
+
+def test_match_phrase_requires_adjacency(spark):
+    from bob_vector_db_spark.operators.filters import MatchPhrase
+
+    df = spark.createDataFrame(
+        [(1, "the data table is here"), (2, "data in the table"),
+         (3, "DATA\tTABLE upper and tabbed"), (4, None)],
+        "id long, text string")
+    phrase = Filter(must=[MatchPhrase("text", "data table")])
+    got = {r["id"] for r in df.filter(phrase.to_column()).collect()}
+    assert got == {1, 3}  # 2 has both tokens but not adjacent; 4 is NULL
+    anytok = Filter(must=[MatchText("text", "data table")])
+    got2 = {r["id"] for r in df.filter(anytok.to_column()).collect()}
+    assert got2 == {1, 2, 3}  # MatchText is any-order containment
+    assert MatchPhrase("text", "  ").to_sql() == "TRUE"
+
+
+def test_sample_points_deterministic_and_filtered(spark, tmp_path):
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(100)],
+        "id long, parity string")
+    upsert.create_collection(spark, root, "s", df=df, id_col="id",
+                             n_buckets=4)
+    a = {r["id"] for r in
+         query_api.sample_points(spark, root, "s", n=10, seed="x").collect()}
+    b = {r["id"] for r in
+         query_api.sample_points(spark, root, "s", n=10, seed="x").collect()}
+    c = {r["id"] for r in
+         query_api.sample_points(spark, root, "s", n=10, seed="y").collect()}
+    assert a == b and len(a) == 10
+    assert a != c  # a redraw (2^-160-ish collision odds on 10 of 100)
+    flt = Filter(must=[MatchValue("parity", "even")])
+    ev = query_api.sample_points(spark, root, "s", n=7, seed="x",
+                                 flt=flt).collect()
+    assert len(ev) == 7 and all(r["parity"] == "even" for r in ev)
