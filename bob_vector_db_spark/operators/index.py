@@ -62,7 +62,7 @@ from .upsert import (
 
 INDEX_DIR = "_index"
 INDEX_META_FILE = "meta.json"
-VALID_KINDS = ("ivf", "pq", "ivf_pq")
+VALID_KINDS = ("ivf", "pq", "ivf_pq", "ivf_sq")
 
 
 def index_path(root: str, collection: str, vector_name: str) -> str:
@@ -161,7 +161,7 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
         "generation": 0,
     }
     data = corpus
-    if kind in ("ivf", "ivf_pq"):
+    if kind in ("ivf", "ivf_pq", "ivf_sq"):
         cents = quantize.ivf_train(
             corpus, vec_col=vector_name, n_lists=n_lists, iters=iters,
             sample_cap=sample_cap, seed=seed)
@@ -186,6 +186,14 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
         ).coalesce(1).write.parquet(os.path.join(staging, "codebooks"))
         imeta["m"] = len(books)
         imeta["ksub"] = int(books[0].shape[0])
+    if kind == "ivf_sq":
+        # scalar quantization (the Qdrant quantization_config model): one
+        # distributed (min, max) pass per dimension; the params are a
+        # 2×dim float list — they live in the index meta JSON directly
+        mins, scales = quantize.sq_train(corpus, vec_col=vector_name)
+        data = quantize.sq_encode(data, mins, scales, vec_col=vector_name)
+        imeta["sq_mins"] = mins
+        imeta["sq_scales"] = scales
 
     data_dir = os.path.join(staging, "data")
     gen0 = F.lit(0).alias("gen")
@@ -197,6 +205,12 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
          .write.partitionBy("list_id").parquet(data_dir))
     elif kind == "pq":
         data.select(id_col, "pq_codes", gen0).write.parquet(data_dir)
+    elif kind == "ivf_sq":
+        # int8 codes clustered by list: 4-8x smaller artifact than the
+        # float copy, probed identically; search rescores exactly
+        (data.select(id_col, "codes", gen0, "list_id")
+         .repartition(n_lists * files_per_list, F.col("list_id"))
+         .write.partitionBy("list_id").parquet(data_dir))
     else:  # ivf_pq: codes only, clustered by list — the memory-bounded path
         (data.select(id_col, "pq_codes", gen0, "list_id")
          .repartition(n_lists * files_per_list, F.col("list_id"))
@@ -462,18 +476,26 @@ def refresh_vector_index(spark: SparkSession, root: str, collection: str,
         data = fresh.select(id_col, vn)
         data_dir = os.path.join(ipath, "data")
         geng = F.lit(g).alias("gen")
-        if kind in ("ivf", "ivf_pq"):
+        if kind in ("ivf", "ivf_pq", "ivf_sq"):
             cents = _load_centroids(spark, ipath)
             data = quantize.ivf_assign(data, cents, vec_col=vn)
         if kind in ("pq", "ivf_pq"):
             books = _load_codebooks(spark, ipath)
             data = quantize.pq_encode(data, books, vec_col=vn)
+        if kind == "ivf_sq":
+            # encode with the STORED params — retraining them on a delta
+            # would shift every existing code's meaning
+            data = quantize.sq_encode(data, imeta["sq_mins"],
+                                      imeta["sq_scales"], vec_col=vn)
         if kind == "ivf":
             (data.select(id_col, vn, geng, "list_id")
              .write.mode("append").partitionBy("list_id").parquet(data_dir))
         elif kind == "pq":
             (data.select(id_col, "pq_codes", geng)
              .write.mode("append").parquet(data_dir))
+        elif kind == "ivf_sq":
+            (data.select(id_col, "codes", geng, "list_id")
+             .write.mode("append").partitionBy("list_id").parquet(data_dir))
         else:
             (data.select(id_col, "pq_codes", geng, "list_id")
              .write.mode("append").partitionBy("list_id").parquet(data_dir))
@@ -481,7 +503,8 @@ def refresh_vector_index(spark: SparkSession, root: str, collection: str,
     return run_incremental_refresh(
         spark, root, collection, ipath, imeta, append_fn,
         data_layouts=[("data", id_col,
-                       "list_id" if kind in ("ivf", "ivf_pq") else None)],
+                       "list_id" if kind in ("ivf", "ivf_pq", "ivf_sq")
+                       else None)],
         mask_compact_threshold=mask_compact_threshold)
 
 
@@ -636,6 +659,28 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
             corpus_vec=vector_name, exclude_self=exclude_self,
             round_to=round_to, metric=metric)
 
+    if kind == "ivf_sq":
+        # scalar-quantized lists: the probe scores the DEQUANTIZED int8
+        # codes (pure codegen — the stored floats never load), then the
+        # exact rescore fetches only rerank_factor*k candidates
+        cents = _load_centroids(spark, ipath)
+        probed = _probed_list_filter(
+            queries, query_vec, cents, n_probe, max_queries)
+        pruned = _apply_masks(
+            spark, ipath, data.filter(F.col("list_id").isin(probed)), id_col
+        ).drop("gen")
+        deq = quantize.sq_decode_expr(
+            F.col("codes"), imeta["sq_mins"], imeta["sq_scales"])
+        approx = pruned.select(id_col, deq.alias("_deq"), "list_id")
+        cands = quantize.ivf_knn(
+            queries, approx, cents, k=rerank_factor * k, n_probe=n_probe,
+            query_id=query_id, query_vec=query_vec, corpus_id=id_col,
+            corpus_vec="_deq", exclude_self=exclude_self,
+            round_to=None, metric=metric).select("qid", "vec_id")
+        return _exact_rescore(spark, root, collection, queries, cands,
+                              id_col, vector_name, metric,
+                              query_id, query_vec, k, round_to)
+
     # pq kinds: ADC candidates (euclidean code-space) + exact metric rescore
     books = _load_codebooks(spark, ipath)
     make_lut = quantize.make_lut_udf(books)
@@ -665,9 +710,20 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
                      dist.alias("dist")),
         rerank_factor * k, ascending=True, score_col="dist",
     ).select("qid", "vec_id")
+    return _exact_rescore(spark, root, collection, queries, cands,
+                          id_col, vector_name, metric,
+                          query_id, query_vec, k, round_to)
 
-    # exact rescore: fetch ONLY the candidates' float vectors from the
-    # stored collection (broadcast candidate set probes the buckets)
+
+def _exact_rescore(spark: SparkSession, root: str, collection: str,
+                   queries: DataFrame, cands: DataFrame, id_col: str,
+                   vector_name: str, metric: str, query_id: str,
+                   query_vec: str, k: int,
+                   round_to: int | None) -> DataFrame:
+    """Shared quantized-search tail: fetch ONLY the candidates' float
+    vectors from the stored collection (broadcast candidate set probes the
+    buckets) and rank the exact metric — rerank_factor*k rows per query
+    move, never the corpus."""
     q_exact = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"),
         vector.l2_norm(F.col(query_vec)).alias("_qn"))

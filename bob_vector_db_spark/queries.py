@@ -3769,6 +3769,31 @@ def q_text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "score", F.col("rank").cast("long").alias("rank"))
 
 
+@register("store_indexed_sq", oracle=None)
+def q_store_indexed_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored IVF-SQ (the Qdrant scalar-quantization collection config):
+    int8 codes clustered by inverted list — a 4-8× smaller searchable
+    artifact than the float copy; search scores the DEQUANTIZED codes
+    inside the probed lists (pure codegen) and exact-rescores only
+    rerank_factor×k fetched candidates.  Rows-only: n_probe < n_lists ANN
+    by design; exactness at full probe with corpus-covering rerank is
+    pinned in tests/test_index.py."""
+    base = _tmp_base(sf_dir, "sidxsq")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    index.build_vector_index(spark, base, "vecs", kind="ivf_sq",
+                             n_lists=16, iters=4)
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = index.search_indexed(spark, base, "vecs", qdf, k=10, n_probe=2,
+                               exclude_self=True)
+    return out.select("qid", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 @register("store_indexed_pq", oracle=None)
 def q_store_indexed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stored IVF-PQ: the searchable artifact holds m-byte codes clustered
@@ -5606,7 +5631,7 @@ _PRIORITY = [
     "api_query_dbsf", "store_update_vectors", "store_tenant_search",
     "api_values_count", "api_search_groups_stored", "api_datetime_range",
     "api_group_lookup", "api_query_by_id", "store_batch_update",
-    "api_match_phrase", "api_sample",
+    "api_match_phrase", "api_sample", "store_indexed_sq",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
     "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",

@@ -569,3 +569,46 @@ def test_update_vectors_contract_violations(spark, tmp_path):
     with pytest.raises(ValueError, match="at least one vector column"):
         upsert.update_vectors(spark, root, "vecs", spark.createDataFrame(
             [(0,)], "id long"))
+
+
+def test_ivf_sq_exactness_refresh_and_recall(spark, sf_dir, tmp_path):
+    """Stored IVF-SQ: with full probe and a rerank pool covering the whole
+    corpus the rescored result EQUALS the exact scan (deterministic, no
+    recall hedge); the artifact stores int8 codes, not floats; refresh
+    encodes deltas with the STORED params; a narrow probe keeps useful
+    recall."""
+    import os
+
+    root = str(tmp_path / "store")
+    emb = _mk_store(spark, sf_dir, root)
+    index.build_vector_index(spark, root, "vecs", kind="ivf_sq",
+                             n_lists=8, iters=4)
+    ipath = index.index_path(root, "vecs", "embedding")
+    cols = spark.read.parquet(os.path.join(ipath, "data")).columns
+    assert "codes" in cols and "embedding" not in cols
+    q = _queries(emb)
+    exact = knn.search_collection(spark, root, "vecs", q, k=10,
+                                  corpus_id="id", exclude_self=True,
+                                  use_index=False)
+    # corpus is 500 rows; rerank_factor 100 * k 10 covers it entirely
+    full = index.search_indexed(spark, root, "vecs", q, k=10, n_probe=8,
+                                rerank_factor=100, exclude_self=True)
+    assert _rows(full) == _rows(exact)
+    # mutate: re-point 10 vectors at other rows' embeddings, refresh
+    patch = (emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 310))
+             .select((F.col("vec_id") - 300).alias("id"), "embedding"))
+    upsert.update_vectors(spark, root, "vecs", patch)
+    out = index.refresh_vector_index(spark, root, "vecs")
+    assert out["built_version"] == 1
+    exact2 = knn.search_collection(spark, root, "vecs", q, k=10,
+                                   corpus_id="id", exclude_self=True,
+                                   use_index=False)
+    full2 = index.search_indexed(spark, root, "vecs", q, k=10, n_probe=8,
+                                 rerank_factor=100, exclude_self=True)
+    assert _rows(full2) == _rows(exact2)
+    # narrow ANN probe: sane recall against exact top-10
+    probe = index.search_indexed(spark, root, "vecs", q, k=10, n_probe=3,
+                                 exclude_self=True)
+    ex = {(r["qid"], r["vec_id"]) for r in exact2.collect()}
+    got = {(r["qid"], r["vec_id"]) for r in probe.collect()}
+    assert len(got & ex) / len(ex) >= 0.5
