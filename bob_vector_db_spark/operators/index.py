@@ -65,30 +65,43 @@ INDEX_META_FILE = "meta.json"
 VALID_KINDS = ("ivf", "pq", "ivf_pq", "ivf_sq")
 
 
-def index_path(root: str, collection: str, vector_name: str) -> str:
-    return os.path.join(collection_path(root, collection), INDEX_DIR, vector_name)
+def _index_name(vector_name: str, tenant: str | None = None) -> str:
+    """Artifact directory name under ``_index/``: the vector space name,
+    suffixed for a TENANT-SCOPED index (a per-tenant artifact built over
+    one tenant's partition subtree — see build_vector_index(tenant=...))."""
+    return vector_name if tenant is None else \
+        f"{vector_name}__tenant__{tenant}"
 
 
-def vector_index_meta(root: str, collection: str,
-                      vector_name: str) -> dict | None:
+def index_path(root: str, collection: str, vector_name: str,
+               tenant: str | None = None) -> str:
+    return os.path.join(collection_path(root, collection), INDEX_DIR,
+                        _index_name(vector_name, tenant))
+
+
+def vector_index_meta(root: str, collection: str, vector_name: str,
+                      tenant: str | None = None) -> dict | None:
     """The persisted index descriptor; None when no index exists."""
-    p = os.path.join(index_path(root, collection, vector_name), INDEX_META_FILE)
+    p = os.path.join(index_path(root, collection, vector_name, tenant),
+                     INDEX_META_FILE)
     if not os.path.exists(p):
         return None
     with open(p) as fh:
         return json.load(fh)
 
 
-def index_is_fresh(root: str, collection: str, vector_name: str) -> bool:
+def index_is_fresh(root: str, collection: str, vector_name: str,
+                   tenant: str | None = None) -> bool:
     """True iff an index exists AND no mutation landed since it was built."""
-    imeta = vector_index_meta(root, collection, vector_name)
+    imeta = vector_index_meta(root, collection, vector_name, tenant)
     if imeta is None:
         return False
     return int(imeta["built_version"]) == collection_version(root, collection)
 
 
-def drop_vector_index(root: str, collection: str, vector_name: str) -> bool:
-    path = index_path(root, collection, vector_name)
+def drop_vector_index(root: str, collection: str, vector_name: str,
+                      tenant: str | None = None) -> bool:
+    path = index_path(root, collection, vector_name, tenant)
     if not os.path.isdir(path):
         return False
     shutil.rmtree(path)
@@ -112,7 +125,8 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
                        n_lists: int = 16, m: int = 8, ksub: int = 64,
                        iters: int = 10, sample_cap: int = 250_000,
                        seed: int = 42,
-                       files_per_list: int = 1) -> dict:
+                       files_per_list: int = 1,
+                       tenant: str | None = None) -> dict:
     """Train + persist the index for one vector space; returns its meta.
 
     A rebuild replaces the previous index atomically (staged directory +
@@ -121,6 +135,13 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
     collection's data version BEFORE the corpus read — if a mutation races
     the build, the index comes out already-stale (detected) rather than
     silently half-fresh.
+
+    ``tenant`` builds a TENANT-SCOPED index over one tenant's partition
+    subtree (multitenant collections only): a big tenant whose slice is
+    too large for the pruned exact scan gets its own trained artifact,
+    searched via ``search_collection(tenant=..., use_index=...)``;
+    refresh keeps it scoped — an id that moves OUT of the tenant is
+    masked from the index while the store still serves it elsewhere.
     """
     if kind not in VALID_KINDS:
         raise ValueError(f"kind {kind!r} not one of {VALID_KINDS}")
@@ -133,6 +154,10 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
     metric = resolve_metric(
         meta.get("vectors", {}).get(vector_name, {}).get("distance", "cosine"))
     id_col = meta.get("id_col", "id")
+    if tenant is not None and meta.get("tenant_col") is None:
+        raise ValueError(
+            f"collection {collection!r} has no tenant_col; per-tenant "
+            f"indexes need the multitenant layout")
     built_version = collection_version(root, collection)
     from .upsert import _store_exists  # noqa: PLC0415
 
@@ -141,8 +166,13 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
             f"collection {collection!r} holds no rows; a vector index "
             f"trains on the stored corpus — upsert data first")
 
-    corpus = read_collection(spark, root, collection).select(id_col, vector_name)
-    ipath = index_path(root, collection, vector_name)
+    corpus = (read_collection(spark, root, collection, tenant=tenant)
+              .select(id_col, vector_name))
+    if tenant is not None and not corpus.limit(1).count():
+        raise ValueError(
+            f"tenant {tenant!r} holds no rows in {collection!r}; nothing "
+            f"to train on")
+    ipath = index_path(root, collection, vector_name, tenant)
     staging = ipath + "__staging"
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(staging)
@@ -153,6 +183,7 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
         "metric": metric,
         "id_col": id_col,
         "built_version": built_version,
+        **({"tenant": tenant} if tenant is not None else {}),
         # LSM-style incremental maintenance: rows carry the generation that
         # wrote them (full build = 0); refresh_vector_index appends mutated
         # ids at generation g and masks their older entries, so a rebuild is
@@ -362,7 +393,8 @@ def run_incremental_refresh(spark: SparkSession, root: str, collection: str,
                             finalize_fn=None,
                             data_layouts: list[tuple[str, str, str | None]]
                             | None = None,
-                            mask_compact_threshold: int | None = None) -> dict:
+                            mask_compact_threshold: int | None = None,
+                            row_filter=None) -> dict:
     """The shared claim-g → masks → pruned-fetch → append → commit scaffold
     every index kind's refresh runs (dense, BM25, sparse, payload — ONE
     implementation, so the crash-safety invariant lives in one spot):
@@ -403,7 +435,13 @@ def run_incremental_refresh(spark: SparkSession, root: str, collection: str,
 
     from .upsert import read_rows_for_ids  # noqa: PLC0415
 
+    # ``row_filter`` scopes a partial index (e.g. one tenant's): a row
+    # outside the filter counts as ABSENT — an id that moved out of scope
+    # keeps its delete classification (or loses its upsert append), so its
+    # masks hide it from this index while the store still serves it.
     live = read_rows_for_ids(spark, root, collection, del_ids)
+    if live is not None and row_filter is not None:
+        live = live.filter(row_filter)
     if live is not None:
         id_col = imeta["id_col"]
         still_live = (live.select(F.col(id_col).cast("string").alias("id"))
@@ -421,6 +459,8 @@ def run_incremental_refresh(spark: SparkSession, root: str, collection: str,
         os.path.join(ipath, "masks"))
 
     fresh = read_rows_for_ids(spark, root, collection, up_ids)
+    if fresh is not None and row_filter is not None:
+        fresh = fresh.filter(row_filter)
     if fresh is not None:
         append_fn(fresh, g)
 
@@ -439,7 +479,8 @@ def run_incremental_refresh(spark: SparkSession, root: str, collection: str,
 
 def refresh_vector_index(spark: SparkSession, root: str, collection: str,
                          vector_name: str | None = None,
-                         mask_compact_threshold: int | None = None) -> dict:
+                         mask_compact_threshold: int | None = None,
+                         tenant: str | None = None) -> dict:
     """Absorb every mutation since ``built_version`` into the PERSISTED
     index without retraining or rewriting it — the Qdrant "index updates on
     upsert" model (qdrant_embedder.py:95-103 configures the collection the
@@ -463,14 +504,19 @@ def refresh_vector_index(spark: SparkSession, root: str, collection: str,
     if meta is None:
         raise ValueError(f"collection {collection!r} has no meta sidecar")
     vector_name = _resolve_vector_name(meta, collection, vector_name)
-    imeta = vector_index_meta(root, collection, vector_name)
+    imeta = vector_index_meta(root, collection, vector_name, tenant)
     if imeta is None:
         raise ValueError(
-            f"no persisted index for {collection!r}/{vector_name!r}; "
+            f"no persisted index for {collection!r}/"
+            f"{_index_name(vector_name, tenant)!r}; "
             f"run build_vector_index first")
     kind, id_col = imeta["kind"], imeta["id_col"]
-    ipath = index_path(root, collection, vector_name)
+    ipath = index_path(root, collection, vector_name, tenant)
     vn = vector_name
+    row_filter = None
+    if tenant is not None:
+        row_filter = (F.col(meta["tenant_col"]).cast("string")
+                      == str(tenant))
 
     def append_fn(fresh: DataFrame, g: int) -> None:
         data = fresh.select(id_col, vn)
@@ -505,7 +551,8 @@ def refresh_vector_index(spark: SparkSession, root: str, collection: str,
         data_layouts=[("data", id_col,
                        "list_id" if kind in ("ivf", "ivf_pq", "ivf_sq")
                        else None)],
-        mask_compact_threshold=mask_compact_threshold)
+        mask_compact_threshold=mask_compact_threshold,
+        row_filter=row_filter)
 
 
 def list_indexes(root: str, collection: str) -> list[dict]:
@@ -542,7 +589,8 @@ def refresh_all_indexes(spark: SparkSession, root: str,
         kind = imeta.get("kind")
         if kind in VALID_KINDS:
             out.append(refresh_vector_index(
-                spark, root, collection, vector_name=imeta["vector_name"]))
+                spark, root, collection, vector_name=imeta["vector_name"],
+                tenant=imeta.get("tenant")))
         elif kind == "bm25":
             out.append(refresh_text_index(
                 spark, root, collection, text_col=imeta["text_col"]))
@@ -607,7 +655,8 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
                    exclude_self: bool = False, round_to: int | None = 6,
                    rerank_factor: int = 5,
                    max_queries: int = 100_000,
-                   allow_stale: bool = False) -> DataFrame:
+                   allow_stale: bool = False,
+                   tenant: str | None = None) -> DataFrame:
     """Top-k over the PERSISTED index; (qid, vec_id, sim, rank) in the
     declared metric for every kind (cosine/dot descending, euclid
     ascending — the ``search_collection`` contract).
@@ -626,14 +675,19 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
     """
     meta = collection_meta(root, collection) or {}
     vector_name = _resolve_vector_name(meta, collection, vector_name)
-    imeta = vector_index_meta(root, collection, vector_name)
+    imeta = vector_index_meta(root, collection, vector_name, tenant)
     if imeta is None:
         raise ValueError(
-            f"no persisted index for {collection!r}/{vector_name!r}; "
-            f"run build_vector_index first")
-    if not allow_stale and not index_is_fresh(root, collection, vector_name):
+            f"no persisted index for {collection!r}/"
+            f"{_index_name(vector_name, tenant)!r}; "
+            f"run build_vector_index first"
+            + (" (per-tenant: build_vector_index(tenant=...))"
+               if tenant is not None else ""))
+    if not allow_stale and not index_is_fresh(root, collection, vector_name,
+                                              tenant):
         raise ValueError(
-            f"index for {collection!r}/{vector_name!r} was built at data "
+            f"index for {collection!r}/{_index_name(vector_name, tenant)!r} "
+            f"was built at data "
             f"version {imeta['built_version']} but the collection is at "
             f"{collection_version(root, collection)}; refresh_vector_index "
             f"absorbs the mutations incrementally (or rebuild, or search "
@@ -643,7 +697,7 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
         # probe every list: the stored layout is used but the answer equals
         # the exact scan — accuracy is only traded when the caller asks
         n_probe = int(imeta.get("n_lists", 1))
-    ipath = index_path(root, collection, vector_name)
+    ipath = index_path(root, collection, vector_name, tenant)
     data = spark.read.parquet(os.path.join(ipath, "data"))
 
     if kind == "ivf":
@@ -679,7 +733,8 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
             round_to=None, metric=metric).select("qid", "vec_id")
         return _exact_rescore(spark, root, collection, queries, cands,
                               id_col, vector_name, metric,
-                              query_id, query_vec, k, round_to)
+                              query_id, query_vec, k, round_to,
+                              tenant=tenant)
 
     # pq kinds: ADC candidates (euclidean code-space) + exact metric rescore
     books = _load_codebooks(spark, ipath)
@@ -719,7 +774,8 @@ def _exact_rescore(spark: SparkSession, root: str, collection: str,
                    queries: DataFrame, cands: DataFrame, id_col: str,
                    vector_name: str, metric: str, query_id: str,
                    query_vec: str, k: int,
-                   round_to: int | None) -> DataFrame:
+                   round_to: int | None,
+                   tenant: str | None = None) -> DataFrame:
     """Shared quantized-search tail: fetch ONLY the candidates' float
     vectors from the stored collection (broadcast candidate set probes the
     buckets) and rank the exact metric — rerank_factor*k rows per query
@@ -728,7 +784,7 @@ def _exact_rescore(spark: SparkSession, root: str, collection: str,
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"),
         vector.l2_norm(F.col(query_vec)).alias("_qn"))
     fetched = (
-        read_collection(spark, root, collection)
+        read_collection(spark, root, collection, tenant=tenant)
         .select(F.col(id_col).alias("vec_id"), F.col(vector_name).alias("_cvec"))
         .join(F.broadcast(cands), "vec_id")
         .join(F.broadcast(q_exact), "qid")

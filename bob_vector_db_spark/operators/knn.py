@@ -152,12 +152,13 @@ def search_collection(
     index kind.
 
     ``tenant`` scopes the search to one tenant of a multitenant collection
-    (the Qdrant shard-key selector): the exact scan prunes to the tenant's
-    partition subtree — at scale a tenant's slice IS the prunable unit, so
-    the pruned exact scan is the intended plan and the global ANN index
-    (which clusters across tenants) is deliberately NOT used —
-    ``use_index='always'`` with a tenant raises rather than silently
-    scanning or answering from an unscoped index.
+    (the Qdrant shard-key selector).  Index dispatch is TENANT-AWARE: the
+    global index clusters across tenants and cannot answer a scoped
+    search, so only a PER-TENANT artifact (``build_vector_index(
+    tenant=...)``) qualifies — "auto" falls back to the pruned exact scan
+    (the right plan for most tenants: the slice is small and the
+    partition subtree is the pruning unit), "always" raises unless the
+    tenant's own index exists and is fresh.
     """
     from .index import (  # noqa: PLC0415
         index_is_fresh,
@@ -166,14 +167,6 @@ def search_collection(
     )
     from .upsert import collection_meta, read_collection  # noqa: PLC0415
 
-    if tenant is not None:
-        if use_index in ("always", True):
-            raise ValueError(
-                "tenant-scoped search uses the pruned exact scan (the "
-                "stored vector index clusters across tenants and cannot "
-                "prune to one tenant's subtree); pass use_index='auto' or "
-                "False")
-        use_index = False
     meta = collection_meta(root, collection) or {}
     vectors = meta.get("vectors", {})
     if vector_name is None:
@@ -186,8 +179,9 @@ def search_collection(
     if use_index is True:  # the natural bool complement of False
         use_index = "always"
     if use_index in ("auto", "always"):
-        imeta = vector_index_meta(root, collection, vector_name)
-        fresh = index_is_fresh(root, collection, vector_name)
+        imeta = vector_index_meta(root, collection, vector_name,
+                                  tenant=tenant)
+        fresh = index_is_fresh(root, collection, vector_name, tenant=tenant)
         metric_ok = metric is None or (
             imeta is not None
             and resolve_metric(metric) == imeta.get("metric"))
@@ -195,11 +189,15 @@ def search_collection(
             if imeta is None or not fresh or not metric_ok:
                 raise ValueError(
                     f"use_index='always' but the index for {collection!r}/"
-                    f"{vector_name!r} is "
+                    f"{vector_name!r}"
+                    + (f" (tenant {tenant!r})" if tenant is not None else "")
+                    + " is "
                     + ("absent" if imeta is None
                        else "stale" if not fresh
                        else f"built for metric {imeta['metric']!r}")
-                    + "; build_vector_index or search with use_index='auto'")
+                    + "; build_vector_index"
+                    + ("(tenant=...)" if tenant is not None else "")
+                    + " or search with use_index='auto'")
             usable = True
         else:
             usable = imeta is not None and fresh and metric_ok
@@ -208,7 +206,7 @@ def search_collection(
                 spark, root, collection, queries, k=k,
                 vector_name=vector_name, n_probe=n_probe,
                 query_id=query_id, query_vec=query_vec,
-                exclude_self=exclude_self)
+                exclude_self=exclude_self, tenant=tenant)
     if metric is None:
         metric = declared
     corpus = read_collection(spark, root, collection, tenant=tenant)

@@ -5616,6 +5616,63 @@ def q_api_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "lang")
 
 
+@register(
+    "store_tenant_indexed",
+    # tenant t1's OWN trained index, full probe -> exactly tenant t1's kNN
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id AS id, embedding FROM embeddings WHERE (label % 3) = 1
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id >= 480 AND vec_id < 483
+),
+pairs AS (
+  SELECT q.qid, c.id AS vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(c.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, corpus c
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_store_tenant_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tenant index (the scale path for a BIG tenant): tenant t1 gets
+    its OWN trained IVF artifact over its partition subtree; the scoped
+    search dispatches to it (use_index='always') and at full probe equals
+    exactly that tenant's kNN — which is what the oracle recomputes.
+    Other tenants' data never enters the artifact, and refresh keeps it
+    scoped (tests/test_tenant.py)."""
+    base = _tmp_base(sf_dir, "mtidx")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"), "embedding",
+        F.concat(F.lit("t"), (F.col("label") % 3).cast("string"))
+        .alias("tenant"))
+    upsert.create_collection(
+        spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
+        tenant_col="tenant",
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    index.build_vector_index(spark, base, "vecs", kind="ivf", n_lists=4,
+                             iters=4, tenant="t1")
+    qdf = (emb.filter((F.col("vec_id") >= 480) & (F.col("vec_id") < 483))
+           .select(F.col("vec_id").alias("qid"),
+                   F.col("embedding").alias("qvec")))
+    out = knn.search_collection(spark, base, "vecs", qdf, k=10,
+                                corpus_id="id", exclude_self=False,
+                                tenant="t1", use_index="always", n_probe=4)
+    return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"),
+                      "sim", F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -5632,6 +5689,7 @@ _PRIORITY = [
     "api_values_count", "api_search_groups_stored", "api_datetime_range",
     "api_group_lookup", "api_query_by_id", "store_batch_update",
     "api_match_phrase", "api_sample", "store_indexed_sq",
+    "store_tenant_indexed",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
     "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",

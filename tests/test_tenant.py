@@ -184,7 +184,7 @@ def test_tenant_search_equals_filtered_exact(spark, tmp_path):
         k=5, corpus_id="id", corpus_vec="vec", exclude_self=False)
     assert sorted(map(tuple, scoped.collect())) == \
         sorted(map(tuple, manual.collect()))
-    with pytest.raises(ValueError, match="tenant-scoped search"):
+    with pytest.raises(ValueError, match="tenant 't1'.*absent"):
         knn.search_collection(spark, root, "vt", q, k=5, tenant="t1",
                               use_index="always")
 
@@ -323,3 +323,70 @@ def test_tenant_store_random_ops_match_dict_model(spark, tmp_path):
         scoped = {r["id"] for r in
                   upsert.read_collection(spark, root, "m", tenant=t).collect()}
         assert scoped == {i for i, (mt, _) in model.items() if mt == t}
+
+
+def test_per_tenant_index_build_search_refresh(spark, tmp_path):
+    """A tenant-scoped index artifact: trained over ONE tenant's subtree,
+    dispatched by search_collection(tenant=..., use_index=...), kept
+    scoped by refresh — an id that moves OUT of the tenant is masked from
+    the index while the store still serves it under its new tenant."""
+    from bob_vector_db_spark.operators import index
+
+    root = str(tmp_path / "s")
+    rows = [(i, "ta" if i < 30 else "tb",
+             [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, tenant string, vec array<double>")
+    upsert.create_collection(
+        spark, root, "vt", df=df, id_col="id", n_buckets=4,
+        tenant_col="tenant",
+        vector_config={"vec": {"size": 3, "distance": "cosine"}})
+    imeta = index.build_vector_index(spark, root, "vt", kind="ivf",
+                                     n_lists=2, iters=4, tenant="ta")
+    assert imeta["tenant"] == "ta"
+    q = spark.createDataFrame([(0, [1.0, 1.0, 0.5])],
+                              "qid long, qvec array<double>")
+
+    def exact(t):
+        return sorted(map(tuple, knn.search_collection(
+            spark, root, "vt", q, k=5, corpus_id="id", tenant=t,
+            use_index=False).collect()))
+
+    idx = sorted(map(tuple, knn.search_collection(
+        spark, root, "vt", q, k=5, corpus_id="id", tenant="ta",
+        use_index="always", n_probe=2).collect()))
+    assert idx == exact("ta")
+    # tb has no index: always raises, auto scans
+    with pytest.raises(ValueError, match="tenant 'tb'.*absent"):
+        knn.search_collection(spark, root, "vt", q, k=5, tenant="tb",
+                              use_index="always")
+    assert sorted(map(tuple, knn.search_collection(
+        spark, root, "vt", q, k=5, corpus_id="id", tenant="tb",
+        use_index="auto").collect())) == exact("tb")
+
+    # mutate: move id 3 out of ta, change id 4's vector, add id 99 to ta
+    upsert.upsert(spark, root, "vt", spark.createDataFrame(
+        [(3, "tb", [0.0, 0.0, 1.0]), (4, "ta", [9.0, 9.0, 9.0]),
+         (99, "ta", [1.0, 1.0, 0.5])],
+        "id long, tenant string, vec array<double>"))
+    out = index.refresh_all_indexes(spark, root, "vt")
+    assert out and out[0].get("tenant") == "ta"
+    idx2 = sorted(map(tuple, knn.search_collection(
+        spark, root, "vt", q, k=5, corpus_id="id", tenant="ta",
+        use_index="always", n_probe=2).collect()))
+    assert idx2 == exact("ta")
+    hit_ids = {t[1] for t in idx2}
+    assert 3 not in hit_ids and 99 in hit_ids
+    # tenant-scoped delete also absorbs
+    upsert.delete_points(spark, root, "vt", [99], tenant="ta")
+    index.refresh_vector_index(spark, root, "vt", tenant="ta")
+    idx3 = sorted(map(tuple, knn.search_collection(
+        spark, root, "vt", q, k=5, corpus_id="id", tenant="ta",
+        use_index="always", n_probe=2).collect()))
+    assert idx3 == exact("ta")
+    assert 99 not in {t[1] for t in idx3}
+    # guard: per-tenant index on a non-tenant collection refuses
+    upsert.create_collection(spark, root, "plain", df=spark.createDataFrame(
+        [(1, [1.0, 0.0])], "id long, vec array<double>"), id_col="id",
+        vector_config={"vec": {"size": 2, "distance": "cosine"}})
+    with pytest.raises(ValueError, match="no tenant_col"):
+        index.build_vector_index(spark, root, "plain", tenant="ta")
