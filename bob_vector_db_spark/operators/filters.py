@@ -191,6 +191,21 @@ class DatetimeRange:
 
 
 @dataclass(frozen=True)
+class MatchContains:
+    """Array-membership match (Qdrant's MatchValue applied to an ARRAY
+    payload: the condition holds when ANY element equals the value).
+    ``array_contains`` exists in both engines with identical NULL
+    semantics (NULL array → NULL → not matched).  Compose several in
+    ``should`` for any-overlap, in ``must`` for contains-all."""
+    key: str
+    value: object
+
+    def to_sql(self) -> str:
+        return (f"array_contains({_ident(self.key)}, "
+                f"{_lit(self.value)})")
+
+
+@dataclass(frozen=True)
 class IsEmpty:
     """Missing-or-empty array payload (Qdrant IsEmptyCondition): matches
     when ``key`` is NULL or an empty list.  The one array-cardinality

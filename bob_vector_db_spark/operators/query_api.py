@@ -92,21 +92,23 @@ def search_points(spark: SparkSession, root: str, collection: str,
                   round_to: int | None = 6,
                   use_payload_index: str | bool = "auto",
                   max_candidates: int = 1_000_000,
-                  tenant: str | None = None) -> DataFrame:
+                  tenant: str | None = None,
+                  score_threshold: float | None = None,
+                  offset: int = 0) -> DataFrame:
     """Filtered kNN with the collection's declared metric — the Qdrant
     ``search(query_vector, query_filter=Filter(...))`` twin.  With no
     filter this defers to ``knn.search_collection`` (which may dispatch
     to the vector index); with one, the filter resolves FIRST (Qdrant's
     filtered-search order) through the payload index when selective,
-    else as a pushed predicate on the exact scan."""
+    else as a pushed predicate on the exact scan.
+
+    ``score_threshold`` drops hits past the quality floor (better-than
+    semantics follow the metric: >= for cosine/dot, <= for euclid);
+    ``offset`` skips the first hits for paged search (ranks re-number
+    from 1) — both post-rank cuts, exactly Qdrant's search params."""
     from .knn import knn_join, resolve_metric, search_collection  # noqa: PLC0415
 
-    if flt is None:
-        return search_collection(spark, root, collection, queries, k=k,
-                                 vector_name=vector_name, query_id=query_id,
-                                 query_vec=query_vec, tenant=tenant)
     meta = collection_meta(root, collection) or {}
-    id_col = meta.get("id_col", "id")
     vectors = meta.get("vectors", {})
     if vector_name is None:
         if len(vectors) != 1:
@@ -116,17 +118,33 @@ def search_points(spark: SparkSession, root: str, collection: str,
         vector_name = next(iter(vectors))
     metric = resolve_metric(
         vectors.get(vector_name, {}).get("distance", "cosine"))
-    cand, _residual = _resolve_candidates(
-        spark, root, collection, flt, use_payload_index, max_candidates)
-    if cand is None:
-        corpus = (read_collection(spark, root, collection, tenant=tenant)
-                  .filter(as_filter(flt).to_column()))
+    if flt is None:
+        out = search_collection(spark, root, collection, queries,
+                                k=k + offset,
+                                vector_name=vector_name, query_id=query_id,
+                                query_vec=query_vec, tenant=tenant)
     else:
-        corpus = _scope_tenant(root, collection, cand, tenant)
-    return knn_join(queries, corpus.select(id_col, vector_name), k=k,
-                    query_id=query_id, query_vec=query_vec,
-                    corpus_id=id_col, corpus_vec=vector_name,
-                    exclude_self=False, round_to=round_to, metric=metric)
+        id_col = meta.get("id_col", "id")
+        cand, _residual = _resolve_candidates(
+            spark, root, collection, flt, use_payload_index, max_candidates)
+        if cand is None:
+            corpus = (read_collection(spark, root, collection, tenant=tenant)
+                      .filter(as_filter(flt).to_column()))
+        else:
+            corpus = _scope_tenant(root, collection, cand, tenant)
+        out = knn_join(queries, corpus.select(id_col, vector_name),
+                       k=k + offset,
+                       query_id=query_id, query_vec=query_vec,
+                       corpus_id=id_col, corpus_vec=vector_name,
+                       exclude_self=False, round_to=round_to, metric=metric)
+    if offset:
+        out = (out.filter(F.col("rank") > offset)
+               .withColumn("rank", F.col("rank") - F.lit(int(offset))))
+    if score_threshold is not None:
+        cut = (F.col("sim") <= float(score_threshold) if metric == "euclid"
+               else F.col("sim") >= float(score_threshold))
+        out = out.filter(cut)
+    return out
 
 
 def count_points(spark: SparkSession, root: str, collection: str,

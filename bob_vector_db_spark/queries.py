@@ -5673,6 +5673,70 @@ def q_store_tenant_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "sim", F.col("rank").cast("long").alias("rank"))
 
 
+from .operators.filters import MatchContains  # noqa: E402
+
+_SP_FLT = Filter(must=[MatchContains("tags", "l1")])
+
+
+@register(
+    "api_search_params",
+    # tags = ['p'||(id%2), 'l'||(label%3)]; filter = array membership;
+    # k=5 with offset=3 keeps exact ranks 4..8 renumbered 1..5, then the
+    # score threshold trims the tail.
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id AS id, embedding,
+         ['p' || CAST(vec_id % 2 AS VARCHAR),
+          'l' || CAST(label % 3 AS VARCHAR)] AS tags
+  FROM embeddings
+),
+flt AS (SELECT * FROM corpus WHERE {_SP_FLT.to_sql()}),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3
+),
+pairs AS (
+  SELECT q.qid, f.id AS vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(f.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(f.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, flt f
+)
+SELECT qid, vec_id, sim, CAST(rank - 3 AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM pairs)
+WHERE rank > 3 AND rank <= 8 AND sim >= 0.05
+""",
+)
+def q_api_search_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant search params in one query: an ARRAY-membership filter leaf
+    (MatchContains — MatchValue over an array payload), paged search via
+    ``offset`` (skip 3, ranks renumber from 1), and a ``score_threshold``
+    floor trimming the tail — all post-rank cuts the oracle mirrors
+    exactly."""
+    from .operators.query_api import search_points  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "sparams")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"), "embedding",
+        F.array(F.concat(F.lit("p"), (F.col("vec_id") % 2).cast("string")),
+                F.concat(F.lit("l"), (F.col("label") % 3).cast("string")))
+        .alias("tags"))
+    upsert.create_collection(
+        spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = search_points(spark, base, "vecs", qdf, flt=_SP_FLT, k=5,
+                        offset=3, score_threshold=0.05)
+    return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"),
+                      "sim", F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -5689,7 +5753,7 @@ _PRIORITY = [
     "api_values_count", "api_search_groups_stored", "api_datetime_range",
     "api_group_lookup", "api_query_by_id", "store_batch_update",
     "api_match_phrase", "api_sample", "store_indexed_sq",
-    "store_tenant_indexed",
+    "store_tenant_indexed", "api_search_params",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
     "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",

@@ -446,3 +446,31 @@ def test_sample_points_deterministic_and_filtered(spark, tmp_path):
     ev = query_api.sample_points(spark, root, "s", n=7, seed="x",
                                  flt=flt).collect()
     assert len(ev) == 7 and all(r["parity"] == "even" for r in ev)
+
+
+def test_match_contains_and_search_params(spark, tmp_path):
+    from bob_vector_db_spark.operators.filters import MatchContains
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["b"]), (3, None), (4, [])],
+        "id long, tags array<string>")
+    flt = Filter(must=[MatchContains("tags", "a")])
+    assert {r["id"] for r in df.filter(flt.to_column()).collect()} == {1}
+    # must_not over a NULL array: not-positively-matching -> kept
+    neg = Filter(must_not=[MatchContains("tags", "a")])
+    assert {r["id"] for r in df.filter(neg.to_column()).collect()} == \
+        {2, 3, 4}
+
+    root = str(tmp_path / "store")
+    rows = [(i, [float(i), 1.0]) for i in range(1, 21)]
+    pts = spark.createDataFrame(rows, "id long, vec array<double>")
+    upsert.create_collection(
+        spark, root, "c", df=pts, id_col="id", n_buckets=4,
+        vector_config={"vec": {"size": 2, "distance": "dot"}})
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "qid long, qvec array<double>")
+    # dot with q=[1,0]: score = id; full order is 20,19,...; offset 5 ->
+    # ranks renumber from 1 at id 15; threshold >= 12 trims below
+    out = query_api.search_points(spark, root, "c", q, k=10, offset=5,
+                                  score_threshold=12.0).orderBy("rank").collect()
+    assert [r["vec_id"] for r in out] == [15, 14, 13, 12]
+    assert [r["rank"] for r in out] == [1, 2, 3, 4]
