@@ -5737,6 +5737,87 @@ def q_api_search_params(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "sim", F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "pipe_dataset_build",
+    # the full training-mix build: exact dedup (min doc_id per identical
+    # text) -> benchmark decontamination (3-gram overlap with docs < 20)
+    # -> quality gate (n_chars in [150, 600], >= 25 tokens) -> stratified
+    # quota sample (10 per lang by deterministic md5 rank).
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> length(x) > 0) AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(greatest(len(tk)-2, 0)),
+                                 i -> array_to_string(tk[i+1:i+3], ' '))) AS shingle
+    FROM toks)
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle)
+  WHERE s.doc_id >= 20
+),
+dd AS (
+  SELECT * FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS rn
+    FROM documents d)
+  WHERE rn = 1
+),
+clean AS (
+  SELECT dd.doc_id, dd.lang, len(t.tk) AS n_tokens
+  FROM dd JOIN toks t USING (doc_id)
+  WHERE dd.doc_id >= 20
+    AND dd.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND dd.n_chars BETWEEN 150 AND 600
+    AND len(t.tk) >= 25
+),
+mixed AS (
+  SELECT doc_id, lang, n_tokens,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5('mix' || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn
+  FROM clean
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM mixed WHERE rn <= 10
+""",
+)
+def q_pipe_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-mix build every pretraining pipeline runs,
+    composed from this repo's operators in one plan: exact dedup (keep
+    the lowest id per identical text), benchmark DECONTAMINATION (drop
+    any doc sharing a token 3-gram with the held-out set — the broadcast
+    shingle probe, no train×bench pair materializes), a QUALITY gate
+    (length + token-count floors), and a STRATIFIED quota sample (exactly
+    10 docs per language by deterministic md5 rank).  Every stage is a
+    shuffle-minimal shape that survives 100×: one window on the content
+    hash, one broadcast join, pushed filters, one rank window per
+    stratum."""
+    from .operators.sampling import stratified_sample  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dd = (docs.withColumn("_rn", F.row_number().over(w))
+          .filter(F.col("_rn") == 1).drop("_rn"))
+    flagged = dedup.cross_corpus_contamination(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20),
+        text_col="text", id_col="doc_id", n=3, min_hits=1
+    ).select(F.col("id").alias("doc_id"))
+    clean = (dd.filter(F.col("doc_id") >= 20)
+             .join(flagged, "doc_id", "left_anti")
+             .withColumn("n_tokens", F.size(ws_tokens(F.col("text"))))
+             .filter((F.col("n_chars") >= 150) & (F.col("n_chars") <= 600)
+                     & (F.col("n_tokens") >= 25)))
+    out = stratified_sample(clean, "lang", "doc_id", 10, salt="mix")
+    return out.select("doc_id", "lang",
+                      F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -5753,7 +5834,7 @@ _PRIORITY = [
     "api_values_count", "api_search_groups_stored", "api_datetime_range",
     "api_group_lookup", "api_query_by_id", "store_batch_update",
     "api_match_phrase", "api_sample", "store_indexed_sq",
-    "store_tenant_indexed", "api_search_params",
+    "store_tenant_indexed", "api_search_params", "pipe_dataset_build",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
     "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",
