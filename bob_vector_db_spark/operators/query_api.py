@@ -420,6 +420,114 @@ def sample_points(spark: SparkSession, root: str, collection: str,
     return base.orderBy(order, F.col(id_col)).limit(n)
 
 
+def recommend_points(spark: SparkSession, root: str, collection: str,
+                     positive: list, negative: list | None = None,
+                     strategy: str = "average_vector", k: int = 10,
+                     flt=None, vector_name: str | None = None,
+                     round_to: int = 6,
+                     tenant: str | None = None) -> DataFrame:
+    """Qdrant ``recommend``: positive/negative POINT IDS (their stored
+    vectors are the examples) with both strategies:
+
+    - ``average_vector`` (default): query = mean(positives) −
+      mean(negatives), then one plain kNN — one query vector, built
+      driver-side from ≤ |examples| fetched rows;
+    - ``best_score``: each candidate scores ``max sim to any positive``,
+      unless its best NEGATIVE beats its best positive — then the score
+      is ``−(best negative)``, pushing look-alikes of the negatives to
+      the bottom (Qdrant's formula).  The examples broadcast; the corpus
+      scans once — the exact-kNN plan shape with a wider broadcast side.
+
+    Example ids are excluded from the results (Qdrant semantics).
+    Returns (vec_id, score, rank).
+    """
+    from .knn import resolve_metric  # noqa: PLC0415
+    from ..functions import vector  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    negative = negative or []
+    if not positive:
+        raise ValueError("recommend_points needs at least one positive id")
+    meta = collection_meta(root, collection) or {}
+    id_col = meta.get("id_col", "id")
+    vectors = meta.get("vectors", {})
+    if vector_name is None:
+        if len(vectors) != 1:
+            raise ValueError(
+                f"collection {collection!r} declares {sorted(vectors)} "
+                f"vector spaces; pass vector_name")
+        vector_name = next(iter(vectors))
+    metric = resolve_metric(
+        vectors.get(vector_name, {}).get("distance", "cosine"))
+    ex_ids = [str(i) for i in positive] + [str(i) for i in negative]
+    ids_df = spark.createDataFrame([(i,) for i in ex_ids], "`_r_id` string")
+    rows = read_rows_for_ids(spark, root, collection, ids_df)
+    got = {} if rows is None else {
+        str(r[id_col]): list(r[vector_name])
+        for r in rows.select(id_col, vector_name).collect()}
+    missing = [i for i in ex_ids if i not in got]
+    if missing:
+        raise ValueError(
+            f"recommend_points: example ids {missing} not in {collection!r}")
+
+    corpus = read_collection(spark, root, collection, tenant=tenant)
+    if flt is not None:
+        corpus = corpus.filter(as_filter(flt).to_column())
+    corpus = corpus.filter(
+        ~F.col(id_col).cast("string").isin(ex_ids))
+
+    if strategy == "average_vector":
+        dim = len(got[str(positive[0])])
+        qv = [0.0] * dim
+        for i in positive:
+            for j, x in enumerate(got[str(i)]):
+                qv[j] += x / len(positive)
+        for i in negative:
+            for j, x in enumerate(got[str(i)]):
+                qv[j] -= x / len(negative)
+        from .knn import knn_join  # noqa: PLC0415
+
+        q = spark.createDataFrame([(0, qv)], "qid long, qvec array<double>")
+        out = knn_join(q, corpus.select(id_col, vector_name), k=k,
+                       corpus_id=id_col, corpus_vec=vector_name,
+                       exclude_self=False, round_to=round_to, metric=metric)
+        return out.select("vec_id", F.col("sim").alias("score"), "rank")
+    if strategy != "best_score":
+        raise ValueError(
+            f"unknown strategy {strategy!r} "
+            f"(expected 'average_vector' or 'best_score')")
+
+    ex = spark.createDataFrame(
+        [(i, got[i], 1 if i in {str(p) for p in positive} else -1)
+         for i in ex_ids],
+        "`_e_id` string, `_e_vec` array<double>, `_e_s` int")
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vector_name).alias("_cv"))
+    if metric == "cosine":
+        ex = ex.withColumn("_en", vector.l2_norm(F.col("_e_vec")))
+        c = c.withColumn("_cn", vector.l2_norm(F.col("_cv")))
+        denom = F.col("_en") * F.col("_cn")
+        sim = F.when(denom != 0.0,
+                     vector.dot(F.col("_e_vec"), F.col("_cv")) / denom)
+    elif metric == "dot":
+        sim = vector.dot(F.col("_e_vec"), F.col("_cv"))
+    else:
+        raise ValueError(
+            "best_score recommend is defined for similarity metrics "
+            "(cosine/dot); euclid collections should use average_vector")
+    pairs = c.join(F.broadcast(ex), how="cross")
+    agg = (pairs.select("vec_id", F.col("_e_s").alias("s"), sim.alias("_s"))
+           .groupBy("vec_id")
+           .agg(F.max(F.when(F.col("s") == 1, F.col("_s"))).alias("_bp"),
+                F.max(F.when(F.col("s") == -1, F.col("_s"))).alias("_bn")))
+    score = F.when(F.col("_bn").isNull() | (F.col("_bp") > F.col("_bn")),
+                   F.col("_bp")).otherwise(-F.col("_bn"))
+    scored = agg.select("vec_id", F.round(score, round_to).alias("score"))
+    topk = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
 def with_group_lookup(spark: SparkSession, root: str,
                       lookup_collection: str, groups: DataFrame,
                       group_col: str = "group",

@@ -5818,6 +5818,65 @@ def q_pipe_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_tokens").cast("long").alias("n_tokens"))
 
 
+@register(
+    "api_recommend_best_score",
+    # best_score strategy: score = best positive sim unless the best
+    # NEGATIVE beats it, then -(best negative); examples excluded.
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id IN (0, 1) THEN 1 ELSE -1 END AS s
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+corpus AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < 300 AND vec_id NOT IN (0, 1, 2)),
+sims AS (
+  SELECT c.vec_id, e.s,
+         (SELECT SUM(a*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS a,
+                                       unnest(c.embedding)::DOUBLE AS b))
+         / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(e.embedding)::DOUBLE AS a)))
+           * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS b)))) AS sim
+  FROM corpus c, ex e
+),
+agg AS (
+  SELECT vec_id,
+         MAX(CASE WHEN s = 1 THEN sim END) AS bp,
+         MAX(CASE WHEN s = -1 THEN sim END) AS bn
+  FROM sims GROUP BY vec_id
+)
+SELECT vec_id, score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT vec_id,
+             round(CASE WHEN bp > bn THEN bp ELSE -bn END, 6) AS score,
+             row_number() OVER (
+               ORDER BY round(CASE WHEN bp > bn THEN bp ELSE -bn END, 6)
+                        DESC, vec_id) AS rank
+      FROM agg)
+WHERE rank <= 10
+""",
+)
+def q_api_recommend_best_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant recommend with the BEST_SCORE strategy over a stored
+    collection: positive/negative point IDS fetch their stored vectors
+    (id-bucket pruned), then each candidate scores its best positive
+    similarity — unless its best NEGATIVE beats it, in which case the
+    score is -(best negative), sinking look-alikes of the negatives.
+    The examples broadcast; the corpus scans once (the exact-kNN
+    shape)."""
+    from .operators.query_api import recommend_points  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "recbest")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 300)
+        .select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    out = recommend_points(spark, base, "vecs", positive=[0, 1],
+                           negative=[2], strategy="best_score", k=10)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      "score", F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -5835,6 +5894,7 @@ _PRIORITY = [
     "api_group_lookup", "api_query_by_id", "store_batch_update",
     "api_match_phrase", "api_sample", "store_indexed_sq",
     "store_tenant_indexed", "api_search_params", "pipe_dataset_build",
+    "api_recommend_best_score",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
     "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",

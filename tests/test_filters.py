@@ -474,3 +474,35 @@ def test_match_contains_and_search_params(spark, tmp_path):
                                   score_threshold=12.0).orderBy("rank").collect()
     assert [r["vec_id"] for r in out] == [15, 14, 13, 12]
     assert [r["rank"] for r in out] == [1, 2, 3, 4]
+
+
+def test_recommend_points_strategies(spark, tmp_path):
+    root = str(tmp_path / "store")
+    # id 1 = positive exemplar axis; id 2 = negative axis; 10,11 near the
+    # positive; 12 is a near-clone of the NEGATIVE; 13 neutral
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+            (10, [0.9, 0.1, 0.0]), (11, [0.8, 0.0, 0.2]),
+            (12, [0.01, 0.99, 0.0]), (13, [0.0, 0.0, 1.0])]
+    upsert.create_collection(
+        spark, root, "c", id_col="id", n_buckets=4,
+        df=spark.createDataFrame(rows, "id long, vec array<double>"),
+        vector_config={"vec": {"size": 3, "distance": "cosine"}})
+    best = query_api.recommend_points(
+        spark, root, "c", positive=[1], negative=[2],
+        strategy="best_score", k=4).orderBy("rank").collect()
+    ids = [r["vec_id"] for r in best]
+    assert set(ids) == {10, 11, 12, 13} and 1 not in ids and 2 not in ids
+    # the negative look-alike sinks to the bottom with a NEGATIVE score
+    assert ids[-1] == 12 and best[-1]["score"] < 0
+    assert ids[0] == 10  # closest to the positive
+    avg = query_api.recommend_points(
+        spark, root, "c", positive=[1], negative=[2],
+        strategy="average_vector", k=4).collect()
+    assert {r["vec_id"] for r in avg} == {10, 11, 12, 13}
+    with pytest.raises(ValueError, match="not in 'c'"):
+        query_api.recommend_points(spark, root, "c", positive=[999])
+    with pytest.raises(ValueError, match="unknown strategy"):
+        query_api.recommend_points(spark, root, "c", positive=[1],
+                                   strategy="median")
+    with pytest.raises(ValueError, match="at least one positive"):
+        query_api.recommend_points(spark, root, "c", positive=[])
