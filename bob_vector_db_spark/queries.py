@@ -5877,6 +5877,118 @@ def q_api_recommend_best_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "score", F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "t14_stream_tenant_ingest",
+    # final state: all 100 docs hash-embedded; corpus = tenant 'en' only;
+    # exact cosine top-5 for query docs 0-2.
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({DUCK_WS_TOKENS.format(t='text')}) AS tok
+  FROM documents WHERE doc_id < 100
+),
+tfs AS (
+  SELECT doc_id, ({DUCK_POLY_HASH.format(t='tok')}) % 64 AS bucket,
+         COUNT(*) AS tf
+  FROM toks GROUP BY doc_id, bucket
+),
+vecs AS (
+  SELECT d.doc_id, d.lang,
+         list(CAST(coalesce(tf, 0) AS DOUBLE) ORDER BY r.j) AS vec
+  FROM (SELECT doc_id, lang FROM documents WHERE doc_id < 100) d
+  CROSS JOIN range(64) r(j)
+  LEFT JOIN tfs ON tfs.doc_id = d.doc_id AND tfs.bucket = r.j
+  GROUP BY d.doc_id, d.lang
+),
+q AS (SELECT doc_id AS qid, vec AS qvec FROM vecs WHERE doc_id < 3),
+corpus AS (SELECT doc_id, vec FROM vecs WHERE lang = 'en'),
+pairs AS (
+  SELECT q.qid, v.doc_id AS vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec) AS a,
+                                         unnest(v.vec) AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec) AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(v.vec) AS b)))),
+           6) AS sim
+  FROM q, corpus v
+  WHERE q.qid <> v.doc_id
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM pairs)
+WHERE rank <= 5
+""",
+)
+def q_t14_stream_tenant_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full round-6 stack LIVE: streaming micro-batches upsert into a
+    MULTITENANT collection (tenant = language, one partition level above
+    the id bucket) while a PER-TENANT index on tenant 'en' stays fresh —
+    each foreachBatch runs upsert → refresh_all_indexes, whose row_filter
+    keeps the artifact scoped to 'en' as mixed-tenant batches land.  The
+    final tenant-scoped search dispatches to the tenant's own index
+    (use_index='always' raises if any batch left it stale) at full probe,
+    so it must equal the exact kNN over tenant 'en' — which the oracle
+    recomputes."""
+    import json  # noqa: PLC0415
+
+    from .operators.embed import hash_embed_df  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "t14")
+    store = os.path.join(base, "store")
+    in_dir = os.path.join(base, "in")
+    ckpt = os.path.join(base, "ck")
+    os.makedirs(in_dir)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    seed = (hash_embed_df(docs.filter(F.col("doc_id") < 60),
+                          dim=64, out_col="vec")
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .select(F.col("doc_id").alias("id"), "vec",
+                    F.col("lang").alias("tenant")))
+    upsert.create_collection(
+        spark, store, "docs", df=seed, id_col="id", n_buckets=8,
+        tenant_col="tenant",
+        vector_config={"vec": {"size": 64, "distance": "cosine"}})
+    index.build_vector_index(spark, store, "docs", kind="ivf",
+                             n_lists=4, iters=3, tenant="en")
+
+    rows = (docs.filter(F.col("doc_id") >= 60)
+            .select("doc_id", "text", "lang").collect())
+    for fi in range(2):
+        with open(os.path.join(in_dir, f"f{fi}.jsonl"), "w") as fh:
+            for r in rows[fi::2]:
+                fh.write(json.dumps(
+                    {"id": r["doc_id"], "text": r["text"],
+                     "tenant": r["lang"]}) + "\n")
+
+    schema = "id long, text string, tenant string"
+
+    def _merge(batch, _bid):
+        if batch.isEmpty():
+            return
+        emb = (hash_embed_df(batch, text_col="text", id_col="id",
+                             dim=64, out_col="vec")
+               .join(batch.select("id", "tenant"), "id")
+               .select("id", "vec", "tenant"))
+        upsert.upsert(batch.sparkSession, store, "docs", emb, id_col="id")
+        index.refresh_all_indexes(batch.sparkSession, store, "docs")
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).json(in_dir)
+         .writeStream.foreachBatch(_merge)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    stored = upsert.read_collection(spark, store, "docs")
+    qdf = (stored.filter(F.col("id") < 3)
+           .select(F.col("id").alias("qid"), F.col("vec").alias("qvec")))
+    out = knn.search_collection(
+        spark, store, "docs", qdf, k=5, corpus_id="id", exclude_self=True,
+        tenant="en", use_index="always", n_probe=4)
+    return out.select("qid", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -5894,7 +6006,7 @@ _PRIORITY = [
     "api_group_lookup", "api_query_by_id", "store_batch_update",
     "api_match_phrase", "api_sample", "store_indexed_sq",
     "store_tenant_indexed", "api_search_params", "pipe_dataset_build",
-    "api_recommend_best_score",
+    "api_recommend_best_score", "t14_stream_tenant_ingest",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
     "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",
