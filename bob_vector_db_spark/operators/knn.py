@@ -407,3 +407,74 @@ def knn_join_blocked(
     ).filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def mmr_rerank(candidates: DataFrame, k: int = 10, lambda_: float = 0.5,
+               cand_vec: str = "cvec", round_to: int | None = 6) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
+    1998) — the diversity pass RAG retrieval stacks run on a candidate
+    pool: greedily pick the candidate maximizing
+
+        λ·sim(q, c)  −  (1 − λ)·max_{s ∈ selected} cos(c, s)
+
+    so near-duplicate hits don't crowd the top-k.  ``candidates`` carries
+    (qid, vec_id, sim, ``cand_vec``) — the top-pool rows of any search in
+    this repo plus their vectors; λ=1 degenerates to the plain ranking.
+
+    Physical shape: the greedy loop is inherently sequential IN RANK but
+    independent ACROSS queries, so it runs as one ``applyInPandas`` per
+    qid group over pool-sized frames (the pool is top-N of a search —
+    tens of rows; the corpus never enters).  Deterministic: ties break on
+    vec_id at every pick.  Returns (qid, vec_id, sim, mmr_score, rank).
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+
+    lam = float(lambda_)
+    kk = int(k)
+    rt = round_to
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sim", "vec_id"],
+                              ascending=[False, True]).reset_index(drop=True)
+        V = np.array(pdf[cand_vec].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        U = V / norms[:, None]
+        sims = pdf["sim"].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        selected: list[int] = []
+        remaining = list(range(n))
+        max_div = np.zeros(n)
+        while remaining and len(selected) < kk:
+            best, best_score = None, None
+            for i in remaining:
+                score = lam * sims[i] - (1.0 - lam) * (
+                    max_div[i] if selected else 0.0)
+                if best is None or score > best_score or (
+                        score == best_score
+                        and pdf["vec_id"][i] < pdf["vec_id"][best]):
+                    best, best_score = i, score
+            selected.append(best)
+            remaining.remove(best)
+            div = U[remaining] @ U[best] if remaining else np.empty(0)
+            for j, i in enumerate(remaining):
+                if div[j] > max_div[i]:
+                    max_div[i] = div[j]
+        out = pdf.iloc[selected][["qid", "vec_id", "sim"]].copy()
+        scores = [lam * sims[i] - (1.0 - lam) * max_div[i]
+                  if pos else lam * sims[i]
+                  for pos, i in enumerate(selected)]
+        out["mmr_score"] = [round(s, rt) if rt is not None else s
+                            for s in scores]
+        out["rank"] = range(1, len(selected) + 1)
+        return out
+
+    schema = ("qid " + dict(candidates.dtypes)["qid"]
+              + ", vec_id " + dict(candidates.dtypes)["vec_id"]
+              + ", sim double, mmr_score double, rank int")
+    return (candidates.groupBy("qid")
+            .applyInPandas(pick, schema=schema))

@@ -420,6 +420,42 @@ def sample_points(spark: SparkSession, root: str, collection: str,
     return base.orderBy(order, F.col(id_col)).limit(n)
 
 
+def search_points_mmr(spark: SparkSession, root: str, collection: str,
+                      queries: DataFrame, k: int = 10, pool: int = 50,
+                      lambda_: float = 0.5, flt=None,
+                      vector_name: str | None = None,
+                      query_id: str = "qid", query_vec: str = "qvec",
+                      use_payload_index: str | bool = "auto",
+                      tenant: str | None = None) -> DataFrame:
+    """Diversified search: filtered kNN for a ``pool``-sized candidate
+    set, then Maximal Marginal Relevance re-ranking picks ``k`` of them
+    (λ trades relevance against novelty; λ=1 is the plain ranking).  The
+    pool fetch is the ordinary distributed search; only pool-sized
+    per-query frames enter the greedy pass (knn.mmr_rerank) — the corpus
+    never does."""
+    from .knn import mmr_rerank  # noqa: PLC0415
+
+    meta = collection_meta(root, collection) or {}
+    id_col = meta.get("id_col", "id")
+    vectors = meta.get("vectors", {})
+    if vector_name is None:
+        if len(vectors) != 1:
+            raise ValueError(
+                f"collection {collection!r} declares {sorted(vectors)} "
+                f"vector spaces; pass vector_name")
+        vector_name = next(iter(vectors))
+    cand = search_points(spark, root, collection, queries, flt=flt, k=pool,
+                         vector_name=vector_name, query_id=query_id,
+                         query_vec=query_vec,
+                         use_payload_index=use_payload_index, tenant=tenant)
+    withvec = (read_collection(spark, root, collection, tenant=tenant)
+               .select(F.col(id_col).alias("vec_id"),
+                       F.col(vector_name).alias("cvec"))
+               .join(F.broadcast(cand.select("qid", "vec_id", "sim")),
+                     "vec_id"))
+    return mmr_rerank(withvec, k=k, lambda_=lambda_)
+
+
 def recommend_points(spark: SparkSession, root: str, collection: str,
                      positive: list, negative: list | None = None,
                      strategy: str = "average_vector", k: int = 10,

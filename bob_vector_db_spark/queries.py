@@ -5989,6 +5989,33 @@ def q_t14_stream_tenant_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+@register("knn_mmr_rerank", oracle=None)
+def q_knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified search (Carbonell & Goldstein 1998 — the RAG
+    diversity pass): a pool-sized filtered kNN feeds a greedy maximal-
+    marginal-relevance pick so near-duplicate hits don't crowd the top-k.
+    Rows-only by design: the greedy recursion has no closed SQL form; its
+    determinism and agreement with a pure-python reference are pinned in
+    tests/test_knn.py.  Only pool-sized per-query frames enter the greedy
+    pass — the corpus pays one ordinary search."""
+    from .operators.query_api import search_points_mmr  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "mmr")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 300)
+        .select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = search_points_mmr(spark, base, "vecs", qdf, k=10, pool=40,
+                            lambda_=0.6)
+    return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"),
+                      "sim", "mmr_score",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -6007,6 +6034,7 @@ _PRIORITY = [
     "api_match_phrase", "api_sample", "store_indexed_sq",
     "store_tenant_indexed", "api_search_params", "pipe_dataset_build",
     "api_recommend_best_score", "t14_stream_tenant_ingest",
+    "knn_mmr_rerank",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
     "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",

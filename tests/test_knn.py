@@ -119,3 +119,67 @@ def test_knn_lsh_recall_vs_exact(spark, sf_dir):
     overlap = set(exact) & set(approx)
     assert len(overlap) >= 0.6 * len(exact), (len(overlap), len(exact))
     assert all(abs(exact[p] - approx[p]) <= 2e-6 for p in overlap)
+
+
+def test_mmr_rerank_matches_reference_and_diversifies(spark, tmp_path):
+    """MMR vs a pure-python reference on the same pool; lambda=1 equals the
+    plain ranking; lambda=0.5 breaks up a near-duplicate cluster."""
+    import numpy as np
+
+    from bob_vector_db_spark.operators import query_api, upsert
+
+    # ids 1-3: near-identical cluster close to the query; 4, 5: distinct
+    # directions, slightly less similar
+    rows = [(1, [1.0, 0.01, 0.0]), (2, [1.0, 0.02, 0.0]),
+            (3, [1.0, 0.03, 0.0]), (4, [0.7, 0.7, 0.0]),
+            (5, [0.7, 0.0, 0.7])]
+    root = str(tmp_path / "s")
+    upsert.create_collection(
+        spark, root, "c", id_col="id", n_buckets=2,
+        df=spark.createDataFrame(rows, "id long, vec array<double>"),
+        vector_config={"vec": {"size": 3, "distance": "cosine"}})
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0])],
+                              "qid long, qvec array<double>")
+    plain = query_api.search_points(spark, root, "c", q, k=3)
+    assert [r["vec_id"] for r in plain.orderBy("rank").collect()] == [1, 2, 3]
+    # lambda=1: pure relevance — same picks as the plain ranking
+    full_rel = query_api.search_points_mmr(spark, root, "c", q, k=3,
+                                           pool=5, lambda_=1.0)
+    assert [r["vec_id"] for r in full_rel.orderBy("rank").collect()] == \
+        [1, 2, 3]
+    # lambda=0.5: after picking 1, the diversity penalty promotes the
+    # orthogonal-direction candidate 5 over 1's near-twins (plain ranking
+    # had 5 at the bottom)
+    div = query_api.search_points_mmr(spark, root, "c", q, k=3,
+                                      pool=5, lambda_=0.5)
+    got = [r["vec_id"] for r in div.orderBy("rank").collect()]
+    assert got[0] == 1 and 5 in got[1:]
+
+    # reference implementation over the same candidate pool
+    cand = query_api.search_points(spark, root, "c", q, k=5).collect()
+    vecs = {r[0]: np.array(r[1]) for r in rows}
+    sims = {r["vec_id"]: r["sim"] for r in cand}
+    lam = 0.5
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    sel, rem = [], sorted(sims)
+    while rem and len(sel) < 3:
+        best = max(rem, key=lambda i: (
+            lam * sims[i] - (1 - lam) * max(
+                (cos(vecs[i], vecs[j]) for j in sel), default=0.0), -i))
+        sel.append(best)
+        rem.remove(best)
+    assert got == sel
+
+
+def test_mmr_rerank_validates_lambda(spark):
+    import pytest
+
+    from bob_vector_db_spark.operators.knn import mmr_rerank
+
+    df = spark.createDataFrame([(0, 1, 0.5, [1.0])],
+                               "qid long, vec_id long, sim double, cvec array<double>")
+    with pytest.raises(ValueError, match="lambda_"):
+        mmr_rerank(df, lambda_=1.5)
