@@ -6016,6 +6016,90 @@ def q_knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "api_context_search",
+    # context-only: score = sum over pairs of min(0, cos(c,p) - cos(c,n));
+    # 0 = fully "inside" the context, negatives rank below; ties by id.
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id NOT IN (10, 11, 12, 13)
+),
+refs AS (
+  SELECT
+    (SELECT embedding FROM embeddings WHERE vec_id = 10) AS p1,
+    (SELECT embedding FROM embeddings WHERE vec_id = 11) AS n1,
+    (SELECT embedding FROM embeddings WHERE vec_id = 12) AS p2,
+    (SELECT embedding FROM embeddings WHERE vec_id = 13) AS n2
+),
+cosines AS (
+  SELECT c.vec_id,
+    round((SELECT SUM(a*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                                        unnest(r.p1)::DOUBLE AS b))
+      / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(c.embedding)::DOUBLE AS a)))
+        * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(r.p1)::DOUBLE AS b)))), 6) AS cp1,
+    round((SELECT SUM(a*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                                        unnest(r.n1)::DOUBLE AS b))
+      / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(c.embedding)::DOUBLE AS a)))
+        * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(r.n1)::DOUBLE AS b)))), 6) AS cn1,
+    round((SELECT SUM(a*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                                        unnest(r.p2)::DOUBLE AS b))
+      / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(c.embedding)::DOUBLE AS a)))
+        * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(r.p2)::DOUBLE AS b)))), 6) AS cp2,
+    round((SELECT SUM(a*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                                        unnest(r.n2)::DOUBLE AS b))
+      / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(c.embedding)::DOUBLE AS a)))
+        * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(r.n2)::DOUBLE AS b)))), 6) AS cn2
+  FROM corpus c, refs r
+)
+SELECT vec_id, ctx_score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT vec_id,
+             round(least(0, cp1 - cn1) + least(0, cp2 - cn2), 6)
+               AS ctx_score,
+             row_number() OVER (
+               ORDER BY round(least(0, cp1 - cn1) + least(0, cp2 - cn2), 6)
+                        DESC, vec_id) AS rank
+      FROM cosines)
+WHERE rank <= 10
+""",
+)
+def q_api_context_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant CONTEXT search (discover's target-less sibling): rank by how
+    deep inside the context a point sits — each (positive, negative) pair
+    contributes ``min(0, cos(c,p) − cos(c,n))``, so a point on the
+    positive side of every pair scores 0 (best) and violations subtract.
+    The 4 reference vectors fold into one broadcast row; the corpus scans
+    once with per-row JVM expressions — cosines round to 6 on both
+    engines BEFORE the pair differences, keeping the classification
+    engine-stable."""
+    from .functions.vector import cosine_similarity  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    names = {10: "p1", 11: "n1", 12: "p2", 13: "n2"}
+    ref = emb.filter(F.col("vec_id").isin(list(names))).groupBy().agg(*[
+        F.first(F.when(F.col("vec_id") == i, F.col("embedding")),
+                ignorenulls=True).alias(n)
+        for i, n in names.items()
+    ])
+    corpus = emb.filter(~F.col("vec_id").isin(list(names)))
+    joined = corpus.crossJoin(F.broadcast(ref))
+
+    def cos(ref_col: str):
+        return F.round(
+            cosine_similarity(F.col("embedding").cast("array<double>"),
+                              F.col(ref_col).cast("array<double>")), 6)
+
+    score = F.round(
+        F.least(F.lit(0.0), cos("p1") - cos("n1"))
+        + F.least(F.lit(0.0), cos("p2") - cos("n2")), 6)
+    scored = joined.select("vec_id", score.alias("ctx_score"))
+    w = Window.orderBy(F.desc("ctx_score"), F.asc("vec_id"))
+    return (scored.orderBy(F.desc("ctx_score"), F.asc("vec_id")).limit(10)
+            .withColumn("rank", F.row_number().over(w))
+            .select("vec_id", "ctx_score",
+                    F.col("rank").cast("long").alias("rank")))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -6034,7 +6118,7 @@ _PRIORITY = [
     "api_match_phrase", "api_sample", "store_indexed_sq",
     "store_tenant_indexed", "api_search_params", "pipe_dataset_build",
     "api_recommend_best_score", "t14_stream_tenant_ingest",
-    "knn_mmr_rerank",
+    "knn_mmr_rerank", "api_context_search",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
     "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",
