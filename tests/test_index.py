@@ -367,19 +367,23 @@ def test_refresh_all_indexes_multi_kind(spark, tmp_path):
     root = str(tmp_path / "store")
     rows = [(i, f"tok{i % 7} word{i % 3} shared",
              [float((i * 5 + j) % 11) for j in range(8)],
+             [float((i * 3 + j) % 7) for j in range(8)],
              [i % 9, 9 + i % 5], [1.0, 2.0])
             for i in range(60)]
     df = spark.createDataFrame(
         rows, "id int, text string, embedding array<double>, "
-              "indices array<int>, values array<double>")
+              "emb2 array<double>, indices array<int>, values array<double>")
     upsert.create_collection(
         spark, root, "c", df=df, id_col="id", n_buckets=4,
-        vector_config={"embedding": {"size": 8, "distance": "cosine"}})
-    index.build_vector_index(spark, root, "c", kind="ivf",
-                             n_lists=4, iters=2)
+        vector_config={"embedding": {"size": 8, "distance": "cosine"},
+                       "emb2": {"size": 8, "distance": "cosine"}})
+    index.build_vector_index(spark, root, "c", vector_name="embedding",
+                             kind="ivf", n_lists=4, iters=2)
+    index.build_vector_index(spark, root, "c", vector_name="emb2",
+                             kind="ivf_sq", n_lists=4, iters=2)
     build_text_index(spark, root, "c", text_col="text", n_term_buckets=8)
     build_sparse_index(spark, root, "c", n_dim_buckets=8)
-    assert len(index.list_indexes(root, "c")) == 3
+    assert len(index.list_indexes(root, "c")) == 4
 
     # stagger: BM25 refreshes early, then more mutations land — the three
     # indexes sit at DIFFERENT built_versions before the final refresh_all
@@ -387,23 +391,26 @@ def test_refresh_all_indexes_multi_kind(spark, tmp_path):
     from bob_vector_db_spark.operators.text_search import refresh_text_index
     refresh_text_index(spark, root, "c", text_col="text")
     upsert.upsert(spark, root, "c", spark.createDataFrame(
-        [(100, "fresh tok0 shared", [1.0] * 8, [3, 12], [5.0, 1.0])],
+        [(100, "fresh tok0 shared", [1.0] * 8, [0.5] * 8, [3, 12],
+          [5.0, 1.0])],
         "id int, text string, embedding array<double>, "
-        "indices array<int>, values array<double>"))
+        "emb2 array<double>, indices array<int>, values array<double>"))
 
     metas = index.refresh_all_indexes(spark, root, "c")
-    assert len(metas) == 3
+    assert len(metas) == 4
     cur = upsert.collection_version(root, "c")
     assert all(int(m["built_version"]) == cur for m in metas)
     assert index.index_is_fresh(root, "c", "embedding")
+    assert index.index_is_fresh(root, "c", "emb2")
     assert text_index_is_fresh(root, "c", "text")
     assert int(sparse_index_meta(root, "c")["built_version"]) == cur
     # and the refreshed dense index answers exactly like the exact scan
     q = spark.createDataFrame([(0, [1.0] * 8)], "qid int, qvec array<double>")
     full = knn.search_collection(spark, root, "c", q, k=5, corpus_id="id",
+                                 vector_name="embedding",
                                  use_index="always", n_probe=4)
     exact = knn.search_collection(spark, root, "c", q, k=5, corpus_id="id",
-                                  use_index=False)
+                                  vector_name="embedding", use_index=False)
     assert _rows(full) == _rows(exact)
 
 
@@ -612,3 +619,15 @@ def test_ivf_sq_exactness_refresh_and_recall(spark, sf_dir, tmp_path):
     ex = {(r["qid"], r["vec_id"]) for r in exact2.collect()}
     got = {(r["qid"], r["vec_id"]) for r in probe.collect()}
     assert len(got & ex) / len(ex) >= 0.5
+
+
+def test_ivf_sq_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The scale contract holds for the SQ artifact too: the probe reaches
+    the stored lists through a STATIC list_id partition filter."""
+    root = str(tmp_path / "store")
+    emb = _mk_store(spark, sf_dir, root)
+    index.build_vector_index(spark, root, "vecs", kind="ivf_sq",
+                             n_lists=8, iters=3)
+    out = index.search_indexed(spark, root, "vecs", _queries(emb, 2),
+                               k=5, n_probe=2, exclude_self=True)
+    assert_partition_filters(out, "list_id")
