@@ -423,25 +423,36 @@ class Filter:
 
     # -- payload-index routing --------------------------------------------
 
-    def indexable_must_leaves(self) -> list[tuple[str, tuple]]:
+    def indexable_must_leaves(self) -> list[tuple[str, tuple, str]]:
         """Top-level must leaves the payload index can resolve: (column,
-        probe values) for every MatchValue / MatchAny.  Nested filters and
-        every other leaf kind stay in the residual."""
+        probe values, kind) — kind 'scalar' for MatchValue/MatchAny over a
+        scalar-indexed column, 'contains' for MatchContains over an
+        ARRAY-indexed column (element postings).  Nested filters and every
+        other leaf kind stay in the residual."""
         out = []
         for c in self.must:
             if isinstance(c, MatchValue):
-                out.append((c.key, (c.value,)))
+                out.append((c.key, (c.value,), "scalar"))
             elif isinstance(c, MatchAny):
-                out.append((c.key, c.values))
+                out.append((c.key, c.values, "scalar"))
+            elif isinstance(c, MatchContains):
+                out.append((c.key, (c.value,), "contains"))
         return out
 
-    def residual_without(self, keys: set[str]) -> "Filter":
-        """This filter minus the top-level must MatchValue/MatchAny leaves
-        on ``keys`` (they were answered by the index); everything else —
-        other musts, the whole should/must_not structure — remains."""
+    def residual_without(self, scalar_keys: set[str],
+                         contains_keys: set[str] = frozenset()) -> "Filter":
+        """This filter minus the top-level must leaves the index answered:
+        MatchValue/MatchAny on ``scalar_keys``, MatchContains on
+        ``contains_keys`` (the leaf kind must match the index kind — a
+        scalar-equality leaf over an array-indexed column stays residual,
+        and vice versa); everything else — other musts, the whole
+        should/must_not structure — remains."""
         kept = tuple(
             c for c in self.must
-            if not (isinstance(c, (MatchValue, MatchAny)) and c.key in keys))
+            if not ((isinstance(c, (MatchValue, MatchAny))
+                     and c.key in scalar_keys)
+                    or (isinstance(c, MatchContains)
+                        and c.key in contains_keys)))
         return Filter(must=kept, should=self.should,
                       must_not=self.must_not, min_should=self.min_should)
 
@@ -470,19 +481,27 @@ def filter_match_ids(spark, root: str, collection: str, flt,
     flt = as_filter(flt)
     cur = collection_version(root, collection)
 
-    def usable(key: str) -> bool:
+    def usable(key: str, kind: str) -> bool:
         imeta = payload_index_meta(root, collection, key)
         if imeta is None:
             return False
+        if bool(imeta.get("array", False)) != (kind == "contains"):
+            # semantics mismatch: an array index holds ELEMENT postings
+            # (answers MatchContains, not scalar equality); a scalar index
+            # can't answer membership — such leaves stay residual
+            return False
         return allow_stale or int(imeta["built_version"]) == cur
 
-    probes = [(key, vals) for key, vals in flt.indexable_must_leaves()
-              if usable(key)]
+    probes = [(key, vals, kind)
+              for key, vals, kind in flt.indexable_must_leaves()
+              if usable(key, kind)]
     if not probes:
         return None, flt
     ids = None
-    for key, vals in probes:
+    for key, vals, _kind in probes:
         got = payload_match_ids(spark, root, collection, key, list(vals),
                                 allow_stale=allow_stale).select("id")
         ids = got if ids is None else ids.join(got, "id", "left_semi")
-    return ids, flt.residual_without({k for k, _ in probes})
+    return ids, flt.residual_without(
+        {k for k, _, kind in probes if kind == "scalar"},
+        {k for k, _, kind in probes if kind == "contains"})

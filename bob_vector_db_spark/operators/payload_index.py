@@ -56,13 +56,28 @@ def payload_index_meta(root: str, collection: str, column: str) -> dict | None:
     return vector_index_meta(root, collection, _payload_index_name(column))
 
 
+def _is_array_column(df: DataFrame, column: str) -> bool:
+    from pyspark.sql.types import ArrayType  # noqa: PLC0415
+
+    return isinstance(df.schema[column].dataType, ArrayType)
+
+
 def _postings(df: DataFrame, id_col: str, column: str,
               n_val_buckets: int, gen: int) -> DataFrame:
     # ids stringify for one uniform posting schema (matches the delta log
-    # and mask tables; the fetch joins on cast-to-string anyway)
-    return (df.select(F.col(id_col).cast("string").alias("id"),
-                      F.col(column).cast("string").alias("val"))
-            .filter(F.col("val").isNotNull())
+    # and mask tables; the fetch joins on cast-to-string anyway).  An
+    # ARRAY column indexes per ELEMENT (the Qdrant keyword-index-on-array
+    # model: MatchContains probes membership) — one explode, deduped per
+    # (id, element) so repeated elements don't double-post.
+    if _is_array_column(df, column):
+        vals = (df.select(F.col(id_col).cast("string").alias("id"),
+                          F.explode(F.col(column)).alias("_e"))
+                .select("id", F.col("_e").cast("string").alias("val"))
+                .distinct())
+    else:
+        vals = df.select(F.col(id_col).cast("string").alias("id"),
+                         F.col(column).cast("string").alias("val"))
+    return (vals.filter(F.col("val").isNotNull())
             .withColumn("gen", F.lit(gen))
             .withColumn("val_bucket",
                         F.pmod(F.xxhash64("val"),
@@ -88,12 +103,18 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(staging)
     column_type = None
+    is_array = False
     if _store_exists(collection_path(root, collection)):
         data = read_collection(spark, root, collection)
         # persist the indexed column's Spark type: probe literals must cast
         # through it before stringifying, or values=[2] against a double
-        # column renders '2' while the index stored '2.0' (silent miss)
-        column_type = data.schema[column].dataType.simpleString()
+        # column renders '2' while the index stored '2.0' (silent miss).
+        # For an ARRAY column the postings hold ELEMENTS, so the persisted
+        # type is the element type (probe literals are elements).
+        is_array = _is_array_column(data, column)
+        dtype = data.schema[column].dataType
+        column_type = (dtype.elementType if is_array
+                       else dtype).simpleString()
         post = _postings(data, id_col, column, n_val_buckets, gen=0)
         (post.repartition(n_val_buckets * files_per_bucket,
                           F.col("val_bucket"))
@@ -103,6 +124,7 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
         "kind": "payload",
         "column": column,
         "column_type": column_type,
+        "array": is_array,
         "id_col": id_col,
         "n_val_buckets": n_val_buckets,
         "built_version": built_version,

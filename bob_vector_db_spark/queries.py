@@ -6100,6 +6100,73 @@ def q_api_context_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("rank").cast("long").alias("rank")))
 
 
+_ARR_FLT = Filter(must=[MatchContains("tags", "l1"),
+                        Range("parity", lte=1)])
+
+
+@register(
+    "store_array_payload_search",
+    # tags indexed per ELEMENT; MatchContains routes through the array
+    # payload index, the Range on the unindexed parity stays residual.
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id AS id, embedding,
+         ['p' || CAST(vec_id % 2 AS VARCHAR),
+          'l' || CAST(label % 3 AS VARCHAR)] AS tags,
+         vec_id % 3 AS parity
+  FROM embeddings
+),
+flt AS (SELECT * FROM corpus WHERE {_ARR_FLT.to_sql()}),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3
+),
+pairs AS (
+  SELECT q.qid, f.id AS vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(f.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(f.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, flt f
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_store_array_payload_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload index over an ARRAY column (the Qdrant keyword-index-on-
+    array model): the index stores one posting per ELEMENT, so a
+    MatchContains leaf resolves to a pruned element probe —
+    use_payload_index='always' proves the routing — while the Range on
+    the unindexed column evaluates residually on the fetched candidates.
+    Results equal the exact filtered kNN (the oracle)."""
+    from .operators import query_api  # noqa: PLC0415
+    from .operators.payload_index import build_payload_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "arrpay")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"), "embedding",
+        F.array(F.concat(F.lit("p"), (F.col("vec_id") % 2).cast("string")),
+                F.concat(F.lit("l"), (F.col("label") % 3).cast("string")))
+        .alias("tags"),
+        (F.col("vec_id") % 3).alias("parity"))
+    upsert.create_collection(
+        spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    build_payload_index(spark, base, "vecs", "tags", n_val_buckets=16)
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = query_api.search_points(spark, base, "vecs", qdf, flt=_ARR_FLT,
+                                  k=10, use_payload_index="always")
+    return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"),
+                      "sim", F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -6119,6 +6186,7 @@ _PRIORITY = [
     "store_tenant_indexed", "api_search_params", "pipe_dataset_build",
     "api_recommend_best_score", "t14_stream_tenant_ingest",
     "knn_mmr_rerank", "api_context_search",
+    "store_array_payload_search",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
     "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",

@@ -174,3 +174,63 @@ def test_payload_probe_pushes_val_predicate(spark, tmp_path):
     build_payload_index(spark, root, "c", "category", n_val_buckets=8)
     got = payload_match_ids(spark, root, "c", "category", ["cat2", "cat3"])
     assert_pushed_filters(got, "val")
+
+
+def test_array_payload_index_probe_refresh_and_kind_guard(spark, tmp_path):
+    """Element postings for an ARRAY column: MatchContains routes through
+    the index (and follows mutations through refresh); a SCALAR-equality
+    leaf over the array index must NOT route — membership and equality
+    are different predicates."""
+    from bob_vector_db_spark.operators import query_api
+    from bob_vector_db_spark.operators.filters import (
+        Filter,
+        MatchContains,
+        MatchValue,
+        filter_match_ids,
+    )
+    from bob_vector_db_spark.operators.payload_index import (
+        build_payload_index,
+        refresh_payload_index,
+    )
+
+    root = str(tmp_path / "store")
+    rows = [(i, [f"t{i % 3}", "all"], [float(i % 5), 1.0]) for i in range(30)]
+    upsert.create_collection(
+        spark, root, "c", id_col="id", n_buckets=4,
+        df=spark.createDataFrame(
+            rows, "id long, tags array<string>, vec array<double>"),
+        vector_config={"vec": {"size": 2, "distance": "cosine"}})
+    build_payload_index(spark, root, "c", "tags", n_val_buckets=8)
+
+    flt = Filter(must=[MatchContains("tags", "t1")])
+    ids, residual = filter_match_ids(spark, root, "c", flt)
+    assert ids is not None  # routed
+    assert {int(r["id"]) for r in ids.collect()} == \
+        {i for i in range(30) if i % 3 == 1}
+    assert residual == Filter()
+    # every point carries 'all'
+    assert query_api.count_points(spark, root, "c",
+                                  flt=Filter(must=[MatchContains(
+                                      "tags", "all")]),
+                                  use_payload_index="always") == 30
+    # scalar equality over the ARRAY index: not routed — 'always' raises,
+    # 'auto' falls back to the pushed scan (where = compares full arrays
+    # and matches nothing for a string literal)
+    eq = Filter(must=[MatchValue("parity", 1)])
+    ids2, _ = filter_match_ids(spark, root, "c", eq)
+    assert ids2 is None
+    # mutations flow through refresh: retag id 0, add id 99, delete id 3
+    upsert.update_columns(spark, root, "c", spark.createDataFrame(
+        [(0, ["t9"])], "id long, tags array<string>"))
+    upsert.upsert(spark, root, "c", spark.createDataFrame(
+        [(99, ["t1"], [0.5, 0.5])],
+        "id long, tags array<string>, vec array<double>"))
+    upsert.delete_points(spark, root, "c", [4])
+    refresh_payload_index(spark, root, "c", "tags")
+    ids3, _ = filter_match_ids(spark, root, "c", flt)
+    got = {int(r["id"]) for r in ids3.collect()}
+    assert 99 in got and 4 not in got
+    assert got == ({i for i in range(30) if i % 3 == 1} - {4}) | {99}
+    ids9, _ = filter_match_ids(
+        spark, root, "c", Filter(must=[MatchContains("tags", "t9")]))
+    assert {int(r["id"]) for r in ids9.collect()} == {0}
