@@ -71,3 +71,54 @@ def stratified_sample(df: DataFrame, group_col: str, id_col: str,
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= n_per_group)
             .drop("_rn"))
+
+
+def pack_token_shards(df: DataFrame, id_col: str, tokens_col: str,
+                      budget: int, n_ranges: int = 64) -> DataFrame:
+    """Shard a corpus into contiguous training shards of ~``budget`` tokens
+    each (the uniform-shard packing step before tokenizer/loader handoff):
+    in id order, a document's shard is ``floor(tokens_before_it / budget)``
+    — deterministic, gap-free, every shard except the last within one
+    document of the budget.
+
+    Scale shape — a DISTRIBUTED prefix sum, not a global window: a plain
+    ``SUM() OVER (ORDER BY id)`` collapses the corpus onto one task.
+    Instead ids split into ``n_ranges`` contiguous, DETERMINISTIC ranges
+    (``floor(id / ceil((max_id+1)/n_ranges))`` — no sampled
+    repartitionByRange boundaries, so reruns and the oracle agree); each
+    range cumsums locally under a per-range window, and the n_ranges
+    range-total offsets (one tiny aggregate, collected driver-side)
+    broadcast back as a literal map.  Wall-clock scales with the widest
+    range, not the corpus.
+
+    Returns the input columns plus ``shard`` (long).  Requires a
+    non-negative integer-ish id; NULL token counts count 0.
+    """
+    stats = df.agg(F.max(F.col(id_col)).alias("mx"),
+                   F.min(F.col(id_col)).alias("mn")).first()
+    if stats["mx"] is None:
+        return df.withColumn("shard", F.lit(None).cast("long"))
+    if int(stats["mn"]) < 0:
+        raise ValueError("pack_token_shards needs non-negative ids")
+    span = int(stats["mx"]) + 1
+    width = max(1, -(-span // int(n_ranges)))  # ceil
+    rng = (F.floor(F.col(id_col) / width)).cast("long")
+    toks = F.coalesce(F.col(tokens_col), F.lit(0)).cast("long")
+    ranged = df.withColumn("_rng", rng)
+    # per-range totals: n_ranges rows to the driver — the only collect
+    totals = {int(r["_rng"]): int(r["_t"]) for r in
+              ranged.groupBy("_rng").agg(F.sum(toks).alias("_t")).collect()}
+    offsets, acc = {}, 0
+    for g in sorted(totals):
+        offsets[g] = acc
+        acc += totals[g]
+    off_map = F.create_map(
+        *[F.lit(x).cast("long") for kv in offsets.items() for x in kv])
+    w = (Window.partitionBy("_rng").orderBy(F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    before = (F.element_at(off_map, F.col("_rng"))
+              + F.sum(toks).over(w) - toks)
+    return (ranged
+            .withColumn("shard",
+                        F.floor(before / int(budget)).cast("long"))
+            .drop("_rng"))

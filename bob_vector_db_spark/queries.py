@@ -6167,6 +6167,47 @@ def q_store_array_payload_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "sim", F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "pipe_token_shards",
+    # shard = floor(tokens_before / 20000) in doc_id order; the oracle's
+    # single global cumsum equals the distributed two-phase prefix sum.
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> length(x) > 0)) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR((cum - n_tokens) / 20000.0) AS BIGINT) AS shard
+FROM c
+""",
+)
+def q_pipe_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding (the uniform-shard packing step before
+    tokenizer/loader handoff): each doc's shard is floor(tokens-before-it
+    / budget) in id order — computed as a DISTRIBUTED prefix sum
+    (contiguous deterministic id ranges cumsum locally; only the
+    range-total offsets touch the driver), not the single-task global
+    window the naive ``SUM() OVER (ORDER BY id)`` collapses into.  The
+    oracle's global cumsum must agree exactly."""
+    from .operators.sampling import pack_token_shards  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens"))
+    out = pack_token_shards(t, "doc_id", "n_tokens", budget=20_000,
+                            n_ranges=32)
+    return out.select("doc_id", "n_tokens", "shard")
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -6186,7 +6227,7 @@ _PRIORITY = [
     "store_tenant_indexed", "api_search_params", "pipe_dataset_build",
     "api_recommend_best_score", "t14_stream_tenant_ingest",
     "knn_mmr_rerank", "api_context_search",
-    "store_array_payload_search",
+    "store_array_payload_search", "pipe_token_shards",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
     "text_bm25_refresh", "t12_queue_multi_source", "sparse_knn_text",

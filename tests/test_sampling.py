@@ -49,3 +49,30 @@ def test_stratified_sample_exact_quota_and_determinism(spark):
     b = sorted(r["id"] for r in
                stratified_sample(df.repartition(13), "grp", "id", 7).collect())
     assert a == b
+
+
+def test_pack_token_shards_matches_global_cumsum(spark):
+    import pytest
+
+    from bob_vector_db_spark.operators.sampling import pack_token_shards
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(200)]
+    # sprinkle NULLs (count 0) and scramble partitioning
+    rows[5] = (5, None)
+    df = spark.createDataFrame(rows, "id long, n long").repartition(7)
+    out = {r["id"]: r["shard"] for r in
+           pack_token_shards(df, "id", "n", budget=25, n_ranges=9).collect()}
+    cum = 0
+    for i, n in sorted(rows):
+        assert out[i] == cum // 25, (i, out[i], cum)
+        cum += n or 0
+    # shards are contiguous and gap-free
+    shards = [out[i] for i, _ in sorted(rows)]
+    assert shards == sorted(shards) and shards[0] == 0
+    assert set(shards) == set(range(max(shards) + 1))
+    with pytest.raises(ValueError, match="non-negative"):
+        pack_token_shards(spark.createDataFrame([(-1, 5)], "id long, n long"),
+                          "id", "n", budget=10)
+    empty = pack_token_shards(
+        spark.createDataFrame([], "id long, n long"), "id", "n", budget=10)
+    assert empty.count() == 0 and "shard" in empty.columns
