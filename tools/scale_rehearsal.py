@@ -161,6 +161,36 @@ def main():
     _timed("compact_vecs", timings, lambda: upsert.compact_collection(
         spark, store, "vecs"))
 
+    # round-6 paths at 10x: scalar-quantized index + multitenant layout
+    _timed("build_ivf_sq_32lists", timings, lambda: index.build_vector_index(
+        spark, store, "vecs", kind="ivf_sq", n_lists=32, iters=3))
+    n_sq = _timed("search_sq_probe4", timings, lambda: index.search_indexed(
+        spark, store, "vecs", q, k=10, n_probe=4, exclude_self=True).count())
+    assert n_sq == 50, n_sq
+
+    pts = (emb.select(F.col("vec_id").alias("id"), "embedding",
+                      F.concat(F.lit("t"), (F.col("label") % 5)
+                               .cast("string")).alias("tenant")))
+    _timed("create_tenant_collection", timings, lambda: upsert.create_collection(
+        spark, store, "mt", df=pts, id_col="id", n_buckets=16,
+        tenant_col="tenant",
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}}))
+    n_t = _timed("tenant_scoped_scan_search", timings, lambda: knn.search_collection(
+        spark, store, "mt", q, k=10, corpus_id="id", exclude_self=True,
+        tenant="t1").count())
+    assert n_t == 50, n_t
+    _timed("build_tenant_index", timings, lambda: index.build_vector_index(
+        spark, store, "mt", kind="ivf", n_lists=8, iters=3, tenant="t1"))
+    t_idx = _timed("tenant_indexed_search", timings, lambda: sorted(
+        map(tuple, knn.search_collection(
+            spark, store, "mt", q, k=10, corpus_id="id", exclude_self=True,
+            tenant="t1", use_index="always", n_probe=8).collect())))
+    t_exact = sorted(map(tuple, knn.search_collection(
+        spark, store, "mt", q, k=10, corpus_id="id", exclude_self=True,
+        tenant="t1", use_index=False).collect()))
+    assert t_idx == t_exact, "tenant indexed search diverged from exact"
+    print("  tenant indexed == exact       OK")
+
     summary = {"n_docs": n_docs, "n_emb": n_emb,
                "total_s": round(time.time() - t_all, 2), "timings": timings}
     print(json.dumps(summary))
