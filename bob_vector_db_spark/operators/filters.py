@@ -35,18 +35,22 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
 _EARTH_RADIUS_M = 6371000.0
 
 
 def _ident(name: str) -> str:
-    """Validate a column name for bare-identifier embedding (the one form
-    Spark SQL and DuckDB quote identically — not at all)."""
+    """Validate a column name — or a DOTTED PATH into a struct payload
+    (``meta.lang``, the Qdrant nested-key form over the reference's
+    nested-JSON payloads, qdrant_embedder.py:119-128) — for bare
+    embedding: every segment must be a plain identifier, the one form
+    Spark SQL and DuckDB both parse unquoted, and struct field access
+    via ``.`` is the dialect subset they share."""
     if not _IDENT.match(name):
         raise ValueError(
-            f"filter key {name!r} is not a plain identifier; the filter "
-            f"DSL compiles to engine-shared SQL and cannot quote it "
-            f"portably")
+            f"filter key {name!r} is not a plain identifier or dotted "
+            f"path; the filter DSL compiles to engine-shared SQL and "
+            f"cannot quote it portably")
     return name
 
 
@@ -282,12 +286,17 @@ class MatchPhrase:
     """Exact adjacent-token phrase (Qdrant MatchPhrase): the phrase's
     tokens must appear IN ORDER AND ADJACENT, token-aligned on whitespace
     — unlike :class:`MatchText`, which accepts the tokens anywhere in any
-    order.  Compiles to one ``instr`` over the same whitespace-normalized
-    lowercase copy MatchText uses.  Tokens must be separated by exactly
-    one whitespace character in the document (tab/newline normalize to a
-    space, but runs of spaces do NOT collapse — the engines' regexp
-    dialects disagree on global replacement, and this DSL compiles to one
-    shared string)."""
+    order.  Compiles to one ``instr`` over a whitespace-normalized,
+    RUN-COLLAPSED lowercase copy: tab/newline/CR become spaces and runs
+    of spaces collapse to one, so ``'hello  world'`` (double space after
+    punctuation stripping or justified text) still matches the phrase
+    ``'hello world'`` — adjacency is token-based, matching Qdrant's
+    tokenizer semantics.  The collapse is the marker trick (``' '`` →
+    ``' \\x01'``, drop ``'\\x01 '``, drop leftover markers) in
+    replace/chr/|| — the engines' regexp dialects disagree on escapes and
+    global replacement, but replace IS global in both; a pre-existing
+    chr(1) in the document normalizes to a space first, so the marker
+    can't collide."""
     key: str
     text: str
 
@@ -296,8 +305,12 @@ class MatchPhrase:
         if not toks:
             return "TRUE"
         k = _ident(self.key)
-        norm = (f"(' ' || replace(replace(replace(lower({k}), "
-                f"chr(9), ' '), chr(10), ' '), chr(13), ' ') || ' ')")
+        base = (f"replace(replace(replace(replace(lower({k}), "
+                f"chr(9), ' '), chr(10), ' '), chr(13), ' '), "
+                f"chr(1), ' ')")
+        collapsed = (f"replace(replace(replace({base}, ' ', ' ' || chr(1)), "
+                     f"chr(1) || ' ', ''), chr(1), '')")
+        norm = f"(' ' || {collapsed} || ' ')"
         return f"instr({norm}, {_lit(' ' + ' '.join(toks) + ' ')}) > 0"
 
 
@@ -375,6 +388,121 @@ class GeoRadius:
     def to_sql(self) -> str:
         return (f"({self._bbox_sql()} AND "
                 f"{self.haversine_sql()} <= {_lit(float(self.radius_m))})")
+
+
+@dataclass(frozen=True)
+class GeoPolygon:
+    """Points inside a lat/lon polygon (Qdrant GeoPolygon): an
+    ``exterior`` ring of (lat, lon) vertices, minus optional
+    ``interiors`` hole rings.  Compiles to a PUSHED bounding-box
+    pre-filter (the exterior's min/max — the sargable cut Catalyst folds
+    into the scan) AND an exact ray-cast parity test: per non-horizontal
+    edge, one crossing term with the edge slope folded to a Python-side
+    constant — so the shared SQL is pure comparisons/arithmetic, no
+    division by a column expression (a horizontal edge never crosses the
+    test ray and is skipped at compile time).  Planar semantics on
+    plain-degree coordinates, the store's geo model (GeoBoundingBox);
+    rings crossing the antimeridian are rejected loudly."""
+    lat_key: str
+    lon_key: str
+    exterior: tuple          # ((lat, lon), ...) — ≥ 3 vertices, open ring
+    interiors: tuple = ()    # optional hole rings, same shape
+
+    def __init__(self, lat_key: str, lon_key: str, exterior,
+                 interiors=()):
+        object.__setattr__(self, "lat_key", lat_key)
+        object.__setattr__(self, "lon_key", lon_key)
+        object.__setattr__(
+            self, "exterior",
+            tuple((float(a), float(b)) for a, b in exterior))
+        object.__setattr__(
+            self, "interiors",
+            tuple(tuple((float(a), float(b)) for a, b in ring)
+                  for ring in interiors))
+
+    def _ring_sql(self, ring: tuple) -> str:
+        """Odd-crossings parity for one ring (pnpoly, Franklin 1994 —
+        public-domain algorithm, re-derived here with constant-folded
+        slopes)."""
+        if len(ring) < 3:
+            raise ValueError("a polygon ring needs at least 3 vertices")
+        la, lo = _ident(self.lat_key), _ident(self.lon_key)
+        terms = []
+        for i in range(len(ring)):
+            (y1, x1), (y2, x2) = ring[i], ring[(i + 1) % len(ring)]
+            if y1 == y2:
+                continue  # horizontal edge: the lat-ray never crosses it
+            slope = (x2 - x1) / (y2 - y1)
+            cross = (f"({la} >= {_lit(min(y1, y2))} AND "
+                     f"{la} < {_lit(max(y1, y2))} AND "
+                     f"{lo} < {_lit(x1)} + {_lit(slope)} * "
+                     f"({la} - {_lit(y1)}))")
+            terms.append(f"(CASE WHEN {cross} THEN 1 ELSE 0 END)")
+        if not terms:
+            return "FALSE"  # degenerate (all-horizontal) ring
+        return f"(({' + '.join(terms)}) % 2 = 1)"
+
+    def _bbox_sql(self) -> str:
+        la, lo = _ident(self.lat_key), _ident(self.lon_key)
+        lats = [v[0] for v in self.exterior]
+        lons = [v[1] for v in self.exterior]
+        if max(lons) - min(lons) > 180.0:
+            raise ValueError(
+                "GeoPolygon rings crossing the antimeridian are not "
+                "supported; split the polygon at ±180°")
+        return (f"{la} >= {_lit(min(lats))} AND {la} <= {_lit(max(lats))} "
+                f"AND {lo} >= {_lit(min(lons))} AND "
+                f"{lo} <= {_lit(max(lons))}")
+
+    def to_sql(self) -> str:
+        parts = [self._bbox_sql(), self._ring_sql(self.exterior)]
+        for ring in self.interiors:
+            parts.append(f"(NOT {self._ring_sql(ring)})")
+        return "(" + " AND ".join(parts) + ")"
+
+
+def _prefixed(cond, var: str):
+    """Rewrite a condition tree so every key reads off lambda variable
+    ``var`` — the NestedCondition compile step (``food`` → ``_e.food``)."""
+    from dataclasses import replace  # noqa: PLC0415
+
+    if isinstance(cond, Filter):
+        return Filter(must=tuple(_prefixed(c, var) for c in cond.must),
+                      should=tuple(_prefixed(c, var) for c in cond.should),
+                      must_not=tuple(_prefixed(c, var)
+                                     for c in cond.must_not),
+                      min_should=cond.min_should)
+    if isinstance(cond, NestedCondition):
+        raise ValueError(
+            "NestedCondition cannot nest inside another NestedCondition: "
+            "the shared SQL dialect has no nested-lambda scoping both "
+            "engines agree on")
+    if isinstance(cond, (GeoBoundingBox, GeoRadius, GeoPolygon)):
+        return replace(cond, lat_key=f"{var}.{cond.lat_key}",
+                       lon_key=f"{var}.{cond.lon_key}")
+    return replace(cond, key=f"{var}.{cond.key}")
+
+
+@dataclass(frozen=True)
+class NestedCondition:
+    """Qdrant NestedCondition: a filter over the ELEMENTS of an
+    array-of-struct payload — matches when at least ONE element
+    satisfies the whole inner filter (all its conditions on the SAME
+    element, which a flat ``array_contains`` conjunction cannot
+    express).  Compiles to ``filter(key, _e -> inner) `` — the
+    higher-order array filter BOTH engines run with identical ``->``
+    lambda syntax — wrapped in the shared ``json_array_length(to_json(
+    ...))`` cardinality form (non-empty survivor list = match); a NULL
+    array coalesces to no-match.  The inner filter's keys rewrite to
+    ``_e.<key>`` struct access at compile time."""
+    key: str
+    filter: object  # a Filter or a single leaf condition
+
+    def to_sql(self) -> str:
+        inner = _prefixed(as_filter(self.filter), "_e")
+        return (f"COALESCE(json_array_length(to_json(filter("
+                f"{_ident(self.key)}, _e -> {inner.to_sql()}))) > 0, "
+                f"FALSE)")
 
 
 @dataclass(frozen=True)

@@ -656,7 +656,8 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
                    rerank_factor: int = 5,
                    max_queries: int = 100_000,
                    allow_stale: bool = False,
-                   tenant: str | None = None) -> DataFrame:
+                   tenant: str | None = None,
+                   candidate_ids: DataFrame | None = None) -> DataFrame:
     """Top-k over the PERSISTED index; (qid, vec_id, sim, rank) in the
     declared metric for every kind (cosine/dot descending, euclid
     ascending — the ``search_collection`` contract).
@@ -664,7 +665,7 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
     kind=ivf     exact metric scoring inside the probed lists only.
     kind=pq      ADC candidate scan over stored codes (euclidean LUT), then
                  exact metric rescore of rerank_factor × k candidates
-                 fetched from the collection by broadcast join.
+                 fetched back through the store's id-bucket filter.
     kind=ivf_pq  probed-list ADC + the same exact rescore — the classic
                  IVF-PQ "refine" (Jégou et al. 2011), fully stored.
 
@@ -672,6 +673,14 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
     filter → real partition pruning; a stale index raises unless
     ``allow_stale`` (use ``search_collection(use_index='auto')`` for the
     silent exact-scan fallback instead).
+
+    ``candidate_ids`` (one id column) narrows the search to those points
+    — the FILTERED indexed search: the id set semi-joins the artifact
+    INSIDE the probed ``list_id`` partitions (AQE picks the join shape),
+    so a payload-filter's candidates and the probe's partition pruning
+    compose in one plan — the Qdrant filtered-HNSW twin for this store
+    (``query_api.search_points(use_index=...)`` wires the filter DSL to
+    it).  Ranks count only the surviving points.
     """
     meta = collection_meta(root, collection) or {}
     vector_name = _resolve_vector_name(meta, collection, vector_name)
@@ -700,13 +709,29 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
     ipath = index_path(root, collection, vector_name, tenant)
     data = spark.read.parquet(os.path.join(ipath, "data"))
 
+    if candidate_ids is not None:
+        _cands = candidate_ids.select(
+            F.col(candidate_ids.columns[0]).cast("string")
+            .alias("_flt_id")).distinct()
+
+        def _narrow(df: DataFrame) -> DataFrame:
+            # the filter's survivors semi-join INSIDE the probed (and
+            # masked) artifact partitions; no broadcast hint — AQE
+            # broadcasts a selective id set and shuffles a huge one
+            return df.join(
+                _cands, F.col(id_col).cast("string") == F.col("_flt_id"),
+                "left_semi")
+    else:
+        def _narrow(df: DataFrame) -> DataFrame:
+            return df
+
     if kind == "ivf":
         cents = _load_centroids(spark, ipath)
         probed = _probed_list_filter(
             queries, query_vec, cents, n_probe, max_queries)
-        pruned = _apply_masks(
+        pruned = _narrow(_apply_masks(
             spark, ipath, data.filter(F.col("list_id").isin(probed)), id_col
-        ).drop("gen")
+        ).drop("gen"))
         return quantize.ivf_knn(
             queries, pruned, cents, k=k, n_probe=n_probe,
             query_id=query_id, query_vec=query_vec, corpus_id=id_col,
@@ -720,9 +745,9 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
         cents = _load_centroids(spark, ipath)
         probed = _probed_list_filter(
             queries, query_vec, cents, n_probe, max_queries)
-        pruned = _apply_masks(
+        pruned = _narrow(_apply_masks(
             spark, ipath, data.filter(F.col("list_id").isin(probed)), id_col
-        ).drop("gen")
+        ).drop("gen"))
         deq = quantize.sq_decode_expr(
             F.col("codes"), imeta["sq_mins"], imeta["sq_scales"])
         approx = pruned.select(id_col, deq.alias("_deq"), "list_id")
@@ -743,9 +768,9 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
         cents = _load_centroids(spark, ipath)
         probed = _probed_list_filter(
             queries, query_vec, cents, n_probe, max_queries)
-        data = _apply_masks(
+        data = _narrow(_apply_masks(
             spark, ipath, data.filter(F.col("list_id").isin(probed)), id_col
-        ).drop("gen")
+        ).drop("gen"))
         probe = quantize.probe_lists_udf(cents, n_probe)
         q = queries.select(
             F.col(query_id).alias("qid"),
@@ -753,7 +778,7 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
             F.explode(probe(F.col(query_vec))).alias("list_id"))
         pairs = data.join(F.broadcast(q), "list_id")
     else:  # pq: full codes scan (no list layout)
-        data = _apply_masks(spark, ipath, data, id_col).drop("gen")
+        data = _narrow(_apply_masks(spark, ipath, data, id_col).drop("gen"))
         q = queries.select(F.col(query_id).alias("qid"),
                            make_lut(F.col(query_vec)).alias("_lut"))
         pairs = data.join(F.broadcast(q), how="cross")
@@ -767,7 +792,8 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
     ).select("qid", "vec_id")
     return _exact_rescore(spark, root, collection, queries, cands,
                           id_col, vector_name, metric,
-                          query_id, query_vec, k, round_to)
+                          query_id, query_vec, k, round_to,
+                          tenant=tenant)
 
 
 def _exact_rescore(spark: SparkSession, root: str, collection: str,
@@ -777,15 +803,27 @@ def _exact_rescore(spark: SparkSession, root: str, collection: str,
                    round_to: int | None,
                    tenant: str | None = None) -> DataFrame:
     """Shared quantized-search tail: fetch ONLY the candidates' float
-    vectors from the stored collection (broadcast candidate set probes the
-    buckets) and rank the exact metric — rerank_factor*k rows per query
-    move, never the corpus."""
+    vectors through the store's static ``id_bucket IN (...)`` filter
+    (``upsert.read_rows_for_ids`` — the same pruned fetch every refresh
+    path uses; a tenant scope prunes the tenant subtree too), then rank
+    the exact metric — rerank_factor*k rows per query move, never the
+    corpus.  The candidate frame is pinned first: the pruned fetch needs
+    its distinct buckets driver-side, and without the pin the ADC/probe
+    stage would recompute for the fetch join."""
+    from .upsert import read_rows_for_ids  # noqa: PLC0415
+
+    cands = cands.persist()
     q_exact = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"),
         vector.l2_norm(F.col(query_vec)).alias("_qn"))
+    rows = read_rows_for_ids(spark, root, collection,
+                             cands.select("vec_id").distinct(),
+                             tenant=tenant)
+    if rows is None:  # empty candidate set / empty store
+        rows = read_collection(spark, root, collection).limit(0)
     fetched = (
-        read_collection(spark, root, collection, tenant=tenant)
-        .select(F.col(id_col).alias("vec_id"), F.col(vector_name).alias("_cvec"))
+        rows.select(F.col(id_col).alias("vec_id"),
+                    F.col(vector_name).alias("_cvec"))
         .join(F.broadcast(cands), "vec_id")
         .join(F.broadcast(q_exact), "qid")
     )

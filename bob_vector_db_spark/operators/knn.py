@@ -409,6 +409,69 @@ def knn_join_blocked(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def knn_join_maxsim(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "qid",
+    query_vec: str = "qvecs",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "vectors",
+    metric: str = "dot",
+    exclude_self: bool = False,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Multivector late-interaction top-k (the modern Qdrant MULTIVECTOR
+    config with ``MaxSim`` comparator — ColBERT, Khattab & Zaharia,
+    SIGIR 2020): each side carries a LIST of vectors per point
+    (``array<array<float>>`` — per-token embeddings), and
+
+        score(q, p) = Σ_{t ∈ q.vectors} max_{v ∈ p.vectors} sim(t, v)
+
+    — every query token matches its best point vector, summed.  Compiles
+    entirely to nested higher-order array expressions (aggregate /
+    transform / the shared dot fold), so scoring stays JVM-side
+    whole-stage codegen; the plan shape is exactly :func:`knn_join`
+    (broadcast queries × corpus scan, partial top-k window) — the corpus
+    never shuffles.  ``metric`` 'dot' (the ColBERT comparator) or
+    'cosine' (per-token-pair normalized; a zero-norm token pair scores
+    NULL → the pair drops, same policy as :func:`knn_join`).  Euclid has
+    no max-sim semantics and is rejected.
+    """
+    metric = resolve_metric(metric)
+    if metric not in ("dot", "cosine"):
+        raise ValueError(
+            "max_sim scoring is defined for similarity metrics "
+            "(dot/cosine); euclid has no late-interaction form")
+    q = queries.select(F.col(query_id).alias("qid"),
+                       F.col(query_vec).alias("_qvs"))
+    c = corpus.select(F.col(corpus_id).alias("vec_id"),
+                      F.col(corpus_vec).alias("_cvs"))
+    pairs = c.join(F.broadcast(q), how="cross")
+
+    if metric == "cosine":
+        def tok_sim(qt, pv):
+            denom = vector.l2_norm(qt) * vector.l2_norm(pv)
+            return F.when(denom != 0.0, vector.dot(qt, pv) / denom)
+    else:
+        def tok_sim(qt, pv):
+            return vector.dot(qt, pv)
+
+    score = F.aggregate(
+        F.col("_qvs"), F.lit(0.0),
+        lambda acc, qt: acc + F.array_max(
+            F.transform(F.col("_cvs"), lambda pv: tok_sim(qt, pv))))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = (pairs.select("qid", "vec_id", score.alias("sim"))
+              .filter(F.col("sim").isNotNull() & ~F.isnan("sim")))
+    if exclude_self:
+        scored = scored.filter(F.col("qid") != F.col("vec_id"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def mmr_rerank(candidates: DataFrame, k: int = 10, lambda_: float = 0.5,
                cand_vec: str = "cvec", round_to: int | None = 6) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR

@@ -85,6 +85,73 @@ def _resolve_candidates(spark: SparkSession, root: str, collection: str,
     return rows.filter(residual.to_column()), residual
 
 
+def _filtered_indexed_search(spark: SparkSession, root: str, collection: str,
+                             queries: DataFrame, flt, k: int,
+                             vector_name: str, metric: str, query_id: str,
+                             query_vec: str, round_to: int | None,
+                             use_index, use_payload_index,
+                             n_probe: int | None,
+                             index_candidate_threshold: int,
+                             tenant: str | None,
+                             id_col: str) -> DataFrame | None:
+    """Compose the payload index with the persisted ANN artifact: filter →
+    candidate ids (pruned posting probes), residual conditions evaluated on
+    a bucket-pruned fetch of those ids, and the final id set semi-joined
+    INSIDE the probed ``list_id`` partitions of the vector index
+    (``index.search_indexed(candidate_ids=...)``) — the two prunings
+    in one plan.  Returns None when "auto" decides the exact path wins
+    (unusable index, or a candidate set small enough that the
+    bucket-pruned exact fetch is cheaper AND exact); raises under
+    "always" when composition can't run."""
+    from .index import (  # noqa: PLC0415
+        index_is_fresh,
+        search_indexed,
+        vector_index_meta,
+    )
+
+    def fail(msg: str):
+        if use_index == "always":
+            raise ValueError(msg)
+        return None
+
+    imeta = vector_index_meta(root, collection, vector_name, tenant)
+    if imeta is None or not index_is_fresh(root, collection, vector_name,
+                                           tenant):
+        return fail(
+            f"use_index='always' but the vector index for {collection!r}/"
+            f"{vector_name!r}"
+            + (f" (tenant {tenant!r})" if tenant is not None else "")
+            + (" is stale" if imeta is not None else " is absent")
+            + "; build_vector_index / refresh_vector_index first")
+    if imeta.get("metric") != metric:
+        return fail(
+            f"vector index for {collection!r}/{vector_name!r} was built "
+            f"for metric {imeta.get('metric')!r}, not {metric!r}")
+    if use_payload_index is False:
+        return fail(
+            "use_index='always' needs the payload-index candidate path; "
+            "use_payload_index=False disables it")
+    ids, residual = filter_match_ids(spark, root, collection, flt)
+    if ids is None:
+        return fail(
+            f"use_index='always' but no top-level must leaf of the filter "
+            f"has a fresh payload index on {collection!r}; "
+            f"build_payload_index the filtered column(s)")
+    if use_index != "always" and ids.count() <= index_candidate_threshold:
+        return None  # few candidates: the pruned exact fetch is the plan
+    if residual != Filter():
+        rows = read_rows_for_ids(spark, root, collection, ids, tenant=tenant)
+        final_ids = (ids.limit(0) if rows is None
+                     else rows.filter(residual.to_column()).select(id_col))
+    else:
+        final_ids = ids
+    return search_indexed(spark, root, collection, queries, k=k,
+                          vector_name=vector_name, n_probe=n_probe,
+                          query_id=query_id, query_vec=query_vec,
+                          exclude_self=False, round_to=round_to,
+                          tenant=tenant, candidate_ids=final_ids)
+
+
 def search_points(spark: SparkSession, root: str, collection: str,
                   queries: DataFrame, flt=None, k: int = 10,
                   vector_name: str | None = None,
@@ -94,13 +161,29 @@ def search_points(spark: SparkSession, root: str, collection: str,
                   max_candidates: int = 1_000_000,
                   tenant: str | None = None,
                   score_threshold: float | None = None,
-                  offset: int = 0) -> DataFrame:
+                  offset: int = 0,
+                  use_index: str | bool = "auto",
+                  n_probe: int | None = None,
+                  index_candidate_threshold: int = 100_000) -> DataFrame:
     """Filtered kNN with the collection's declared metric — the Qdrant
     ``search(query_vector, query_filter=Filter(...))`` twin.  With no
     filter this defers to ``knn.search_collection`` (which may dispatch
     to the vector index); with one, the filter resolves FIRST (Qdrant's
     filtered-search order) through the payload index when selective,
     else as a pushed predicate on the exact scan.
+
+    ``use_index`` additionally lets the FILTERED search compose with the
+    persisted ANN artifact (Qdrant's filtered-HNSW twin): the filter's
+    candidate ids semi-join INSIDE the probed ``list_id`` partitions of
+    the vector index and only the survivors score/rescore — both
+    prunings in one plan.  "auto" (default) composes only when the
+    filter resolves through a fresh payload index AND matches more than
+    ``index_candidate_threshold`` points — below that the bucket-pruned
+    exact fetch is the better plan (and exact); "always" requires the
+    composed plan (raises when either index is missing/stale); False
+    never touches the ANN artifact.  ``n_probe=None`` probes every list,
+    so a composed search with full probe stays EXACT over the filtered
+    set (ivf — quantized kinds remain approximate by construction).
 
     ``score_threshold`` drops hits past the quality floor (better-than
     semantics follow the metric: >= for cosine/dot, <= for euclid);
@@ -122,21 +205,35 @@ def search_points(spark: SparkSession, root: str, collection: str,
         out = search_collection(spark, root, collection, queries,
                                 k=k + offset,
                                 vector_name=vector_name, query_id=query_id,
-                                query_vec=query_vec, tenant=tenant)
+                                query_vec=query_vec, tenant=tenant,
+                                use_index=("auto" if use_index is None
+                                           else use_index),
+                                n_probe=n_probe)
     else:
         id_col = meta.get("id_col", "id")
-        cand, _residual = _resolve_candidates(
-            spark, root, collection, flt, use_payload_index, max_candidates)
-        if cand is None:
-            corpus = (read_collection(spark, root, collection, tenant=tenant)
-                      .filter(as_filter(flt).to_column()))
-        else:
-            corpus = _scope_tenant(root, collection, cand, tenant)
-        out = knn_join(queries, corpus.select(id_col, vector_name),
-                       k=k + offset,
-                       query_id=query_id, query_vec=query_vec,
-                       corpus_id=id_col, corpus_vec=vector_name,
-                       exclude_self=False, round_to=round_to, metric=metric)
+        out = None
+        if use_index not in (False, None):
+            out = _filtered_indexed_search(
+                spark, root, collection, queries, flt, k + offset,
+                vector_name, metric, query_id, query_vec, round_to,
+                use_index, use_payload_index, n_probe,
+                index_candidate_threshold, tenant, id_col)
+        if out is None:
+            cand, _residual = _resolve_candidates(
+                spark, root, collection, flt, use_payload_index,
+                max_candidates)
+            if cand is None:
+                corpus = (read_collection(spark, root, collection,
+                                          tenant=tenant)
+                          .filter(as_filter(flt).to_column()))
+            else:
+                corpus = _scope_tenant(root, collection, cand, tenant)
+            out = knn_join(queries, corpus.select(id_col, vector_name),
+                           k=k + offset,
+                           query_id=query_id, query_vec=query_vec,
+                           corpus_id=id_col, corpus_vec=vector_name,
+                           exclude_self=False, round_to=round_to,
+                           metric=metric)
     if offset:
         out = (out.filter(F.col("rank") > offset)
                .withColumn("rank", F.col("rank") - F.lit(int(offset))))
@@ -281,9 +378,13 @@ def search_groups(spark: SparkSession, root: str, collection: str,
     corpus = read_collection(spark, root, collection, tenant=tenant)
     if flt is not None:
         corpus = corpus.filter(as_filter(flt).to_column())
-    corpus = corpus.select(F.col(id_col).alias("vec_id"),
-                           F.col(vector_name).alias("_cv"),
-                           F.col(group_by).alias("group"))
+    # Qdrant's search_groups excludes points MISSING the group_by key —
+    # a NULL group must never consume a k_groups slot (and under euclid's
+    # ascending order it would otherwise sort first on ties)
+    corpus = (corpus.filter(F.col(group_by).isNotNull())
+              .select(F.col(id_col).alias("vec_id"),
+                      F.col(vector_name).alias("_cv"),
+                      F.col(group_by).alias("group")))
 
     q = queries.select(F.col(query_id).alias("qid"),
                        F.col(query_vec).alias("qvec"))
@@ -447,10 +548,17 @@ def search_points_mmr(spark: SparkSession, root: str, collection: str,
     cand = search_points(spark, root, collection, queries, flt=flt, k=pool,
                          vector_name=vector_name, query_id=query_id,
                          query_vec=query_vec,
-                         use_payload_index=use_payload_index, tenant=tenant)
-    withvec = (read_collection(spark, root, collection, tenant=tenant)
-               .select(F.col(id_col).alias("vec_id"),
-                       F.col(vector_name).alias("cvec"))
+                         use_payload_index=use_payload_index,
+                         tenant=tenant).persist()
+    # the pool vectors fetch through the store's static id-bucket filter
+    # (read_rows_for_ids) — O(|pool|), never a second collection scan; the
+    # pool frame is pinned so the fetch's bucket probe doesn't recompute it
+    rows = read_rows_for_ids(spark, root, collection,
+                             cand.select("vec_id").distinct(), tenant=tenant)
+    if rows is None:  # empty pool / empty store
+        rows = read_collection(spark, root, collection).limit(0)
+    withvec = (rows.select(F.col(id_col).alias("vec_id"),
+                           F.col(vector_name).alias("cvec"))
                .join(F.broadcast(cand.select("qid", "vec_id", "sim")),
                      "vec_id"))
     return mmr_rerank(withvec, k=k, lambda_=lambda_)
@@ -470,9 +578,12 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
       driver-side from ≤ |examples| fetched rows;
     - ``best_score``: each candidate scores ``max sim to any positive``,
       unless its best NEGATIVE beats its best positive — then the score
-      is ``−(best negative)``, pushing look-alikes of the negatives to
-      the bottom (Qdrant's formula).  The examples broadcast; the corpus
-      scans once — the exact-kNN plan shape with a wider broadcast side.
+      is ``−(best negative)²``, pushing look-alikes of the negatives to
+      the bottom (Qdrant's RecoQuery formula: squaring keeps a negative-
+      dominated point at a non-positive score even when both best sims
+      are negative, where a bare sign flip would promote it).  The
+      examples broadcast; the corpus scans once — the exact-kNN plan
+      shape with a wider broadcast side.
 
     Example ids are excluded from the results (Qdrant semantics).
     Returns (vec_id, score, rank).
@@ -557,7 +668,7 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
            .agg(F.max(F.when(F.col("s") == 1, F.col("_s"))).alias("_bp"),
                 F.max(F.when(F.col("s") == -1, F.col("_s"))).alias("_bn")))
     score = F.when(F.col("_bn").isNull() | (F.col("_bp") > F.col("_bn")),
-                   F.col("_bp")).otherwise(-F.col("_bn"))
+                   F.col("_bp")).otherwise(-(F.col("_bn") * F.col("_bn")))
     scored = agg.select("vec_id", F.round(score, round_to).alias("score"))
     topk = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("vec_id"))

@@ -3691,12 +3691,41 @@ def q_store_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
-@register("store_indexed_probe", oracle=None)
+@register(
+    "store_indexed_probe",
+    # full probe (n_probe=None → every list) over the 16-list layout: the
+    # stored artifact is exercised end-to-end and the answer EQUALS the
+    # exact kNN — so the probe path gets a real hash-matched oracle.  The
+    # n_probe < n_lists ANN behavior (probabilistic by k-means design)
+    # stays pinned by tests/test_index.py's recall + pruning tests.
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5
+),
+pairs AS (
+  SELECT q.qid, e.vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(e.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, embeddings e
+  WHERE q.qid <> e.vec_id
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM pairs)
+WHERE rank <= 10
+""",
+)
 def q_store_indexed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN over the stored IVF index (rows-only: k-means lists make the
-    n_probe < n_lists result probabilistic by design; recall is pinned in
-    tests/test_index.py).  The probe reads 2 of 16 stored list partitions —
-    partition pruning is plan-asserted in the same test file."""
+    """search_indexed over the stored 16-list IVF artifact at FULL probe
+    (n_probe=None probes every list): the partition-pruned probe plan
+    runs end-to-end and the result provably equals the exact kNN — the
+    oracle hash-checks it.  The accuracy-trading n_probe < n_lists case
+    is the same plan with a shorter list_id IN (...) set (pruning +
+    recall pinned in tests/test_index.py)."""
     base = _tmp_base(sf_dir, "sidxp")
     emb = load_table(spark, sf_dir, "embeddings")
     upsert.create_collection(
@@ -3707,7 +3736,7 @@ def q_store_indexed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                              n_lists=16, iters=5)
     qdf = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-    out = index.search_indexed(spark, base, "vecs", qdf, k=10, n_probe=2,
+    out = index.search_indexed(spark, base, "vecs", qdf, k=10, n_probe=None,
                                exclude_self=True)
     return out.select("qid", "vec_id", "sim",
                       F.col("rank").cast("long").alias("rank"))
@@ -3769,15 +3798,44 @@ def q_text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "score", F.col("rank").cast("long").alias("rank"))
 
 
-@register("store_indexed_sq", oracle=None)
+@register(
+    "store_indexed_sq",
+    # full probe + corpus-covering rerank: the int8 artifact is searched
+    # end-to-end (dequantized ADC inside every list, bucket-pruned exact
+    # rescore) and the answer provably equals the exact kNN — hash-matched
+    # against the exact-cosine oracle.  The ANN trade (n_probe < n_lists,
+    # small rerank) is the same plan with shorter static filters; recall
+    # is pinned in tests/test_index.py.
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5
+),
+pairs AS (
+  SELECT q.qid, e.vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(e.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, embeddings e
+  WHERE q.qid <> e.vec_id
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM pairs)
+WHERE rank <= 10
+""",
+)
 def q_store_indexed_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stored IVF-SQ (the Qdrant scalar-quantization collection config):
     int8 codes clustered by inverted list — a 4-8× smaller searchable
     artifact than the float copy; search scores the DEQUANTIZED codes
-    inside the probed lists (pure codegen) and exact-rescores only
-    rerank_factor×k fetched candidates.  Rows-only: n_probe < n_lists ANN
-    by design; exactness at full probe with corpus-covering rerank is
-    pinned in tests/test_index.py."""
+    inside the probed lists (pure codegen) and exact-rescores the
+    candidates fetched back through the store's id-bucket filter.  Run
+    at FULL probe with a corpus-covering rerank window, the result
+    equals the exact kNN — which the oracle hash-checks, proving the
+    quantize → store → probe → rescore loop loses nothing."""
     base = _tmp_base(sf_dir, "sidxsq")
     emb = load_table(spark, sf_dir, "embeddings")
     upsert.create_collection(
@@ -3788,8 +3846,8 @@ def q_store_indexed_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
                              n_lists=16, iters=4)
     qdf = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-    out = index.search_indexed(spark, base, "vecs", qdf, k=10, n_probe=2,
-                               exclude_self=True)
+    out = index.search_indexed(spark, base, "vecs", qdf, k=10, n_probe=None,
+                               rerank_factor=1000, exclude_self=True)
     return out.select("qid", "vec_id", "sim",
                       F.col("rank").cast("long").alias("rank"))
 
@@ -5821,7 +5879,8 @@ def q_pipe_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "api_recommend_best_score",
     # best_score strategy: score = best positive sim unless the best
-    # NEGATIVE beats it, then -(best negative); examples excluded.
+    # NEGATIVE beats it, then -(best negative)^2 (Qdrant RecoQuery);
+    # examples excluded.
     oracle="""
 WITH ex AS (
   SELECT vec_id, embedding,
@@ -5846,9 +5905,9 @@ agg AS (
 )
 SELECT vec_id, score, CAST(rank AS BIGINT) AS rank
 FROM (SELECT vec_id,
-             round(CASE WHEN bp > bn THEN bp ELSE -bn END, 6) AS score,
+             round(CASE WHEN bp > bn THEN bp ELSE -(bn*bn) END, 6) AS score,
              row_number() OVER (
-               ORDER BY round(CASE WHEN bp > bn THEN bp ELSE -bn END, 6)
+               ORDER BY round(CASE WHEN bp > bn THEN bp ELSE -(bn*bn) END, 6)
                         DESC, vec_id) AS rank
       FROM agg)
 WHERE rank <= 10
@@ -5859,7 +5918,8 @@ def q_api_recommend_best_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     collection: positive/negative point IDS fetch their stored vectors
     (id-bucket pruned), then each candidate scores its best positive
     similarity — unless its best NEGATIVE beats it, in which case the
-    score is -(best negative), sinking look-alikes of the negatives.
+    score is -(best negative)^2 (the RecoQuery formula: non-positive even
+    when both best sims are negative), sinking negative look-alikes.
     The examples broadcast; the corpus scans once (the exact-kNN
     shape)."""
     from .operators.query_api import recommend_points  # noqa: PLC0415
@@ -6209,6 +6269,250 @@ def q_pipe_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round 7: filtered search composed WITH the ANN artifact, nested payload
+# keys + NestedCondition, GeoPolygon, multivector max-sim — the remaining
+# delegated-surface tail (VERDICT r6 "What's missing" #1-4).
+# ---------------------------------------------------------------------------
+
+from .operators.filters import GeoPolygon, NestedCondition  # noqa: E402
+
+_FIS_FLT = Filter(must=[MatchAny("grp", ["g0", "g1"]),
+                        Range("parity", lte=1)])
+
+
+@register(
+    "store_filtered_indexed_search",
+    # the composed plan at full probe is oracle-able: payload-index ids
+    # (grp indexed; parity residual on the bucket-pruned fetch) semi-join
+    # INSIDE the probed list partitions of the stored IVF artifact, and
+    # with every list probed the answer equals the exact filtered kNN.
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id AS id, embedding,
+         'g' || CAST(label % 4 AS VARCHAR) AS grp,
+         vec_id % 3 AS parity
+  FROM embeddings
+),
+flt AS (SELECT * FROM corpus WHERE {_FIS_FLT.to_sql()}),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3
+),
+pairs AS (
+  SELECT q.qid, f.id AS vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(f.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(f.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, flt f
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_store_filtered_indexed_search(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Filtered search COMPOSED with the persisted ANN index — the
+    Qdrant filtered-HNSW twin for this store (filters evaluated inside
+    the index walk; here: inside the probed partitions).  The filter
+    resolves through the payload index (``grp`` posting probe; the
+    unindexed ``parity`` range evaluates residually on the id-bucket-
+    pruned fetch), and the surviving ids semi-join INSIDE the probed
+    ``list_id`` partitions of the stored IVF artifact — payload pruning
+    AND list pruning in ONE plan (plan-asserted in tests/test_index.py).
+    At full probe the composition is exact, which the oracle
+    hash-checks."""
+    from .operators import query_api  # noqa: PLC0415
+    from .operators.payload_index import build_payload_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "fidx")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"), "embedding",
+        F.concat(F.lit("g"), (F.col("label") % 4).cast("string")).alias("grp"),
+        (F.col("vec_id") % 3).alias("parity"))
+    upsert.create_collection(
+        spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    build_payload_index(spark, base, "vecs", "grp", n_val_buckets=16)
+    index.build_vector_index(spark, base, "vecs", kind="ivf",
+                             n_lists=8, iters=4)
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = query_api.search_points(spark, base, "vecs", qdf, flt=_FIS_FLT,
+                                  k=10, use_index="always", n_probe=None,
+                                  use_payload_index="always")
+    return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"),
+                      "sim", F.col("rank").cast("long").alias("rank"))
+
+
+_NESTED_FLT = Filter(
+    must=[MatchValue("meta.lang", "en"),
+          Range("meta.n_chars", gte=150),
+          NestedCondition("props", Filter(
+              must=[MatchValue("kind", "src"), Range("num", gte=2)]))])
+
+
+@register(
+    "api_filter_nested",
+    # dotted struct paths + Qdrant NestedCondition (SAME-element
+    # semantics over an array of structs); the oracle embeds the literal
+    # compiled filter — struct dot access and filter(l, _e -> ...) are
+    # the dialect subset both engines share.
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         {{'lang': lang, 'n_chars': n_chars}} AS meta,
+         [{{'kind': 'src', 'num': doc_id % 5}},
+          {{'kind': 'len', 'num': n_chars % 7}}] AS props
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(SUM(meta.n_chars) AS BIGINT) AS total_chars
+FROM t WHERE {_NESTED_FLT.to_sql()}
+""",
+)
+def q_api_filter_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested payload keys (Qdrant's ``key.subkey`` addressing over the
+    reference's nested-JSON payloads, qdrant_embedder.py:119-128) plus
+    NestedCondition: the dotted path compiles to struct field access and
+    the nested filter to a shared higher-order ``filter(arr, _e -> ...)``
+    — ONE element must satisfy kind='src' AND num>=2 TOGETHER (a flat
+    array_contains conjunction would also accept cross-element matches).
+    The oracle runs the literal compiled string over the same derived
+    structs."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang",
+        F.struct(F.col("lang"), F.col("n_chars")).alias("meta"),
+        F.array(
+            F.struct(F.lit("src").alias("kind"),
+                     (F.col("doc_id") % 5).alias("num")),
+            F.struct(F.lit("len").alias("kind"),
+                     (F.col("n_chars") % 7).alias("num"))).alias("props"))
+    return (t.filter(_NESTED_FLT.to_column())
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("doc_id").cast("long").alias("min_doc"),
+                 F.sum(F.col("meta.n_chars")).cast("long")
+                 .alias("total_chars")))
+
+
+_POLY_FLT = Filter(must=[GeoPolygon(
+    "lat", "lon",
+    exterior=[(0.0, -30.0), (35.0, -10.0), (45.0, 25.0),
+              (10.0, 45.0), (-15.0, 10.0)],
+    interiors=[[(5.0, -5.0), (20.0, -5.0), (20.0, 15.0), (5.0, 15.0)]])])
+
+
+@register(
+    "api_geo_polygon",
+    oracle=f"""
+WITH pts AS (
+  SELECT o_orderkey,
+         (o_orderkey % 17000) / 100.0 - 85.0 AS lat,
+         ((o_orderkey * 13 + o_custkey) % 36000) / 100.0 - 180.0 AS lon,
+         o_orderpriority
+  FROM orders
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM pts
+WHERE {_POLY_FLT.to_sql()}
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q_api_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo polygon filter (Qdrant GeoPolygon, the third geo leaf next to
+    GeoBoundingBox/GeoRadius): a 5-vertex exterior ring with a
+    rectangular hole, compiled to a PUSHED bounding-box pre-filter plus
+    a constant-slope ray-cast parity test — pure shared-dialect
+    arithmetic, no division by column expressions.  Same deterministic
+    point derivation as api_geo_search; the oracle embeds the literal
+    compiled filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        "o_orderkey",
+        ((F.col("o_orderkey") % 17000) / 100.0 - 85.0).alias("lat"),
+        (((F.col("o_orderkey") * 13 + F.col("o_custkey")) % 36000) / 100.0
+         - 180.0).alias("lon"),
+        "o_orderpriority")
+    return (pts.filter(_POLY_FLT.to_column())
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_points"),
+                 F.min("o_orderkey").cast("long").alias("min_key"))
+            .orderBy("o_orderpriority"))
+
+
+@register(
+    "knn_multivector_maxsim",
+    # ColBERT late interaction: per (query, point), each of the query's 4
+    # token vectors takes its best match over the point's 4 vectors, the
+    # maxima sum.  Tokens derive by slicing the 64-d fixture embedding
+    # into 4 × 16-d, so both engines score identical multivectors.
+    oracle="""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+qtok AS (
+  SELECT vec_id AS qid, 1 AS ti, embedding[1:16] AS qv FROM q
+  UNION ALL SELECT vec_id, 2, embedding[17:32] FROM q
+  UNION ALL SELECT vec_id, 3, embedding[33:48] FROM q
+  UNION ALL SELECT vec_id, 4, embedding[49:64] FROM q
+),
+ptok AS (
+  SELECT vec_id, 1 AS pj, embedding[1:16] AS pv FROM embeddings
+  UNION ALL SELECT vec_id, 2, embedding[17:32] FROM embeddings
+  UNION ALL SELECT vec_id, 3, embedding[33:48] FROM embeddings
+  UNION ALL SELECT vec_id, 4, embedding[49:64] FROM embeddings
+),
+best AS (
+  SELECT qt.qid, pt.vec_id, qt.ti,
+         MAX((SELECT SUM(a*b)
+              FROM (SELECT unnest(qt.qv)::DOUBLE AS a,
+                           unnest(pt.pv)::DOUBLE AS b))) AS m
+  FROM qtok qt, ptok pt
+  WHERE qt.qid <> pt.vec_id
+  GROUP BY qt.qid, pt.vec_id, qt.ti
+),
+scored AS (
+  SELECT qid, vec_id, round(SUM(m), 6) AS sim
+  FROM best GROUP BY qid, vec_id
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM scored)
+WHERE rank <= 10
+""",
+)
+def q_knn_multivector_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivector spaces with MaxSim scoring (the modern Qdrant
+    multivector collection config; ColBERT late interaction): every
+    point carries a LIST of vectors, and score = Σ over query tokens of
+    the best match among the point's vectors — computed entirely in
+    nested higher-order array expressions (JVM codegen, broadcast
+    queries, no corpus shuffle: the exact-kNN plan shape with a
+    two-level fold)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def mv(df):
+        return df.select(
+            F.col("vec_id"),
+            F.array(*[F.slice(F.col("embedding"), 1 + 16 * i, 16)
+                      for i in range(4)]).alias("vectors"))
+
+    q = mv(emb.filter(F.col("vec_id") < 3)).withColumnRenamed(
+        "vec_id", "qid").withColumnRenamed("vectors", "qvecs")
+    out = knn.knn_join_maxsim(q, mv(emb), k=10, metric="dot",
+                              exclude_self=True)
+    return out.select("qid", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
 # driver CORRECTNESS row register first, then names whose last green row is
@@ -6218,15 +6522,24 @@ def q_pipe_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # new this round (round 6) — never driver-adjudicated
+    # new this round (round 7) — never driver-adjudicated, or semantics
+    # changed this round (store_indexed_sq/probe gained oracles; the
+    # best_score formula now squares the negative; MatchPhrase collapses
+    # space runs; the quantized rescore + MMR fetch go bucket-pruned)
+    "store_filtered_indexed_search", "api_filter_nested",
+    "api_geo_polygon", "knn_multivector_maxsim", "store_indexed_sq",
+    "store_indexed_probe", "api_recommend_best_score", "api_match_phrase",
+    "store_indexed_pq", "knn_mmr_rerank", "api_search_groups",
+    "api_search_groups_stored",
+    # new in round 6
     "api_filter_dsl", "store_filter_dsl_indexed", "api_geo_search",
     "api_query_dbsf", "store_update_vectors", "store_tenant_search",
-    "api_values_count", "api_search_groups_stored", "api_datetime_range",
+    "api_values_count", "api_datetime_range",
     "api_group_lookup", "api_query_by_id", "store_batch_update",
-    "api_match_phrase", "api_sample", "store_indexed_sq",
+    "api_sample",
     "store_tenant_indexed", "api_search_params", "pipe_dataset_build",
-    "api_recommend_best_score", "t14_stream_tenant_ingest",
-    "knn_mmr_rerank", "api_context_search",
+    "t14_stream_tenant_ingest",
+    "api_context_search",
     "store_array_payload_search", "pipe_token_shards",
     # new in round 5
     "store_indexed_search", "store_index_refresh", "text_bm25_indexed",
@@ -6236,7 +6549,6 @@ _PRIORITY = [
     "t13_stream_index_refresh", "text_repetition_stats",
     "store_payload_search", "store_alias_switch", "api_match_text",
     "pipe_decontaminate", "pipe_stratified_sample", "api_query_fusion",
-    "store_indexed_probe", "store_indexed_pq",
     # last green in r03, not sampled by the driver in r04 — oldest evidence
     "knn_cosine_topk100", "knn_lsh_brp", "knn_filtered_search",
     "a1_pricing_summary", "j1_customer_revenue", "j2_customers_per_region",

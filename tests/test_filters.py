@@ -506,3 +506,166 @@ def test_recommend_points_strategies(spark, tmp_path):
                                    strategy="median")
     with pytest.raises(ValueError, match="at least one positive"):
         query_api.recommend_points(spark, root, "c", positive=[])
+
+
+def test_match_phrase_collapses_space_runs(spark):
+    """ADVICE r6: 'hello  world' (double space) must match the phrase
+    'hello world' — adjacency is token-based, not single-space-based —
+    and both engines agree on the collapsed form."""
+    import duckdb
+    import pandas as pd
+    from bob_vector_db_spark.operators.filters import MatchPhrase
+
+    flt = Filter(must=[MatchPhrase("txt", "hello world")])
+    rows = [("say hello  world now",),   # run of spaces: matches
+            ("hello\tworld",),           # tab separator: matches
+            ("hello \t  world",),        # mixed run: matches
+            ("world hello",),            # wrong order: no
+            ("xhello world",),           # partial token: no
+            ("hello",), (None,)]
+    pdf = pd.DataFrame(rows, columns=["txt"])
+    a, b = _both_engines(spark, pdf, flt)
+    assert a == b and len(a) == 3
+
+
+def test_dotted_path_and_nested_condition(spark):
+    """Nested payload keys (meta.lang struct access) + Qdrant
+    NestedCondition: SAME-element semantics over array<struct> — a doc
+    whose 'src' element has num<2 must NOT match even though another
+    element has num>=2 (a flat conjunction would wrongly accept it).
+    Both engines run the identical compiled string."""
+    import duckdb
+    from bob_vector_db_spark.operators.filters import NestedCondition
+
+    flt = Filter(must=[
+        MatchValue("meta.lang", "en"),
+        NestedCondition("props", Filter(
+            must=[MatchValue("kind", "src"), Range("num", gte=2)]))])
+    sql = flt.to_sql()
+    spark_rows = """
+      SELECT 1 AS id, named_struct('lang','en') AS meta,
+             array(named_struct('kind','src','num',3),
+                   named_struct('kind','len','num',0)) AS props
+      UNION ALL
+      SELECT 2, named_struct('lang','en'),
+             array(named_struct('kind','src','num',1),
+                   named_struct('kind','len','num',9))
+      UNION ALL
+      SELECT 3, named_struct('lang','de'),
+             array(named_struct('kind','src','num',3))
+      UNION ALL
+      SELECT 4, named_struct('lang','en'),
+             CAST(NULL AS array<struct<kind:string,num:int>>)
+    """
+    got = sorted(r["id"] for r in
+                 spark.sql(f"SELECT id FROM ({spark_rows}) WHERE {sql}")
+                 .collect())
+    assert got == [1]
+    duck_rows = """
+      SELECT 1 AS id, {'lang':'en'} AS meta,
+             [{'kind':'src','num':3},{'kind':'len','num':0}] AS props
+      UNION ALL SELECT 2, {'lang':'en'},
+             [{'kind':'src','num':1},{'kind':'len','num':9}]
+      UNION ALL SELECT 3, {'lang':'de'}, [{'kind':'src','num':3}]
+      UNION ALL SELECT 4, {'lang':'en'},
+             CAST(NULL AS STRUCT(kind VARCHAR, num INT)[])
+    """
+    duck = [r[0] for r in duckdb.connect().execute(
+        f"SELECT id FROM ({duck_rows}) WHERE {sql} ORDER BY id").fetchall()]
+    assert duck == [1]
+    # nesting a NestedCondition inside another is rejected loudly
+    with pytest.raises(ValueError, match="cannot nest"):
+        NestedCondition("a", Filter(must=[
+            NestedCondition("b", MatchValue("x", 1))])).to_sql()
+
+
+def test_geo_polygon_matches_brute_force(spark):
+    """GeoPolygon vs a pure-Python ray cast over a grid of points — the
+    exterior ring and the hole agree; the bbox pre-filter is pushed."""
+    from bob_vector_db_spark.operators.filters import GeoPolygon
+
+    exterior = [(0.0, -30.0), (35.0, -10.0), (45.0, 25.0),
+                (10.0, 45.0), (-15.0, 10.0)]
+    hole = [(5.0, -5.0), (20.0, -5.0), (20.0, 15.0), (5.0, 15.0)]
+    gp = GeoPolygon("lat", "lon", exterior, interiors=[hole])
+
+    def inside(ring, lat, lon):
+        n, hit = len(ring), False
+        for i in range(n):
+            (y1, x1), (y2, x2) = ring[i], ring[(i + 1) % n]
+            if y1 == y2:
+                continue
+            if (min(y1, y2) <= lat < max(y1, y2)) and \
+                    lon < x1 + (x2 - x1) / (y2 - y1) * (lat - y1):
+                hit = not hit
+        return hit
+
+    pts = [(float(la), float(lo))
+           for la in range(-25, 56, 5) for lo in range(-45, 56, 5)]
+    want = sorted((la, lo) for la, lo in pts
+                  if inside(exterior, la, lo) and not inside(hole, la, lo))
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    got = sorted((r["lat"], r["lon"])
+                 for r in df.filter(gp.to_sql()).collect())
+    assert got == want and len(got) > 5
+    with pytest.raises(ValueError, match="at least 3"):
+        GeoPolygon("lat", "lon", [(0, 0), (1, 1)]).to_sql()
+    with pytest.raises(ValueError, match="antimeridian"):
+        GeoPolygon("lat", "lon",
+                   [(0.0, -170.0), (5.0, 170.0), (10.0, -170.0)]).to_sql()
+
+
+def test_geo_polygon_bbox_is_pushed(spark, tmp_path):
+    from bob_vector_db_spark.operators.filters import GeoPolygon
+
+    p = str(tmp_path / "pts")
+    spark.createDataFrame(
+        [(float(i % 90), float(i % 180)) for i in range(200)],
+        "lat double, lon double").write.parquet(p)
+    gp = GeoPolygon("lat", "lon", [(0.0, 0.0), (20.0, 10.0), (5.0, 30.0)])
+    out = spark.read.parquet(p).filter(F.expr(gp.to_sql()))
+    assert_pushed_filters(out, "lat", "lon")
+
+
+def test_best_score_negative_dominated_stays_non_positive(spark, tmp_path):
+    """ADVICE r6 (medium): Qdrant's RecoQuery scores a negative-dominated
+    point -(best_neg)^2 — when both best sims are NEGATIVE, a bare sign
+    flip would hand the point a POSITIVE score and let a dissimilar-to-
+    everything point outrank genuine matches."""
+    root = str(tmp_path / "store")
+    rows = [
+        (1, [1.0, 0.0, 0.0]),    # positive example
+        (2, [0.0, 1.0, 0.0]),    # negative example
+        (10, [0.9, 0.1, 0.0]),   # genuine positive match
+        # dissimilar to BOTH examples: bp and bn both negative; with the
+        # sign-flip bug its score becomes +0.7-ish and it wins
+        (11, [-0.5, -0.7, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    upsert.create_collection(
+        spark, root, "c", df=df, id_col="id", n_buckets=4,
+        vector_config={"vec": {"size": 3, "distance": "cosine"}})
+    got = query_api.recommend_points(
+        spark, root, "c", positive=[1], negative=[2],
+        strategy="best_score", k=2).orderBy("rank").collect()
+    assert got[0]["vec_id"] == 10 and got[0]["score"] > 0
+    assert got[1]["vec_id"] == 11 and got[1]["score"] <= 0
+
+
+def test_search_groups_excludes_null_group(spark, tmp_path):
+    """ADVICE r6: a point MISSING the group_by key is excluded (Qdrant
+    semantics) — a NULL group must not consume a k_groups slot."""
+    root = str(tmp_path / "store")
+    rows = [(i, [1.0, float(i % 3), 0.0],
+             None if i % 4 == 0 else f"g{i % 3}") for i in range(24)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>, grp string")
+    upsert.create_collection(
+        spark, root, "c", df=df, id_col="id", n_buckets=4,
+        vector_config={"vec": {"size": 3, "distance": "cosine"}})
+    q = spark.createDataFrame([(0, [1.0, 1.0, 0.0])],
+                              "qid long, qvec array<double>")
+    out = query_api.search_groups(spark, root, "c", q, group_by="grp",
+                                  k_groups=5, group_size=2).collect()
+    assert len(out) > 0
+    assert all(r["group"] is not None for r in out)
+    assert {r["group"] for r in out} <= {"g0", "g1", "g2"}

@@ -631,3 +631,109 @@ def test_ivf_sq_probe_prunes_partitions(spark, sf_dir, tmp_path):
     out = index.search_indexed(spark, root, "vecs", _queries(emb, 2),
                                k=5, n_probe=2, exclude_self=True)
     assert_partition_filters(out, "list_id")
+
+
+def test_rescore_fetch_prunes_id_buckets(spark, sf_dir, tmp_path):
+    """VERDICT r6 #1: the quantized-search exact-rescore tail must fetch
+    its candidates through the store's static id-bucket filter
+    (read_rows_for_ids), never a full-collection scan — the plan shows
+    BOTH the probed list_id pruning AND the id_bucket pruning."""
+    root = str(tmp_path / "store")
+    emb = _mk_store(spark, sf_dir, root)
+    index.build_vector_index(spark, root, "vecs", kind="ivf_sq",
+                             n_lists=8, iters=3)
+    out = index.search_indexed(spark, root, "vecs", _queries(emb, 2),
+                               k=5, n_probe=2, exclude_self=True)
+    assert_partition_filters(out, "list_id", "id_bucket")
+    # and for the PQ tail too
+    index.build_vector_index(spark, root, "vecs", kind="ivf_pq",
+                             n_lists=8, m=8, ksub=16, iters=2)
+    out_pq = index.search_indexed(spark, root, "vecs", _queries(emb, 2),
+                                  k=5, n_probe=4, exclude_self=True)
+    assert_partition_filters(out_pq, "list_id", "id_bucket")
+
+
+def test_filtered_indexed_search_composes_both_prunings(spark, sf_dir,
+                                                        tmp_path):
+    """The filtered-HNSW twin (VERDICT r6 next #2): payload-index
+    candidate ids semi-join INSIDE the probed list partitions of the ANN
+    artifact.  The single plan shows the posting probe's val_bucket
+    pruning, the residual fetch's id_bucket pruning AND the artifact's
+    list_id pruning; at full probe the composition equals the exact
+    filtered search."""
+    from bob_vector_db_spark.operators import query_api
+    from bob_vector_db_spark.operators.filters import (
+        Filter, MatchAny, Range)
+    from bob_vector_db_spark.operators.payload_index import (
+        build_payload_index)
+
+    root = str(tmp_path / "store")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"), "embedding",
+        F.concat(F.lit("g"), (F.col("label") % 4).cast("string"))
+        .alias("grp"),
+        (F.col("vec_id") % 3).alias("parity"))
+    upsert.create_collection(
+        spark, root, "vecs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    build_payload_index(spark, root, "vecs", "grp", n_val_buckets=16)
+    index.build_vector_index(spark, root, "vecs", kind="ivf",
+                             n_lists=8, iters=3)
+    flt = Filter(must=[MatchAny("grp", ["g0", "g1"]),
+                       Range("parity", lte=1)])
+    q = _queries(emb, 3)
+    comp = query_api.search_points(spark, root, "vecs", q, flt=flt, k=10,
+                                   use_index="always", n_probe=None,
+                                   use_payload_index="always")
+    assert_partition_filters(comp, "list_id", "id_bucket", "val_bucket")
+    exact = query_api.search_points(spark, root, "vecs", q, flt=flt, k=10,
+                                    use_index=False)
+    key = lambda df: sorted(
+        (r["qid"], r["vec_id"], r["rank"]) for r in df.collect())
+    assert key(comp) == key(exact)
+    # 'always' raises loudly when the ANN artifact goes stale
+    upsert.delete_points(spark, root, "vecs", [499])
+    with pytest.raises(ValueError, match="stale|absent"):
+        query_api.search_points(spark, root, "vecs", q, flt=flt, k=10,
+                                use_index="always")
+    # ...but auto falls back to the exact path silently
+    out = query_api.search_points(spark, root, "vecs", q, flt=flt, k=10,
+                                  use_index="auto")
+    assert out.count() > 0
+
+
+def test_filtered_indexed_auto_prefers_exact_for_small_candidate_sets(
+        spark, sf_dir, tmp_path):
+    """'auto' composes with the ANN artifact only past the candidate
+    threshold — below it the bucket-pruned exact fetch wins (and IS
+    exact), so small filtered searches never pay the probe."""
+    from bob_vector_db_spark.operators import query_api
+    from bob_vector_db_spark.operators.filters import Filter, MatchValue
+    from bob_vector_db_spark.operators.payload_index import (
+        build_payload_index)
+
+    root = str(tmp_path / "store")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"), "embedding",
+        F.concat(F.lit("g"), (F.col("label") % 4).cast("string"))
+        .alias("grp"))
+    upsert.create_collection(
+        spark, root, "vecs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    build_payload_index(spark, root, "vecs", "grp", n_val_buckets=16)
+    index.build_vector_index(spark, root, "vecs", kind="ivf",
+                             n_lists=8, iters=3)
+    flt = Filter(must=[MatchValue("grp", "g1")])
+    q = _queries(emb, 2)
+    # default threshold (100k) >> candidate count: no list_id scan appears
+    out = query_api.search_points(spark, root, "vecs", q, flt=flt, k=5,
+                                  use_index="auto")
+    plan = formatted_plan(out)
+    assert "list_id" not in plan
+    # threshold 0: auto now composes — the artifact's list pruning appears
+    comp = query_api.search_points(spark, root, "vecs", q, flt=flt, k=5,
+                                   use_index="auto", n_probe=None,
+                                   index_candidate_threshold=0)
+    assert_partition_filters(comp, "list_id")

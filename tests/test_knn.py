@@ -183,3 +183,54 @@ def test_mmr_rerank_validates_lambda(spark):
                                "qid long, vec_id long, sim double, cvec array<double>")
     with pytest.raises(ValueError, match="lambda_"):
         mmr_rerank(df, lambda_=1.5)
+
+
+def test_maxsim_matches_brute_force(spark):
+    """Multivector MaxSim (ColBERT late interaction) vs a pure-Python
+    fold: score = sum over query tokens of the best dot against the
+    point's vectors; dot and cosine; euclid rejected."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    corpus_rows = [(i, [[float(x) for x in rng.normal(size=4)]
+                        for _ in range(3)]) for i in range(20)]
+    q_rows = [(100 + j, [[float(x) for x in rng.normal(size=4)]
+                         for _ in range(2)]) for j in range(2)]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, vectors array<array<double>>")
+    q = spark.createDataFrame(
+        q_rows, "qid long, qvecs array<array<double>>")
+
+    def brute(metric):
+        out = {}
+        for qid, qvs in q_rows:
+            scores = []
+            for vid, pvs in corpus_rows:
+                s = 0.0
+                for qt in qvs:
+                    best = None
+                    for pv in pvs:
+                        d = sum(a * b for a, b in zip(qt, pv))
+                        if metric == "cosine":
+                            na = sum(a * a for a in qt) ** 0.5
+                            nb = sum(b * b for b in pv) ** 0.5
+                            d = d / (na * nb)
+                        best = d if best is None else max(best, d)
+                    s += best
+                scores.append((round(s, 6), vid))
+            scores.sort(key=lambda t: (-t[0], t[1]))
+            out[qid] = [(v, s) for s, v in scores[:5]]
+        return out
+
+    import pytest
+
+    for metric in ("dot", "cosine"):
+        got = {}
+        res = knn.knn_join_maxsim(q, corpus, k=5, metric=metric)
+        for r in res.orderBy("qid", "rank").collect():
+            got.setdefault(r["qid"], []).append(
+                (r["vec_id"], round(r["sim"], 6)))
+        assert got == brute(metric), metric
+
+    with pytest.raises(ValueError, match="similarity metrics"):
+        knn.knn_join_maxsim(q, corpus, metric="euclid")

@@ -849,3 +849,28 @@ def test_collection_info_reports_freshness(spark, tmp_path):
     assert info2["points_count"] == 63
     with pytest.raises(ValueError, match="does not exist"):
         upsert.collection_info(spark, root, "nope")
+
+
+def test_dataframe_sized_delete_has_no_forced_broadcast(spark, tmp_path):
+    """VERDICT r6 next #5: delete_points/update_columns must not FORCE a
+    broadcast of a caller-sized frame — a huge doomed set degrades to an
+    AQE-chosen shuffle join instead of OOMing.  Churn check: a 5k-id
+    DataFrame delete (far above a tiny hint-worthy set) lands exactly,
+    and a follow-up large patch does too."""
+    root = str(tmp_path / "store")
+    df = spark.range(0, 8000).select(
+        F.col("id"), (F.col("id") % 10).alias("grp"))
+    upsert.create_collection(spark, root, "big", df=df, id_col="id",
+                             n_buckets=8)
+    doomed = spark.range(0, 10000).filter(F.col("id") % 2 == 0)  # 5k live
+    removed = upsert.delete_points(spark, root, "big", doomed)
+    assert removed == 4000
+    left = upsert.read_collection(spark, root, "big")
+    assert left.count() == 4000
+    assert left.filter(F.col("id") % 2 == 0).count() == 0
+    patch = spark.range(0, 8000).filter(F.col("id") % 2 == 1).select(
+        F.col("id"), F.lit(99).alias("grp"))
+    upsert.update_columns(spark, root, "big", patch)
+    got = upsert.read_collection(spark, root, "big")
+    assert got.count() == 4000
+    assert got.filter(F.col("grp") == 99).count() == 4000

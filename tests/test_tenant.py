@@ -390,3 +390,48 @@ def test_per_tenant_index_build_search_refresh(spark, tmp_path):
         vector_config={"vec": {"size": 2, "distance": "cosine"}})
     with pytest.raises(ValueError, match="no tenant_col"):
         index.build_vector_index(spark, root, "plain", tenant="ta")
+
+
+def test_tenant_collection_info(spark, tmp_path):
+    """VERDICT r6 next #8: collection_info on a multitenant collection
+    reports per-tenant point counts and which tenants carry their own
+    index artifact (with freshness)."""
+    from bob_vector_db_spark.operators import index
+
+    root = str(tmp_path / "s")
+    rows = [(i, "a" if i % 3 else "b", [float(i % 7), 1.0, 0.5, float(i % 3)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, tenant string, "
+                                     "vec array<double>")
+    upsert.create_collection(
+        spark, root, "mt2", df=df, id_col="id", n_buckets=4,
+        tenant_col="tenant",
+        vector_config={"vec": {"size": 4, "distance": "cosine"}})
+    index.build_vector_index(spark, root, "mt2", kind="ivf", n_lists=2,
+                             iters=2, tenant="a")
+    info = upsert.collection_info(spark, root, "mt2")
+    assert info["tenant_col"] == "tenant"
+    assert info["tenants"] == {"a": 26, "b": 14}
+    assert info["points_count"] == 40
+    per_tenant = [ix for ix in info["indexes"] if ix["tenant"] == "a"]
+    assert len(per_tenant) == 1 and per_tenant[0]["fresh"]
+    # a tenant-b mutation stales tenant-a's artifact in the report (the
+    # version is collection-global — the conservative contract)
+    upsert.delete_points(spark, root, "mt2", [3], tenant="b")
+    info2 = upsert.collection_info(spark, root, "mt2")
+    assert info2["tenants"] == {"a": 26, "b": 13}
+
+
+def test_read_rows_for_ids_tenant_scope_prunes_both_levels(spark, tmp_path):
+    from bob_vector_db_spark.operators.upsert import read_rows_for_ids
+
+    root = str(tmp_path / "s")
+    _mk(spark, root)
+    ids = spark.createDataFrame([(1,), (4,), (7,)], "`i` long")
+    rows = read_rows_for_ids(spark, root, "mt", ids, tenant="t1")
+    assert_partition_filters(rows, "tenant", "id_bucket")
+    assert _ids(rows) == [1, 4, 7]  # all three are t1 (i % 3 == 1)
+    # an id living under another tenant is invisible to the scoped fetch
+    ids2 = spark.createDataFrame([(1,), (2,)], "`i` long")
+    assert _ids(read_rows_for_ids(spark, root, "mt", ids2, tenant="t1")) \
+        == [1]
