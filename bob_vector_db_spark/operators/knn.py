@@ -178,6 +178,27 @@ def search_collection(
     declared = vectors.get(vector_name, {}).get("distance", "cosine")
     if use_index is True:  # the natural bool complement of False
         use_index = "always"
+    multivector = vectors.get(vector_name, {}).get("multivector")
+    if multivector is not None:
+        # MULTIVECTOR space (Qdrant multivector config, max_sim
+        # comparator): late-interaction scoring over the exact scan — no
+        # stored index kind clusters vector LISTS, so index dispatch is
+        # refused loudly rather than silently ignored
+        if str(multivector).lower() not in ("max_sim", "maxsim"):
+            raise ValueError(
+                f"unknown multivector comparator {multivector!r} for "
+                f"{collection!r}/{vector_name!r} (only 'max_sim')")
+        if use_index == "always":
+            raise ValueError(
+                f"use_index='always' but {collection!r}/{vector_name!r} is "
+                f"a multivector space — max-sim scores the exact scan (no "
+                f"ANN artifact kind supports vector lists); search with "
+                f"use_index='auto'")
+        corpus = read_collection(spark, root, collection, tenant=tenant)
+        return knn_join_maxsim(
+            queries, corpus, k=k, query_id=query_id, query_vec=query_vec,
+            corpus_id=corpus_id, corpus_vec=vector_name,
+            metric=metric or declared, exclude_self=exclude_self)
     if use_index in ("auto", "always"):
         imeta = vector_index_meta(root, collection, vector_name,
                                   tenant=tenant)

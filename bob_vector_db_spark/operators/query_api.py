@@ -228,12 +228,22 @@ def search_points(spark: SparkSession, root: str, collection: str,
                           .filter(as_filter(flt).to_column()))
             else:
                 corpus = _scope_tenant(root, collection, cand, tenant)
-            out = knn_join(queries, corpus.select(id_col, vector_name),
-                           k=k + offset,
-                           query_id=query_id, query_vec=query_vec,
-                           corpus_id=id_col, corpus_vec=vector_name,
-                           exclude_self=False, round_to=round_to,
-                           metric=metric)
+            if vectors.get(vector_name, {}).get("multivector") is not None:
+                from .knn import knn_join_maxsim  # noqa: PLC0415
+
+                out = knn_join_maxsim(
+                    queries, corpus.select(id_col, vector_name),
+                    k=k + offset, query_id=query_id, query_vec=query_vec,
+                    corpus_id=id_col, corpus_vec=vector_name,
+                    metric=metric, exclude_self=False, round_to=round_to)
+            else:
+                out = knn_join(queries,
+                               corpus.select(id_col, vector_name),
+                               k=k + offset,
+                               query_id=query_id, query_vec=query_vec,
+                               corpus_id=id_col, corpus_vec=vector_name,
+                               exclude_self=False, round_to=round_to,
+                               metric=metric)
     if offset:
         out = (out.filter(F.col("rank") > offset)
                .withColumn("rank", F.col("rank") - F.lit(int(offset))))

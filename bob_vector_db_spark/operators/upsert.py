@@ -1086,7 +1086,13 @@ def update_vectors(spark: SparkSession, root: str, collection: str,
     for c in patch_cols:
         declared = int(vectors[c].get("size", 0) or 0)
         bad = F.col(c).isNull()
-        if declared:
+        if declared and vectors[c].get("multivector"):
+            # multivector space: declared size is the PER-TOKEN dim; a
+            # patch value is a non-empty list of vectors, each that long
+            bad = bad | (F.size(F.col(c)) == 0) | ~F.forall(
+                F.col(c),
+                lambda v: v.isNotNull() & (F.size(v) == declared))
+        elif declared:
             bad = bad | (F.size(F.col(c)) != declared)
         checks.append(F.sum(bad.cast("int")).alias(c))
     bad_counts = updates.agg(*checks).first()

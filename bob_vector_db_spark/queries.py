@@ -6512,6 +6512,74 @@ def q_knn_multivector_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "store_multivector_search",
+    # identical scoring contract to knn_multivector_maxsim, but through
+    # the STORED collection: the space is DECLARED multivector in the
+    # collection meta and search_collection dispatches to max-sim off
+    # that declaration — the Qdrant multivector collection config.
+    oracle="""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+qtok AS (
+  SELECT vec_id AS qid, 1 AS ti, embedding[1:16] AS qv FROM q
+  UNION ALL SELECT vec_id, 2, embedding[17:32] FROM q
+  UNION ALL SELECT vec_id, 3, embedding[33:48] FROM q
+  UNION ALL SELECT vec_id, 4, embedding[49:64] FROM q
+),
+ptok AS (
+  SELECT vec_id, 1 AS pj, embedding[1:16] AS pv FROM embeddings
+  UNION ALL SELECT vec_id, 2, embedding[17:32] FROM embeddings
+  UNION ALL SELECT vec_id, 3, embedding[33:48] FROM embeddings
+  UNION ALL SELECT vec_id, 4, embedding[49:64] FROM embeddings
+),
+best AS (
+  SELECT qt.qid, pt.vec_id, qt.ti,
+         MAX((SELECT SUM(a*b)
+              FROM (SELECT unnest(qt.qv)::DOUBLE AS a,
+                           unnest(pt.pv)::DOUBLE AS b))) AS m
+  FROM qtok qt, ptok pt
+  WHERE qt.qid <> pt.vec_id
+  GROUP BY qt.qid, pt.vec_id, qt.ti
+),
+scored AS (
+  SELECT qid, vec_id, round(SUM(m), 6) AS sim
+  FROM best GROUP BY qid, vec_id
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM scored)
+WHERE rank <= 10
+""",
+)
+def q_store_multivector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A MULTIVECTOR space declared in the collection config (the Qdrant
+    ``vectors_config={"colbert": VectorParams(..., multivector_config=
+    MultiVectorConfig(comparator=MAX_SIM))}`` model): points store a
+    LIST of 16-d vectors, and ``search_collection`` dispatches to
+    max-sim late interaction off the declaration — the caller never
+    names the comparator.  update_vectors validates per-token dims on
+    such spaces (tests/test_store_lifecycle.py)."""
+    base = _tmp_base(sf_dir, "mvstore")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.array(*[F.slice(F.col("embedding"), 1 + 16 * i, 16)
+                  for i in range(4)]).alias("colbert"))
+    upsert.create_collection(
+        spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"colbert": {"size": 16, "distance": "dot",
+                                   "multivector": "max_sim"}})
+    q = pts.filter(F.col("id") < 3).select(
+        F.col("id").alias("qid"), F.col("colbert").alias("qvecs"))
+    out = knn.search_collection(spark, base, "vecs", q, k=10,
+                                corpus_id="id", query_vec="qvecs",
+                                exclude_self=True)
+    return out.select(F.col("qid").cast("long").alias("qid"),
+                      F.col("vec_id").cast("long").alias("vec_id"),
+                      "sim", F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -6527,7 +6595,8 @@ _PRIORITY = [
     # best_score formula now squares the negative; MatchPhrase collapses
     # space runs; the quantized rescore + MMR fetch go bucket-pruned)
     "store_filtered_indexed_search", "api_filter_nested",
-    "api_geo_polygon", "knn_multivector_maxsim", "store_indexed_sq",
+    "api_geo_polygon", "knn_multivector_maxsim",
+    "store_multivector_search", "store_indexed_sq",
     "store_indexed_probe", "api_recommend_best_score", "api_match_phrase",
     "store_indexed_pq", "knn_mmr_rerank", "api_search_groups",
     "api_search_groups_stored",

@@ -874,3 +874,49 @@ def test_dataframe_sized_delete_has_no_forced_broadcast(spark, tmp_path):
     got = upsert.read_collection(spark, root, "big")
     assert got.count() == 4000
     assert got.filter(F.col("grp") == 99).count() == 4000
+
+
+def test_multivector_space_store_and_update(spark, tmp_path):
+    """Declared multivector space (Qdrant MultiVectorConfig/MAX_SIM):
+    search_collection dispatches to max-sim off the collection meta;
+    update_vectors validates PER-TOKEN dims (each element of the list
+    must be the declared size); use_index='always' is refused loudly."""
+    import pytest
+    from bob_vector_db_spark.operators import knn
+
+    root = str(tmp_path / "store")
+    rows = [(i, [[float(i % 5), 1.0], [0.5, float(i % 3)]])
+            for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "id long, colbert array<array<double>>")
+    upsert.create_collection(
+        spark, root, "mv", df=df, id_col="id", n_buckets=4,
+        vector_config={"colbert": {"size": 2, "distance": "dot",
+                                   "multivector": "max_sim"}})
+    q = spark.createDataFrame(
+        [(100, [[1.0, 0.0], [0.0, 1.0]])],
+        "qid long, qvecs array<array<double>>")
+    out = knn.search_collection(spark, root, "mv", q, k=5,
+                                corpus_id="id", query_vec="qvecs")
+    assert out.count() == 5
+    # brute-force the top hit: token [1,0] → max(i%5, 0.5); token [0,1]
+    # → max(1, i%3); ties break on the smaller id
+    best = out.orderBy("rank").first()
+    want = max(range(30),
+               key=lambda i: (max(float(i % 5), 0.5)
+                              + max(1.0, float(i % 3)), -i))
+    assert best["vec_id"] == want
+    with pytest.raises(ValueError, match="multivector space"):
+        knn.search_collection(spark, root, "mv", q, k=5, corpus_id="id",
+                              query_vec="qvecs", use_index="always")
+    # update_vectors: wrong per-token dim rejected; right one lands
+    bad = spark.createDataFrame([(1, [[1.0, 2.0, 3.0]])],
+                                "id long, colbert array<array<double>>")
+    with pytest.raises(ValueError, match="null or not length"):
+        upsert.update_vectors(spark, root, "mv", bad)
+    good = spark.createDataFrame([(1, [[9.0, 9.0]])],
+                                 "id long, colbert array<array<double>>")
+    upsert.update_vectors(spark, root, "mv", good)
+    got = (upsert.read_collection(spark, root, "mv")
+           .filter(F.col("id") == 1).first())
+    assert got["colbert"] == [[9.0, 9.0]]

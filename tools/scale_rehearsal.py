@@ -29,6 +29,7 @@ from bob_vector_db_spark.operators.payload_index import (  # noqa: E402
 from bob_vector_db_spark.operators.query_api import (  # noqa: E402
     count_points,
     search_points,
+    search_points_mmr,
 )
 from bob_vector_db_spark.operators.filters import Filter, MatchAny  # noqa: E402
 from bob_vector_db_spark.operators.text_search import (  # noqa: E402
@@ -148,6 +149,24 @@ def main():
         use_payload_index="always").count())
     print(f"  filtered: {n_f} candidates, {n_s} result rows")
 
+    # round-7: the COMPOSED plan — payload-index candidate ids semi-joined
+    # INSIDE the probed lists of the stored IVF artifact; at full probe the
+    # composition must equal the exact filtered search even at 10x
+    def _key(df):
+        return sorted(map(tuple,
+                          df.select("qid", "vec_id", "rank").collect()))
+    comp = _timed("filtered_indexed_composed", timings, lambda: _key(
+        search_points(spark, store, "vecs", q, flt=flt, k=10,
+                      use_index="always", n_probe=None,
+                      use_payload_index="always")))
+    ex_f = _key(search_points(spark, store, "vecs", q, flt=flt, k=10,
+                              use_index=False))
+    assert comp == ex_f, "composed filtered search diverged from exact"
+    print("  composed filtered == exact    OK")
+    n_mmr = _timed("mmr_pool_bucket_fetch", timings, lambda: search_points_mmr(
+        spark, store, "vecs", q, k=5, pool=30).count())
+    assert n_mmr == 25, n_mmr
+
     _timed("create_collection_docs", timings, lambda: upsert.create_collection(
         spark, store, "docs", n_buckets=32, id_col="id",
         df=docs.select(F.col("doc_id").alias("id"), "text")))
@@ -190,6 +209,30 @@ def main():
         tenant="t1", use_index=False).collect()))
     assert t_idx == t_exact, "tenant indexed search diverged from exact"
     print("  tenant indexed == exact       OK")
+
+    # round-7: multivector max-sim scan and a bulk DataFrame-form delete
+    # (the un-forced broadcast path — AQE must degrade to a shuffle join,
+    # not OOM, when the doomed frame is 30k ids)
+    mv_pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.array(*[F.slice("embedding", 1 + 16 * i, 16)
+                  for i in range(4)]).alias("colbert"))
+    _timed("create_multivector_collection", timings,
+           lambda: upsert.create_collection(
+               spark, store, "mv", df=mv_pts, id_col="id", n_buckets=32,
+               vector_config={"colbert": {"size": 16, "distance": "dot",
+                                          "multivector": "max_sim"}}))
+    q_mv = (mv_pts.filter(F.col("id") < 5)
+            .select(F.col("id").alias("qid"),
+                    F.col("colbert").alias("qvecs")))
+    n_mv = _timed("maxsim_scan_search", timings, lambda: knn.search_collection(
+        spark, store, "mv", q_mv, k=10, corpus_id="id",
+        query_vec="qvecs", exclude_self=True).count())
+    assert n_mv == 50, n_mv
+    doomed = spark.range(0, n_docs, 2).select(F.col("id"))
+    n_del = _timed("bulk_dataframe_delete", timings,
+                   lambda: upsert.delete_points(spark, store, "docs", doomed))
+    assert n_del == (n_docs + 1) // 2, n_del
 
     summary = {"n_docs": n_docs, "n_emb": n_emb,
                "total_s": round(time.time() - t_all, 2), "timings": timings}
