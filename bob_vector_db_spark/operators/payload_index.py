@@ -56,10 +56,18 @@ def payload_index_meta(root: str, collection: str, column: str) -> dict | None:
     return vector_index_meta(root, collection, _payload_index_name(column))
 
 
+def _column_type(df: DataFrame, column: str):
+    """The resolved Spark type of ``column`` — which may be a DOTTED PATH
+    into a struct payload (``meta.lang``, the nested-key form the filter
+    DSL accepts): ``df.schema[...]`` only knows top-level names, so
+    resolve through a projection instead."""
+    return df.select(F.col(column).alias("_c")).schema[0].dataType
+
+
 def _is_array_column(df: DataFrame, column: str) -> bool:
     from pyspark.sql.types import ArrayType  # noqa: PLC0415
 
-    return isinstance(df.schema[column].dataType, ArrayType)
+    return isinstance(_column_type(df, column), ArrayType)
 
 
 def _postings(df: DataFrame, id_col: str, column: str,
@@ -89,8 +97,11 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
                         files_per_bucket: int = 1) -> dict:
     """Materialize the (val, id) inverted index for one payload column.
     Values index as strings (exact-match semantics across types — the probe
-    casts its literals the same way).  One pass over the collection, one
-    shuffle to cluster by value hash, staged atomic swap."""
+    casts its literals the same way).  ``column`` may be a DOTTED PATH into
+    a struct payload (``meta.lang`` — the filter DSL's nested-key form),
+    indexing the subfield's values; the filter router matches leaves by the
+    same literal key.  One pass over the collection, one shuffle to cluster
+    by value hash, staged atomic swap."""
     meta = collection_meta(root, collection)
     if meta is None:
         raise ValueError(
@@ -112,7 +123,7 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
         # For an ARRAY column the postings hold ELEMENTS, so the persisted
         # type is the element type (probe literals are elements).
         is_array = _is_array_column(data, column)
-        dtype = data.schema[column].dataType
+        dtype = _column_type(data, column)
         column_type = (dtype.elementType if is_array
                        else dtype).simpleString()
         post = _postings(data, id_col, column, n_val_buckets, gen=0)

@@ -313,14 +313,19 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
                   cursor: tuple | None = None,
                   use_payload_index: str | bool = "auto",
                   max_candidates: int = 1_000_000,
-                  tenant: str | None = None) -> DataFrame:
+                  tenant: str | None = None,
+                  descending: bool = False) -> DataFrame:
     """Qdrant ``scroll``: filtered pagination with a KEYSET cursor (no
     OFFSET rescans).  Default order is by id; ``order_by`` pages by a
     payload field with an (value, id) composite cursor — the id tiebreak
     keeps the cursor total when values repeat.  ``cursor`` is the last
     row of the previous page: ``(id,)`` for id order, ``(value, id)``
     for order_by.  The cursor inequality is part of the pushed filter,
-    so page N+1's scan prunes everything at or before the cursor."""
+    so page N+1's scan prunes everything at or before the cursor.
+    ``descending`` flips the order_by direction (Qdrant's
+    ``OrderBy(direction=DESC)`` — newest-first paging); the value leg of
+    the cursor inequality flips with it while the id tiebreak stays
+    ascending, keeping the composite order total either way."""
     meta = collection_meta(root, collection) or {}
     id_col = meta.get("id_col", "id")
     if flt is None:
@@ -338,11 +343,14 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
         return base.orderBy(id_col).limit(limit)
     if cursor is not None:
         c_val, c_id = cursor
+        beyond = (F.col(order_by) < F.lit(c_val) if descending
+                  else F.col(order_by) > F.lit(c_val))
         base = base.filter(
-            (F.col(order_by) > F.lit(c_val))
+            beyond
             | ((F.col(order_by) == F.lit(c_val))
                & (F.col(id_col) > F.lit(c_id))))
-    return base.orderBy(order_by, id_col).limit(limit)
+    order = F.desc(order_by) if descending else F.asc(order_by)
+    return base.orderBy(order, F.asc(id_col)).limit(limit)
 
 
 def search_groups(spark: SparkSession, root: str, collection: str,

@@ -669,3 +669,25 @@ def test_search_groups_excludes_null_group(spark, tmp_path):
     assert len(out) > 0
     assert all(r["group"] is not None for r in out)
     assert {r["group"] for r in out} <= {"g0", "g1", "g2"}
+
+
+def test_scroll_descending_keyset(spark, tmp_path):
+    """Qdrant OrderBy(direction=DESC): descending keyset pages are
+    disjoint, complete, and ordered newest-first; the value leg of the
+    cursor inequality flips while the id tiebreak stays ascending."""
+    root = str(tmp_path / "store")
+    rows = [(i, i % 5) for i in range(23)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    upsert.create_collection(spark, root, "c", df=df, id_col="id",
+                             n_buckets=4)
+    seen, cursor = [], None
+    while True:
+        page = query_api.scroll_points(
+            spark, root, "c", order_by="v", descending=True, limit=7,
+            cursor=cursor).collect()
+        if not page:
+            break
+        seen.extend((r["v"], r["id"]) for r in page)
+        cursor = (page[-1]["v"], page[-1]["id"])
+    want = sorted(((v, i) for i, v in rows), key=lambda t: (-t[0], t[1]))
+    assert seen == want  # every row once, in (-v, id) order across pages

@@ -234,3 +234,41 @@ def test_array_payload_index_probe_refresh_and_kind_guard(spark, tmp_path):
     ids9, _ = filter_match_ids(
         spark, root, "c", Filter(must=[MatchContains("tags", "t9")]))
     assert {int(r["id"]) for r in ids9.collect()} == {0}
+
+
+def test_nested_key_payload_index_routes_filter(spark, tmp_path):
+    """A payload index over a DOTTED struct path (meta.lang): the build
+    projects the subfield, the filter DSL's nested-key leaf routes
+    through it (pruned posting probe + bucket-pruned fetch), and the
+    result equals the pushed-scan path."""
+    from bob_vector_db_spark.operators.filters import (
+        Filter, MatchValue, Range, filter_match_ids)
+    from bob_vector_db_spark.operators.query_api import count_points
+
+    root = str(tmp_path / "store")
+    rows = [(i, ("en" if i % 3 else "de"), i % 7) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, lang string, n int") \
+        .select("id", F.struct("lang", "n").alias("meta"))
+    upsert.create_collection(spark, root, "c", df=df, id_col="id",
+                             n_buckets=4)
+    imeta = build_payload_index(spark, root, "c", "meta.lang",
+                                n_val_buckets=8)
+    assert imeta["column"] == "meta.lang" and not imeta["array"]
+    flt = Filter(must=[MatchValue("meta.lang", "de"),
+                       Range("meta.n", gte=2)])
+    ids, residual = filter_match_ids(spark, root, "c", flt)
+    assert ids is not None  # the dotted leaf routed through the index
+    assert residual.must and residual.must[0].key == "meta.n"
+    n_idx = count_points(spark, root, "c", flt=flt,
+                         use_payload_index="always")
+    n_scan = count_points(spark, root, "c", flt=flt,
+                          use_payload_index=False)
+    want = sum(1 for i in range(60) if i % 3 == 0 and i % 7 >= 2)
+    assert n_idx == n_scan == want
+    # refresh absorbs a struct patch through the same dotted projection
+    patch = spark.createDataFrame(  # id 9: lang 'de', n 2 — in the set
+        [(9, ("en", 5))], "id long, meta struct<lang:string,n:int>")
+    upsert.update_columns(spark, root, "c", patch)
+    refresh_payload_index(spark, root, "c", "meta.lang")
+    assert count_points(spark, root, "c", flt=flt,
+                        use_payload_index="always") == want - 1
