@@ -56,15 +56,24 @@ def _scope_tenant(root: str, collection: str, rows: DataFrame,
 
 def _resolve_candidates(spark: SparkSession, root: str, collection: str,
                         flt, use_payload_index,
-                        max_candidates: int) -> tuple[DataFrame | None, Filter]:
+                        max_candidates: int,
+                        resolution: tuple | None = None
+                        ) -> tuple[DataFrame | None, Filter]:
     """Shared dispatch: (candidate rows | None, residual filter).  None
     means "use the pushed-predicate scan" — no usable index, the filter
     matched too many points for the fetch plan to win, or routing was
-    disabled."""
+    disabled.  ``resolution`` is an optional precomputed
+    ``(ids, residual, n_cand)`` from an earlier ``filter_match_ids`` in
+    the same call (the composed-search dispatch) — reusing it avoids a
+    second posting probe + count when 'auto' declines the composition."""
     flt = as_filter(flt)
     if use_payload_index is False:
         return None, flt
-    ids, residual = filter_match_ids(spark, root, collection, flt)
+    if resolution is not None:
+        ids, residual, n_pre = resolution
+    else:
+        ids, residual = filter_match_ids(spark, root, collection, flt)
+        n_pre = None
     if ids is None:
         if use_payload_index == "always":
             raise ValueError(
@@ -72,7 +81,7 @@ def _resolve_candidates(spark: SparkSession, root: str, collection: str,
                 f"the filter has a fresh payload index on {collection!r}; "
                 f"build_payload_index the filtered column(s) or use 'auto'")
         return None, flt
-    n_cand = ids.count()
+    n_cand = n_pre if n_pre is not None else ids.count()
     if n_cand > max_candidates:
         if use_payload_index == "always":
             raise ValueError(
@@ -93,16 +102,21 @@ def _filtered_indexed_search(spark: SparkSession, root: str, collection: str,
                              n_probe: int | None,
                              index_candidate_threshold: int,
                              tenant: str | None,
-                             id_col: str) -> DataFrame | None:
+                             id_col: str
+                             ) -> tuple[DataFrame | None, tuple | None]:
     """Compose the payload index with the persisted ANN artifact: filter →
     candidate ids (pruned posting probes), residual conditions evaluated on
     a bucket-pruned fetch of those ids, and the final id set semi-joined
     INSIDE the probed ``list_id`` partitions of the vector index
     (``index.search_indexed(candidate_ids=...)``) — the two prunings
-    in one plan.  Returns None when "auto" decides the exact path wins
-    (unusable index, or a candidate set small enough that the
-    bucket-pruned exact fetch is cheaper AND exact); raises under
-    "always" when composition can't run."""
+    in one plan.
+
+    Returns ``(result | None, resolution | None)``: result None when
+    "auto" decides the exact path wins (unusable index, or a candidate
+    set small enough that the bucket-pruned exact fetch is cheaper AND
+    exact) — then ``resolution`` carries the already-computed
+    ``(ids, residual, n_cand)`` so the exact path doesn't re-probe the
+    postings.  Raises under "always" when composition can't run."""
     from .index import (  # noqa: PLC0415
         index_is_fresh,
         search_indexed,
@@ -112,7 +126,7 @@ def _filtered_indexed_search(spark: SparkSession, root: str, collection: str,
     def fail(msg: str):
         if use_index == "always":
             raise ValueError(msg)
-        return None
+        return None, None
 
     imeta = vector_index_meta(root, collection, vector_name, tenant)
     if imeta is None or not index_is_fresh(root, collection, vector_name,
@@ -133,12 +147,18 @@ def _filtered_indexed_search(spark: SparkSession, root: str, collection: str,
             "use_payload_index=False disables it")
     ids, residual = filter_match_ids(spark, root, collection, flt)
     if ids is None:
-        return fail(
-            f"use_index='always' but no top-level must leaf of the filter "
-            f"has a fresh payload index on {collection!r}; "
-            f"build_payload_index the filtered column(s)")
-    if use_index != "always" and ids.count() <= index_candidate_threshold:
-        return None  # few candidates: the pruned exact fetch is the plan
+        if use_index == "always":
+            raise ValueError(
+                f"use_index='always' but no top-level must leaf of the "
+                f"filter has a fresh payload index on {collection!r}; "
+                f"build_payload_index the filtered column(s)")
+        return None, None
+    if use_index != "always":
+        n_cand = ids.count()
+        if n_cand <= index_candidate_threshold:
+            # few candidates: the pruned exact fetch is the plan — hand
+            # the resolution back so it isn't recomputed
+            return None, (ids, residual, n_cand)
     if residual != Filter():
         rows = read_rows_for_ids(spark, root, collection, ids, tenant=tenant)
         final_ids = (ids.limit(0) if rows is None
@@ -149,7 +169,7 @@ def _filtered_indexed_search(spark: SparkSession, root: str, collection: str,
                           vector_name=vector_name, n_probe=n_probe,
                           query_id=query_id, query_vec=query_vec,
                           exclude_self=False, round_to=round_to,
-                          tenant=tenant, candidate_ids=final_ids)
+                          tenant=tenant, candidate_ids=final_ids), None
 
 
 def search_points(spark: SparkSession, root: str, collection: str,
@@ -211,9 +231,9 @@ def search_points(spark: SparkSession, root: str, collection: str,
                                 n_probe=n_probe)
     else:
         id_col = meta.get("id_col", "id")
-        out = None
+        out, resolution = None, None
         if use_index not in (False, None):
-            out = _filtered_indexed_search(
+            out, resolution = _filtered_indexed_search(
                 spark, root, collection, queries, flt, k + offset,
                 vector_name, metric, query_id, query_vec, round_to,
                 use_index, use_payload_index, n_probe,
@@ -221,7 +241,7 @@ def search_points(spark: SparkSession, root: str, collection: str,
         if out is None:
             cand, _residual = _resolve_candidates(
                 spark, root, collection, flt, use_payload_index,
-                max_candidates)
+                max_candidates, resolution=resolution)
             if cand is None:
                 corpus = (read_collection(spark, root, collection,
                                           tenant=tenant)
