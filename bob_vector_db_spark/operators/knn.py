@@ -493,6 +493,113 @@ def knn_join_maxsim(
             .filter(F.col("rank") <= k))
 
 
+def knn_join_maxsim_vectorized(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "qid",
+    query_vec: str = "qvecs",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "vectors",
+    metric: str = "dot",
+    exclude_self: bool = False,
+    round_to: int | None = 6,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Multivector MaxSim — the BLAS scale path (the
+    :func:`knn_join_vectorized` twin for vector LISTS).  The nested
+    higher-order expressions of :func:`knn_join_maxsim` are interpreted
+    by Catalyst (HOFs never enter whole-stage codegen), so per-pair cost
+    grows with tokens × vectors × dim in the expression interpreter;
+    here each corpus partition flattens its points' vectors into ONE
+    matrix, computes a single ``(total_vecs × dim) @ (dim × total_qtok)``
+    matmul, segment-maxes over each point's rows and segment-sums over
+    each query's token columns (``np.maximum.reduceat`` /
+    ``np.add.reduceat``) — then keeps only its LOCAL top-k per query, so
+    the global merge window sees ``partitions × m × k`` rows.  No corpus
+    shuffle.  Scores are float64 BLAS (±1 ulp of the fold); ranking uses
+    the same rounded tie-safe local pruning as the single-vector path.
+    Points with an empty vector list score nothing (the expression
+    version's NULL-drop policy).  ids must be integral (the long/long
+    output contract of the vectorized paths)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    metric = resolve_metric(metric)
+    if metric not in ("dot", "cosine"):
+        raise ValueError(
+            "max_sim scoring is defined for similarity metrics "
+            "(dot/cosine); euclid has no late-interaction form")
+    q_pd = (queries.select(F.col(query_id).alias("qid"),
+                           F.col(query_vec).alias("qvecs"))
+            .limit(max_queries + 1).toPandas())
+    if len(q_pd) > max_queries:
+        raise ValueError(
+            f"knn_join_maxsim_vectorized collects the query side to the "
+            f"driver; got >{max_queries} queries")
+    qids = q_pd["qid"].to_numpy()
+    q_lists = [np.asarray(list(v), dtype=np.float64)
+               for v in q_pd["qvecs"]]
+    if not q_lists or any(len(v) == 0 for v in q_lists):
+        raise ValueError("every query needs at least one token vector")
+    Qtok = np.concatenate(q_lists, axis=0)                      # (T, d)
+    if metric == "cosine":
+        qn = np.linalg.norm(Qtok, axis=1, keepdims=True)
+        qn[qn == 0.0] = np.nan
+        Qtok = Qtok / qn
+    # column boundaries of each query's token block, for add.reduceat
+    q_bounds = np.cumsum([0] + [len(v) for v in q_lists])[:-1]
+    n_local = k + 1 if exclude_self else k
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vec_lists = [np.asarray(list(v), dtype=np.float64)
+                         for v in pdf[corpus_vec]]
+            keep = [i for i, v in enumerate(vec_lists) if len(v)]
+            if not keep:
+                continue
+            ids = pdf[corpus_id].to_numpy()[keep]
+            vec_lists = [vec_lists[i] for i in keep]
+            P = np.concatenate(vec_lists, axis=0)               # (V, d)
+            if metric == "cosine":
+                pn = np.linalg.norm(P, axis=1, keepdims=True)
+                pn[pn == 0.0] = np.nan
+                P = P / pn
+            p_bounds = np.cumsum([0] + [len(v) for v in vec_lists])[:-1]
+            S = P @ Qtok.T                                      # (V, T)
+            # NaN (zero-norm cosine) must lose every max, not poison it
+            np.nan_to_num(S, copy=False, nan=-np.inf)
+            best = np.maximum.reduceat(S, p_bounds, axis=0)     # (pts, T)
+            scores = np.add.reduceat(best, q_bounds, axis=1)    # (pts, m)
+            # -inf (a point whose every vector was zero-norm) drops below
+            scores = np.where(np.isfinite(scores), scores, np.nan)
+            Sr = (np.round(scores, round_to) if round_to is not None
+                  else scores)
+            Sr = np.where(np.isnan(Sr), -np.inf, Sr)
+            kk = min(n_local, len(ids))
+            thresh = -np.partition(-Sr, kk - 1, axis=0)[kk - 1, :]
+            i_arr, j_arr = np.nonzero((Sr >= thresh[np.newaxis, :])
+                                      & np.isfinite(Sr))
+            yield pd.DataFrame({
+                "qid": qids[j_arr].astype("int64"),
+                "vec_id": ids[i_arr].astype("int64"),
+                "sim": scores[i_arr, j_arr],
+            })
+
+    cand = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        part, "qid long, vec_id long, sim double")
+    if exclude_self:
+        cand = cand.filter(F.col("qid") != F.col("vec_id"))
+    if round_to is not None:
+        cand = cand.withColumn("sim", F.round("sim", round_to))
+    cand = cand.filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def mmr_rerank(candidates: DataFrame, k: int = 10, lambda_: float = 0.5,
                cand_vec: str = "cvec", round_to: int | None = 6) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR

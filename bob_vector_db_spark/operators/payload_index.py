@@ -226,6 +226,33 @@ def payload_match_ids(spark: SparkSession, root: str, collection: str,
     return _apply_masks(spark, ipath, post, "id").select("id", "val")
 
 
+def facet_from_index(spark: SparkSession, root: str, collection: str,
+                     key: str, limit: int = 10) -> DataFrame | None:
+    """Facet counts straight off the stored postings — an INDEX-ONLY
+    aggregate: (value, count) descending computed from the posting table
+    alone, the collection's data files never open.  The 100 TB facet
+    plan: |postings| rows aggregate map-side partial, only |distinct
+    values| move.  Values cast back through the persisted column type so
+    the output matches the scan path's types.  Returns None when no
+    FRESH index exists for ``key`` (caller falls back to the scan);
+    array-indexed columns count points per ELEMENT (the postings are
+    distinct (id, element) — Qdrant's facet-on-array semantics)."""
+    imeta = payload_index_meta(root, collection, key)
+    if imeta is None or int(imeta["built_version"]) != \
+            collection_version(root, collection):
+        return None
+    ipath = index_path(root, collection, _payload_index_name(key))
+    pdir = os.path.join(ipath, "postings")
+    ctype = imeta.get("column_type") or "string"
+    if not os.path.isdir(pdir):  # index built over an empty collection
+        return spark.createDataFrame([], f"value {ctype}, count long")
+    post = _apply_masks(spark, ipath, spark.read.parquet(pdir), "id")
+    return (post.groupBy(F.col("val").cast(ctype).alias("value"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"), F.asc("value"))
+            .limit(limit))
+
+
 def filtered_search_indexed(spark: SparkSession, root: str, collection: str,
                             queries: DataFrame, column: str, values: list,
                             k: int = 10, vector_name: str | None = None,

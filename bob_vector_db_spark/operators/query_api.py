@@ -311,8 +311,17 @@ def facet_values(spark: SparkSession, root: str, collection: str,
     """Qdrant ``facet``: distinct values of a payload key with counts,
     under a filter — (value, count) descending.  One pushed-filter scan
     (or candidate fetch) plus one partial-aggregated groupBy; only
-    |distinct values| rows move."""
+    |distinct values| rows move.  An UNFILTERED, UNTENANTED facet over a
+    freshly-indexed key answers from the posting table alone (index-only
+    aggregate — the collection's data files never open; the 100 TB
+    facet plan)."""
     if flt is None:
+        if use_payload_index is not False and tenant is None:
+            from .payload_index import facet_from_index  # noqa: PLC0415
+
+            got = facet_from_index(spark, root, collection, key, limit)
+            if got is not None:
+                return got
         base = read_collection(spark, root, collection, tenant=tenant)
     else:
         cand, _ = _resolve_candidates(

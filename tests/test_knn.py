@@ -234,3 +234,27 @@ def test_maxsim_matches_brute_force(spark):
 
     with pytest.raises(ValueError, match="similarity metrics"):
         knn.knn_join_maxsim(q, corpus, metric="euclid")
+
+
+def test_maxsim_vectorized_matches_expression_path(spark):
+    """The BLAS max-sim path must rank exactly like the expression
+    version (same rounded scores, same tie-breaks), for dot and cosine,
+    including ragged vector lists and an empty-list point."""
+    rng = np.random.default_rng(11)
+    corpus_rows = [(i, [[float(x) for x in rng.normal(size=5)]
+                        for _ in range(1 + i % 4)]) for i in range(40)]
+    corpus_rows.append((99, []))  # empty list: must score nothing
+    q_rows = [(200 + j, [[float(x) for x in rng.normal(size=5)]
+                         for _ in range(1 + j % 3)]) for j in range(3)]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, vectors array<array<double>>")
+    q = spark.createDataFrame(
+        q_rows, "qid long, qvecs array<array<double>>")
+    for metric in ("dot", "cosine"):
+        a = knn.knn_join_maxsim(q, corpus, k=7, metric=metric)
+        b = knn.knn_join_maxsim_vectorized(q, corpus, k=7, metric=metric)
+        rows = lambda df: sorted(
+            (r["qid"], r["vec_id"], round(r["sim"], 6), r["rank"])
+            for r in df.collect())
+        assert rows(a) == rows(b), metric
+        assert all(r[1] != 99 for r in rows(b))

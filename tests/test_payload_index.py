@@ -272,3 +272,36 @@ def test_nested_key_payload_index_routes_filter(spark, tmp_path):
     refresh_payload_index(spark, root, "c", "meta.lang")
     assert count_points(spark, root, "c", flt=flt,
                         use_payload_index="always") == want - 1
+
+
+def test_facet_answers_from_index_only(spark, tmp_path):
+    """An unfiltered facet over an indexed key aggregates the POSTING
+    table — the collection's id_bucket files never open — and agrees
+    with the scan facet, including after a mutation+refresh."""
+    from bob_vector_db_spark.operators.query_api import facet_values
+    from bob_vector_db_spark.plans.inspect import formatted_plan
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, f"cat{i % 4}") for i in range(50)], "id long, category string")
+    upsert.create_collection(spark, root, "c", df=df, id_col="id",
+                             n_buckets=4)
+    build_payload_index(spark, root, "c", "category", n_val_buckets=8)
+    got = facet_values(spark, root, "c", "category", limit=10)
+    plan = formatted_plan(got)
+    assert "postings" in plan and "id_bucket" not in plan
+    scan = facet_values(spark, root, "c", "category", limit=10,
+                        use_payload_index=False)
+    rows = lambda d: [(r["value"], r["count"]) for r in d.collect()]
+    assert rows(got) == rows(scan)
+    # stale index → silent scan fallback; refresh → index-only again
+    upsert.delete_points(spark, root, "c", [0, 4, 8])
+    stale = facet_values(spark, root, "c", "category", limit=10)
+    assert "id_bucket" in formatted_plan(stale)
+    refresh_payload_index(spark, root, "c", "category")
+    fresh = facet_values(spark, root, "c", "category", limit=10)
+    assert "postings" in formatted_plan(fresh) \
+        and "id_bucket" not in formatted_plan(fresh)
+    assert rows(fresh) == rows(facet_values(spark, root, "c", "category",
+                                            limit=10,
+                                            use_payload_index=False))
