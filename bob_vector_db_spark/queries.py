@@ -3852,13 +3852,42 @@ def q_store_indexed_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
-@register("store_indexed_pq", oracle=None)
+@register(
+    "store_indexed_pq",
+    # full probe + corpus-covering rerank: the 8-byte-code artifact runs
+    # its whole ADC + bucket-pruned exact-rescore loop and the answer
+    # equals the exact kNN — hash-matched, so every stored index kind
+    # (ivf / ivf_sq / ivf_pq) now carries a real oracle.  The ANN trade
+    # (narrow probe, small rerank) keeps its recall pins in
+    # tests/test_index.py / tests/test_quantize.py.
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5
+),
+pairs AS (
+  SELECT q.qid, e.vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(e.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, embeddings e
+  WHERE q.qid <> e.vec_id
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM pairs)
+WHERE rank <= 10
+""",
+)
 def q_store_indexed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stored IVF-PQ: the searchable artifact holds m-byte codes clustered
-    by list (32× smaller than the floats); search = probed-list ADC over the
-    stored codes + exact cosine rescore of the candidates fetched back from
-    the collection (rows-only: codebooks are k-means; recall pinned in
-    tests/test_index.py)."""
+    by list (32× smaller than the floats); search = probed-list ADC over
+    the stored codes + exact cosine rescore of candidates fetched back
+    through the store's id-bucket filter.  At full probe with a
+    corpus-covering rerank window the result equals the exact kNN — the
+    oracle hash-checks the whole encode → store → ADC → rescore loop."""
     base = _tmp_base(sf_dir, "sidxpq")
     emb = load_table(spark, sf_dir, "embeddings")
     upsert.create_collection(
@@ -3869,8 +3898,8 @@ def q_store_indexed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                              n_lists=8, m=8, ksub=32, iters=3)
     qdf = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-    out = index.search_indexed(spark, base, "vecs", qdf, k=10, n_probe=8,
-                               rerank_factor=8, exclude_self=True)
+    out = index.search_indexed(spark, base, "vecs", qdf, k=10, n_probe=None,
+                               rerank_factor=1000, exclude_self=True)
     return out.select("qid", "vec_id", "sim",
                       F.col("rank").cast("long").alias("rank"))
 
