@@ -15,6 +15,16 @@ both engines:
 - the correctness oracle: the SAME string drops into a DuckDB ``WHERE``
   clause, making Spark/oracle symmetry structural rather than maintained.
 
+Embedding caveat (Spark statement parser): interpolating ``to_sql()``
+into a raw ``spark.sql("... FROM t WHERE {sql}")`` string needs a table
+ALIAS (``FROM t x WHERE ...``) — the compiled filter starts with ``(``,
+and Spark's parser prefers reading ``WHERE (...)`` as a table alias named
+``WHERE`` with a column-alias list (WHERE is non-reserved), which either
+errors on arity or, for a one-column table, silently drops the filter.
+``to_column()`` / ``DataFrame.filter`` (the DSL's real surface) use the
+expression parser and are immune; the DuckDB oracle side parses the
+statement correctly.  Pinned in tests/test_filter_properties.py.
+
 Scale notes: leaves compile to sargable comparisons wherever the semantics
 allow — ``GeoRadius`` emits a bounding-box pre-filter (pushed to the scan)
 ahead of the exact haversine test, ``MatchText`` normalizes whitespace once
