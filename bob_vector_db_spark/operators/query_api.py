@@ -159,6 +159,14 @@ def _filtered_indexed_search(spark: SparkSession, root: str, collection: str,
             # few candidates: the pruned exact fetch is the plan — hand
             # the resolution back so it isn't recomputed
             return None, (ids, residual, n_cand)
+        if n_probe is None and imeta.get("kind") == "ivf":
+            # full probe over the FLOAT artifact reads as much as the
+            # pushed-predicate scan and adds a semi-join — no IO win, so
+            # 'auto' declines; composition pays when the probe narrows
+            # (explicit n_probe) or the artifact is quantized (ivf_sq /
+            # ivf_pq codes are 4-32x smaller than the float column).
+            # 'always' still composes as asked.
+            return None, (ids, residual, n_cand)
     if residual != Filter():
         rows = read_rows_for_ids(spark, root, collection, ids, tenant=tenant)
         final_ids = (ids.limit(0) if rows is None
@@ -199,9 +207,12 @@ def search_points(spark: SparkSession, root: str, collection: str,
     prunings in one plan.  "auto" (default) composes only when the
     filter resolves through a fresh payload index AND matches more than
     ``index_candidate_threshold`` points — below that the bucket-pruned
-    exact fetch is the better plan (and exact); "always" requires the
-    composed plan (raises when either index is missing/stale); False
-    never touches the ANN artifact.  ``n_probe=None`` probes every list,
+    exact fetch is the better plan (and exact) — AND the probe actually
+    narrows IO (an explicit ``n_probe``, or a quantized artifact kind;
+    a full probe over the float ivf artifact reads as much as the
+    pushed scan); "always" requires the composed plan (raises when
+    either index is missing/stale); False never touches the ANN
+    artifact.  ``n_probe=None`` probes every list,
     so a composed search with full probe stays EXACT over the filtered
     set (ivf — quantized kinds remain approximate by construction).
 

@@ -732,8 +732,14 @@ def test_filtered_indexed_auto_prefers_exact_for_small_candidate_sets(
                                   use_index="auto")
     plan = formatted_plan(out)
     assert "list_id" not in plan
-    # threshold 0: auto now composes — the artifact's list pruning appears
+    # threshold 0 + a NARROW probe: auto now composes — the artifact's
+    # list pruning appears (with n_probe=None over a float ivf artifact
+    # auto still declines: full probe reads as much as the pushed scan)
     comp = query_api.search_points(spark, root, "vecs", q, flt=flt, k=5,
-                                   use_index="auto", n_probe=None,
+                                   use_index="auto", n_probe=2,
                                    index_candidate_threshold=0)
     assert_partition_filters(comp, "list_id")
+    full = query_api.search_points(spark, root, "vecs", q, flt=flt, k=5,
+                                   use_index="auto", n_probe=None,
+                                   index_candidate_threshold=0)
+    assert "list_id" not in formatted_plan(full)
