@@ -519,7 +519,10 @@ def refresh_vector_index(spark: SparkSession, root: str, collection: str,
                       == str(tenant))
 
     def append_fn(fresh: DataFrame, g: int) -> None:
-        data = fresh.select(id_col, vn)
+        # a NULLed vector (delete_vectors) contributes no replacement row
+        # — its masks already hide the old entries, so the space simply
+        # leaves the index; assigning/encoding a null would crash
+        data = fresh.select(id_col, vn).filter(F.col(vn).isNotNull())
         data_dir = os.path.join(ipath, "data")
         geng = F.lit(g).alias("gen")
         if kind in ("ivf", "ivf_pq", "ivf_sq"):

@@ -1106,6 +1106,94 @@ def update_vectors(spark: SparkSession, root: str, collection: str,
     update_columns(spark, root, collection, updates, id_col=id_col)
 
 
+def _null_patch(spark: SparkSession, root: str, collection: str,
+                ids, columns: list[str]) -> None:
+    """Shared tail of the payload/vector removal APIs: patch ``columns``
+    to a typed NULL for the given ids through :func:`update_columns` —
+    the same bucket-pruned read → patch → atomic-swap path, with the
+    same delta-log feed (the next index refresh masks the ids' old
+    entries and, finding the column NULL, appends no replacement)."""
+    path = collection_path(root, collection)
+    id_col, _ = _require_layout(root, collection, None)
+    if not _store_exists(path):
+        return
+    stored = {f.name: f.dataType for f in spark.read.parquet(path).schema}
+    missing = [c for c in columns if c not in stored]
+    if missing:
+        raise ValueError(
+            f"{missing} not in the stored schema of {collection!r}")
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(ids.columns[0]).cast("string")
+                            .alias("_z_id")).distinct()
+    else:
+        ids_df = spark.createDataFrame(
+            [(str(i),) for i in dict.fromkeys(ids)], "`_z_id` string")
+    patch = ids_df.select(
+        "_z_id", *[F.lit(None).cast(stored[c]).alias(c) for c in columns])
+    update_columns(spark, root, collection, patch, id_col=id_col)
+
+
+def delete_vectors(spark: SparkSession, root: str, collection: str,
+                   ids, vector_names: list[str]) -> None:
+    """Qdrant ``delete_vectors``: remove the NAMED vector space(s) from
+    the given points — the space column nulls out while payloads, other
+    spaces and the point id survive.  A nulled vector drops out of kNN
+    scoring on its own (null sims are filtered), and the next index
+    refresh masks the ids' old index entries without appending
+    replacements, so the space leaves the stored index too.  ``ids`` is
+    a list or a one-column DataFrame; every name must be a DECLARED
+    vector space."""
+    meta = collection_meta(root, collection) or {}
+    vectors = meta.get("vectors", {})
+    undeclared = [v for v in vector_names if v not in vectors]
+    if undeclared:
+        raise ValueError(
+            f"delete_vectors: {undeclared} are not declared vector spaces "
+            f"of {collection!r} (declared: {sorted(vectors)}); payload "
+            f"columns go through delete_payload")
+    _null_patch(spark, root, collection, ids, list(vector_names))
+
+
+def delete_payload(spark: SparkSession, root: str, collection: str,
+                   ids, keys: list[str]) -> None:
+    """Qdrant ``delete_payload``: remove payload KEY(s) from the given
+    points (the columns null out; vectors and other payload survive).
+    Vector spaces are refused (that's :func:`delete_vectors`), and so is
+    the tenant column — nulling the partition key would orphan the rows
+    from their subtree (Qdrant's shard key is equally immutable)."""
+    meta = collection_meta(root, collection) or {}
+    vectors = meta.get("vectors", {})
+    bad = [k for k in keys if k in vectors]
+    if bad:
+        raise ValueError(
+            f"delete_payload: {bad} are declared vector spaces; use "
+            f"delete_vectors for those")
+    tcol = meta.get("tenant_col")
+    id_col = meta.get("id_col", "id")
+    if tcol in keys or id_col in keys:
+        raise ValueError(
+            f"delete_payload cannot remove the id or tenant column "
+            f"({id_col!r}/{tcol!r}); they define the point's identity "
+            f"and partition")
+    _null_patch(spark, root, collection, ids, list(keys))
+
+
+def clear_payload(spark: SparkSession, root: str, collection: str,
+                  ids) -> None:
+    """Qdrant ``clear_payload``: remove EVERY payload key from the given
+    points — all columns null out except the id, the tenant partition
+    column, and the declared vector spaces."""
+    path = collection_path(root, collection)
+    if not _store_exists(path):
+        return
+    meta = collection_meta(root, collection) or {}
+    keep = ({meta.get("id_col", "id"), BUCKET_COL, meta.get("tenant_col")}
+            | set(meta.get("vectors", {})))
+    cols = [c for c in spark.read.parquet(path).columns if c not in keep]
+    if cols:
+        _null_patch(spark, root, collection, ids, cols)
+
+
 def batch_update_points(spark: SparkSession, root: str, collection: str,
                         ops: list[tuple]) -> list[int]:
     """Qdrant ``batch_update_points``: a SEQUENCE of mutations applied in
@@ -1114,6 +1202,9 @@ def batch_update_points(spark: SparkSession, root: str, collection: str,
     the id deleted).  Each op is a tuple:
 
     - ``("upsert", df)`` — full-point upsert (:func:`upsert`)
+    - ``("delete_vectors", (ids, names))`` — (:func:`delete_vectors`)
+    - ``("delete_payload", (ids, keys))`` — (:func:`delete_payload`)
+    - ``("clear_payload", ids)`` — (:func:`clear_payload`)
     - ``("delete", ids_or_df)`` — delete by id (:func:`delete_points`)
     - ``("delete_by_filter", predicate)`` — (:func:`delete_by_filter`)
     - ``("set_payload", df)`` — column patch (:func:`update_columns`)
@@ -1133,6 +1224,12 @@ def batch_update_points(spark: SparkSession, root: str, collection: str,
             spark, root, collection, a, count_removed=False),
         "set_payload": lambda a: update_columns(spark, root, collection, a),
         "update_vectors": lambda a: update_vectors(spark, root, collection, a),
+        # removal ops take (ids, names) / ids — the Qdrant batch op kinds
+        "delete_vectors": lambda a: delete_vectors(
+            spark, root, collection, a[0], a[1]),
+        "delete_payload": lambda a: delete_payload(
+            spark, root, collection, a[0], a[1]),
+        "clear_payload": lambda a: clear_payload(spark, root, collection, a),
     }
     versions = []
     for i, op in enumerate(ops):

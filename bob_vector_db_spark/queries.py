@@ -6609,6 +6609,48 @@ def q_store_multivector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "sim", F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "store_delete_vectors",
+    # final state after the three removal ops (run through the batch
+    # sequencer): ids 5-9 lose the vector, 10-14 lose the grp payload,
+    # 20-21 clear every payload; everything else intact.
+    oracle="""
+SELECT vec_id AS id,
+       (vec_id < 5 OR vec_id > 9) AS has_vec,
+       CASE WHEN vec_id BETWEEN 10 AND 14 OR vec_id IN (20, 21)
+            THEN NULL ELSE CAST(label AS BIGINT) END AS grp
+FROM embeddings WHERE vec_id < 30
+ORDER BY id
+""",
+)
+def q_store_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant's point-mutation removal ops — ``delete_vectors`` (null a
+    named space; the point survives and drops out of kNN),
+    ``delete_payload`` (null payload keys; vectors survive) and
+    ``clear_payload`` — applied IN ORDER through ``batch_update_points``
+    (the Qdrant batch op kinds).  Each is a bucket-pruned typed-NULL
+    patch through the same update_columns path as set_payload, feeding
+    the delta log so index refreshes mask the removed entries."""
+    base = _tmp_base(sf_dir, "delvec")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 30).select(
+            F.col("vec_id").alias("id"), "embedding",
+            F.col("label").cast("long").alias("grp")),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    upsert.batch_update_points(spark, base, "vecs", [
+        ("delete_vectors", (list(range(5, 10)), ["embedding"])),
+        ("delete_payload", (list(range(10, 15)), ["grp"])),
+        ("clear_payload", [20, 21]),
+    ])
+    return (upsert.read_collection(spark, base, "vecs")
+            .select(F.col("id").cast("long").alias("id"),
+                    F.col("embedding").isNotNull().alias("has_vec"),
+                    F.col("grp"))
+            .orderBy("id"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -6625,7 +6667,8 @@ _PRIORITY = [
     # space runs; the quantized rescore + MMR fetch go bucket-pruned)
     "store_filtered_indexed_search", "api_filter_nested",
     "api_geo_polygon", "knn_multivector_maxsim",
-    "store_multivector_search", "store_indexed_sq",
+    "store_multivector_search", "store_delete_vectors",
+    "store_indexed_sq",
     "store_indexed_probe", "api_recommend_best_score", "api_match_phrase",
     "store_indexed_pq", "knn_mmr_rerank", "api_search_groups",
     "api_search_groups_stored",

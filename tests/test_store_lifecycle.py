@@ -920,3 +920,72 @@ def test_multivector_space_store_and_update(spark, tmp_path):
     got = (upsert.read_collection(spark, root, "mv")
            .filter(F.col("id") == 1).first())
     assert got["colbert"] == [[9.0, 9.0]]
+
+
+def test_delete_vectors_payload_and_clear(spark, tmp_path):
+    """Qdrant's point-mutation tail: delete_vectors nulls a named space
+    (point survives, drops out of kNN, index refresh forgets it),
+    delete_payload nulls keys (vector survives), clear_payload nulls
+    every payload column; guards refuse the id/tenant column and
+    vector/payload mixups."""
+    import pytest
+    from bob_vector_db_spark.operators import index, knn
+
+    root = str(tmp_path / "store")
+    rows = [(i, [float(i % 5) + 1.0, 1.0], f"cat{i % 3}", i * 10)
+            for i in range(24)]
+    df = spark.createDataFrame(
+        rows, "id long, vec array<double>, category string, score long")
+    upsert.create_collection(
+        spark, root, "c", df=df, id_col="id", n_buckets=4,
+        vector_config={"vec": {"size": 2, "distance": "cosine"}})
+    index.build_vector_index(spark, root, "c", kind="ivf", n_lists=2,
+                             iters=2)
+    q = spark.createDataFrame([(0, [1.0, 1.0])],
+                              "qid long, qvec array<double>")
+
+    upsert.delete_vectors(spark, root, "c", [3, 7], ["vec"])
+    got = upsert.read_collection(spark, root, "c") \
+        .filter(F.col("id").isin(3, 7)).collect()
+    assert len(got) == 2  # the points survive...
+    assert all(r["vec"] is None for r in got)            # ...vector gone
+    assert all(r["category"] is not None for r in got)   # payload intact
+    hits = {r["vec_id"] for r in knn.search_collection(
+        spark, root, "c", q, k=24, corpus_id="id",
+        use_index=False).collect()}
+    assert 3 not in hits and 7 not in hits
+    # the refresh absorbs the removal: nulled ids are masked, nothing
+    # re-appends, and the indexed search equals the exact scan
+    index.refresh_vector_index(spark, root, "c")
+    idx = {r["vec_id"] for r in knn.search_collection(
+        spark, root, "c", q, k=24, corpus_id="id",
+        use_index="always").collect()}
+    assert idx == hits
+
+    upsert.delete_payload(spark, root, "c", [1, 2], ["category"])
+    got = upsert.read_collection(spark, root, "c") \
+        .filter(F.col("id").isin(1, 2)).collect()
+    assert all(r["category"] is None and r["vec"] is not None
+               and r["score"] is not None for r in got)
+
+    upsert.clear_payload(spark, root, "c", [5])
+    r5 = upsert.read_collection(spark, root, "c") \
+        .filter(F.col("id") == 5).first()
+    assert r5["category"] is None and r5["score"] is None
+    assert r5["vec"] is not None  # vector spaces survive clear_payload
+
+    with pytest.raises(ValueError, match="declared vector spaces"):
+        upsert.delete_payload(spark, root, "c", [1], ["vec"])
+    with pytest.raises(ValueError, match="not declared vector spaces"):
+        upsert.delete_vectors(spark, root, "c", [1], ["category"])
+    with pytest.raises(ValueError, match="identity"):
+        upsert.delete_payload(spark, root, "c", [1], ["id"])
+    # and the batch sequencer dispatches the removal kinds
+    versions = upsert.batch_update_points(spark, root, "c", [
+        ("delete_vectors", ([9], ["vec"])),
+        ("clear_payload", [10]),
+    ])
+    assert len(versions) == 2
+    r9 = upsert.read_collection(spark, root, "c") \
+        .filter(F.col("id") == 9).first()
+    assert r9["vec"] is None and r9["category"] is not None
