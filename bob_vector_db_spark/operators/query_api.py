@@ -192,7 +192,8 @@ def search_points(spark: SparkSession, root: str, collection: str,
                   offset: int = 0,
                   use_index: str | bool = "auto",
                   n_probe: int | None = None,
-                  index_candidate_threshold: int = 100_000) -> DataFrame:
+                  index_candidate_threshold: int = 100_000,
+                  with_payload: bool | list = False) -> DataFrame:
     """Filtered kNN with the collection's declared metric — the Qdrant
     ``search(query_vector, query_filter=Filter(...))`` twin.  With no
     filter this defers to ``knn.search_collection`` (which may dispatch
@@ -219,7 +220,10 @@ def search_points(spark: SparkSession, root: str, collection: str,
     ``score_threshold`` drops hits past the quality floor (better-than
     semantics follow the metric: >= for cosine/dot, <= for euclid);
     ``offset`` skips the first hits for paged search (ranks re-number
-    from 1) — both post-rank cuts, exactly Qdrant's search params."""
+    from 1) — both post-rank cuts, exactly Qdrant's search params.
+    ``with_payload`` (True, or a list of column names) joins each hit's
+    payload back on via the bucket-pruned fetch (:func:`attach_payload`)
+    — the Qdrant hit shape with payload attached."""
     from .knn import knn_join, resolve_metric, search_collection  # noqa: PLC0415
 
     meta = collection_meta(root, collection) or {}
@@ -282,7 +286,46 @@ def search_points(spark: SparkSession, root: str, collection: str,
         cut = (F.col("sim") <= float(score_threshold) if metric == "euclid"
                else F.col("sim") >= float(score_threshold))
         out = out.filter(cut)
+    if with_payload:
+        out = attach_payload(spark, root, collection, out,
+                             with_payload, meta=meta)
     return out
+
+
+def attach_payload(spark: SparkSession, root: str, collection: str,
+                   hits: DataFrame, with_payload=True,
+                   id_col_out: str = "vec_id",
+                   meta: dict | None = None) -> DataFrame:
+    """Qdrant ``with_payload``: join each hit's payload columns back onto
+    a ranked result.  ``with_payload`` True attaches every payload column
+    (vector spaces excluded — that's ``with_vectors`` territory and they
+    are heavy); a list of names attaches exactly those.  The fetch goes
+    through the store's static id-bucket filter (``read_rows_for_ids`` —
+    O(|hits|), never a collection scan) and joins broadcast: hits are
+    k·|queries| rows by construction."""
+    meta = meta if meta is not None else \
+        (collection_meta(root, collection) or {})
+    id_col = meta.get("id_col", "id")
+    vectors = set(meta.get("vectors", {}))
+    rows = read_rows_for_ids(spark, root, collection,
+                             hits.select(id_col_out).distinct())
+    if rows is None:
+        return hits
+    if with_payload is True:
+        cols = [c for c in rows.columns if c != id_col and c not in vectors]
+    else:
+        missing = [c for c in with_payload if c not in rows.columns]
+        if missing:
+            raise ValueError(
+                f"with_payload: {missing} not in the stored schema of "
+                f"{collection!r}")
+        cols = list(with_payload)
+    looked = rows.select(F.col(id_col).cast("string").alias("_wp_id"),
+                         *cols)
+    return (hits.join(F.broadcast(looked),
+                      F.col(id_col_out).cast("string") == F.col("_wp_id"),
+                      "left")
+            .drop("_wp_id"))
 
 
 def count_points(spark: SparkSession, root: str, collection: str,
@@ -488,7 +531,10 @@ def query_points(spark: SparkSession, root: str, collection: str,
                  query=None, prefetch=None, fusion: str = "rrf",
                  k: int = 10, flt=None, vector_name: str | None = None,
                  use_payload_index: str | bool = "auto",
-                 tenant: str | None = None) -> DataFrame:
+                 tenant: str | None = None,
+                 score_threshold: float | None = None,
+                 offset: int = 0,
+                 with_payload: bool | list = False) -> DataFrame:
     """The unified Query API entry (Qdrant ``query_points``), dispatching
     on the query's shape:
 
@@ -515,7 +561,8 @@ def query_points(spark: SparkSession, root: str, collection: str,
         return search_points(spark, root, collection, query, flt=flt, k=k,
                              vector_name=vector_name,
                              use_payload_index=use_payload_index,
-                             tenant=tenant)
+                             tenant=tenant, score_threshold=score_threshold,
+                             offset=offset, with_payload=with_payload)
     # query by stored point id
     meta = collection_meta(root, collection) or {}
     id_col = meta.get("id_col", "id")
@@ -539,15 +586,25 @@ def query_points(spark: SparkSession, root: str, collection: str,
         F.col("qid"), F.col("qvec"))
     from pyspark.sql import Window  # noqa: PLC0415
 
-    out = search_points(spark, root, collection, qdf, flt=flt, k=k + 1,
+    out = search_points(spark, root, collection, qdf, flt=flt,
+                        k=k + 1 + int(offset),
                         vector_name=vector_name,
-                        use_payload_index=use_payload_index, tenant=tenant)
+                        use_payload_index=use_payload_index, tenant=tenant,
+                        score_threshold=score_threshold)
     # Qdrant excludes the looked-up point itself from its own results:
-    # over-fetch by one, drop self, close the rank gap
+    # over-fetch by one, drop self, close the rank gap (offset applies
+    # AFTER the self-drop, so page boundaries never shift by the self
+    # hit's position)
     kept = out.filter(F.col("vec_id").cast("string") != str(query))
     w = Window.partitionBy("qid").orderBy("rank")
-    return (kept.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    kept = (kept.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k + int(offset)))
+    if offset:
+        kept = (kept.filter(F.col("rank") > offset)
+                .withColumn("rank", F.col("rank") - F.lit(int(offset))))
+    if with_payload:
+        kept = attach_payload(spark, root, collection, kept, with_payload)
+    return kept
 
 
 def sample_points(spark: SparkSession, root: str, collection: str,

@@ -6651,6 +6651,67 @@ def q_store_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id"))
 
 
+_WP_FLT = Filter(must=[Range("n", gte=40)])
+
+
+@register(
+    "api_search_with_payload",
+    # filtered kNN with the hits' payload attached (Qdrant with_payload):
+    # the payload fetch is id-bucket pruned, never a second scan.
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id AS id, embedding,
+         'g' || CAST(label % 3 AS VARCHAR) AS grp,
+         vec_id % 97 AS n
+  FROM embeddings WHERE vec_id < 300
+),
+flt AS (SELECT * FROM corpus WHERE {_WP_FLT.to_sql()}),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3
+),
+pairs AS (
+  SELECT q.qid, f.id AS vec_id, f.grp, f.n,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(f.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(f.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, flt f
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank, grp, n
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM pairs)
+WHERE rank <= 8
+""",
+)
+def q_api_search_with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``with_payload``: the filtered search returns each hit WITH
+    its payload columns — attached by a second id-bucket-pruned fetch of
+    exactly the k·|queries| hit ids (``attach_payload``), never a second
+    collection scan; the oracle joins the same payload in SQL."""
+    from .operators import query_api  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "wpay")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.filter(F.col("vec_id") < 300).select(
+        F.col("vec_id").alias("id"), "embedding",
+        F.concat(F.lit("g"), (F.col("label") % 3).cast("string"))
+        .alias("grp"),
+        (F.col("vec_id") % 97).alias("n"))
+    upsert.create_collection(
+        spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = query_api.search_points(spark, base, "vecs", qdf, flt=_WP_FLT,
+                                  k=8, with_payload=["grp", "n"])
+    return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"),
+                      "sim", F.col("rank").cast("long").alias("rank"),
+                      "grp", F.col("n").cast("long").alias("n"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -6668,7 +6729,7 @@ _PRIORITY = [
     "store_filtered_indexed_search", "api_filter_nested",
     "api_geo_polygon", "knn_multivector_maxsim",
     "store_multivector_search", "store_delete_vectors",
-    "store_indexed_sq",
+    "api_search_with_payload", "store_indexed_sq",
     "store_indexed_probe", "api_recommend_best_score", "api_match_phrase",
     "store_indexed_pq", "knn_mmr_rerank", "api_search_groups",
     "api_search_groups_stored",

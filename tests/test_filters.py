@@ -691,3 +691,42 @@ def test_scroll_descending_keyset(spark, tmp_path):
         cursor = (page[-1]["v"], page[-1]["id"])
     want = sorted(((v, i) for i, v in rows), key=lambda t: (-t[0], t[1]))
     assert seen == want  # every row once, in (-v, id) order across pages
+
+
+def test_with_payload_and_query_points_paging(spark, tmp_path):
+    """Qdrant with_payload (True = every payload column, a list = exactly
+    those; vectors never attach) and query-by-id paging: offset applies
+    AFTER the self-exclusion so page boundaries never shift."""
+    root = str(tmp_path / "store")
+    rows = [(i, [float(i % 7) + 1.0, 1.0], f"g{i % 3}", i * 2)
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "id long, vec array<double>, grp string, n long")
+    upsert.create_collection(
+        spark, root, "c", df=df, id_col="id", n_buckets=4,
+        vector_config={"vec": {"size": 2, "distance": "cosine"}})
+    q = spark.createDataFrame([(0, [1.0, 1.0])],
+                              "qid long, qvec array<double>")
+    out = query_api.search_points(spark, root, "c", q, k=5,
+                                  with_payload=True).collect()
+    assert len(out) == 5
+    assert set(out[0].asDict()) == {"qid", "vec_id", "sim", "rank",
+                                    "grp", "n"}  # vec never attaches
+    sel = query_api.search_points(spark, root, "c", q, k=5,
+                                  with_payload=["grp"]).collect()
+    assert set(sel[0].asDict()) == {"qid", "vec_id", "sim", "rank", "grp"}
+    assert all(r["grp"] == f"g{r['vec_id'] % 3}" for r in sel)
+    with pytest.raises(ValueError, match="not in the stored schema"):
+        query_api.search_points(spark, root, "c", q, k=5,
+                                with_payload=["nope"])
+    # query-by-id: page 1 (offset 0) and page 2 (offset k) are disjoint,
+    # contiguous, and never contain the looked-up point
+    p1 = query_api.query_points(spark, root, "c", query=7, k=5)
+    p2 = query_api.query_points(spark, root, "c", query=7, k=5, offset=5)
+    ids1 = [r["vec_id"] for r in p1.orderBy("rank").collect()]
+    ids2 = [r["vec_id"] for r in p2.orderBy("rank").collect()]
+    assert 7 not in ids1 and 7 not in ids2
+    assert not (set(ids1) & set(ids2)) and len(ids1) == len(ids2) == 5
+    full = query_api.query_points(spark, root, "c", query=7, k=10)
+    assert [r["vec_id"] for r in full.orderBy("rank").collect()] \
+        == ids1 + ids2
