@@ -94,6 +94,61 @@ def _resolve_candidates(spark: SparkSession, root: str, collection: str,
     return rows.filter(residual.to_column()), residual
 
 
+def _final_filter_ids(spark: SparkSession, root: str, collection: str,
+                      ids: DataFrame, residual: Filter, id_col: str,
+                      tenant: str | None = None) -> DataFrame:
+    """The filter's FINAL candidate id frame: the payload-index id set
+    narrowed by the residual conditions evaluated on a bucket-pruned
+    fetch of those ids (a no-op when the index answered every leaf)."""
+    if residual == Filter():
+        return ids
+    rows = read_rows_for_ids(spark, root, collection, ids, tenant=tenant)
+    return (ids.limit(0) if rows is None
+            else rows.filter(residual.to_column()).select(id_col))
+
+
+def search_sparse_points(spark: SparkSession, root: str, collection: str,
+                         query_postings: DataFrame, flt=None, k: int = 10,
+                         indices_col: str = "indices",
+                         use_payload_index: str | bool = "auto",
+                         exclude_self: bool = False,
+                         round_to: int | None = 6,
+                         allow_stale: bool = False) -> DataFrame:
+    """FILTERED sparse search — Qdrant's ``query_points`` over a sparse
+    space with a ``query_filter``: the filter resolves to candidate ids
+    (pruned payload-index probes + residual on the bucket-pruned fetch
+    when a fresh index exists, else one pushed-predicate scan projecting
+    just the id column) and the id set semi-joins INSIDE the probed
+    posting lists of the persisted sparse index — dimension pruning AND
+    payload pruning in one plan, the sparse twin of the dense composed
+    search.  With no filter this is plain ``sparse_search_indexed``."""
+    from .sparse import sparse_search_indexed  # noqa: PLC0415
+
+    meta = collection_meta(root, collection) or {}
+    id_col = meta.get("id_col", "id")
+    cand = None
+    if flt is not None:
+        flt_o = as_filter(flt)
+        ids = residual = None
+        if use_payload_index is not False:
+            ids, residual = filter_match_ids(spark, root, collection, flt_o)
+        if ids is not None:
+            cand = _final_filter_ids(spark, root, collection, ids,
+                                     residual, id_col)
+        else:
+            if use_payload_index == "always":
+                raise ValueError(
+                    f"use_payload_index='always' but no top-level must "
+                    f"leaf of the filter has a fresh payload index on "
+                    f"{collection!r}")
+            cand = (read_collection(spark, root, collection)
+                    .filter(flt_o.to_column()).select(id_col))
+    return sparse_search_indexed(
+        spark, root, collection, query_postings, k=k,
+        indices_col=indices_col, exclude_self=exclude_self,
+        round_to=round_to, allow_stale=allow_stale, candidate_ids=cand)
+
+
 def _filtered_indexed_search(spark: SparkSession, root: str, collection: str,
                              queries: DataFrame, flt, k: int,
                              vector_name: str, metric: str, query_id: str,
@@ -167,12 +222,8 @@ def _filtered_indexed_search(spark: SparkSession, root: str, collection: str,
             # ivf_pq codes are 4-32x smaller than the float column).
             # 'always' still composes as asked.
             return None, (ids, residual, n_cand)
-    if residual != Filter():
-        rows = read_rows_for_ids(spark, root, collection, ids, tenant=tenant)
-        final_ids = (ids.limit(0) if rows is None
-                     else rows.filter(residual.to_column()).select(id_col))
-    else:
-        final_ids = ids
+    final_ids = _final_filter_ids(spark, root, collection, ids, residual,
+                                  id_col, tenant=tenant)
     return search_indexed(spark, root, collection, queries, k=k,
                           vector_name=vector_name, n_probe=n_probe,
                           query_id=query_id, query_vec=query_vec,

@@ -228,14 +228,22 @@ def sparse_search_indexed(spark, root: str, collection: str,
                           exclude_self: bool = False,
                           round_to: int | None = 6,
                           max_query_dims: int = 100_000,
-                          allow_stale: bool = False) -> DataFrame:
+                          allow_stale: bool = False,
+                          candidate_ids: DataFrame | None = None
+                          ) -> DataFrame:
     """Top-k over the PERSISTED sparse index: the queries' active dims
     become a STATIC ``dim_bucket IN (...)`` partition filter plus an
     ``idx IN (...)`` predicate pushed into the parquet scan — only the
     probed posting lists are ever read, zero corpus passes.  Results are
     identical to :func:`sparse_dot_topk` over the live collection
     (pytest-pinned + shared oracle).  Raises on a stale index unless
-    ``allow_stale``; refresh with :func:`refresh_sparse_index`."""
+    ``allow_stale``; refresh with :func:`refresh_sparse_index`.
+
+    ``candidate_ids`` (one id column) narrows the search to those points
+    — the FILTERED sparse search (Qdrant filters on sparse spaces): the
+    id set semi-joins the probed posting lists (AQE picks the shape), so
+    payload pruning composes with the dimension pruning in one plan;
+    ``query_api.search_sparse_points`` wires the filter DSL to it."""
     import os  # noqa: PLC0415
 
     from .index import _apply_masks, index_path  # noqa: PLC0415
@@ -278,5 +286,12 @@ def sparse_search_indexed(spark, root: str, collection: str,
             .filter(F.col("dim_bucket").isin(buckets))
             .filter(F.col("idx").isin(dims)))
     post = _apply_masks(spark, ipath, post, "id").select("id", "idx", "val")
+    if candidate_ids is not None:
+        cands = candidate_ids.select(
+            F.col(candidate_ids.columns[0]).cast("string")
+            .alias("_flt_id")).distinct()
+        post = post.join(
+            cands, F.col("id").cast("string") == F.col("_flt_id"),
+            "left_semi")
     return sparse_dot_topk(query_postings, post, k=k,
                            exclude_self=exclude_self, round_to=round_to)

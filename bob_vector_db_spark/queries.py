@@ -6712,6 +6712,81 @@ def q_api_search_with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "grp", F.col("n").cast("long").alias("n"))
 
 
+_SPF_FLT = Filter(must=[MatchValue("parity", 1)])
+
+
+@register(
+    "api_sparse_filtered",
+    # filtered SPARSE search: the payload-index candidate ids semi-join
+    # the probed posting lists of the persisted sparse index — payload
+    # pruning AND dimension pruning in one plan (the sparse twin of
+    # store_filtered_indexed_search); the oracle restricts the corpus by
+    # the LITERAL compiled filter over the same derived parity.
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest({DUCK_WS_TOKENS.format(t='lower(text)')}) AS tok
+  FROM documents
+),
+post AS (
+  SELECT id, ({DUCK_POLY_HASH.format(t='tok')}) % 512 AS idx,
+         CAST(COUNT(*) AS DOUBLE) AS val
+  FROM toks GROUP BY id, idx
+),
+flt AS (
+  SELECT id FROM (SELECT DISTINCT id, id % 3 AS parity FROM post)
+  WHERE {_SPF_FLT.to_sql()}
+),
+q AS (SELECT id AS qid, idx, val AS qval FROM post WHERE id < 3),
+pairs AS (
+  SELECT q.qid, p.id AS vec_id, round(SUM(p.val * q.qval), 6) AS sim
+  FROM post p JOIN q ON p.idx = q.idx
+  WHERE q.qid <> p.id AND p.id IN (SELECT id FROM flt)
+  GROUP BY q.qid, p.id
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_api_sparse_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED sparse search (Qdrant query_filter on a sparse space):
+    the filter resolves through the payload index (parity is indexed) and
+    the candidate ids semi-join INSIDE the probed posting lists of the
+    persisted sparse index — payload AND dimension pruning in one plan,
+    the sparse twin of the dense composed search."""
+    from .operators.query_api import search_sparse_points  # noqa: PLC0415
+    from .operators.payload_index import build_payload_index  # noqa: PLC0415
+    from .operators.sparse import (  # noqa: PLC0415
+        build_sparse_index,
+        postings_from_text,
+    )
+
+    base = _tmp_base(sf_dir, "sparseflt")
+    docs = load_table(spark, sf_dir, "documents")
+    post = postings_from_text(docs, id_col="doc_id", text_col="text",
+                              vocab_size=512)
+    pts = (post.groupBy("id")
+           .agg(F.array_sort(F.collect_list(F.struct("idx", "val")))
+                .alias("z"))
+           .select("id",
+                   F.col("z.idx").alias("indices"),
+                   F.col("z.val").alias("values"),
+                   (F.col("id") % 3).alias("parity")))
+    upsert.create_collection(
+        spark, base, "sp", df=pts, id_col="id", n_buckets=8,
+        vector_config={"text_sparse": {"kind": "sparse", "distance": "dot"}})
+    build_payload_index(spark, base, "sp", "parity", n_val_buckets=8)
+    build_sparse_index(spark, base, "sp", n_dim_buckets=16)
+    qpost = post.filter(F.col("id") < 3)
+    out = search_sparse_points(spark, base, "sp", qpost, flt=_SPF_FLT,
+                               k=10, use_payload_index="always",
+                               exclude_self=True)
+    return out.select("qid", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -6729,7 +6804,8 @@ _PRIORITY = [
     "store_filtered_indexed_search", "api_filter_nested",
     "api_geo_polygon", "knn_multivector_maxsim",
     "store_multivector_search", "store_delete_vectors",
-    "api_search_with_payload", "store_indexed_sq",
+    "api_search_with_payload", "api_sparse_filtered",
+    "store_indexed_sq",
     "store_indexed_probe", "api_recommend_best_score", "api_match_phrase",
     "store_indexed_pq", "knn_mmr_rerank", "api_search_groups",
     "api_search_groups_stored",

@@ -255,3 +255,53 @@ def test_sparse_indexed_pushes_idx_predicate(spark, tmp_path):
     out = sparse_search_indexed(spark, root, "sp",
                                 post.filter(F.col("id") == 0), k=5)
     assert_pushed_filters(out, "idx")
+
+
+def test_filtered_sparse_search_composes_and_falls_back(spark, tmp_path):
+    """search_sparse_points: with a fresh payload index the filter's ids
+    semi-join the probed posting lists; without one, 'auto' resolves the
+    ids from a pushed-predicate scan — both equal the brute-force
+    filtered sparse dot, and 'always' raises with no index."""
+    import pytest
+    from bob_vector_db_spark.operators import upsert
+    from bob_vector_db_spark.operators.filters import Filter, MatchValue
+    from bob_vector_db_spark.operators.payload_index import (
+        build_payload_index)
+    from bob_vector_db_spark.operators.query_api import search_sparse_points
+    from bob_vector_db_spark.operators.sparse import build_sparse_index
+
+    root = str(tmp_path / "store")
+    rows = []
+    for i in range(30):
+        dims = sorted({(i * 7 + j) % 40 for j in range(4)})
+        rows.append((i, dims, [float(1 + (i + d) % 5) for d in dims],
+                     i % 3))
+    pts = spark.createDataFrame(
+        rows, "id long, indices array<long>, values array<double>, "
+              "parity long")
+    upsert.create_collection(
+        spark, root, "sp", df=pts, id_col="id", n_buckets=4,
+        vector_config={"s": {"kind": "sparse", "distance": "dot"}})
+    build_sparse_index(spark, root, "sp", n_dim_buckets=8)
+    stored = upsert.read_collection(spark, root, "sp")
+    post = postings_from_arrays(stored, id_col="id")
+    q = post.filter(F.col("id") < 2)
+    flt = Filter(must=[MatchValue("parity", 1)])
+
+    want = sorted(map(tuple, sparse_dot_topk(
+        q, post.join(stored.filter("parity = 1").select("id"), "id",
+                     "left_semi"),
+        k=10, exclude_self=True).collect()))
+    # scan fallback (no payload index yet)
+    got_scan = sorted(map(tuple, search_sparse_points(
+        spark, root, "sp", q, flt=flt, k=10, exclude_self=True).collect()))
+    assert got_scan == want
+    with pytest.raises(ValueError, match="always"):
+        search_sparse_points(spark, root, "sp", q, flt=flt, k=10,
+                             use_payload_index="always")
+    # indexed candidate path
+    build_payload_index(spark, root, "sp", "parity", n_val_buckets=4)
+    got_idx = sorted(map(tuple, search_sparse_points(
+        spark, root, "sp", q, flt=flt, k=10, use_payload_index="always",
+        exclude_self=True).collect()))
+    assert got_idx == want
