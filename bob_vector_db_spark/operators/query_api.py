@@ -149,6 +149,49 @@ def search_sparse_points(spark: SparkSession, root: str, collection: str,
         round_to=round_to, allow_stale=allow_stale, candidate_ids=cand)
 
 
+def search_text_points(spark: SparkSession, root: str, collection: str,
+                       terms: list[str], flt=None, k: int = 10,
+                       text_col: str = "document",
+                       use_payload_index: str | bool = "auto",
+                       k1: float = 1.2, b: float = 0.75,
+                       round_to: int = 6,
+                       allow_stale: bool = False) -> DataFrame:
+    """FILTERED full-text search — BM25 over the persisted posting index
+    with a payload ``query_filter``: the filter resolves to candidate
+    ids (pruned payload-index probes + residual on the bucket-pruned
+    fetch when a fresh index exists, else one pushed-predicate scan
+    projecting the id column) and the id set semi-joins INSIDE the
+    probed term buckets — term pruning AND payload pruning in one plan,
+    with corpus-global BM25 statistics (a filter narrows candidates,
+    not term rarity).  With no filter this is plain
+    ``bm25_topk_indexed``."""
+    from .text_search import bm25_topk_indexed  # noqa: PLC0415
+
+    meta = collection_meta(root, collection) or {}
+    id_col = meta.get("id_col", "id")
+    cand = None
+    if flt is not None:
+        flt_o = as_filter(flt)
+        ids = residual = None
+        if use_payload_index is not False:
+            ids, residual = filter_match_ids(spark, root, collection, flt_o)
+        if ids is not None:
+            cand = _final_filter_ids(spark, root, collection, ids,
+                                     residual, id_col)
+        else:
+            if use_payload_index == "always":
+                raise ValueError(
+                    f"use_payload_index='always' but no top-level must "
+                    f"leaf of the filter has a fresh payload index on "
+                    f"{collection!r}")
+            cand = (read_collection(spark, root, collection)
+                    .filter(flt_o.to_column()).select(id_col))
+    return bm25_topk_indexed(
+        spark, root, collection, terms, k=k, text_col=text_col,
+        k1=k1, b=b, round_to=round_to, allow_stale=allow_stale,
+        candidate_ids=cand)
+
+
 def _filtered_indexed_search(spark: SparkSession, root: str, collection: str,
                              queries: DataFrame, flt, k: int,
                              vector_name: str, metric: str, query_id: str,

@@ -71,15 +71,19 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
 
 
 def _score_posting(posting: DataFrame, n_docs: int, avgdl: float, k: int,
-                   k1: float, b: float, round_to: int) -> DataFrame:
+                   k1: float, b: float, round_to: int,
+                   df_t: DataFrame | None = None) -> DataFrame:
     """Shared BM25 scoring tail over a (id, term, tf, len) posting stream
     already pruned to the query's terms — per-term df is exact on the
-    pruned stream (pruning cuts TERMS, never a term's documents).  The
-    final top-k is TakeOrderedAndProject (per-partition heaps + one k-row
-    merge), not a global row_number window that would shuffle every scored
-    doc into one partition."""
-    df_t = posting.groupBy("term").agg(
-        F.countDistinct("id").alias("df"))
+    pruned stream (pruning cuts TERMS, never a term's documents).  A
+    caller that ALSO narrows documents (the filtered search) passes the
+    pre-narrowing ``df_t`` so IDF stays corpus-global.  The final top-k
+    is TakeOrderedAndProject (per-partition heaps + one k-row merge),
+    not a global row_number window that would shuffle every scored doc
+    into one partition."""
+    if df_t is None:
+        df_t = posting.groupBy("term").agg(
+            F.countDistinct("id").alias("df"))
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     scored = (
@@ -282,7 +286,8 @@ def bm25_topk_indexed(spark: SparkSession, root: str, collection: str,
                       text_col: str = "document",
                       k1: float = 1.2, b: float = 0.75,
                       round_to: int = 6,
-                      allow_stale: bool = False) -> DataFrame:
+                      allow_stale: bool = False,
+                      candidate_ids: DataFrame | None = None) -> DataFrame:
     """Top-k BM25 over the PERSISTED posting table — identical results to
     :func:`bm25_topk` on the same corpus (pytest-pinned), but the query
     reads only the query terms' hash buckets of the stored index (static
@@ -290,7 +295,13 @@ def bm25_topk_indexed(spark: SparkSession, root: str, collection: str,
     ``term IN (...)`` predicate pushes into the parquet scan).  Zero
     corpus-table passes at query time.  Raises on a stale index unless
     ``allow_stale`` — rebuild after mutations with :func:`build_text_index`.
-    """
+
+    ``candidate_ids`` (one id column) narrows the ranking to those
+    points — the FILTERED full-text search: the id set semi-joins the
+    probed posting lists while the BM25 statistics (IDF, avgdl) stay
+    CORPUS-GLOBAL, the standard filtered-BM25 semantics (a filter
+    narrows candidates, not term rarity);
+    ``query_api.search_text_points`` wires the filter DSL to it."""
     from .index import index_path  # noqa: PLC0415
     from .upsert import collection_version  # noqa: PLC0415
 
@@ -328,8 +339,20 @@ def bm25_topk_indexed(spark: SparkSession, root: str, collection: str,
         .filter(F.col("term").isin(terms_l)),
         "id",
     ).select("id", "term", "tf", "len")
+    df_t = None
+    if candidate_ids is not None:
+        # df BEFORE the candidate narrowing: the filter cuts candidates,
+        # never a term's rarity (standard filtered-BM25 semantics)
+        df_t = posting.groupBy("term").agg(
+            F.countDistinct("id").alias("df"))
+        cands = candidate_ids.select(
+            F.col(candidate_ids.columns[0]).cast("string")
+            .alias("_flt_id")).distinct()
+        posting = posting.join(
+            cands, F.col("id").cast("string") == F.col("_flt_id"),
+            "left_semi")
     return _score_posting(posting, imeta["n_docs"], float(imeta["avgdl"]),
-                          k, k1, b, round_to)
+                          k, k1, b, round_to, df_t=df_t)
 
 
 def match_text_ids(spark: SparkSession, root: str, collection: str,

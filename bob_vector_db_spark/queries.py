@@ -6787,6 +6787,77 @@ def q_api_sparse_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+_TXT_FLT = Filter(must=[MatchAny("lang", ["en", "de"])])
+
+
+@register(
+    "api_text_filtered",
+    # filtered BM25 over the stored posting index: the payload-index
+    # candidate ids semi-join the probed term buckets while IDF/avgdl
+    # stay CORPUS-GLOBAL (a filter narrows candidates, not term rarity);
+    # the oracle embeds the literal compiled filter and restricts only
+    # the scored docs, never dfreq/stats.
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+),
+lens AS (SELECT id, len(toks) AS len FROM toks),
+stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),
+flt AS (SELECT doc_id AS id FROM documents WHERE {_TXT_FLT.to_sql()}),
+posting AS (
+  SELECT id, term, COUNT(*) AS tf
+  FROM (SELECT id, unnest(toks) AS term FROM toks)
+  WHERE term IN ('vector', 'join', 'stream')
+  GROUP BY id, term
+),
+dfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM posting GROUP BY term),
+scored AS (
+  SELECT p.id,
+         round(SUM(
+           ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / stats.avgdl))
+         ), 6) AS score
+  FROM posting p
+  JOIN dfreq ON p.term = dfreq.term
+  JOIN lens ON lens.id = p.id
+  CROSS JOIN stats
+  WHERE p.id IN (SELECT id FROM flt)
+  GROUP BY p.id
+)
+SELECT id, score, CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT)
+       AS rank
+FROM scored ORDER BY score DESC, id LIMIT 10
+""",
+)
+def q_api_text_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED full-text search: BM25 over the persisted term-bucketed
+    posting index with a payload filter — the lang candidates resolve
+    through the payload index and semi-join the probed term buckets
+    (term pruning AND payload pruning in one plan), while IDF and avgdl
+    stay corpus-global, the standard filtered-BM25 semantics."""
+    from .operators.payload_index import build_payload_index  # noqa: PLC0415
+    from .operators.query_api import search_text_points  # noqa: PLC0415
+    from .operators.text_search import build_text_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "txtflt")
+    docs = load_table(spark, sf_dir, "documents")
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8, id_col="id",
+        df=docs.select(F.col("doc_id").alias("id"), "text", "lang"))
+    build_payload_index(spark, base, "docs", "lang", n_val_buckets=8)
+    build_text_index(spark, base, "docs", text_col="text",
+                     n_term_buckets=16)
+    out = search_text_points(spark, base, "docs",
+                             ["vector", "join", "stream"], flt=_TXT_FLT,
+                             k=10, text_col="text",
+                             use_payload_index="always")
+    return out.select("id", "score", F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -6805,7 +6876,7 @@ _PRIORITY = [
     "api_geo_polygon", "knn_multivector_maxsim",
     "store_multivector_search", "store_delete_vectors",
     "api_search_with_payload", "api_sparse_filtered",
-    "store_indexed_sq",
+    "api_text_filtered", "store_indexed_sq",
     "store_indexed_probe", "api_recommend_best_score", "api_match_phrase",
     "store_indexed_pq", "knn_mmr_rerank", "api_search_groups",
     "api_search_groups_stored",

@@ -460,3 +460,32 @@ def test_bm25_mask_compaction_folds_both_artifacts(spark, tmp_path):
     idx = sorted(map(tuple, bm25_topk_indexed(
         spark, root, "docs", terms, k=10, text_col="text").collect()))
     assert idx == mem
+
+
+def test_filtered_bm25_keeps_corpus_global_idf(spark, tmp_path):
+    """bm25_topk_indexed(candidate_ids=...) narrows CANDIDATES, not term
+    rarity: scores of surviving docs equal their unfiltered scores (IDF
+    and avgdl stay corpus-global), and only filtered docs rank."""
+    from bob_vector_db_spark.operators import upsert
+    from bob_vector_db_spark.operators.text_search import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    root = str(tmp_path / "store")
+    rows = [(i, ("alpha beta " * (1 + i % 3)) +
+             ("gamma " if i % 2 else "delta "), i % 2) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, text string, par long")
+    upsert.create_collection(spark, root, "d", df=df, id_col="id",
+                             n_buckets=4)
+    build_text_index(spark, root, "d", text_col="text", n_term_buckets=8)
+    base = {r["id"]: r["score"] for r in bm25_topk_indexed(
+        spark, root, "d", ["alpha", "gamma"], k=20,
+        text_col="text").collect()}
+    cand = spark.createDataFrame([(i,) for i in range(20) if i % 2],
+                                 "`i` long")
+    filt = bm25_topk_indexed(spark, root, "d", ["alpha", "gamma"], k=20,
+                             text_col="text", candidate_ids=cand).collect()
+    assert {r["id"] for r in filt} == {i for i in range(20) if i % 2}
+    # per-doc scores unchanged by the narrowing — global IDF held
+    assert all(r["score"] == base[r["id"]] for r in filt)
