@@ -261,8 +261,8 @@ def filtered_search_indexed(spark: SparkSession, root: str, collection: str,
                             max_candidates: int = 1_000_000) -> DataFrame:
     """Filtered kNN through the payload index: resolve the filter to its id
     set FIRST (pruned value-bucket probe), fetch exactly those points from
-    the collection via a static id-bucket filter + broadcast semi-join, and
-    score only them with the collection's declared metric.  This is the
+    the collection via a static id-bucket filter + AQE-chosen semi-join,
+    and score only them with the collection's declared metric.  This is the
     Qdrant selective-filter plan; for non-selective filters prefer
     ``knn.search_collection`` with a pushed predicate (scanning beats
     fetching when most points match).  ``max_candidates`` is a loud
@@ -301,10 +301,14 @@ def filtered_search_indexed(spark: SparkSession, root: str, collection: str,
         .select(F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int")
                 .alias("b")).distinct().collect()) if n_cand else []
     path = collection_path(root, collection)
+    # no broadcast hint: AQE broadcasts a selective id set on its own and
+    # degrades to a shuffle join near the max_candidates guard instead of
+    # forcing a 1M-row broadcast (the same policy as every other
+    # candidate semi-join in this repo)
     fetched = (
         spark.read.parquet(path)
         .filter(F.col(BUCKET_COL).isin(id_buckets))
-        .join(F.broadcast(cand.select("id").withColumnRenamed("id", "_f_id")),
+        .join(cand.select("id").withColumnRenamed("id", "_f_id"),
               F.col(id_col).cast("string") == F.col("_f_id"), "left_semi")
         .select(id_col, vector_name)
     )

@@ -30,6 +30,7 @@ from bob_vector_db_spark.operators.query_api import (  # noqa: E402
     count_points,
     search_points,
     search_points_mmr,
+    search_text_points,
 )
 from bob_vector_db_spark.operators.filters import Filter, MatchAny  # noqa: E402
 from bob_vector_db_spark.operators.text_search import (  # noqa: E402
@@ -169,13 +170,24 @@ def main():
 
     _timed("create_collection_docs", timings, lambda: upsert.create_collection(
         spark, store, "docs", n_buckets=32, id_col="id",
-        df=docs.select(F.col("doc_id").alias("id"), "text")))
+        df=docs.select(F.col("doc_id").alias("id"), "text", "lang")))
     _timed("build_bm25_50k_docs", timings, lambda: build_text_index(
         spark, store, "docs", text_col="text", n_term_buckets=32))
     top = _timed("bm25_query", timings, lambda: bm25_topk_indexed(
         spark, store, "docs", ["vector", "join", "stream"], k=10,
         text_col="text").count())
     assert top == 10, top
+    # round-7: filtered BM25 at 10x — lang candidates from the payload
+    # index semi-join the probed term buckets, IDF stays corpus-global
+    _timed("build_docs_lang_index", timings, lambda: build_payload_index(
+        spark, store, "docs", "lang", n_val_buckets=8))
+    t_f = _timed("bm25_filtered_composed", timings,
+                 lambda: search_text_points(
+                     spark, store, "docs", ["vector", "join", "stream"],
+                     flt=Filter(must=[MatchAny("lang", ["en", "de"])]),
+                     k=10, text_col="text",
+                     use_payload_index="always").count())
+    assert t_f == 10, t_f
 
     _timed("compact_vecs", timings, lambda: upsert.compact_collection(
         spark, store, "vecs"))
