@@ -810,12 +810,13 @@ def _exact_rescore(spark: SparkSession, root: str, collection: str,
     (``upsert.read_rows_for_ids`` — the same pruned fetch every refresh
     path uses; a tenant scope prunes the tenant subtree too), then rank
     the exact metric — rerank_factor*k rows per query move, never the
-    corpus.  The candidate frame is pinned first: the pruned fetch needs
-    its distinct buckets driver-side, and without the pin the ADC/probe
-    stage would recompute for the fetch join."""
+    corpus.  The candidate subplan executes twice — once for the fetch's
+    bucket probe, once in the final join — both passes partition-pruned;
+    deliberately NOT cached: a long-lived serving session would
+    accumulate one persisted frame per search (the leak costs more than
+    the second pruned pass)."""
     from .upsert import read_rows_for_ids  # noqa: PLC0415
 
-    cands = cands.persist()
     q_exact = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"),
         vector.l2_norm(F.col(query_vec)).alias("_qn"))

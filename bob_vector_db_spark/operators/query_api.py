@@ -330,6 +330,8 @@ def search_points(spark: SparkSession, root: str, collection: str,
         vector_name = next(iter(vectors))
     metric = resolve_metric(
         vectors.get(vector_name, {}).get("distance", "cosine"))
+    if use_index is True:  # the bool complement of False, on BOTH branches
+        use_index = "always"
     if flt is None:
         out = search_collection(spark, root, collection, queries,
                                 k=k + offset,
@@ -457,12 +459,17 @@ def facet_values(spark: SparkSession, root: str, collection: str,
                  max_candidates: int = 1_000_000,
                  tenant: str | None = None) -> DataFrame:
     """Qdrant ``facet``: distinct values of a payload key with counts,
-    under a filter — (value, count) descending.  One pushed-filter scan
-    (or candidate fetch) plus one partial-aggregated groupBy; only
-    |distinct values| rows move.  An UNFILTERED, UNTENANTED facet over a
-    freshly-indexed key answers from the posting table alone (index-only
-    aggregate — the collection's data files never open; the 100 TB
-    facet plan)."""
+    under a filter — (value, count) descending.  Qdrant semantics
+    throughout: a NULL (missing) payload never forms a group, and an
+    ARRAY key counts points per ELEMENT (each point once per distinct
+    element) — identical whether the answer comes from the scan or the
+    index.  One pushed-filter scan (or candidate fetch) plus one
+    partial-aggregated groupBy; only |distinct values| rows move.  An
+    UNFILTERED, UNTENANTED facet over a freshly-indexed key answers from
+    the posting table alone (index-only aggregate — the collection's
+    data files never open; the 100 TB facet plan)."""
+    from pyspark.sql.types import ArrayType  # noqa: PLC0415
+
     if flt is None:
         if use_payload_index is not False and tenant is None:
             from .payload_index import facet_from_index  # noqa: PLC0415
@@ -478,7 +485,19 @@ def facet_values(spark: SparkSession, root: str, collection: str,
                 if cand is not None else
                 read_collection(spark, root, collection, tenant=tenant)
                 .filter(as_filter(flt).to_column()))
-    return (base.groupBy(F.col(key).alias("value"))
+    meta = collection_meta(root, collection) or {}
+    id_col = meta.get("id_col", "id")
+    dtype = base.select(F.col(key)).schema[0].dataType
+    if isinstance(dtype, ArrayType):
+        # per-element counts, each point once per DISTINCT element — the
+        # exact shape the array payload index stores as postings
+        vals = (base.select(F.col(id_col),
+                            F.explode(F.col(key)).alias("value"))
+                .distinct())
+    else:
+        vals = base.select(F.col(key).alias("value"))
+    return (vals.filter(F.col("value").isNotNull())
+            .groupBy("value")
             .agg(F.count(F.lit(1)).alias("count"))
             .orderBy(F.desc("count"), F.asc("value"))
             .limit(limit))
@@ -516,8 +535,11 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
                 .filter(as_filter(flt).to_column()))
     if order_by is None:
         if cursor is not None:
-            base = base.filter(F.col(id_col) > F.lit(cursor[0]))
-        return base.orderBy(id_col).limit(limit)
+            base = base.filter(F.col(id_col) < F.lit(cursor[0])
+                               if descending
+                               else F.col(id_col) > F.lit(cursor[0]))
+        return base.orderBy(F.desc(id_col) if descending
+                            else F.asc(id_col)).limit(limit)
     if cursor is not None:
         c_val, c_id = cursor
         beyond = (F.col(order_by) < F.lit(c_val) if descending
@@ -649,8 +671,20 @@ def query_points(spark: SparkSession, root: str, collection: str,
                          "DataFrame or a point id) or prefetch= (a fusion "
                          "tree)")
     if prefetch is not None:
-        return fuse_prefetch({"fusion": fusion, "k": k,
-                              "prefetch": list(prefetch)})
+        out = fuse_prefetch({"fusion": fusion, "k": k + int(offset),
+                             "prefetch": list(prefetch)})
+        # the search params apply to the FUSED ranking (Qdrant applies
+        # limit/offset/threshold after fusion): rrf/dbsf scores both
+        # rank descending, so the threshold is a lower bound
+        if offset:
+            out = (out.filter(F.col("rank") > offset)
+                   .withColumn("rank", F.col("rank") - F.lit(int(offset))))
+        if score_threshold is not None:
+            out = out.filter(F.col("score") >= float(score_threshold))
+        if with_payload:
+            out = attach_payload(spark, root, collection, out,
+                                 with_payload, id_col_out="id")
+        return out
     if isinstance(query, DataFrame):
         return search_points(spark, root, collection, query, flt=flt, k=k,
                              vector_name=vector_name,
@@ -674,10 +708,18 @@ def query_points(spark: SparkSession, root: str, collection: str,
     if not got:
         raise ValueError(
             f"query_points: no point with id {query!r} in {collection!r}")
-    qdf = spark.createDataFrame(
-        [(got[0][id_col], list(got[0][vector_name]))],
-        f"qid string, qvec array<double>").select(
-        F.col("qid"), F.col("qvec"))
+    v = got[0][vector_name]
+    if v and isinstance(v[0], (list, tuple)):
+        # multivector space: the stored value is a LIST of vectors —
+        # query with the nested shape (max-sim scoring dispatches off
+        # the collection meta downstream)
+        qdf = spark.createDataFrame(
+            [(got[0][id_col], [list(t) for t in v])],
+            "qid string, qvec array<array<double>>")
+    else:
+        qdf = spark.createDataFrame(
+            [(got[0][id_col], list(v))],
+            "qid string, qvec array<double>")
     from pyspark.sql import Window  # noqa: PLC0415
 
     out = search_points(spark, root, collection, qdf, flt=flt,
@@ -758,10 +800,12 @@ def search_points_mmr(spark: SparkSession, root: str, collection: str,
                          vector_name=vector_name, query_id=query_id,
                          query_vec=query_vec,
                          use_payload_index=use_payload_index,
-                         tenant=tenant).persist()
+                         tenant=tenant)
     # the pool vectors fetch through the store's static id-bucket filter
-    # (read_rows_for_ids) — O(|pool|), never a second collection scan; the
-    # pool frame is pinned so the fetch's bucket probe doesn't recompute it
+    # (read_rows_for_ids) — O(|pool|), never a second collection scan.
+    # The pool subplan runs twice (bucket probe + join), deliberately
+    # uncached: a persisted frame per query would leak for the session
+    # lifetime, and both passes are the ordinary pruned search
     rows = read_rows_for_ids(spark, root, collection,
                              cand.select("vec_id").distinct(), tenant=tenant)
     if rows is None:  # empty pool / empty store

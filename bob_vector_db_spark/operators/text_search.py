@@ -342,7 +342,10 @@ def bm25_topk_indexed(spark: SparkSession, root: str, collection: str,
     df_t = None
     if candidate_ids is not None:
         # df BEFORE the candidate narrowing: the filter cuts candidates,
-        # never a term's rarity (standard filtered-BM25 semantics)
+        # never a term's rarity (standard filtered-BM25 semantics).  This
+        # is one extra pass over the probed (term-pruned) posting stream
+        # — deliberately uncached, same no-leak policy as every other
+        # two-pass candidate path in this repo
         df_t = posting.groupBy("term").agg(
             F.countDistinct("id").alias("df"))
         cands = candidate_ids.select(

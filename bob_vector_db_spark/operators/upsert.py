@@ -1133,16 +1133,36 @@ def _null_patch(spark: SparkSession, root: str, collection: str,
     update_columns(spark, root, collection, patch, id_col=id_col)
 
 
+def _space_columns(meta: dict, name: str) -> list[str]:
+    """The PHYSICAL columns a declared vector space occupies: its own
+    name for a dense space, the (indices, values) array pair for a
+    sparse one (the Qdrant sparse wire format stored by the sparse
+    fixtures; overridable via ``indices_col``/``values_col`` in the
+    space config)."""
+    cfg = (meta.get("vectors") or {}).get(name, {})
+    if str(cfg.get("kind", "")).lower() == "sparse":
+        return [cfg.get("indices_col", "indices"),
+                cfg.get("values_col", "values")]
+    return [name]
+
+
+def _all_vector_columns(meta: dict) -> set[str]:
+    cols: set = set()
+    for name in meta.get("vectors") or {}:
+        cols.update(_space_columns(meta, name))
+    return cols
+
+
 def delete_vectors(spark: SparkSession, root: str, collection: str,
                    ids, vector_names: list[str]) -> None:
     """Qdrant ``delete_vectors``: remove the NAMED vector space(s) from
-    the given points — the space column nulls out while payloads, other
-    spaces and the point id survive.  A nulled vector drops out of kNN
-    scoring on its own (null sims are filtered), and the next index
-    refresh masks the ids' old index entries without appending
-    replacements, so the space leaves the stored index too.  ``ids`` is
-    a list or a one-column DataFrame; every name must be a DECLARED
-    vector space."""
+    the given points — the space's physical column(s) null out (a sparse
+    space nulls its indices+values pair) while payloads, other spaces
+    and the point id survive.  A nulled vector drops out of kNN scoring
+    on its own (null sims are filtered), and the next index refresh
+    masks the ids' old index entries without appending replacements, so
+    the space leaves the stored index too.  ``ids`` is a list or a
+    one-column DataFrame; every name must be a DECLARED vector space."""
     meta = collection_meta(root, collection) or {}
     vectors = meta.get("vectors", {})
     undeclared = [v for v in vector_names if v not in vectors]
@@ -1151,23 +1171,29 @@ def delete_vectors(spark: SparkSession, root: str, collection: str,
             f"delete_vectors: {undeclared} are not declared vector spaces "
             f"of {collection!r} (declared: {sorted(vectors)}); payload "
             f"columns go through delete_payload")
-    _null_patch(spark, root, collection, ids, list(vector_names))
+    cols: list = []
+    for v in vector_names:
+        cols.extend(c for c in _space_columns(meta, v) if c not in cols)
+    _null_patch(spark, root, collection, ids, cols)
 
 
 def delete_payload(spark: SparkSession, root: str, collection: str,
                    ids, keys: list[str]) -> None:
     """Qdrant ``delete_payload``: remove payload KEY(s) from the given
     points (the columns null out; vectors and other payload survive).
-    Vector spaces are refused (that's :func:`delete_vectors`), and so is
-    the tenant column — nulling the partition key would orphan the rows
-    from their subtree (Qdrant's shard key is equally immutable)."""
+    Vector spaces — by NAME or by their physical columns (a sparse
+    space's indices/values pair) — are refused (that's
+    :func:`delete_vectors`), and so is the tenant column — nulling the
+    partition key would orphan the rows from their subtree (Qdrant's
+    shard key is equally immutable)."""
     meta = collection_meta(root, collection) or {}
     vectors = meta.get("vectors", {})
-    bad = [k for k in keys if k in vectors]
+    protected = set(vectors) | _all_vector_columns(meta)
+    bad = [k for k in keys if k in protected]
     if bad:
         raise ValueError(
-            f"delete_payload: {bad} are declared vector spaces; use "
-            f"delete_vectors for those")
+            f"delete_payload: {bad} are declared vector spaces (or their "
+            f"physical columns); use delete_vectors for those")
     tcol = meta.get("tenant_col")
     id_col = meta.get("id_col", "id")
     if tcol in keys or id_col in keys:
@@ -1182,13 +1208,14 @@ def clear_payload(spark: SparkSession, root: str, collection: str,
                   ids) -> None:
     """Qdrant ``clear_payload``: remove EVERY payload key from the given
     points — all columns null out except the id, the tenant partition
-    column, and the declared vector spaces."""
+    column, and the declared vector spaces' physical columns (a sparse
+    space keeps its indices/values pair)."""
     path = collection_path(root, collection)
     if not _store_exists(path):
         return
     meta = collection_meta(root, collection) or {}
     keep = ({meta.get("id_col", "id"), BUCKET_COL, meta.get("tenant_col")}
-            | set(meta.get("vectors", {})))
+            | _all_vector_columns(meta))
     cols = [c for c in spark.read.parquet(path).columns if c not in keep]
     if cols:
         _null_patch(spark, root, collection, ids, cols)

@@ -730,3 +730,89 @@ def test_with_payload_and_query_points_paging(spark, tmp_path):
     full = query_api.query_points(spark, root, "c", query=7, k=10)
     assert [r["vec_id"] for r in full.orderBy("rank").collect()] \
         == ids1 + ids2
+
+
+def test_review_fixes_round7(spark, tmp_path):
+    """Round-7 self-review regressions: prefetch-branch search params,
+    use_index=True normalization, descending id scroll, multivector
+    query-by-id, and facet parity (array/NULL) between index and scan."""
+    from bob_vector_db_spark.operators import knn
+    from bob_vector_db_spark.operators.payload_index import (
+        build_payload_index)
+
+    root = str(tmp_path / "store")
+    rows = [(i, [float(i % 7) + 1.0, 1.0],
+             None if i % 5 == 0 else f"g{i % 3}",
+             ["a", "a", "b"] if i % 2 else []) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "id long, vec array<double>, grp string, tags array<string>")
+    upsert.create_collection(
+        spark, root, "c", df=df, id_col="id", n_buckets=4,
+        vector_config={"vec": {"size": 2, "distance": "cosine"}})
+
+    # use_index=True behaves as 'always' on the FILTERED branch too
+    q = spark.createDataFrame([(0, [1.0, 1.0])],
+                              "qid long, qvec array<double>")
+    with pytest.raises(ValueError, match="absent|stale|payload"):
+        query_api.search_points(spark, root, "c", q,
+                                flt=MatchValue("grp", "g1"), k=3,
+                                use_index=True)
+
+    # facet: NULL never a group; arrays count per distinct element —
+    # identical from the scan and from the index
+    scan = [(r["value"], r["count"]) for r in query_api.facet_values(
+        spark, root, "c", "grp", use_payload_index=False).collect()]
+    assert all(v is not None for v, _ in scan)
+    arr_scan = {r["value"]: r["count"] for r in query_api.facet_values(
+        spark, root, "c", "tags", use_payload_index=False).collect()}
+    assert arr_scan == {"a": 10, "b": 10}  # per distinct element, 10 odd ids
+    build_payload_index(spark, root, "c", "grp", n_val_buckets=4)
+    build_payload_index(spark, root, "c", "tags", n_val_buckets=4)
+    idx = [(r["value"], r["count"]) for r in query_api.facet_values(
+        spark, root, "c", "grp").collect()]
+    assert idx == scan
+    arr_idx = {r["value"]: r["count"] for r in query_api.facet_values(
+        spark, root, "c", "tags").collect()}
+    assert arr_idx == arr_scan
+
+    # prefetch branch applies offset / threshold / with_payload
+    leaf = knn.knn_join(q, df.select("id", "vec"), k=10, corpus_id="id",
+                        corpus_vec="vec", exclude_self=False) \
+        .withColumnRenamed("vec_id", "id")
+    fused = query_api.query_points(
+        spark, root, "c", prefetch=[leaf, leaf], fusion="rrf", k=4,
+        offset=2, with_payload=["grp"]).orderBy("rank").collect()
+    assert len(fused) == 4 and [r["rank"] for r in fused] == [1, 2, 3, 4]
+    assert "grp" in fused[0].asDict()
+    full = query_api.query_points(
+        spark, root, "c", prefetch=[leaf, leaf], fusion="rrf",
+        k=6).orderBy("rank").collect()
+    assert [r["id"] for r in fused] == [r["id"] for r in full[2:6]]
+
+    # descending id scroll pages newest-first and stays disjoint
+    p1 = query_api.scroll_points(spark, root, "c", limit=8,
+                                 descending=True).collect()
+    ids1 = [r["id"] for r in p1]
+    assert ids1 == sorted(ids1, reverse=True) and ids1[0] == 19
+    p2 = query_api.scroll_points(spark, root, "c", limit=8,
+                                 descending=True,
+                                 cursor=(ids1[-1],)).collect()
+    ids2 = [r["id"] for r in p2]
+    assert ids2[0] == ids1[-1] - 1 and not set(ids1) & set(ids2)
+
+
+def test_query_by_id_multivector(spark, tmp_path):
+    """query_points(query=<id>) on a MULTIVECTOR collection builds the
+    nested query shape and max-sim scores it — the by-id lookup works
+    for every declared space kind."""
+    root = str(tmp_path / "store")
+    rows = [(i, [[float(i % 5), 1.0], [0.5, float(i % 3)]])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, mv array<array<double>>")
+    upsert.create_collection(
+        spark, root, "c", df=df, id_col="id", n_buckets=4,
+        vector_config={"mv": {"size": 2, "distance": "dot",
+                              "multivector": "max_sim"}})
+    out = query_api.query_points(spark, root, "c", query=3, k=5).collect()
+    assert len(out) == 5
+    assert all(r["vec_id"] != 3 for r in out)  # self excluded

@@ -989,3 +989,34 @@ def test_delete_vectors_payload_and_clear(spark, tmp_path):
     r9 = upsert.read_collection(spark, root, "c") \
         .filter(F.col("id") == 9).first()
     assert r9["vec"] is None and r9["category"] is not None
+
+
+def test_removal_ops_protect_sparse_space_columns(spark, tmp_path):
+    """A sparse space lives in physical indices/values columns, not a
+    column named after the space: clear_payload must preserve them,
+    delete_vectors('space') must null BOTH, and delete_payload must
+    refuse the physical columns."""
+    import pytest
+
+    root = str(tmp_path / "store")
+    rows = [(i, [i % 7, (i + 3) % 11], [1.0, 2.0], i % 3)
+            for i in range(16)]
+    df = spark.createDataFrame(
+        rows, "id long, indices array<long>, values array<double>, "
+              "parity long")
+    upsert.create_collection(
+        spark, root, "sp", df=df, id_col="id", n_buckets=4,
+        vector_config={"text_sparse": {"kind": "sparse",
+                                       "distance": "dot"}})
+    upsert.clear_payload(spark, root, "sp", [1])
+    r1 = upsert.read_collection(spark, root, "sp") \
+        .filter(F.col("id") == 1).first()
+    assert r1["parity"] is None                      # payload cleared
+    assert r1["indices"] is not None and r1["values"] is not None
+    upsert.delete_vectors(spark, root, "sp", [2], ["text_sparse"])
+    r2 = upsert.read_collection(spark, root, "sp") \
+        .filter(F.col("id") == 2).first()
+    assert r2["indices"] is None and r2["values"] is None
+    assert r2["parity"] is not None
+    with pytest.raises(ValueError, match="physical columns"):
+        upsert.delete_payload(spark, root, "sp", [3], ["indices"])
