@@ -796,7 +796,7 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
     return _exact_rescore(spark, root, collection, queries, cands,
                           id_col, vector_name, metric,
                           query_id, query_vec, k, round_to,
-                          tenant=tenant)
+                          tenant=tenant, eager_candidates=kind == "pq")
 
 
 def _exact_rescore(spark: SparkSession, root: str, collection: str,
@@ -804,19 +804,28 @@ def _exact_rescore(spark: SparkSession, root: str, collection: str,
                    vector_name: str, metric: str, query_id: str,
                    query_vec: str, k: int,
                    round_to: int | None,
-                   tenant: str | None = None) -> DataFrame:
+                   tenant: str | None = None,
+                   eager_candidates: bool = False) -> DataFrame:
     """Shared quantized-search tail: fetch ONLY the candidates' float
     vectors through the store's static ``id_bucket IN (...)`` filter
     (``upsert.read_rows_for_ids`` — the same pruned fetch every refresh
     path uses; a tenant scope prunes the tenant subtree too), then rank
     the exact metric — rerank_factor*k rows per query move, never the
-    corpus.  The candidate subplan executes twice — once for the fetch's
-    bucket probe, once in the final join — both passes partition-pruned;
-    deliberately NOT cached: a long-lived serving session would
-    accumulate one persisted frame per search (the leak costs more than
-    the second pruned pass)."""
-    from .upsert import read_rows_for_ids  # noqa: PLC0415
+    corpus.  The candidate frame feeds TWO consumers (the fetch's bucket
+    probe and the final join); ``eager_candidates`` picks the
+    no-double-execution strategy per index kind: True (kind='pq', whose
+    candidate stage is a full codes scan with nothing to prune)
+    materializes the ≤ rerank_factor·k·|queries| rows once through the
+    capped driver roundtrip (``upsert.materialize_small``); False
+    (ivf_sq/ivf_pq) keeps the subplan lazy — it re-executes once more,
+    but both passes are list-partition-pruned and the probe's pruning
+    stays visible in the returned plan (plan-asserted in
+    tests/test_index.py).  Never ``persist()``: that would leak one
+    cached frame per search in a long-lived serving session."""
+    from .upsert import materialize_small, read_rows_for_ids  # noqa: PLC0415
 
+    if eager_candidates:
+        cands = materialize_small(spark, cands)
     q_exact = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"),
         vector.l2_norm(F.col(query_vec)).alias("_qn"))

@@ -107,6 +107,32 @@ def _final_filter_ids(spark: SparkSession, root: str, collection: str,
             else rows.filter(residual.to_column()).select(id_col))
 
 
+def _filter_candidate_ids(spark: SparkSession, root: str, collection: str,
+                          flt, use_payload_index,
+                          id_col: str) -> DataFrame:
+    """Resolve a filter to its candidate id frame for the POSTING-INDEX
+    searches (sparse / BM25): pruned payload-index probes + residual on
+    the bucket-pruned fetch when a fresh index exists, else ONE
+    pushed-predicate scan projecting just the id column.  Deliberately
+    no ``max_candidates`` guard: unlike the dense fetch-vs-scan choice,
+    a posting search has no pushed-predicate alternative (the payload
+    lives in the collection, not the postings) — the candidate
+    semi-join IS the plan at every selectivity, and AQE sizes it."""
+    flt_o = as_filter(flt)
+    ids = residual = None
+    if use_payload_index is not False:
+        ids, residual = filter_match_ids(spark, root, collection, flt_o)
+    if ids is not None:
+        return _final_filter_ids(spark, root, collection, ids,
+                                 residual, id_col)
+    if use_payload_index == "always":
+        raise ValueError(
+            f"use_payload_index='always' but no top-level must leaf of "
+            f"the filter has a fresh payload index on {collection!r}")
+    return (read_collection(spark, root, collection)
+            .filter(flt_o.to_column()).select(id_col))
+
+
 def search_sparse_points(spark: SparkSession, root: str, collection: str,
                          query_postings: DataFrame, flt=None, k: int = 10,
                          indices_col: str = "indices",
@@ -116,33 +142,17 @@ def search_sparse_points(spark: SparkSession, root: str, collection: str,
                          allow_stale: bool = False) -> DataFrame:
     """FILTERED sparse search — Qdrant's ``query_points`` over a sparse
     space with a ``query_filter``: the filter resolves to candidate ids
-    (pruned payload-index probes + residual on the bucket-pruned fetch
-    when a fresh index exists, else one pushed-predicate scan projecting
-    just the id column) and the id set semi-joins INSIDE the probed
-    posting lists of the persisted sparse index — dimension pruning AND
-    payload pruning in one plan, the sparse twin of the dense composed
-    search.  With no filter this is plain ``sparse_search_indexed``."""
+    (:func:`_filter_candidate_ids`) and the id set semi-joins INSIDE the
+    probed posting lists of the persisted sparse index — dimension
+    pruning AND payload pruning in one plan, the sparse twin of the
+    dense composed search.  With no filter this is plain
+    ``sparse_search_indexed``."""
     from .sparse import sparse_search_indexed  # noqa: PLC0415
 
     meta = collection_meta(root, collection) or {}
     id_col = meta.get("id_col", "id")
-    cand = None
-    if flt is not None:
-        flt_o = as_filter(flt)
-        ids = residual = None
-        if use_payload_index is not False:
-            ids, residual = filter_match_ids(spark, root, collection, flt_o)
-        if ids is not None:
-            cand = _final_filter_ids(spark, root, collection, ids,
-                                     residual, id_col)
-        else:
-            if use_payload_index == "always":
-                raise ValueError(
-                    f"use_payload_index='always' but no top-level must "
-                    f"leaf of the filter has a fresh payload index on "
-                    f"{collection!r}")
-            cand = (read_collection(spark, root, collection)
-                    .filter(flt_o.to_column()).select(id_col))
+    cand = (None if flt is None else _filter_candidate_ids(
+        spark, root, collection, flt, use_payload_index, id_col))
     return sparse_search_indexed(
         spark, root, collection, query_postings, k=k,
         indices_col=indices_col, exclude_self=exclude_self,
@@ -158,34 +168,17 @@ def search_text_points(spark: SparkSession, root: str, collection: str,
                        allow_stale: bool = False) -> DataFrame:
     """FILTERED full-text search — BM25 over the persisted posting index
     with a payload ``query_filter``: the filter resolves to candidate
-    ids (pruned payload-index probes + residual on the bucket-pruned
-    fetch when a fresh index exists, else one pushed-predicate scan
-    projecting the id column) and the id set semi-joins INSIDE the
-    probed term buckets — term pruning AND payload pruning in one plan,
-    with corpus-global BM25 statistics (a filter narrows candidates,
-    not term rarity).  With no filter this is plain
+    ids (:func:`_filter_candidate_ids`) and the id set semi-joins INSIDE
+    the probed term buckets — term pruning AND payload pruning in one
+    plan, with corpus-global BM25 statistics (a filter narrows
+    candidates, not term rarity).  With no filter this is plain
     ``bm25_topk_indexed``."""
     from .text_search import bm25_topk_indexed  # noqa: PLC0415
 
     meta = collection_meta(root, collection) or {}
     id_col = meta.get("id_col", "id")
-    cand = None
-    if flt is not None:
-        flt_o = as_filter(flt)
-        ids = residual = None
-        if use_payload_index is not False:
-            ids, residual = filter_match_ids(spark, root, collection, flt_o)
-        if ids is not None:
-            cand = _final_filter_ids(spark, root, collection, ids,
-                                     residual, id_col)
-        else:
-            if use_payload_index == "always":
-                raise ValueError(
-                    f"use_payload_index='always' but no top-level must "
-                    f"leaf of the filter has a fresh payload index on "
-                    f"{collection!r}")
-            cand = (read_collection(spark, root, collection)
-                    .filter(flt_o.to_column()).select(id_col))
+    cand = (None if flt is None else _filter_candidate_ids(
+        spark, root, collection, flt, use_payload_index, id_col))
     return bm25_topk_indexed(
         spark, root, collection, terms, k=k, text_col=text_col,
         k1=k1, b=b, round_to=round_to, allow_stale=allow_stale,
@@ -399,10 +392,14 @@ def attach_payload(spark: SparkSession, root: str, collection: str,
     through the store's static id-bucket filter (``read_rows_for_ids`` —
     O(|hits|), never a collection scan) and joins broadcast: hits are
     k·|queries| rows by construction."""
+    from .upsert import _all_vector_columns  # noqa: PLC0415
+
     meta = meta if meta is not None else \
         (collection_meta(root, collection) or {})
     id_col = meta.get("id_col", "id")
-    vectors = set(meta.get("vectors", {}))
+    # exclude spaces by name AND by physical column (a sparse space's
+    # indices/values pair) — payload means payload, never vector data
+    vectors = set(meta.get("vectors", {})) | _all_vector_columns(meta)
     rows = read_rows_for_ids(spark, root, collection,
                              hits.select(id_col_out).distinct())
     if rows is None:
@@ -671,6 +668,13 @@ def query_points(spark: SparkSession, root: str, collection: str,
                          "DataFrame or a point id) or prefetch= (a fusion "
                          "tree)")
     if prefetch is not None:
+        if flt is not None or tenant is not None:
+            raise ValueError(
+                "query_points(prefetch=...) fuses CALLER-BUILT ranked "
+                "branches — a query_filter/tenant scope must be applied "
+                "inside each prefetch branch (e.g. search_points(flt=...)"
+                "), not to the fused list, where it would silently change "
+                "which k hits survive fusion")
         out = fuse_prefetch({"fusion": fusion, "k": k + int(offset),
                              "prefetch": list(prefetch)})
         # the search params apply to the FUSED ranking (Qdrant applies
@@ -709,10 +713,15 @@ def query_points(spark: SparkSession, root: str, collection: str,
         raise ValueError(
             f"query_points: no point with id {query!r} in {collection!r}")
     v = got[0][vector_name]
-    if v and isinstance(v[0], (list, tuple)):
-        # multivector space: the stored value is a LIST of vectors —
-        # query with the nested shape (max-sim scoring dispatches off
-        # the collection meta downstream)
+    if v is None or len(v) == 0:
+        raise ValueError(
+            f"query_points: point {query!r} has no vector in space "
+            f"{vector_name!r} (deleted via delete_vectors?); query by "
+            f"a point that carries the space, or pass an explicit query "
+            f"DataFrame")
+    if vectors.get(vector_name, {}).get("multivector") is not None:
+        # multivector space (declared in the collection meta): query
+        # with the nested shape — max-sim scoring dispatches downstream
         qdf = spark.createDataFrame(
             [(got[0][id_col], [list(t) for t in v])],
             "qid string, qvec array<array<double>>")
@@ -796,16 +805,16 @@ def search_points_mmr(spark: SparkSession, root: str, collection: str,
                 f"collection {collection!r} declares {sorted(vectors)} "
                 f"vector spaces; pass vector_name")
         vector_name = next(iter(vectors))
-    cand = search_points(spark, root, collection, queries, flt=flt, k=pool,
-                         vector_name=vector_name, query_id=query_id,
-                         query_vec=query_vec,
-                         use_payload_index=use_payload_index,
-                         tenant=tenant)
-    # the pool vectors fetch through the store's static id-bucket filter
-    # (read_rows_for_ids) — O(|pool|), never a second collection scan.
-    # The pool subplan runs twice (bucket probe + join), deliberately
-    # uncached: a persisted frame per query would leak for the session
-    # lifetime, and both passes are the ordinary pruned search
+    from .upsert import materialize_small  # noqa: PLC0415
+
+    cand = materialize_small(spark, search_points(
+        spark, root, collection, queries, flt=flt, k=pool,
+        vector_name=vector_name, query_id=query_id, query_vec=query_vec,
+        use_payload_index=use_payload_index, tenant=tenant))
+    # the pool search executes ONCE (pool·|queries| rows materialize via
+    # the capped driver roundtrip — no persist leak, no re-execution)
+    # and the pool vectors fetch through the store's static id-bucket
+    # filter (read_rows_for_ids) — never a second collection scan
     rows = read_rows_for_ids(spark, root, collection,
                              cand.select("vec_id").distinct(), tenant=tenant)
     if rows is None:  # empty pool / empty store

@@ -605,6 +605,23 @@ def read_rows_for_ids(spark: SparkSession, root: str, collection: str,
         wanted, F.col(id_col).cast("string") == F.col("_m_id"), "left_semi")
 
 
+def materialize_small(spark: SparkSession, df: DataFrame,
+                      cap: int = 1_000_000) -> DataFrame:
+    """Execute a small-by-contract subplan ONCE and hand its rows back as
+    a literal local frame — for plans whose consumer needs the data
+    twice (a driver-side bucket probe AND a join): without this the
+    subplan re-executes per consumer, while ``persist()`` would leak one
+    cached frame per query in a long-lived serving session.  Falls back
+    to the original (lazily re-executed) frame past ``cap`` rows — by
+    then two pruned passes beat a multi-GB driver roundtrip."""
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return df
+    if not rows:
+        return df.limit(0)
+    return spark.createDataFrame(rows, df.schema)
+
+
 def last_write_wins(df: DataFrame, id_col: str = "id",
                     version_col: str = "_version",
                     tiebreak=None) -> DataFrame:
