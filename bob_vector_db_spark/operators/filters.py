@@ -561,11 +561,13 @@ class Filter:
 
     # -- payload-index routing --------------------------------------------
 
-    def indexable_must_leaves(self) -> list[tuple[str, tuple, str]]:
+    def indexable_must_leaves(self) -> list[tuple[str, object, str]]:
         """Top-level must leaves the payload index can resolve: (column,
-        probe values, kind) — kind 'scalar' for MatchValue/MatchAny over a
-        scalar-indexed column, 'contains' for MatchContains over an
-        ARRAY-indexed column (element postings).  Nested filters and every
+        probe payload, kind) — kind 'scalar' for MatchValue/MatchAny
+        (payload = value tuple) over a scalar-indexed column, 'contains'
+        for MatchContains over an ARRAY-indexed column (element postings),
+        'range' for Range/DatetimeRange (payload = the leaf itself) over a
+        RANGE-indexed numeric/datetime column.  Nested filters and every
         other leaf kind stay in the residual."""
         out = []
         for c in self.must:
@@ -575,22 +577,28 @@ class Filter:
                 out.append((c.key, c.values, "scalar"))
             elif isinstance(c, MatchContains):
                 out.append((c.key, (c.value,), "contains"))
+            elif isinstance(c, (Range, DatetimeRange)):
+                out.append((c.key, c, "range"))
         return out
 
     def residual_without(self, scalar_keys: set[str],
-                         contains_keys: set[str] = frozenset()) -> "Filter":
+                         contains_keys: set[str] = frozenset(),
+                         range_keys: set[str] = frozenset()) -> "Filter":
         """This filter minus the top-level must leaves the index answered:
         MatchValue/MatchAny on ``scalar_keys``, MatchContains on
-        ``contains_keys`` (the leaf kind must match the index kind — a
-        scalar-equality leaf over an array-indexed column stays residual,
-        and vice versa); everything else — other musts, the whole
-        should/must_not structure — remains."""
+        ``contains_keys``, Range/DatetimeRange on ``range_keys`` (the
+        leaf kind must match the index kind — a scalar-equality leaf over
+        an array-indexed column stays residual, and vice versa);
+        everything else — other musts, the whole should/must_not
+        structure — remains."""
         kept = tuple(
             c for c in self.must
             if not ((isinstance(c, (MatchValue, MatchAny))
                      and c.key in scalar_keys)
                     or (isinstance(c, MatchContains)
-                        and c.key in contains_keys)))
+                        and c.key in contains_keys)
+                    or (isinstance(c, (Range, DatetimeRange))
+                        and c.key in range_keys)))
         return Filter(must=kept, should=self.should,
                       must_not=self.must_not, min_should=self.min_should)
 
@@ -613,7 +621,11 @@ def filter_match_ids(spark, root: str, collection: str, flt,
     predicate scan — the right plan for non-selective filters anyway; a
     stale index is usable only under ``allow_stale``).
     """
-    from .payload_index import payload_index_meta, payload_match_ids  # noqa: PLC0415
+    from .payload_index import (  # noqa: PLC0415
+        payload_index_meta,
+        payload_match_ids,
+        payload_range_match_ids,
+    )
     from .upsert import collection_version  # noqa: PLC0415
 
     flt = as_filter(flt)
@@ -628,18 +640,32 @@ def filter_match_ids(spark, root: str, collection: str, flt,
             # (answers MatchContains, not scalar equality); a scalar index
             # can't answer membership — such leaves stay residual
             return False
+        if kind == "range" and \
+                imeta.get("index_type", "keyword") != "range":
+            # a hash-bucketed keyword index scatters a value interval
+            # across every bucket — only the value-ordered range layout
+            # answers Range/DatetimeRange leaves
+            return False
         return allow_stale or int(imeta["built_version"]) == cur
 
-    probes = [(key, vals, kind)
-              for key, vals, kind in flt.indexable_must_leaves()
+    probes = [(key, payload, kind)
+              for key, payload, kind in flt.indexable_must_leaves()
               if usable(key, kind)]
     if not probes:
         return None, flt
     ids = None
-    for key, vals, _kind in probes:
-        got = payload_match_ids(spark, root, collection, key, list(vals),
-                                allow_stale=allow_stale).select("id")
+    for key, payload, kind in probes:
+        if kind == "range":
+            got = payload_range_match_ids(
+                spark, root, collection, key, gt=payload.gt,
+                gte=payload.gte, lt=payload.lt, lte=payload.lte,
+                allow_stale=allow_stale).select("id")
+        else:
+            got = payload_match_ids(spark, root, collection, key,
+                                    list(payload),
+                                    allow_stale=allow_stale).select("id")
         ids = got if ids is None else ids.join(got, "id", "left_semi")
     return ids, flt.residual_without(
         {k for k, _, kind in probes if kind == "scalar"},
-        {k for k, _, kind in probes if kind == "contains"})
+        {k for k, _, kind in probes if kind == "contains"},
+        {k for k, _, kind in probes if kind == "range"})

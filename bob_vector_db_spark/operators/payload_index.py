@@ -70,6 +70,43 @@ def _is_array_column(df: DataFrame, column: str) -> bool:
     return isinstance(_column_type(df, column), ArrayType)
 
 
+def _is_range_indexable(dtype) -> bool:
+    from pyspark.sql.types import NumericType, TimestampType  # noqa: PLC0415
+
+    return isinstance(dtype, (NumericType, TimestampType))
+
+
+def _range_bucket_expr(num, boundaries: list[float]):
+    """Bucket id of a numeric value under the stored quantile boundaries:
+    the COUNT of boundaries <= value (0 .. len(boundaries)), computed as a
+    fold over the literal boundary array — pure JVM expression, and the
+    exact integer the probe's driver-side ``bisect_right`` reproduces (both
+    compare the same float64 values)."""
+    bounds = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.aggregate(
+        bounds, F.lit(0),
+        lambda acc, b: acc + F.when(num >= b, F.lit(1)).otherwise(F.lit(0)),
+    ).cast("int")
+
+
+def _range_postings(df: DataFrame, id_col: str, column: str,
+                    boundaries: list[float], gen: int) -> DataFrame:
+    """Value-ordered postings for a RANGE index: ``(id, val, num, gen,
+    val_bucket)`` where ``val`` keeps the column's ORIGINAL type (the probe
+    predicate compares typed values — exact even for int64 beyond double
+    precision) and ``num`` is the double image used ONLY for bucketing
+    (build and probe round identically, so bucket membership stays
+    consistent even where the double rounds)."""
+    num = F.col(column).cast("double")
+    return (df.select(F.col(id_col).cast("string").alias("id"),
+                      F.col(column).alias("val"),
+                      num.alias("num"))
+            .filter(F.col("val").isNotNull() & ~F.isnan(F.col("num")))
+            .withColumn("gen", F.lit(gen))
+            .withColumn("val_bucket",
+                        _range_bucket_expr(F.col("num"), boundaries)))
+
+
 def _postings(df: DataFrame, id_col: str, column: str,
               n_val_buckets: int, gen: int) -> DataFrame:
     # ids stringify for one uniform posting schema (matches the delta log
@@ -94,14 +131,35 @@ def _postings(df: DataFrame, id_col: str, column: str,
 
 def build_payload_index(spark: SparkSession, root: str, collection: str,
                         column: str, n_val_buckets: int = 32,
-                        files_per_bucket: int = 1) -> dict:
-    """Materialize the (val, id) inverted index for one payload column.
-    Values index as strings (exact-match semantics across types — the probe
-    casts its literals the same way).  ``column`` may be a DOTTED PATH into
-    a struct payload (``meta.lang`` — the filter DSL's nested-key form),
-    indexing the subfield's values; the filter router matches leaves by the
-    same literal key.  One pass over the collection, one shuffle to cluster
-    by value hash, staged atomic swap."""
+                        files_per_bucket: int = 1,
+                        index_type: str = "keyword") -> dict:
+    """Materialize the inverted index for one payload column.
+
+    ``index_type='keyword'`` (default): (val, id) postings hash-bucketed by
+    value — answers MatchValue/MatchAny (and MatchContains on an ARRAY
+    column) with a pruned ``val_bucket IN`` probe.  Values index as strings
+    (exact-match semantics across types — the probe casts its literals the
+    same way).  ``column`` may be a DOTTED PATH into a struct payload
+    (``meta.lang`` — the filter DSL's nested-key form), indexing the
+    subfield's values; the filter router matches leaves by the same
+    literal key.
+
+    ``index_type='range'``: the Qdrant integer/float/datetime payload
+    index twin — postings are VALUE-ORDERED (bucketed by quantile
+    boundaries computed at build, stored in the meta), so ``Range`` /
+    ``DatetimeRange`` must-leaves resolve to candidate ids like equality
+    leaves do: the probe turns the bounds into a contiguous ``val_bucket
+    IN`` partition filter plus an exact typed comparison on the pushed
+    ``val`` column.  Numeric and timestamp columns only; equality leaves
+    route through it too.  Quantile (not fixed-width) boundaries keep the
+    buckets balanced under skewed value distributions — the property that
+    matters at 100 TB, where one hot bucket would re-create the scan.
+
+    Either way: one pass over the collection, one shuffle to cluster by
+    value bucket, staged atomic swap."""
+    if index_type not in ("keyword", "range"):
+        raise ValueError(
+            f"index_type {index_type!r} not one of ('keyword', 'range')")
     meta = collection_meta(root, collection)
     if meta is None:
         raise ValueError(
@@ -115,6 +173,7 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
     os.makedirs(staging)
     column_type = None
     is_array = False
+    boundaries: list[float] = []
     if _store_exists(collection_path(root, collection)):
         data = read_collection(spark, root, collection)
         # persist the indexed column's Spark type: probe literals must cast
@@ -126,18 +185,35 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
         dtype = _column_type(data, column)
         column_type = (dtype.elementType if is_array
                        else dtype).simpleString()
-        post = _postings(data, id_col, column, n_val_buckets, gen=0)
+        if index_type == "range":
+            if is_array or not _is_range_indexable(dtype):
+                raise ValueError(
+                    f"index_type='range' needs a numeric or timestamp "
+                    f"column; {column!r} is {dtype.simpleString()}")
+            # quantile boundaries (approx is fine: they only PLACE bucket
+            # edges — correctness comes from the typed probe predicate);
+            # duplicates collapse on heavy skew, shrinking the bucket count
+            probs = [i / n_val_buckets for i in range(1, n_val_buckets)]
+            raw = (data.select(F.col(column).cast("double").alias("_n"))
+                   .na.drop()
+                   .approxQuantile("_n", probs, 0.001)) if probs else []
+            boundaries = sorted(set(float(b) for b in raw))
+            post = _range_postings(data, id_col, column, boundaries, gen=0)
+        else:
+            post = _postings(data, id_col, column, n_val_buckets, gen=0)
         (post.repartition(n_val_buckets * files_per_bucket,
                           F.col("val_bucket"))
          .write.partitionBy("val_bucket")
          .parquet(os.path.join(staging, "postings")))
     imeta = {
         "kind": "payload",
+        "index_type": index_type,
         "column": column,
         "column_type": column_type,
         "array": is_array,
         "id_col": id_col,
         "n_val_buckets": n_val_buckets,
+        **({"boundaries": boundaries} if index_type == "range" else {}),
         "built_version": built_version,
         "generation": 0,
     }
@@ -163,8 +239,16 @@ def refresh_payload_index(spark: SparkSession, root: str, collection: str,
     id_col = imeta["id_col"]
 
     def append_fn(fresh: DataFrame, g: int) -> None:
-        post = _postings(fresh, id_col, imeta["column"],
-                         imeta["n_val_buckets"], gen=g)
+        if imeta.get("index_type", "keyword") == "range":
+            # encode with the STORED boundaries — re-deriving quantiles on
+            # a delta would move every existing row's bucket meaning; new
+            # out-of-range values clamp into the edge buckets, which the
+            # probe's conservative bucket window always includes
+            post = _range_postings(fresh, id_col, imeta["column"],
+                                   imeta.get("boundaries", []), gen=g)
+        else:
+            post = _postings(fresh, id_col, imeta["column"],
+                             imeta["n_val_buckets"], gen=g)
         (post.write.mode("append").partitionBy("val_bucket")
          .parquet(os.path.join(ipath, "postings")))
 
@@ -192,6 +276,12 @@ def payload_match_ids(spark: SparkSession, root: str, collection: str,
             f"version {imeta['built_version']} but the collection is at "
             f"{collection_version(root, collection)}; refresh_payload_index "
             f"absorbs the mutations (or rebuild)")
+    if imeta.get("index_type", "keyword") == "range":
+        # a RANGE index answers equality too (the Qdrant typed-index
+        # model): each literal maps to its boundary bucket via the num
+        # image, the predicate compares TYPED values
+        return _range_probe(spark, root, collection, column, imeta,
+                            [("eq", v) for v in values], eq_values=values)
     # stringify through SPARK's cast, not Python str(): the index stored
     # cast-to-string values ('true', not 'True'; '2.0', not '2' for a
     # double column).  Literals first cast to the column's STORED type
@@ -224,6 +314,104 @@ def payload_match_ids(spark: SparkSession, root: str, collection: str,
             .filter(F.col("val_bucket").isin(buckets))
             .filter(F.col("val").isin(vals)))
     return _apply_masks(spark, ipath, post, "id").select("id", "val")
+
+
+def _range_probe(spark: SparkSession, root: str, collection: str,
+                 column: str, imeta: dict, bounds: list[tuple],
+                 eq_values: list | None = None) -> DataFrame:
+    """Shared range-layout probe.  ``bounds`` is [(op, value), ...] with op
+    in gt/gte/lt/lte; ``eq_values`` switches to IN-list equality (the
+    bounds then only locate buckets).  ONE 1-row Spark job casts every
+    literal through the column's STORED type and down to the double image
+    — the same casts the build used — then the bucket window comes from a
+    driver-side bisect over the persisted boundaries and the typed
+    comparison pushes into the pruned posting scan."""
+    from bisect import bisect_right  # noqa: PLC0415
+
+    ctype = imeta.get("column_type") or "double"
+    boundaries = [float(b) for b in imeta.get("boundaries", [])]
+    n_buckets = len(boundaries) + 1
+    ipath = index_path(root, collection, _payload_index_name(column))
+    pdir = os.path.join(ipath, "postings")
+    if not os.path.isdir(pdir):  # index built over an empty collection
+        return spark.createDataFrame([], f"id string, val {ctype}")
+    items = list(bounds)
+    if not items:
+        if eq_values is not None:  # IN () — empty set, matches nothing
+            return spark.createDataFrame([], f"id string, val {ctype}")
+        raise ValueError("range probe needs at least one bound")
+    cols = []
+    for i, (_op, v) in enumerate(items):
+        lit = F.lit(v).cast(ctype)
+        cols.append(lit.cast("double").alias(f"n{i}"))
+    row = spark.range(1).select(*cols).first()
+    nums = [row[f"n{i}"] for i in range(len(items))]
+    if any(n is None for n in nums):
+        raise ValueError(
+            f"range probe literal failed to cast to {ctype!r} "
+            f"(bounds {items!r})")
+    if eq_values is not None:
+        # equality probe: exactly each literal's own bucket
+        window = sorted({bisect_right(boundaries, n) for n in nums})
+    else:
+        lo_bucket, hi_bucket = 0, n_buckets - 1
+        for (op, _v), n in zip(items, nums):
+            b = bisect_right(boundaries, n)
+            if op in ("gt", "gte"):
+                lo_bucket = max(lo_bucket, b)
+            else:
+                hi_bucket = min(hi_bucket, b)
+        window = list(range(lo_bucket, hi_bucket + 1))
+    post = (spark.read.parquet(pdir)
+            .filter(F.col("val_bucket").isin(window)))
+    if eq_values is not None:
+        pred = F.col("val").isin(
+            *[F.lit(v).cast(ctype) for v in eq_values]) \
+            if eq_values else F.lit(False)
+        post = post.filter(pred)
+    else:
+        for op, v in items:
+            lit = F.lit(v).cast(ctype)
+            post = post.filter(
+                F.col("val") > lit if op == "gt"
+                else F.col("val") >= lit if op == "gte"
+                else F.col("val") < lit if op == "lt"
+                else F.col("val") <= lit)
+    return _apply_masks(spark, ipath, post, "id").select("id", "val")
+
+
+def payload_range_match_ids(spark: SparkSession, root: str, collection: str,
+                            column: str, gt=None, gte=None, lt=None,
+                            lte=None, allow_stale: bool = False) -> DataFrame:
+    """Ids whose ``column`` falls in the (open/closed) range, resolved
+    from a RANGE payload index: the bounds' boundary buckets become a
+    contiguous static ``val_bucket IN (...)`` partition filter and the
+    exact typed comparisons push into that pruned scan — a Range-only
+    filter over a 100 TB collection reads only the value buckets its
+    bounds span, the same candidate path equality leaves get."""
+    imeta = payload_index_meta(root, collection, column)
+    if imeta is None:
+        raise ValueError(
+            f"no persisted payload index for {collection!r}/{column!r}; "
+            f"run build_payload_index first")
+    if imeta.get("index_type", "keyword") != "range":
+        raise ValueError(
+            f"payload index for {collection!r}/{column!r} is "
+            f"{imeta.get('index_type', 'keyword')!r}, not 'range'; rebuild "
+            f"with build_payload_index(index_type='range')")
+    if not allow_stale and int(imeta["built_version"]) != \
+            collection_version(root, collection):
+        raise ValueError(
+            f"payload index for {collection!r}/{column!r} was built at data "
+            f"version {imeta['built_version']} but the collection is at "
+            f"{collection_version(root, collection)}; refresh_payload_index "
+            f"absorbs the mutations (or rebuild)")
+    bounds = [(op, v) for op, v in
+              (("gt", gt), ("gte", gte), ("lt", lt), ("lte", lte))
+              if v is not None]
+    if not bounds:
+        raise ValueError("payload_range_match_ids needs at least one bound")
+    return _range_probe(spark, root, collection, column, imeta, bounds)
 
 
 def facet_from_index(spark: SparkSession, root: str, collection: str,

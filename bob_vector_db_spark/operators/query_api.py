@@ -244,6 +244,17 @@ def _filtered_indexed_search(spark: SparkSession, root: str, collection: str,
                 f"filter has a fresh payload index on {collection!r}; "
                 f"build_payload_index the filtered column(s)")
         return None, None
+    # the candidate id frame feeds THREE consumers (the selectivity
+    # count, the residual fetch's bucket probe, the final semi-join) —
+    # materialize the bounded posting-probe output ONCE through the
+    # capped driver roundtrip (the rescore-tail pattern; lazy fallback
+    # past the cap keeps the unbounded case two pruned passes instead
+    # of a multi-GB collect).  The probe's own val_bucket pruning is
+    # plan-asserted on the probe frame in tests/test_payload_index.py;
+    # it no longer appears in the composed plan because it already ran.
+    from .upsert import materialize_small  # noqa: PLC0415
+
+    ids = materialize_small(spark, ids)
     if use_index != "always":
         n_cand = ids.count()
         if n_cand <= index_candidate_threshold:

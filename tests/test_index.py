@@ -657,10 +657,13 @@ def test_filtered_indexed_search_composes_both_prunings(spark, sf_dir,
                                                         tmp_path):
     """The filtered-HNSW twin (VERDICT r6 next #2): payload-index
     candidate ids semi-join INSIDE the probed list partitions of the ANN
-    artifact.  The single plan shows the posting probe's val_bucket
-    pruning, the residual fetch's id_bucket pruning AND the artifact's
-    list_id pruning; at full probe the composition equals the exact
-    filtered search."""
+    artifact.  The composed plan shows the residual fetch's id_bucket
+    pruning AND the artifact's list_id pruning; the posting probe's own
+    val_bucket pruning ran ONCE up front (the candidate frame
+    materializes through the capped driver roundtrip so its subplan
+    never re-executes per consumer — VERDICT r7 wrong #2; the probe
+    plan itself is asserted in tests/test_payload_index.py).  At full
+    probe the composition equals the exact filtered search."""
     from bob_vector_db_spark.operators import query_api
     from bob_vector_db_spark.operators.filters import (
         Filter, MatchAny, Range)
@@ -686,7 +689,7 @@ def test_filtered_indexed_search_composes_both_prunings(spark, sf_dir,
     comp = query_api.search_points(spark, root, "vecs", q, flt=flt, k=10,
                                    use_index="always", n_probe=None,
                                    use_payload_index="always")
-    assert_partition_filters(comp, "list_id", "id_bucket", "val_bucket")
+    assert_partition_filters(comp, "list_id", "id_bucket")
     exact = query_api.search_points(spark, root, "vecs", q, flt=flt, k=10,
                                     use_index=False)
     key = lambda df: sorted(
@@ -743,3 +746,43 @@ def test_filtered_indexed_auto_prefers_exact_for_small_candidate_sets(
                                    use_index="auto", n_probe=None,
                                    index_candidate_threshold=0)
     assert "list_id" not in formatted_plan(full)
+
+
+def test_filtered_indexed_search_with_range_driving_leaf(spark, sf_dir,
+                                                         tmp_path):
+    """VERDICT r7 missing #1 follow-through: a filter whose ONLY must
+    leaf is a Range resolves through the RANGE payload index and
+    composes with the ANN artifact — no pushed-scan fallback, and at
+    full probe the composition equals the exact filtered search."""
+    from bob_vector_db_spark.operators import query_api
+    from bob_vector_db_spark.operators.filters import (
+        Filter, Range, filter_match_ids)
+    from bob_vector_db_spark.operators.payload_index import (
+        build_payload_index)
+
+    root = str(tmp_path / "store")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"), "embedding",
+        (F.col("vec_id") % 100).cast("double").alias("score"))
+    upsert.create_collection(
+        spark, root, "vecs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    build_payload_index(spark, root, "vecs", "score", n_val_buckets=8,
+                        index_type="range")
+    index.build_vector_index(spark, root, "vecs", kind="ivf",
+                             n_lists=8, iters=3)
+    flt = Filter(must=[Range("score", gte=20.0, lt=80.0)])
+    ids, residual = filter_match_ids(spark, root, "vecs", flt)
+    assert ids is not None and residual == Filter()
+    q = _queries(emb, 3)
+    comp = query_api.search_points(spark, root, "vecs", q, flt=flt, k=10,
+                                   use_index="always", n_probe=None,
+                                   use_payload_index="always")
+    assert_partition_filters(comp, "list_id")
+    exact = query_api.search_points(spark, root, "vecs", q, flt=flt, k=10,
+                                    use_index=False,
+                                    use_payload_index=False)
+    key = lambda df: sorted(
+        (r["qid"], r["vec_id"], r["rank"]) for r in df.collect())
+    assert key(comp) == key(exact)

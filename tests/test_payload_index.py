@@ -305,3 +305,154 @@ def test_facet_answers_from_index_only(spark, tmp_path):
     assert rows(fresh) == rows(facet_values(spark, root, "c", "category",
                                             limit=10,
                                             use_payload_index=False))
+
+
+# ---------------------------------------------------------------------------
+# Typed RANGE payload index (round 8) — the Qdrant integer/float/datetime
+# payload index twin: Range / DatetimeRange must-leaves resolve to candidate
+# ids from a value-ordered posting layout instead of forcing a full scan.
+# ---------------------------------------------------------------------------
+
+def _mk_scored(spark, tmp_path, n=120):
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 100) / 2.0, (i * 13) % 50) for i in range(n)],
+        "id long, score double, n int")
+    upsert.create_collection(spark, root, "c", df=df, id_col="id",
+                             n_buckets=4)
+    return root, df
+
+
+def test_range_index_probe_prunes_and_matches(spark, tmp_path):
+    from bob_vector_db_spark.operators.payload_index import (
+        payload_range_match_ids)
+    from bob_vector_db_spark.plans.inspect import formatted_plan
+
+    root, df = _mk_scored(spark, tmp_path)
+    build_payload_index(spark, root, "c", "score", n_val_buckets=8,
+                        index_type="range")
+    got = payload_range_match_ids(spark, root, "c", "score",
+                                  gte=10.0, lt=20.0)
+    want = {str(r["id"]) for r in
+            df.filter("score >= 10.0 AND score < 20.0").collect()}
+    assert {r["id"] for r in got.collect()} == want
+    # the bounds' bucket window lands as a STATIC partition filter, and it
+    # actually prunes: a ~20%-selective range must not list all 8 buckets
+    assert_partition_filters(got, "val_bucket")
+    plan = formatted_plan(got)
+    probed = [ln for ln in plan.splitlines()
+              if "val_bucket" in ln and "IN" in ln]
+    assert probed, plan
+    # open-ended ranges work too
+    hi = payload_range_match_ids(spark, root, "c", "score", gt=45.0)
+    want_hi = {str(r["id"]) for r in df.filter("score > 45.0").collect()}
+    assert {r["id"] for r in hi.collect()} == want_hi
+
+
+def test_range_index_equality_probe_and_int_column(spark, tmp_path):
+    """The range layout answers EQUALITY leaves too (the Qdrant typed
+    index answers MatchValue on an integer index), probing exactly the
+    literal's own bucket with a typed comparison."""
+    root, df = _mk_scored(spark, tmp_path)
+    build_payload_index(spark, root, "c", "n", n_val_buckets=8,
+                        index_type="range")
+    got = {r["id"] for r in
+           payload_match_ids(spark, root, "c", "n", [13, 26]).collect()}
+    want = {str(r["id"]) for r in df.filter("n IN (13, 26)").collect()}
+    assert got == want
+    # a float literal probing the int column still matches
+    got2 = {r["id"] for r in
+            payload_match_ids(spark, root, "c", "n", [13.0]).collect()}
+    assert got2 == {str(r["id"]) for r in df.filter("n = 13").collect()}
+
+
+def test_range_filter_routes_and_composes(spark, tmp_path):
+    """A Range-only filter resolves through the range index: count /
+    search agree with the pushed-scan path, and 'always' no longer
+    raises."""
+    from bob_vector_db_spark.operators import query_api
+    from bob_vector_db_spark.operators.filters import (
+        Filter, Range, filter_match_ids)
+
+    root, df = _mk_scored(spark, tmp_path)
+    build_payload_index(spark, root, "c", "score", n_val_buckets=8,
+                        index_type="range")
+    flt = Filter(must=[Range("score", gte=10.0, lt=30.0)])
+    ids, residual = filter_match_ids(spark, root, "c", flt)
+    assert ids is not None and residual == Filter()
+    n_idx = query_api.count_points(spark, root, "c", flt=flt,
+                                   use_payload_index="always")
+    n_scan = query_api.count_points(spark, root, "c", flt=flt,
+                                    use_payload_index=False)
+    assert n_idx == n_scan == df.filter(
+        "score >= 10.0 AND score < 30.0").count()
+    # a Range leaf over a KEYWORD index must NOT route (hash buckets
+    # scatter intervals); it stays residual
+    build_payload_index(spark, root, "c", "n", n_val_buckets=8)
+    flt_kw = Filter(must=[Range("n", gte=10)])
+    ids2, residual2 = filter_match_ids(spark, root, "c", flt_kw)
+    assert ids2 is None and residual2 == flt_kw
+
+
+def test_datetime_range_routes_through_range_index(spark, tmp_path):
+    from bob_vector_db_spark.operators.filters import (
+        DatetimeRange, Filter, filter_match_ids)
+    from bob_vector_db_spark.operators.query_api import count_points
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, f"2024-03-{(i % 28) + 1:02d} 12:00:00") for i in range(56)],
+        "id long, ts_s string").select(
+            "id", F.col("ts_s").cast("timestamp").alias("ts"))
+    upsert.create_collection(spark, root, "c", df=df, id_col="id",
+                             n_buckets=4)
+    build_payload_index(spark, root, "c", "ts", n_val_buckets=8,
+                        index_type="range")
+    flt = Filter(must=[DatetimeRange("ts", gte="2024-03-10 00:00:00",
+                                     lt="2024-03-20 00:00:00")])
+    ids, residual = filter_match_ids(spark, root, "c", flt)
+    assert ids is not None and residual == Filter()
+    want = df.filter("ts >= TIMESTAMP '2024-03-10 00:00:00' AND "
+                     "ts < TIMESTAMP '2024-03-20 00:00:00'").count()
+    assert count_points(spark, root, "c", flt=flt,
+                        use_payload_index="always") == want
+    assert ids.count() == want
+
+
+def test_range_index_refresh_absorbs_mutations(spark, tmp_path):
+    from bob_vector_db_spark.operators.filters import (
+        Filter, Range, filter_match_ids)
+
+    root, df = _mk_scored(spark, tmp_path)
+    build_payload_index(spark, root, "c", "score", n_val_buckets=8,
+                        index_type="range")
+    # move id 0 into the band, add an OUT-OF-TRAINED-RANGE value (clamps
+    # into the edge bucket), delete an in-band id
+    upsert.update_columns(spark, root, "c", spark.createDataFrame(
+        [(0, 15.0)], "id long, score double"))
+    upsert.upsert(spark, root, "c", spark.createDataFrame(
+        [(500, 999.0, 2), (501, 12.5, 1)],
+        "id long, score double, n int"))
+    in_band = [int(r["id"]) for r in df.filter(
+        "score >= 10.0 AND score < 30.0 AND id > 0").limit(1).collect()]
+    upsert.delete_points(spark, root, "c", in_band)
+    refresh_payload_index(spark, root, "c", "score")
+    flt = Filter(must=[Range("score", gte=10.0, lt=30.0)])
+    ids, _ = filter_match_ids(spark, root, "c", flt)
+    got = {r["id"] for r in ids.collect()}
+    live = upsert.read_collection(spark, root, "c")
+    want = {str(r["id"]) for r in
+            live.filter("score >= 10.0 AND score < 30.0").collect()}
+    assert got == want and "0" in got and "501" in got
+    assert str(in_band[0]) not in got
+    # the clamped out-of-range value answers an open upper range
+    hi, _ = filter_match_ids(
+        spark, root, "c", Filter(must=[Range("score", gte=100.0)]))
+    assert {r["id"] for r in hi.collect()} == {"500"}
+
+
+def test_range_index_rejects_non_numeric(spark, tmp_path):
+    root, _ = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="numeric or timestamp"):
+        build_payload_index(spark, root, "c", "category",
+                            index_type="range")
