@@ -6859,6 +6859,192 @@ def q_api_text_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round 8: typed RANGE payload index (Range/DatetimeRange leaves resolve to
+# candidate ids and compose with the ANN artifact), multivector ANN artifact,
+# with_vectors, nested element index, cursor-returning scroll — the VERDICT
+# r7 "Next round" list.
+# ---------------------------------------------------------------------------
+
+_RI_FLT = Filter(must=[Range("score", gte=12.0, lt=61.0)])
+
+
+@register(
+    "api_range_indexed",
+    # a Range-ONLY filter resolved through the typed range payload index
+    # (use_payload_index='always' — round 7 would have raised here): the
+    # bounds become a contiguous val_bucket partition window + exact typed
+    # comparisons, the candidate ids fetch bucket-pruned, and the kNN
+    # scores only them.  The oracle applies the LITERAL compiled filter.
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id AS id, embedding,
+         CAST((vec_id * 7) % 100 AS DOUBLE) / 1.0 AS score
+  FROM embeddings
+),
+flt AS (SELECT * FROM corpus WHERE {_RI_FLT.to_sql()}),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3
+),
+pairs AS (
+  SELECT q.qid, f.id AS vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(f.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(f.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, flt f
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_api_range_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search whose ONLY must leaf is a ``Range`` — the Qdrant
+    float/integer payload index model (VERDICT r7 missing #1): the
+    value-ordered range index turns the bounds into a pruned posting
+    probe, so a range predicate (timestamps, lengths, scores — the most
+    common filter in a real pipeline) gets the same candidate path an
+    equality leaf does instead of a full scan."""
+    from .operators import query_api  # noqa: PLC0415
+    from .operators.payload_index import build_payload_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "rangeidx")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"), "embedding",
+        ((F.col("vec_id") * 7) % 100).cast("double").alias("score"))
+    upsert.create_collection(
+        spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    build_payload_index(spark, base, "vecs", "score", n_val_buckets=16,
+                        index_type="range")
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = query_api.search_points(spark, base, "vecs", qdf, flt=_RI_FLT,
+                                  k=10, use_payload_index="always")
+    return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"),
+                      "sim", F.col("rank").cast("long").alias("rank"))
+
+
+_DTI_FLT = Filter(must=[DatetimeRange("ts", gte="2024-02-01 00:00:00",
+                                      lt="2024-03-15 00:00:00")])
+
+
+@register(
+    "api_datetime_range_indexed",
+    # DatetimeRange through the range index (timestamps bucket by their
+    # epoch image), driving a faceted aggregate: candidates resolve from
+    # the index, the facet groups only the fetched rows.
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 90) * INTERVAL '1 day' AS ts
+  FROM documents
+)
+SELECT lang AS value, CAST(COUNT(*) AS BIGINT) AS count
+FROM t WHERE {_DTI_FLT.to_sql()}
+GROUP BY lang ORDER BY count DESC, value LIMIT 10
+""",
+)
+def q_api_datetime_range_indexed(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Facet under a DatetimeRange-only filter resolved through the RANGE
+    payload index — Qdrant's datetime payload index type: the timestamp
+    bounds cast to the same epoch image the build bucketed by, the probe
+    reads only the spanned value buckets, and the facet aggregates just
+    the fetched candidates."""
+    from .operators import query_api  # noqa: PLC0415
+    from .operators.payload_index import build_payload_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "dtidx")
+    docs = load_table(spark, sf_dir, "documents")
+    pts = docs.select(
+        F.col("doc_id").alias("id"), "lang",
+        F.timestamp_add(
+            "DAY", (F.col("doc_id") % 90).cast("int"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp")).alias("ts"))
+    upsert.create_collection(spark, base, "docs", df=pts, id_col="id",
+                             n_buckets=8)
+    build_payload_index(spark, base, "docs", "ts", n_val_buckets=16,
+                        index_type="range")
+    return query_api.facet_values(
+        spark, base, "docs", "lang", flt=_DTI_FLT, limit=10,
+        use_payload_index="always") \
+        .select("value", F.col("count").cast("long").alias("count"))
+
+
+_RIX_FLT = Filter(must=[Range("score", gte=20.0, lt=80.0)])
+
+
+@register(
+    "store_range_indexed_search",
+    # the composed filtered-indexed search with a RANGE driving leaf:
+    # range-index candidate ids semi-join INSIDE the probed list
+    # partitions of the IVF artifact; at full probe the answer equals the
+    # exact filtered kNN (hash-checked).
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id AS id, embedding,
+         CAST(vec_id % 100 AS DOUBLE) AS score
+  FROM embeddings
+),
+flt AS (SELECT * FROM corpus WHERE {_RIX_FLT.to_sql()}),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3
+),
+pairs AS (
+  SELECT q.qid, f.id AS vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(f.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(f.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, flt f
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_store_range_indexed_search(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """``store_filtered_indexed_search`` with a Range (not equality)
+    DRIVING leaf: round 7's composed search declined Range-only filters
+    entirely (``filter_match_ids`` returned None); the typed range index
+    gives them the same two-prunings-one-plan path."""
+    from .operators import query_api  # noqa: PLC0415
+    from .operators.payload_index import build_payload_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "ridx")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"), "embedding",
+        (F.col("vec_id") % 100).cast("double").alias("score"))
+    upsert.create_collection(
+        spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    build_payload_index(spark, base, "vecs", "score", n_val_buckets=16,
+                        index_type="range")
+    index.build_vector_index(spark, base, "vecs", kind="ivf",
+                             n_lists=8, iters=4)
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = query_api.search_points(spark, base, "vecs", qdf, flt=_RIX_FLT,
+                                  k=10, use_index="always", n_probe=None,
+                                  use_payload_index="always")
+    return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"),
+                      "sim", F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
 # driver CORRECTNESS row register first, then names whose last green row is
@@ -6868,10 +7054,10 @@ def q_api_text_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # new this round (round 7) — never driver-adjudicated, or semantics
-    # changed this round (store_indexed_sq/probe gained oracles; the
-    # best_score formula now squares the negative; MatchPhrase collapses
-    # space runs; the quantized rescore + MMR fetch go bucket-pruned)
+    # new this round (round 8) — never driver-adjudicated
+    "api_range_indexed", "api_datetime_range_indexed",
+    "store_range_indexed_search",
+    # new in round 7 — last adjudicated one round ago
     "store_filtered_indexed_search", "api_filter_nested",
     "api_geo_polygon", "knn_multivector_maxsim",
     "store_multivector_search", "store_delete_vectors",
