@@ -72,6 +72,22 @@ def normalize(a: Column) -> Column:
     return F.transform(a, lambda x: x.cast("double") / n)
 
 
+def mean_pool(vecs: Column) -> Column:
+    """Element-wise mean of a MULTIVECTOR column (``array<array<float>>``
+    → ``array<double>``): the coarse representation the ivf_mv index
+    clusters by (max-sim rescoring stays exact on the full token lists).
+    Pure zip_with/aggregate fold — JVM-side; an empty list yields NULL
+    (no tokens → no pooled point), matching the max-sim scorer's
+    empty-list drop policy."""
+    summed = F.aggregate(
+        vecs,
+        F.array_repeat(F.lit(0.0), F.size(F.element_at(vecs, 1))),
+        lambda acc, v: F.zip_with(
+            acc, v, lambda a, b: a + b.cast("double")),
+        lambda acc: F.transform(acc, lambda x: x / F.size(vecs)))
+    return F.when(F.size(vecs) > 0, summed)
+
+
 def scale(a: Column, s: Column) -> Column:
     return F.transform(a, lambda x: x.cast("double") * s)
 

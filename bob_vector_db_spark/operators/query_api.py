@@ -364,9 +364,20 @@ def search_points(spark: SparkSession, root: str, collection: str,
             else:
                 corpus = _scope_tenant(root, collection, cand, tenant)
             if vectors.get(vector_name, {}).get("multivector") is not None:
-                from .knn import knn_join_maxsim  # noqa: PLC0415
+                from .knn import (  # noqa: PLC0415
+                    _maxsim_blas_ok,
+                    knn_join_maxsim,
+                    knn_join_maxsim_vectorized,
+                )
 
-                out = knn_join_maxsim(
+                # the same vectorized='auto' dual as search_collection:
+                # BLAS when the id contract holds, expression form (the
+                # oracle contract) otherwise
+                scorer = (knn_join_maxsim_vectorized
+                          if _maxsim_blas_ok("auto", queries, query_id,
+                                             corpus, id_col)
+                          else knn_join_maxsim)
+                out = scorer(
                     queries, corpus.select(id_col, vector_name),
                     k=k + offset, query_id=query_id, query_vec=query_vec,
                     corpus_id=id_col, corpus_vec=vector_name,

