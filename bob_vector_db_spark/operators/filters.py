@@ -579,18 +579,24 @@ class Filter:
                 out.append((c.key, (c.value,), "contains"))
             elif isinstance(c, (Range, DatetimeRange)):
                 out.append((c.key, c, "range"))
+            elif isinstance(c, NestedCondition):
+                out.append((c.key, c, "nested"))
         return out
 
     def residual_without(self, scalar_keys: set[str],
                          contains_keys: set[str] = frozenset(),
-                         range_keys: set[str] = frozenset()) -> "Filter":
+                         range_keys: set[str] = frozenset(),
+                         nested_leaves: tuple = ()) -> "Filter":
         """This filter minus the top-level must leaves the index answered:
         MatchValue/MatchAny on ``scalar_keys``, MatchContains on
-        ``contains_keys``, Range/DatetimeRange on ``range_keys`` (the
-        leaf kind must match the index kind — a scalar-equality leaf over
-        an array-indexed column stays residual, and vice versa);
-        everything else — other musts, the whole should/must_not
-        structure — remains."""
+        ``contains_keys``, Range/DatetimeRange on ``range_keys``, the
+        SPECIFIC NestedCondition leaves in ``nested_leaves`` (by
+        structural equality — two nested conditions on the same key may
+        differ in index-resolvability, so nested drops are per-leaf, not
+        per-key); the leaf kind must match the index kind — a
+        scalar-equality leaf over an array-indexed column stays residual,
+        and vice versa.  Everything else — other musts, the whole
+        should/must_not structure — remains."""
         kept = tuple(
             c for c in self.must
             if not ((isinstance(c, (MatchValue, MatchAny))
@@ -598,7 +604,9 @@ class Filter:
                     or (isinstance(c, MatchContains)
                         and c.key in contains_keys)
                     or (isinstance(c, (Range, DatetimeRange))
-                        and c.key in range_keys)))
+                        and c.key in range_keys)
+                    or (isinstance(c, NestedCondition)
+                        and c in nested_leaves)))
         return Filter(must=kept, should=self.should,
                       must_not=self.must_not, min_should=self.min_should)
 
@@ -606,6 +614,30 @@ class Filter:
 def as_filter(flt) -> Filter:
     """Coerce a bare condition (or a Filter) to a Filter."""
     return flt if isinstance(flt, Filter) else Filter(must=(flt,))
+
+
+def _nested_indexable_leaves(leaf: NestedCondition,
+                             fields: list[str]) -> list[tuple] | None:
+    """The (field, values) probe list for a NestedCondition the
+    element-level index can answer EXACTLY, or None when it can't (then
+    the condition stays residual): must-only inner filter, every leaf an
+    equality (MatchValue/MatchAny) on a flat indexed field."""
+    inner = as_filter(leaf.filter)
+    if inner.should or inner.must_not or not inner.must:
+        return None
+    out: list[tuple] = []
+    for c in inner.must:
+        if isinstance(c, MatchValue):
+            out.append((c.key, (c.value,)))
+        elif isinstance(c, MatchAny):
+            if not c.values:
+                return None  # IN () matches nothing; leave to the scan
+            out.append((c.key, c.values))
+        else:
+            return None
+    if any(k not in fields or "." in k for k, _ in out):
+        return None
+    return out
 
 
 def filter_match_ids(spark, root: str, collection: str, flt,
@@ -622,6 +654,7 @@ def filter_match_ids(spark, root: str, collection: str, flt,
     stale index is usable only under ``allow_stale``).
     """
     from .payload_index import (  # noqa: PLC0415
+        nested_match_ids,
         payload_index_meta,
         payload_match_ids,
         payload_range_match_ids,
@@ -631,26 +664,38 @@ def filter_match_ids(spark, root: str, collection: str, flt,
     flt = as_filter(flt)
     cur = collection_version(root, collection)
 
-    def usable(key: str, kind: str) -> bool:
+    def usable(key: str, kind: str, payload=None) -> bool:
         imeta = payload_index_meta(root, collection, key)
         if imeta is None:
             return False
-        if bool(imeta.get("array", False)) != (kind == "contains"):
-            # semantics mismatch: an array index holds ELEMENT postings
-            # (answers MatchContains, not scalar equality); a scalar index
-            # can't answer membership — such leaves stay residual
-            return False
-        if kind == "range" and \
-                imeta.get("index_type", "keyword") != "range":
-            # a hash-bucketed keyword index scatters a value interval
-            # across every bucket — only the value-ordered range layout
-            # answers Range/DatetimeRange leaves
-            return False
+        itype = imeta.get("index_type", "keyword")
+        if kind == "nested":
+            # the element-level index answers a NestedCondition exactly
+            # iff EVERY inner condition is an equality leaf on an
+            # indexed field (must-only: should/must_not inside would
+            # need per-element negation the postings can't express)
+            if itype != "nested" or _nested_indexable_leaves(
+                    payload, imeta.get("fields", [])) is None:
+                return False
+        else:
+            if itype == "nested":
+                return False  # element postings answer nested only
+            if bool(imeta.get("array", False)) != (kind == "contains"):
+                # semantics mismatch: an array index holds ELEMENT
+                # postings (answers MatchContains, not scalar equality);
+                # a scalar index can't answer membership — such leaves
+                # stay residual
+                return False
+            if kind == "range" and itype != "range":
+                # a hash-bucketed keyword index scatters a value interval
+                # across every bucket — only the value-ordered range
+                # layout answers Range/DatetimeRange leaves
+                return False
         return allow_stale or int(imeta["built_version"]) == cur
 
     probes = [(key, payload, kind)
               for key, payload, kind in flt.indexable_must_leaves()
-              if usable(key, kind)]
+              if usable(key, kind, payload)]
     if not probes:
         return None, flt
     ids = None
@@ -660,6 +705,13 @@ def filter_match_ids(spark, root: str, collection: str, flt,
                 spark, root, collection, key, gt=payload.gt,
                 gte=payload.gte, lt=payload.lt, lte=payload.lte,
                 allow_stale=allow_stale).select("id")
+        elif kind == "nested":
+            imeta = payload_index_meta(root, collection, key)
+            got = nested_match_ids(
+                spark, root, collection, key,
+                _nested_indexable_leaves(payload,
+                                         imeta.get("fields", [])),
+                allow_stale=allow_stale)
         else:
             got = payload_match_ids(spark, root, collection, key,
                                     list(payload),
@@ -668,4 +720,5 @@ def filter_match_ids(spark, root: str, collection: str, flt,
     return ids, flt.residual_without(
         {k for k, _, kind in probes if kind == "scalar"},
         {k for k, _, kind in probes if kind == "contains"},
-        {k for k, _, kind in probes if kind == "range"})
+        {k for k, _, kind in probes if kind == "range"},
+        tuple(p for _, p, kind in probes if kind == "nested"))

@@ -107,6 +107,33 @@ def _range_postings(df: DataFrame, id_col: str, column: str,
                         _range_bucket_expr(F.col("num"), boundaries)))
 
 
+def _nested_postings(df: DataFrame, id_col: str, column: str,
+                     fields: list[str],
+                     n_val_buckets: int, gen: int) -> DataFrame:
+    """Element-level postings for an ARRAY-OF-STRUCT column: one row per
+    (point, element, field) — ``(id, elem_idx, field, val)`` bucketed by
+    ``xxhash64(field || NUL || val)``.  NestedCondition resolves by
+    intersecting per-leaf (id, elem_idx) sets on the SAME elem_idx, which
+    a flat per-field index cannot express (cross-element conjunctions
+    would leak through)."""
+    ex = df.select(F.col(id_col).cast("string").alias("id"),
+                   F.posexplode(F.col(column)).alias("elem_idx", "_e"))
+    parts = []
+    for f in fields:
+        parts.append(ex.select(
+            "id", "elem_idx", F.lit(f).alias("field"),
+            F.col("_e").getField(f).cast("string").alias("val")))
+    post = parts[0]
+    for p in parts[1:]:
+        post = post.unionByName(p)
+    return (post.filter(F.col("val").isNotNull())
+            .withColumn("gen", F.lit(gen))
+            .withColumn("val_bucket",
+                        F.pmod(F.xxhash64(F.concat_ws("\x00", "field",
+                                                      "val")),
+                               F.lit(n_val_buckets)).cast("int")))
+
+
 def _postings(df: DataFrame, id_col: str, column: str,
               n_val_buckets: int, gen: int) -> DataFrame:
     # ids stringify for one uniform posting schema (matches the delta log
@@ -132,7 +159,8 @@ def _postings(df: DataFrame, id_col: str, column: str,
 def build_payload_index(spark: SparkSession, root: str, collection: str,
                         column: str, n_val_buckets: int = 32,
                         files_per_bucket: int = 1,
-                        index_type: str = "keyword") -> dict:
+                        index_type: str = "keyword",
+                        fields: list[str] | None = None) -> dict:
     """Materialize the inverted index for one payload column.
 
     ``index_type='keyword'`` (default): (val, id) postings hash-bucketed by
@@ -155,11 +183,23 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
     buckets balanced under skewed value distributions — the property that
     matters at 100 TB, where one hot bucket would re-create the scan.
 
+    ``index_type='nested'`` (with ``fields=[...]``): an ELEMENT-LEVEL
+    index over an array-of-struct column — postings keyed ``(id,
+    elem_idx, field, val)`` so a ``NestedCondition`` resolves by
+    intersecting its leaves' (id, elem_idx) sets on the SAME element
+    (Qdrant's nested index; a per-field index can't express the
+    same-element conjunction).
+
     Either way: one pass over the collection, one shuffle to cluster by
     value bucket, staged atomic swap."""
-    if index_type not in ("keyword", "range"):
+    if index_type not in ("keyword", "range", "nested"):
         raise ValueError(
-            f"index_type {index_type!r} not one of ('keyword', 'range')")
+            f"index_type {index_type!r} not one of "
+            f"('keyword', 'range', 'nested')")
+    if index_type == "nested" and not fields:
+        raise ValueError(
+            "index_type='nested' needs fields=[...] — the element struct "
+            "subfields to post")
     meta = collection_meta(root, collection)
     if meta is None:
         raise ValueError(
@@ -174,6 +214,7 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
     column_type = None
     is_array = False
     boundaries: list[float] = []
+    field_types: dict = {}
     if _store_exists(collection_path(root, collection)):
         data = read_collection(spark, root, collection)
         # persist the indexed column's Spark type: probe literals must cast
@@ -185,7 +226,25 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
         dtype = _column_type(data, column)
         column_type = (dtype.elementType if is_array
                        else dtype).simpleString()
-        if index_type == "range":
+        if index_type == "nested":
+            from pyspark.sql.types import StructType  # noqa: PLC0415
+
+            if not is_array or not isinstance(dtype.elementType,
+                                              StructType):
+                raise ValueError(
+                    f"index_type='nested' needs an array-of-struct "
+                    f"column; {column!r} is {dtype.simpleString()}")
+            elem = dtype.elementType
+            missing = [f for f in fields if f not in elem.fieldNames()]
+            if missing:
+                raise ValueError(
+                    f"nested index fields {missing} not in the element "
+                    f"struct of {column!r} (has {elem.fieldNames()})")
+            field_types = {f: elem[f].dataType.simpleString()
+                           for f in fields}
+            post = _nested_postings(data, id_col, column, list(fields),
+                                    n_val_buckets, gen=0)
+        elif index_type == "range":
             if is_array or not _is_range_indexable(dtype):
                 raise ValueError(
                     f"index_type='range' needs a numeric or timestamp "
@@ -214,6 +273,8 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
         "id_col": id_col,
         "n_val_buckets": n_val_buckets,
         **({"boundaries": boundaries} if index_type == "range" else {}),
+        **({"fields": list(fields), "field_types": field_types}
+           if index_type == "nested" else {}),
         "built_version": built_version,
         "generation": 0,
     }
@@ -239,7 +300,11 @@ def refresh_payload_index(spark: SparkSession, root: str, collection: str,
     id_col = imeta["id_col"]
 
     def append_fn(fresh: DataFrame, g: int) -> None:
-        if imeta.get("index_type", "keyword") == "range":
+        if imeta.get("index_type", "keyword") == "nested":
+            post = _nested_postings(fresh, id_col, imeta["column"],
+                                    imeta.get("fields", []),
+                                    imeta["n_val_buckets"], gen=g)
+        elif imeta.get("index_type", "keyword") == "range":
             # encode with the STORED boundaries — re-deriving quantiles on
             # a delta would move every existing row's bucket meaning; new
             # out-of-range values clamp into the edge buckets, which the
@@ -276,6 +341,10 @@ def payload_match_ids(spark: SparkSession, root: str, collection: str,
             f"version {imeta['built_version']} but the collection is at "
             f"{collection_version(root, collection)}; refresh_payload_index "
             f"absorbs the mutations (or rebuild)")
+    if imeta.get("index_type", "keyword") == "nested":
+        raise ValueError(
+            f"payload index for {collection!r}/{column!r} is element-level "
+            f"(nested); probe it through NestedCondition / nested_match_ids")
     if imeta.get("index_type", "keyword") == "range":
         # a RANGE index answers equality too (the Qdrant typed-index
         # model): each literal maps to its boundary bucket via the num
@@ -414,6 +483,79 @@ def payload_range_match_ids(spark: SparkSession, root: str, collection: str,
     return _range_probe(spark, root, collection, column, imeta, bounds)
 
 
+def nested_match_ids(spark: SparkSession, root: str, collection: str,
+                     column: str, leaves: list[tuple],
+                     allow_stale: bool = False) -> DataFrame:
+    """Ids with at least ONE array element satisfying every leaf —
+    resolved from the element-level nested index: each ``(field,
+    values)`` leaf probes its (field, value) hash buckets to an
+    (id, elem_idx) set, the sets intersect ON THE SAME elem_idx
+    (same-element semantics — the whole point of NestedCondition), and
+    the surviving ids dedupe.  Every probe is a pruned ``val_bucket IN``
+    scan; no collection data file opens."""
+    imeta = payload_index_meta(root, collection, column)
+    if imeta is None:
+        raise ValueError(
+            f"no persisted payload index for {collection!r}/{column!r}; "
+            f"run build_payload_index first")
+    if imeta.get("index_type", "keyword") != "nested":
+        raise ValueError(
+            f"payload index for {collection!r}/{column!r} is "
+            f"{imeta.get('index_type', 'keyword')!r}, not 'nested'; "
+            f"rebuild with build_payload_index(index_type='nested', "
+            f"fields=[...])")
+    if not allow_stale and int(imeta["built_version"]) != \
+            collection_version(root, collection):
+        raise ValueError(
+            f"payload index for {collection!r}/{column!r} was built at "
+            f"data version {imeta['built_version']} but the collection is "
+            f"at {collection_version(root, collection)}; "
+            f"refresh_payload_index absorbs the mutations (or rebuild)")
+    if not leaves:
+        raise ValueError("nested_match_ids needs at least one leaf")
+    known = imeta.get("fields", [])
+    bad = [f for f, _ in leaves if f not in known]
+    if bad:
+        raise ValueError(
+            f"nested index on {column!r} has no postings for fields "
+            f"{bad} (indexed: {known})")
+    n = imeta["n_val_buckets"]
+    ftypes = imeta.get("field_types", {})
+    ipath = index_path(root, collection, _payload_index_name(column))
+    pdir = os.path.join(ipath, "postings")
+    if not os.path.isdir(pdir):  # index built over an empty collection
+        return spark.createDataFrame([], "id string")
+    # ONE 1-row job renders every leaf's literals the way the build did
+    # (cast through the persisted field type → string) and hashes them
+    # into their (field, value) buckets
+    cols = []
+    for i, (field, values) in enumerate(leaves):
+        for j, v in enumerate(values):
+            ftype = ftypes.get(field)
+            lit = F.lit(v).cast(ftype) if ftype else F.lit(v)
+            s = lit.cast("string")
+            cols.append(s.alias(f"v{i}_{j}"))
+            cols.append(
+                F.pmod(F.xxhash64(F.concat_ws("\x00", F.lit(field), s)),
+                       F.lit(n)).cast("int").alias(f"b{i}_{j}"))
+    row = spark.range(1).select(*cols).first()
+    inter = None
+    post = spark.read.parquet(pdir)
+    for i, (field, values) in enumerate(leaves):
+        vals = sorted({row[f"v{i}_{j}"] for j in range(len(values))
+                       if row[f"v{i}_{j}"] is not None})
+        buckets = sorted({row[f"b{i}_{j}"] for j in range(len(values))
+                          if row[f"v{i}_{j}"] is not None})
+        got = (post.filter(F.col("val_bucket").isin(buckets))
+               .filter(F.col("field") == field)
+               .filter(F.col("val").isin(vals)))
+        got = _apply_masks(spark, ipath, got, "id") \
+            .select("id", "elem_idx")
+        inter = got if inter is None else \
+            inter.join(got, ["id", "elem_idx"], "left_semi")
+    return inter.select("id").distinct()
+
+
 def facet_from_index(spark: SparkSession, root: str, collection: str,
                      key: str, limit: int = 10) -> DataFrame | None:
     """Facet counts straight off the stored postings — an INDEX-ONLY
@@ -428,6 +570,10 @@ def facet_from_index(spark: SparkSession, root: str, collection: str,
     imeta = payload_index_meta(root, collection, key)
     if imeta is None or int(imeta["built_version"]) != \
             collection_version(root, collection):
+        return None
+    if imeta.get("index_type", "keyword") == "nested":
+        # element postings mix several fields' values — not a facet
+        # source; the caller falls back to the scan
         return None
     ipath = index_path(root, collection, _payload_index_name(key))
     pdir = os.path.join(ipath, "postings")

@@ -456,3 +456,103 @@ def test_range_index_rejects_non_numeric(spark, tmp_path):
     with pytest.raises(ValueError, match="numeric or timestamp"):
         build_payload_index(spark, root, "c", "category",
                             index_type="range")
+
+
+# ---------------------------------------------------------------------------
+# Element-level NESTED index (round 8) — NestedCondition resolves from
+# postings keyed (id, elem_idx, field, val), intersected on the SAME element.
+# ---------------------------------------------------------------------------
+
+def _mk_nested(spark, tmp_path, n=60):
+    root = str(tmp_path / "store")
+    rows = [(i,
+             [{"kind": "src", "num": i % 5},
+              {"kind": "len", "num": i % 7}],
+             f"g{i % 2}")
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "id long, props array<struct<kind:string,num:bigint>>, "
+              "grp string")
+    upsert.create_collection(spark, root, "c", df=df, id_col="id",
+                             n_buckets=4)
+    return root, df
+
+
+def test_nested_index_same_element_semantics(spark, tmp_path):
+    from bob_vector_db_spark.operators.filters import (
+        Filter, MatchValue, NestedCondition, Range, filter_match_ids)
+    from bob_vector_db_spark.operators.payload_index import nested_match_ids
+    from bob_vector_db_spark.plans.inspect import formatted_plan
+
+    root, df = _mk_nested(spark, tmp_path)
+    build_payload_index(spark, root, "c", "props", n_val_buckets=8,
+                        index_type="nested", fields=["kind", "num"])
+    # kind='src' AND num=3 must hold on the SAME element: only ids with
+    # i % 5 == 3 — the cross-element pair (kind='src', num from the 'len'
+    # element) must NOT leak through
+    got = nested_match_ids(spark, root, "c", "props",
+                           [("kind", ("src",)), ("num", (3,))])
+    want = {str(i) for i in range(60) if i % 5 == 3}
+    assert {r["id"] for r in got.collect()} == want
+    # the probe opens only posting buckets, never collection data files
+    plan = formatted_plan(got)
+    assert "postings" in plan and "id_bucket" not in plan
+    assert_partition_filters(got, "val_bucket")
+    # the DSL routes through it, the residual keeps the rest, and the
+    # result equals the pushed-scan path
+    flt = Filter(must=[NestedCondition("props", Filter(
+        must=[MatchValue("kind", "src"), MatchValue("num", 3)])),
+        MatchValue("grp", "g1")])
+    ids, residual = filter_match_ids(spark, root, "c", flt)
+    assert ids is not None
+    assert len(residual.must) == 1 and residual.must[0].key == "grp"
+    from bob_vector_db_spark.operators.query_api import count_points
+    n_idx = count_points(spark, root, "c", flt=flt,
+                         use_payload_index="always")
+    n_scan = count_points(spark, root, "c", flt=flt,
+                          use_payload_index=False)
+    assert n_idx == n_scan == len([i for i in range(60)
+                                   if i % 5 == 3 and i % 2 == 1])
+    # a NestedCondition the postings can't answer (Range inside) stays
+    # residual — per-LEAF resolution, not per-key
+    mixed = Filter(must=[
+        NestedCondition("props", Filter(must=[MatchValue("kind", "src"),
+                                              Range("num", gte=3)]))])
+    ids2, residual2 = filter_match_ids(spark, root, "c", mixed)
+    assert ids2 is None and residual2 == mixed
+
+
+def test_nested_index_refresh_and_kind_guards(spark, tmp_path):
+    import pytest as _pytest
+    from bob_vector_db_spark.operators.filters import (
+        Filter, MatchValue, NestedCondition, filter_match_ids)
+
+    root, df = _mk_nested(spark, tmp_path)
+    build_payload_index(spark, root, "c", "props", n_val_buckets=8,
+                        index_type="nested", fields=["kind", "num"])
+    # equality probe over the nested layout is refused loudly
+    with _pytest.raises(ValueError, match="nested"):
+        payload_match_ids(spark, root, "c", "props", ["x"])
+    # mutate: id 0 gains a matching element, id 3 (i%5==3) is deleted,
+    # id 100 arrives matching
+    upsert.update_columns(spark, root, "c", spark.createDataFrame(
+        [(0, [{"kind": "src", "num": 3}])],
+        "id long, props array<struct<kind:string,num:bigint>>"))
+    upsert.upsert(spark, root, "c", spark.createDataFrame(
+        [(100, [{"kind": "src", "num": 3}], "g0")],
+        "id long, props array<struct<kind:string,num:bigint>>, "
+        "grp string"))
+    upsert.delete_points(spark, root, "c", [3])
+    refresh_payload_index(spark, root, "c", "props")
+    flt = Filter(must=[NestedCondition("props", Filter(
+        must=[MatchValue("kind", "src"), MatchValue("num", 3)]))])
+    ids, _ = filter_match_ids(spark, root, "c", flt)
+    got = {r["id"] for r in ids.collect()}
+    want = ({str(i) for i in range(60) if i % 5 == 3} - {"3"}) \
+        | {"0", "100"}
+    assert got == want
+    # an unindexed inner field keeps the leaf residual
+    other = Filter(must=[NestedCondition("props", Filter(
+        must=[MatchValue("missing", 1)]))])
+    ids2, res2 = filter_match_ids(spark, root, "c", other)
+    assert ids2 is None and res2 == other
