@@ -880,7 +880,9 @@ def test_multivector_space_store_and_update(spark, tmp_path):
     """Declared multivector space (Qdrant MultiVectorConfig/MAX_SIM):
     search_collection dispatches to max-sim off the collection meta;
     update_vectors validates PER-TOKEN dims (each element of the list
-    must be the declared size); use_index='always' is refused loudly."""
+    must be the declared size); use_index='always' without an ivf_mv
+    artifact raises with the build hint (round 8 — an artifact kind for
+    multivectors now exists, so the refusal names it)."""
     import pytest
     from bob_vector_db_spark.operators import knn
 
@@ -906,7 +908,7 @@ def test_multivector_space_store_and_update(spark, tmp_path):
                key=lambda i: (max(float(i % 5), 0.5)
                               + max(1.0, float(i % 3)), -i))
     assert best["vec_id"] == want
-    with pytest.raises(ValueError, match="multivector space"):
+    with pytest.raises(ValueError, match="ivf_mv"):
         knn.search_collection(spark, root, "mv", q, k=5, corpus_id="id",
                               query_vec="qvecs", use_index="always")
     # update_vectors: wrong per-token dim rejected; right one lands
