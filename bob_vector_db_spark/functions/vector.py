@@ -76,16 +76,20 @@ def mean_pool(vecs: Column) -> Column:
     """Element-wise mean of a MULTIVECTOR column (``array<array<float>>``
     → ``array<double>``): the coarse representation the ivf_mv index
     clusters by (max-sim rescoring stays exact on the full token lists).
-    Pure zip_with/aggregate fold — JVM-side; an empty list yields NULL
-    (no tokens → no pooled point), matching the max-sim scorer's
-    empty-list drop policy."""
+    Pure zip_with/aggregate fold — JVM-side; NULL tokens inside the list
+    are dropped first (``array_max`` skips them in the max-sim scorer, so
+    the pooled point must not go NULL either — a NULL acc would silently
+    drop the point from the artifact while the exact scan still scores
+    it); an empty/all-NULL list yields NULL (no tokens → no pooled
+    point), matching the scorer's empty-list drop policy."""
+    toks = F.filter(vecs, lambda v: v.isNotNull())
     summed = F.aggregate(
-        vecs,
-        F.array_repeat(F.lit(0.0), F.size(F.element_at(vecs, 1))),
+        toks,
+        F.array_repeat(F.lit(0.0), F.size(F.element_at(toks, 1))),
         lambda acc, v: F.zip_with(
             acc, v, lambda a, b: a + b.cast("double")),
-        lambda acc: F.transform(acc, lambda x: x / F.size(vecs)))
-    return F.when(F.size(vecs) > 0, summed)
+        lambda acc: F.transform(acc, lambda x: x / F.size(toks)))
+    return F.when(F.size(toks) > 0, summed)
 
 
 def scale(a: Column, s: Column) -> Column:

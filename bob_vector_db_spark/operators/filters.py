@@ -664,8 +664,13 @@ def filter_match_ids(spark, root: str, collection: str, flt,
     flt = as_filter(flt)
     cur = collection_version(root, collection)
 
+    meta_cache: dict = {}
+    leaf_cache: dict = {}
+
     def usable(key: str, kind: str, payload=None) -> bool:
-        imeta = payload_index_meta(root, collection, key)
+        if key not in meta_cache:
+            meta_cache[key] = payload_index_meta(root, collection, key)
+        imeta = meta_cache[key]
         if imeta is None:
             return False
         itype = imeta.get("index_type", "keyword")
@@ -674,9 +679,13 @@ def filter_match_ids(spark, root: str, collection: str, flt,
             # iff EVERY inner condition is an equality leaf on an
             # indexed field (must-only: should/must_not inside would
             # need per-element negation the postings can't express)
-            if itype != "nested" or _nested_indexable_leaves(
-                    payload, imeta.get("fields", [])) is None:
+            if itype != "nested":
                 return False
+            leaves = _nested_indexable_leaves(payload,
+                                              imeta.get("fields", []))
+            if leaves is None:
+                return False
+            leaf_cache[(key, id(payload))] = leaves
         else:
             if itype == "nested":
                 return False  # element postings answer nested only
@@ -706,11 +715,9 @@ def filter_match_ids(spark, root: str, collection: str, flt,
                 gte=payload.gte, lt=payload.lt, lte=payload.lte,
                 allow_stale=allow_stale).select("id")
         elif kind == "nested":
-            imeta = payload_index_meta(root, collection, key)
             got = nested_match_ids(
                 spark, root, collection, key,
-                _nested_indexable_leaves(payload,
-                                         imeta.get("fields", [])),
+                leaf_cache[(key, id(payload))],
                 allow_stale=allow_stale)
         else:
             got = payload_match_ids(spark, root, collection, key,

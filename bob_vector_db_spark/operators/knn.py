@@ -118,6 +118,7 @@ def search_collection(
     exclude_self: bool = False,
     use_index: str | bool = "auto",
     n_probe: int | None = None,
+    rerank_factor: int = 5,
     tenant: str | None = None,
     vectorized: str | bool = "auto",
 ) -> DataFrame:
@@ -230,7 +231,8 @@ def search_collection(
                     spark, root, collection, queries, k=k,
                     vector_name=vector_name, n_probe=n_probe,
                     query_id=query_id, query_vec=query_vec,
-                    exclude_self=exclude_self, tenant=tenant)
+                    exclude_self=exclude_self, tenant=tenant,
+                    rerank_factor=rerank_factor)
         corpus = read_collection(spark, root, collection, tenant=tenant)
         if vectorized != False and _maxsim_blas_ok(  # noqa: E712
                 vectorized, queries, query_id, corpus, corpus_id):
@@ -271,7 +273,8 @@ def search_collection(
                 spark, root, collection, queries, k=k,
                 vector_name=vector_name, n_probe=n_probe,
                 query_id=query_id, query_vec=query_vec,
-                exclude_self=exclude_self, tenant=tenant)
+                exclude_self=exclude_self, tenant=tenant,
+                rerank_factor=rerank_factor)
     if metric is None:
         metric = declared
     corpus = read_collection(spark, root, collection, tenant=tenant)
@@ -594,8 +597,11 @@ def knn_join_maxsim_vectorized(
     shuffle.  Scores are float64 BLAS (±1 ulp of the fold); ranking uses
     the same rounded tie-safe local pruning as the single-vector path.
     Points with an empty vector list score nothing (the expression
-    version's NULL-drop policy).  ids must be integral (the long/long
-    output contract of the vectorized paths)."""
+    version's NULL-drop policy), and degenerate QUERY shapes follow the
+    expression form too: a NULL token list or a NULL token inside one
+    emits no rows for that query (the fold nulls there), an EMPTY list
+    scores 0.0 against every point.  ids must be integral (the
+    long/long output contract of the vectorized paths)."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
@@ -611,28 +617,67 @@ def knn_join_maxsim_vectorized(
         raise ValueError(
             f"knn_join_maxsim_vectorized collects the query side to the "
             f"driver; got >{max_queries} queries")
-    qids = q_pd["qid"].to_numpy()
-    q_lists = [np.asarray(list(v), dtype=np.float64)
-               for v in q_pd["qvecs"]]
-    if not q_lists or any(len(v) == 0 for v in q_lists):
-        raise ValueError("every query needs at least one token vector")
-    Qtok = np.concatenate(q_lists, axis=0)                      # (T, d)
-    if metric == "cosine":
-        qn = np.linalg.norm(Qtok, axis=1, keepdims=True)
-        qn[qn == 0.0] = np.nan
-        Qtok = Qtok / qn
-    # column boundaries of each query's token block, for add.reduceat
-    q_bounds = np.cumsum([0] + [len(v) for v in q_lists])[:-1]
+    qids_all = q_pd["qid"].to_numpy()
+    # Query-side degenerate shapes follow the expression form exactly
+    # (the oracle contract): a NULL token list OR a NULL token inside
+    # the list nulls the whole fold there → that query emits no rows;
+    # an EMPTY (non-NULL) list folds to 0.0 → the query scores 0.0
+    # against every point that has at least one token vector.
+    q_keep, q_lists, q_zero = [], [], []
+    for i, v in enumerate(q_pd["qvecs"]):
+        if v is None:
+            continue
+        toks = list(v)
+        if any(t is None for t in toks):
+            continue
+        if not toks:
+            q_zero.append(i)
+            continue
+        q_keep.append(i)
+        q_lists.append(np.asarray(toks, dtype=np.float64))
+    qids = qids_all[q_keep] if q_keep else np.empty(0, dtype=np.int64)
+    zero_qids = (qids_all[q_zero].astype("int64") if q_zero
+                 else np.empty(0, dtype=np.int64))
+    if q_lists:
+        Qtok = np.concatenate(q_lists, axis=0)                  # (T, d)
+        if metric == "cosine":
+            qn = np.linalg.norm(Qtok, axis=1, keepdims=True)
+            qn[qn == 0.0] = np.nan
+            Qtok = Qtok / qn
+        # column boundaries of each query's token block, for add.reduceat
+        q_bounds = np.cumsum([0] + [len(v) for v in q_lists])[:-1]
     n_local = k + 1 if exclude_self else k
 
     def part(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            vec_lists = [np.asarray(list(v), dtype=np.float64)
-                         for v in pdf[corpus_vec]]
-            keep = [i for i, v in enumerate(vec_lists) if len(v)]
-            if not keep:
+            # NULL token lists (delete_vectors nulls the space; mixed
+            # multi-space points) and NULL tokens inside a list drop,
+            # matching the expression form's NULL-fold / array_max-skip
+            vec_lists = []
+            for v in pdf[corpus_vec]:
+                toks = (None if v is None
+                        else [t for t in v if t is not None])
+                vec_lists.append(
+                    np.asarray(toks, dtype=np.float64) if toks else None)
+            if zero_qids.size:
+                # empty-token-list queries: the expression fold never
+                # touches the corpus side, so the 0.0 score lands on
+                # EVERY point (even NULL/empty vector lists); local
+                # prune = the kk smallest ids (the global window ranks
+                # sim desc, vec_id asc)
+                all_ids = np.sort(pdf[corpus_id].to_numpy()
+                                  .astype("int64"))
+                kk0 = min(n_local, len(all_ids))
+                sel = all_ids[:kk0]
+                yield pd.DataFrame({
+                    "qid": np.repeat(zero_qids, kk0),
+                    "vec_id": np.tile(sel, len(zero_qids)),
+                    "sim": np.zeros(kk0 * len(zero_qids)),
+                })
+            keep = [i for i, v in enumerate(vec_lists) if v is not None]
+            if not keep or not q_lists:
                 continue
             ids = pdf[corpus_id].to_numpy()[keep]
             vec_lists = [vec_lists[i] for i in keep]

@@ -96,12 +96,19 @@ def _range_postings(df: DataFrame, id_col: str, column: str,
     predicate compares typed values — exact even for int64 beyond double
     precision) and ``num`` is the double image used ONLY for bucketing
     (build and probe round identically, so bucket membership stays
-    consistent even where the double rounds)."""
+    consistent even where the double rounds).  NaN rows stay IN the
+    postings: Spark orders NaN above every number (``NaN >= b`` is TRUE)
+    so the bucket fold lands them in the TOP bucket — exactly where the
+    probe's ``bisect_right`` sends a NaN literal (every comparison
+    False → returns len(boundaries)) — and the typed probe predicate
+    then agrees with the pushed scan, which matches NaN on ``gt``/
+    ``gte``; dropping them at build would make indexed and scan paths
+    disagree on NaN-bearing data."""
     num = F.col(column).cast("double")
     return (df.select(F.col(id_col).cast("string").alias("id"),
                       F.col(column).alias("val"),
                       num.alias("num"))
-            .filter(F.col("val").isNotNull() & ~F.isnan(F.col("num")))
+            .filter(F.col("val").isNotNull())
             .withColumn("gen", F.lit(gen))
             .withColumn("val_bucket",
                         _range_bucket_expr(F.col("num"), boundaries)))
@@ -413,16 +420,26 @@ def _range_probe(spark: SparkSession, root: str, collection: str,
     for i, (_op, v) in enumerate(items):
         lit = F.lit(v).cast(ctype)
         cols.append(lit.cast("double").alias(f"n{i}"))
+    # NOTE on malformed literals: under Spark 4's default ANSI mode this
+    # 1-row render job raises CAST_INVALID_INPUT for a literal the
+    # column type can't parse — the SAME error the pushed scan raises
+    # for ``col = 'abc'`` on an int column, so probe and scan stay in
+    # parity (asserted in test_range_probe_uncastable_literal_parity).
+    # A None here therefore only means a NULL literal slipped through;
+    # NULL compares to nothing on both paths → empty match.
     row = spark.range(1).select(*cols).first()
     nums = [row[f"n{i}"] for i in range(len(items))]
-    if any(n is None for n in nums):
-        raise ValueError(
-            f"range probe literal failed to cast to {ctype!r} "
-            f"(bounds {items!r})")
     if eq_values is not None:
+        pairs = [(n, v) for n, v in zip(nums, eq_values) if n is not None]
+        if not pairs:
+            return spark.createDataFrame([], f"id string, val {ctype}")
+        nums = [n for n, _ in pairs]
+        eq_values = [v for _, v in pairs]
         # equality probe: exactly each literal's own bucket
         window = sorted({bisect_right(boundaries, n) for n in nums})
     else:
+        if any(n is None for n in nums):
+            return spark.createDataFrame([], f"id string, val {ctype}")
         lo_bucket, hi_bucket = 0, n_buckets - 1
         for (op, _v), n in zip(items, nums):
             b = bisect_right(boundaries, n)

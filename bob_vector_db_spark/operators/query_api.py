@@ -191,6 +191,7 @@ def _filtered_indexed_search(spark: SparkSession, root: str, collection: str,
                              query_vec: str, round_to: int | None,
                              use_index, use_payload_index,
                              n_probe: int | None,
+                             rerank_factor: int,
                              index_candidate_threshold: int,
                              tenant: str | None,
                              id_col: str
@@ -254,10 +255,15 @@ def _filtered_indexed_search(spark: SparkSession, root: str, collection: str,
     # it no longer appears in the composed plan because it already ran.
     from .upsert import materialize_small  # noqa: PLC0415
 
-    ids = materialize_small(spark, ids)
+    mat = materialize_small(spark, ids)
+    over_cap = mat is ids  # identity return = the lazy fallback fired
+    ids = mat
     if use_index != "always":
-        n_cand = ids.count()
-        if n_cand <= index_candidate_threshold:
+        # past the materialize cap the candidate set is certainly above
+        # the (much smaller) threshold — skip the count; downstream
+        # consumers that need an exact n recount lazily
+        n_cand = None if over_cap else ids.count()
+        if n_cand is not None and n_cand <= index_candidate_threshold:
             # few candidates: the pruned exact fetch is the plan — hand
             # the resolution back so it isn't recomputed
             return None, (ids, residual, n_cand)
@@ -275,6 +281,7 @@ def _filtered_indexed_search(spark: SparkSession, root: str, collection: str,
                           vector_name=vector_name, n_probe=n_probe,
                           query_id=query_id, query_vec=query_vec,
                           exclude_self=False, round_to=round_to,
+                          rerank_factor=rerank_factor,
                           tenant=tenant, candidate_ids=final_ids), None
 
 
@@ -290,6 +297,7 @@ def search_points(spark: SparkSession, root: str, collection: str,
                   offset: int = 0,
                   use_index: str | bool = "auto",
                   n_probe: int | None = None,
+                  rerank_factor: int = 5,
                   index_candidate_threshold: int = 100_000,
                   with_payload: bool | list = False,
                   with_vectors: bool | list = False) -> DataFrame:
@@ -314,7 +322,10 @@ def search_points(spark: SparkSession, root: str, collection: str,
     either index is missing/stale); False never touches the ANN
     artifact.  ``n_probe=None`` probes every list,
     so a composed search with full probe stays EXACT over the filtered
-    set (ivf — quantized kinds remain approximate by construction).
+    set (ivf — rescoring kinds like ivf_mv/ivf_sq/ivf_pq additionally
+    need a COVERING ``rerank_factor``: ``rerank_factor*k`` ≥ the
+    filtered point count — Qdrant's quantization ``oversampling`` knob,
+    threaded to the artifact's rescore stage).
 
     ``score_threshold`` drops hits past the quality floor (better-than
     semantics follow the metric: >= for cosine/dot, <= for euclid);
@@ -346,7 +357,8 @@ def search_points(spark: SparkSession, root: str, collection: str,
                                 query_vec=query_vec, tenant=tenant,
                                 use_index=("auto" if use_index is None
                                            else use_index),
-                                n_probe=n_probe)
+                                n_probe=n_probe,
+                                rerank_factor=rerank_factor)
     else:
         id_col = meta.get("id_col", "id")
         out, resolution = None, None
@@ -354,7 +366,7 @@ def search_points(spark: SparkSession, root: str, collection: str,
             out, resolution = _filtered_indexed_search(
                 spark, root, collection, queries, flt, k + offset,
                 vector_name, metric, query_id, query_vec, round_to,
-                use_index, use_payload_index, n_probe,
+                use_index, use_payload_index, n_probe, rerank_factor,
                 index_candidate_threshold, tenant, id_col)
         if out is None:
             cand, _residual = _resolve_candidates(
@@ -628,12 +640,25 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
     else:
         if cursor is not None:
             c_val, c_id = cursor
-            beyond = (F.col(order_by) < F.lit(c_val) if descending
-                      else F.col(order_by) > F.lit(c_val))
+            # NULL-aware keyset: NULL values sort FIRST asc / LAST desc
+            # (Spark's default), so a cursor that lands on a NULL row
+            # must hand the next page the non-NULL tail (asc) or the
+            # rest of the NULL run (desc) — a plain (v > NULL) predicate
+            # is all-NULL and would silently end the scroll early
+            if c_val is None:
+                beyond = (F.lit(False) if descending
+                          else F.col(order_by).isNotNull())
+                same = F.col(order_by).isNull()
+            else:
+                beyond = (F.col(order_by) < F.lit(c_val)
+                          if descending
+                          else F.col(order_by) > F.lit(c_val))
+                if descending:
+                    # the NULL tail comes after every non-NULL value
+                    beyond = beyond | F.col(order_by).isNull()
+                same = F.col(order_by) == F.lit(c_val)
             base = base.filter(
-                beyond
-                | ((F.col(order_by) == F.lit(c_val))
-                   & (F.col(id_col) > F.lit(c_id))))
+                beyond | (same & (F.col(id_col) > F.lit(c_id))))
         order = F.desc(order_by) if descending else F.asc(order_by)
         page = base.orderBy(order, F.asc(id_col)).limit(limit)
 
@@ -663,14 +688,21 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
             cols += [c for c in _space_columns(meta, n) if c not in cols]
     if not return_cursor:
         return page.select(*cols)
-    rows = page.collect()
+    # collect only the returned columns (+ the cursor key) — the page
+    # may carry undisplayed vector columns that with_vectors=False
+    # excludes; shipping them to the driver and back is pure waste
+    cur_cols = list(cols)
+    if order_by is not None and order_by not in cur_cols:
+        cur_cols.append(order_by)
+    slim = page.select(*cur_cols)
+    rows = slim.collect()
     next_cursor = None
     if rows and len(rows) == limit:
         last = rows[-1]
         next_cursor = ((last[id_col],) if order_by is None
                        else (last[order_by], last[id_col]))
-    local = (spark.createDataFrame(rows, page.schema) if rows
-             else page.limit(0))
+    local = (spark.createDataFrame(rows, slim.schema) if rows
+             else slim.limit(0))
     return local.select(*cols), next_cursor
 
 

@@ -910,3 +910,37 @@ def test_scroll_cursor_return_and_attach_flags(spark, tmp_path):
         spark, root, "c", limit=6, order_by="v", return_cursor=True)
     rows = page.collect()
     assert cur == (rows[-1]["v"], rows[-1]["id"])
+
+
+def test_scroll_order_by_pages_through_nulls(spark, tmp_path):
+    """Review r8 regression: NULL order_by values sort FIRST asc / LAST
+    desc; a cursor landing on a NULL row made the next page's (v > NULL)
+    predicate all-NULL and silently ended the scroll with rows missing.
+    Both directions must walk EVERY id exactly once."""
+    from bob_vector_db_spark.operators import upsert as U
+
+    root = str(tmp_path / "store")
+    pts = spark.createDataFrame(
+        [(i, (None if i % 3 == 0 else i * 2)) for i in range(21)],
+        "id long, v long")
+    U.create_collection(spark, root, "c", df=pts, id_col="id", n_buckets=4)
+    for descending in (False, True):
+        seen, cursor = [], None
+        for _ in range(10):  # bounded: 21 rows / limit 4 = 6 pages max
+            page, cursor = query_api.scroll_points(
+                spark, root, "c", limit=4, order_by="v", cursor=cursor,
+                descending=descending, return_cursor=True)
+            rows = page.collect()
+            seen.extend(r["id"] for r in rows)
+            if cursor is None:
+                break
+        assert sorted(seen) == list(range(21)), descending
+        assert len(seen) == len(set(seen)), descending
+        # the order itself: NULLs first asc, last desc, ids ascending
+        # within equal/NULL values
+        nulls = [i for i in seen if i % 3 == 0]
+        vals = [i for i in seen if i % 3 != 0]
+        if descending:
+            assert seen == sorted(vals, reverse=True) + sorted(nulls)
+        else:
+            assert seen == sorted(nulls) + sorted(vals)

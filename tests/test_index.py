@@ -876,3 +876,48 @@ def test_ivf_mv_dispatch_and_staleness(spark, sf_dir, tmp_path):
                                 rerank_factor=200, exclude_self=True)
     assert _rows(full) == _rows(exact)
     assert full.filter(F.col("vec_id") == 7).count() == 0
+
+
+def test_ivf_mv_filtered_search_composes_both_prunings(spark, sf_dir,
+                                                       tmp_path):
+    """Filtered MULTIVECTOR search composes with the ivf_mv artifact the
+    same way the dense path does (the composition matrix's last cell):
+    the payload candidates semi-join inside the probed pooled lists,
+    the max-sim rescore fetch stays id-bucket pruned, and at full probe
+    with a covering rerank the answer equals the exact filtered
+    max-sim scan."""
+    from bob_vector_db_spark.operators import query_api
+    from bob_vector_db_spark.operators.filters import Filter, MatchAny
+    from bob_vector_db_spark.operators.payload_index import (
+        build_payload_index)
+
+    root = str(tmp_path / "store")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.array(*[F.slice(F.col("embedding"), 1 + 16 * i, 16)
+                  for i in range(4)]).alias("colbert"),
+        F.concat(F.lit("g"), (F.col("label") % 4).cast("string"))
+        .alias("grp"))
+    upsert.create_collection(
+        spark, root, "vecs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"colbert": {"size": 16, "distance": "dot",
+                                   "multivector": "max_sim"}})
+    build_payload_index(spark, root, "vecs", "grp", n_val_buckets=16)
+    index.build_vector_index(spark, root, "vecs", kind="ivf_mv",
+                             n_lists=8, iters=3)
+    flt = Filter(must=[MatchAny("grp", ["g0", "g1"])])
+    q = pts.filter(F.col("id") < 3).select(
+        F.col("id").alias("qid"), F.col("colbert").alias("qvecs"))
+    comp = query_api.search_points(
+        spark, root, "vecs", q, flt=flt, k=10, query_vec="qvecs",
+        use_index="always", n_probe=None, rerank_factor=100,
+        use_payload_index="always")
+    assert_partition_filters(comp, "list_id", "id_bucket")
+    exact = query_api.search_points(
+        spark, root, "vecs", q, flt=flt, k=10, query_vec="qvecs",
+        use_index=False, use_payload_index=False)
+    key = lambda df: sorted(
+        (r["qid"], r["vec_id"], round(r["sim"], 6), r["rank"])
+        for r in df.collect())
+    assert key(comp) == key(exact)

@@ -260,6 +260,45 @@ def test_maxsim_vectorized_matches_expression_path(spark):
         assert all(r[1] != 99 for r in rows(b))
 
 
+def test_maxsim_vectorized_degenerate_shapes_match_expression(spark):
+    """Review r8 regressions: NULL token lists (delete_vectors nulls the
+    space), NULL tokens INSIDE a list, a NULL-list query, a NULL-token
+    query and an EMPTY-token query must neither crash the BLAS path
+    (list(None) raised TypeError; an empty query raised ValueError for
+    the whole batch) nor diverge from the expression form — the fold
+    nulls poisoned queries to no rows and scores an empty query 0.0
+    against EVERY point."""
+    corpus_rows = [
+        (0, [[1.0, 0.0], [0.0, 1.0]]),
+        (1, None),                       # nulled space
+        (2, [[2.0, 1.0], None]),         # NULL token inside the list
+        (3, []),                         # empty token list
+        (4, [[0.5, 0.25]]),
+    ]
+    q_rows = [
+        (100, [[1.0, 2.0], [3.0, 0.5]]),  # well-formed
+        (101, []),                        # empty: 0.0 vs every point
+        (102, None),                      # NULL list: no rows
+        (103, [[1.0, 0.0], None]),        # NULL token: no rows
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, vectors array<array<double>>")
+    q = spark.createDataFrame(
+        q_rows, "qid long, qvecs array<array<double>>")
+    rows = lambda df: sorted(
+        (r["qid"], r["vec_id"], round(r["sim"], 6), r["rank"])
+        for r in df.collect())
+    for metric in ("dot", "cosine"):
+        a = rows(knn.knn_join_maxsim(q, corpus, k=3, metric=metric))
+        b = rows(knn.knn_join_maxsim_vectorized(q, corpus, k=3,
+                                                metric=metric))
+        assert a == b, metric
+        assert not [r for r in b if r[0] in (102, 103)]
+        assert ([r[1] for r in b if r[0] == 101] == [0, 1, 2]
+                ), "empty query scores every point 0.0, k smallest ids"
+        assert all(r[1] in (0, 2, 4) for r in b if r[0] == 100)
+
+
 def test_search_collection_maxsim_dispatches_blas_on_integral_ids(
         spark, tmp_path):
     """vectorized='auto' (VERDICT r7 wrong #1): a multivector exact scan

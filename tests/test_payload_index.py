@@ -366,6 +366,58 @@ def test_range_index_equality_probe_and_int_column(spark, tmp_path):
     assert got2 == {str(r["id"]) for r in df.filter("n = 13").collect()}
 
 
+def test_range_probe_uncastable_literal_parity(spark, tmp_path):
+    """A literal the column type can't parse raises CAST_INVALID_INPUT
+    under Spark 4's default ANSI mode — on the PUSHED SCAN
+    (``n = 'abc'`` on an int column) and on the range-index probe alike:
+    rebuilding an index must never turn a raising query into a silently
+    different answer (or vice versa)."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from bob_vector_db_spark.operators.payload_index import (
+        payload_range_match_ids)
+
+    root, df = _mk_scored(spark, tmp_path)
+    build_payload_index(spark, root, "c", "n", n_val_buckets=8,
+                        index_type="range")
+    with pytest.raises(PySparkException, match="CAST_INVALID_INPUT"):
+        df.filter(F.col("n") == F.lit("abc")).count()   # the scan's answer
+    with pytest.raises(PySparkException, match="CAST_INVALID_INPUT"):
+        payload_match_ids(spark, root, "c", "n", ["abc"]).count()
+    with pytest.raises(PySparkException, match="CAST_INVALID_INPUT"):
+        payload_range_match_ids(spark, root, "c", "n", gt="abc").count()
+
+
+def test_range_index_nan_parity_with_scan(spark, tmp_path):
+    """Review r8 regression: Spark orders NaN ABOVE every number, so the
+    pushed scan matches NaN rows on gt/gte — the range index must agree
+    (NaN postings live in the top bucket; build used to drop them and
+    the two paths disagreed on NaN-bearing data)."""
+    from bob_vector_db_spark.operators.filters import Filter, Range
+    from bob_vector_db_spark.operators.query_api import count_points
+
+    root = str(tmp_path / "store")
+    rows = ([(i, float(i)) for i in range(20)]
+            + [(100, float("nan")), (101, float("nan"))])
+    df = spark.createDataFrame(rows, "id long, score double")
+    upsert.create_collection(spark, root, "c", df=df, id_col="id",
+                             n_buckets=4)
+    build_payload_index(spark, root, "c", "score", n_val_buckets=4,
+                        index_type="range")
+    for flt, want in [
+        (Filter(must=[Range("score", gt=5.0)]), 14 + 2),   # NaN > 5.0
+        (Filter(must=[Range("score", gte=5.0)]), 15 + 2),
+        (Filter(must=[Range("score", lt=5.0)]), 5),        # NaN not < 5.0
+        (Filter(must=[Range("score", gte=3.0, lt=7.0)]), 4),
+    ]:
+        n_idx = count_points(spark, root, "c", flt=flt,
+                             use_payload_index="always")
+        n_scan = count_points(spark, root, "c", flt=flt,
+                              use_payload_index=False)
+        assert n_idx == n_scan == want, flt
+
+
 def test_range_filter_routes_and_composes(spark, tmp_path):
     """A Range-only filter resolves through the range index: count /
     search agree with the pushed-scan path, and 'always' no longer

@@ -56,3 +56,23 @@ def test_normalize_unit_norm(vec_df):
 def test_l2_distance(spark):
     df = spark.createDataFrame([([0.0, 3.0], [4.0, 0.0])], "a array<double>, b array<double>")
     assert math.isclose(df.select(vector.l2_distance(F.col("a"), F.col("b")).alias("d")).first()["d"], 5.0)
+
+
+def test_mean_pool_skips_null_tokens(spark):
+    """Review r8 regression: a NULL token inside the list nulled the
+    whole fold, silently dropping the point from the ivf_mv artifact
+    while the exact max-sim scan (array_max skips NULLs) still scored
+    it.  The pool must average the non-NULL tokens; empty / all-NULL
+    lists stay NULL."""
+    df = spark.createDataFrame(
+        [(0, [[2.0, 0.0], None, [0.0, 4.0]]),
+         (1, [[1.0, 1.0]]),
+         (2, []),
+         (3, [None]),
+         (4, None)],
+        "id long, vecs array<array<double>>")
+    got = {r["id"]: r["p"] for r in df.select(
+        "id", vector.mean_pool(F.col("vecs")).alias("p")).collect()}
+    assert list(got[0]) == [1.0, 2.0]
+    assert list(got[1]) == [1.0, 1.0]
+    assert got[2] is None and got[3] is None and got[4] is None
