@@ -139,7 +139,8 @@ def search_sparse_points(spark: SparkSession, root: str, collection: str,
                          use_payload_index: str | bool = "auto",
                          exclude_self: bool = False,
                          round_to: int | None = 6,
-                         allow_stale: bool = False) -> DataFrame:
+                         allow_stale: bool = False,
+                         modifier: str | None = "auto") -> DataFrame:
     """FILTERED sparse search — Qdrant's ``query_points`` over a sparse
     space with a ``query_filter``: the filter resolves to candidate ids
     (:func:`_filter_candidate_ids`) and the id set semi-joins INSIDE the
@@ -156,7 +157,8 @@ def search_sparse_points(spark: SparkSession, root: str, collection: str,
     return sparse_search_indexed(
         spark, root, collection, query_postings, k=k,
         indices_col=indices_col, exclude_self=exclude_self,
-        round_to=round_to, allow_stale=allow_stale, candidate_ids=cand)
+        round_to=round_to, allow_stale=allow_stale, candidate_ids=cand,
+        modifier=modifier)
 
 
 def search_text_points(spark: SparkSession, root: str, collection: str,
@@ -804,6 +806,9 @@ def query_points(spark: SparkSession, root: str, collection: str,
                  tenant: str | None = None,
                  score_threshold: float | None = None,
                  offset: int = 0,
+                 use_index: str | bool = "auto",
+                 n_probe: int | None = None,
+                 rerank_factor: int = 5,
                  with_payload: bool | list = False,
                  with_vectors: bool | list = False) -> DataFrame:
     """The unified Query API entry (Qdrant ``query_points``), dispatching
@@ -820,6 +825,11 @@ def query_points(spark: SparkSession, root: str, collection: str,
       DataFrame or a nested fusion dict.
 
     Exactly one of ``query`` / ``prefetch`` must be given.
+
+    ``use_index`` / ``n_probe`` / ``rerank_factor`` are the
+    :func:`search_points` ANN knobs, threaded through on both kNN
+    shapes (DataFrame and by-id); they don't apply to ``prefetch``
+    fusion, whose branches are already-ranked caller plans.
     """
     if (query is None) == (prefetch is None):
         raise ValueError("query_points takes exactly one of query= (a "
@@ -855,7 +865,9 @@ def query_points(spark: SparkSession, root: str, collection: str,
                              vector_name=vector_name,
                              use_payload_index=use_payload_index,
                              tenant=tenant, score_threshold=score_threshold,
-                             offset=offset, with_payload=with_payload,
+                             offset=offset, use_index=use_index,
+                             n_probe=n_probe, rerank_factor=rerank_factor,
+                             with_payload=with_payload,
                              with_vectors=with_vectors)
     # query by stored point id
     meta = collection_meta(root, collection) or {}
@@ -897,7 +909,9 @@ def query_points(spark: SparkSession, root: str, collection: str,
                         k=k + 1 + int(offset),
                         vector_name=vector_name,
                         use_payload_index=use_payload_index, tenant=tenant,
-                        score_threshold=score_threshold)
+                        score_threshold=score_threshold,
+                        use_index=use_index, n_probe=n_probe,
+                        rerank_factor=rerank_factor)
     # Qdrant excludes the looked-up point itself from its own results:
     # over-fetch by one, drop self, close the rank gap (offset applies
     # AFTER the self-drop, so page boundaries never shift by the self

@@ -110,6 +110,21 @@ def _sparse_index_name(indices_col: str) -> str:
     return f"{indices_col}__sparse"
 
 
+def _declared_modifier(meta: dict | None, indices_col: str) -> str | None:
+    """The sparse space's declared ``modifier`` (Qdrant
+    ``SparseVectorParams.modifier``), resolved by the PHYSICAL indices
+    column: a space config matches when its ``indices_col`` (default
+    'indices') equals the searched column, or the space NAME does."""
+    for name, cfg in ((meta or {}).get("vectors") or {}).items():
+        if str(cfg.get("kind", "")).lower() != "sparse":
+            continue
+        if cfg.get("indices_col", "indices") == indices_col \
+                or name == indices_col:
+            mod = cfg.get("modifier")
+            return None if mod is None else str(mod).lower()
+    return None
+
+
 def sparse_index_meta(root: str, collection: str,
                       indices_col: str = "indices") -> dict | None:
     from .index import vector_index_meta  # noqa: PLC0415
@@ -155,6 +170,7 @@ def build_sparse_index(spark, root: str, collection: str,
     staging = ipath + "__staging"
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(staging)
+    n_points = 0
     if _store_exists(collection_path(root, collection)):
         post = postings_from_arrays(
             read_collection(spark, root, collection),
@@ -166,12 +182,20 @@ def build_sparse_index(spark, root: str, collection: str,
          .repartition(n_dim_buckets * files_per_bucket, F.col("dim_bucket"))
          .write.partitionBy("dim_bucket")
          .parquet(os.path.join(staging, "postings")))
+        # one row per point carrying the space — the IDF modifier's N
+        # (Qdrant Modifier.IDF) recomputes from this tiny masked table at
+        # refresh, never from the postings (the BM25 doclens pattern)
+        docids = post.select(F.col("id").cast("string").alias("id")) \
+            .distinct().withColumn("gen", F.lit(0))
+        docids.coalesce(8).write.parquet(os.path.join(staging, "docids"))
+        n_points = docids.count()
     imeta = {
         "kind": "sparse",
         "indices_col": indices_col,
         "values_col": values_col,
         "id_col": id_col,
         "n_dim_buckets": n_dim_buckets,
+        "n_points": n_points,
         "built_version": built_version,
         "generation": 0,
     }
@@ -215,11 +239,39 @@ def refresh_sparse_index(spark, root: str, collection: str,
                             F.lit(imeta["n_dim_buckets"])).cast("int"))
          .write.mode("append").partitionBy("dim_bucket")
          .parquet(os.path.join(ipath, "postings")))
+        (post.select(F.col("id").cast("string").alias("id")).distinct()
+         .withColumn("gen", F.lit(g))
+         .coalesce(8).write.mode("append")
+         .parquet(os.path.join(ipath, "docids")))
+
+    def finalize_fn(im: dict) -> None:
+        # the IDF modifier's N over the masked docids — surviving
+        # carriers only, one tiny scan (never the postings)
+        from .index import _apply_masks  # noqa: PLC0415
+
+        did_dir = os.path.join(ipath, "docids")
+        # "n_points" missing = a legacy index built before the docids
+        # sidecar existed: leave it absent (the modifier raises with a
+        # rebuild hint) rather than recording a delta-only count
+        if "n_points" in im and os.path.isdir(did_dir):
+            im["n_points"] = int(_apply_masks(
+                spark, ipath, spark.read.parquet(did_dir), "id").count())
 
     return run_incremental_refresh(
-        spark, root, collection, ipath, imeta, append_fn,
-        data_layouts=[("postings", "id", "dim_bucket")],
+        spark, root, collection, ipath, imeta, append_fn, finalize_fn,
+        data_layouts=[("postings", "id", "dim_bucket"),
+                      ("docids", "id", None)],
         mask_compact_threshold=mask_compact_threshold)
+
+
+def idf_weight(df, n_points) -> "F.Column":
+    """Qdrant ``Modifier.IDF``: ``ln(1 + (N - n_t + 0.5)/(n_t + 0.5))``
+    — the BM25 idf term — where N is the number of points carrying the
+    sparse space and ``n_t`` (the ``df`` Column) the number containing
+    dimension t.  Query values multiply by it at search time; stored
+    values stay as-is (the Qdrant sparse-space config semantics)."""
+    n = F.lit(float(n_points))
+    return F.log(F.lit(1.0) + (n - df + 0.5) / (df + 0.5))
 
 
 def sparse_search_indexed(spark, root: str, collection: str,
@@ -229,7 +281,8 @@ def sparse_search_indexed(spark, root: str, collection: str,
                           round_to: int | None = 6,
                           max_query_dims: int = 100_000,
                           allow_stale: bool = False,
-                          candidate_ids: DataFrame | None = None
+                          candidate_ids: DataFrame | None = None,
+                          modifier: str | None = "auto"
                           ) -> DataFrame:
     """Top-k over the PERSISTED sparse index: the queries' active dims
     become a STATIC ``dim_bucket IN (...)`` partition filter plus an
@@ -243,11 +296,20 @@ def sparse_search_indexed(spark, root: str, collection: str,
     — the FILTERED sparse search (Qdrant filters on sparse spaces): the
     id set semi-joins the probed posting lists (AQE picks the shape), so
     payload pruning composes with the dimension pruning in one plan;
-    ``query_api.search_sparse_points`` wires the filter DSL to it."""
+    ``query_api.search_sparse_points`` wires the filter DSL to it.
+
+    ``modifier`` 'auto' (default) honors the sparse space's DECLARED
+    config (``{"kind": "sparse", "modifier": "idf"}`` — the Qdrant
+    ``SparseVectorParams(modifier=Modifier.IDF)`` twin); 'idf' forces
+    it, None disables.  IDF stats are corpus-global even under a
+    filter: N persists in the index meta (maintained through refresh
+    via the masked docids sidecar) and per-dim frequencies aggregate
+    over the probed posting lists BEFORE candidate narrowing — only
+    the query dims' buckets are ever read for them."""
     import os  # noqa: PLC0415
 
     from .index import _apply_masks, index_path  # noqa: PLC0415
-    from .upsert import collection_version  # noqa: PLC0415
+    from .upsert import collection_meta, collection_version  # noqa: PLC0415
 
     imeta = sparse_index_meta(root, collection, indices_col)
     if imeta is None:
@@ -286,6 +348,30 @@ def sparse_search_indexed(spark, root: str, collection: str,
             .filter(F.col("dim_bucket").isin(buckets))
             .filter(F.col("idx").isin(dims)))
     post = _apply_masks(spark, ipath, post, "id").select("id", "idx", "val")
+    if modifier == "auto":
+        modifier = _declared_modifier(collection_meta(root, collection),
+                                      indices_col)
+    if modifier is not None:
+        if str(modifier).lower() != "idf":
+            raise ValueError(
+                f"unknown sparse modifier {modifier!r} (only 'idf')")
+        if "n_points" not in imeta:
+            raise ValueError(
+                f"sparse index for {collection!r}/{indices_col!r} predates "
+                f"the IDF sidecar; rebuild with build_sparse_index to use "
+                f"modifier='idf'")
+        # per-dim document frequency over the PROBED lists, pre-candidate
+        # (IDF is corpus-global under a filter, like BM25's df_t)
+        df_t = post.groupBy("idx").agg(
+            F.countDistinct("id").alias("_df"))
+        query_postings = (
+            query_postings.join(F.broadcast(df_t), "idx", "left")
+            .withColumn(
+                "val",
+                F.col("val") * idf_weight(
+                    F.coalesce(F.col("_df").cast("double"), F.lit(0.0)),
+                    imeta["n_points"]))
+            .drop("_df"))
     if candidate_ids is not None:
         cands = candidate_ids.select(
             F.col(candidate_ids.columns[0]).cast("string")

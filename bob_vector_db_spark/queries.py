@@ -7309,6 +7309,84 @@ def q_store_nested_filter_indexed(spark: SparkSession,
                       "sim", F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "api_sparse_idf",
+    # the declared-modifier sparse search: query weights scale by
+    # ln(1 + (N - n_t + 0.5)/(n_t + 0.5)) with N the carrier count and
+    # n_t the per-dim document frequency — BOTH corpus-global (the
+    # oracle computes them over the full posting set)
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest({DUCK_WS_TOKENS.format(t='lower(text)')}) AS tok
+  FROM documents
+),
+post AS (
+  SELECT id, ({DUCK_POLY_HASH.format(t='tok')}) % 512 AS idx,
+         CAST(COUNT(*) AS DOUBLE) AS val
+  FROM toks GROUP BY id, idx
+),
+stats AS (SELECT CAST(COUNT(DISTINCT id) AS DOUBLE) AS n FROM post),
+dfreq AS (
+  SELECT idx, CAST(COUNT(DISTINCT id) AS DOUBLE) AS df FROM post GROUP BY idx
+),
+q AS (
+  SELECT p.id AS qid, p.idx,
+         p.val * ln(1.0 + ((SELECT n FROM stats) - d.df + 0.5)
+                          / (d.df + 0.5)) AS qval
+  FROM post p JOIN dfreq d ON p.idx = d.idx
+  WHERE p.id < 3
+),
+pairs AS (
+  SELECT q.qid, p.id AS vec_id, round(SUM(p.val * q.qval), 6) AS sim
+  FROM post p JOIN q ON p.idx = q.idx
+  WHERE q.qid <> p.id
+  GROUP BY q.qid, p.id
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_api_sparse_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse search under the DECLARED IDF modifier — the Qdrant
+    ``SparseVectorParams(modifier=Modifier.IDF)`` config
+    (qdrant_embedder.py delegates exactly this to the server): the
+    space's config carries ``modifier='idf'``, ``search_sparse_points``
+    honors it automatically ('auto'), query values scale by the BM25
+    idf term over N persisted in the index meta (maintained through
+    refresh via the masked docids sidecar) and per-dim frequencies
+    aggregated over the PROBED posting lists only — corpus-global
+    stats, bucket-pruned reads."""
+    from .operators import query_api  # noqa: PLC0415
+    from .operators.sparse import (  # noqa: PLC0415
+        build_sparse_index,
+        postings_from_text,
+    )
+
+    base = _tmp_base(sf_dir, "sparseidf")
+    docs = load_table(spark, sf_dir, "documents")
+    post = postings_from_text(docs, id_col="doc_id", text_col="text",
+                              vocab_size=512)
+    pts = (post.groupBy("id")
+           .agg(F.array_sort(F.collect_list(F.struct("idx", "val")))
+                .alias("z"))
+           .select("id",
+                   F.col("z.idx").alias("indices"),
+                   F.col("z.val").alias("values")))
+    upsert.create_collection(
+        spark, base, "sparse_pts", df=pts, id_col="id", n_buckets=8,
+        vector_config={"text_sparse": {"kind": "sparse",
+                                       "modifier": "idf"}})
+    build_sparse_index(spark, base, "sparse_pts", n_dim_buckets=16)
+    qpost = post.filter(F.col("id") < 3)
+    out = query_api.search_sparse_points(spark, base, "sparse_pts",
+                                         qpost, k=10, exclude_self=True)
+    return out.select("qid", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -7323,7 +7401,7 @@ _PRIORITY = [
     "api_range_indexed", "api_datetime_range_indexed",
     "store_range_indexed_search", "store_multivector_indexed",
     "api_search_with_vectors", "api_scroll_pages",
-    "store_nested_filter_indexed",
+    "store_nested_filter_indexed", "api_sparse_idf",
     # new in round 7 — last adjudicated one round ago
     "store_filtered_indexed_search", "api_filter_nested",
     "api_geo_polygon", "knn_multivector_maxsim",

@@ -305,3 +305,91 @@ def test_filtered_sparse_search_composes_and_falls_back(spark, tmp_path):
         spark, root, "sp", q, flt=flt, k=10, use_payload_index="always",
         exclude_self=True).collect()))
     assert got_idx == want
+
+
+def test_idf_modifier_declared_config_and_refresh(spark, tmp_path):
+    """Qdrant Modifier.IDF: a sparse space declared with
+    ``{"kind": "sparse", "modifier": "idf"}`` re-weights QUERY values by
+    ``ln(1 + (N - n_t + 0.5)/(n_t + 0.5))`` at search time (stored
+    values untouched); N survives churn through the masked docids
+    sidecar; an explicit ``modifier=None`` disables it back to the
+    plain dot product; a filter narrows candidates, not stats."""
+    import math
+
+    from bob_vector_db_spark.operators import upsert
+    from bob_vector_db_spark.operators.sparse import (
+        build_sparse_index,
+        refresh_sparse_index,
+        sparse_search_indexed,
+    )
+
+    root = str(tmp_path / "store")
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 13} tok{i % 7} shared word{i % 3}") for i in range(n)],
+        "doc_id long, text string")
+    post = postings_from_text(docs, vocab_size=128)
+    pts = (post.groupBy("id")
+           .agg(F.array_sort(F.collect_list(F.struct("idx", "val")))
+                .alias("z"))
+           .select("id", F.col("z.idx").alias("indices"),
+                   F.col("z.val").alias("values"),
+                   (F.col("id") % 2).alias("parity")))
+    upsert.create_collection(
+        spark, root, "sp", df=pts, id_col="id", n_buckets=4,
+        vector_config={"text_sparse": {"kind": "sparse",
+                                       "modifier": "idf",
+                                       "indices_col": "indices",
+                                       "values_col": "values"}})
+    imeta = build_sparse_index(spark, root, "sp", n_dim_buckets=8)
+    assert imeta["n_points"] == n
+    q = post.filter(F.col("id") < 2)
+
+    # driver-side reference: idf-weighted dot over the full corpus
+    rows = post.collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["id"], {})[r["idx"]] = r["val"]
+    df_t: dict = {}
+    for vec in by_id.values():
+        for i in vec:
+            df_t[i] = df_t.get(i, 0) + 1
+    idf = {i: math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+           for i, d in df_t.items()}
+
+    def ref_topk(qid, k=5, subset=None):
+        qv = by_id[qid]
+        scored = []
+        for pid, vec in by_id.items():
+            if pid == qid or (subset and pid not in subset):
+                continue
+            s = sum(v * qv.get(i, 0.0) * idf[i] for i, v in vec.items()
+                    if i in qv)
+            if s > 0:
+                scored.append((round(s, 6), pid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        return [(qid, pid, s) for s, pid in scored[:k]]
+
+    got = sparse_search_indexed(spark, root, "sp", q, k=5,
+                                exclude_self=True)
+    got_rows = sorted((r["qid"], r["vec_id"], r["sim"])
+                      for r in got.collect())
+    want = sorted(ref_topk(0) + ref_topk(1))
+    assert got_rows == want
+    # modifier=None turns it back into the plain dot product
+    plain = sparse_search_indexed(spark, root, "sp", q, k=5,
+                                  exclude_self=True, modifier=None)
+    mem = sparse_dot_topk(q, post, k=5, exclude_self=True)
+    assert _ranked(plain) == _ranked(mem)
+    # churn: delete half the points -> refresh updates N from the masked
+    # docids; the weighted search stays consistent with a fresh rebuild
+    doomed = [i for i in range(n) if i % 4 == 3]
+    upsert.delete_points(spark, root, "sp", doomed)
+    im2 = refresh_sparse_index(spark, root, "sp")
+    assert im2["n_points"] == n - len(doomed)
+    after = _ranked(sparse_search_indexed(spark, root, "sp", q, k=5,
+                                          exclude_self=True))
+    build_sparse_index(spark, root, "sp", n_dim_buckets=8)  # full rebuild
+    rebuilt = _ranked(sparse_search_indexed(spark, root, "sp", q, k=5,
+                                            exclude_self=True))
+    assert after == rebuilt
