@@ -7118,6 +7118,92 @@ def q_store_multivector_indexed(spark: SparkSession,
 
 
 @register(
+    "store_mv_filtered_indexed",
+    # the LAST cell of the composition matrix: a payload filter composed
+    # with the MULTIVECTOR artifact — candidate ids semi-join inside the
+    # probed pooled lists, max-sim rescores only survivors; full probe +
+    # covering rerank == the exact filtered late-interaction scan.
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id, embedding,
+         'g' || CAST(vec_id % 4 AS VARCHAR) AS grp
+  FROM embeddings
+),
+flt AS (SELECT * FROM corpus WHERE grp IN ('g0', 'g1')),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+qtok AS (
+  SELECT vec_id AS qid, 1 AS ti, embedding[1:16] AS qv FROM q
+  UNION ALL SELECT vec_id, 2, embedding[17:32] FROM q
+  UNION ALL SELECT vec_id, 3, embedding[33:48] FROM q
+  UNION ALL SELECT vec_id, 4, embedding[49:64] FROM q
+),
+ptok AS (
+  SELECT vec_id, 1 AS pj, embedding[1:16] AS pv FROM flt
+  UNION ALL SELECT vec_id, 2, embedding[17:32] FROM flt
+  UNION ALL SELECT vec_id, 3, embedding[33:48] FROM flt
+  UNION ALL SELECT vec_id, 4, embedding[49:64] FROM flt
+),
+best AS (
+  SELECT qt.qid, pt.vec_id, qt.ti,
+         MAX((SELECT SUM(a*b)
+              FROM (SELECT unnest(qt.qv)::DOUBLE AS a,
+                           unnest(pt.pv)::DOUBLE AS b))) AS m
+  FROM qtok qt, ptok pt
+  GROUP BY qt.qid, pt.vec_id, qt.ti
+),
+scored AS (
+  SELECT qid, vec_id, round(SUM(m), 6) AS sim
+  FROM best GROUP BY qid, vec_id
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM scored)
+WHERE rank <= 10
+""",
+)
+def q_store_mv_filtered_indexed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Filtered MULTIVECTOR search composed with the ivf_mv artifact —
+    the Qdrant filtered-HNSW-over-multivectors twin, closing the
+    composition matrix (dense/sparse/BM25/multivector × filtered, all
+    index-composed): the payload index resolves the grp filter to
+    candidate ids, they semi-join INSIDE the probed pooled lists, and
+    the exact max-sim rescore fetches only surviving candidates
+    bucket-pruned.  Full probe + rerank 1000·k ⇒ exact vs the filtered
+    late-interaction scan (both prunings plan-asserted in
+    tests/test_index.py::test_ivf_mv_filtered_search_composes)."""
+    from .operators import query_api  # noqa: PLC0415
+    from .operators.payload_index import build_payload_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "mvfidx")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.array(*[F.slice(F.col("embedding"), 1 + 16 * i, 16)
+                  for i in range(4)]).alias("colbert"),
+        F.concat(F.lit("g"), (F.col("vec_id") % 4).cast("string"))
+        .alias("grp"))
+    upsert.create_collection(
+        spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"colbert": {"size": 16, "distance": "dot",
+                                   "multivector": "max_sim"}})
+    build_payload_index(spark, base, "vecs", "grp", n_val_buckets=16)
+    index.build_vector_index(spark, base, "vecs", kind="ivf_mv",
+                             n_lists=8, iters=4)
+    q = pts.filter(F.col("id") < 3).select(
+        F.col("id").alias("qid"), F.col("colbert").alias("qvecs"))
+    out = query_api.search_points(
+        spark, base, "vecs", q,
+        flt=Filter(must=[MatchAny("grp", ["g0", "g1"])]),
+        k=10, query_vec="qvecs", use_index="always", n_probe=None,
+        rerank_factor=1000, use_payload_index="always")
+    return out.select(F.col("qid").cast("long").alias("qid"),
+                      F.col("vec_id").cast("long").alias("vec_id"),
+                      "sim", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
     "api_search_with_vectors",
     # Qdrant with_vectors: the hits come back with the STORED vector data
     # of both declared spaces — the dense column and the sparse space's
@@ -7402,6 +7488,7 @@ _PRIORITY = [
     "store_range_indexed_search", "store_multivector_indexed",
     "api_search_with_vectors", "api_scroll_pages",
     "store_nested_filter_indexed", "api_sparse_idf",
+    "store_mv_filtered_indexed",
     # new in round 7 — last adjudicated one round ago
     "store_filtered_indexed_search", "api_filter_nested",
     "api_geo_polygon", "knn_multivector_maxsim",
