@@ -160,6 +160,41 @@ class IsNull:
         return f"{_ident(self.key)} IS NULL"
 
 
+@dataclass(frozen=True)
+class HasId:
+    """``id IN (...)`` (Qdrant HasIdCondition) — the implicit target is
+    the POINT ID; the DSL compiles context-free, so a collection with a
+    non-default id column passes it as ``id_col``.  Values stringify on
+    BOTH sides (ids compare as their rendered literals — mixed int/str
+    id lists behave like Qdrant's point-id union)."""
+    ids: tuple
+    id_col: str
+
+    def __init__(self, ids, id_col: str = "id"):
+        object.__setattr__(self, "ids", tuple(ids))
+        object.__setattr__(self, "id_col", id_col)
+
+    def to_sql(self) -> str:
+        if not self.ids:
+            return "FALSE"
+        return (f"{_ident(self.id_col)} IN "
+                f"({', '.join(_lit(v) for v in self.ids)})")
+
+
+@dataclass(frozen=True)
+class HasVector:
+    """Point CARRIES the named vector space (Qdrant HasVectorCondition):
+    the space's physical column is non-NULL — ``delete_vectors`` nulls
+    it, so this matches exactly the points still scoring in that space.
+    ``column`` is the space's PHYSICAL column (the space name for dense,
+    the ``indices_col`` for sparse — ``upsert._space_columns`` is the
+    mapping)."""
+    column: str
+
+    def to_sql(self) -> str:
+        return f"{_ident(self.column)} IS NOT NULL"
+
+
 _TS_LITERAL = re.compile(
     r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d{1,6})?$")
 
@@ -567,8 +602,10 @@ class Filter:
         (payload = value tuple) over a scalar-indexed column, 'contains'
         for MatchContains over an ARRAY-indexed column (element postings),
         'range' for Range/DatetimeRange (payload = the leaf itself) over a
-        RANGE-indexed numeric/datetime column.  Nested filters and every
-        other leaf kind stay in the residual."""
+        RANGE-indexed numeric/datetime column, 'hasid' for HasId (its
+        LITERAL ids ARE the candidate set — no index needed at all).
+        Nested filters and every other leaf kind stay in the
+        residual."""
         out = []
         for c in self.must:
             if isinstance(c, MatchValue):
@@ -581,12 +618,15 @@ class Filter:
                 out.append((c.key, c, "range"))
             elif isinstance(c, NestedCondition):
                 out.append((c.key, c, "nested"))
+            elif isinstance(c, HasId):
+                out.append((c.id_col, c, "hasid"))
         return out
 
     def residual_without(self, scalar_keys: set[str],
                          contains_keys: set[str] = frozenset(),
                          range_keys: set[str] = frozenset(),
-                         nested_leaves: tuple = ()) -> "Filter":
+                         nested_leaves: tuple = (),
+                         hasid_leaves: tuple = ()) -> "Filter":
         """This filter minus the top-level must leaves the index answered:
         MatchValue/MatchAny on ``scalar_keys``, MatchContains on
         ``contains_keys``, Range/DatetimeRange on ``range_keys``, the
@@ -606,7 +646,8 @@ class Filter:
                     or (isinstance(c, (Range, DatetimeRange))
                         and c.key in range_keys)
                     or (isinstance(c, NestedCondition)
-                        and c in nested_leaves)))
+                        and c in nested_leaves)
+                    or (isinstance(c, HasId) and c in hasid_leaves)))
         return Filter(must=kept, should=self.should,
                       must_not=self.must_not, min_should=self.min_should)
 
@@ -668,6 +709,8 @@ def filter_match_ids(spark, root: str, collection: str, flt,
     leaf_cache: dict = {}
 
     def usable(key: str, kind: str, payload=None) -> bool:
+        if kind == "hasid":
+            return True  # literal ids need no index at all
         if key not in meta_cache:
             meta_cache[key] = payload_index_meta(root, collection, key)
         imeta = meta_cache[key]
@@ -719,6 +762,12 @@ def filter_match_ids(spark, root: str, collection: str, flt,
                 spark, root, collection, key,
                 leaf_cache[(key, id(payload))],
                 allow_stale=allow_stale)
+        elif kind == "hasid":
+            # the leaf's literal ids ARE the candidate frame (Qdrant
+            # resolves HasIdCondition from its native id index); the
+            # downstream fetch stays bucket-pruned on them
+            got = spark.createDataFrame(
+                [(str(v),) for v in payload.ids], "id string")
         else:
             got = payload_match_ids(spark, root, collection, key,
                                     list(payload),
@@ -728,4 +777,5 @@ def filter_match_ids(spark, root: str, collection: str, flt,
         {k for k, _, kind in probes if kind == "scalar"},
         {k for k, _, kind in probes if kind == "contains"},
         {k for k, _, kind in probes if kind == "range"},
-        tuple(p for _, p, kind in probes if kind == "nested"))
+        tuple(p for _, p, kind in probes if kind == "nested"),
+        tuple(p for _, p, kind in probes if kind == "hasid"))

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .filters import Filter, as_filter, filter_match_ids
+from .filters import Filter, HasId, as_filter, filter_match_ids
 from .upsert import (
     collection_meta,
     read_collection,
@@ -521,7 +521,11 @@ def count_points(spark: SparkSession, root: str, collection: str,
     if use_payload_index is not False:
         ids, residual = filter_match_ids(spark, root, collection, flt)
         if ids is not None:
-            if residual == Filter() and tenant is None:
+            # HasId leaves contribute LITERAL ids that may not exist in
+            # the store (posting-derived ids always do) — those must go
+            # through the fetch so ghosts drop from the count
+            literal_ids = any(isinstance(c, HasId) for c in flt.must)
+            if residual == Filter() and tenant is None and not literal_ids:
                 return ids.count()
             rows = read_rows_for_ids(spark, root, collection, ids)
             if rows is None:
@@ -594,6 +598,7 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
                   max_candidates: int = 1_000_000,
                   tenant: str | None = None,
                   descending: bool = False,
+                  start_from=None,
                   with_payload: bool | list = True,
                   with_vectors: bool | list = False,
                   return_cursor: bool = False):
@@ -608,6 +613,12 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
     ``OrderBy(direction=DESC)`` — newest-first paging); the value leg of
     the cursor inequality flips with it while the id tiebreak stays
     ascending, keeping the composite order total either way.
+    ``start_from`` (Qdrant ``OrderBy.start_from``) begins the scroll at
+    the given order_by value INCLUSIVE (``>=`` asc / ``<=`` desc) — a
+    pushed predicate, so with a range payload index on the column the
+    scan opens mid-collection instead of at its edge; rows with a NULL
+    order_by value never match it (both engines' comparison semantics),
+    matching Qdrant's skip-missing-key behavior under start_from.
 
     Page shape follows Qdrant's return flags: ``with_payload`` (default
     True — scroll is the payload-reading API) keeps the payload columns,
@@ -633,6 +644,9 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
                 read_collection(spark, root, collection, tenant=tenant)
                 .filter(as_filter(flt).to_column()))
     if order_by is None:
+        if start_from is not None:
+            raise ValueError("start_from needs order_by (Qdrant's "
+                             "OrderBy.start_from lives on the order key)")
         if cursor is not None:
             base = base.filter(F.col(id_col) < F.lit(cursor[0])
                                if descending
@@ -640,6 +654,10 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
         page = base.orderBy(F.desc(id_col) if descending
                             else F.asc(id_col)).limit(limit)
     else:
+        if start_from is not None:
+            base = base.filter(F.col(order_by) <= F.lit(start_from)
+                               if descending
+                               else F.col(order_by) >= F.lit(start_from))
         if cursor is not None:
             c_val, c_id = cursor
             # NULL-aware keyset: NULL values sort FIRST asc / LAST desc
@@ -809,6 +827,8 @@ def query_points(spark: SparkSession, root: str, collection: str,
                  use_index: str | bool = "auto",
                  n_probe: int | None = None,
                  rerank_factor: int = 5,
+                 lookup_from_collection: str | None = None,
+                 lookup_from_vector: str | None = None,
                  with_payload: bool | list = False,
                  with_vectors: bool | list = False) -> DataFrame:
     """The unified Query API entry (Qdrant ``query_points``), dispatching
@@ -830,6 +850,15 @@ def query_points(spark: SparkSession, root: str, collection: str,
     :func:`search_points` ANN knobs, threaded through on both kNN
     shapes (DataFrame and by-id); they don't apply to ``prefetch``
     fusion, whose branches are already-ranked caller plans.
+
+    ``lookup_from_collection`` / ``lookup_from_vector`` (Qdrant
+    ``LookupLocation``) resolve a by-id ``query`` from ANOTHER
+    collection / named space — the "recommend by a point stored
+    elsewhere" pattern; the point id is excluded from results only when
+    the lookup collection IS the searched one (ids from a different
+    collection are a different namespace, Qdrant's semantics).  The
+    lookup space's shape must match the searched space's (multivector
+    with multivector, dense with dense).
     """
     if (query is None) == (prefetch is None):
         raise ValueError("query_points takes exactly one of query= (a "
@@ -879,29 +908,57 @@ def query_points(spark: SparkSession, root: str, collection: str,
                 f"collection {collection!r} declares {sorted(vectors)} "
                 f"vector spaces; pass vector_name")
         vector_name = next(iter(vectors))
+    # LookupLocation: the id resolves in the lookup collection/space
+    # (defaults: this collection, the searched space)
+    lk_coll = lookup_from_collection or collection
+    same_coll = lk_coll == collection
+    lk_meta = meta if same_coll else (collection_meta(root, lk_coll) or {})
+    lk_vectors = lk_meta.get("vectors", {})
+    lk_vec = lookup_from_vector or (vector_name if same_coll else None)
+    if lk_vec is None:
+        if len(lk_vectors) != 1:
+            raise ValueError(
+                f"lookup collection {lk_coll!r} declares "
+                f"{sorted(lk_vectors)} vector spaces; pass "
+                f"lookup_from_vector")
+        lk_vec = next(iter(lk_vectors))
+    if lk_vec not in lk_vectors:
+        raise ValueError(
+            f"lookup_from_vector {lk_vec!r} is not a declared space of "
+            f"{lk_coll!r} (has {sorted(lk_vectors)})")
+    tgt_mv = vectors.get(vector_name, {}).get("multivector") is not None
+    lk_mv = lk_vectors.get(lk_vec, {}).get("multivector") is not None
+    if tgt_mv != lk_mv:
+        raise ValueError(
+            f"lookup space {lk_coll!r}/{lk_vec!r} is "
+            f"{'multivector' if lk_mv else 'dense'} but the searched "
+            f"space {collection!r}/{vector_name!r} is "
+            f"{'multivector' if tgt_mv else 'dense'}; query shapes "
+            f"can't mix")
+    lk_id_col = lk_meta.get("id_col", "id")
     ids = spark.createDataFrame([(str(query),)], "`_q_id` string")
-    rows = read_rows_for_ids(spark, root, collection, ids)
+    rows = read_rows_for_ids(spark, root, lk_coll, ids)
     got = ([] if rows is None else
-           rows.select(id_col, vector_name).limit(2).collect())
+           rows.select(lk_id_col, lk_vec).limit(2).collect())
     if not got:
         raise ValueError(
-            f"query_points: no point with id {query!r} in {collection!r}")
-    v = got[0][vector_name]
+            f"query_points: no point with id {query!r} in {lk_coll!r}")
+    v = got[0][lk_vec]
     if v is None or len(v) == 0:
         raise ValueError(
             f"query_points: point {query!r} has no vector in space "
-            f"{vector_name!r} (deleted via delete_vectors?); query by "
+            f"{lk_vec!r} (deleted via delete_vectors?); query by "
             f"a point that carries the space, or pass an explicit query "
             f"DataFrame")
-    if vectors.get(vector_name, {}).get("multivector") is not None:
+    if tgt_mv:
         # multivector space (declared in the collection meta): query
         # with the nested shape — max-sim scoring dispatches downstream
         qdf = spark.createDataFrame(
-            [(got[0][id_col], [list(t) for t in v])],
+            [(got[0][lk_id_col], [list(t) for t in v])],
             "qid string, qvec array<array<double>>")
     else:
         qdf = spark.createDataFrame(
-            [(got[0][id_col], list(v))],
+            [(got[0][lk_id_col], list(v))],
             "qid string, qvec array<double>")
     from pyspark.sql import Window  # noqa: PLC0415
 
@@ -912,11 +969,14 @@ def query_points(spark: SparkSession, root: str, collection: str,
                         score_threshold=score_threshold,
                         use_index=use_index, n_probe=n_probe,
                         rerank_factor=rerank_factor)
-    # Qdrant excludes the looked-up point itself from its own results:
-    # over-fetch by one, drop self, close the rank gap (offset applies
-    # AFTER the self-drop, so page boundaries never shift by the self
-    # hit's position)
-    kept = out.filter(F.col("vec_id").cast("string") != str(query))
+    # Qdrant excludes the looked-up point itself from its own results —
+    # but ONLY when the lookup collection is the searched one (an id
+    # from another collection is another namespace): over-fetch by one,
+    # drop self, close the rank gap (offset applies AFTER the
+    # self-drop, so page boundaries never shift by the self hit's
+    # position)
+    kept = (out.filter(F.col("vec_id").cast("string") != str(query))
+            if same_coll else out)
     w = Window.partitionBy("qid").orderBy("rank")
     kept = (kept.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k + int(offset)))

@@ -944,3 +944,137 @@ def test_scroll_order_by_pages_through_nulls(spark, tmp_path):
             assert seen == sorted(vals, reverse=True) + sorted(nulls)
         else:
             assert seen == sorted(nulls) + sorted(vals)
+
+
+def test_scroll_order_by_start_from(spark, tmp_path):
+    """Qdrant OrderBy.start_from: the scroll opens at the given value
+    INCLUSIVE (>= asc / <= desc); rows with a NULL order value never
+    match the pushed bound; paging with the keyset cursor continues from
+    inside the bounded range."""
+    from bob_vector_db_spark.operators import upsert as U
+
+    root = str(tmp_path / "store")
+    pts = spark.createDataFrame(
+        [(i, (None if i % 5 == 0 else i * 10)) for i in range(20)],
+        "id long, v long")
+    U.create_collection(spark, root, "c", df=pts, id_col="id", n_buckets=4)
+    page = query_api.scroll_points(spark, root, "c", limit=50,
+                                   order_by="v", start_from=100)
+    ids = [r["id"] for r in page.collect()]
+    assert ids == [i for i in range(10, 20) if i % 5 != 0]
+    desc = query_api.scroll_points(spark, root, "c", limit=50,
+                                   order_by="v", start_from=100,
+                                   descending=True)
+    assert [r["id"] for r in desc.collect()] == \
+        [i for i in range(10, -1, -1) if i % 5 != 0]
+    # cursor paging stays inside the bound
+    p1, cur = query_api.scroll_points(spark, root, "c", limit=3,
+                                      order_by="v", start_from=100,
+                                      return_cursor=True)
+    p2 = query_api.scroll_points(spark, root, "c", limit=50, order_by="v",
+                                 start_from=100, cursor=cur)
+    walked = [r["id"] for r in p1.collect()] + [r["id"] for r in p2.collect()]
+    assert walked == ids
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="start_from needs order_by"):
+        query_api.scroll_points(spark, root, "c", start_from=5)
+
+
+def test_query_points_lookup_from(spark, tmp_path):
+    """Qdrant LookupLocation: a by-id query resolves its vector from
+    ANOTHER collection (or another named space) — self-exclusion applies
+    only when the lookup collection IS the searched one; dense/
+    multivector shape mismatches are refused."""
+    root = str(tmp_path / "store")
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 5), float((i * 7) % 3), 1.0]) for i in range(30)],
+        "id long, vec array<double>")
+    upsert.create_collection(
+        spark, root, "c", df=corpus, id_col="id", n_buckets=4,
+        vector_config={"vec": {"size": 3, "distance": "cosine"}})
+    # the lookup collection: SAME id values, different vectors
+    lk = spark.createDataFrame(
+        [(i, [float((i + 1) % 5), float(i % 3), 1.0]) for i in range(10)],
+        "id long, emb array<double>")
+    upsert.create_collection(
+        spark, root, "lk", df=lk, id_col="id", n_buckets=4,
+        vector_config={"emb": {"size": 3, "distance": "cosine"}})
+    got = query_api.query_points(spark, root, "c", query=7, k=5,
+                                 lookup_from_collection="lk",
+                                 lookup_from_vector="emb")
+    rows = got.collect()
+    assert len(rows) == 5
+    # id 7's vector in lk is [(8)%5, 7%3, 1] = [3.0, 1.0, 1.0]; querying
+    # c with it explicitly must give the SAME ranking, WITHOUT dropping
+    # corpus id 7 (different namespace -> no self-exclusion)
+    q = spark.createDataFrame([(7, [3.0, 1.0, 1.0])],
+                              "qid long, qvec array<double>")
+    want = query_api.search_points(spark, root, "c", q, k=5)
+    key = lambda df: sorted(
+        (r["vec_id"], round(r["sim"], 6), r["rank"]) for r in df.collect())
+    assert key(got) == key(want)
+    # same-collection lookup (the default) still self-excludes
+    same = query_api.query_points(spark, root, "c", query=7, k=5)
+    assert all(r["vec_id"] != 7 for r in same.collect())
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not a declared space"):
+        query_api.query_points(spark, root, "c", query=7, k=5,
+                               lookup_from_collection="lk",
+                               lookup_from_vector="nope")
+
+
+def test_hasid_and_hasvector_conditions(spark, tmp_path):
+    """Qdrant HasIdCondition / HasVectorCondition: HasId's literal ids
+    resolve DIRECTLY to the candidate frame (no payload index, no scan
+    for candidate generation) and compose with other leaves; HasVector
+    matches exactly the points still carrying the named space after
+    delete_vectors."""
+    from bob_vector_db_spark.operators.filters import HasId, HasVector
+
+    root = str(tmp_path / "store")
+    rows = [(i, [float(i % 5), float((i * 7) % 3), 1.0], f"g{i % 3}")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>, grp string")
+    upsert.create_collection(
+        spark, root, "c", df=df, id_col="id", n_buckets=4,
+        vector_config={"vec": {"size": 3, "distance": "cosine"}})
+    # HasId routes WITHOUT any payload index on the collection
+    flt = Filter(must=[HasId([3, 5, 8, 11, 999])])
+    ids, residual = filter_match_ids(spark, root, "c", flt)
+    assert ids is not None and residual == Filter()
+    got = {r["id"] for r in ids.collect()}
+    assert got == {"3", "5", "8", "11", "999"}  # 999 absent: fetch drops it
+    n = query_api.count_points(spark, root, "c", flt=flt,
+                               use_payload_index="always")
+    assert n == 4
+    # composes: HasId candidates ∩ a residual grp leaf
+    both = Filter(must=[HasId([3, 5, 8, 11]), MatchValue("grp", "g2")])
+    n2 = query_api.count_points(spark, root, "c", flt=both,
+                                use_payload_index="always")
+    assert n2 == len([i for i in (3, 5, 8, 11) if i % 3 == 2])
+    # scan path agrees (HasId compiles to id IN (...))
+    assert query_api.count_points(spark, root, "c", flt=both,
+                                  use_payload_index=False) == n2
+    # HasVector: delete the space from two points; only carriers match
+    upsert.delete_vectors(spark, root, "c", [4, 9], ["vec"])
+    hv = Filter(must=[HasVector("vec")])
+    assert query_api.count_points(spark, root, "c", flt=hv,
+                                  use_payload_index=False) == 28
+    assert query_api.count_points(
+        spark, root, "c",
+        flt=Filter(must_not=[HasVector("vec")]),
+        use_payload_index=False) == 2
+
+
+def test_hasid_cross_engine_sql(spark):
+    import pandas as pd
+
+    from bob_vector_db_spark.operators.filters import HasId, HasVector
+
+    pdf = pd.DataFrame(
+        [(1, [1.0]), (2, None), (3, [2.0])],
+        columns=["id", "vec"])
+    flt = Filter(must=[HasId([1, 3]), HasVector("vec")])
+    a, b = _both_engines(spark, pdf, flt)
+    assert a == b and len(a) == 2
+    assert Filter(must=[HasId([])]).to_sql() == "(FALSE)"
