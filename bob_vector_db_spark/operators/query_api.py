@@ -507,6 +507,66 @@ def attach_vectors(spark: SparkSession, root: str, collection: str,
             .drop("_wv_id"))
 
 
+def _shape_columns(meta: dict, have: list[str], collection: str,
+                   with_payload, with_vectors) -> list[str]:
+    """The returned column list under Qdrant's return flags — id always,
+    payload columns per ``with_payload`` (True = all non-vector), vector
+    spaces' PHYSICAL columns per ``with_vectors`` (a sparse space
+    contributes its (indices, values) pair).  Shared by scroll and
+    retrieve; the search paths attach instead (their frames carry ranks,
+    not stored rows)."""
+    from .upsert import _all_vector_columns, _space_columns  # noqa: PLC0415
+
+    id_col = meta.get("id_col", "id")
+    vec_cols = _all_vector_columns(meta)
+    cols: list[str] = [id_col]
+    if with_payload is True:
+        cols += [c for c in have if c != id_col and c not in vec_cols]
+    elif with_payload:
+        missing = [c for c in with_payload if c not in have]
+        if missing:
+            raise ValueError(
+                f"with_payload: {missing} not in the stored schema of "
+                f"{collection!r}")
+        cols += [c for c in with_payload if c != id_col]
+    if with_vectors:
+        spaces = meta.get("vectors", {})
+        names = sorted(spaces) if with_vectors is True else list(with_vectors)
+        missing = [n for n in names if n not in spaces]
+        if missing:
+            raise ValueError(
+                f"with_vectors: {missing} not declared vector spaces of "
+                f"{collection!r} (has {sorted(spaces)})")
+        for n in names:
+            cols += [c for c in _space_columns(meta, n) if c not in cols]
+    return cols
+
+
+def retrieve_points(spark: SparkSession, root: str, collection: str,
+                    ids, with_payload: bool | list = True,
+                    with_vectors: bool | list = False,
+                    tenant: str | None = None) -> DataFrame:
+    """Qdrant ``retrieve``: fetch the points with the given ids — one
+    bucket-pruned ``read_rows_for_ids`` pass (O(|ids| + their buckets),
+    never a collection scan), shaped by the return flags exactly like a
+    scroll page; ids absent from the store simply return no row.
+    ``ids`` is a list or a one-column DataFrame.  Rows come back ordered
+    by id (Qdrant doesn't define an order; this makes paging callers
+    deterministic)."""
+    meta = collection_meta(root, collection) or {}
+    id_col = meta.get("id_col", "id")
+    ids_df = (ids if isinstance(ids, DataFrame) else
+              spark.createDataFrame([(str(i),) for i in ids],
+                                    "`_r_id` string"))
+    rows = read_rows_for_ids(spark, root, collection, ids_df)
+    if rows is None:
+        rows = read_collection(spark, root, collection).limit(0)
+    rows = _scope_tenant(root, collection, rows, tenant)
+    cols = _shape_columns(meta, rows.columns, collection,
+                          with_payload, with_vectors)
+    return rows.select(*cols).orderBy(id_col)
+
+
 def count_points(spark: SparkSession, root: str, collection: str,
                  flt=None, use_payload_index: str | bool = "auto",
                  max_candidates: int = 1_000_000,
@@ -682,30 +742,8 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
         order = F.desc(order_by) if descending else F.asc(order_by)
         page = base.orderBy(order, F.asc(id_col)).limit(limit)
 
-    from .upsert import _space_columns, _all_vector_columns  # noqa: PLC0415
-
-    vec_cols = _all_vector_columns(meta)
-    cols: list[str] = [id_col]
-    if with_payload is True:
-        cols += [c for c in page.columns
-                 if c != id_col and c not in vec_cols]
-    elif with_payload:
-        missing = [c for c in with_payload if c not in page.columns]
-        if missing:
-            raise ValueError(
-                f"with_payload: {missing} not in the stored schema of "
-                f"{collection!r}")
-        cols += [c for c in with_payload if c != id_col]
-    if with_vectors:
-        spaces = meta.get("vectors", {})
-        names = sorted(spaces) if with_vectors is True else list(with_vectors)
-        missing = [n for n in names if n not in spaces]
-        if missing:
-            raise ValueError(
-                f"with_vectors: {missing} not declared vector spaces of "
-                f"{collection!r} (has {sorted(spaces)})")
-        for n in names:
-            cols += [c for c in _space_columns(meta, n) if c not in cols]
+    cols = _shape_columns(meta, page.columns, collection,
+                          with_payload, with_vectors)
     if not return_cursor:
         return page.select(*cols)
     # collect only the returned columns (+ the cursor key) — the page

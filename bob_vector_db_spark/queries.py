@@ -7395,6 +7395,36 @@ def q_store_nested_filter_indexed(spark: SparkSession,
                       "sim", F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "api_retrieve",
+    # Qdrant retrieve: points by id, one bucket-pruned fetch, id-ordered,
+    # payload on / vectors off by default; ghost ids return no row
+    oracle="""
+SELECT doc_id AS id, lang, n_chars
+FROM documents
+WHERE doc_id IN (2, 5, 8, 13, 21, 34, 55, 1000000)
+ORDER BY id
+""",
+)
+def q_api_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``retrieve``: fetch points by id — the read every RAG
+    serving layer does after search — through ONE static
+    ``id_bucket IN (...)`` pruned pass of the store (O(|ids|), never a
+    collection scan; plan-asserted in tests), shaped by the return
+    flags; a ghost id (1000000) fetches nothing."""
+    from .operators import query_api  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "retrieve")
+    docs = load_table(spark, sf_dir, "documents")
+    pts = docs.select(F.col("doc_id").alias("id"), "lang", "n_chars")
+    upsert.create_collection(spark, base, "docs", df=pts, id_col="id",
+                             n_buckets=8)
+    out = query_api.retrieve_points(
+        spark, base, "docs", [2, 5, 8, 13, 21, 34, 55, 1_000_000])
+    return out.select(F.col("id").cast("long").alias("id"), "lang",
+                      F.col("n_chars").cast("long").alias("n_chars"))
+
+
 _HASID_IDS = tuple(range(0, 200, 3)) + (1_000_000,)  # ghost id: fetches nothing
 
 
@@ -7557,7 +7587,7 @@ _PRIORITY = [
     "store_range_indexed_search", "store_multivector_indexed",
     "api_search_with_vectors", "api_scroll_pages",
     "store_nested_filter_indexed", "api_sparse_idf",
-    "store_mv_filtered_indexed", "api_hasid_hasvector",
+    "store_mv_filtered_indexed", "api_hasid_hasvector", "api_retrieve",
     # new in round 7 — last adjudicated one round ago
     "store_filtered_indexed_search", "api_filter_nested",
     "api_geo_polygon", "knn_multivector_maxsim",

@@ -1078,3 +1078,33 @@ def test_hasid_cross_engine_sql(spark):
     a, b = _both_engines(spark, pdf, flt)
     assert a == b and len(a) == 2
     assert Filter(must=[HasId([])]).to_sql() == "(FALSE)"
+
+
+def test_retrieve_points(spark, tmp_path):
+    """Qdrant retrieve: points by id through ONE bucket-pruned fetch,
+    shaped by the return flags (payload default on, vectors on request);
+    ghost ids return no row; rows come back id-ordered."""
+    from bob_vector_db_spark.plans.inspect import assert_partition_filters
+
+    root = str(tmp_path / "store")
+    pts = spark.createDataFrame(
+        [(i, [float(i), 1.0], f"g{i % 3}", i * 2) for i in range(20)],
+        "id long, vec array<double>, grp string, v long")
+    upsert.create_collection(
+        spark, root, "c", df=pts, id_col="id", n_buckets=4,
+        vector_config={"vec": {"size": 2, "distance": "cosine"}})
+    got = query_api.retrieve_points(spark, root, "c", [7, 3, 999, 12])
+    rows = got.collect()
+    assert [r["id"] for r in rows] == [3, 7, 12]
+    assert set(rows[0].asDict()) == {"id", "grp", "v"}
+    assert_partition_filters(got, "id_bucket")
+    both = query_api.retrieve_points(spark, root, "c", [5],
+                                     with_payload=["grp"],
+                                     with_vectors=True).collect()
+    d = both[0].asDict()
+    assert set(d) == {"id", "grp", "vec"}
+    assert list(d["vec"]) == [5.0, 1.0]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not declared"):
+        query_api.retrieve_points(spark, root, "c", [5],
+                                  with_vectors=["nope"])
