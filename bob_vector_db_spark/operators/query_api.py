@@ -1107,7 +1107,9 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
                      strategy: str = "average_vector", k: int = 10,
                      flt=None, vector_name: str | None = None,
                      round_to: int = 6,
-                     tenant: str | None = None) -> DataFrame:
+                     tenant: str | None = None,
+                     lookup_from_collection: str | None = None,
+                     lookup_from_vector: str | None = None) -> DataFrame:
     """Qdrant ``recommend``: positive/negative POINT IDS (their stored
     vectors are the examples) with both strategies:
 
@@ -1123,8 +1125,13 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
       examples broadcast; the corpus scans once — the exact-kNN plan
       shape with a wider broadcast side.
 
-    Example ids are excluded from the results (Qdrant semantics).
-    Returns (vec_id, score, rank).
+    Example ids are excluded from the results (Qdrant semantics) — but
+    only when they resolve in THIS collection:
+    ``lookup_from_collection`` / ``lookup_from_vector`` (Qdrant
+    ``RecommendRequest.lookup_from``) fetch the example vectors from
+    another collection / named DENSE space instead, and ids from a
+    different collection are a different namespace, so nothing is
+    excluded.  Returns (vec_id, score, rank).
     """
     from .knn import resolve_metric  # noqa: PLC0415
     from ..functions import vector  # noqa: PLC0415
@@ -1144,22 +1151,42 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
         vector_name = next(iter(vectors))
     metric = resolve_metric(
         vectors.get(vector_name, {}).get("distance", "cosine"))
+    # LookupLocation: example ids resolve in the lookup collection/space
+    lk_coll = lookup_from_collection or collection
+    same_coll = lk_coll == collection
+    lk_meta = meta if same_coll else (collection_meta(root, lk_coll) or {})
+    lk_vectors = lk_meta.get("vectors", {})
+    lk_vec = lookup_from_vector or (vector_name if same_coll else None)
+    if lk_vec is None:
+        if len(lk_vectors) != 1:
+            raise ValueError(
+                f"lookup collection {lk_coll!r} declares "
+                f"{sorted(lk_vectors)} vector spaces; pass "
+                f"lookup_from_vector")
+        lk_vec = next(iter(lk_vectors))
+    if lk_vectors.get(lk_vec, {}).get("multivector") is not None:
+        raise ValueError(
+            f"recommend examples need a DENSE space; {lk_coll!r}/"
+            f"{lk_vec!r} is multivector")
+    lk_id_col = lk_meta.get("id_col", "id")
     ex_ids = [str(i) for i in positive] + [str(i) for i in negative]
     ids_df = spark.createDataFrame([(i,) for i in ex_ids], "`_r_id` string")
-    rows = read_rows_for_ids(spark, root, collection, ids_df)
+    rows = read_rows_for_ids(spark, root, lk_coll, ids_df)
     got = {} if rows is None else {
-        str(r[id_col]): list(r[vector_name])
-        for r in rows.select(id_col, vector_name).collect()}
+        str(r[lk_id_col]): list(r[lk_vec])
+        for r in rows.select(lk_id_col, lk_vec).collect()
+        if r[lk_vec] is not None}
     missing = [i for i in ex_ids if i not in got]
     if missing:
         raise ValueError(
-            f"recommend_points: example ids {missing} not in {collection!r}")
+            f"recommend_points: example ids {missing} not in {lk_coll!r}")
 
     corpus = read_collection(spark, root, collection, tenant=tenant)
     if flt is not None:
         corpus = corpus.filter(as_filter(flt).to_column())
-    corpus = corpus.filter(
-        ~F.col(id_col).cast("string").isin(ex_ids))
+    if same_coll:
+        corpus = corpus.filter(
+            ~F.col(id_col).cast("string").isin(ex_ids))
 
     if strategy == "average_vector":
         dim = len(got[str(positive[0])])

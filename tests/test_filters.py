@@ -1108,3 +1108,47 @@ def test_retrieve_points(spark, tmp_path):
     with _pytest.raises(ValueError, match="not declared"):
         query_api.retrieve_points(spark, root, "c", [5],
                                   with_vectors=["nope"])
+
+
+def test_recommend_lookup_from(spark, tmp_path):
+    """Qdrant RecommendRequest.lookup_from: example vectors fetch from
+    ANOTHER collection — no example-id exclusion there (different
+    namespace); explicit-vector equivalence pins the semantics."""
+    root = str(tmp_path / "store")
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 5), float((i * 7) % 3), 1.0]) for i in range(30)],
+        "id long, vec array<double>")
+    upsert.create_collection(
+        spark, root, "c", df=corpus, id_col="id", n_buckets=4,
+        vector_config={"vec": {"size": 3, "distance": "cosine"}})
+    lk = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0, 0.5]) for i in range(5)],
+        "id long, emb array<double>")
+    upsert.create_collection(
+        spark, root, "examples", df=lk, id_col="id", n_buckets=2,
+        vector_config={"emb": {"size": 3, "distance": "cosine"}})
+    got = query_api.recommend_points(
+        spark, root, "c", positive=[2, 4], negative=[0], k=5,
+        lookup_from_collection="examples", lookup_from_vector="emb")
+    rows = got.collect()
+    assert len(rows) == 5
+    # the average strategy with the SAME vectors passed explicitly:
+    # q = mean(lk[2], lk[4]) - lk[0]
+    import numpy as np
+    q = (np.array([3.0, 1.0, 0.5]) + np.array([5.0, 1.0, 0.5])) / 2 \
+        - np.array([1.0, 1.0, 0.5])
+    from bob_vector_db_spark.operators.knn import knn_join
+    qdf = spark.createDataFrame([(0, [float(x) for x in q])],
+                                "qid long, qvec array<double>")
+    want = knn_join(qdf, corpus.select("id", "vec"), k=5, corpus_id="id",
+                    corpus_vec="vec", metric="cosine")
+    key = lambda rs: sorted((r["vec_id"], r["rank"]) for r in rs)
+    assert key(rows) == key(want.collect())
+    # corpus ids 0/2/4 are NOT excluded (different namespace)
+    all_ids = {r["vec_id"] for r in rows}
+    assert all_ids & {0, 2, 4} or True  # membership allowed, not required
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not in 'examples'"):
+        query_api.recommend_points(
+            spark, root, "c", positive=[99], k=3,
+            lookup_from_collection="examples")
