@@ -164,9 +164,12 @@ class IsNull:
 class HasId:
     """``id IN (...)`` (Qdrant HasIdCondition) — the implicit target is
     the POINT ID; the DSL compiles context-free, so a collection with a
-    non-default id column passes it as ``id_col``.  Values stringify on
-    BOTH sides (ids compare as their rendered literals — mixed int/str
-    id lists behave like Qdrant's point-id union)."""
+    non-default id column passes it as ``id_col``.  Pass ids in the
+    STORED id type: the SQL path compiles typed literals (pushdown-
+    friendly), while the candidate-route probe compares each id's
+    ``str()`` against the store's string-cast ids — for matching types
+    the two agree; an id whose str() differs from its SQL rendering
+    (int 7 against a string column storing '07') would not."""
     ids: tuple
     id_col: str
 
@@ -655,6 +658,16 @@ class Filter:
 def as_filter(flt) -> Filter:
     """Coerce a bare condition (or a Filter) to a Filter."""
     return flt if isinstance(flt, Filter) else Filter(must=(flt,))
+
+
+def has_literal_id_leaves(flt) -> bool:
+    """True when a top-level must leaf is a :class:`HasId` — then the
+    frame :func:`filter_match_ids` returns carries caller LITERALS that
+    may not exist in the store (posting-derived ids always do), so a
+    consumer that treats the frame as an authoritative point set (e.g.
+    counting it without a fetch) must route through ``read_rows_for_ids``
+    instead, where ghosts drop."""
+    return any(isinstance(c, HasId) for c in as_filter(flt).must)
 
 
 def _nested_indexable_leaves(leaf: NestedCondition,

@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .filters import Filter, HasId, as_filter, filter_match_ids
+from .filters import (
+    Filter,
+    as_filter,
+    filter_match_ids,
+    has_literal_id_leaves,
+)
 from .upsert import (
     collection_meta,
     read_collection,
@@ -584,8 +589,8 @@ def count_points(spark: SparkSession, root: str, collection: str,
             # HasId leaves contribute LITERAL ids that may not exist in
             # the store (posting-derived ids always do) — those must go
             # through the fetch so ghosts drop from the count
-            literal_ids = any(isinstance(c, HasId) for c in flt.must)
-            if residual == Filter() and tenant is None and not literal_ids:
+            if residual == Filter() and tenant is None \
+                    and not has_literal_id_leaves(flt):
                 return ids.count()
             rows = read_rows_for_ids(spark, root, collection, ids)
             if rows is None:
@@ -855,6 +860,37 @@ def search_groups(spark: SparkSession, root: str, collection: str,
                     "rank_in_group"))
 
 
+def _resolve_lookup(root: str, collection: str, meta: dict,
+                    vector_name: str | None,
+                    lookup_from_collection: str | None,
+                    lookup_from_vector: str | None
+                    ) -> tuple[str, bool, dict, str]:
+    """Qdrant ``LookupLocation`` resolution shared by
+    :func:`query_points` and :func:`recommend_points`:
+    ``(lk_coll, same_coll, lk_meta, lk_vec)``.  Defaults to this
+    collection / the searched space; validates the resolved space IS
+    declared in the lookup collection.  Shape requirements differ per
+    caller (query matches the searched space's shape, recommend needs
+    dense) and stay with them."""
+    lk_coll = lookup_from_collection or collection
+    same_coll = lk_coll == collection
+    lk_meta = meta if same_coll else (collection_meta(root, lk_coll) or {})
+    lk_vectors = lk_meta.get("vectors", {})
+    lk_vec = lookup_from_vector or (vector_name if same_coll else None)
+    if lk_vec is None:
+        if len(lk_vectors) != 1:
+            raise ValueError(
+                f"lookup collection {lk_coll!r} declares "
+                f"{sorted(lk_vectors)} vector spaces; pass "
+                f"lookup_from_vector")
+        lk_vec = next(iter(lk_vectors))
+    if lk_vec not in lk_vectors:
+        raise ValueError(
+            f"lookup_from_vector {lk_vec!r} is not a declared space of "
+            f"{lk_coll!r} (has {sorted(lk_vectors)})")
+    return lk_coll, same_coll, lk_meta, lk_vec
+
+
 def query_points(spark: SparkSession, root: str, collection: str,
                  query=None, prefetch=None, fusion: str = "rrf",
                  k: int = 10, flt=None, vector_name: str | None = None,
@@ -948,22 +984,10 @@ def query_points(spark: SparkSession, root: str, collection: str,
         vector_name = next(iter(vectors))
     # LookupLocation: the id resolves in the lookup collection/space
     # (defaults: this collection, the searched space)
-    lk_coll = lookup_from_collection or collection
-    same_coll = lk_coll == collection
-    lk_meta = meta if same_coll else (collection_meta(root, lk_coll) or {})
+    lk_coll, same_coll, lk_meta, lk_vec = _resolve_lookup(
+        root, collection, meta, vector_name,
+        lookup_from_collection, lookup_from_vector)
     lk_vectors = lk_meta.get("vectors", {})
-    lk_vec = lookup_from_vector or (vector_name if same_coll else None)
-    if lk_vec is None:
-        if len(lk_vectors) != 1:
-            raise ValueError(
-                f"lookup collection {lk_coll!r} declares "
-                f"{sorted(lk_vectors)} vector spaces; pass "
-                f"lookup_from_vector")
-        lk_vec = next(iter(lk_vectors))
-    if lk_vec not in lk_vectors:
-        raise ValueError(
-            f"lookup_from_vector {lk_vec!r} is not a declared space of "
-            f"{lk_coll!r} (has {sorted(lk_vectors)})")
     tgt_mv = vectors.get(vector_name, {}).get("multivector") is not None
     lk_mv = lk_vectors.get(lk_vec, {}).get("multivector") is not None
     if tgt_mv != lk_mv:
@@ -1152,19 +1176,11 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
     metric = resolve_metric(
         vectors.get(vector_name, {}).get("distance", "cosine"))
     # LookupLocation: example ids resolve in the lookup collection/space
-    lk_coll = lookup_from_collection or collection
-    same_coll = lk_coll == collection
-    lk_meta = meta if same_coll else (collection_meta(root, lk_coll) or {})
-    lk_vectors = lk_meta.get("vectors", {})
-    lk_vec = lookup_from_vector or (vector_name if same_coll else None)
-    if lk_vec is None:
-        if len(lk_vectors) != 1:
-            raise ValueError(
-                f"lookup collection {lk_coll!r} declares "
-                f"{sorted(lk_vectors)} vector spaces; pass "
-                f"lookup_from_vector")
-        lk_vec = next(iter(lk_vectors))
-    if lk_vectors.get(lk_vec, {}).get("multivector") is not None:
+    lk_coll, same_coll, lk_meta, lk_vec = _resolve_lookup(
+        root, collection, meta, vector_name,
+        lookup_from_collection, lookup_from_vector)
+    if lk_meta.get("vectors", {}).get(lk_vec, {}) \
+            .get("multivector") is not None:
         raise ValueError(
             f"recommend examples need a DENSE space; {lk_coll!r}/"
             f"{lk_vec!r} is multivector")
@@ -1172,14 +1188,20 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
     ex_ids = [str(i) for i in positive] + [str(i) for i in negative]
     ids_df = spark.createDataFrame([(i,) for i in ex_ids], "`_r_id` string")
     rows = read_rows_for_ids(spark, root, lk_coll, ids_df)
-    got = {} if rows is None else {
-        str(r[lk_id_col]): list(r[lk_vec])
-        for r in rows.select(lk_id_col, lk_vec).collect()
-        if r[lk_vec] is not None}
-    missing = [i for i in ex_ids if i not in got]
+    fetched = {} if rows is None else {
+        str(r[lk_id_col]): r[lk_vec]
+        for r in rows.select(lk_id_col, lk_vec).collect()}
+    missing = [i for i in ex_ids if i not in fetched]
     if missing:
         raise ValueError(
             f"recommend_points: example ids {missing} not in {lk_coll!r}")
+    nulled = [i for i, v in fetched.items() if v is None or len(v) == 0]
+    if nulled:
+        raise ValueError(
+            f"recommend_points: example ids {nulled} have no vector in "
+            f"space {lk_vec!r} (deleted via delete_vectors?); pick "
+            f"examples that carry the space")
+    got = {i: list(v) for i, v in fetched.items()}
 
     corpus = read_collection(spark, root, collection, tenant=tenant)
     if flt is not None:

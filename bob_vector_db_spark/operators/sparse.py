@@ -121,7 +121,10 @@ def _declared_modifier(meta: dict | None, indices_col: str) -> str | None:
         if cfg.get("indices_col", "indices") == indices_col \
                 or name == indices_col:
             mod = cfg.get("modifier")
-            return None if mod is None else str(mod).lower()
+            # Qdrant's Modifier.NONE spelled explicitly is the default
+            if mod is None or str(mod).lower() == "none":
+                return None
+            return str(mod).lower()
     return None
 
 
@@ -184,11 +187,16 @@ def build_sparse_index(spark, root: str, collection: str,
          .parquet(os.path.join(staging, "postings")))
         # one row per point carrying the space — the IDF modifier's N
         # (Qdrant Modifier.IDF) recomputes from this tiny masked table at
-        # refresh, never from the postings (the BM25 doclens pattern)
-        docids = post.select(F.col("id").cast("string").alias("id")) \
-            .distinct().withColumn("gen", F.lit(0))
+        # refresh, never from the postings (the BM25 doclens pattern).
+        # Derive it from the postings JUST WRITTEN (a column-pruned
+        # parquet read), not from `post` — that lineage is the full
+        # collection explode and would re-execute per consumer
+        docids = (spark.read.parquet(os.path.join(staging, "postings"))
+                  .select(F.col("id").cast("string").alias("id"))
+                  .distinct().withColumn("gen", F.lit(0)))
         docids.coalesce(8).write.parquet(os.path.join(staging, "docids"))
-        n_points = docids.count()
+        n_points = int(spark.read.parquet(os.path.join(staging, "docids"))
+                       .count())
     imeta = {
         "kind": "sparse",
         "indices_col": indices_col,
