@@ -216,6 +216,59 @@ def main():
                      use_payload_index="always").count())
     assert t_f == 10, t_f
 
+    # round-8: the sparse IDF modifier at 10x — a declared-idf sparse
+    # space over hashed-TF postings of the 50k docs; N persists in the
+    # index meta, per-dim df aggregates over the probed buckets only
+    from bob_vector_db_spark.operators.sparse import (  # noqa: PLC0415
+        build_sparse_index,
+        postings_from_text,
+        refresh_sparse_index,
+        sparse_search_indexed,
+    )
+
+    spost = postings_from_text(docs, id_col="doc_id", text_col="text",
+                               vocab_size=4096)
+    spts = (spost.groupBy("id")
+            .agg(F.array_sort(F.collect_list(F.struct("idx", "val")))
+                 .alias("z"))
+            .select("id", F.col("z.idx").alias("indices"),
+                    F.col("z.val").alias("values")))
+    _timed("create_sparse_idf_collection", timings,
+           lambda: upsert.create_collection(
+               spark, store, "sdocs", df=spts, id_col="id", n_buckets=32,
+               vector_config={"text_sparse": {"kind": "sparse",
+                                              "modifier": "idf"}}))
+    im_s = _timed("build_sparse_idf_index", timings,
+                  lambda: build_sparse_index(spark, store, "sdocs",
+                                             n_dim_buckets=32))
+    assert im_s["n_points"] == n_docs, im_s["n_points"]
+    sq = spost.filter(F.col("id") < 3)
+    n_idf = _timed("sparse_idf_search", timings, lambda: sparse_search_indexed(
+        spark, store, "sdocs", sq, k=10, exclude_self=True).count())
+    assert n_idf == 30, n_idf
+    _timed("sparse_idf_churn_delete", timings, lambda: upsert.delete_points(
+        spark, store, "sdocs",
+        spark.range(0, n_docs, 7).select(F.col("id"))))
+    im_s2 = _timed("sparse_idf_refresh", timings,
+                   lambda: refresh_sparse_index(spark, store, "sdocs"))
+    assert im_s2["n_points"] == n_docs - (n_docs + 6) // 7, im_s2["n_points"]
+
+    # round-8: HasId candidate route + retrieve at 10x — literal ids,
+    # no index, bucket-pruned fetch only
+    from bob_vector_db_spark.operators.filters import HasId  # noqa: PLC0415
+    from bob_vector_db_spark.operators.query_api import (  # noqa: PLC0415
+        retrieve_points,
+    )
+
+    hid = list(range(0, n_docs, 50))
+    n_h = _timed("hasid_count", timings, lambda: count_points(
+        spark, store, "docs", flt=Filter(must=[HasId(hid)]),
+        use_payload_index="always"))
+    assert n_h == len(hid), n_h
+    n_rt = _timed("retrieve_1k_points", timings, lambda: retrieve_points(
+        spark, store, "docs", hid[:1000]).count())
+    assert n_rt == min(1000, len(hid)), n_rt
+
     _timed("compact_vecs", timings, lambda: upsert.compact_collection(
         spark, store, "vecs"))
 
