@@ -623,13 +623,16 @@ class Filter:
                 out.append((c.key, c, "nested"))
             elif isinstance(c, HasId):
                 out.append((c.id_col, c, "hasid"))
+            elif isinstance(c, MatchText) and c.text.split():
+                out.append((c.key, c, "text"))
         return out
 
     def residual_without(self, scalar_keys: set[str],
                          contains_keys: set[str] = frozenset(),
                          range_keys: set[str] = frozenset(),
                          nested_leaves: tuple = (),
-                         hasid_leaves: tuple = ()) -> "Filter":
+                         hasid_leaves: tuple = (),
+                         text_keys: set = frozenset()) -> "Filter":
         """This filter minus the top-level must leaves the index answered:
         MatchValue/MatchAny on ``scalar_keys``, MatchContains on
         ``contains_keys``, Range/DatetimeRange on ``range_keys``, the
@@ -650,7 +653,9 @@ class Filter:
                         and c.key in range_keys)
                     or (isinstance(c, NestedCondition)
                         and c in nested_leaves)
-                    or (isinstance(c, HasId) and c in hasid_leaves)))
+                    or (isinstance(c, HasId) and c in hasid_leaves)
+                    or (isinstance(c, MatchText)
+                        and c.key in text_keys)))
         return Filter(must=kept, should=self.should,
                       must_not=self.must_not, min_should=self.min_should)
 
@@ -712,6 +717,7 @@ def filter_match_ids(spark, root: str, collection: str, flt,
         payload_index_meta,
         payload_match_ids,
         payload_range_match_ids,
+        text_match_ids,
     )
     from .upsert import collection_version  # noqa: PLC0415
 
@@ -742,9 +748,15 @@ def filter_match_ids(spark, root: str, collection: str, flt,
             if leaves is None:
                 return False
             leaf_cache[(key, id(payload))] = leaves
+        elif kind == "text":
+            if itype != "text":
+                return False  # MatchText needs the TOKEN posting layout
         else:
-            if itype == "nested":
-                return False  # element postings answer nested only
+            if itype in ("nested", "text"):
+                # element postings answer nested only; token postings
+                # answer MatchText only (a whole-value equality probed
+                # against tokens would silently change meaning)
+                return False
             if bool(imeta.get("array", False)) != (kind == "contains"):
                 # semantics mismatch: an array index holds ELEMENT
                 # postings (answers MatchContains, not scalar equality);
@@ -781,6 +793,9 @@ def filter_match_ids(spark, root: str, collection: str, flt,
             # downstream fetch stays bucket-pruned on them
             got = spark.createDataFrame(
                 [(str(v),) for v in payload.ids], "id string")
+        elif kind == "text":
+            got = text_match_ids(spark, root, collection, key,
+                                 payload.text, allow_stale=allow_stale)
         else:
             got = payload_match_ids(spark, root, collection, key,
                                     list(payload),
@@ -791,4 +806,5 @@ def filter_match_ids(spark, root: str, collection: str, flt,
         {k for k, _, kind in probes if kind == "contains"},
         {k for k, _, kind in probes if kind == "range"},
         tuple(p for _, p, kind in probes if kind == "nested"),
-        tuple(p for _, p, kind in probes if kind == "hasid"))
+        tuple(p for _, p, kind in probes if kind == "hasid"),
+        {k for k, _, kind in probes if kind == "text"})

@@ -141,6 +141,28 @@ def _nested_postings(df: DataFrame, id_col: str, column: str,
                                F.lit(n_val_buckets)).cast("int")))
 
 
+def _text_postings(df: DataFrame, id_col: str, column: str,
+                   n_val_buckets: int, gen: int) -> DataFrame:
+    """Token postings for a FULL-TEXT payload index (Qdrant's text index
+    type, word tokenizer + lowercase): one row per DISTINCT (point,
+    lowercase whitespace token), hash-bucketed by token — exactly the
+    keyword layout over the exploded token stream, so the probe shares
+    the keyword pruning shape.  The tokenization matches
+    :class:`filters.MatchText`'s predicate normalization (lower +
+    ``\\s+`` split), keeping index answers == scan answers."""
+    from ..functions.text import ws_tokens  # noqa: PLC0415
+
+    toks = (df.select(F.col(id_col).cast("string").alias("id"),
+                      F.explode(ws_tokens(F.lower(F.col(column))))
+                      .alias("val"))
+            .distinct())
+    return (toks.filter(F.col("val").isNotNull())
+            .withColumn("gen", F.lit(gen))
+            .withColumn("val_bucket",
+                        F.pmod(F.xxhash64("val"),
+                               F.lit(n_val_buckets)).cast("int")))
+
+
 def _postings(df: DataFrame, id_col: str, column: str,
               n_val_buckets: int, gen: int) -> DataFrame:
     # ids stringify for one uniform posting schema (matches the delta log
@@ -199,10 +221,10 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
 
     Either way: one pass over the collection, one shuffle to cluster by
     value bucket, staged atomic swap."""
-    if index_type not in ("keyword", "range", "nested"):
+    if index_type not in ("keyword", "range", "nested", "text"):
         raise ValueError(
             f"index_type {index_type!r} not one of "
-            f"('keyword', 'range', 'nested')")
+            f"('keyword', 'range', 'nested', 'text')")
     if index_type == "nested" and not fields:
         raise ValueError(
             "index_type='nested' needs fields=[...] — the element struct "
@@ -265,6 +287,13 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
                    .approxQuantile("_n", probs, 0.001)) if probs else []
             boundaries = sorted(set(float(b) for b in raw))
             post = _range_postings(data, id_col, column, boundaries, gen=0)
+        elif index_type == "text":
+            if is_array or dtype.simpleString() != "string":
+                raise ValueError(
+                    f"index_type='text' needs a string column; "
+                    f"{column!r} is {dtype.simpleString()}")
+            post = _text_postings(data, id_col, column, n_val_buckets,
+                                  gen=0)
         else:
             post = _postings(data, id_col, column, n_val_buckets, gen=0)
         (post.repartition(n_val_buckets * files_per_bucket,
@@ -318,6 +347,9 @@ def refresh_payload_index(spark: SparkSession, root: str, collection: str,
             # probe's conservative bucket window always includes
             post = _range_postings(fresh, id_col, imeta["column"],
                                    imeta.get("boundaries", []), gen=g)
+        elif imeta.get("index_type", "keyword") == "text":
+            post = _text_postings(fresh, id_col, imeta["column"],
+                                  imeta["n_val_buckets"], gen=g)
         else:
             post = _postings(fresh, id_col, imeta["column"],
                              imeta["n_val_buckets"], gen=g)
@@ -352,6 +384,11 @@ def payload_match_ids(spark: SparkSession, root: str, collection: str,
         raise ValueError(
             f"payload index for {collection!r}/{column!r} is element-level "
             f"(nested); probe it through NestedCondition / nested_match_ids")
+    if imeta.get("index_type", "keyword") == "text":
+        raise ValueError(
+            f"payload index for {collection!r}/{column!r} holds TOKEN "
+            f"postings (text); probe it through MatchText / text_match_ids "
+            f"— whole-value equality needs a keyword index")
     if imeta.get("index_type", "keyword") == "range":
         # a RANGE index answers equality too (the Qdrant typed-index
         # model): each literal maps to its boundary bucket via the num
@@ -390,6 +427,54 @@ def payload_match_ids(spark: SparkSession, root: str, collection: str,
             .filter(F.col("val_bucket").isin(buckets))
             .filter(F.col("val").isin(vals)))
     return _apply_masks(spark, ipath, post, "id").select("id", "val")
+
+
+def text_match_ids(spark: SparkSession, root: str, collection: str,
+                   column: str, text: str,
+                   allow_stale: bool = False) -> DataFrame:
+    """Ids whose ``column`` contains EVERY whitespace token of ``text``
+    (the :class:`filters.MatchText` semantics), resolved from a
+    FULL-TEXT payload index: the query tokens' hash buckets become a
+    static ``val_bucket IN (...)`` partition filter, the pushed
+    ``val IN (tokens)`` predicate narrows inside them, and a per-id
+    distinct-token count == |tokens| keeps exactly the ids carrying all
+    of them — the Qdrant text payload index resolving a MatchText
+    filter, over only the probed token buckets."""
+    imeta = payload_index_meta(root, collection, column)
+    if imeta is None:
+        raise ValueError(
+            f"no persisted payload index for {collection!r}/{column!r}; "
+            f"run build_payload_index first")
+    if imeta.get("index_type", "keyword") != "text":
+        raise ValueError(
+            f"payload index for {collection!r}/{column!r} is "
+            f"{imeta.get('index_type', 'keyword')!r}, not 'text'; rebuild "
+            f"with build_payload_index(index_type='text')")
+    if not allow_stale and int(imeta["built_version"]) != \
+            collection_version(root, collection):
+        raise ValueError(
+            f"payload index for {collection!r}/{column!r} was built at data "
+            f"version {imeta['built_version']} but the collection is at "
+            f"{collection_version(root, collection)}; refresh_payload_index "
+            f"absorbs the mutations (or rebuild)")
+    toks = sorted({t for t in str(text).lower().split() if t})
+    ipath = index_path(root, collection, _payload_index_name(column))
+    pdir = os.path.join(ipath, "postings")
+    if not toks or not os.path.isdir(pdir):
+        return spark.createDataFrame([], "id string")
+    n = imeta["n_val_buckets"]
+    row = spark.range(1).select(
+        *[F.pmod(F.xxhash64(F.lit(t)), F.lit(n)).cast("int")
+          .alias(f"b{i}") for i, t in enumerate(toks)]).first()
+    buckets = sorted({row[f"b{i}"] for i in range(len(toks))})
+    post = (spark.read.parquet(pdir)
+            .filter(F.col("val_bucket").isin(buckets))
+            .filter(F.col("val").isin(toks)))
+    post = _apply_masks(spark, ipath, post, "id")
+    return (post.groupBy("id")
+            .agg(F.count_distinct("val").alias("_nt"))
+            .filter(F.col("_nt") == len(toks))
+            .select("id"))
 
 
 def _range_probe(spark: SparkSession, root: str, collection: str,

@@ -608,3 +608,59 @@ def test_nested_index_refresh_and_kind_guards(spark, tmp_path):
         must=[MatchValue("missing", 1)]))])
     ids2, res2 = filter_match_ids(spark, root, "c", other)
     assert ids2 is None and res2 == other
+
+
+def test_text_index_routes_match_text(spark, tmp_path):
+    """Qdrant full-text payload index (word tokenizer + lowercase):
+    token postings bucket by token hash; a MatchText must-leaf resolves
+    to candidate ids by intersecting per-token id sets over ONLY the
+    query tokens' buckets — same answers as the pushed-scan predicate,
+    through churn, with whole-value equality refused (token postings
+    would silently change its meaning)."""
+    from bob_vector_db_spark.operators import query_api
+    from bob_vector_db_spark.operators.filters import (
+        Filter, MatchText, MatchValue, filter_match_ids)
+    from bob_vector_db_spark.operators.payload_index import (
+        refresh_payload_index, text_match_ids)
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, f"alpha tok{i % 7} Beta{'  gamma' if i % 3 == 0 else ''} "
+             f"word{i % 5}") for i in range(90)],
+        "id long, body string")
+    upsert.create_collection(spark, root, "c", df=df, id_col="id",
+                             n_buckets=4)
+    build_payload_index(spark, root, "c", "body", n_val_buckets=16,
+                        index_type="text")
+    flt = Filter(must=[MatchText("body", "Alpha gamma")])
+    ids, residual = filter_match_ids(spark, root, "c", flt)
+    assert ids is not None and residual == Filter()
+    want = {str(r["id"]) for r in df.filter(flt.to_column()).collect()}
+    assert {r["id"] for r in ids.collect()} == want and want
+    # the probe prunes token buckets
+    probe = text_match_ids(spark, root, "c", "body", "alpha gamma")
+    assert_partition_filters(probe, "val_bucket")
+    # count via index == count via scan
+    n_idx = query_api.count_points(spark, root, "c", flt=flt,
+                                   use_payload_index="always")
+    n_scan = query_api.count_points(spark, root, "c", flt=flt,
+                                    use_payload_index=False)
+    assert n_idx == n_scan == len(want)
+    # churn: rewrite one matching doc to drop 'gamma', add a new match
+    patch = spark.createDataFrame(
+        [(0, "alpha nothing"), (200, "ALPHA gamma too")],
+        "id long, body string")
+    upsert.upsert(spark, root, "c", patch)
+    refresh_payload_index(spark, root, "c", "body")
+    flt2 = Filter(must=[MatchText("body", "alpha gamma")])
+    got2 = {r["id"] for r in
+            filter_match_ids(spark, root, "c", flt2)[0].collect()}
+    want2 = (want - {"0"}) | {"200"}
+    assert got2 == want2
+    # whole-value equality never routes through token postings
+    ids3, residual3 = filter_match_ids(
+        spark, root, "c", Filter(must=[MatchValue("body", "alpha")]))
+    assert ids3 is None and residual3 == Filter(
+        must=[MatchValue("body", "alpha")])
+    with pytest.raises(ValueError, match="TOKEN postings"):
+        payload_match_ids(spark, root, "c", "body", ["alpha"])
