@@ -625,6 +625,10 @@ class Filter:
                 out.append((c.id_col, c, "hasid"))
             elif isinstance(c, MatchText) and c.text.split():
                 out.append((c.key, c, "text"))
+            elif isinstance(c, (GeoBoundingBox, GeoRadius, GeoPolygon)):
+                # geo candidates are a conservative SUPERSET (cell cover
+                # overhangs the box) — the leaf stays in the residual
+                out.append((c.lat_key, c, "geo"))
         return out
 
     def residual_without(self, scalar_keys: set[str],
@@ -663,6 +667,37 @@ class Filter:
 def as_filter(flt) -> Filter:
     """Coerce a bare condition (or a Filter) to a Filter."""
     return flt if isinstance(flt, Filter) else Filter(must=(flt,))
+
+
+def _geo_leaf_bbox(leaf) -> tuple | None:
+    """Driver-side (top, left, bottom, right) bounding box of a geo leaf
+    — the conservative cover the GEO payload index probes; left > right
+    wraps the antimeridian (GeoBoundingBox only; the radius and polygon
+    forms fall back to the full longitude span when their box would
+    wrap, still a valid superset)."""
+    if isinstance(leaf, GeoBoundingBox):
+        return (float(leaf.top), float(leaf.left),
+                float(leaf.bottom), float(leaf.right))
+    if isinstance(leaf, GeoRadius):
+        dlat = math.degrees(leaf.radius_m / _EARTH_RADIUS_M)
+        lat_lo, lat_hi = leaf.lat - dlat, leaf.lat + dlat
+        top = min(lat_hi, 90.0)
+        bottom = max(lat_lo, -90.0)
+        max_abs_lat = min(max(abs(lat_lo), abs(lat_hi)), 90.0)
+        cos_lat = math.cos(math.radians(max_abs_lat))
+        if lat_lo > -90.0 and lat_hi < 90.0 and cos_lat > 1e-9:
+            dlon = math.degrees(leaf.radius_m
+                                / (_EARTH_RADIUS_M * cos_lat))
+            if dlon < 180.0:
+                lon_lo, lon_hi = leaf.lon - dlon, leaf.lon + dlon
+                if lon_lo >= -180.0 and lon_hi <= 180.0:
+                    return (top, lon_lo, bottom, lon_hi)
+        return (top, -180.0, bottom, 180.0)
+    if isinstance(leaf, GeoPolygon):
+        lats = [a for a, _ in leaf.exterior]
+        lons = [b for _, b in leaf.exterior]
+        return (max(lats), min(lons), min(lats), max(lons))
+    return None
 
 
 def has_literal_id_leaves(flt) -> bool:
@@ -713,6 +748,7 @@ def filter_match_ids(spark, root: str, collection: str, flt,
     stale index is usable only under ``allow_stale``).
     """
     from .payload_index import (  # noqa: PLC0415
+        geo_match_ids,
         nested_match_ids,
         payload_index_meta,
         payload_match_ids,
@@ -751,8 +787,13 @@ def filter_match_ids(spark, root: str, collection: str, flt,
         elif kind == "text":
             if itype != "text":
                 return False  # MatchText needs the TOKEN posting layout
+        elif kind == "geo":
+            if itype != "geo" \
+                    or imeta.get("lon_column") != payload.lon_key \
+                    or _geo_leaf_bbox(payload) is None:
+                return False
         else:
-            if itype in ("nested", "text"):
+            if itype in ("nested", "text", "geo"):
                 # element postings answer nested only; token postings
                 # answer MatchText only (a whole-value equality probed
                 # against tokens would silently change meaning)
@@ -796,6 +837,15 @@ def filter_match_ids(spark, root: str, collection: str, flt,
         elif kind == "text":
             got = text_match_ids(spark, root, collection, key,
                                  payload.text, allow_stale=allow_stale)
+        elif kind == "geo":
+            got = geo_match_ids(spark, root, collection, key,
+                                _geo_leaf_bbox(payload),
+                                allow_stale=allow_stale)
+            if got is None:
+                # near-global box: the cell cover prunes nothing — this
+                # leaf contributes no narrowing (it STAYS residual
+                # regardless, so correctness is unchanged)
+                continue
         else:
             got = payload_match_ids(spark, root, collection, key,
                                     list(payload),

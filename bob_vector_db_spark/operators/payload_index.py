@@ -163,6 +163,103 @@ def _text_postings(df: DataFrame, id_col: str, column: str,
                                F.lit(n_val_buckets)).cast("int")))
 
 
+def _geo_cell_expr(lat, lon, cell_deg: float):
+    """The quantized grid cell of a (lat, lon) pair as 'i:j' — floor
+    division of the shifted coordinates by ``cell_deg``.  Build and probe
+    compute the SAME floors, so a conservative cell cover of a bounding
+    box always contains every point the box contains."""
+    ci = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
+    cj = F.floor((lon + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
+    return F.concat_ws(":", ci, cj)
+
+
+def _geo_postings(df: DataFrame, id_col: str, lat_col: str, lon_col: str,
+                  cell_deg: float, n_val_buckets: int,
+                  gen: int) -> DataFrame:
+    """Cell postings for a GEO payload index (Qdrant's geo index type):
+    one row per point, ``val`` = its quantized lat/lon grid cell,
+    hash-bucketed by cell.  NULL/NaN coordinates drop — the scan's
+    bbox test (``lat >= b AND lat <= t``) can never pass for them
+    either, so index and scan agree."""
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    return (df.select(F.col(id_col).cast("string").alias("id"),
+                      _geo_cell_expr(lat, lon, cell_deg).alias("val"))
+            .filter(lat.isNotNull() & lon.isNotNull()
+                    & ~F.isnan(lat.cast("double"))
+                    & ~F.isnan(lon.cast("double")))
+            .withColumn("gen", F.lit(gen))
+            .withColumn("val_bucket",
+                        F.pmod(F.xxhash64("val"),
+                               F.lit(n_val_buckets)).cast("int")))
+
+
+def geo_match_ids(spark: SparkSession, root: str, collection: str,
+                  lat_col: str, bbox: tuple,
+                  allow_stale: bool = False,
+                  max_cells: int = 4096) -> DataFrame | None:
+    """CANDIDATE ids (a conservative SUPERSET) for a lat/lon bounding
+    box, resolved from a GEO payload index: the box's covering grid
+    cells enumerate driver-side, their hash buckets become a static
+    ``val_bucket IN (...)`` partition filter with the pushed
+    ``val IN (cells)`` predicate inside — only the covered cells' rows
+    are ever read.  The caller MUST still apply the geo leaf itself on
+    the fetched candidates (cells overhang the box edge); the filter
+    router keeps geo leaves in the residual for exactly that reason.
+    ``bbox`` is (top, left, bottom, right) — left > right wraps the
+    antimeridian.  Returns None when the box covers more than
+    ``max_cells`` cells (a near-global box prunes nothing; the pushed
+    scan is the better plan)."""
+    imeta = payload_index_meta(root, collection, lat_col)
+    if imeta is None:
+        raise ValueError(
+            f"no persisted payload index for {collection!r}/{lat_col!r}; "
+            f"run build_payload_index(index_type='geo') first")
+    if imeta.get("index_type", "keyword") != "geo":
+        raise ValueError(
+            f"payload index for {collection!r}/{lat_col!r} is "
+            f"{imeta.get('index_type', 'keyword')!r}, not 'geo'")
+    if not allow_stale and int(imeta["built_version"]) != \
+            collection_version(root, collection):
+        raise ValueError(
+            f"payload index for {collection!r}/{lat_col!r} was built at "
+            f"data version {imeta['built_version']} but the collection is "
+            f"at {collection_version(root, collection)}; "
+            f"refresh_payload_index absorbs the mutations (or rebuild)")
+    import math  # noqa: PLC0415
+
+    top, left, bottom, right = (float(v) for v in bbox)
+    step = float(imeta["cell_deg"])
+    i_lo = math.floor((max(bottom, -90.0) + 90.0) / step)
+    i_hi = math.floor((min(top, 90.0) + 90.0) / step)
+    lon_windows = ([(left, right)] if left <= right
+                   else [(left, 180.0), (-180.0, right)])
+    j_ranges = []
+    for lo, hi in lon_windows:
+        j_ranges.append((math.floor((max(lo, -180.0) + 180.0) / step),
+                         math.floor((min(hi, 180.0) + 180.0) / step)))
+    n_j = sum(j1 - j0 + 1 for j0, j1 in j_ranges)
+    if i_hi < i_lo or n_j <= 0:
+        return spark.createDataFrame([], "id string")
+    if (i_hi - i_lo + 1) * n_j > max_cells:
+        return None
+    cells = [f"{i}:{j}" for i in range(i_lo, i_hi + 1)
+             for j0, j1 in j_ranges for j in range(j0, j1 + 1)]
+    ipath = index_path(root, collection, _payload_index_name(lat_col))
+    pdir = os.path.join(ipath, "postings")
+    if not os.path.isdir(pdir):
+        return spark.createDataFrame([], "id string")
+    n = imeta["n_val_buckets"]
+    buckets = sorted(
+        r[0] for r in spark.createDataFrame([(c,) for c in cells],
+                                            "val string")
+        .select(F.pmod(F.xxhash64("val"), F.lit(n)).cast("int").alias("b"))
+        .distinct().collect())
+    post = (spark.read.parquet(pdir)
+            .filter(F.col("val_bucket").isin(buckets))
+            .filter(F.col("val").isin(cells)))
+    return _apply_masks(spark, ipath, post, "id").select("id")
+
+
 def _postings(df: DataFrame, id_col: str, column: str,
               n_val_buckets: int, gen: int) -> DataFrame:
     # ids stringify for one uniform posting schema (matches the delta log
@@ -189,7 +286,9 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
                         column: str, n_val_buckets: int = 32,
                         files_per_bucket: int = 1,
                         index_type: str = "keyword",
-                        fields: list[str] | None = None) -> dict:
+                        fields: list[str] | None = None,
+                        lon_column: str | None = None,
+                        cell_deg: float = 1.0) -> dict:
     """Materialize the inverted index for one payload column.
 
     ``index_type='keyword'`` (default): (val, id) postings hash-bucketed by
@@ -221,10 +320,15 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
 
     Either way: one pass over the collection, one shuffle to cluster by
     value bucket, staged atomic swap."""
-    if index_type not in ("keyword", "range", "nested", "text"):
+    if index_type not in ("keyword", "range", "nested", "text", "geo"):
         raise ValueError(
             f"index_type {index_type!r} not one of "
-            f"('keyword', 'range', 'nested', 'text')")
+            f"('keyword', 'range', 'nested', 'text', 'geo')")
+    if index_type == "geo" and not lon_column:
+        raise ValueError(
+            "index_type='geo' needs lon_column= (the store keeps "
+            "coordinates as two plain double columns; ``column`` is the "
+            "latitude one, keying the index)")
     if index_type == "nested" and not fields:
         raise ValueError(
             "index_type='nested' needs fields=[...] — the element struct "
@@ -294,6 +398,15 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
                     f"{column!r} is {dtype.simpleString()}")
             post = _text_postings(data, id_col, column, n_val_buckets,
                                   gen=0)
+        elif index_type == "geo":
+            if is_array or not _is_range_indexable(dtype) \
+                    or lon_column not in data.columns:
+                raise ValueError(
+                    f"index_type='geo' needs numeric lat ({column!r} is "
+                    f"{dtype.simpleString()}) and lon ({lon_column!r}) "
+                    f"columns")
+            post = _geo_postings(data, id_col, column, lon_column,
+                                 float(cell_deg), n_val_buckets, gen=0)
         else:
             post = _postings(data, id_col, column, n_val_buckets, gen=0)
         (post.repartition(n_val_buckets * files_per_bucket,
@@ -311,6 +424,8 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
         **({"boundaries": boundaries} if index_type == "range" else {}),
         **({"fields": list(fields), "field_types": field_types}
            if index_type == "nested" else {}),
+        **({"lon_column": lon_column, "cell_deg": float(cell_deg)}
+           if index_type == "geo" else {}),
         "built_version": built_version,
         "generation": 0,
     }
@@ -350,6 +465,11 @@ def refresh_payload_index(spark: SparkSession, root: str, collection: str,
         elif imeta.get("index_type", "keyword") == "text":
             post = _text_postings(fresh, id_col, imeta["column"],
                                   imeta["n_val_buckets"], gen=g)
+        elif imeta.get("index_type", "keyword") == "geo":
+            post = _geo_postings(fresh, id_col, imeta["column"],
+                                 imeta["lon_column"],
+                                 float(imeta["cell_deg"]),
+                                 imeta["n_val_buckets"], gen=g)
         else:
             post = _postings(fresh, id_col, imeta["column"],
                              imeta["n_val_buckets"], gen=g)
@@ -389,6 +509,11 @@ def payload_match_ids(spark: SparkSession, root: str, collection: str,
             f"payload index for {collection!r}/{column!r} holds TOKEN "
             f"postings (text); probe it through MatchText / text_match_ids "
             f"— whole-value equality needs a keyword index")
+    if imeta.get("index_type", "keyword") == "geo":
+        raise ValueError(
+            f"payload index for {collection!r}/{column!r} holds grid-CELL "
+            f"postings (geo); probe it through a geo filter leaf / "
+            f"geo_match_ids — whole-value equality needs a keyword index")
     if imeta.get("index_type", "keyword") == "range":
         # a RANGE index answers equality too (the Qdrant typed-index
         # model): each literal maps to its boundary bucket via the num

@@ -7434,6 +7434,65 @@ def q_api_match_text_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("value", F.col("count").cast("long").alias("count"))
 
 
+_GIX_FLT = Filter(must=[GeoRadius("lat", "lon", 45.0, 10.0, 300_000.0)])
+
+
+@register(
+    "api_geo_indexed",
+    # the Qdrant GEO payload index: the radius's bbox covers a set of
+    # quantized lat/lon grid cells, only those cells' hash buckets are
+    # read for the candidate SUPERSET, and the exact haversine leaf
+    # stays residual on the bucket-pruned fetch — count == the pushed
+    # scan exactly.  The oracle applies the LITERAL compiled filter.
+    oracle=f"""
+WITH pts AS (
+  SELECT vec_id AS id,
+         (vec_id % 100) / 10.0 + 40.0 AS lat,
+         ((vec_id * 13) % 200) / 10.0 AS lon,
+         vec_id % 4 AS label
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(id) AS BIGINT) AS min_id
+FROM pts WHERE {_GIX_FLT.to_sql()}
+GROUP BY label ORDER BY label
+""",
+)
+def q_api_geo_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoRadius resolved through the GEO payload index (Qdrant's geo
+    index type): build quantizes each point's (lat, lon) into a grid
+    cell posting; the probe enumerates the radius-bbox's covering cells
+    driver-side and reads ONLY their hash buckets — a conservative
+    candidate superset — then the exact haversine residual runs on the
+    id-bucket-pruned fetch.  use_payload_index='always' proves the
+    routing (round 7's geo filters always scanned)."""
+    from .operators.filters import filter_match_ids  # noqa: PLC0415
+    from .operators.payload_index import build_payload_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "geoidx")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        ((F.col("vec_id") % 100) / 10.0 + 40.0).alias("lat"),
+        (((F.col("vec_id") * 13) % 200) / 10.0).alias("lon"),
+        (F.col("vec_id") % 4).alias("label"))
+    upsert.create_collection(spark, base, "geo", df=pts, id_col="id",
+                             n_buckets=8)
+    build_payload_index(spark, base, "geo", "lat", index_type="geo",
+                        lon_column="lon", cell_deg=1.0, n_val_buckets=16)
+    cand, residual = filter_match_ids(spark, base, "geo", _GIX_FLT)
+    assert cand is not None  # the routing IS the point of this query
+    rows = upsert.read_rows_for_ids(spark, base, "geo", cand)
+    return (rows.filter(residual.to_column())
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_points"),
+                 F.min("id").cast("long").alias("min_id"))
+            .orderBy("label")
+            .select(F.col("label").cast("long").alias("label"),
+                    "n_points", "min_id"))
+
+
 @register(
     "api_retrieve",
     # Qdrant retrieve: points by id, one bucket-pruned fetch, id-ordered,
@@ -7627,7 +7686,7 @@ _PRIORITY = [
     "api_search_with_vectors", "api_scroll_pages",
     "store_nested_filter_indexed", "api_sparse_idf",
     "store_mv_filtered_indexed", "api_hasid_hasvector", "api_retrieve",
-    "api_match_text_indexed",
+    "api_match_text_indexed", "api_geo_indexed",
     # new in round 7 — last adjudicated one round ago
     "store_filtered_indexed_search", "api_filter_nested",
     "api_geo_polygon", "knn_multivector_maxsim",

@@ -664,3 +664,65 @@ def test_text_index_routes_match_text(spark, tmp_path):
         must=[MatchValue("body", "alpha")])
     with pytest.raises(ValueError, match="TOKEN postings"):
         payload_match_ids(spark, root, "c", "body", ["alpha"])
+
+
+def test_geo_index_routes_geo_leaves(spark, tmp_path):
+    """Qdrant geo payload index: quantized lat/lon cell postings; a geo
+    must-leaf resolves to a conservative candidate SUPERSET from the
+    covering cells (only those cells' buckets read) while the leaf
+    STAYS residual — so counts/search stay exactly equal to the pushed
+    scan, through churn; a near-global box declines (no pruning to be
+    had) and equality probes are refused."""
+    from bob_vector_db_spark.operators import query_api
+    from bob_vector_db_spark.operators.filters import (
+        Filter, GeoBoundingBox, GeoRadius, filter_match_ids)
+    from bob_vector_db_spark.operators.payload_index import (
+        geo_match_ids, refresh_payload_index)
+
+    root = str(tmp_path / "store")
+    pts = [(i, 40.0 + (i % 50) * 0.4, -10.0 + (i * 7 % 80) * 0.5)
+           for i in range(200)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    upsert.create_collection(spark, root, "c", df=df, id_col="id",
+                             n_buckets=4)
+    build_payload_index(spark, root, "c", "lat", index_type="geo",
+                        lon_column="lon", cell_deg=2.0, n_val_buckets=16)
+    box = GeoBoundingBox("lat", "lon", top=50.0, left=0.0,
+                         bottom=45.0, right=10.0)
+    flt = Filter(must=[box])
+    ids, residual = filter_match_ids(spark, root, "c", flt)
+    assert ids is not None
+    assert residual == flt, "geo leaf must STAY residual (superset cover)"
+    want = {str(r["id"]) for r in df.filter(flt.to_column()).collect()}
+    got = {r["id"] for r in ids.collect()}
+    assert want and want <= got, "candidates must cover every true match"
+    n_idx = query_api.count_points(spark, root, "c", flt=flt,
+                                   use_payload_index="always")
+    n_scan = query_api.count_points(spark, root, "c", flt=flt,
+                                    use_payload_index=False)
+    assert n_idx == n_scan == len(want)
+    # the probe prunes cell buckets
+    probe = geo_match_ids(spark, root, "c", "lat",
+                          (50.0, 0.0, 45.0, 10.0))
+    assert_partition_filters(probe, "val_bucket")
+    # GeoRadius routes too (its bbox covers the disc)
+    rad = Filter(must=[GeoRadius("lat", "lon", 47.0, 5.0, 300_000.0)])
+    n_r = query_api.count_points(spark, root, "c", flt=rad,
+                                 use_payload_index="always")
+    assert n_r == query_api.count_points(spark, root, "c", flt=rad,
+                                         use_payload_index=False) > 0
+    # a near-global box finds no pruning and declines candidate routing
+    assert geo_match_ids(spark, root, "c", "lat",
+                         (90.0, -180.0, -90.0, 180.0),
+                         max_cells=64) is None
+    # churn: move one point into the box, delete one out of it
+    inside = sorted(int(i) for i in want)[0]
+    upsert.upsert(spark, root, "c", spark.createDataFrame(
+        [(500, 47.0, 5.0)], "id long, lat double, lon double"))
+    upsert.delete_points(spark, root, "c", [inside])
+    refresh_payload_index(spark, root, "c", "lat")
+    n2 = query_api.count_points(spark, root, "c", flt=flt,
+                                use_payload_index="always")
+    assert n2 == len(want)  # -1 deleted, +1 new inside
+    with pytest.raises(ValueError, match="grid-CELL"):
+        payload_match_ids(spark, root, "c", "lat", [47.0])
