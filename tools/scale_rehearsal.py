@@ -253,6 +253,38 @@ def main():
                    lambda: refresh_sparse_index(spark, store, "sdocs"))
     assert im_s2["n_points"] == n_docs - (n_docs + 6) // 7, im_s2["n_points"]
 
+    # round-8: full-text + geo payload indexes at 10x — MatchText
+    # resolves from token postings, a GeoRadius from cell postings (the
+    # exact leaf residual on the pruned fetch)
+    from bob_vector_db_spark.operators.filters import (  # noqa: PLC0415
+        GeoRadius,
+        MatchText,
+    )
+
+    _timed("build_text_payload_index", timings, lambda: build_payload_index(
+        spark, store, "docs", "text", n_val_buckets=32, index_type="text"))
+    mt = Filter(must=[MatchText("text", "vector stream")])
+    n_mt = _timed("match_text_indexed_count", timings, lambda: count_points(
+        spark, store, "docs", flt=mt, use_payload_index="always"))
+    n_mts = count_points(spark, store, "docs", flt=mt,
+                         use_payload_index=False)
+    assert n_mt == n_mts, (n_mt, n_mts)
+    geo = docs.select(F.col("doc_id").alias("id"),
+                      ((F.col("doc_id") % 1000) / 10.0 - 40.0).alias("lat"),
+                      (((F.col("doc_id") * 13) % 2000) / 10.0 - 100.0)
+                      .alias("lon"))
+    _timed("create_geo_collection", timings, lambda: upsert.create_collection(
+        spark, store, "geo", df=geo, id_col="id", n_buckets=32))
+    _timed("build_geo_index", timings, lambda: build_payload_index(
+        spark, store, "geo", "lat", index_type="geo", lon_column="lon",
+        cell_deg=2.0, n_val_buckets=32))
+    gflt = Filter(must=[GeoRadius("lat", "lon", 10.0, 0.0, 800_000.0)])
+    n_g = _timed("geo_indexed_count", timings, lambda: count_points(
+        spark, store, "geo", flt=gflt, use_payload_index="always"))
+    n_gs = count_points(spark, store, "geo", flt=gflt,
+                        use_payload_index=False)
+    assert n_g == n_gs and n_g > 0, (n_g, n_gs)
+
     # round-8: HasId candidate route + retrieve at 10x — literal ids,
     # no index, bucket-pruned fetch only
     from bob_vector_db_spark.operators.filters import HasId  # noqa: PLC0415
