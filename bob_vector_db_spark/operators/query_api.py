@@ -934,6 +934,36 @@ def query_points(spark: SparkSession, root: str, collection: str,
     lookup space's shape must match the searched space's (multivector
     with multivector, dense with dense).
     """
+    if isinstance(query, dict) and "formula" in query:
+        # Qdrant query=FormulaQuery(formula=..., defaults=...) WITH
+        # prefetch: rescore the union of prefetch candidates by the
+        # compiled formula (operators/formula.py)
+        from .formula import formula_rescore  # noqa: PLC0415
+
+        if not prefetch:
+            raise ValueError(
+                "query_points(query={'formula': ...}) needs prefetch= — "
+                "formula rescoring draws its candidates from the "
+                "prefetch branches (Qdrant's FormulaQuery contract)")
+        if flt is not None or tenant is not None:
+            raise ValueError(
+                "formula rescoring scores CALLER-BUILT prefetch branches "
+                "— apply query_filter/tenant scope inside each branch")
+        out = formula_rescore(
+            spark, root, collection, list(prefetch), query["formula"],
+            defaults=query.get("defaults"), k=k + int(offset))
+        if offset:
+            out = (out.filter(F.col("rank") > offset)
+                   .withColumn("rank", F.col("rank") - F.lit(int(offset))))
+        if score_threshold is not None:
+            out = out.filter(F.col("score") >= float(score_threshold))
+        if with_payload:
+            out = attach_payload(spark, root, collection, out,
+                                 with_payload, id_col_out="id")
+        if with_vectors:
+            out = attach_vectors(spark, root, collection, out,
+                                 with_vectors, id_col_out="id")
+        return out
     if (query is None) == (prefetch is None):
         raise ValueError("query_points takes exactly one of query= (a "
                          "DataFrame or a point id) or prefetch= (a fusion "

@@ -7670,6 +7670,165 @@ def q_api_sparse_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+from .operators.filters import MatchValue as _FMatchValue  # noqa: E402
+from .operators.formula import compile_formula  # noqa: E402
+
+_FB_FORMULA = {"sum": ["$score",
+                       {"mult": [0.25, _FMatchValue("grp", "g1")]},
+                       {"mult": [0.01, "n"]}]}
+_FB_DUCK, _ = compile_formula(_FB_FORMULA, 1, dialect="duckdb")
+
+
+@register(
+    "api_formula_boost",
+    # Formula rescoring (Qdrant FormulaQuery): candidates = the dense
+    # prefetch's top-40, final score = $score + 0.25·[grp='g1'] + 0.01·n.
+    # The oracle interpolates the SAME compiled formula text (duckdb
+    # dialect differs only in the epoch primitive, unused here) over the
+    # prefetch scores aliased _score_0 — compiler parity by construction.
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id AS id, embedding,
+         'g' || CAST(label % 3 AS VARCHAR) AS grp,
+         vec_id % 97 AS n
+  FROM embeddings WHERE vec_id < 300
+),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT c.id, c.grp, c.n,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(c.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS b)))),
+           6) AS _score_0
+  FROM q, corpus c
+),
+pre AS (
+  SELECT * FROM (SELECT p.*, row_number()
+                   OVER (ORDER BY _score_0 DESC, id) AS prank
+                 FROM pairs p)
+  WHERE prank <= 40
+),
+scored AS (SELECT id, round({_FB_DUCK}, 6) AS score FROM pre)
+SELECT CAST(id AS BIGINT) AS id, score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number()
+        OVER (ORDER BY score DESC, CAST(id AS VARCHAR)) AS rank
+      FROM scored)
+WHERE rank <= 10
+""",
+)
+def q_api_formula_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score boosting (Qdrant ``query_points(prefetch=...,
+    query=FormulaQuery(...))``): the dense prefetch's top-40 rescored by
+    ``$score + 0.25·[grp='g1'] + 0.01·n`` — the formula compiles to ONE
+    shared-dialect SQL scalar (operators/formula.py) evaluated JVM-side
+    over the prefetch scores joined with the hits' bucket-pruned payload
+    fetch; no UDFs, no second collection scan."""
+    from .operators import query_api  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "fboost")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.filter(F.col("vec_id") < 300).select(
+        F.col("vec_id").alias("id"), "embedding",
+        F.concat(F.lit("g"), (F.col("label") % 3).cast("string"))
+        .alias("grp"),
+        (F.col("vec_id") % 97).alias("n"))
+    upsert.create_collection(
+        spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    pre = query_api.search_points(spark, base, "vecs", qdf, k=40)
+    branch = pre.select(F.col("vec_id").alias("id"),
+                        F.col("sim").alias("score"))
+    out = query_api.query_points(spark, base, "vecs",
+                                 query={"formula": _FB_FORMULA},
+                                 prefetch=[branch], k=10)
+    return out.select(F.col("id").cast("long").alias("id"), "score",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+_FD_FORMULA = {"sum": [
+    {"mult": ["$score",
+              {"gauss_decay": {"x": {"datetime_key": "ts"},
+                               "target": {"datetime": "2024-01-01 08:00:00"},
+                               "scale": 7200.0, "midpoint": 0.5}}]},
+    {"mult": [2.0,
+              {"exp_decay": {"x": {"geo_distance": {
+                  "origin": {"lat": 10.0, "lon": 20.0},
+                  "to": {"lat_key": "lat", "lon_key": "lon"}}},
+                  "scale": 2000000.0, "midpoint": 0.5}}]},
+]}
+_FD_DUCK, _ = compile_formula(_FD_FORMULA, 1, dialect="duckdb")
+
+
+@register(
+    "api_formula_decay",
+    # Decay-kernel boosting (Qdrant gauss_decay/exp_decay + geo_distance
+    # + datetime_key): revenue-ranked prefetch rescored by freshness
+    # around 08:00 and haversine proximity to (10, 20).  Both engines
+    # evaluate the SAME compiled kernel text except the epoch primitive
+    # (unix_timestamp vs floor(epoch)) — exercised here on purpose.
+    oracle=f"""
+WITH pts AS (
+  SELECT o_orderkey AS id,
+         (o_orderkey % 17000) / 100.0 - 85.0 AS lat,
+         ((o_orderkey * 13 + o_custkey) % 36000) / 100.0 - 180.0 AS lon,
+         to_timestamp(1704067200 + (o_orderkey % 1440) * 60) AS ts,
+         o_totalprice
+  FROM orders WHERE o_orderkey < 3000
+),
+pre AS (
+  SELECT * FROM (SELECT p.*, round(o_totalprice / 100000, 6) AS _score_0,
+                        row_number() OVER (ORDER BY o_totalprice DESC,
+                                           id) AS prank
+                 FROM pts p)
+  WHERE prank <= 60
+),
+scored AS (SELECT id, round({_FD_DUCK}, 6) AS score FROM pre)
+SELECT CAST(id AS BIGINT) AS id, score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number()
+        OVER (ORDER BY score DESC, CAST(id AS VARCHAR)) AS rank
+      FROM scored)
+WHERE rank <= 12
+""",
+)
+def q_api_formula_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decay-kernel rescoring (Qdrant FormulaQuery's gauss_decay /
+    exp_decay / geo_distance / datetime_key): a revenue-ranked prefetch
+    over a payload-only collection (no vector spaces — Qdrant allows it;
+    prefetches need not be vector searches) rescored by a time-of-day
+    gaussian around 08:00 (λ folded driver-side from scale/midpoint) and
+    an exponential haversine-proximity kernel — all whole-stage-codegen
+    arithmetic on the prefetch's 60 rows plus one bucket-pruned payload
+    fetch."""
+    from .operators import query_api  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "fdecay")
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.filter(F.col("o_orderkey") < 3000).select(
+        F.col("o_orderkey").alias("id"),
+        ((F.col("o_orderkey") % 17000) / 100.0 - 85.0).alias("lat"),
+        (((F.col("o_orderkey") * 13 + F.col("o_custkey")) % 36000) / 100.0
+         - 180.0).alias("lon"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("o_orderkey") % 1440) * 60)
+        .alias("ts"),
+        F.col("o_totalprice"))
+    upsert.create_collection(spark, base, "geo_pts", df=pts, id_col="id",
+                             n_buckets=8)
+    branch = (pts.orderBy(F.col("o_totalprice").desc(), "id").limit(60)
+              .select(F.col("id"),
+                      F.round(F.col("o_totalprice") / 100000, 6)
+                      .alias("score")))
+    out = query_api.query_points(spark, base, "geo_pts",
+                                 query={"formula": _FD_FORMULA},
+                                 prefetch=[branch], k=12)
+    return out.select(F.col("id").cast("long").alias("id"), "score",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -7681,6 +7840,7 @@ def q_api_sparse_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRIORITY = [
     # new this round (round 8) — never driver-adjudicated
+    "api_formula_boost", "api_formula_decay",
     "api_range_indexed", "api_datetime_range_indexed",
     "store_range_indexed_search", "store_multivector_indexed",
     "api_search_with_vectors", "api_scroll_pages",
