@@ -71,8 +71,17 @@ def _lit(v) -> str:
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, (int, float)):
-        if isinstance(v, float) and not math.isfinite(v):
-            raise ValueError(f"non-finite literal {v!r} in filter")
+        if isinstance(v, float):
+            if not math.isfinite(v):
+                raise ValueError(f"non-finite literal {v!r} in filter")
+            # Exponent notation forces DOUBLE typing in BOTH engines: a
+            # bare 17-digit decimal like 2.0000000000000004 is parsed by
+            # DuckDB as DECIMAL(18,17), which then poisons surrounding
+            # arithmetic with narrow-scale casts, while Spark reads the
+            # same text as DOUBLE — the shared-dialect contract breaks.
+            # `2.0000000000000004e0` is DOUBLE in both.
+            r = repr(v)
+            return r if ("e" in r or "E" in r) else r + "e0"
         return repr(v)
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
@@ -322,8 +331,14 @@ class MatchText:
         # parses backslash escapes inside SQL string literals and DuckDB
         # does not, and the two disagree on LIKE's default escape char —
         # instr over a space-delimited copy needs neither)
-        norm = (f"(' ' || replace(replace(replace(lower({k}), "
-                f"chr(9), ' '), chr(10), ' '), chr(13), ' ') || ' ')")
+        # the full Java \s class — the text index tokenizes with \s+
+        # (ws_tokens), so the scan must treat vertical-tab (11) and
+        # form-feed (12) as delimiters too or indexed MatchText answers
+        # diverge from scan answers on values containing them
+        norm = (f"(' ' || replace(replace(replace(replace(replace("
+                f"lower({k}), "
+                f"chr(9), ' '), chr(10), ' '), chr(11), ' '), "
+                f"chr(12), ' '), chr(13), ' ') || ' ')")
         tests = [f"instr({norm}, {_lit(' ' + t + ' ')}) > 0"
                  for t in toks]
         return "(" + " AND ".join(tests) + ")"
@@ -353,8 +368,10 @@ class MatchPhrase:
         if not toks:
             return "TRUE"
         k = _ident(self.key)
-        base = (f"replace(replace(replace(replace(lower({k}), "
-                f"chr(9), ' '), chr(10), ' '), chr(13), ' '), "
+        base = (f"replace(replace(replace(replace(replace(replace("
+                f"lower({k}), "
+                f"chr(9), ' '), chr(10), ' '), chr(11), ' '), "
+                f"chr(12), ' '), chr(13), ' '), "
                 f"chr(1), ' ')")
         collapsed = (f"replace(replace(replace({base}, ' ', ' ' || chr(1)), "
                      f"chr(1) || ' ', ''), chr(1), '')")

@@ -143,14 +143,27 @@ class FormulaCompiler:
             return f"COALESCE({out}, {_lit(float(self.defaults[key]))})"
         return out
 
-    def _condition(self, cond) -> str:
-        # CASE WHEN is the NULL-safe 1/0 cast: a NULL predicate (missing
-        # payload) scores 0.0, Qdrant's "condition did not match"
-        sql = cond.to_sql()
+    def _harvest_keys(self, cond) -> None:
+        # A condition may be a composite Filter (the grammar accepts any
+        # filter-DSL object): walk must/should/must_not recursively so
+        # EVERY referenced root column reaches payload_keys — otherwise
+        # formula_rescore skips the payload fetch and F.expr fails at
+        # analysis with an unresolved column.  A NestedCondition's inner
+        # filter rewrites its keys to the lambda variable, so only the
+        # array column itself is a root reference.
+        for branch in ("must", "should", "must_not"):
+            for sub in getattr(cond, branch, ()) or ():
+                self._harvest_keys(sub)
         for key in getattr(cond, "key", None), \
                 getattr(cond, "lat_key", None), getattr(cond, "lon_key", None):
             if isinstance(key, str):
                 self.payload_keys.add(key.split(".", 1)[0])
+
+    def _condition(self, cond) -> str:
+        # CASE WHEN is the NULL-safe 1/0 cast: a NULL predicate (missing
+        # payload) scores 0.0, Qdrant's "condition did not match"
+        sql = cond.to_sql()
+        self._harvest_keys(cond)
         return f"(CASE WHEN {sql} THEN 1.0 ELSE 0.0 END)"
 
     # -- nodes ------------------------------------------------------------

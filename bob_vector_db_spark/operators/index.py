@@ -797,8 +797,9 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
             F.col(query_id).alias("qid"),
             F.col(query_vec).alias("_qvs"),
             vector.mean_pool(F.col(query_vec)).alias("_qpool"))
-        probed = _probed_list_filter(qp, "_qpool", cents, n_probe,
-                                     max_queries)
+        probed = _probed_list_filter(
+            qp.filter(F.size("_qvs") != 0), "_qpool", cents, n_probe,
+            max_queries)
         pruned = _narrow(_apply_masks(
             spark, ipath, data.filter(F.col("list_id").isin(probed)), id_col
         ).drop("gen"))
@@ -807,9 +808,36 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
             query_id="qid", query_vec="_qpool", corpus_id=id_col,
             corpus_vec="pooled", exclude_self=exclude_self,
             round_to=None, metric=metric).select("qid", "vec_id")
-        return _maxsim_rescore(spark, root, collection, qp, cands,
-                               id_col, vector_name, metric, k, round_to,
-                               tenant=tenant)
+        out = _maxsim_rescore(spark, root, collection, qp, cands,
+                              id_col, vector_name, metric, k, round_to,
+                              tenant=tenant)
+        # EMPTY-token queries: mean_pool yields NULL so the pooled probe
+        # emits no candidates — but the exact max-sim scan scores an
+        # empty list 0.0 against EVERY point (the fold never touches the
+        # corpus side, so even NULL-vector points score), returning the
+        # k lowest vec_ids.  Mirror that contract off the collection's
+        # id column (tenant-pruned scan of one column; NULL token lists
+        # stay dropped, matching the expression fold).  The branch costs
+        # nothing when no empty query exists — one capped collect of a
+        # size()==0 filter.
+        empty_rows = (qp.filter(F.size("_qvs") == 0).select("qid")
+                      .limit(max_queries).collect())
+        if empty_rows:
+            empty_qids = spark.createDataFrame(
+                empty_rows, qp.select("qid").schema)
+            allpts = _narrow(read_collection(spark, root, collection,
+                                             tenant=tenant))
+            zero = (allpts.select(F.col(id_col).alias("vec_id"))
+                    .crossJoin(F.broadcast(empty_qids))
+                    .withColumn("sim", F.lit(0.0)))
+            if exclude_self:
+                zero = zero.filter(F.col("qid") != F.col("vec_id"))
+            ranked0 = quantize._rank_topk(zero, k, ascending=False)
+            if round_to is not None:
+                ranked0 = ranked0.withColumn(
+                    "sim", F.round(F.col("sim"), round_to))
+            out = out.unionByName(ranked0.select(*out.columns))
+        return out
 
     if kind == "ivf_sq":
         # scalar-quantized lists: the probe scores the DEQUANTIZED int8

@@ -798,9 +798,12 @@ def facet_from_index(spark: SparkSession, root: str, collection: str,
     if imeta is None or int(imeta["built_version"]) != \
             collection_version(root, collection):
         return None
-    if imeta.get("index_type", "keyword") == "nested":
-        # element postings mix several fields' values — not a facet
-        # source; the caller falls back to the scan
+    if imeta.get("index_type", "keyword") in ("nested", "text", "geo"):
+        # not facet sources: nested element postings mix several fields'
+        # values, a text index stores TOKEN postings (not whole values),
+        # and a geo index stores grid-cell strings — aggregating any of
+        # them would return wrong (value, count) pairs; the caller falls
+        # back to the collection scan
         return None
     ipath = index_path(root, collection, _payload_index_name(key))
     pdir = os.path.join(ipath, "postings")

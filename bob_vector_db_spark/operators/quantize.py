@@ -504,8 +504,18 @@ def probe_lists_udf(centroids, n_probe: int):
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_lists(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in it:
-            V = np.stack(s.to_numpy())
-            yield pd.Series(list(probe_list_ids(V, C, n_probe)))
+            # a NULL query vector (mean_pool of an empty/NULL token
+            # list) probes no lists — the degenerate-query policy the
+            # expression scorers share; np.stack would die on it
+            vals = s.to_numpy()
+            ok = [i for i, v in enumerate(vals) if v is not None]
+            out = [[]] * len(vals)
+            if ok:
+                ids = probe_list_ids(
+                    np.stack([vals[i] for i in ok]), C, n_probe)
+                for j, i in enumerate(ok):
+                    out[i] = list(ids[j])
+            yield pd.Series(out)
 
     return probe_lists
 

@@ -149,6 +149,43 @@ def engines(spark):
     return spark, con
 
 
+def test_geo_polygon_high_precision_slope_literal(engines):
+    """Pinned r8 falsifier: the constant-folded pnpoly slope of this
+    polygon is 2.0000000000000004 — 17 significant digits.  Rendered as
+    a bare decimal, DuckDB typed it DECIMAL(18,17) and the surrounding
+    arithmetic raised ``Conversion Error: Casting value "65.0" to type
+    DECIMAL(18,17)`` while Spark read the same text as DOUBLE.  ``_lit``
+    now renders floats in exponent notation so both engines type the
+    literal DOUBLE."""
+    spark, con = engines
+    flt = Filter(must=(GeoPolygon(
+        "plat", "plon",
+        exterior=((-25.999999999999993, 13.000000000000007),
+                  (25.999999999999993, 39.0), (0.0, 65.0))),))
+    sql = flt.to_sql()
+    got_spark = sorted(r["id"] for r in spark.sql(
+        f"SELECT id FROM _flt_prop t WHERE {sql}").collect())
+    got_duck = sorted(r[0] for r in con.execute(
+        f"SELECT id FROM {_DUCK_TABLE} WHERE {sql}").fetchall())
+    assert got_spark == got_duck, sql
+
+
+def test_float_literals_render_as_double():
+    """Every float leaving ``_lit`` must carry an exponent marker so the
+    shared dialect types it DOUBLE, and DuckDB must agree."""
+    from bob_vector_db_spark.operators.filters import _lit
+    con = duckdb.connect()
+    for v in (2.0000000000000004, 0.30000000000000004, 1.5, -0.5, 0.0,
+              1e300, 5e-324, -2.225073858507e-308):
+        r = _lit(v)
+        assert "e" in r.lower(), r
+        typ, back = con.execute(
+            f"SELECT typeof({r}), CAST({r} AS DOUBLE)").fetchone()
+        assert typ == "DOUBLE", (v, r, typ)
+        assert back == v, (v, r, back)
+    assert _lit(7) == "7"  # ints stay integral (IN lists over int cols)
+
+
 @settings(max_examples=40, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(flt=_filter)

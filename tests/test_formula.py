@@ -142,6 +142,33 @@ class TestRescore:
         # n>=50: ids 5,6 ; grp g0: ids 4,6
         assert got == {"4": 1.0, "5": 100.0, "6": 101.0}
 
+    def test_composite_filter_condition_fetches_payload(self, spark,
+                                                        store):
+        """r8 advice: a COMPOSITE Filter as a condition (the documented
+        grammar) must harvest every referenced root column into
+        payload_keys — without the recursive walk, formula_rescore
+        skipped the payload fetch and F.expr failed at analysis with an
+        unresolved column."""
+        from bob_vector_db_spark.operators.filters import (
+            Filter, NestedCondition)
+        cond = Filter(
+            must=[Range("n", gte=50.0)],
+            should=[MatchValue("grp", "g0")],
+            must_not=[Filter(must=[Range("price", gte=10_000.0)])])
+        f = {"sum": [{"mult": [100.0, cond]}]}
+        _, keys = compile_formula(f, 1)
+        assert keys == {"n", "grp", "price"}
+        br = _branch(spark, [("4", 0.1), ("5", 0.1), ("6", 0.1)])
+        got = _scores(formula_rescore(spark, store, "pts", [br], f, k=5))
+        # n>=50 AND grp=g0 AND NOT price>=10000: only id 6
+        assert got == {"4": 0.0, "5": 0.0, "6": 100.0}
+        # a NestedCondition harvests only the array ROOT (inner keys
+        # rewrite to the lambda variable)
+        _, keys2 = compile_formula(
+            Filter(must=[NestedCondition("props", Filter(
+                must=[MatchValue("kind", "s")]))]), 0)
+        assert keys2 == {"props"}
+
     def test_missing_payload_key_refused(self, spark, store):
         br = _branch(spark, [("1", 1.0)])
         with pytest.raises(ValueError, match="nonexistent"):

@@ -837,6 +837,33 @@ def test_ivf_mv_full_probe_covering_rerank_equals_exact(spark, sf_dir,
     assert len(got & ex) / len(ex) >= 0.5
 
 
+def test_ivf_mv_empty_and_null_query_parity(spark, sf_dir, tmp_path):
+    """Degenerate QUERY shapes keep the 'full probe + covering rerank ==
+    exact scan' contract (r8 advice): an EMPTY token list scores 0.0
+    against every point in the exact fold, so the indexed path must
+    return the k lowest vec_ids at 0.0 instead of dropping the query
+    (mean_pool yields NULL → the pooled probe alone emits nothing); a
+    NULL token list emits no rows on both paths."""
+    root = str(tmp_path / "store")
+    pts = _mk_mv_store(spark, sf_dir, root)
+    index.build_vector_index(spark, root, "vecs", kind="ivf_mv",
+                             n_lists=8, iters=3)
+    q = _mv_queries(pts, 2).unionByName(
+        spark.sql("""SELECT * FROM VALUES
+            (9001L, CAST(array() AS array<array<float>>)),
+            (9002L, CAST(NULL AS array<array<float>>))
+            t(qid, qvecs)"""))
+    exact = knn.knn_join_maxsim(q, pts, corpus_id="id",
+                                corpus_vec="colbert", query_vec="qvecs",
+                                k=5, exclude_self=True)
+    full = index.search_indexed(spark, root, "vecs", q, k=5,
+                                n_probe=None, query_vec="qvecs",
+                                rerank_factor=100, exclude_self=True)
+    assert _rows(full) == _rows(exact)
+    got = {r["qid"] for r in full.collect()}
+    assert 9001 in got and 9002 not in got
+
+
 def test_ivf_mv_dispatch_and_staleness(spark, sf_dir, tmp_path):
     """search_collection dispatches a multivector space to its ivf_mv
     artifact off the collection meta (round 7 refused use_index

@@ -726,3 +726,65 @@ def test_geo_index_routes_geo_leaves(spark, tmp_path):
     assert n2 == len(want)  # -1 deleted, +1 new inside
     with pytest.raises(ValueError, match="grid-CELL"):
         payload_match_ids(spark, root, "c", "lat", [47.0])
+
+
+def test_facet_falls_back_to_scan_on_text_and_geo_indexes(spark, tmp_path):
+    """r8 advice: facet_from_index over a TEXT index would aggregate
+    TOKEN postings and over a GEO index grid-cell strings (cast to the
+    column type → NULL) — both must return None so facet_values answers
+    from the collection scan with the true (value, count) pairs."""
+    from bob_vector_db_spark.operators import query_api
+    from bob_vector_db_spark.operators.payload_index import facet_from_index
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, ["alpha beta", "beta gamma", "alpha beta"][i % 3],
+          float(i % 2), float(i % 3)) for i in range(30)],
+        "id long, body string, lat double, lon double")
+    upsert.create_collection(spark, root, "c", df=df, id_col="id",
+                             n_buckets=2)
+    build_payload_index(spark, root, "c", "body", n_val_buckets=8,
+                        index_type="text")
+    build_payload_index(spark, root, "c", "lat", index_type="geo",
+                        lon_column="lon", cell_deg=1.0, n_val_buckets=8)
+    assert facet_from_index(spark, root, "c", "body") is None
+    assert facet_from_index(spark, root, "c", "lat") is None
+    got = {r["value"]: r["count"] for r in query_api.facet_values(
+        spark, root, "c", "body").collect()}
+    assert got == {"alpha beta": 20, "beta gamma": 10}
+    got_lat = {r["value"]: r["count"] for r in query_api.facet_values(
+        spark, root, "c", "lat").collect()}
+    assert got_lat == {0.0: 15, 1.0: 15}
+
+
+def test_text_index_agrees_with_scan_on_exotic_whitespace(spark, tmp_path):
+    """r8 advice: the index tokenizes with \\s+ (which spans vertical-tab
+    and form-feed) while MatchText's scan form normalized only
+    tab/LF/CR — a value like 'alpha\\x0bgamma' used to match on the scan
+    ('alpha\\x0bgamma' contains no token boundary there → no match ...)
+    but tokenize as two tokens in the index.  Both sides now treat the
+    full Java \\s class as delimiters, so indexed == scan."""
+    from bob_vector_db_spark.operators import query_api
+    from bob_vector_db_spark.operators.filters import Filter, MatchText
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(0, "alpha\x0bgamma beta"), (1, "alpha\fgamma"),
+         (2, "alpha gamma"), (3, "alphagamma"), (4, "alpha\tbeta"),
+         (5, "gamma\x0b\falpha")],
+        "id long, body string")
+    upsert.create_collection(spark, root, "c", df=df, id_col="id",
+                             n_buckets=2)
+    build_payload_index(spark, root, "c", "body", n_val_buckets=8,
+                        index_type="text")
+    for text in ("alpha gamma", "alpha", "gamma beta"):
+        flt = Filter(must=[MatchText("body", text)])
+        n_idx = query_api.count_points(spark, root, "c", flt=flt,
+                                       use_payload_index="always")
+        n_scan = query_api.count_points(spark, root, "c", flt=flt,
+                                        use_payload_index=False)
+        assert n_idx == n_scan, (text, n_idx, n_scan)
+    # and the 'alpha gamma' case really does include the \x0b / \f docs
+    flt = Filter(must=[MatchText("body", "alpha gamma")])
+    assert query_api.count_points(spark, root, "c", flt=flt,
+                                  use_payload_index=False) == 4
