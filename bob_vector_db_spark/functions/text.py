@@ -35,6 +35,48 @@ def ws_tokens(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: F.length(t) > 0)
 
 
+# The WORD tokenizer's delimiter set: ASCII punctuation — the documented
+# divergence from Qdrant's full Unicode non-alphanumeric class.  The
+# scan-side filter twins must compile to the SHARED SQL dialect, where
+# the only global, escape-free character mapping both engines run
+# identically is ``translate``; a Unicode class is regexp territory and
+# the engines disagree on backslash escapes and global replacement.
+# Build (Spark), probe (Python) and the compiled MatchText/MatchPhrase
+# scan forms all tokenize with this exact set, so index answers == scan
+# answers.
+WORD_DELIMS = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+# the same set as a shared-dialect SQL expression: single-quote and
+# backslash ride in via chr() (Spark parses backslash escapes inside
+# string literals, DuckDB does not — chr() sidesteps the divergence)
+_DELIMS_LITERAL = WORD_DELIMS.replace("'", "").replace("\\", "")
+WORD_DELIMS_SQL = f"('{_DELIMS_LITERAL}' || chr(39) || chr(92))"
+
+
+def word_translate_sql(inner: str) -> str:
+    """``inner`` with every :data:`WORD_DELIMS` char become a space —
+    the word tokenizer's delimiter pass in the shared SQL dialect."""
+    return (f"translate({inner}, {WORD_DELIMS_SQL}, "
+            f"repeat(' ', {len(WORD_DELIMS)}))")
+
+
+def tokenize_text_py(text: str, tokenizer: str = "whitespace",
+                     lowercase: bool = True) -> list[str]:
+    """Driver-side twin of the index build's tokenization, used to
+    prepare PROBE tokens exactly the way the build tokenized values
+    (``tokenizer`` 'whitespace' | 'word'; 'prefix' tokenizes like
+    'whitespace' — the prefixes live on the posting side)."""
+    import re  # noqa: PLC0415
+
+    s = str(text)
+    if lowercase:
+        s = s.lower()
+    if tokenizer == "word":
+        s = s.translate({ord(c): " " for c in WORD_DELIMS})
+    # the exact Java \s class ws_tokens splits on — Python str.split()
+    # would also split on Unicode spaces the build does not
+    return [t for t in re.split("[ \t\n\x0b\x0c\r]+", s) if t]
+
+
 def bpe_tokens(text: Column) -> Column:
     """BPE-ish tokenization via regexp_extract_all (ARRAY<STRING>)."""
     return F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)

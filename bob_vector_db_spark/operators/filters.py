@@ -312,35 +312,82 @@ class ValuesCount:
         return "(" + " AND ".join(parts) + ")"
 
 
+def _ws_norm_sql(k: str, tokenizer: str = "whitespace") -> str:
+    """``k`` lowercased with every token delimiter become a space, space-
+    wrapped — the scan-side image of the text index's tokenization.
+    Whitespace-normalize via replace/chr (NOT regexp or LIKE: Spark
+    parses backslash escapes inside SQL string literals and DuckDB does
+    not, and the two disagree on LIKE's default escape char — instr over
+    a space-delimited copy needs neither).  The full Java \\s class —
+    the text index tokenizes with \\s+ (ws_tokens), so the scan must
+    treat vertical-tab (11) and form-feed (12) as delimiters too or
+    indexed answers diverge from scan answers on values containing them.
+    ``tokenizer='word'`` additionally maps ASCII punctuation to spaces
+    via ``translate`` (:func:`functions.text.word_translate_sql` — the
+    one global character mapping the shared dialect offers)."""
+    from ..functions.text import word_translate_sql  # noqa: PLC0415
+
+    base = f"lower({k})"
+    if tokenizer == "word":
+        base = word_translate_sql(base)
+    return (f"(' ' || replace(replace(replace(replace(replace("
+            f"{base}, "
+            f"chr(9), ' '), chr(10), ' '), chr(11), ' '), "
+            f"chr(12), ' '), chr(13), ' ') || ' ')")
+
+
+def _text_toks(text: str, tokenizer: str) -> list[str]:
+    from ..functions.text import tokenize_text_py  # noqa: PLC0415
+
+    return tokenize_text_py(text, tokenizer, lowercase=True)
+
+
 @dataclass(frozen=True)
 class MatchText:
     """Full-token containment (Qdrant MatchText's filter form): every
-    whitespace token of ``text`` must appear as a whole whitespace-delimited
-    token of ``key``.  Compiles to anchored LIKE over a whitespace-
-    normalized copy — one regexp_replace, then sargable-ish string tests
-    both engines evaluate identically."""
+    token of ``text`` must appear as a whole token of ``key`` under
+    ``tokenizer`` — 'whitespace' (default) delimits on \\s+ only, 'word'
+    also on ASCII punctuation (the Qdrant word-tokenizer twin; see
+    ``functions.text.WORD_DELIMS`` for the documented Unicode
+    divergence).  Compiles to anchored instr tests over a
+    delimiter-normalized copy both engines evaluate identically."""
+    key: str
+    text: str
+    tokenizer: str = "whitespace"
+
+    def __post_init__(self):
+        if self.tokenizer not in ("whitespace", "word"):
+            raise ValueError(
+                f"MatchText tokenizer {self.tokenizer!r} not one of "
+                f"('whitespace', 'word'); prefix semantics are the "
+                f"MatchTextPrefix leaf")
+
+    def to_sql(self) -> str:
+        toks = _text_toks(self.text, self.tokenizer)
+        if not toks:
+            return "TRUE"
+        norm = _ws_norm_sql(_ident(self.key), self.tokenizer)
+        tests = [f"instr({norm}, {_lit(' ' + t + ' ')}) > 0"
+                 for t in toks]
+        return "(" + " AND ".join(tests) + ")"
+
+
+@dataclass(frozen=True)
+class MatchTextPrefix:
+    """Prefix-token containment — the search-as-you-type filter a
+    PREFIX-tokenized text index answers (Qdrant ``TextIndexParams``
+    tokenizer=prefix): every whitespace token of ``text`` must be a
+    PREFIX of some whitespace token of ``key``.  Compiles to instr tests
+    anchored at a LEADING space only (token start, any continuation)."""
     key: str
     text: str
 
     def to_sql(self) -> str:
-        toks = [t for t in self.text.lower().split() if t]
+        toks = _text_toks(self.text, "whitespace")
         if not toks:
             return "TRUE"
-        k = _ident(self.key)
-        # whitespace-normalize via replace/chr (NOT regexp or LIKE: Spark
-        # parses backslash escapes inside SQL string literals and DuckDB
-        # does not, and the two disagree on LIKE's default escape char —
-        # instr over a space-delimited copy needs neither)
-        # the full Java \s class — the text index tokenizes with \s+
-        # (ws_tokens), so the scan must treat vertical-tab (11) and
-        # form-feed (12) as delimiters too or indexed MatchText answers
-        # diverge from scan answers on values containing them
-        norm = (f"(' ' || replace(replace(replace(replace(replace("
-                f"lower({k}), "
-                f"chr(9), ' '), chr(10), ' '), chr(11), ' '), "
-                f"chr(12), ' '), chr(13), ' ') || ' ')")
-        tests = [f"instr({norm}, {_lit(' ' + t + ' ')}) > 0"
-                 for t in toks]
+        norm = _ws_norm_sql(_ident(self.key))
+        tests = [f"instr({norm}, {_lit(' ' + t)}) > 0" for t in toks]
         return "(" + " AND ".join(tests) + ")"
 
 
@@ -362,14 +409,29 @@ class MatchPhrase:
     can't collide."""
     key: str
     text: str
+    tokenizer: str = "whitespace"
+
+    def __post_init__(self):
+        if self.tokenizer not in ("whitespace", "word"):
+            raise ValueError(
+                f"MatchPhrase tokenizer {self.tokenizer!r} not one of "
+                f"('whitespace', 'word')")
 
     def to_sql(self) -> str:
-        toks = [t for t in self.text.lower().split() if t]
+        from ..functions.text import word_translate_sql  # noqa: PLC0415
+
+        toks = _text_toks(self.text, self.tokenizer)
         if not toks:
             return "TRUE"
         k = _ident(self.key)
+        inner = f"lower({k})"
+        if self.tokenizer == "word":
+            # punctuation becomes spaces BEFORE the collapse, so word-
+            # token adjacency ('alpha-beta' → 'alpha beta') matches the
+            # positional index's ordinals
+            inner = word_translate_sql(inner)
         base = (f"replace(replace(replace(replace(replace(replace("
-                f"lower({k}), "
+                f"{inner}, "
                 f"chr(9), ' '), chr(10), ' '), chr(11), ' '), "
                 f"chr(12), ' '), chr(13), ' '), "
                 f"chr(1), ' ')")
@@ -642,6 +704,10 @@ class Filter:
                 out.append((c.id_col, c, "hasid"))
             elif isinstance(c, MatchText) and c.text.split():
                 out.append((c.key, c, "text"))
+            elif isinstance(c, MatchTextPrefix) and c.text.split():
+                out.append((c.key, c, "text_prefix"))
+            elif isinstance(c, MatchPhrase) and c.text.split():
+                out.append((c.key, c, "phrase"))
             elif isinstance(c, (GeoBoundingBox, GeoRadius, GeoPolygon)):
                 # geo candidates are a conservative SUPERSET (cell cover
                 # overhangs the box) — the leaf stays in the residual
@@ -653,7 +719,7 @@ class Filter:
                          range_keys: set[str] = frozenset(),
                          nested_leaves: tuple = (),
                          hasid_leaves: tuple = (),
-                         text_keys: set = frozenset()) -> "Filter":
+                         text_leaves: tuple = ()) -> "Filter":
         """This filter minus the top-level must leaves the index answered:
         MatchValue/MatchAny on ``scalar_keys``, MatchContains on
         ``contains_keys``, Range/DatetimeRange on ``range_keys``, the
@@ -675,8 +741,9 @@ class Filter:
                     or (isinstance(c, NestedCondition)
                         and c in nested_leaves)
                     or (isinstance(c, HasId) and c in hasid_leaves)
-                    or (isinstance(c, MatchText)
-                        and c.key in text_keys)))
+                    or (isinstance(c, (MatchText, MatchPhrase,
+                                       MatchTextPrefix))
+                        and c in text_leaves)))
         return Filter(must=kept, should=self.should,
                       must_not=self.must_not, min_should=self.min_should)
 
@@ -764,12 +831,16 @@ def filter_match_ids(spark, root: str, collection: str, flt,
     predicate scan — the right plan for non-selective filters anyway; a
     stale index is usable only under ``allow_stale``).
     """
+    from ..functions.text import tokenize_text_py  # noqa: PLC0415
     from .payload_index import (  # noqa: PLC0415
+        PREFIX_DEFAULT_MAX,
+        _band_ok,
         geo_match_ids,
         nested_match_ids,
         payload_index_meta,
         payload_match_ids,
         payload_range_match_ids,
+        phrase_match_ids,
         text_match_ids,
     )
     from .upsert import collection_version  # noqa: PLC0415
@@ -801,9 +872,37 @@ def filter_match_ids(spark, root: str, collection: str, flt,
             if leaves is None:
                 return False
             leaf_cache[(key, id(payload))] = leaves
-        elif kind == "text":
+        elif kind in ("text", "phrase", "text_prefix"):
             if itype != "text":
-                return False  # MatchText needs the TOKEN posting layout
+                return False  # these need the TOKEN posting layout
+            if not bool(imeta.get("lowercase", True)):
+                # the scan forms lowercase unconditionally; a case-
+                # sensitive index answers a different predicate
+                return False
+            itok = imeta.get("tokenizer", "whitespace")
+            if kind == "text_prefix":
+                if itok != "prefix":
+                    return False  # needs prefix postings
+                toks = tokenize_text_py(payload.text, "whitespace")
+                band = {"min_token_len": imeta.get("min_token_len") or 1,
+                        "max_token_len": (imeta.get("max_token_len")
+                                          or PREFIX_DEFAULT_MAX)}
+            else:
+                if itok != payload.tokenizer:
+                    # whole-token leaves never resolve through prefix
+                    # postings (every prefix posts — different meaning),
+                    # and a word leaf never through a whitespace index
+                    return False
+                if kind == "phrase" and not bool(
+                        imeta.get("phrase_matching", False)):
+                    return False  # adjacency needs positional postings
+                toks = tokenize_text_py(payload.text, itok)
+                band = imeta
+            if not toks or not _band_ok(toks, band):
+                # a token outside the index's stored length band was
+                # never posted — the scan could still match it, so the
+                # leaf stays residual (exactness over pruning)
+                return False
         elif kind == "geo":
             if itype != "geo" \
                     or imeta.get("lon_column") != payload.lon_key \
@@ -854,6 +953,13 @@ def filter_match_ids(spark, root: str, collection: str, flt,
         elif kind == "text":
             got = text_match_ids(spark, root, collection, key,
                                  payload.text, allow_stale=allow_stale)
+        elif kind == "text_prefix":
+            got = text_match_ids(spark, root, collection, key,
+                                 payload.text, allow_stale=allow_stale,
+                                 prefix=True)
+        elif kind == "phrase":
+            got = phrase_match_ids(spark, root, collection, key,
+                                   payload.text, allow_stale=allow_stale)
         elif kind == "geo":
             got = geo_match_ids(spark, root, collection, key,
                                 _geo_leaf_bbox(payload),
@@ -874,4 +980,9 @@ def filter_match_ids(spark, root: str, collection: str, flt,
         {k for k, _, kind in probes if kind == "range"},
         tuple(p for _, p, kind in probes if kind == "nested"),
         tuple(p for _, p, kind in probes if kind == "hasid"),
-        {k for k, _, kind in probes if kind == "text"})
+        # per-LEAF drops (structural equality): two text leaves on the
+        # same key may differ in index-resolvability (tokenizer
+        # mismatch, out-of-band tokens) — a key-level drop would
+        # silently erase the unanswered one
+        tuple(p for _, p, kind in probes
+              if kind in ("text", "phrase", "text_prefix")))

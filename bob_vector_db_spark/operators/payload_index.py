@@ -31,6 +31,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import tokenize_text_py
+
 from .index import (
     INDEX_META_FILE,
     _apply_masks,
@@ -141,21 +143,87 @@ def _nested_postings(df: DataFrame, id_col: str, column: str,
                                F.lit(n_val_buckets)).cast("int")))
 
 
-def _text_postings(df: DataFrame, id_col: str, column: str,
-                   n_val_buckets: int, gen: int) -> DataFrame:
-    """Token postings for a FULL-TEXT payload index (Qdrant's text index
-    type, word tokenizer + lowercase): one row per DISTINCT (point,
-    lowercase whitespace token), hash-bucketed by token — exactly the
-    keyword layout over the exploded token stream, so the probe shares
-    the keyword pruning shape.  The tokenization matches
-    :class:`filters.MatchText`'s predicate normalization (lower +
-    ``\\s+`` split), keeping index answers == scan answers."""
-    from ..functions.text import ws_tokens  # noqa: PLC0415
+# stored prefix lengths cap when the index sets no max_token_len — the
+# search-as-you-type band; longer query tokens fall back to the scan
+PREFIX_DEFAULT_MAX = 20
 
-    toks = (df.select(F.col(id_col).cast("string").alias("id"),
-                      F.explode(ws_tokens(F.lower(F.col(column))))
-                      .alias("val"))
-            .distinct())
+
+def _tokenize_expr(column: str, tokenizer: str, lowercase: bool):
+    """The token array of one text value under the index params — the
+    build/refresh-shared tokenization (driver-side probe mirror:
+    :func:`functions.text.tokenize_text_py`)."""
+    from ..functions.text import WORD_DELIMS, ws_tokens  # noqa: PLC0415
+
+    txt = F.col(column)
+    if lowercase:
+        txt = F.lower(txt)
+    if tokenizer == "word":
+        txt = F.translate(txt, WORD_DELIMS, " " * len(WORD_DELIMS))
+    return ws_tokens(txt)
+
+
+def _band_ok(toks: list[str], imeta: dict) -> bool:
+    """True when every probe token is inside the index's stored length
+    band — the postings are complete for it (token equality implies
+    equal length, so an in-band token's posting list can't miss)."""
+    lo = imeta.get("min_token_len")
+    hi = imeta.get("max_token_len")
+    return all((lo is None or len(t) >= lo)
+               and (hi is None or len(t) <= hi) for t in toks)
+
+
+def _text_postings(df: DataFrame, id_col: str, column: str,
+                   n_val_buckets: int, gen: int,
+                   tokenizer: str = "whitespace",
+                   lowercase: bool = True,
+                   min_token_len: int | None = None,
+                   max_token_len: int | None = None,
+                   phrase_matching: bool = False) -> DataFrame:
+    """Token postings for a FULL-TEXT payload index (Qdrant
+    ``TextIndexParams``: tokenizer word|whitespace|prefix, lowercase,
+    min/max token length, phrase_matching).
+
+    - ``whitespace`` (default): ``\\s+`` split — matches
+      :class:`filters.MatchText`'s scan normalization exactly.
+    - ``word``: ASCII punctuation also delimits (:data:`WORD_DELIMS`) —
+      matches ``MatchText(tokenizer='word')``.
+    - ``prefix``: every prefix of each whitespace token posts (length
+      band ``min_token_len``..``max_token_len``, default 1..20) — the
+      search-as-you-type index answering :class:`filters.MatchTextPrefix`.
+    - ``phrase_matching=True`` stores the token ORDINAL (``pos``) so
+      :class:`filters.MatchPhrase` resolves via shifted-position
+      intersection (Qdrant's positional postings); without it the
+      postings stay distinct (id, token) — smaller, MatchText-only.
+
+    One row per (point, token[, pos]), hash-bucketed by token — the
+    keyword layout over the exploded token stream, so probes share the
+    keyword pruning shape."""
+    base = df.select(F.col(id_col).cast("string").alias("id"),
+                     F.posexplode(_tokenize_expr(
+                         column, "whitespace" if tokenizer == "prefix"
+                         else tokenizer, lowercase))
+                     .alias("pos", "_tok"))
+    lo = min_token_len
+    hi = max_token_len
+    if tokenizer == "prefix":
+        lo = 1 if lo is None else int(lo)
+        hi = PREFIX_DEFAULT_MAX if hi is None else int(hi)
+        toks = (base.filter(F.length("_tok") >= lo)
+                .select("id", "pos", F.explode(F.transform(
+                    F.sequence(F.lit(lo),
+                               F.least(F.length("_tok"), F.lit(hi))),
+                    lambda i: F.col("_tok").substr(F.lit(1), i)))
+                    .alias("val")))
+    else:
+        toks = base.select("id", "pos", F.col("_tok").alias("val"))
+        if lo is not None:
+            toks = toks.filter(F.length("val") >= int(lo))
+        if hi is not None:
+            toks = toks.filter(F.length("val") <= int(hi))
+    if phrase_matching:
+        toks = toks.select("id", "val", "pos")
+    else:
+        toks = toks.select("id", "val").distinct()
     return (toks.filter(F.col("val").isNotNull())
             .withColumn("gen", F.lit(gen))
             .withColumn("val_bucket",
@@ -288,7 +356,12 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
                         index_type: str = "keyword",
                         fields: list[str] | None = None,
                         lon_column: str | None = None,
-                        cell_deg: float = 1.0) -> dict:
+                        cell_deg: float = 1.0,
+                        tokenizer: str = "whitespace",
+                        lowercase: bool = True,
+                        min_token_len: int | None = None,
+                        max_token_len: int | None = None,
+                        phrase_matching: bool = False) -> dict:
     """Materialize the inverted index for one payload column.
 
     ``index_type='keyword'`` (default): (val, id) postings hash-bucketed by
@@ -333,6 +406,27 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
         raise ValueError(
             "index_type='nested' needs fields=[...] — the element struct "
             "subfields to post")
+    if tokenizer not in ("whitespace", "word", "prefix"):
+        raise ValueError(
+            f"tokenizer {tokenizer!r} not one of "
+            f"('whitespace', 'word', 'prefix')")
+    if index_type == "text":
+        if phrase_matching and tokenizer == "prefix":
+            raise ValueError(
+                "phrase_matching needs token-aligned postings; the prefix "
+                "tokenizer posts every prefix of a token and cannot carry "
+                "phrase adjacency — use tokenizer='whitespace' or 'word'")
+        if min_token_len is not None and max_token_len is not None \
+                and int(min_token_len) > int(max_token_len):
+            raise ValueError(
+                f"min_token_len {min_token_len} > max_token_len "
+                f"{max_token_len}")
+    elif (tokenizer != "whitespace" or not lowercase
+          or min_token_len is not None or max_token_len is not None
+          or phrase_matching):
+        raise ValueError(
+            "tokenizer/lowercase/token-length/phrase_matching params "
+            "apply to index_type='text' only")
     meta = collection_meta(root, collection)
     if meta is None:
         raise ValueError(
@@ -396,8 +490,11 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
                 raise ValueError(
                     f"index_type='text' needs a string column; "
                     f"{column!r} is {dtype.simpleString()}")
-            post = _text_postings(data, id_col, column, n_val_buckets,
-                                  gen=0)
+            post = _text_postings(
+                data, id_col, column, n_val_buckets, gen=0,
+                tokenizer=tokenizer, lowercase=lowercase,
+                min_token_len=min_token_len, max_token_len=max_token_len,
+                phrase_matching=phrase_matching)
         elif index_type == "geo":
             if is_array or not _is_range_indexable(dtype) \
                     or lon_column not in data.columns:
@@ -426,6 +523,13 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
            if index_type == "nested" else {}),
         **({"lon_column": lon_column, "cell_deg": float(cell_deg)}
            if index_type == "geo" else {}),
+        **({"tokenizer": tokenizer, "lowercase": bool(lowercase),
+            "min_token_len": (None if min_token_len is None
+                              else int(min_token_len)),
+            "max_token_len": (None if max_token_len is None
+                              else int(max_token_len)),
+            "phrase_matching": bool(phrase_matching)}
+           if index_type == "text" else {}),
         "built_version": built_version,
         "generation": 0,
     }
@@ -463,8 +567,16 @@ def refresh_payload_index(spark: SparkSession, root: str, collection: str,
             post = _range_postings(fresh, id_col, imeta["column"],
                                    imeta.get("boundaries", []), gen=g)
         elif imeta.get("index_type", "keyword") == "text":
-            post = _text_postings(fresh, id_col, imeta["column"],
-                                  imeta["n_val_buckets"], gen=g)
+            # the persisted params drive the delta tokenization — a
+            # refresh must post new rows EXACTLY the way the build did
+            post = _text_postings(
+                fresh, id_col, imeta["column"], imeta["n_val_buckets"],
+                gen=g,
+                tokenizer=imeta.get("tokenizer", "whitespace"),
+                lowercase=bool(imeta.get("lowercase", True)),
+                min_token_len=imeta.get("min_token_len"),
+                max_token_len=imeta.get("max_token_len"),
+                phrase_matching=bool(imeta.get("phrase_matching", False)))
         elif imeta.get("index_type", "keyword") == "geo":
             post = _geo_postings(fresh, id_col, imeta["column"],
                                  imeta["lon_column"],
@@ -554,17 +666,8 @@ def payload_match_ids(spark: SparkSession, root: str, collection: str,
     return _apply_masks(spark, ipath, post, "id").select("id", "val")
 
 
-def text_match_ids(spark: SparkSession, root: str, collection: str,
-                   column: str, text: str,
-                   allow_stale: bool = False) -> DataFrame:
-    """Ids whose ``column`` contains EVERY whitespace token of ``text``
-    (the :class:`filters.MatchText` semantics), resolved from a
-    FULL-TEXT payload index: the query tokens' hash buckets become a
-    static ``val_bucket IN (...)`` partition filter, the pushed
-    ``val IN (tokens)`` predicate narrows inside them, and a per-id
-    distinct-token count == |tokens| keeps exactly the ids carrying all
-    of them — the Qdrant text payload index resolving a MatchText
-    filter, over only the probed token buckets."""
+def _text_index_meta_checked(root: str, collection: str, column: str,
+                             allow_stale: bool) -> dict:
     imeta = payload_index_meta(root, collection, column)
     if imeta is None:
         raise ValueError(
@@ -582,24 +685,119 @@ def text_match_ids(spark: SparkSession, root: str, collection: str,
             f"version {imeta['built_version']} but the collection is at "
             f"{collection_version(root, collection)}; refresh_payload_index "
             f"absorbs the mutations (or rebuild)")
-    toks = sorted({t for t in str(text).lower().split() if t})
+    return imeta
+
+
+def _pruned_token_postings(spark: SparkSession, root: str, collection: str,
+                           column: str, imeta: dict,
+                           toks: list[str]) -> DataFrame | None:
+    """The masked posting rows for ``toks``: the tokens' hash buckets
+    become a static ``val_bucket IN (...)`` partition filter with the
+    pushed ``val IN (tokens)`` predicate inside — only the probed token
+    buckets are ever read.  None when the index is empty."""
     ipath = index_path(root, collection, _payload_index_name(column))
     pdir = os.path.join(ipath, "postings")
-    if not toks or not os.path.isdir(pdir):
-        return spark.createDataFrame([], "id string")
+    if not os.path.isdir(pdir):
+        return None
     n = imeta["n_val_buckets"]
+    uniq = sorted(set(toks))
     row = spark.range(1).select(
         *[F.pmod(F.xxhash64(F.lit(t)), F.lit(n)).cast("int")
-          .alias(f"b{i}") for i, t in enumerate(toks)]).first()
-    buckets = sorted({row[f"b{i}"] for i in range(len(toks))})
+          .alias(f"b{i}") for i, t in enumerate(uniq)]).first()
+    buckets = sorted({row[f"b{i}"] for i in range(len(uniq))})
     post = (spark.read.parquet(pdir)
             .filter(F.col("val_bucket").isin(buckets))
-            .filter(F.col("val").isin(toks)))
-    post = _apply_masks(spark, ipath, post, "id")
+            .filter(F.col("val").isin(uniq)))
+    return _apply_masks(spark, ipath, post, "id")
+
+
+def text_match_ids(spark: SparkSession, root: str, collection: str,
+                   column: str, text: str,
+                   allow_stale: bool = False,
+                   prefix: bool = False) -> DataFrame:
+    """Ids whose ``column`` contains EVERY token of ``text`` under the
+    INDEX's tokenizer params (the :class:`filters.MatchText` semantics —
+    or, with ``prefix=True`` over a prefix-tokenized index, ids where
+    every query token is a PREFIX of some value token:
+    :class:`filters.MatchTextPrefix`).  The query tokens' hash buckets
+    become a static ``val_bucket IN (...)`` partition filter, the pushed
+    ``val IN (tokens)`` predicate narrows inside them, and a per-id
+    distinct-token count == |tokens| keeps exactly the ids carrying all
+    of them — over only the probed token buckets.
+
+    INDEX semantics throughout: a query token outside the index's
+    stored length band matches nothing here (it was never posted); the
+    filter ROUTER refuses to route such leaves, keeping routed answers
+    == scan answers."""
+    imeta = _text_index_meta_checked(root, collection, column, allow_stale)
+    itok = imeta.get("tokenizer", "whitespace")
+    if prefix != (itok == "prefix"):
+        what = ("a PREFIX probe needs prefix-tokenized postings"
+                if prefix else
+                "a full-token probe cannot use prefix-tokenized postings")
+        raise ValueError(
+            f"payload index for {collection!r}/{column!r} uses the "
+            f"{itok!r} tokenizer — {what} (every prefix posts, which "
+            f"would silently change MatchText's whole-token meaning)")
+    toks = tokenize_text_py(text, "whitespace" if prefix else itok,
+                         bool(imeta.get("lowercase", True)))
+    if prefix:
+        # prefix postings store prefixes in [min_token_len ..
+        # max_token_len] (defaults 1..PREFIX_DEFAULT_MAX); clamp the
+        # band check to that stored range
+        lo = imeta.get("min_token_len") or 1
+        hi = imeta.get("max_token_len") or PREFIX_DEFAULT_MAX
+        band = {"min_token_len": lo, "max_token_len": hi}
+    else:
+        band = imeta
+    if not toks or not _band_ok(toks, band):
+        return spark.createDataFrame([], "id string")
+    post = _pruned_token_postings(spark, root, collection, column, imeta,
+                                  toks)
+    if post is None:
+        return spark.createDataFrame([], "id string")
     return (post.groupBy("id")
             .agg(F.count_distinct("val").alias("_nt"))
-            .filter(F.col("_nt") == len(toks))
+            .filter(F.col("_nt") == len(set(toks)))
             .select("id"))
+
+
+def phrase_match_ids(spark: SparkSession, root: str, collection: str,
+                     column: str, text: str,
+                     allow_stale: bool = False) -> DataFrame:
+    """Ids whose ``column`` contains the tokens of ``text`` IN ORDER AND
+    ADJACENT (the :class:`filters.MatchPhrase` semantics), resolved from
+    a text index built with ``phrase_matching=True`` — positional
+    postings, Qdrant's phrase-matching text index.
+
+    The plan is the shifted-position intersection: token *i*'s postings
+    project ``(id, pos - i)``; a phrase occurrence is one ``(id, base)``
+    pair present in ALL of them, so the per-token frames (already pruned
+    to the probed token buckets) chain through ``(id, base)`` semi-joins
+    — positions make the answer EXACT (the router drops the leaf), and
+    nothing but the phrase tokens' buckets is ever read."""
+    imeta = _text_index_meta_checked(root, collection, column, allow_stale)
+    if not bool(imeta.get("phrase_matching", False)):
+        raise ValueError(
+            f"payload index for {collection!r}/{column!r} has no "
+            f"positional postings; rebuild with build_payload_index("
+            f"index_type='text', phrase_matching=True) to resolve "
+            f"MatchPhrase through it")
+    toks = tokenize_text_py(text, imeta.get("tokenizer", "whitespace"),
+                         bool(imeta.get("lowercase", True)))
+    if not toks or not _band_ok(toks, imeta):
+        return spark.createDataFrame([], "id string")
+    post = _pruned_token_postings(spark, root, collection, column, imeta,
+                                  toks)
+    if post is None:
+        return spark.createDataFrame([], "id string")
+    inter = None
+    for i, t in enumerate(toks):
+        frame = (post.filter(F.col("val") == t)
+                 .select("id", (F.col("pos") - F.lit(i)).alias("_base")))
+        inter = frame if inter is None else \
+            inter.join(frame, ["id", "_base"], "left_semi")
+    return inter.select("id").distinct()
 
 
 def _range_probe(spark: SparkSession, root: str, collection: str,

@@ -788,3 +788,174 @@ def test_text_index_agrees_with_scan_on_exotic_whitespace(spark, tmp_path):
     flt = Filter(must=[MatchText("body", "alpha gamma")])
     assert query_api.count_points(spark, root, "c", flt=flt,
                                   use_payload_index=False) == 4
+
+
+def test_text_index_tokenizer_param_matrix(spark, tmp_path):
+    """Qdrant TextIndexParams honored by build, refresh AND probe:
+    tokenizer word|whitespace|prefix, lowercase toggle, min/max token
+    length.  For every routable config, indexed answers == scan answers
+    (count via 'always' == count via False); configs the scan form
+    cannot mirror (case-sensitive index, out-of-band tokens) refuse to
+    route instead of answering differently."""
+    from bob_vector_db_spark.operators import query_api
+    from bob_vector_db_spark.operators.filters import (
+        Filter, MatchText, MatchTextPrefix, filter_match_ids)
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(0, "Alpha-beta GAMMA!"), (1, "alphabet soup"),
+         (2, "say alpha, then beta"), (3, "beta alpha"),
+         (4, None), (5, "ab cd alpha"), (6, "verylongtokenindeed beta")],
+        "id long, body string")
+
+    def mk(name, **params):
+        upsert.create_collection(spark, root, name, df=df, id_col="id",
+                                 n_buckets=2)
+        build_payload_index(spark, root, name, "body", n_val_buckets=8,
+                            index_type="text", **params)
+
+    # -- word tokenizer: punctuation delimits on both paths
+    mk("w", tokenizer="word")
+    flt = Filter(must=[MatchText("body", "alpha beta", tokenizer="word")])
+    ids, residual = filter_match_ids(spark, root, "w", flt)
+    assert ids is not None and residual == Filter()
+    n_idx = query_api.count_points(spark, root, "w", flt=flt,
+                                   use_payload_index="always")
+    n_scan = query_api.count_points(spark, root, "w", flt=flt,
+                                    use_payload_index=False)
+    assert n_idx == n_scan == 3  # ids 0, 2, 3
+    # a WHITESPACE-tokenized leaf must NOT route through the word index
+    ws_leaf = Filter(must=[MatchText("body", "alpha beta")])
+    ids2, res2 = filter_match_ids(spark, root, "w", ws_leaf)
+    assert ids2 is None and res2 == ws_leaf
+    assert query_api.count_points(spark, root, "w", flt=ws_leaf,
+                                  use_payload_index="auto") == \
+        query_api.count_points(spark, root, "w", flt=ws_leaf,
+                               use_payload_index=False) == 1  # id 3
+
+    # -- length band: in-band tokens route, out-of-band fall back
+    mk("b", min_token_len=3, max_token_len=10)
+    inband = Filter(must=[MatchText("body", "alpha")])
+    ids3, res3 = filter_match_ids(spark, root, "b", inband)
+    assert ids3 is not None and res3 == Filter()
+    assert query_api.count_points(spark, root, "b", flt=inband,
+                                  use_payload_index="always") == \
+        query_api.count_points(spark, root, "b", flt=inband,
+                               use_payload_index=False)
+    for text in ("ab", "verylongtokenindeed", "alpha ab"):
+        f = Filter(must=[MatchText("body", text)])
+        got, res = filter_match_ids(spark, root, "b", f)
+        assert got is None and res == f, text
+        assert query_api.count_points(spark, root, "b", flt=f,
+                                      use_payload_index="auto") == \
+            query_api.count_points(spark, root, "b", flt=f,
+                                   use_payload_index=False)
+
+    # -- case-sensitive index never routes the (lowercasing) scan leaf,
+    #    but the build honors the toggle: 'GAMMA' posts verbatim
+    mk("c", lowercase=False)
+    f = Filter(must=[MatchText("body", "alpha")])
+    got, res = filter_match_ids(spark, root, "c", f)
+    assert got is None and res == f
+    from bob_vector_db_spark.operators.payload_index import (
+        _pruned_token_postings, payload_index_meta)
+    imeta = payload_index_meta(root, "c", "body")
+    assert imeta["lowercase"] is False
+    post = _pruned_token_postings(spark, root, "c", "body", imeta,
+                                  ["GAMMA!", "gamma"])
+    vals = {r["val"] for r in post.collect()}
+    assert vals == {"GAMMA!"}
+
+    # -- prefix tokenizer answers MatchTextPrefix (search-as-you-type)
+    mk("p", tokenizer="prefix")
+    pf = Filter(must=[MatchTextPrefix("body", "alp")])
+    ids4, res4 = filter_match_ids(spark, root, "p", pf)
+    assert ids4 is not None and res4 == Filter()
+    n_idx = query_api.count_points(spark, root, "p", flt=pf,
+                                   use_payload_index="always")
+    n_scan = query_api.count_points(spark, root, "p", flt=pf,
+                                    use_payload_index=False)
+    assert n_idx == n_scan == 5  # 0, 1, 2 'alpha,', 3, 5
+    # whole-token MatchText never routes through prefix postings
+    f = Filter(must=[MatchText("body", "alpha")])
+    got, res = filter_match_ids(spark, root, "p", f)
+    assert got is None and res == f
+    # beyond the stored prefix cap (default 20) falls back to the scan
+    longleaf = Filter(must=[MatchTextPrefix("body", "x" * 25)])
+    got, res = filter_match_ids(spark, root, "p", longleaf)
+    assert got is None and res == longleaf
+
+    # -- params survive refresh: delta rows tokenize the same way
+    upsert.upsert(spark, root, "p", spark.createDataFrame(
+        [(100, "ALPINE start")], "id long, body string"))
+    refresh_payload_index(spark, root, "p", "body")
+    n_idx = query_api.count_points(spark, root, "p", flt=pf,
+                                   use_payload_index="always")
+    n_scan = query_api.count_points(spark, root, "p", flt=pf,
+                                    use_payload_index=False)
+    assert n_idx == n_scan == 6
+
+
+def test_phrase_index_routes_match_phrase(spark, tmp_path):
+    """MatchPhrase resolves EXACTLY through positional postings
+    (phrase_matching=True): shifted-position intersection over only the
+    phrase tokens' buckets, leaf dropped from the residual, same answers
+    as the scan through churn; an index without positions keeps the
+    leaf residual."""
+    from bob_vector_db_spark.operators import query_api
+    from bob_vector_db_spark.operators.filters import (
+        Filter, MatchPhrase, filter_match_ids)
+    from bob_vector_db_spark.operators.payload_index import (
+        phrase_match_ids)
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, ["hello world again", "world hello", "say hello  world now",
+              "hello around the world", "world\thello world"][i % 5])
+         for i in range(50)],
+        "id long, body string")
+    upsert.create_collection(spark, root, "c", df=df, id_col="id",
+                             n_buckets=4)
+    build_payload_index(spark, root, "c", "body", n_val_buckets=16,
+                        index_type="text", phrase_matching=True)
+    flt = Filter(must=[MatchPhrase("body", "hello world")])
+    ids, residual = filter_match_ids(spark, root, "c", flt)
+    assert ids is not None and residual == Filter(), \
+        "positions make the phrase answer exact — the leaf must drop"
+    want = {str(r["id"]) for r in df.filter(flt.to_column()).collect()}
+    assert {r["id"] for r in ids.collect()} == want and want
+    # the probe reads only the phrase tokens' buckets
+    probe = phrase_match_ids(spark, root, "c", "body", "hello world")
+    assert_partition_filters(probe, "val_bucket")
+    # count/search parity
+    n_idx = query_api.count_points(spark, root, "c", flt=flt,
+                                   use_payload_index="always")
+    n_scan = query_api.count_points(spark, root, "c", flt=flt,
+                                    use_payload_index=False)
+    assert n_idx == n_scan == len(want)
+    # repeated-token phrase and order-sensitivity
+    f2 = Filter(must=[MatchPhrase("body", "world hello world")])
+    got2 = {r["id"] for r in filter_match_ids(spark, root, "c", f2)[0]
+            .collect()}
+    want2 = {str(r["id"]) for r in df.filter(f2.to_column()).collect()}
+    assert got2 == want2 and want2  # only the 'world hello world' rows
+    # churn: rewrite a matching doc, add a new match, delete one
+    upsert.upsert(spark, root, "c", spark.createDataFrame(
+        [(0, "nothing here"), (500, "HELLO  world wide")],
+        "id long, body string"))
+    upsert.delete_points(spark, root, "c", [5])
+    refresh_payload_index(spark, root, "c", "body")
+    got3 = {r["id"] for r in filter_match_ids(spark, root, "c", flt)[0]
+            .collect()}
+    want3 = (want - {"0", "5"}) | {"500"}
+    assert got3 == want3
+    # an index WITHOUT positions keeps the phrase leaf residual
+    root2 = str(tmp_path / "store2")
+    upsert.create_collection(spark, root2, "c", df=df, id_col="id",
+                             n_buckets=4)
+    build_payload_index(spark, root2, "c", "body", n_val_buckets=16,
+                        index_type="text")
+    got, res = filter_match_ids(spark, root2, "c", flt)
+    assert got is None and res == flt
+    with pytest.raises(ValueError, match="positional"):
+        phrase_match_ids(spark, root2, "c", "body", "hello world")
