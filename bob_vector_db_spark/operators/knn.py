@@ -210,14 +210,16 @@ def search_collection(
             metric_ok = metric is None or (
                 imeta is not None
                 and resolve_metric(metric) == imeta.get("metric"))
-            kind_ok = imeta is not None and imeta.get("kind") == "ivf_mv"
+            kind_ok = imeta is not None and \
+                imeta.get("kind") in ("ivf_mv", "ivf_mv_sq")
             if use_index == "always":
                 if not kind_ok or not fresh or not metric_ok:
                     raise ValueError(
                         f"use_index='always' but the multivector index for "
                         f"{collection!r}/{vector_name!r} is "
                         + ("absent" if imeta is None
-                           else f"kind {imeta['kind']!r} (need 'ivf_mv')"
+                           else f"kind {imeta['kind']!r} (need 'ivf_mv' "
+                           f"or 'ivf_mv_sq')"
                            if not kind_ok
                            else "stale" if not fresh
                            else f"built for metric {imeta['metric']!r}")

@@ -959,3 +959,71 @@ def test_phrase_index_routes_match_phrase(spark, tmp_path):
     assert got is None and res == flt
     with pytest.raises(ValueError, match="positional"):
         phrase_match_ids(spark, root2, "c", "body", "hello world")
+
+
+def test_scroll_order_by_opens_from_range_index(spark, tmp_path):
+    """Keyset-over-index (r9, VERDICT r8 next #6): an order_by scroll
+    over a range-indexed column opens each page from the value-ordered
+    postings — the cursor's bucket window, not a full sort — and the
+    paged walk is IDENTICAL to the scan walk, including around NULL
+    order values (which only the scan can see: the index path declines
+    and falls back exactly there)."""
+    from pyspark.sql import functions as F2
+    from bob_vector_db_spark.operators import query_api
+    from bob_vector_db_spark.operators.payload_index import (
+        _range_window_frame, index_path, range_ordered_page)
+
+    root = str(tmp_path / "store")
+    rows = [(i, None if i % 11 == 10 else float((i * 37) % 100))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    upsert.create_collection(spark, root, "c", df=df, id_col="id",
+                             n_buckets=4)
+    build_payload_index(spark, root, "c", "v", n_val_buckets=8,
+                        index_type="range")
+
+    def walk(use_idx, start_from=None, descending=False):
+        seen, cursor = [], None
+        for _ in range(100):
+            page, cursor = query_api.scroll_points(
+                spark, root, "c", limit=7, order_by="v", cursor=cursor,
+                start_from=start_from, descending=descending,
+                return_cursor=True, use_payload_index=use_idx)
+            seen.extend((r["v"], r["id"]) for r in page.collect())
+            if cursor is None:
+                break
+        return seen
+
+    for kwargs in ({"start_from": 30.0},
+                   {"start_from": 55.0, "descending": True}):
+        got = walk("auto", **kwargs)
+        want = walk(False, **kwargs)
+        assert got == want and got, kwargs
+
+    # the page probe itself: ids come from the index, and the window
+    # frame prunes val_bucket partitions
+    ids = range_ordered_page(spark, root, "c", "v", 7,
+                             start_from=30.0, id_type="long")
+    assert ids is not None and ids.count() == 7
+    direct = {r["id"] for r in ids.collect()}
+    want_ids = {str(r["id"]) for r in
+                df.filter("v >= 30.0").orderBy(F2.asc("v"), F2.asc("id"))
+                .limit(7).collect()}
+    assert direct == want_ids
+    ipath = index_path(root, "c", "v__payload")
+    import os
+    frame = _range_window_frame(spark, ipath,
+                                os.path.join(ipath, "postings"),
+                                [0, 1], F2.lit(True))
+    assert_partition_filters(frame, "val_bucket")
+    # a cursor with a NULL value leg declines (the scan pages the run)
+    assert range_ordered_page(spark, root, "c", "v", 7,
+                              cursor=(None, 3), id_type="long") is None
+    # staleness declines too
+    upsert.delete_points(spark, root, "c", [0])
+    assert range_ordered_page(spark, root, "c", "v", 7,
+                              start_from=30.0, id_type="long") is None
+    refresh_payload_index(spark, root, "c", "v")
+    got = walk("auto", start_from=30.0)
+    want = walk(False, start_from=30.0)
+    assert got == want
