@@ -72,9 +72,10 @@ def tokenize_text_py(text: str, tokenizer: str = "whitespace",
         s = s.lower()
     if tokenizer == "word":
         s = s.translate({ord(c): " " for c in WORD_DELIMS})
-    # the exact Java \s class ws_tokens splits on — Python str.split()
-    # would also split on Unicode spaces the build does not
-    return [t for t in re.split("[ \t\n\x0b\x0c\r]+", s) if t]
+    # the exact Java \s class ws_tokens splits on (Python str.split()
+    # would also split on Unicode spaces the build does not), plus
+    # chr(1) — the phrase collapse marker is a delimiter on every path
+    return [t for t in re.split("[ \t\n\x0b\x0c\r\x01]+", s) if t]
 
 
 def bpe_tokens(text: Column) -> Column:

@@ -312,28 +312,38 @@ class ValuesCount:
         return "(" + " AND ".join(parts) + ")"
 
 
-def _ws_norm_sql(k: str, tokenizer: str = "whitespace") -> str:
-    """``k`` lowercased with every token delimiter become a space, space-
-    wrapped — the scan-side image of the text index's tokenization.
+def _delim_norm_sql(k: str, tokenizer: str = "whitespace") -> str:
+    """``k`` lowercased with every token delimiter become a space (NOT
+    space-wrapped) — the scan-side image of the text tokenization.
     Whitespace-normalize via replace/chr (NOT regexp or LIKE: Spark
     parses backslash escapes inside SQL string literals and DuckDB does
     not, and the two disagree on LIKE's default escape char — instr over
-    a space-delimited copy needs neither).  The full Java \\s class —
-    the text index tokenizes with \\s+ (ws_tokens), so the scan must
-    treat vertical-tab (11) and form-feed (12) as delimiters too or
-    indexed answers diverge from scan answers on values containing them.
-    ``tokenizer='word'`` additionally maps ASCII punctuation to spaces
-    via ``translate`` (:func:`functions.text.word_translate_sql` — the
-    one global character mapping the shared dialect offers)."""
+    a space-delimited copy needs neither).  The delimiter class is the
+    full Java \\s (the text index tokenizes with \\s+; vertical-tab (11)
+    and form-feed (12) included or indexed answers diverge from scan
+    answers) PLUS chr(1): MatchPhrase's run-collapse needs a marker
+    character that provably cannot appear in the text, so chr(1) is a
+    token delimiter EVERYWHERE — scan forms, index build and probe —
+    keeping all four paths on one tokenization (r9 review finding: the
+    phrase scan alone normalizing chr(1) silently diverged from the
+    positional postings).  ``tokenizer='word'`` additionally maps ASCII
+    punctuation to spaces via ``translate``
+    (:func:`functions.text.word_translate_sql` — the one global
+    character mapping the shared dialect offers)."""
     from ..functions.text import word_translate_sql  # noqa: PLC0415
 
     base = f"lower({k})"
     if tokenizer == "word":
         base = word_translate_sql(base)
-    return (f"(' ' || replace(replace(replace(replace(replace("
+    return (f"replace(replace(replace(replace(replace(replace("
             f"{base}, "
             f"chr(9), ' '), chr(10), ' '), chr(11), ' '), "
-            f"chr(12), ' '), chr(13), ' ') || ' ')")
+            f"chr(12), ' '), chr(13), ' '), chr(1), ' ')")
+
+
+def _ws_norm_sql(k: str, tokenizer: str = "whitespace") -> str:
+    """:func:`_delim_norm_sql`, space-wrapped for anchored instr tests."""
+    return f"(' ' || {_delim_norm_sql(k, tokenizer)} || ' ')"
 
 
 def _text_toks(text: str, tokenizer: str) -> list[str]:
@@ -418,23 +428,14 @@ class MatchPhrase:
                 f"('whitespace', 'word')")
 
     def to_sql(self) -> str:
-        from ..functions.text import word_translate_sql  # noqa: PLC0415
-
         toks = _text_toks(self.text, self.tokenizer)
         if not toks:
             return "TRUE"
-        k = _ident(self.key)
-        inner = f"lower({k})"
-        if self.tokenizer == "word":
-            # punctuation becomes spaces BEFORE the collapse, so word-
-            # token adjacency ('alpha-beta' → 'alpha beta') matches the
-            # positional index's ordinals
-            inner = word_translate_sql(inner)
-        base = (f"replace(replace(replace(replace(replace(replace("
-                f"{inner}, "
-                f"chr(9), ' '), chr(10), ' '), chr(11), ' '), "
-                f"chr(12), ' '), chr(13), ' '), "
-                f"chr(1), ' ')")
+        # one delimiter pass shared with MatchText (chr(1) is a
+        # delimiter there too, so it is free as the collapse marker),
+        # then runs of spaces collapse to one — adjacency is
+        # token-based, matching the positional index's ordinals
+        base = _delim_norm_sql(_ident(self.key), self.tokenizer)
         collapsed = (f"replace(replace(replace({base}, ' ', ' ' || chr(1)), "
                      f"chr(1) || ' ', ''), chr(1), '')")
         norm = f"(' ' || {collapsed} || ' ')"
@@ -833,7 +834,6 @@ def filter_match_ids(spark, root: str, collection: str, flt,
     """
     from ..functions.text import tokenize_text_py  # noqa: PLC0415
     from .payload_index import (  # noqa: PLC0415
-        PREFIX_DEFAULT_MAX,
         _band_ok,
         geo_match_ids,
         nested_match_ids,
@@ -841,6 +841,7 @@ def filter_match_ids(spark, root: str, collection: str, flt,
         payload_match_ids,
         payload_range_match_ids,
         phrase_match_ids,
+        prefix_band,
         text_match_ids,
     )
     from .upsert import collection_version  # noqa: PLC0415
@@ -875,6 +876,12 @@ def filter_match_ids(spark, root: str, collection: str, flt,
         elif kind in ("text", "phrase", "text_prefix"):
             if itype != "text":
                 return False  # these need the TOKEN posting layout
+            if "tokenizer" not in imeta:
+                # pre-r9 meta: postings were tokenized without the
+                # chr(1) delimiter and carry no param surface — routed
+                # answers could diverge from today's scan forms; stay
+                # residual until the index is rebuilt
+                return False
             if not bool(imeta.get("lowercase", True)):
                 # the scan forms lowercase unconditionally; a case-
                 # sensitive index answers a different predicate
@@ -884,9 +891,7 @@ def filter_match_ids(spark, root: str, collection: str, flt,
                 if itok != "prefix":
                     return False  # needs prefix postings
                 toks = tokenize_text_py(payload.text, "whitespace")
-                band = {"min_token_len": imeta.get("min_token_len") or 1,
-                        "max_token_len": (imeta.get("max_token_len")
-                                          or PREFIX_DEFAULT_MAX)}
+                band = prefix_band(imeta)
             else:
                 if itok != payload.tokenizer:
                     # whole-token leaves never resolve through prefix

@@ -62,7 +62,10 @@ from .upsert import (
 
 INDEX_DIR = "_index"
 INDEX_META_FILE = "meta.json"
-VALID_KINDS = ("ivf", "pq", "ivf_pq", "ivf_sq", "ivf_mv", "ivf_mv_sq")
+# the multivector artifact family — ONE spelling (knn.py dispatch and
+# every kind branch import it; a new mv variant extends it here only)
+MV_KINDS = ("ivf_mv", "ivf_mv_sq")
+VALID_KINDS = ("ivf", "pq", "ivf_pq", "ivf_sq", *MV_KINDS)
 
 
 def _index_name(vector_name: str, tenant: str | None = None) -> str:
@@ -192,7 +195,7 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
         "generation": 0,
     }
     data = corpus
-    is_mv = kind in ("ivf_mv", "ivf_mv_sq")
+    is_mv = kind in MV_KINDS
     if is_mv:
         # MULTIVECTOR ANN artifact (VERDICT r7 missing #2): coarse IVF
         # over the MEAN-POOLED token vectors — the pooled point is the
@@ -573,7 +576,7 @@ def refresh_vector_index(spark: SparkSession, root: str, collection: str,
         data = fresh.select(id_col, vn).filter(F.col(vn).isNotNull())
         data_dir = os.path.join(ipath, "data")
         geng = F.lit(g).alias("gen")
-        if kind in ("ivf_mv", "ivf_mv_sq"):
+        if kind in MV_KINDS:
             # pool with the same expression the build used, assign with
             # the STORED centroids (and for ivf_mv_sq encode with the
             # STORED sq params) — no retraining on a delta
@@ -716,6 +719,10 @@ def _probed_list_filter(queries: DataFrame, query_vec: str, centroids,
         raise ValueError(
             f"search_indexed computes probe lists driver-side; got "
             f">{max_queries} queries — raise max_queries or batch the input")
+    # a NULL query vector probes no lists (it can never score in the
+    # join either — probe_lists_udf emits [] for it); np.asarray over a
+    # list containing None would crash the driver
+    vecs = [v for v in vecs if v is not None]
     if not vecs:
         return []
     ids = quantize.probe_list_ids(vecs, centroids, n_probe)
@@ -812,7 +819,7 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
             corpus_vec=vector_name, exclude_self=exclude_self,
             round_to=round_to, metric=metric)
 
-    if kind in ("ivf_mv", "ivf_mv_sq"):
+    if kind in MV_KINDS:
         # multivector search through the artifact: probe lists by the
         # POOLED query, rank candidates on the stored pooled vectors —
         # or their DEQUANTIZED int8 codes (ivf_mv_sq: pure codegen, the
@@ -826,9 +833,23 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
             F.col(query_id).alias("qid"),
             F.col(query_vec).alias("_qvs"),
             vector.mean_pool(F.col(query_vec)).alias("_qpool"))
-        probed = _probed_list_filter(
-            qp.filter(F.size("_qvs") != 0), "_qpool", cents, n_probe,
-            max_queries)
+        # ONE capped collect serves both driver-side needs: the static
+        # probe set (non-NULL pooled vectors — a NULL pool, from a NULL
+        # list or a NULL token inside one, probes nothing, matching the
+        # exact fold) and the empty-token qid set; the cap fails loudly
+        # like _probed_list_filter
+        qinfo = (qp.select("qid", "_qpool", F.size("_qvs").alias("_nt"))
+                 .limit(max_queries + 1).collect())
+        if len(qinfo) > max_queries:
+            raise ValueError(
+                f"search_indexed computes probe lists driver-side; got "
+                f">{max_queries} queries — raise max_queries or batch "
+                f"the input")
+        pool_vecs = [r["_qpool"] for r in qinfo
+                     if r["_qpool"] is not None]
+        probed = (sorted({int(x) for row in quantize.probe_list_ids(
+            pool_vecs, cents, n_probe) for x in row})
+            if pool_vecs else [])
         pruned = _narrow(_apply_masks(
             spark, ipath, data.filter(F.col("list_id").isin(probed)), id_col
         ).drop("gen"))
@@ -850,18 +871,22 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
         # corpus side, so even NULL-vector points score), returning the
         # k lowest vec_ids.  Mirror that contract off the collection's
         # id column (tenant-pruned scan of one column; NULL token lists
-        # stay dropped, matching the expression fold).  The branch costs
-        # nothing when no empty query exists — one capped collect of a
-        # size()==0 filter.
-        empty_rows = (qp.filter(F.size("_qvs") == 0).select("qid")
-                      .limit(max_queries).collect())
+        # stay dropped, matching the expression fold).  The qid set
+        # rides the SAME capped collect as the probe — no extra job on
+        # the common no-empty-query path.
+        empty_rows = [(r["qid"],) for r in qinfo if r["_nt"] == 0]
         if empty_rows:
             empty_qids = spark.createDataFrame(
                 empty_rows, qp.select("qid").schema)
             allpts = _narrow(read_collection(spark, root, collection,
                                              tenant=tenant))
-            zero = (allpts.select(F.col(id_col).alias("vec_id"))
-                    .crossJoin(F.broadcast(empty_qids))
+            # every sim is identically 0.0, so the page is just the k
+            # lowest vec_ids: take k+1 ONCE (covering one possible
+            # self-exclusion per qid) instead of window-sorting the
+            # whole collection per empty query
+            low = (allpts.select(F.col(id_col).alias("vec_id"))
+                   .orderBy(F.asc("vec_id")).limit(k + 1))
+            zero = (low.crossJoin(F.broadcast(empty_qids))
                     .withColumn("sim", F.lit(0.0)))
             if exclude_self:
                 zero = zero.filter(F.col("qid") != F.col("vec_id"))

@@ -210,8 +210,9 @@ def search_collection(
             metric_ok = metric is None or (
                 imeta is not None
                 and resolve_metric(metric) == imeta.get("metric"))
-            kind_ok = imeta is not None and \
-                imeta.get("kind") in ("ivf_mv", "ivf_mv_sq")
+            from .index import MV_KINDS  # noqa: PLC0415
+
+            kind_ok = imeta is not None and imeta.get("kind") in MV_KINDS
             if use_index == "always":
                 if not kind_ok or not fresh or not metric_ok:
                     raise ValueError(

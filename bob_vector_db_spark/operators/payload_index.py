@@ -157,9 +157,24 @@ def _tokenize_expr(column: str, tokenizer: str, lowercase: bool):
     txt = F.col(column)
     if lowercase:
         txt = F.lower(txt)
+    # chr(1) delimits on EVERY path (scan forms, build, probe) — it is
+    # the phrase collapse marker, so it must never survive inside a
+    # token (filters._delim_norm_sql documents the convention)
+    txt = F.translate(txt, "\x01", " ")
     if tokenizer == "word":
         txt = F.translate(txt, WORD_DELIMS, " " * len(WORD_DELIMS))
     return ws_tokens(txt)
+
+
+def prefix_band(imeta: dict) -> dict:
+    """The length band of the PREFIXES a prefix-tokenized index stored
+    (build defaults: 1..PREFIX_DEFAULT_MAX) — the ONE definition the
+    router and the probe both check against (r9 review finding: two
+    drifting copies would silently break routed-answer exactness)."""
+    lo = imeta.get("min_token_len")
+    hi = imeta.get("max_token_len")
+    return {"min_token_len": 1 if lo is None else int(lo),
+            "max_token_len": PREFIX_DEFAULT_MAX if hi is None else int(hi)}
 
 
 def _band_ok(toks: list[str], imeta: dict) -> bool:
@@ -416,6 +431,13 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
                 "phrase_matching needs token-aligned postings; the prefix "
                 "tokenizer posts every prefix of a token and cannot carry "
                 "phrase adjacency — use tokenizer='whitespace' or 'word'")
+        for nm, v in (("min_token_len", min_token_len),
+                      ("max_token_len", max_token_len)):
+            if v is not None and int(v) < 1:
+                raise ValueError(
+                    f"{nm} must be >= 1, got {v} (a zero-length token "
+                    f"never posts; the prefix build would emit junk '' "
+                    f"postings no probe can read)")
         if min_token_len is not None and max_token_len is not None \
                 and int(min_token_len) > int(max_token_len):
             raise ValueError(
@@ -678,6 +700,15 @@ def _text_index_meta_checked(root: str, collection: str, column: str,
             f"payload index for {collection!r}/{column!r} is "
             f"{imeta.get('index_type', 'keyword')!r}, not 'text'; rebuild "
             f"with build_payload_index(index_type='text')")
+    if "tokenizer" not in imeta:
+        # a meta without tokenizer params predates the r9 tokenization
+        # (no chr(1) delimiter, no param surface): its postings may
+        # disagree with the current scan forms — built_version only
+        # tracks DATA freshness, so gate on the format explicitly
+        raise ValueError(
+            f"text payload index for {collection!r}/{column!r} was built "
+            f"by an older format without tokenizer params; rebuild with "
+            f"build_payload_index(index_type='text', ...)")
     if not allow_stale and int(imeta["built_version"]) != \
             collection_version(root, collection):
         raise ValueError(
@@ -741,15 +772,7 @@ def text_match_ids(spark: SparkSession, root: str, collection: str,
             f"would silently change MatchText's whole-token meaning)")
     toks = tokenize_text_py(text, "whitespace" if prefix else itok,
                          bool(imeta.get("lowercase", True)))
-    if prefix:
-        # prefix postings store prefixes in [min_token_len ..
-        # max_token_len] (defaults 1..PREFIX_DEFAULT_MAX); clamp the
-        # band check to that stored range
-        lo = imeta.get("min_token_len") or 1
-        hi = imeta.get("max_token_len") or PREFIX_DEFAULT_MAX
-        band = {"min_token_len": lo, "max_token_len": hi}
-    else:
-        band = imeta
+    band = prefix_band(imeta) if prefix else imeta
     if not toks or not _band_ok(toks, band):
         return spark.createDataFrame([], "id string")
     post = _pruned_token_postings(spark, root, collection, column, imeta,

@@ -238,6 +238,14 @@ def make_lut_udf(codebooks):
         for s in it:
             out = []
             for qv in s:
+                if qv is None:
+                    # a NULL query vector scores nothing anywhere (the
+                    # expression scorers' degenerate-query policy); a
+                    # NULL LUT makes adc_dist_expr NULL → the pair drops
+                    # in _rank_topk, instead of np.asarray crashing the
+                    # executor
+                    out.append(None)
+                    continue
                 q = np.asarray(qv, dtype=np.float64)
                 lut = [
                     (((books[j] - q[j * dsub:(j + 1) * dsub][None, :]) ** 2)

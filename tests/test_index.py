@@ -851,7 +851,8 @@ def test_ivf_mv_empty_and_null_query_parity(spark, sf_dir, tmp_path):
     q = _mv_queries(pts, 2).unionByName(
         spark.sql("""SELECT * FROM VALUES
             (9001L, CAST(array() AS array<array<float>>)),
-            (9002L, CAST(NULL AS array<array<float>>))
+            (9002L, CAST(NULL AS array<array<float>>)),
+            (9003L, CAST(array(NULL) AS array<array<float>>))
             t(qid, qvecs)"""))
     exact = knn.knn_join_maxsim(q, pts, corpus_id="id",
                                 corpus_vec="colbert", query_vec="qvecs",
@@ -861,7 +862,9 @@ def test_ivf_mv_empty_and_null_query_parity(spark, sf_dir, tmp_path):
                                 rerank_factor=100, exclude_self=True)
     assert _rows(full) == _rows(exact)
     got = {r["qid"] for r in full.collect()}
-    assert 9001 in got and 9002 not in got
+    # 9003 ([NULL] token): the fold nulls → no rows; r9 review finding —
+    # the driver-side probe crashed on np.asarray over a None pool
+    assert 9001 in got and 9002 not in got and 9003 not in got
 
 
 def test_ivf_mv_sq_full_probe_covering_rerank_equals_exact(spark, sf_dir,
@@ -1044,3 +1047,28 @@ def test_ivf_mv_filtered_search_composes_both_prunings(spark, sf_dir,
         (r["qid"], r["vec_id"], round(r["sim"], 6), r["rank"])
         for r in df.collect())
     assert key(comp) == key(exact)
+
+
+def test_pq_kinds_drop_null_query_vectors(spark, sf_dir, tmp_path):
+    """r9 review finding: a NULL query vector reached make_lut_udf and
+    crashed np.asarray in the executor for pq/ivf_pq kinds, while
+    ivf/ivf_sq/ivf_mv drop it — every kind now shares the degenerate-
+    query policy (NULL vector → no rows for that qid)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "store")
+    pts = emb.select(F.col("vec_id").alias("id"), "embedding")
+    upsert.create_collection(
+        spark, root, "vecs", df=pts, id_col="id", n_buckets=4,
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    q = (pts.filter(F.col("id") < 2)
+         .select(F.col("id").alias("qid"),
+                 F.col("embedding").alias("qvec"))
+         .unionByName(spark.sql(
+             "SELECT 9001L AS qid, CAST(NULL AS array<double>) AS qvec")))
+    for kind in ("pq", "ivf_pq", "ivf", "ivf_sq"):
+        index.build_vector_index(spark, root, "vecs", kind=kind,
+                                 n_lists=4, m=8, ksub=16, iters=2)
+        out = index.search_indexed(spark, root, "vecs", q, k=5,
+                                   n_probe=None, rerank_factor=100)
+        got = {r["qid"] for r in out.collect()}
+        assert got == {0, 1}, (kind, got)

@@ -1027,3 +1027,57 @@ def test_scroll_order_by_opens_from_range_index(spark, tmp_path):
     got = walk("auto", start_from=30.0)
     want = walk(False, start_from=30.0)
     assert got == want
+
+
+def test_phrase_index_chr1_delimiter_parity(spark, tmp_path):
+    """r9 review finding: chr(1) is MatchPhrase's run-collapse marker, so
+    the scan form normalizes it to a delimiter — the index build and
+    probe must tokenize identically or a chr(1)-bearing value silently
+    diverges between the routed and scan paths.  chr(1) now delimits on
+    EVERY path (MatchText included)."""
+    from bob_vector_db_spark.operators import query_api
+    from bob_vector_db_spark.operators.filters import (
+        Filter, MatchPhrase, MatchText, filter_match_ids)
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(0, "data\x01table end"), (1, "data table"), (2, "datatable"),
+         (3, "table\x01data"), (4, "data \x01 table")],
+        "id long, body string")
+    upsert.create_collection(spark, root, "c", df=df, id_col="id",
+                             n_buckets=2)
+    build_payload_index(spark, root, "c", "body", n_val_buckets=8,
+                        index_type="text", phrase_matching=True)
+    for leaf in (MatchPhrase("body", "data table"),
+                 MatchText("body", "data table"),
+                 MatchText("body", "table data")):
+        flt = Filter(must=[leaf])
+        ids, residual = filter_match_ids(spark, root, "c", flt)
+        assert ids is not None and residual == Filter(), leaf
+        got = {r["id"] for r in ids.collect()}
+        want = {str(r["id"]) for r in df.filter(flt.to_column()).collect()}
+        assert got == want, (leaf, got, want)
+        n_scan = query_api.count_points(spark, root, "c", flt=flt,
+                                        use_payload_index=False)
+        assert len(want) == n_scan
+    # the phrase really does match through the chr(1) boundary
+    flt = Filter(must=[MatchPhrase("body", "data table")])
+    assert {r["id"] for r in df.filter(flt.to_column()).collect()} \
+        == {"0", "1", "4"} or \
+        {r["id"] for r in df.filter(flt.to_column()).collect()} \
+        == {0, 1, 4}
+
+
+def test_build_rejects_nonpositive_token_lengths(spark, tmp_path):
+    """r9 review finding: min_token_len=0 on a prefix index posted junk
+    '' prefixes no probe could ever read."""
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame([(0, "alpha")], "id long, body string")
+    upsert.create_collection(spark, root, "c", df=df, id_col="id",
+                             n_buckets=2)
+    for bad in ({"min_token_len": 0}, {"max_token_len": -1},
+                {"min_token_len": 5, "max_token_len": 2}):
+        with pytest.raises(ValueError):
+            build_payload_index(spark, root, "c", "body",
+                                index_type="text", tokenizer="prefix",
+                                **bad)
