@@ -397,6 +397,116 @@ def main():
                    lambda: upsert.delete_points(spark, store, "docs", doomed))
     assert n_del == (n_docs + 1) // 2, n_del
 
+    # round-9: the QUANTIZED multivector artifact at 10x — int8 pooled
+    # codes, dequantized coarse stage, exact max-sim rescore; full probe
+    # + covering rerank == the exact scan even on the churned store
+    _timed("build_ivf_mv_sq_32lists", timings,
+           lambda: index.build_vector_index(
+               spark, store, "mv", kind="ivf_mv_sq", n_lists=32, iters=3))
+    mvsq_full = _timed("ivf_mv_sq_full_probe", timings, lambda: sorted(
+        map(tuple, index.search_indexed(
+            spark, store, "mv", q_mv, k=10, n_probe=None,
+            query_vec="qvecs", rerank_factor=100,
+            exclude_self=True).select("qid", "vec_id", "sim", "rank")
+            .collect())))
+    mvsq_exact = sorted(map(tuple, knn.search_collection(
+        spark, store, "mv", q_mv, k=10, corpus_id="id",
+        query_vec="qvecs", exclude_self=True, use_index=False,
+        vectorized=False).select("qid", "vec_id", "sim", "rank")
+        .collect()))
+    assert mvsq_full == mvsq_exact, \
+        "ivf_mv_sq full probe diverged from exact"
+    print("  ivf_mv_sq full probe == exact OK")
+
+    # round-9: formula rescoring over stored prefetch branches at 10x —
+    # two k-row branches fused, payload fetched bucket-pruned, the
+    # compiled scalar pure codegen; sanity = deterministic shape + the
+    # boost actually reorders
+    from bob_vector_db_spark.operators.formula import (  # noqa: PLC0415
+        formula_rescore,
+    )
+
+    br1 = index.search_indexed(spark, store, "vecs", q, k=20, n_probe=4,
+                               exclude_self=True).select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("sim").alias("score"), "qid")
+    br1 = br1.filter(F.col("qid") == 0).drop("qid")
+    br2 = br1.select("id", (F.col("score") * 0.5).alias("score"))
+    fx = {"sum": ["$score[0]",
+                  {"mult": [0.25, {"div": {"left": "label", "right": 10.0,
+                                           "by_zero_default": 0.0}}]},
+                  {"gauss_decay": {"x": "label", "target": 2.0,
+                                   "scale": 3.0}}]}
+    n_fx = _timed("formula_rescore_2branch", timings,
+                  lambda: formula_rescore(
+                      spark, store, "vecs", [br1, br2], fx, k=10).count())
+    assert n_fx == 10, n_fx
+
+    # round-9: MatchPhrase through POSITIONAL postings + prefix
+    # tokenizer + word tokenizer at 10x, each indexed count == scan
+    # count; then the keyset-over-range-index scroll opens a page from
+    # the value-ordered postings.  The docs store churned (bulk delete)
+    # since its text index was built — the rebuild doubles as the
+    # phrase_matching upgrade.
+    from bob_vector_db_spark.operators.filters import (  # noqa: PLC0415
+        MatchPhrase,
+        MatchTextPrefix,
+    )
+    from bob_vector_db_spark.operators.payload_index import (  # noqa: PLC0415
+        range_ordered_page,
+    )
+    from bob_vector_db_spark.operators.query_api import (  # noqa: PLC0415
+        scroll_points,
+    )
+
+    _timed("build_phrase_index", timings, lambda: build_payload_index(
+        spark, store, "docs", "text", n_val_buckets=32, index_type="text",
+        phrase_matching=True))
+    ph = Filter(must=[MatchPhrase("text", "merge join")])
+    n_ph = _timed("match_phrase_indexed_count", timings,
+                  lambda: count_points(spark, store, "docs", flt=ph,
+                                       use_payload_index="always"))
+    n_phs = count_points(spark, store, "docs", flt=ph,
+                         use_payload_index=False)
+    assert n_ph == n_phs, (n_ph, n_phs)
+    print(f"  phrase index: {n_ph} docs, indexed == scan OK")
+    _timed("build_prefix_index", timings, lambda: build_payload_index(
+        spark, store, "docs", "text", n_val_buckets=32, index_type="text",
+        tokenizer="prefix", max_token_len=12))
+    pf = Filter(must=[MatchTextPrefix("text", "vec str")])
+    n_pf = _timed("prefix_indexed_count", timings,
+                  lambda: count_points(spark, store, "docs", flt=pf,
+                                       use_payload_index="always"))
+    n_pfs = count_points(spark, store, "docs", flt=pf,
+                         use_payload_index=False)
+    assert n_pf == n_pfs, (n_pf, n_pfs)
+
+    # keyset-over-range-index scroll: n_chars range index on the (big)
+    # docs collection, a mid-collection page from the bucket window
+    docs2 = docs.select(F.col("doc_id").alias("id"),
+                        F.col("n_chars").cast("long").alias("n_chars"))
+    _timed("create_scroll_collection", timings,
+           lambda: upsert.create_collection(spark, store, "sdocs2",
+                                            df=docs2, id_col="id",
+                                            n_buckets=32))
+    _timed("build_nchars_range_index", timings, lambda: build_payload_index(
+        spark, store, "sdocs2", "n_chars", n_val_buckets=32,
+        index_type="range"))
+    probe_ids = _timed("range_ordered_page_probe", timings,
+                       lambda: range_ordered_page(
+                           spark, store, "sdocs2", "n_chars", 50,
+                           start_from=300, id_type="long"))
+    assert probe_ids is not None and probe_ids.count() == 50
+    page = _timed("scroll_via_range_index", timings, lambda: scroll_points(
+        spark, store, "sdocs2", order_by="n_chars", start_from=300,
+        limit=50).collect())
+    scan_page = scroll_points(spark, store, "sdocs2", order_by="n_chars",
+                              start_from=300, limit=50,
+                              use_payload_index=False).collect()
+    assert [(r["n_chars"], r["id"]) for r in page] == \
+        [(r["n_chars"], r["id"]) for r in scan_page]
+    print("  range-ordered scroll page == scan page OK")
+
     summary = {"n_docs": n_docs, "n_emb": n_emb,
                "total_s": round(time.time() - t_all, 2), "timings": timings}
     print(json.dumps(summary))
