@@ -26,6 +26,7 @@ from bob_vector_db_spark.operators.filters import (
     MatchExcept,
     MatchPhrase,
     MatchText,
+    MatchTextPrefix,
     MatchValue,
     NestedCondition,
     Range,
@@ -51,6 +52,11 @@ ROWS = [
      [("l", 1)]),
     (9, "fr", 2, 1.5, ["d"], "epsilon  zeta", 33.0, -20.0,
      [("s", 2), ("l", 2)]),
+    # punctuation / control-char text for the word-tokenizer and
+    # chr(1)-delimiter forms (r9)
+    (10, "en", 1, 0.5, ["a"], "alpha-beta, Gamma! (delta)", 5.0, 5.0, []),
+    (11, "de", 4, 2.5, ["b"], "alpha\x01beta gamma\x0bdelta", -5.0, -5.0,
+     [("s", 9)]),
 ]
 _SCHEMA = ("id long, lang string, n int, score double, "
            "tags array<string>, txt string, plat double, plon double, "
@@ -110,6 +116,16 @@ _leaf = st.one_of(
     st.builds(MatchPhrase, st.just("txt"),
               st.lists(st.sampled_from(_WORDS), min_size=1, max_size=2)
               .map(" ".join)),
+    st.builds(MatchText, st.just("txt"),
+              st.lists(st.sampled_from(_WORDS), min_size=1, max_size=2)
+              .map(" ".join), st.just("word")),
+    st.builds(MatchPhrase, st.just("txt"),
+              st.lists(st.sampled_from(_WORDS), min_size=1, max_size=2)
+              .map(" ".join), st.just("word")),
+    st.builds(MatchTextPrefix, st.just("txt"),
+              st.lists(st.sampled_from(
+                  ["al", "bet", "gam", "delt", "eps", "z"]),
+                  min_size=1, max_size=2).map(" ".join)),
     st.builds(lambda top, bot, left, right: GeoBoundingBox(
         "plat", "plon", top=max(top, bot), left=left,
         bottom=min(top, bot), right=right),
