@@ -64,7 +64,7 @@ INDEX_DIR = "_index"
 INDEX_META_FILE = "meta.json"
 # the multivector artifact family — ONE spelling (knn.py dispatch and
 # every kind branch import it; a new mv variant extends it here only)
-MV_KINDS = ("ivf_mv", "ivf_mv_sq")
+MV_KINDS = ("ivf_mv", "ivf_mv_sq", "ivf_mv_pq")
 VALID_KINDS = ("ivf", "pq", "ivf_pq", "ivf_sq", *MV_KINDS)
 
 
@@ -264,6 +264,24 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
         data = quantize.sq_encode(data, mins, scales, vec_col="_pooled")
         imeta["sq_mins"] = mins
         imeta["sq_scales"] = scales
+    if kind == "ivf_mv_pq":
+        # product quantization over the POOLED representatives — the
+        # smallest mv artifact (m bytes/point vs dim bytes for sq); the
+        # coarse stage is the same ADC the dense ivf_pq runs, the
+        # max-sim rescore stays exact on the collection's token lists
+        books = quantize.pq_train(
+            data, vec_col="_pooled", m=m, ksub=ksub, iters=iters,
+            sample_cap=sample_cap, seed=seed)
+        data = quantize.pq_encode(data, books, vec_col="_pooled")
+        rows = [
+            (j, c, [float(x) for x in books[j][c]])
+            for j in range(len(books)) for c in range(len(books[j]))
+        ]
+        spark.createDataFrame(
+            rows, "subspace int, code int, centroid array<double>",
+        ).coalesce(1).write.parquet(os.path.join(staging, "codebooks"))
+        imeta["m"] = len(books)
+        imeta["ksub"] = int(books[0].shape[0])
 
     data_dir = os.path.join(staging, "data")
     gen0 = F.lit(0).alias("gen")
@@ -291,6 +309,10 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
         # pooled-float artifact, probed identically; the max-sim rescore
         # stays exact on the collection's token lists
         (data.select(id_col, "codes", gen0, "list_id")
+         .repartition(n_lists * files_per_list, F.col("list_id"))
+         .write.partitionBy("list_id").parquet(data_dir))
+    elif kind == "ivf_mv_pq":
+        (data.select(id_col, "pq_codes", gen0, "list_id")
          .repartition(n_lists * files_per_list, F.col("list_id"))
          .write.partitionBy("list_id").parquet(data_dir))
     else:  # ivf_pq: codes only, clustered by list — the memory-bounded path
@@ -593,6 +615,12 @@ def refresh_vector_index(spark: SparkSession, root: str, collection: str,
                     vec_col="_pooled")
                 assigned = assigned.select(id_col, "codes", geng,
                                            "list_id")
+            elif kind == "ivf_mv_pq":
+                books = _load_codebooks(spark, ipath)
+                assigned = quantize.pq_encode(assigned, books,
+                                              vec_col="_pooled")
+                assigned = assigned.select(id_col, "pq_codes", geng,
+                                           "list_id")
             else:
                 assigned = assigned.select(
                     id_col, F.col("_pooled").alias("pooled"), geng,
@@ -853,15 +881,36 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
         pruned = _narrow(_apply_masks(
             spark, ipath, data.filter(F.col("list_id").isin(probed)), id_col
         ).drop("gen"))
-        if kind == "ivf_mv_sq":
-            deq = quantize.sq_decode_expr(
-                F.col("codes"), imeta["sq_mins"], imeta["sq_scales"])
-            pruned = pruned.select(id_col, deq.alias("pooled"), "list_id")
-        cands = quantize.ivf_knn(
-            qp, pruned, cents, k=rerank_factor * k, n_probe=n_probe,
-            query_id="qid", query_vec="_qpool", corpus_id=id_col,
-            corpus_vec="pooled", exclude_self=exclude_self,
-            round_to=None, metric=metric).select("qid", "vec_id")
+        if kind == "ivf_mv_pq":
+            # ADC coarse stage over the pooled PQ codes — the dense
+            # ivf_pq plan with the pooled query building the LUT
+            books = _load_codebooks(spark, ipath)
+            make_lut = quantize.make_lut_udf(books)
+            probe_u = quantize.probe_lists_udf(cents, n_probe)
+            qj = qp.select(
+                "qid", make_lut(F.col("_qpool")).alias("_lut"),
+                F.explode(probe_u(F.col("_qpool"))).alias("list_id"))
+            pairs = pruned.join(F.broadcast(qj), "list_id")
+            if exclude_self:
+                pairs = pairs.filter(F.col("qid") != F.col(id_col))
+            dist = quantize.adc_dist_expr(
+                F.col("_lut"), F.col("pq_codes"), len(books))
+            cands = quantize._rank_topk(
+                pairs.select("qid", F.col(id_col).alias("vec_id"),
+                             dist.alias("dist")),
+                rerank_factor * k, ascending=True, score_col="dist",
+            ).select("qid", "vec_id")
+        else:
+            if kind == "ivf_mv_sq":
+                deq = quantize.sq_decode_expr(
+                    F.col("codes"), imeta["sq_mins"], imeta["sq_scales"])
+                pruned = pruned.select(id_col, deq.alias("pooled"),
+                                       "list_id")
+            cands = quantize.ivf_knn(
+                qp, pruned, cents, k=rerank_factor * k, n_probe=n_probe,
+                query_id="qid", query_vec="_qpool", corpus_id=id_col,
+                corpus_vec="pooled", exclude_self=exclude_self,
+                round_to=None, metric=metric).select("qid", "vec_id")
         out = _maxsim_rescore(spark, root, collection, qp, cands,
                               id_col, vector_name, metric, k, round_to,
                               tenant=tenant)

@@ -219,8 +219,8 @@ def search_collection(
                         f"use_index='always' but the multivector index for "
                         f"{collection!r}/{vector_name!r} is "
                         + ("absent" if imeta is None
-                           else f"kind {imeta['kind']!r} (need 'ivf_mv' "
-                           f"or 'ivf_mv_sq')"
+                           else f"kind {imeta['kind']!r} (need one of "
+                           f"{MV_KINDS})"
                            if not kind_ok
                            else "stale" if not fresh
                            else f"built for metric {imeta['metric']!r}")

@@ -7249,6 +7249,76 @@ def q_store_mv_indexed_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_mv_indexed_pq",
+    # round 9: the PQ multivector artifact — pooled PQ codes (m bytes a
+    # point, the smallest mv artifact), ADC coarse stage, exact max-sim
+    # rescore; full probe + covering rerank == the exact scan (the
+    # covering rerank keeps every ADC candidate, so code error cannot
+    # drop a true neighbor).
+    oracle="""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+qtok AS (
+  SELECT vec_id AS qid, 1 AS ti, embedding[1:16] AS qv FROM q
+  UNION ALL SELECT vec_id, 2, embedding[17:32] FROM q
+  UNION ALL SELECT vec_id, 3, embedding[33:48] FROM q
+  UNION ALL SELECT vec_id, 4, embedding[49:64] FROM q
+),
+ptok AS (
+  SELECT vec_id, 1 AS pj, embedding[1:16] AS pv FROM embeddings
+  UNION ALL SELECT vec_id, 2, embedding[17:32] FROM embeddings
+  UNION ALL SELECT vec_id, 3, embedding[33:48] FROM embeddings
+  UNION ALL SELECT vec_id, 4, embedding[49:64] FROM embeddings
+),
+best AS (
+  SELECT qt.qid, pt.vec_id, qt.ti,
+         MAX((SELECT SUM(a*b)
+              FROM (SELECT unnest(qt.qv)::DOUBLE AS a,
+                           unnest(pt.pv)::DOUBLE AS b))) AS m
+  FROM qtok qt, ptok pt
+  WHERE qt.qid <> pt.vec_id
+  GROUP BY qt.qid, pt.vec_id, qt.ti
+),
+scored AS (
+  SELECT qid, vec_id, round(SUM(m), 6) AS sim
+  FROM best GROUP BY qid, vec_id
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM scored)
+WHERE rank <= 10
+""",
+)
+def q_store_mv_indexed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-coded multivector ANN: ``kind='ivf_mv_pq'`` clusters the
+    mean-pooled tokens and product-quantizes them (codebooks persisted
+    like the dense ivf_pq); a search probes lists by the pooled query,
+    ranks candidates by ADC over the codes and max-sim-rescores through
+    the bucket-pruned fetch.  rerank 1000*k covers both gate corpora, so
+    full probe is EXACT."""
+    base = _tmp_base(sf_dir, "mvpq")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.array(*[F.slice(F.col("embedding"), 1 + 16 * i, 16)
+                  for i in range(4)]).alias("colbert"))
+    upsert.create_collection(
+        spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"colbert": {"size": 16, "distance": "dot",
+                                   "multivector": "max_sim"}})
+    index.build_vector_index(spark, base, "vecs", kind="ivf_mv_pq",
+                             n_lists=8, m=8, ksub=16, iters=4)
+    q = pts.filter(F.col("id") < 3).select(
+        F.col("id").alias("qid"), F.col("colbert").alias("qvecs"))
+    out = index.search_indexed(spark, base, "vecs", q, k=10, n_probe=None,
+                               query_vec="qvecs", rerank_factor=1000,
+                               exclude_self=True)
+    return out.select(F.col("qid").cast("long").alias("qid"),
+                      F.col("vec_id").cast("long").alias("vec_id"),
+                      "sim", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
     "store_tenant_mv_indexed",
     # round 9 (VERDICT r8 missing #3, tenant half): tenant t1's OWN
     # multivector artifact over its partition subtree — the scoped search
@@ -8179,6 +8249,7 @@ _PRIORITY = [
     # new this round (round 9) — never driver-adjudicated
     "api_match_phrase_indexed", "api_text_prefix_indexed",
     "api_match_text_word", "store_mv_indexed_sq", "store_tenant_mv_indexed",
+    "store_mv_indexed_pq",
     "api_scroll_range_indexed",
     # new in round 8
     "api_formula_boost", "api_formula_decay",

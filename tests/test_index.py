@@ -929,6 +929,47 @@ def test_ivf_mv_sq_refresh_absorbs_mutations(spark, sf_dir, tmp_path):
     assert _rows(via) == _rows(exact)
 
 
+def test_ivf_mv_pq_full_probe_covering_rerank_equals_exact(spark, sf_dir,
+                                                           tmp_path):
+    """The PQ multivector artifact (r9): pooled PQ codes, ADC coarse
+    stage (the dense ivf_pq plan with the pooled query's LUT), exact
+    max-sim rescore — full probe + covering rerank equals the exact
+    scan; refresh encodes deltas with the stored codebooks."""
+    root = str(tmp_path / "store")
+    pts = _mk_mv_store(spark, sf_dir, root)
+    imeta = index.build_vector_index(spark, root, "vecs", kind="ivf_mv_pq",
+                                     n_lists=8, m=8, ksub=16, iters=3)
+    assert imeta["m"] == 8 and imeta["ksub"] == 16
+    import os
+    data = spark.read.parquet(os.path.join(
+        index.index_path(root, "vecs", "colbert"), "data"))
+    assert "pq_codes" in data.columns and "pooled" not in data.columns
+    q = _mv_queries(pts)
+    exact = knn.knn_join_maxsim(q, pts, corpus_id="id",
+                                corpus_vec="colbert", query_vec="qvecs",
+                                k=10, exclude_self=True)
+    full = index.search_indexed(spark, root, "vecs", q, k=10,
+                                n_probe=None, query_vec="qvecs",
+                                rerank_factor=100, exclude_self=True)
+    assert _rows(full) == _rows(exact)
+    # churn → refresh with the STORED codebooks → still exact
+    patch = pts.filter(F.col("id") == 450).select(
+        F.lit(0).cast("long").alias("id"), "colbert")
+    upsert.update_vectors(spark, root, "vecs", patch)
+    upsert.delete_points(spark, root, "vecs", [7])
+    index.refresh_vector_index(spark, root, "vecs")
+    q2 = _mv_queries(pts, 2)
+    exact2 = knn.search_collection(spark, root, "vecs", q2, k=10,
+                                   corpus_id="id", query_vec="qvecs",
+                                   exclude_self=True, use_index=False,
+                                   vectorized=False)
+    full2 = index.search_indexed(spark, root, "vecs", q2, k=10,
+                                 n_probe=None, query_vec="qvecs",
+                                 rerank_factor=200, exclude_self=True)
+    assert _rows(full2) == _rows(exact2)
+    assert full2.filter(F.col("vec_id") == 7).count() == 0
+
+
 def test_ivf_mv_per_tenant_artifact(spark, sf_dir, tmp_path):
     """Per-tenant MULTIVECTOR artifact: tenant t1's token lists train and
     fill its own pooled-IVF index; the scoped search equals exactly t1's

@@ -417,6 +417,19 @@ def main():
     assert mvsq_full == mvsq_exact, \
         "ivf_mv_sq full probe diverged from exact"
     print("  ivf_mv_sq full probe == exact OK")
+    _timed("build_ivf_mv_pq_32lists", timings,
+           lambda: index.build_vector_index(
+               spark, store, "mv", kind="ivf_mv_pq", n_lists=32, m=8,
+               ksub=32, iters=3))
+    mvpq_full = _timed("ivf_mv_pq_full_probe", timings, lambda: sorted(
+        map(tuple, index.search_indexed(
+            spark, store, "mv", q_mv, k=10, n_probe=None,
+            query_vec="qvecs", rerank_factor=100,
+            exclude_self=True).select("qid", "vec_id", "sim", "rank")
+            .collect())))
+    assert mvpq_full == mvsq_exact, \
+        "ivf_mv_pq full probe diverged from exact"
+    print("  ivf_mv_pq full probe == exact OK")
 
     # round-9: formula rescoring over stored prefetch branches at 10x —
     # two k-row branches fused, payload fetched bucket-pruned, the
