@@ -840,7 +840,9 @@ def range_ordered_page(spark: SparkSession, root: str, collection: str,
                        descending: bool = False,
                        cursor: tuple | None = None,
                        start_from=None,
-                       id_type: str = "string") -> DataFrame | None:
+                       id_type: str = "string",
+                       candidate_ids: DataFrame | None = None
+                       ) -> DataFrame | None:
     """One ORDER-BY page's ids straight off a RANGE index — the
     keyset-over-index pattern (VERDICT r8 next #6): the postings are
     VALUE-ORDERED by quantile bucket, so an ``order_by`` scroll opens
@@ -860,6 +862,12 @@ def range_ordered_page(spark: SparkSession, root: str, collection: str,
     scan) when the window exhausts with fewer than ``limit`` rows: the
     true page could then continue into rows the index cannot see
     (the descending NULL tail).
+
+    ``candidate_ids`` (one string-id column) narrows the page to those
+    points — the FILTERED ordered scroll: the caller resolves its filter
+    to an EXACT id set first (``filter_match_ids`` with an empty
+    residual) and the set semi-joins INSIDE each pruned bucket window,
+    so filter and order compose without sorting the filtered set.
 
     Returns a ≤ ``limit``-row frame of ids (unordered — re-order the
     fetched rows), or None to decline."""
@@ -909,10 +917,18 @@ def range_ordered_page(spark: SparkSession, root: str, collection: str,
         beyond = val < cv if descending else val > cv
         pred = pred & (beyond | ((val == cv)
                                  & (tid > F.lit(c_id).cast(id_type))))
+    cands = None
+    if candidate_ids is not None:
+        cands = (candidate_ids
+                 .select(F.col(candidate_ids.columns[0]).cast("string")
+                         .alias("_flt_id")).distinct())
     width = 1
     post = None
     while True:
         post = _range_window_frame(spark, ipath, pdir, seq[:width], pred)
+        if cands is not None:
+            post = post.join(cands,
+                             F.col("id") == F.col("_flt_id"), "left_semi")
         if width >= len(seq):
             break
         if post.count() >= limit:

@@ -720,8 +720,7 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
                             else F.asc(id_col)).limit(limit)
     else:
         page = None
-        if flt is None and tenant is None and use_payload_index \
-                is not False and (
+        if tenant is None and use_payload_index is not False and (
                 start_from is not None
                 or (cursor is not None and cursor[0] is not None)):
             # keyset-over-index (VERDICT r8 next #6): with a fresh RANGE
@@ -732,20 +731,37 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
             # postings never hold them): a non-NULL cursor leg or a
             # start_from bound; the probe declines (None) on anything it
             # cannot answer exactly and the scan below settles it.
+            # A FILTER composes when it resolves to an EXACT id set
+            # (empty residual): the candidates semi-join inside each
+            # pruned bucket window — filter and order in one plan,
+            # nothing sorted but the page.
             from .payload_index import range_ordered_page  # noqa: PLC0415
 
-            id_type = base.schema[id_col].dataType.simpleString()
-            got = range_ordered_page(
-                spark, root, collection, order_by, limit,
-                descending=descending, cursor=cursor,
-                start_from=start_from, id_type=id_type)
-            if got is not None:
-                rows = read_rows_for_ids(spark, root, collection, got)
-                order = (F.desc(order_by) if descending
-                         else F.asc(order_by))
-                page = (base.limit(0) if rows is None
-                        else rows.orderBy(order, F.asc(id_col))
-                        .limit(limit))
+            cand_ids, routable = None, True
+            if flt is not None:
+                ids_r, residual = filter_match_ids(spark, root,
+                                                   collection, flt)
+                if ids_r is None or residual != Filter() \
+                        or has_literal_id_leaves(flt):
+                    # a residual (or HasId ghosts) would need a fetch +
+                    # re-page — the scan settles those exactly
+                    routable = False
+                else:
+                    cand_ids = ids_r
+            if routable:
+                id_type = base.schema[id_col].dataType.simpleString()
+                got = range_ordered_page(
+                    spark, root, collection, order_by, limit,
+                    descending=descending, cursor=cursor,
+                    start_from=start_from, id_type=id_type,
+                    candidate_ids=cand_ids)
+                if got is not None:
+                    rows = read_rows_for_ids(spark, root, collection, got)
+                    order = (F.desc(order_by) if descending
+                             else F.asc(order_by))
+                    page = (base.limit(0) if rows is None
+                            else rows.orderBy(order, F.asc(id_col))
+                            .limit(limit))
         if page is None:  # the scan path (exact for every case)
             if start_from is not None:
                 base = base.filter(F.col(order_by) <= F.lit(start_from)

@@ -4326,6 +4326,69 @@ def q_api_scroll_range_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "api_scroll_filtered_range_indexed",
+    # round 9: the FILTERED ordered scroll through BOTH indexes — the
+    # lang filter resolves to candidate ids (keyword index, empty
+    # residual) which semi-join inside the n_chars range index's bucket
+    # window; filter + order compose with nothing sorted but the page.
+    oracle="""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS id, CAST(n_chars AS BIGINT) AS n_chars,
+         lang
+  FROM documents WHERE lang = 'en' AND n_chars >= 200
+),
+ordered AS (
+  SELECT *, row_number() OVER (ORDER BY n_chars, id) AS rn FROM base
+)
+SELECT CAST(CASE WHEN rn <= 15 THEN 1 ELSE 2 END AS BIGINT) AS page_no,
+       id, n_chars, lang
+FROM ordered WHERE rn <= 30
+""",
+)
+def q_api_scroll_filtered_range_indexed(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """Qdrant ``scroll(filter, order_by, start_from)`` with both indexes
+    composing: lang candidates from the keyword index semi-join inside
+    the range index's value-ordered bucket window — the fixture asserts
+    the composed probe answers (no silent scan) and walks two pages."""
+    from .operators import query_api  # noqa: PLC0415
+    from .operators.filters import filter_match_ids  # noqa: PLC0415
+    from .operators.payload_index import (  # noqa: PLC0415
+        build_payload_index,
+        range_ordered_page,
+    )
+
+    base = _tmp_base(sf_dir, "scrollfltrange")
+    docs = load_table(spark, sf_dir, "documents")
+    pts = docs.select(F.col("doc_id").alias("id"),
+                      F.col("n_chars").cast("long").alias("n_chars"),
+                      "lang")
+    upsert.create_collection(spark, base, "docs", df=pts, id_col="id",
+                             n_buckets=8)
+    build_payload_index(spark, base, "docs", "lang", n_val_buckets=8)
+    build_payload_index(spark, base, "docs", "n_chars", n_val_buckets=16,
+                        index_type="range")
+    flt = Filter(must=[MatchValue("lang", "en")])
+    cand, residual = filter_match_ids(spark, base, "docs", flt)
+    assert cand is not None and residual == Filter()
+    probe = range_ordered_page(spark, base, "docs", "n_chars", 15,
+                               start_from=200, id_type="long",
+                               candidate_ids=cand)
+    assert probe is not None, "the composed page probe must answer"
+    pages = []
+    cursor = None
+    for page_no in (1, 2):
+        page, cursor = query_api.scroll_points(
+            spark, base, "docs", flt=flt, order_by="n_chars",
+            start_from=200, cursor=cursor, limit=15, return_cursor=True)
+        pages.append(page.withColumn(
+            "page_no", F.lit(page_no).cast("long")))
+    out = pages[0].unionByName(pages[1])
+    return out.select("page_no", F.col("id").cast("long").alias("id"),
+                      "n_chars", "lang")
+
+
+@register(
     "api_distance_matrix",
     oracle="""
 WITH sample AS (
@@ -8250,7 +8313,7 @@ _PRIORITY = [
     "api_match_phrase_indexed", "api_text_prefix_indexed",
     "api_match_text_word", "store_mv_indexed_sq", "store_tenant_mv_indexed",
     "store_mv_indexed_pq",
-    "api_scroll_range_indexed",
+    "api_scroll_range_indexed", "api_scroll_filtered_range_indexed",
     # new in round 8
     "api_formula_boost", "api_formula_decay",
     "api_range_indexed", "api_datetime_range_indexed",

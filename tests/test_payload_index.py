@@ -1081,3 +1081,66 @@ def test_build_rejects_nonpositive_token_lengths(spark, tmp_path):
             build_payload_index(spark, root, "c", "body",
                                 index_type="text", tokenizer="prefix",
                                 **bad)
+
+
+def test_filtered_scroll_composes_with_range_index(spark, tmp_path):
+    """FILTERED ordered scroll through BOTH indexes (r9): the filter's
+    candidate ids (keyword index, empty residual) semi-join inside the
+    range index's bucket window — paged walk identical to the scan walk;
+    a residual-bearing filter falls back to the scan."""
+    from bob_vector_db_spark.operators import query_api
+    from bob_vector_db_spark.operators.filters import (
+        Filter, MatchPhrase, MatchValue)
+    from bob_vector_db_spark.operators.payload_index import (
+        range_ordered_page)
+
+    root = str(tmp_path / "store")
+    rows = [(i, f"g{i % 3}", float((i * 37) % 100), f"w{i % 7} body")
+            for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double, "
+                               "txt string")
+    upsert.create_collection(spark, root, "c", df=df, id_col="id",
+                             n_buckets=4)
+    build_payload_index(spark, root, "c", "grp", n_val_buckets=8)
+    build_payload_index(spark, root, "c", "v", n_val_buckets=8,
+                        index_type="range")
+    flt = Filter(must=[MatchValue("grp", "g1")])
+
+    def walk(use_idx):
+        seen, cursor = [], None
+        for _ in range(40):
+            page, cursor = query_api.scroll_points(
+                spark, root, "c", flt=flt, limit=5, order_by="v",
+                start_from=20.0, cursor=cursor, return_cursor=True,
+                use_payload_index=use_idx)
+            seen.extend((r["v"], r["id"]) for r in page.collect())
+            if cursor is None:
+                break
+        return seen
+
+    got = walk("auto")
+    want = walk(False)
+    assert got == want and got
+    # the composed probe answers directly
+    from bob_vector_db_spark.operators.filters import filter_match_ids
+    cand, residual = filter_match_ids(spark, root, "c", flt)
+    assert residual == Filter()
+    ids = range_ordered_page(spark, root, "c", "v", 5, start_from=20.0,
+                             id_type="long", candidate_ids=cand)
+    assert ids is not None
+    want_ids = {str(r["id"]) for r in
+                df.filter("grp = 'g1' AND v >= 20.0")
+                .orderBy("v", "id").limit(5).collect()}
+    assert {r["id"] for r in ids.collect()} == want_ids
+    # a filter with a residual leaf (un-indexed phrase) scans — and the
+    # walk still agrees
+    flt2 = Filter(must=[MatchValue("grp", "g1"),
+                        MatchPhrase("txt", "w1 body")])
+
+    def walk2(use_idx):
+        page = query_api.scroll_points(
+            spark, root, "c", flt=flt2, limit=50, order_by="v",
+            start_from=0.0, use_payload_index=use_idx)
+        return [(r["v"], r["id"]) for r in page.collect()]
+
+    assert walk2("auto") == walk2(False)
