@@ -236,11 +236,16 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
             "list_id int, centroid array<double>",
         ).coalesce(1).write.parquet(os.path.join(staging, "centroids"))
         imeta["n_lists"] = n_lists
-    if kind in ("pq", "ivf_pq"):
+    if kind in ("pq", "ivf_pq", "ivf_mv_pq"):
+        # ONE PQ model for dense and multivector kinds — ivf_mv_pq
+        # trains/encodes the POOLED representatives (m bytes a point,
+        # the smallest mv artifact; the max-sim rescore stays exact)
+        pq_src, pq_col = ((data, "_pooled") if kind == "ivf_mv_pq"
+                          else (corpus, vector_name))
         books = quantize.pq_train(
-            corpus, vec_col=vector_name, m=m, ksub=ksub, iters=iters,
+            pq_src, vec_col=pq_col, m=m, ksub=ksub, iters=iters,
             sample_cap=sample_cap, seed=seed)
-        data = quantize.pq_encode(data, books, vec_col=vector_name)
+        data = quantize.pq_encode(data, books, vec_col=pq_col)
         rows = [
             (j, c, [float(x) for x in books[j][c]])
             for j in range(len(books)) for c in range(len(books[j]))
@@ -264,24 +269,6 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
         data = quantize.sq_encode(data, mins, scales, vec_col="_pooled")
         imeta["sq_mins"] = mins
         imeta["sq_scales"] = scales
-    if kind == "ivf_mv_pq":
-        # product quantization over the POOLED representatives — the
-        # smallest mv artifact (m bytes/point vs dim bytes for sq); the
-        # coarse stage is the same ADC the dense ivf_pq runs, the
-        # max-sim rescore stays exact on the collection's token lists
-        books = quantize.pq_train(
-            data, vec_col="_pooled", m=m, ksub=ksub, iters=iters,
-            sample_cap=sample_cap, seed=seed)
-        data = quantize.pq_encode(data, books, vec_col="_pooled")
-        rows = [
-            (j, c, [float(x) for x in books[j][c]])
-            for j in range(len(books)) for c in range(len(books[j]))
-        ]
-        spark.createDataFrame(
-            rows, "subspace int, code int, centroid array<double>",
-        ).coalesce(1).write.parquet(os.path.join(staging, "codebooks"))
-        imeta["m"] = len(books)
-        imeta["ksub"] = int(books[0].shape[0])
 
     data_dir = os.path.join(staging, "data")
     gen0 = F.lit(0).alias("gen")
@@ -311,11 +298,7 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
         (data.select(id_col, "codes", gen0, "list_id")
          .repartition(n_lists * files_per_list, F.col("list_id"))
          .write.partitionBy("list_id").parquet(data_dir))
-    elif kind == "ivf_mv_pq":
-        (data.select(id_col, "pq_codes", gen0, "list_id")
-         .repartition(n_lists * files_per_list, F.col("list_id"))
-         .write.partitionBy("list_id").parquet(data_dir))
-    else:  # ivf_pq: codes only, clustered by list — the memory-bounded path
+    else:  # ivf_pq / ivf_mv_pq: codes only, clustered by list
         (data.select(id_col, "pq_codes", gen0, "list_id")
          .repartition(n_lists * files_per_list, F.col("list_id"))
          .write.partitionBy("list_id").parquet(data_dir))
@@ -882,24 +865,12 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
             spark, ipath, data.filter(F.col("list_id").isin(probed)), id_col
         ).drop("gen"))
         if kind == "ivf_mv_pq":
-            # ADC coarse stage over the pooled PQ codes — the dense
-            # ivf_pq plan with the pooled query building the LUT
-            books = _load_codebooks(spark, ipath)
-            make_lut = quantize.make_lut_udf(books)
-            probe_u = quantize.probe_lists_udf(cents, n_probe)
-            qj = qp.select(
-                "qid", make_lut(F.col("_qpool")).alias("_lut"),
-                F.explode(probe_u(F.col("_qpool"))).alias("list_id"))
-            pairs = pruned.join(F.broadcast(qj), "list_id")
-            if exclude_self:
-                pairs = pairs.filter(F.col("qid") != F.col(id_col))
-            dist = quantize.adc_dist_expr(
-                F.col("_lut"), F.col("pq_codes"), len(books))
-            cands = quantize._rank_topk(
-                pairs.select("qid", F.col(id_col).alias("vec_id"),
-                             dist.alias("dist")),
-                rerank_factor * k, ascending=True, score_col="dist",
-            ).select("qid", "vec_id")
+            # ADC coarse stage over the pooled PQ codes — the ONE ADC
+            # implementation, with the pooled query building the LUT
+            cands = _adc_candidates(
+                pruned, qp, "qid", "_qpool",
+                _load_codebooks(spark, ipath), cents, n_probe, id_col,
+                rerank_factor * k, exclude_self, probed_lists=True)
         else:
             if kind == "ivf_mv_sq":
                 deq = quantize.sq_decode_expr(
@@ -971,7 +942,6 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
 
     # pq kinds: ADC candidates (euclidean code-space) + exact metric rescore
     books = _load_codebooks(spark, ipath)
-    make_lut = quantize.make_lut_udf(books)
     if kind == "ivf_pq":
         cents = _load_centroids(spark, ipath)
         probed = _probed_list_filter(
@@ -979,29 +949,52 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
         data = _narrow(_apply_masks(
             spark, ipath, data.filter(F.col("list_id").isin(probed)), id_col
         ).drop("gen"))
+        cands = _adc_candidates(data, queries, query_id, query_vec,
+                                books, cents, n_probe, id_col,
+                                rerank_factor * k, exclude_self,
+                                probed_lists=True)
+    else:  # pq: full codes scan (no list layout)
+        data = _narrow(_apply_masks(spark, ipath, data, id_col).drop("gen"))
+        cands = _adc_candidates(data, queries, query_id, query_vec,
+                                books, None, n_probe, id_col,
+                                rerank_factor * k, exclude_self,
+                                probed_lists=False)
+    return _exact_rescore(spark, root, collection, queries, cands,
+                          id_col, vector_name, metric,
+                          query_id, query_vec, k, round_to,
+                          tenant=tenant, eager_candidates=kind == "pq")
+
+
+def _adc_candidates(pruned: DataFrame, queries: DataFrame, query_id: str,
+                    query_vec: str, books, cents, n_probe: int,
+                    id_col: str, n_cand: int, exclude_self: bool,
+                    probed_lists: bool) -> DataFrame:
+    """The ONE ADC candidate stage every PQ kind shares (pq / ivf_pq /
+    ivf_mv_pq): per-query LUT (NULL query vector → NULL LUT → the pair
+    drops), optional probe-list explode joined against the pruned code
+    partitions, chained element_at distance in codegen, top-``n_cand``
+    per query ascending."""
+    make_lut = quantize.make_lut_udf(books)
+    if probed_lists:
         probe = quantize.probe_lists_udf(cents, n_probe)
         q = queries.select(
             F.col(query_id).alias("qid"),
             make_lut(F.col(query_vec)).alias("_lut"),
             F.explode(probe(F.col(query_vec))).alias("list_id"))
-        pairs = data.join(F.broadcast(q), "list_id")
-    else:  # pq: full codes scan (no list layout)
-        data = _narrow(_apply_masks(spark, ipath, data, id_col).drop("gen"))
+        pairs = pruned.join(F.broadcast(q), "list_id")
+    else:
         q = queries.select(F.col(query_id).alias("qid"),
                            make_lut(F.col(query_vec)).alias("_lut"))
-        pairs = data.join(F.broadcast(q), how="cross")
+        pairs = pruned.join(F.broadcast(q), how="cross")
     if exclude_self:
         pairs = pairs.filter(F.col("qid") != F.col(id_col))
-    dist = quantize.adc_dist_expr(F.col("_lut"), F.col("pq_codes"), len(books))
-    cands = quantize._rank_topk(
+    dist = quantize.adc_dist_expr(F.col("_lut"), F.col("pq_codes"),
+                                  len(books))
+    return quantize._rank_topk(
         pairs.select("qid", F.col(id_col).alias("vec_id"),
                      dist.alias("dist")),
-        rerank_factor * k, ascending=True, score_col="dist",
+        n_cand, ascending=True, score_col="dist",
     ).select("qid", "vec_id")
-    return _exact_rescore(spark, root, collection, queries, cands,
-                          id_col, vector_name, metric,
-                          query_id, query_vec, k, round_to,
-                          tenant=tenant, eager_candidates=kind == "pq")
 
 
 def _maxsim_rescore(spark: SparkSession, root: str, collection: str,

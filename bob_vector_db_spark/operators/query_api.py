@@ -699,16 +699,67 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
     rows by construction) so deriving the cursor costs no second scan."""
     meta = collection_meta(root, collection) or {}
     id_col = meta.get("id_col", "id")
-    if flt is None:
-        base = read_collection(spark, root, collection, tenant=tenant)
-    else:
-        cand, _ = _resolve_candidates(
-            spark, root, collection, flt, use_payload_index, max_candidates)
-        base = (_scope_tenant(root, collection, cand, tenant)
-                if cand is not None else
-                read_collection(spark, root, collection, tenant=tenant)
-                .filter(as_filter(flt).to_column()))
-    if order_by is None:
+    page, resolution = None, None
+    if order_by is not None and tenant is None and use_payload_index \
+            is not False and (
+            start_from is not None
+            or (cursor is not None and cursor[0] is not None)):
+        # keyset-over-index (VERDICT r8 next #6), tried BEFORE any scan
+        # plan is built: with a fresh RANGE index on the order_by
+        # column, the page's ids come from the value-ordered postings —
+        # the cursor's bucket window opens mid-collection, no full
+        # sort.  Routable only when the keyset predicates provably
+        # exclude NULL order values (the postings never hold them): a
+        # non-NULL cursor leg or a start_from bound; the probe declines
+        # (None) on anything it cannot answer exactly and the scan
+        # below settles it.  A FILTER composes when it resolves to an
+        # EXACT id set (empty residual): the candidates semi-join
+        # inside each pruned bucket window — filter and order in one
+        # plan, nothing sorted but the page; the probe result is
+        # cached in ``resolution`` so a fallback never re-probes.
+        from .payload_index import range_ordered_page  # noqa: PLC0415
+
+        cand_ids, routable = None, True
+        if flt is not None:
+            ids_r, residual = filter_match_ids(spark, root,
+                                               collection, flt)
+            resolution = (ids_r, residual, None)
+            if ids_r is None or residual != Filter() \
+                    or has_literal_id_leaves(flt):
+                # a residual (or HasId ghosts) would need a fetch +
+                # re-page — the scan settles those exactly
+                routable = False
+            else:
+                cand_ids = ids_r
+        if routable:
+            coll = read_collection(spark, root, collection)
+            id_type = coll.schema[id_col].dataType.simpleString()
+            got = range_ordered_page(
+                spark, root, collection, order_by, limit,
+                descending=descending, cursor=cursor,
+                start_from=start_from, id_type=id_type,
+                candidate_ids=cand_ids)
+            if got is not None:
+                rows = read_rows_for_ids(spark, root, collection, got)
+                order = (F.desc(order_by) if descending
+                         else F.asc(order_by))
+                page = (coll.limit(0) if rows is None
+                        else rows.orderBy(order, F.asc(id_col))
+                        .limit(limit))
+    if page is None:
+        if flt is None:
+            base = read_collection(spark, root, collection, tenant=tenant)
+        else:
+            cand, _ = _resolve_candidates(
+                spark, root, collection, flt, use_payload_index,
+                max_candidates, resolution=resolution)
+            base = (_scope_tenant(root, collection, cand, tenant)
+                    if cand is not None else
+                    read_collection(spark, root, collection, tenant=tenant)
+                    .filter(as_filter(flt).to_column()))
+    if page is not None:
+        pass  # index-answered
+    elif order_by is None:
         if start_from is not None:
             raise ValueError("start_from needs order_by (Qdrant's "
                              "OrderBy.start_from lives on the order key)")
@@ -718,79 +769,35 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
                                else F.col(id_col) > F.lit(cursor[0]))
         page = base.orderBy(F.desc(id_col) if descending
                             else F.asc(id_col)).limit(limit)
-    else:
-        page = None
-        if tenant is None and use_payload_index is not False and (
-                start_from is not None
-                or (cursor is not None and cursor[0] is not None)):
-            # keyset-over-index (VERDICT r8 next #6): with a fresh RANGE
-            # index on the order_by column, the page's ids come from the
-            # value-ordered postings — the cursor's bucket window opens
-            # mid-collection, no full sort.  Routable only when the
-            # keyset predicates provably exclude NULL order values (the
-            # postings never hold them): a non-NULL cursor leg or a
-            # start_from bound; the probe declines (None) on anything it
-            # cannot answer exactly and the scan below settles it.
-            # A FILTER composes when it resolves to an EXACT id set
-            # (empty residual): the candidates semi-join inside each
-            # pruned bucket window — filter and order in one plan,
-            # nothing sorted but the page.
-            from .payload_index import range_ordered_page  # noqa: PLC0415
-
-            cand_ids, routable = None, True
-            if flt is not None:
-                ids_r, residual = filter_match_ids(spark, root,
-                                                   collection, flt)
-                if ids_r is None or residual != Filter() \
-                        or has_literal_id_leaves(flt):
-                    # a residual (or HasId ghosts) would need a fetch +
-                    # re-page — the scan settles those exactly
-                    routable = False
-                else:
-                    cand_ids = ids_r
-            if routable:
-                id_type = base.schema[id_col].dataType.simpleString()
-                got = range_ordered_page(
-                    spark, root, collection, order_by, limit,
-                    descending=descending, cursor=cursor,
-                    start_from=start_from, id_type=id_type,
-                    candidate_ids=cand_ids)
-                if got is not None:
-                    rows = read_rows_for_ids(spark, root, collection, got)
-                    order = (F.desc(order_by) if descending
-                             else F.asc(order_by))
-                    page = (base.limit(0) if rows is None
-                            else rows.orderBy(order, F.asc(id_col))
-                            .limit(limit))
-        if page is None:  # the scan path (exact for every case)
-            if start_from is not None:
-                base = base.filter(F.col(order_by) <= F.lit(start_from)
-                                   if descending
-                                   else F.col(order_by) >= F.lit(start_from))
-            if cursor is not None:
-                c_val, c_id = cursor
-                # NULL-aware keyset: NULL values sort FIRST asc / LAST
-                # desc (Spark's default), so a cursor that lands on a
-                # NULL row must hand the next page the non-NULL tail
-                # (asc) or the rest of the NULL run (desc) — a plain
-                # (v > NULL) predicate is all-NULL and would silently
-                # end the scroll early
-                if c_val is None:
-                    beyond = (F.lit(False) if descending
-                              else F.col(order_by).isNotNull())
-                    same = F.col(order_by).isNull()
-                else:
-                    beyond = (F.col(order_by) < F.lit(c_val)
-                              if descending
-                              else F.col(order_by) > F.lit(c_val))
-                    if descending:
-                        # the NULL tail comes after every non-NULL value
-                        beyond = beyond | F.col(order_by).isNull()
-                    same = F.col(order_by) == F.lit(c_val)
-                base = base.filter(
-                    beyond | (same & (F.col(id_col) > F.lit(c_id))))
-            order = F.desc(order_by) if descending else F.asc(order_by)
-            page = base.orderBy(order, F.asc(id_col)).limit(limit)
+    else:  # the order_by scan path (exact for every case)
+        if start_from is not None:
+            base = base.filter(F.col(order_by) <= F.lit(start_from)
+                               if descending
+                               else F.col(order_by) >= F.lit(start_from))
+        if cursor is not None:
+            c_val, c_id = cursor
+            # NULL-aware keyset: NULL values sort FIRST asc / LAST
+            # desc (Spark's default), so a cursor that lands on a
+            # NULL row must hand the next page the non-NULL tail
+            # (asc) or the rest of the NULL run (desc) — a plain
+            # (v > NULL) predicate is all-NULL and would silently
+            # end the scroll early
+            if c_val is None:
+                beyond = (F.lit(False) if descending
+                          else F.col(order_by).isNotNull())
+                same = F.col(order_by).isNull()
+            else:
+                beyond = (F.col(order_by) < F.lit(c_val)
+                          if descending
+                          else F.col(order_by) > F.lit(c_val))
+                if descending:
+                    # the NULL tail comes after every non-NULL value
+                    beyond = beyond | F.col(order_by).isNull()
+                same = F.col(order_by) == F.lit(c_val)
+            base = base.filter(
+                beyond | (same & (F.col(id_col) > F.lit(c_id))))
+        order = F.desc(order_by) if descending else F.asc(order_by)
+        page = base.orderBy(order, F.asc(id_col)).limit(limit)
 
     cols = _shape_columns(meta, page.columns, collection,
                           with_payload, with_vectors)

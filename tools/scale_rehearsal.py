@@ -403,12 +403,15 @@ def main():
     _timed("build_ivf_mv_sq_32lists", timings,
            lambda: index.build_vector_index(
                spark, store, "mv", kind="ivf_mv_sq", n_lists=32, iters=3))
-    mvsq_full = _timed("ivf_mv_sq_full_probe", timings, lambda: sorted(
-        map(tuple, index.search_indexed(
-            spark, store, "mv", q_mv, k=10, n_probe=None,
-            query_vec="qvecs", rerank_factor=100,
-            exclude_self=True).select("qid", "vec_id", "sim", "rank")
-            .collect())))
+    # rerank_factor*k ≥ the ~20.3k-point corpus — the exactness claim
+    # needs a genuinely COVERING rerank at 10x, not just a generous one
+    mvsq_full = _timed("ivf_mv_sq_full_probe_covering", timings,
+                       lambda: sorted(map(tuple, index.search_indexed(
+                           spark, store, "mv", q_mv, k=10, n_probe=None,
+                           query_vec="qvecs", rerank_factor=2_100,
+                           exclude_self=True)
+                           .select("qid", "vec_id", "sim", "rank")
+                           .collect())))
     mvsq_exact = sorted(map(tuple, knn.search_collection(
         spark, store, "mv", q_mv, k=10, corpus_id="id",
         query_vec="qvecs", exclude_self=True, use_index=False,
@@ -421,15 +424,24 @@ def main():
            lambda: index.build_vector_index(
                spark, store, "mv", kind="ivf_mv_pq", n_lists=32, m=8,
                ksub=32, iters=3))
-    mvpq_full = _timed("ivf_mv_pq_full_probe", timings, lambda: sorted(
-        map(tuple, index.search_indexed(
-            spark, store, "mv", q_mv, k=10, n_probe=None,
-            query_vec="qvecs", rerank_factor=100,
-            exclude_self=True).select("qid", "vec_id", "sim", "rank")
-            .collect())))
+    # the exactness claim needs a genuinely COVERING rerank (ADC ranks
+    # by euclid code-space, the metric is dot — only keeping EVERY
+    # candidate makes code error unable to drop a true neighbor):
+    # rerank_factor*k must exceed the ~20.3k-point corpus
+    mvpq_full = _timed("ivf_mv_pq_full_probe_covering", timings,
+                       lambda: sorted(map(tuple, index.search_indexed(
+                           spark, store, "mv", q_mv, k=10, n_probe=None,
+                           query_vec="qvecs", rerank_factor=2_100,
+                           exclude_self=True)
+                           .select("qid", "vec_id", "sim", "rank")
+                           .collect())))
     assert mvpq_full == mvsq_exact, \
-        "ivf_mv_pq full probe diverged from exact"
-    print("  ivf_mv_pq full probe == exact OK")
+        "ivf_mv_pq covering rerank diverged from exact"
+    print("  ivf_mv_pq covering == exact   OK")
+    n_pq4 = _timed("ivf_mv_pq_probe4", timings, lambda: index.search_indexed(
+        spark, store, "mv", q_mv, k=10, n_probe=4, query_vec="qvecs",
+        exclude_self=True).count())
+    assert n_pq4 == 50, n_pq4
 
     # round-9: formula rescoring over stored prefetch branches at 10x —
     # two k-row branches fused, payload fetched bucket-pruned, the
