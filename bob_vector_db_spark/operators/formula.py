@@ -154,8 +154,16 @@ class FormulaCompiler:
         for branch in ("must", "should", "must_not"):
             for sub in getattr(cond, branch, ()) or ():
                 self._harvest_keys(sub)
+        # ``column`` covers HasVector (the space's physical column) and
+        # ``id_col`` covers HasId (ADVICE r9): both render into the
+        # condition SQL, so the rescore must fetch them like any payload
+        # key — formula_rescore skips keys the candidate frame already
+        # carries (the string-cast ``id``).
         for key in getattr(cond, "key", None), \
-                getattr(cond, "lat_key", None), getattr(cond, "lon_key", None):
+                getattr(cond, "lat_key", None), \
+                getattr(cond, "lon_key", None), \
+                getattr(cond, "column", None), \
+                getattr(cond, "id_col", None):
             if isinstance(key, str):
                 self.payload_keys.add(key.split(".", 1)[0])
 
@@ -320,7 +328,11 @@ def formula_rescore(spark: SparkSession, root: str, collection: str,
     for s in scored:
         cand = cand.join(F.broadcast(s), "id", "left")
 
-    if payload_keys:
+    # keys the candidate frame already carries (the string-cast ``id``
+    # from a HasId leaf on the default id column) need no fetch — and
+    # re-fetching them would duplicate the column through the join
+    fetch_keys = sorted(payload_keys - set(cand.columns))
+    if fetch_keys:
         meta = collection_meta(root, collection) or {}
         id_col = meta.get("id_col", "id")
         rows = read_rows_for_ids(spark, root, collection,
@@ -328,15 +340,15 @@ def formula_rescore(spark: SparkSession, root: str, collection: str,
         if rows is None:
             raise ValueError(
                 f"collection {collection!r} has no stored rows to "
-                f"resolve formula payload fields {sorted(payload_keys)}")
-        missing = sorted(payload_keys - set(rows.columns))
+                f"resolve formula payload fields {fetch_keys}")
+        missing = sorted(set(fetch_keys) - set(rows.columns))
         if missing:
             raise ValueError(
                 f"formula references {missing} not in the stored schema "
                 f"of {collection!r}; add a default or fix the key")
         looked = rows.select(
             F.col(id_col).cast("string").alias("_fp_id"),
-            *sorted(payload_keys))
+            *fetch_keys)
         cand = (cand.join(F.broadcast(looked),
                           cand["id"] == F.col("_fp_id"), "left")
                 .drop("_fp_id"))

@@ -823,6 +823,41 @@ def phrase_match_ids(spark: SparkSession, root: str, collection: str,
     return inter.select("id").distinct()
 
 
+def _probe_literals(spark: SparkSession, values: list, ctype: str
+                    ) -> list[tuple]:
+    """For each probe literal: ``(double_image, compare_column)`` —
+    the bisect image over the stored boundaries and the literal Column
+    the pushed comparison uses.  ONE 1-row Spark job renders every
+    literal through the column's STORED type (the same cast the build
+    used) AND through a raw ``try_cast`` to double.  When the two
+    double images agree (the common case) the typed cast is EXACT and
+    the comparison keeps it (pushdown-friendly on the typed posting
+    columns).  When they differ — a fractional bound on an integer
+    column (``CAST(200.5 AS BIGINT) = 200``), a 17-digit double on a
+    float column — the typed cast is LOSSY: the comparison then uses
+    the UN-CAST literal so Spark promotes the posting column exactly
+    like the scan path does (``col >= 200.5`` in double), and the
+    bisect uses the RAW image so the bucket window still covers every
+    qualifying value (ADVICE r9: the truncated image could exclude the
+    bucket holding values in ``(200, 200.5]`` on a descending page).
+    A malformed literal (``'abc'`` on an int column) still RAISES in
+    the typed render under ANSI mode — scan parity, pinned in
+    test_range_probe_uncastable_literal_parity."""
+    cols = []
+    for i, v in enumerate(values):
+        cols.append(F.lit(v).cast(ctype).cast("double").alias(f"t{i}"))
+        cols.append(F.lit(v).try_cast("double").alias(f"r{i}"))
+    row = spark.range(1).select(*cols).first()
+    out = []
+    for i, v in enumerate(values):
+        typed, raw = row[f"t{i}"], row[f"r{i}"]
+        if raw is not None and typed is not None and raw != typed:
+            out.append((raw, F.lit(v)))  # lossy cast: promote like the scan
+        else:
+            out.append((typed, F.lit(v).cast(ctype)))
+    return out
+
+
 def _range_window_frame(spark: SparkSession, ipath: str, pdir: str,
                         window: list[int], pred) -> DataFrame:
     """One ordered-page bucket window: static ``val_bucket IN (...)``
@@ -885,14 +920,26 @@ def range_ordered_page(spark: SparkSession, root: str, collection: str,
     pdir = os.path.join(ipath, "postings")
     if not os.path.isdir(pdir):
         return None  # empty index: the scan settles it (also empty)
+    # render every probe literal ONCE: bisect image + comparison column
+    # (typed when the stored-type cast is exact, UN-CAST when it would
+    # truncate — ADVICE r9: matching scroll_points' scan comparisons, and
+    # keeping the descending window from excluding the bucket that holds
+    # values between the truncated and the true bound)
+    c_val = c_id = None
+    if cursor is not None:
+        c_val, c_id = cursor
+        if c_val is None:
+            return None  # a NULL cursor leg pages rows the index lacks
+    lits = [v for v in (start_from, c_val) if v is not None]
+    rendered = _probe_literals(spark, lits, ctype) if lits else []
+    sf_r = rendered.pop(0) if start_from is not None else None
+    cv_r = rendered.pop(0) if c_val is not None else None
     # locate the cursor-side edge bucket (the page can't start before it)
     edge = None
-    pivot = cursor[0] if cursor is not None else start_from
-    if pivot is not None:
-        row = spark.range(1).select(
-            F.lit(pivot).cast(ctype).cast("double").alias("n")).first()
-        if row["n"] is not None:
-            edge = bisect_right(boundaries, row["n"])
+    pivot_img = cv_r[0] if cv_r is not None else (
+        sf_r[0] if sf_r is not None else None)
+    if pivot_img is not None:
+        edge = bisect_right(boundaries, pivot_img)
     if descending:
         hi = n_buckets - 1 if edge is None else edge
         seq = list(range(hi, -1, -1))
@@ -906,14 +953,11 @@ def range_ordered_page(spark: SparkSession, root: str, collection: str,
     val = F.col("val")
     tid = F.col("id").cast(id_type)
     pred = F.lit(True)
-    if start_from is not None:
-        s = F.lit(start_from).cast(ctype)
+    if sf_r is not None:
+        s = sf_r[1]
         pred = pred & (val <= s if descending else val >= s)
-    if cursor is not None:
-        c_val, c_id = cursor
-        if c_val is None:
-            return None  # a NULL cursor leg pages rows the index lacks
-        cv = F.lit(c_val).cast(ctype)
+    if cv_r is not None:
+        cv = cv_r[1]
         beyond = val < cv if descending else val > cv
         pred = pred & (beyond | ((val == cv)
                                  & (tid > F.lit(c_id).cast(id_type))))
@@ -968,25 +1012,26 @@ def _range_probe(spark: SparkSession, root: str, collection: str,
         if eq_values is not None:  # IN () — empty set, matches nothing
             return spark.createDataFrame([], f"id string, val {ctype}")
         raise ValueError("range probe needs at least one bound")
-    cols = []
-    for i, (_op, v) in enumerate(items):
-        lit = F.lit(v).cast(ctype)
-        cols.append(lit.cast("double").alias(f"n{i}"))
-    # NOTE on malformed literals: under Spark 4's default ANSI mode this
-    # 1-row render job raises CAST_INVALID_INPUT for a literal the
-    # column type can't parse — the SAME error the pushed scan raises
-    # for ``col = 'abc'`` on an int column, so probe and scan stay in
-    # parity (asserted in test_range_probe_uncastable_literal_parity).
-    # A None here therefore only means a NULL literal slipped through;
-    # NULL compares to nothing on both paths → empty match.
-    row = spark.range(1).select(*cols).first()
-    nums = [row[f"n{i}"] for i in range(len(items))]
+    # NOTE on malformed literals: under Spark 4's default ANSI mode the
+    # 1-row render job inside _probe_literals raises CAST_INVALID_INPUT
+    # for a literal the column type can't parse — the SAME error the
+    # pushed scan raises for ``col = 'abc'`` on an int column, so probe
+    # and scan stay in parity (asserted in
+    # test_range_probe_uncastable_literal_parity).  A None image
+    # therefore only means a NULL literal slipped through; NULL compares
+    # to nothing on both paths → empty match.  Lossy literals (a
+    # fractional bound on an integer column) come back with the UN-CAST
+    # comparison column so the pushed predicate promotes exactly like
+    # the scan's ``200.5e0`` rendering (ADVICE r9).
+    rendered = _probe_literals(spark, [v for _op, v in items], ctype)
+    nums = [r[0] for r in rendered]
+    lits = [r[1] for r in rendered]
     if eq_values is not None:
-        pairs = [(n, v) for n, v in zip(nums, eq_values) if n is not None]
+        pairs = [(n, c) for n, c in zip(nums, lits) if n is not None]
         if not pairs:
             return spark.createDataFrame([], f"id string, val {ctype}")
         nums = [n for n, _ in pairs]
-        eq_values = [v for _, v in pairs]
+        lits = [c for _, c in pairs]
         # equality probe: exactly each literal's own bucket
         window = sorted({bisect_right(boundaries, n) for n in nums})
     else:
@@ -1003,13 +1048,10 @@ def _range_probe(spark: SparkSession, root: str, collection: str,
     post = (spark.read.parquet(pdir)
             .filter(F.col("val_bucket").isin(window)))
     if eq_values is not None:
-        pred = F.col("val").isin(
-            *[F.lit(v).cast(ctype) for v in eq_values]) \
-            if eq_values else F.lit(False)
+        pred = F.col("val").isin(*lits) if lits else F.lit(False)
         post = post.filter(pred)
     else:
-        for op, v in items:
-            lit = F.lit(v).cast(ctype)
+        for (op, _v), lit in zip(items, lits):
             post = post.filter(
                 F.col("val") > lit if op == "gt"
                 else F.col("val") >= lit if op == "gte"

@@ -730,7 +730,18 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
                 # re-page — the scan settles those exactly
                 routable = False
             else:
-                cand_ids = ids_r
+                # selectivity guard (ADVICE r9): a non-selective id set
+                # would semi-join into every geometric widening round
+                # where the pushed-predicate scan wins outright.  The
+                # capped count is exact whenever it is <= the cap, so
+                # it feeds the fallback's resolution as n_pre too — the
+                # scan path never re-counts.
+                n_cand = ids_r.limit(max_candidates + 1).count()
+                resolution = (ids_r, residual, n_cand)
+                if n_cand > max_candidates:
+                    routable = False
+                else:
+                    cand_ids = ids_r
         if routable:
             coll = read_collection(spark, root, collection)
             id_type = coll.schema[id_col].dataType.simpleString()

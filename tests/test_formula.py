@@ -218,3 +218,25 @@ class TestQueryPointsDispatch:
                          query={"formula": {"sum": [1.0]}},
                          prefetch=[br],
                          flt=MatchValue("grp", "g0"))
+
+
+def test_hasvector_hasid_conditions_fetch_columns(spark, store):
+    """ADVICE r10: HasVector / HasId leaves inside a formula condition
+    harvest their referenced columns (``column`` / ``id_col``) — the
+    rescore used to fail analysis with an unresolved column instead of
+    fetching them.  Keys the candidate frame already carries (the
+    string-cast ``id``) are NOT re-fetched (no duplicate-column join)."""
+    from bob_vector_db_spark.operators.filters import HasId, HasVector
+
+    _, keys = compile_formula({"sum": [HasVector("emb"), HasId([1])]}, 0)
+    assert keys == {"emb", "id"}
+
+    br = _branch(spark, [("1", 0.0), ("2", 0.0), ("3", 0.0)])
+    # price is a stored non-NULL column: the condition fetches it
+    f = {"sum": [HasVector("price"), "$score[0]"]}
+    got = _scores(formula_rescore(spark, store, "pts", [br], f, k=5))
+    assert got == {"1": 1.0, "2": 1.0, "3": 1.0}
+    # HasId on the default id column scores against the candidate ids
+    f2 = {"sum": [HasId([1, 3]), HasId([2], id_col="id")]}
+    got2 = _scores(formula_rescore(spark, store, "pts", [br], f2, k=5))
+    assert got2 == {"1": 1.0, "2": 1.0, "3": 1.0}

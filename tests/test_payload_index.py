@@ -1144,3 +1144,105 @@ def test_filtered_scroll_composes_with_range_index(spark, tmp_path):
         return [(r["v"], r["id"]) for r in page.collect()]
 
     assert walk2("auto") == walk2(False)
+
+
+def test_range_index_fractional_bounds_on_int_column(spark, tmp_path):
+    """ADVICE r10: fractional literals over an INTEGER-typed indexed
+    column must not truncate through the stored-type cast.  The routed
+    probe and the keyset page now compare in PROMOTED double exactly
+    like the scan — ``CAST(36.5 AS BIGINT) = 36`` used to include the
+    val=36 boundary rows the scan's ``36.5e0`` comparison excludes."""
+    from bob_vector_db_spark.operators import query_api
+    from bob_vector_db_spark.operators.filters import (
+        Filter, MatchValue, Range, filter_match_ids)
+    from bob_vector_db_spark.operators.payload_index import (
+        range_ordered_page)
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, int((i * 37) % 100)) for i in range(80)], "id long, n long")
+    upsert.create_collection(spark, root, "c", df=df, id_col="id",
+                             n_buckets=4)
+    build_payload_index(spark, root, "c", "n", n_val_buckets=8,
+                        index_type="range")
+    # routed Range leaves with fractional bounds == scan (val=36 exists)
+    for flt in (Filter(must=[Range("n", gte=36.5)]),
+                Filter(must=[Range("n", lte=36.5)]),
+                Filter(must=[Range("n", gt=10.5, lt=36.5)])):
+        ids, residual = filter_match_ids(spark, root, "c", flt)
+        assert ids is not None and residual == Filter(), flt
+        got = {r["id"] for r in ids.collect()}
+        want = {str(r["id"]) for r in df.filter(flt.to_column()).collect()}
+        assert got == want and want, flt
+    # fractional EQUALITY matches nothing on either path
+    ids_eq, res_eq = filter_match_ids(
+        spark, root, "c", Filter(must=[MatchValue("n", 36.5)]))
+    assert ids_eq is not None and res_eq == Filter()
+    assert ids_eq.count() == 0
+    # keyset scroll with a fractional start_from: index walk == scan walk
+    # (ascending exposes the old val>=36 inclusion; descending exposes
+    # the truncated bisect pivot)
+
+    def walk(use_idx, **kw):
+        seen, cursor = [], None
+        for _ in range(40):
+            page, cursor = query_api.scroll_points(
+                spark, root, "c", limit=7, order_by="n", cursor=cursor,
+                return_cursor=True, use_payload_index=use_idx, **kw)
+            seen.extend((r["n"], r["id"]) for r in page.collect())
+            if cursor is None:
+                break
+        return seen
+
+    for kwargs in ({"start_from": 36.5},
+                   {"start_from": 36.5, "descending": True}):
+        got = walk("auto", **kwargs)
+        want = walk(False, **kwargs)
+        assert got == want and got, kwargs
+    # a hand-built fractional CURSOR leg takes the same promoted path
+    ids = range_ordered_page(spark, root, "c", "n", 7,
+                             cursor=(36.5, 5), id_type="long")
+    assert ids is not None
+    want_ids = {str(r["id"]) for r in
+                df.filter("n > 36.5").orderBy("n", "id").limit(7)
+                .collect()}
+    assert {r["id"] for r in ids.collect()} == want_ids
+
+
+def test_keyset_route_respects_max_candidates(spark, tmp_path,
+                                              monkeypatch):
+    """ADVICE r10: a filter resolving to more than ``max_candidates``
+    ids skips the keyset-over-index route (where the huge id set would
+    semi-join into every widening round) and settles on the
+    pushed-predicate scan — same page, scan plan."""
+    from bob_vector_db_spark.operators import payload_index, query_api
+    from bob_vector_db_spark.operators.filters import Filter, MatchValue
+
+    root = str(tmp_path / "store")
+    rows = [(i, f"g{i % 3}", float((i * 37) % 100)) for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    upsert.create_collection(spark, root, "c", df=df, id_col="id",
+                             n_buckets=4)
+    build_payload_index(spark, root, "c", "grp", n_val_buckets=8)
+    build_payload_index(spark, root, "c", "v", n_val_buckets=8,
+                        index_type="range")
+    flt = Filter(must=[MatchValue("grp", "g1")])  # 30 of 90 rows
+
+    calls = []
+    real = payload_index.range_ordered_page
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(payload_index, "range_ordered_page", spy)
+    page = query_api.scroll_points(spark, root, "c", flt=flt, limit=5,
+                                   order_by="v", start_from=20.0)
+    assert calls  # selective filter: routed through the index
+    want = [(r["v"], r["id"]) for r in page.collect()]
+    calls.clear()
+    page2 = query_api.scroll_points(spark, root, "c", flt=flt, limit=5,
+                                    order_by="v", start_from=20.0,
+                                    max_candidates=10)
+    assert not calls  # guard declined the keyset route
+    assert [(r["v"], r["id"]) for r in page2.collect()] == want and want
