@@ -66,6 +66,17 @@ def l2_distance(a: Column, b: Column) -> Column:
     return F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
 
 
+def l1_distance(a: Column, b: Column) -> Column:
+    """Manhattan (L1) distance — Qdrant ``Distance.MANHATTAN``, the fourth
+    declared metric.  Same fold shape as :func:`l2_distance` (abs instead
+    of square, no sqrt), so it stays inside JVM codegen and reproduces
+    bit-identically in the DuckDB oracle's list fold."""
+    diff = F.zip_with(
+        a, b, lambda x, y: F.abs(x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+
 def normalize(a: Column) -> Column:
     """Unit-normalize an array<float> column (stays array<double>)."""
     n = l2_norm(a)

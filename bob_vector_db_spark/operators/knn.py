@@ -29,6 +29,7 @@ _METRIC_ALIASES = {
     "cosine": "cosine", "cos": "cosine",
     "dot": "dot", "dotproduct": "dot", "ip": "dot",
     "euclid": "euclid", "euclidean": "euclid", "l2": "euclid",
+    "manhattan": "manhattan", "l1": "manhattan", "cityblock": "manhattan",
 }
 
 
@@ -84,6 +85,9 @@ def knn_join(
     elif metric == "dot":
         sim = vector.dot(F.col("qvec"), F.col(corpus_vec))
         ascending = False
+    elif metric == "manhattan":
+        sim = vector.l1_distance(F.col("qvec"), F.col(corpus_vec))
+        ascending = True
     else:  # euclid
         sim = vector.l2_distance(F.col("qvec"), F.col(corpus_vec))
         ascending = True

@@ -538,6 +538,8 @@ def metric_score_expr(qvec_col, cvec_col, qnorm_col, metric: str):
         return vector.dot(qvec_col, cvec_col), False
     if metric == "euclid":
         return vector.l2_distance(qvec_col, cvec_col), True
+    if metric == "manhattan":
+        return vector.l1_distance(qvec_col, cvec_col), True
     raise ValueError(f"unknown metric {metric!r}")
 
 

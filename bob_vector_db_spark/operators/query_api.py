@@ -416,7 +416,8 @@ def search_points(spark: SparkSession, root: str, collection: str,
         out = (out.filter(F.col("rank") > offset)
                .withColumn("rank", F.col("rank") - F.lit(int(offset))))
     if score_threshold is not None:
-        cut = (F.col("sim") <= float(score_threshold) if metric == "euclid"
+        cut = (F.col("sim") <= float(score_threshold)
+               if metric in ("euclid", "manhattan")
                else F.col("sim") >= float(score_threshold))
         out = out.filter(cut)
     if with_payload:
@@ -897,9 +898,11 @@ def search_groups(spark: SparkSession, root: str, collection: str,
         pairs = corpus.join(F.broadcast(q), how="cross")
         sim = vector.dot(F.col("qvec"), F.col("_cv"))
         ascending = False
-    else:  # euclid
+    else:  # euclid / manhattan (both rank ascending)
         pairs = corpus.join(F.broadcast(q), how="cross")
-        sim = vector.l2_distance(F.col("qvec"), F.col("_cv"))
+        sim = (vector.l1_distance(F.col("qvec"), F.col("_cv"))
+               if metric == "manhattan"
+               else vector.l2_distance(F.col("qvec"), F.col("_cv")))
         ascending = True
     if round_to is not None:
         sim = F.round(sim, round_to)
@@ -1341,7 +1344,8 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
     else:
         raise ValueError(
             "best_score recommend is defined for similarity metrics "
-            "(cosine/dot); euclid collections should use average_vector")
+            "(cosine/dot); euclid/manhattan collections should use "
+            "average_vector")
     pairs = c.join(F.broadcast(ex), how="cross")
     agg = (pairs.select("vec_id", F.col("_e_s").alias("s"), sim.alias("_s"))
            .groupBy("vec_id")
