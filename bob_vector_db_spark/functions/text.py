@@ -59,12 +59,118 @@ def word_translate_sql(inner: str) -> str:
             f"repeat(' ', {len(WORD_DELIMS)}))")
 
 
+# --- TextIndexParams stopwords + stemmer (round 10, VERDICT r9 #2) -------
+
+# The classic Lucene/Snowball English stopword list (public domain) — the
+# resolved form of ``stopwords='english'`` on a text index or leaf.
+ENGLISH_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+
+# chr(2) is the STEM marker: each stem rule's replacement ends with it so
+# later rules can't re-fire on an already-stemmed token end (the chr(1)
+# phrase-collapse lesson applied to stemming).  Like chr(1), it is a
+# token DELIMITER on every text path — scan forms, index build, probe —
+# so a pre-existing chr(2) in a document can never collide with the
+# marker (text indexes carry ``text_format: 2`` to gate this).
+S_STEM_MARKER = "\x02"
+
+# Harman's S-stemmer ("How Effective Is Suffixing?", JASIS 1991) as an
+# ordered (suffix, replacement) table — FIRST match wins per token; a
+# rule whose replacement equals its suffix is one of Harman's protected
+# exception classes.  The same table drives all three forms: the
+# compiled scan SQL and the index-build expression apply it as a
+# ``replace(suffix || ' ', repl || chr(2) || ' ')`` chain over the
+# space-delimited text (one token end each — first-match-wins holds
+# because every replacement's marker blocks later patterns), and
+# :func:`stem_token_py` applies it per probe token.
+S_STEM_RULES = (
+    ("eies", "eies"), ("aies", "aies"), ("ies", "y"),
+    ("aes", "aes"), ("ees", "ees"), ("oes", "oes"), ("es", "e"),
+    ("us", "us"), ("ss", "ss"), ("s", ""),
+)
+
+STEMMERS = ("english",)
+
+
+def stem_token_py(tok: str) -> str:
+    """Python twin of the S-stemmer replace chain (probe side)."""
+    for suf, rep in S_STEM_RULES:
+        if tok.endswith(suf):
+            return tok[: len(tok) - len(suf)] + rep
+    return tok
+
+
+def resolve_stopwords(stopwords) -> tuple[str, ...]:
+    """Canonical sorted de-duplicated tuple; the string ``'english'``
+    resolves to :data:`ENGLISH_STOPWORDS`.  Canonical form makes leaf
+    params structurally comparable to the persisted index params."""
+    if stopwords is None:
+        return ()
+    if isinstance(stopwords, str):
+        if stopwords != "english":
+            raise ValueError(
+                f"unknown stopword set {stopwords!r}; pass 'english' or "
+                f"an explicit word list")
+        stopwords = ENGLISH_STOPWORDS
+    return tuple(sorted(set(str(w) for w in stopwords)))
+
+
+def check_stopwords(words: tuple, tokenizer: str, lowercase: bool) -> None:
+    """A stopword that is not a single token of ITSELF under the
+    tokenizer params can never match any token — silently dead config,
+    so refuse it loudly (e.g. an uppercase word on a lowercasing index,
+    or a word containing a delimiter)."""
+    for w in words:
+        if tokenize_text_py(w, tokenizer, lowercase) != [w]:
+            raise ValueError(
+                f"stopword {w!r} is not a single token of itself under "
+                f"tokenizer={tokenizer!r}/lowercase={lowercase} — it "
+                f"could never match; lowercase it / remove delimiters")
+
+
+def token_pipeline(wrapped, stopwords, stemmer, *, lit, replace, concat):
+    """Stopword removal + stemming over a SPACE-WRAPPED delimiter-
+    normalized text value, expressed through dialect primitives so the
+    ONE chain drives both the compiled scan SQL (``lit``/``replace``/
+    ``concat`` build strings) and the Spark index-build expression
+    (``F.lit``/``F.replace``/``F.concat``):
+
+    - stopwords: double every space first (global replace is
+      non-overlapping, so adjacent stopwords must not share a boundary
+      space), then drop each ``' word '`` whole-token occurrence;
+    - stemmer: the :data:`S_STEM_RULES` chain at token ends
+      (``suffix + ' '``), each replacement tagged with the chr(2)
+      marker so later rules can't re-fire, marker dropped at the end.
+
+    Space RUNS are left as-is — whole-token ``instr`` probes tolerate
+    them and the phrase form collapses runs anyway."""
+    out = wrapped
+    if stopwords:
+        out = replace(out, lit(" "), lit("  "))
+        for w in sorted(stopwords):
+            out = replace(out, lit(f" {w} "), lit(" "))
+    if stemmer:
+        for suf, rep in S_STEM_RULES:
+            out = replace(out, lit(suf + " "),
+                          concat(lit(rep), S_STEM_MARKER, lit(" ")))
+        out = replace(out, S_STEM_MARKER, lit(""))
+    return out
+
+
 def tokenize_text_py(text: str, tokenizer: str = "whitespace",
-                     lowercase: bool = True) -> list[str]:
+                     lowercase: bool = True,
+                     stopwords: tuple = (),
+                     stemmer: str | None = None) -> list[str]:
     """Driver-side twin of the index build's tokenization, used to
     prepare PROBE tokens exactly the way the build tokenized values
     (``tokenizer`` 'whitespace' | 'word'; 'prefix' tokenizes like
-    'whitespace' — the prefixes live on the posting side)."""
+    'whitespace' — the prefixes live on the posting side).
+    ``stopwords`` drops whole tokens (checked BEFORE stemming, like the
+    build's pipeline order); ``stemmer`` maps each surviving token
+    through :func:`stem_token_py`, dropping tokens that stem empty."""
     import re  # noqa: PLC0415
 
     s = str(text)
@@ -74,8 +180,15 @@ def tokenize_text_py(text: str, tokenizer: str = "whitespace",
         s = s.translate({ord(c): " " for c in WORD_DELIMS})
     # the exact Java \s class ws_tokens splits on (Python str.split()
     # would also split on Unicode spaces the build does not), plus
-    # chr(1) — the phrase collapse marker is a delimiter on every path
-    return [t for t in re.split("[ \t\n\x0b\x0c\r\x01]+", s) if t]
+    # chr(1) (the phrase collapse marker) and chr(2) (the stem marker)
+    # — both are delimiters on every path
+    toks = [t for t in re.split("[ \t\n\x0b\x0c\r\x01\x02]+", s) if t]
+    if stopwords:
+        drop = set(stopwords)
+        toks = [t for t in toks if t not in drop]
+    if stemmer:
+        toks = [s2 for s2 in (stem_token_py(t) for t in toks) if s2]
+    return toks
 
 
 def bpe_tokens(text: Column) -> Column:

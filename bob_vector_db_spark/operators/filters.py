@@ -335,10 +335,10 @@ def _delim_norm_sql(k: str, tokenizer: str = "whitespace") -> str:
     base = f"lower({k})"
     if tokenizer == "word":
         base = word_translate_sql(base)
-    return (f"replace(replace(replace(replace(replace(replace("
+    return (f"replace(replace(replace(replace(replace(replace(replace("
             f"{base}, "
             f"chr(9), ' '), chr(10), ' '), chr(11), ' '), "
-            f"chr(12), ' '), chr(13), ' '), chr(1), ' ')")
+            f"chr(12), ' '), chr(13), ' '), chr(1), ' '), chr(2), ' ')")
 
 
 def _ws_norm_sql(k: str, tokenizer: str = "whitespace") -> str:
@@ -346,10 +346,53 @@ def _ws_norm_sql(k: str, tokenizer: str = "whitespace") -> str:
     return f"(' ' || {_delim_norm_sql(k, tokenizer)} || ' ')"
 
 
-def _text_toks(text: str, tokenizer: str) -> list[str]:
+def _pipeline_sql(inner: str, stopwords: tuple, stemmer: str | None) -> str:
+    """The stopword-removal + stemming chain over a SPACE-WRAPPED
+    normalized doc expression, rendered in the shared SQL dialect —
+    the same :func:`functions.text.token_pipeline` the index build
+    applies as Spark Columns, so scan answers == routed answers by
+    construction.  The chr(2) stem marker renders as ``chr(2)`` (never
+    a raw control char in a SQL literal)."""
+    from ..functions.text import S_STEM_MARKER, token_pipeline  # noqa: PLC0415
+
+    def rep(src, a, b):
+        a = "chr(2)" if a is S_STEM_MARKER else a
+        return f"replace({src}, {a}, {b})"
+
+    def cat(*parts):
+        return "(" + " || ".join(
+            "chr(2)" if p is S_STEM_MARKER else p for p in parts) + ")"
+
+    return token_pipeline(inner, stopwords, stemmer,
+                          lit=_lit, replace=rep, concat=cat)
+
+
+def _text_toks(text: str, tokenizer: str, stopwords: tuple = (),
+               stemmer: str | None = None) -> list[str]:
     from ..functions.text import tokenize_text_py  # noqa: PLC0415
 
-    return tokenize_text_py(text, tokenizer, lowercase=True)
+    return tokenize_text_py(text, tokenizer, lowercase=True,
+                            stopwords=stopwords, stemmer=stemmer)
+
+
+def _canon_text_params(obj, tokenizer: str, with_stemmer: bool) -> None:
+    """Shared __post_init__ canonicalization for the text leaves:
+    resolve/sort the stopword set (``'english'`` → the Lucene list),
+    refuse dead stopwords (not a single token of themselves under the
+    leaf's tokenizer) and unknown stemmers."""
+    from ..functions.text import (  # noqa: PLC0415
+        STEMMERS,
+        check_stopwords,
+        resolve_stopwords,
+    )
+
+    words = resolve_stopwords(obj.stopwords)
+    check_stopwords(words, tokenizer, lowercase=True)
+    object.__setattr__(obj, "stopwords", words)
+    if with_stemmer and obj.stemmer is not None \
+            and obj.stemmer not in STEMMERS:
+        raise ValueError(
+            f"unknown stemmer {obj.stemmer!r}; one of {STEMMERS}")
 
 
 @dataclass(frozen=True)
@@ -360,10 +403,21 @@ class MatchText:
     also on ASCII punctuation (the Qdrant word-tokenizer twin; see
     ``functions.text.WORD_DELIMS`` for the documented Unicode
     divergence).  Compiles to anchored instr tests over a
-    delimiter-normalized copy both engines evaluate identically."""
+    delimiter-normalized copy both engines evaluate identically.
+
+    ``stopwords`` / ``stemmer`` are the Qdrant ``TextIndexParams``
+    surface (round 10): stopword tokens drop from the QUERY (checked
+    before stemming) and from the DOC side (whole-token removal in the
+    compiled SQL — a stemmed non-stopword query token must not match a
+    doc token the index never posted); ``stemmer='english'`` maps every
+    surviving token through the Harman S-stemmer on BOTH sides.  A leaf
+    routes through a text index only when these params match the
+    index's exactly."""
     key: str
     text: str
     tokenizer: str = "whitespace"
+    stopwords: tuple = ()
+    stemmer: str | None = None
 
     def __post_init__(self):
         if self.tokenizer not in ("whitespace", "word"):
@@ -371,12 +425,16 @@ class MatchText:
                 f"MatchText tokenizer {self.tokenizer!r} not one of "
                 f"('whitespace', 'word'); prefix semantics are the "
                 f"MatchTextPrefix leaf")
+        _canon_text_params(self, self.tokenizer, with_stemmer=True)
 
     def to_sql(self) -> str:
-        toks = _text_toks(self.text, self.tokenizer)
+        toks = _text_toks(self.text, self.tokenizer, self.stopwords,
+                          self.stemmer)
         if not toks:
             return "TRUE"
         norm = _ws_norm_sql(_ident(self.key), self.tokenizer)
+        if self.stopwords or self.stemmer:
+            norm = _pipeline_sql(norm, self.stopwords, self.stemmer)
         tests = [f"instr({norm}, {_lit(' ' + t + ' ')}) > 0"
                  for t in toks]
         return "(" + " AND ".join(tests) + ")"
@@ -388,15 +446,27 @@ class MatchTextPrefix:
     PREFIX-tokenized text index answers (Qdrant ``TextIndexParams``
     tokenizer=prefix): every whitespace token of ``text`` must be a
     PREFIX of some whitespace token of ``key``.  Compiles to instr tests
-    anchored at a LEADING space only (token start, any continuation)."""
+    anchored at a LEADING space only (token start, any continuation).
+
+    ``stopwords`` removes whole DOC tokens before the prefix test (a
+    prefix index never posted them); the query's prefix tokens are NOT
+    stop-checked — a prefix is not a token.  No stemmer: prefixes of
+    stems are semantically incoherent (the build rejects the combo
+    too)."""
     key: str
     text: str
+    stopwords: tuple = ()
+
+    def __post_init__(self):
+        _canon_text_params(self, "whitespace", with_stemmer=False)
 
     def to_sql(self) -> str:
         toks = _text_toks(self.text, "whitespace")
         if not toks:
             return "TRUE"
         norm = _ws_norm_sql(_ident(self.key))
+        if self.stopwords:
+            norm = _pipeline_sql(norm, self.stopwords, None)
         tests = [f"instr({norm}, {_lit(' ' + t)}) > 0" for t in toks]
         return "(" + " AND ".join(tests) + ")"
 
@@ -416,26 +486,41 @@ class MatchPhrase:
     replace/chr/|| — the engines' regexp dialects disagree on escapes and
     global replacement, but replace IS global in both; a pre-existing
     chr(1) in the document normalizes to a space first, so the marker
-    can't collide."""
+    can't collide.
+
+    ``stopwords`` / ``stemmer`` apply position-compressed: stopword
+    tokens vanish from BOTH the phrase and the document before
+    adjacency (``'united states of america'`` with 'of' stopworded
+    phrase-matches as ``united states america``), and the stemmer maps
+    the surviving tokens on both sides — exactly how the positional
+    index posts them."""
     key: str
     text: str
     tokenizer: str = "whitespace"
+    stopwords: tuple = ()
+    stemmer: str | None = None
 
     def __post_init__(self):
         if self.tokenizer not in ("whitespace", "word"):
             raise ValueError(
                 f"MatchPhrase tokenizer {self.tokenizer!r} not one of "
                 f"('whitespace', 'word')")
+        _canon_text_params(self, self.tokenizer, with_stemmer=True)
 
     def to_sql(self) -> str:
-        toks = _text_toks(self.text, self.tokenizer)
+        toks = _text_toks(self.text, self.tokenizer, self.stopwords,
+                          self.stemmer)
         if not toks:
             return "TRUE"
         # one delimiter pass shared with MatchText (chr(1) is a
         # delimiter there too, so it is free as the collapse marker),
-        # then runs of spaces collapse to one — adjacency is
-        # token-based, matching the positional index's ordinals
+        # then the stopword/stem pipeline, then runs of spaces collapse
+        # to one — adjacency is token-based over the SURVIVING tokens,
+        # matching the positional index's post-pipeline ordinals
         base = _delim_norm_sql(_ident(self.key), self.tokenizer)
+        if self.stopwords or self.stemmer:
+            base = _pipeline_sql(f"(' ' || {base} || ' ')",
+                                 self.stopwords, self.stemmer)
         collapsed = (f"replace(replace(replace({base}, ' ', ' ' || chr(1)), "
                      f"chr(1) || ' ', ''), chr(1), '')")
         norm = f"(' ' || {collapsed} || ' ')"
@@ -834,6 +919,7 @@ def filter_match_ids(spark, root: str, collection: str, flt,
     """
     from ..functions.text import tokenize_text_py  # noqa: PLC0415
     from .payload_index import (  # noqa: PLC0415
+        TEXT_FORMAT,
         _band_ok,
         geo_match_ids,
         nested_match_ids,
@@ -876,20 +962,35 @@ def filter_match_ids(spark, root: str, collection: str, flt,
         elif kind in ("text", "phrase", "text_prefix"):
             if itype != "text":
                 return False  # these need the TOKEN posting layout
-            if "tokenizer" not in imeta:
-                # pre-r9 meta: postings were tokenized without the
-                # chr(1) delimiter and carry no param surface — routed
-                # answers could diverge from today's scan forms; stay
-                # residual until the index is rebuilt
+            if imeta.get("text_format") != TEXT_FORMAT:
+                # an older-format meta (pre-r9: no tokenizer params /
+                # chr(1) delimiter; pre-r10: no chr(2) delimiter or
+                # stopword/stemmer surface) tokenized differently —
+                # routed answers could diverge from today's scan forms;
+                # built_version only tracks DATA freshness, so gate the
+                # FORMAT explicitly and stay residual until rebuilt
                 return False
             if not bool(imeta.get("lowercase", True)):
                 # the scan forms lowercase unconditionally; a case-
                 # sensitive index answers a different predicate
                 return False
+            # stopwords/stemmer are part of the predicate's MEANING: a
+            # leaf resolves through an index only when both match its
+            # own params exactly (leaf stopwords are canonical sorted
+            # tuples; the meta stores the same canonical list)
+            if tuple(imeta.get("stopwords") or ()) \
+                    != tuple(getattr(payload, "stopwords", ()) or ()):
+                return False
+            if (imeta.get("stemmer") or None) \
+                    != (getattr(payload, "stemmer", None) or None):
+                return False
             itok = imeta.get("tokenizer", "whitespace")
             if kind == "text_prefix":
                 if itok != "prefix":
                     return False  # needs prefix postings
+                # query PREFIX tokens are never stop-checked or stemmed
+                # (a prefix is not a token; the pipeline applies to the
+                # posted DOC tokens only)
                 toks = tokenize_text_py(payload.text, "whitespace")
                 band = prefix_band(imeta)
             else:
@@ -901,7 +1002,10 @@ def filter_match_ids(spark, root: str, collection: str, flt,
                 if kind == "phrase" and not bool(
                         imeta.get("phrase_matching", False)):
                     return False  # adjacency needs positional postings
-                toks = tokenize_text_py(payload.text, itok)
+                toks = tokenize_text_py(
+                    payload.text, itok,
+                    stopwords=tuple(payload.stopwords or ()),
+                    stemmer=payload.stemmer)
                 band = imeta
             if not toks or not _band_ok(toks, band):
                 # a token outside the index's stored length band was

@@ -143,34 +143,71 @@ def _nested_postings(df: DataFrame, id_col: str, column: str,
                                F.lit(n_val_buckets)).cast("int")))
 
 
-# stored prefix lengths cap when the index sets no max_token_len — the
-# search-as-you-type band; longer query tokens fall back to the scan
+# the accepted QUERY-token length cap when a prefix index sets no
+# max_token_len — the search-as-you-type band; longer query tokens fall
+# back to the scan (r10: the layout stores FULL tokens, so the cap is a
+# router contract, not a storage bound)
 PREFIX_DEFAULT_MAX = 20
 
+# Text-index FORMAT epoch, bumped whenever the tokenization itself
+# changes (built_version only tracks DATA freshness): 2 = the round-10
+# format (chr(2) joins chr(1) in the delimiter class; stopword/stemmer
+# params exist).  The router and every probe refuse older formats —
+# their postings were tokenized differently, so routed answers could
+# silently diverge from the current scan forms.
+TEXT_FORMAT = 2
 
-def _tokenize_expr(column: str, tokenizer: str, lowercase: bool):
+
+def _tokenize_expr(column: str, tokenizer: str, lowercase: bool,
+                   stopwords: tuple = (), stemmer: str | None = None):
     """The token array of one text value under the index params — the
     build/refresh-shared tokenization (driver-side probe mirror:
-    :func:`functions.text.tokenize_text_py`)."""
-    from ..functions.text import WORD_DELIMS, ws_tokens  # noqa: PLC0415
+    :func:`functions.text.tokenize_text_py`).  ``stopwords``/``stemmer``
+    apply as the SAME :func:`functions.text.token_pipeline` replace
+    chain the compiled scan SQL uses (``F.replace`` Columns here, SQL
+    strings there) — build == scan by construction."""
+    from ..functions.text import (  # noqa: PLC0415
+        S_STEM_MARKER,
+        WORD_DELIMS,
+        token_pipeline,
+        ws_tokens,
+    )
 
     txt = F.col(column)
     if lowercase:
         txt = F.lower(txt)
-    # chr(1) delimits on EVERY path (scan forms, build, probe) — it is
-    # the phrase collapse marker, so it must never survive inside a
-    # token (filters._delim_norm_sql documents the convention)
-    txt = F.translate(txt, "\x01", " ")
+    # the FULL delimiter class becomes plain spaces, exactly like the
+    # scan's _delim_norm_sql: the Java \s members the split would
+    # handle anyway, PLUS chr(1) (phrase collapse marker) and chr(2)
+    # (stem marker) — and the stopword/stemmer pipeline below operates
+    # at STRING level with space-anchored patterns, so a tab before a
+    # stopword must already be a space here or build and scan diverge
+    txt = F.translate(txt, "\t\n\x0b\x0c\r\x01\x02", " " * 7)
     if tokenizer == "word":
         txt = F.translate(txt, WORD_DELIMS, " " * len(WORD_DELIMS))
+    if stopwords or stemmer:
+        def rep(src, a, b):
+            a = F.lit(S_STEM_MARKER) if a is S_STEM_MARKER else a
+            return F.replace(src, a, b)
+
+        def cat(*parts):
+            return F.concat(*[F.lit(S_STEM_MARKER)
+                              if p is S_STEM_MARKER else p
+                              for p in parts])
+
+        txt = token_pipeline(
+            F.concat(F.lit(" "), txt, F.lit(" ")), stopwords, stemmer,
+            lit=F.lit, replace=rep, concat=cat)
     return ws_tokens(txt)
 
 
 def prefix_band(imeta: dict) -> dict:
-    """The length band of the PREFIXES a prefix-tokenized index stored
-    (build defaults: 1..PREFIX_DEFAULT_MAX) — the ONE definition the
-    router and the probe both check against (r9 review finding: two
-    drifting copies would silently break routed-answer exactness)."""
+    """The QUERY-token length band a prefix-tokenized index accepts
+    (build defaults: 1..PREFIX_DEFAULT_MAX; the min is also the
+    bucket-key prefix length of the r10 full-token layout) — the ONE
+    definition the router and the probe both check against (r9 review
+    finding: two drifting copies would silently break routed-answer
+    exactness)."""
     lo = imeta.get("min_token_len")
     hi = imeta.get("max_token_len")
     return {"min_token_len": 1 if lo is None else int(lo),
@@ -193,7 +230,9 @@ def _text_postings(df: DataFrame, id_col: str, column: str,
                    lowercase: bool = True,
                    min_token_len: int | None = None,
                    max_token_len: int | None = None,
-                   phrase_matching: bool = False) -> DataFrame:
+                   phrase_matching: bool = False,
+                   stopwords: tuple = (),
+                   stemmer: str | None = None) -> DataFrame:
     """Token postings for a FULL-TEXT payload index (Qdrant
     ``TextIndexParams``: tokenizer word|whitespace|prefix, lowercase,
     min/max token length, phrase_matching).
@@ -202,33 +241,48 @@ def _text_postings(df: DataFrame, id_col: str, column: str,
       :class:`filters.MatchText`'s scan normalization exactly.
     - ``word``: ASCII punctuation also delimits (:data:`WORD_DELIMS`) —
       matches ``MatchText(tokenizer='word')``.
-    - ``prefix``: every prefix of each whitespace token posts (length
-      band ``min_token_len``..``max_token_len``, default 1..20) — the
-      search-as-you-type index answering :class:`filters.MatchTextPrefix`.
+    - ``prefix``: FULL whitespace tokens post, bucketed by their first
+      ``min_token_len`` characters (r10 layout — one row per distinct
+      (id, token), ~6x fewer rows than exploding every prefix); a probe
+      reads the query token's first-chars bucket and pushes
+      ``startswith`` — the search-as-you-type index answering
+      :class:`filters.MatchTextPrefix`, accepting query tokens in the
+      ``min_token_len``..``max_token_len`` band (default 1..20).
     - ``phrase_matching=True`` stores the token ORDINAL (``pos``) so
       :class:`filters.MatchPhrase` resolves via shifted-position
       intersection (Qdrant's positional postings); without it the
       postings stay distinct (id, token) — smaller, MatchText-only.
 
-    One row per (point, token[, pos]), hash-bucketed by token — the
-    keyword layout over the exploded token stream, so probes share the
-    keyword pruning shape."""
+    ``stopwords`` drop whole tokens BEFORE position assignment (the
+    phrase ordinals compress over the survivors — Qdrant's stopworded
+    phrase semantics) and before prefix expansion; ``stemmer`` maps the
+    survivors through the S-stemmer chain.  One row per (point,
+    token[, pos]), hash-bucketed by token — the keyword layout over the
+    exploded token stream, so probes share the keyword pruning shape."""
     base = df.select(F.col(id_col).cast("string").alias("id"),
                      F.posexplode(_tokenize_expr(
                          column, "whitespace" if tokenizer == "prefix"
-                         else tokenizer, lowercase))
+                         else tokenizer, lowercase,
+                         stopwords=stopwords, stemmer=stemmer))
                      .alias("pos", "_tok"))
     lo = min_token_len
     hi = max_token_len
+    bucket_of = F.col("val")
     if tokenizer == "prefix":
+        # r10 growth control (VERDICT r9 next #6): FULL tokens post —
+        # one row per distinct (id, token), the same cardinality as a
+        # word index — bucketed by the token's first ``lo`` characters.
+        # A probe for query token t reads bucket(t[:lo]) and pushes
+        # ``startswith(val, t)`` inside it: identical pruning shape,
+        # ~6x fewer posting rows than the r9 every-prefix explosion.
+        # ``max_token_len`` caps only the ROUTER's accepted query
+        # length (prefix_band) — in r9 too, a doc token longer than the
+        # band still matched shorter queries, so nothing doc-side
+        # filters on it.
         lo = 1 if lo is None else int(lo)
-        hi = PREFIX_DEFAULT_MAX if hi is None else int(hi)
         toks = (base.filter(F.length("_tok") >= lo)
-                .select("id", "pos", F.explode(F.transform(
-                    F.sequence(F.lit(lo),
-                               F.least(F.length("_tok"), F.lit(hi))),
-                    lambda i: F.col("_tok").substr(F.lit(1), i)))
-                    .alias("val")))
+                .select("id", "pos", F.col("_tok").alias("val")))
+        bucket_of = F.substring("val", 1, lo)
     else:
         toks = base.select("id", "pos", F.col("_tok").alias("val"))
         if lo is not None:
@@ -242,7 +296,7 @@ def _text_postings(df: DataFrame, id_col: str, column: str,
     return (toks.filter(F.col("val").isNotNull())
             .withColumn("gen", F.lit(gen))
             .withColumn("val_bucket",
-                        F.pmod(F.xxhash64("val"),
+                        F.pmod(F.xxhash64(bucket_of),
                                F.lit(n_val_buckets)).cast("int")))
 
 
@@ -376,7 +430,9 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
                         lowercase: bool = True,
                         min_token_len: int | None = None,
                         max_token_len: int | None = None,
-                        phrase_matching: bool = False) -> dict:
+                        phrase_matching: bool = False,
+                        stopwords=None,
+                        stemmer: str | None = None) -> dict:
     """Materialize the inverted index for one payload column.
 
     ``index_type='keyword'`` (default): (val, id) postings hash-bucketed by
@@ -443,12 +499,31 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
             raise ValueError(
                 f"min_token_len {min_token_len} > max_token_len "
                 f"{max_token_len}")
+        from ..functions.text import (  # noqa: PLC0415
+            STEMMERS,
+            check_stopwords,
+            resolve_stopwords,
+        )
+
+        stopwords = resolve_stopwords(stopwords)
+        check_stopwords(stopwords,
+                        "whitespace" if tokenizer == "prefix"
+                        else tokenizer, lowercase)
+        if stemmer is not None and stemmer not in STEMMERS:
+            raise ValueError(
+                f"unknown stemmer {stemmer!r}; one of {STEMMERS}")
+        if stemmer is not None and tokenizer == "prefix":
+            raise ValueError(
+                "stemmer + tokenizer='prefix' is incoherent (prefixes "
+                "of stems answer neither prefix-of-token nor "
+                "stemmed-match semantics); stem through a word/"
+                "whitespace index")
     elif (tokenizer != "whitespace" or not lowercase
           or min_token_len is not None or max_token_len is not None
-          or phrase_matching):
+          or phrase_matching or stopwords or stemmer is not None):
         raise ValueError(
-            "tokenizer/lowercase/token-length/phrase_matching params "
-            "apply to index_type='text' only")
+            "tokenizer/lowercase/token-length/phrase_matching/"
+            "stopwords/stemmer params apply to index_type='text' only")
     meta = collection_meta(root, collection)
     if meta is None:
         raise ValueError(
@@ -516,7 +591,8 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
                 data, id_col, column, n_val_buckets, gen=0,
                 tokenizer=tokenizer, lowercase=lowercase,
                 min_token_len=min_token_len, max_token_len=max_token_len,
-                phrase_matching=phrase_matching)
+                phrase_matching=phrase_matching,
+                stopwords=stopwords, stemmer=stemmer)
         elif index_type == "geo":
             if is_array or not _is_range_indexable(dtype) \
                     or lon_column not in data.columns:
@@ -550,7 +626,10 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
                               else int(min_token_len)),
             "max_token_len": (None if max_token_len is None
                               else int(max_token_len)),
-            "phrase_matching": bool(phrase_matching)}
+            "phrase_matching": bool(phrase_matching),
+            "stopwords": list(stopwords or ()),
+            "stemmer": stemmer,
+            "text_format": TEXT_FORMAT}
            if index_type == "text" else {}),
         "built_version": built_version,
         "generation": 0,
@@ -598,7 +677,9 @@ def refresh_payload_index(spark: SparkSession, root: str, collection: str,
                 lowercase=bool(imeta.get("lowercase", True)),
                 min_token_len=imeta.get("min_token_len"),
                 max_token_len=imeta.get("max_token_len"),
-                phrase_matching=bool(imeta.get("phrase_matching", False)))
+                phrase_matching=bool(imeta.get("phrase_matching", False)),
+                stopwords=tuple(imeta.get("stopwords") or ()),
+                stemmer=imeta.get("stemmer"))
         elif imeta.get("index_type", "keyword") == "geo":
             post = _geo_postings(fresh, id_col, imeta["column"],
                                  imeta["lon_column"],
@@ -700,15 +781,17 @@ def _text_index_meta_checked(root: str, collection: str, column: str,
             f"payload index for {collection!r}/{column!r} is "
             f"{imeta.get('index_type', 'keyword')!r}, not 'text'; rebuild "
             f"with build_payload_index(index_type='text')")
-    if "tokenizer" not in imeta:
-        # a meta without tokenizer params predates the r9 tokenization
-        # (no chr(1) delimiter, no param surface): its postings may
-        # disagree with the current scan forms — built_version only
-        # tracks DATA freshness, so gate on the format explicitly
+    if imeta.get("text_format") != TEXT_FORMAT:
+        # an older-format meta tokenized differently (pre-r9: no chr(1)
+        # delimiter / tokenizer params; pre-r10: no chr(2) delimiter or
+        # stopword/stemmer surface): its postings may disagree with the
+        # current scan forms — built_version only tracks DATA freshness,
+        # so gate on the FORMAT explicitly
         raise ValueError(
             f"text payload index for {collection!r}/{column!r} was built "
-            f"by an older format without tokenizer params; rebuild with "
-            f"build_payload_index(index_type='text', ...)")
+            f"by an older text format "
+            f"({imeta.get('text_format', 1)} != {TEXT_FORMAT}); rebuild "
+            f"with build_payload_index(index_type='text', ...)")
     if not allow_stale and int(imeta["built_version"]) != \
             collection_version(root, collection):
         raise ValueError(
@@ -742,6 +825,45 @@ def _pruned_token_postings(spark: SparkSession, root: str, collection: str,
     return _apply_masks(spark, ipath, post, "id")
 
 
+def _prefix_match_ids(spark: SparkSession, root: str, collection: str,
+                      column: str, imeta: dict,
+                      toks: list[str]) -> DataFrame:
+    """Prefix probe over the r10 FULL-TOKEN layout: each query token's
+    first-``min_token_len``-chars hash bucket becomes the static
+    ``val_bucket IN (...)`` partition filter, ``startswith(val, t)``
+    pushes inside it (parquet StringStartsWith), and a per-id coverage
+    aggregate keeps exactly the ids matching EVERY query token — same
+    pruning shape as the exploded-prefix r9 layout at ~1/6 the stored
+    rows."""
+    ipath = index_path(root, collection, _payload_index_name(column))
+    pdir = os.path.join(ipath, "postings")
+    if not os.path.isdir(pdir):
+        return spark.createDataFrame([], "id string")
+    n = imeta["n_val_buckets"]
+    lo = prefix_band(imeta)["min_token_len"]
+    uniq = sorted(set(toks))
+    row = spark.range(1).select(
+        *[F.pmod(F.xxhash64(F.lit(t[:lo])), F.lit(n)).cast("int")
+          .alias(f"b{i}") for i, t in enumerate(uniq)]).first()
+    buckets = sorted({row[f"b{i}"] for i in range(len(uniq))})
+    anymatch = None
+    for t in uniq:
+        c = F.col("val").startswith(t)
+        anymatch = c if anymatch is None else (anymatch | c)
+    post = (spark.read.parquet(pdir)
+            .filter(F.col("val_bucket").isin(buckets))
+            .filter(anymatch))
+    post = _apply_masks(spark, ipath, post, "id")
+    covers = [F.max(F.when(F.col("val").startswith(t), F.lit(1)))
+              .alias(f"_m{i}") for i, t in enumerate(uniq)]
+    agg = post.groupBy("id").agg(*covers)
+    cond = None
+    for i in range(len(uniq)):
+        c = F.col(f"_m{i}").isNotNull()
+        cond = c if cond is None else (cond & c)
+    return agg.filter(cond).select("id")
+
+
 def text_match_ids(spark: SparkSession, root: str, collection: str,
                    column: str, text: str,
                    allow_stale: bool = False,
@@ -770,11 +892,20 @@ def text_match_ids(spark: SparkSession, root: str, collection: str,
             f"payload index for {collection!r}/{column!r} uses the "
             f"{itok!r} tokenizer — {what} (every prefix posts, which "
             f"would silently change MatchText's whole-token meaning)")
-    toks = tokenize_text_py(text, "whitespace" if prefix else itok,
-                         bool(imeta.get("lowercase", True)))
+    # the index's pipeline params drive the probe tokens; query PREFIX
+    # tokens are never stop-checked or stemmed (a prefix is not a token
+    # — the pipeline applied to the posted doc tokens only)
+    toks = tokenize_text_py(
+        text, "whitespace" if prefix else itok,
+        bool(imeta.get("lowercase", True)),
+        stopwords=() if prefix else tuple(imeta.get("stopwords") or ()),
+        stemmer=None if prefix else imeta.get("stemmer"))
     band = prefix_band(imeta) if prefix else imeta
     if not toks or not _band_ok(toks, band):
         return spark.createDataFrame([], "id string")
+    if prefix:
+        return _prefix_match_ids(spark, root, collection, column, imeta,
+                                 toks)
     post = _pruned_token_postings(spark, root, collection, column, imeta,
                                   toks)
     if post is None:
@@ -807,7 +938,9 @@ def phrase_match_ids(spark: SparkSession, root: str, collection: str,
             f"index_type='text', phrase_matching=True) to resolve "
             f"MatchPhrase through it")
     toks = tokenize_text_py(text, imeta.get("tokenizer", "whitespace"),
-                         bool(imeta.get("lowercase", True)))
+                            bool(imeta.get("lowercase", True)),
+                            stopwords=tuple(imeta.get("stopwords") or ()),
+                            stemmer=imeta.get("stemmer"))
     if not toks or not _band_ok(toks, imeta):
         return spark.createDataFrame([], "id string")
     post = _pruned_token_postings(spark, root, collection, column, imeta,

@@ -6321,6 +6321,87 @@ def q_knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_mmr_k2",
+    # round 10 (VERDICT r9 nit #2): at k=2 the MMR greedy IS closed-form
+    # — pick1 = argmax sim (tie: min id), pick2 = argmax over the rest
+    # of λ·sim − (1−λ)·cos(c, pick1) — so the applyInPandas greedy gets
+    # a real SQL oracle and the rows-only set shrinks to pure-ML paths.
+    # The pool is the plain top-20 cosine search (self included, sims
+    # rounded 6), exactly search_points_mmr's candidate contract.
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT q.qid, c.vec_id, c.embedding,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(c.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, corpus c
+),
+pool AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                              ORDER BY sim DESC, vec_id) AS rnk
+                 FROM scored WHERE sim IS NOT NULL)
+  WHERE rnk <= 20
+),
+p1 AS (SELECT qid, vec_id, sim, embedding FROM pool WHERE rnk = 1),
+rest AS (
+  SELECT p.qid, p.vec_id, p.sim,
+         0.6 * p.sim - 0.4 * (
+           (SELECT SUM(a*b) FROM (SELECT unnest(p.embedding)::DOUBLE AS a,
+                                         unnest(s.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(p.embedding)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(s.embedding)::DOUBLE AS b)))))
+         AS m2
+  FROM pool p JOIN p1 s ON p.qid = s.qid AND p.vec_id <> s.vec_id
+),
+p2 AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                              ORDER BY m2 DESC, vec_id) AS rnk2
+                 FROM rest)
+  WHERE rnk2 = 1
+)
+SELECT qid, vec_id, sim, round(0.6 * sim, 6) AS mmr_score,
+       CAST(1 AS BIGINT) AS rank
+FROM p1
+UNION ALL
+SELECT qid, vec_id, sim, round(m2, 6) AS mmr_score,
+       CAST(2 AS BIGINT) AS rank
+FROM p2
+""",
+)
+def q_knn_mmr_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR at k=2 — the closed-form slice of the greedy: the first pick
+    is the plain top hit, the second maximizes λ·sim − (1−λ)·cos(c,
+    pick1) over the rest of the pool; the same applyInPandas greedy that
+    serves knn_mmr_rerank runs here, hash-checked against the SQL
+    closed form (its recursion for k>2 stays pytest-pinned)."""
+    from .operators.query_api import search_points_mmr  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "mmr2")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 300)
+        .select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = search_points_mmr(spark, base, "vecs", qdf, k=2, pool=20,
+                            lambda_=0.6)
+    return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"),
+                      "sim", "mmr_score",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register(
     "api_context_search",
     # context-only: score = sum over pairs of min(0, cos(c,p) - cos(c,n));
     # 0 = fully "inside" the context, negatives rank below; ties by id.
@@ -8070,6 +8151,99 @@ def q_api_match_text_word(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
+_TSW_FLT = Filter(must=[MatchPhrase("text", "the data table",
+                                    stopwords="english")])
+
+
+@register(
+    "api_text_stopword_indexed",
+    # round 10 (VERDICT r9 missing #2): TextIndexParams STOPWORDS — the
+    # listed tokens drop from the query AND (position-compressed) from
+    # the document stream before adjacency, so 'the data table' phrase-
+    # matches 'data a table' too; the positional index posts the same
+    # compressed ordinals.  The oracle applies the LITERAL compiled
+    # predicate: doc-side whole-token removal is a space-doubling
+    # replace chain both engines evaluate identically.
+    oracle=f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM documents WHERE {_TSW_FLT.to_sql()}
+GROUP BY lang ORDER BY lang
+""",
+)
+def q_api_text_stopword_indexed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Stopworded phrase search through a stopworded positional text
+    index: 'the'/'a'/... vanish from both the phrase and the documents
+    before adjacency (Qdrant's stopworded phrase semantics), and the
+    routed answer equals the compiled scan exactly."""
+    from .operators.filters import filter_match_ids  # noqa: PLC0415
+    from .operators.payload_index import build_payload_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "stopidx")
+    docs = load_table(spark, sf_dir, "documents")
+    pts = docs.select(F.col("doc_id").alias("id"), "text", "lang")
+    upsert.create_collection(spark, base, "docs", df=pts, id_col="id",
+                             n_buckets=8)
+    build_payload_index(spark, base, "docs", "text", n_val_buckets=32,
+                        index_type="text", phrase_matching=True,
+                        stopwords="english")
+    cand, residual = filter_match_ids(spark, base, "docs", _TSW_FLT)
+    assert cand is not None and not residual.must, \
+        "the stopworded phrase must route through the stopworded index"
+    rows = upsert.read_rows_for_ids(spark, base, "docs", cand)
+    return (rows.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("id").cast("long").alias("min_doc"))
+            .orderBy("lang"))
+
+
+_TST_FLT = Filter(must=[MatchText("text", "queries tables columns",
+                                  stemmer="english")])
+
+
+@register(
+    "api_text_stemmed_indexed",
+    # round 10 (VERDICT r9 missing #2): TextIndexParams STEMMER — the
+    # Harman S-stemmer maps every token on BOTH sides ('queries' →
+    # 'query', 'tables' → 'table', 'columns' → 'column'), so the plural
+    # query matches singular documents; the index posts stems and the
+    # compiled scan applies the SAME replace chain (suffix rules at
+    # token ends, chr(2)-marker protected) in both engines — a full
+    # shared-dialect stemmer oracle.
+    oracle=f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM documents WHERE {_TST_FLT.to_sql()}
+GROUP BY lang ORDER BY lang
+""",
+)
+def q_api_text_stemmed_indexed(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Stemmed full-text search through a stemmed text index: the query
+    'queries tables columns' matches documents containing query/table/
+    column — the S-stemmer normalizes plurals at build, probe AND scan,
+    and the routed answer equals the compiled scan exactly."""
+    from .operators.filters import filter_match_ids  # noqa: PLC0415
+    from .operators.payload_index import build_payload_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "stemidx")
+    docs = load_table(spark, sf_dir, "documents")
+    pts = docs.select(F.col("doc_id").alias("id"), "text", "lang")
+    upsert.create_collection(spark, base, "docs", df=pts, id_col="id",
+                             n_buckets=8)
+    build_payload_index(spark, base, "docs", "text", n_val_buckets=32,
+                        index_type="text", stemmer="english")
+    cand, residual = filter_match_ids(spark, base, "docs", _TST_FLT)
+    assert cand is not None and not residual.must, \
+        "the stemmed leaf must route through the stemmed index"
+    rows = upsert.read_rows_for_ids(spark, base, "docs", cand)
+    return (rows.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("id").cast("long").alias("min_doc"))
+            .orderBy("lang"))
+
+
 _GIX_FLT = Filter(must=[GeoRadius("lat", "lon", 45.0, 10.0, 300_000.0)])
 
 
@@ -8477,6 +8651,7 @@ def q_api_formula_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY = [
     # new this round (round 10) — never driver-adjudicated
     "store_indexed_bq", "store_mv_indexed_bq", "knn_manhattan_metric",
+    "api_text_stopword_indexed", "api_text_stemmed_indexed", "knn_mmr_k2",
     # new in round 9
     "api_match_phrase_indexed", "api_text_prefix_indexed",
     "api_match_text_word", "store_mv_indexed_sq", "store_tenant_mv_indexed",
