@@ -43,7 +43,9 @@ from bob_vector_db_spark.operators.text_search import (  # noqa: E402
 )
 from bob_vector_db_spark.session import get_spark  # noqa: E402
 
-COPIES = 10
+# 10x by default; round 10 (VERDICT r9 next #5) pushes to 100x via
+# REHEARSAL_COPIES=100 (~500k docs / 600k vectors — fits the sandbox)
+COPIES = int(os.environ.get("REHEARSAL_COPIES", "10"))
 
 
 def _timed(label, timings, fn):
@@ -82,7 +84,8 @@ def make_fixture(spark, base_sf, work):
 
 def main():
     base_sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scale10x"
+    work = (sys.argv[2] if len(sys.argv) > 2
+            else f"/tmp/spark_graft_scale{COPIES}x")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work, exist_ok=True)
     spark = get_spark("scale10x")
@@ -403,12 +406,14 @@ def main():
     _timed("build_ivf_mv_sq_32lists", timings,
            lambda: index.build_vector_index(
                spark, store, "mv", kind="ivf_mv_sq", n_lists=32, iters=3))
-    # rerank_factor*k ≥ the ~20.3k-point corpus — the exactness claim
-    # needs a genuinely COVERING rerank at 10x, not just a generous one
+    # rerank_factor*k ≥ the mv corpus (n_emb + the 300 churn adds) —
+    # the exactness claim needs a genuinely COVERING rerank at scale,
+    # not just a generous one
+    rr_cover = -(-(n_emb + 300) // 10) + 10
     mvsq_full = _timed("ivf_mv_sq_full_probe_covering", timings,
                        lambda: sorted(map(tuple, index.search_indexed(
                            spark, store, "mv", q_mv, k=10, n_probe=None,
-                           query_vec="qvecs", rerank_factor=2_100,
+                           query_vec="qvecs", rerank_factor=rr_cover,
                            exclude_self=True)
                            .select("qid", "vec_id", "sim", "rank")
                            .collect())))
@@ -427,11 +432,11 @@ def main():
     # the exactness claim needs a genuinely COVERING rerank (ADC ranks
     # by euclid code-space, the metric is dot — only keeping EVERY
     # candidate makes code error unable to drop a true neighbor):
-    # rerank_factor*k must exceed the ~20.3k-point corpus
+    # rerank_factor*k must exceed the churned mv corpus
     mvpq_full = _timed("ivf_mv_pq_full_probe_covering", timings,
                        lambda: sorted(map(tuple, index.search_indexed(
                            spark, store, "mv", q_mv, k=10, n_probe=None,
-                           query_vec="qvecs", rerank_factor=2_100,
+                           query_vec="qvecs", rerank_factor=rr_cover,
                            exclude_self=True)
                            .select("qid", "vec_id", "sim", "rank")
                            .collect())))
@@ -505,6 +510,43 @@ def main():
     n_pfs = count_points(spark, store, "docs", flt=pf,
                          use_payload_index=False)
     assert n_pf == n_pfs, (n_pf, n_pfs)
+    # round-10 growth control: the prefix layout stores FULL tokens (one
+    # row per distinct (id, token)) — report the posting rows that used
+    # to be the 6x explosion
+    from bob_vector_db_spark.operators.payload_index import (  # noqa: PLC0415
+        index_path as _pidx_path,
+    )
+
+    n_post = spark.read.parquet(os.path.join(
+        _pidx_path(store, "docs", "text__payload"), "postings")).count()
+    timings["prefix_posting_rows"] = n_post
+    print(f"  prefix postings rows: {n_post} (full-token layout)")
+
+    # round-10: stopwords + stemmer params at scale — indexed counts ==
+    # scan counts for a stemmed MatchText and a stopworded+stemmed
+    # phrase, through the one replace-chain pipeline on both paths
+    _timed("build_stop_stem_index", timings, lambda: build_payload_index(
+        spark, store, "docs", "text", n_val_buckets=32, index_type="text",
+        phrase_matching=True, stopwords="english", stemmer="english"))
+    ss = Filter(must=[MatchText("text", "queries tables",
+                                stopwords="english", stemmer="english")])
+    n_ss = _timed("stemmed_text_indexed_count", timings,
+                  lambda: count_points(spark, store, "docs", flt=ss,
+                                       use_payload_index="always"))
+    n_sss = count_points(spark, store, "docs", flt=ss,
+                         use_payload_index=False)
+    assert n_ss == n_sss and n_ss > 0, (n_ss, n_sss)
+    ph2 = Filter(must=[MatchPhrase("text", "the data table",
+                                   stopwords="english",
+                                   stemmer="english")])
+    n_ph2 = _timed("stopword_phrase_indexed_count", timings,
+                   lambda: count_points(spark, store, "docs", flt=ph2,
+                                        use_payload_index="always"))
+    n_ph2s = count_points(spark, store, "docs", flt=ph2,
+                          use_payload_index=False)
+    assert n_ph2 == n_ph2s, (n_ph2, n_ph2s)
+    print(f"  stop/stem index: {n_ss} stemmed, {n_ph2} phrase — "
+          f"indexed == scan OK")
 
     # keyset-over-range-index scroll: n_chars range index on the (big)
     # docs collection, a mid-collection page from the bucket window
@@ -531,6 +573,81 @@ def main():
     assert [(r["n_chars"], r["id"]) for r in page] == \
         [(r["n_chars"], r["id"]) for r in scan_page]
     print("  range-ordered scroll page == scan page OK")
+
+    # round-10: the BINARY-quantization artifacts at scale — packed sign
+    # words clustered by list; full probe + covering rerank == exact on
+    # the churned store, probe stays pruned, refresh packs deltas with
+    # the STORED dim
+    _timed("build_ivf_bq_32lists", timings, lambda: index.build_vector_index(
+        spark, store, "vecs", kind="ivf_bq", n_lists=32, iters=3))
+    bq_full = _timed("ivf_bq_full_probe_covering", timings, lambda: sorted(
+        map(tuple, index.search_indexed(
+            spark, store, "vecs", q, k=10, n_probe=None,
+            rerank_factor=rr_cover, exclude_self=True)
+            .select("qid", "vec_id", "sim", "rank").collect())))
+    bq_exact = sorted(map(tuple, knn.search_collection(
+        spark, store, "vecs", q, k=10, corpus_id="id", exclude_self=True,
+        use_index=False).select("qid", "vec_id", "sim", "rank").collect()))
+    assert bq_full == bq_exact, "ivf_bq full probe diverged from exact"
+    print("  ivf_bq full probe == exact    OK")
+    n_bq4 = _timed("ivf_bq_probe4", timings, lambda: index.search_indexed(
+        spark, store, "vecs", q, k=10, n_probe=4, rerank_factor=20,
+        exclude_self=True).count())
+    assert n_bq4 == 50, n_bq4
+    bq_patch = (emb.filter(F.col("vec_id") < 200)
+                .select(F.col("vec_id").alias("id"),
+                        F.transform("embedding", lambda x: -x)
+                        .alias("embedding"), "label"))
+    _timed("ivf_bq_churn_upsert", timings,
+           lambda: upsert.upsert(spark, store, "vecs", bq_patch))
+    _timed("ivf_bq_refresh", timings,
+           lambda: index.refresh_all_indexes(spark, store, "vecs"))
+    bq_full2 = sorted(map(tuple, index.search_indexed(
+        spark, store, "vecs", q, k=10, n_probe=None,
+        rerank_factor=rr_cover, exclude_self=True)
+        .select("qid", "vec_id", "sim", "rank").collect()))
+    bq_exact2 = sorted(map(tuple, knn.search_collection(
+        spark, store, "vecs", q, k=10, corpus_id="id", exclude_self=True,
+        use_index=False).select("qid", "vec_id", "sim", "rank").collect()))
+    assert bq_full2 == bq_exact2, "post-refresh ivf_bq diverged from exact"
+    print("  post-refresh ivf_bq == exact  OK")
+
+    _timed("build_ivf_mv_bq_32lists", timings,
+           lambda: index.build_vector_index(
+               spark, store, "mv", kind="ivf_mv_bq", n_lists=32, iters=3))
+    mvbq_full = _timed("ivf_mv_bq_full_probe_covering", timings,
+                       lambda: sorted(map(tuple, index.search_indexed(
+                           spark, store, "mv", q_mv, k=10, n_probe=None,
+                           query_vec="qvecs", rerank_factor=rr_cover,
+                           exclude_self=True)
+                           .select("qid", "vec_id", "sim", "rank")
+                           .collect())))
+    assert mvbq_full == mvsq_exact, \
+        "ivf_mv_bq covering rerank diverged from exact"
+    print("  ivf_mv_bq covering == exact   OK")
+
+    # round-10: the manhattan metric at scale — declared-space scan and
+    # the ivf artifact at full probe both equal the L1 brute ranking
+    _timed("create_manhattan_collection", timings,
+           lambda: upsert.create_collection(
+               spark, store, "l1", n_buckets=32, id_col="id",
+               df=emb.select(F.col("vec_id").alias("id"), "embedding"),
+               vector_config={"embedding": {"size": 64,
+                                            "distance": "manhattan"}}))
+    l1_exact = _timed("manhattan_scan_search", timings, lambda: sorted(
+        map(tuple, knn.search_collection(
+            spark, store, "l1", q, k=10, corpus_id="id",
+            exclude_self=True, use_index=False).collect())))
+    assert len(l1_exact) == 50, len(l1_exact)
+    _timed("build_l1_ivf_32lists", timings, lambda: index.build_vector_index(
+        spark, store, "l1", kind="ivf", n_lists=32, iters=3))
+    l1_idx = _timed("manhattan_indexed_full_probe", timings, lambda: sorted(
+        map(tuple, knn.search_collection(
+            spark, store, "l1", q, k=10, corpus_id="id",
+            exclude_self=True, use_index="always", n_probe=None)
+            .collect())))
+    assert l1_idx == l1_exact, "manhattan indexed diverged from exact"
+    print("  manhattan indexed == exact    OK")
 
     summary = {"n_docs": n_docs, "n_emb": n_emb,
                "total_s": round(time.time() - t_all, 2), "timings": timings}
