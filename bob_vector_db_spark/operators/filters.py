@@ -352,7 +352,14 @@ def _pipeline_sql(inner: str, stopwords: tuple, stemmer: str | None) -> str:
     the same :func:`functions.text.token_pipeline` the index build
     applies as Spark Columns, so scan answers == routed answers by
     construction.  The chr(2) stem marker renders as ``chr(2)`` (never
-    a raw control char in a SQL literal)."""
+    a raw control char in a SQL literal).
+
+    A multi-token leaf inlines this chain once per token test; both
+    engines' common-subexpression elimination evaluates the repeated
+    normalization once per row (Catalyst's EquivalentExpressions in
+    codegen, DuckDB's CSE pass), so the repetition costs compiled-SQL
+    bytes, not per-row work — and the param'd leaves' hot path is the
+    routed index anyway."""
     from ..functions.text import S_STEM_MARKER, token_pipeline  # noqa: PLC0415
 
     def rep(src, a, b):

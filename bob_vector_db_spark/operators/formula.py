@@ -328,13 +328,25 @@ def formula_rescore(spark: SparkSession, root: str, collection: str,
     for s in scored:
         cand = cand.join(F.broadcast(s), "id", "left")
 
-    # keys the candidate frame already carries (the string-cast ``id``
-    # from a HasId leaf on the default id column) need no fetch — and
-    # re-fetching them would duplicate the column through the join
-    fetch_keys = sorted(payload_keys - set(cand.columns))
+    # The one key the candidate frame legitimately carries is the POINT
+    # ID under its default name: a HasId leaf on id_col='id' evaluates
+    # against cand's string-cast ids, so it needs no fetch.  Any OTHER
+    # collision (a stored payload field literally named 'id' while the
+    # collection's id_col is different, or one named like a _score_i
+    # column) would silently bind the condition to the wrong column —
+    # refuse loudly instead (r10 review finding).
+    meta = collection_meta(root, collection) or {}
+    id_col = meta.get("id_col", "id")
+    skip = {"id"} if id_col == "id" else set()
+    clash = sorted((payload_keys - skip) & set(cand.columns))
+    if clash:
+        raise ValueError(
+            f"formula references payload field(s) {clash} that collide "
+            f"with the rescore frame's columns (the candidate ids / "
+            f"branch scores); rename the payload field or rescore "
+            f"through a view that aliases it")
+    fetch_keys = sorted(payload_keys - skip)
     if fetch_keys:
-        meta = collection_meta(root, collection) or {}
-        id_col = meta.get("id_col", "id")
         rows = read_rows_for_ids(spark, root, collection,
                                  cand.select("id"))
         if rows is None:

@@ -6353,8 +6353,12 @@ pool AS (
 ),
 p1 AS (SELECT qid, vec_id, sim, embedding FROM pool WHERE rnk = 1),
 rest AS (
+  -- greatest(0, cos): mmr_rerank zero-initializes max_div and only
+  -- raises it, so a candidate NEGATIVELY correlated with pick1 pays no
+  -- penalty (pinned in test_mmr_negative_cosine_clamps_at_zero) — the
+  -- closed form must clamp identically
   SELECT p.qid, p.vec_id, p.sim,
-         0.6 * p.sim - 0.4 * (
+         0.6 * p.sim - 0.4 * greatest(0.0,
            (SELECT SUM(a*b) FROM (SELECT unnest(p.embedding)::DOUBLE AS a,
                                          unnest(s.embedding)::DOUBLE AS b))
            / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(p.embedding)::DOUBLE AS a)))

@@ -240,3 +240,25 @@ def test_hasvector_hasid_conditions_fetch_columns(spark, store):
     f2 = {"sum": [HasId([1, 3]), HasId([2], id_col="id")]}
     got2 = _scores(formula_rescore(spark, store, "pts", [br], f2, k=5))
     assert got2 == {"1": 1.0, "2": 1.0, "3": 1.0}
+
+
+def test_payload_key_colliding_with_frame_refused(spark, tmp_path):
+    """r10 review finding: a stored payload field named 'id' while the
+    collection's id_col is different (or one named like a branch-score
+    column) would silently bind the condition to the candidate frame's
+    column — refuse loudly instead."""
+    from bob_vector_db_spark.operators import upsert
+
+    base = str(tmp_path / "store")
+    pts = spark.createDataFrame(
+        [(1, "x1", 5.0), (2, "x2", 7.0)],
+        "pid long, id string, n double")
+    upsert.create_collection(spark, base, "pts", df=pts, id_col="pid",
+                             n_buckets=2)
+    br = _branch(spark, [("1", 1.0), ("2", 1.0)])
+    with pytest.raises(ValueError, match="collide"):
+        formula_rescore(spark, base, "pts", [br], {"sum": ["id"]}, k=2)
+    # non-colliding keys on the same collection still fetch fine
+    got = _scores(formula_rescore(spark, base, "pts", [br],
+                                  {"sum": ["n"]}, k=2))
+    assert got == {"1": 5.0, "2": 7.0}

@@ -388,3 +388,28 @@ def test_manhattan_declared_space_and_index(spark, tmp_path):
                         use_index=False)
     vals = [r["sim"] for r in thr.collect()]
     assert vals and all(v <= 10.0 for v in vals)
+
+
+def test_mmr_negative_cosine_clamps_at_zero(spark):
+    """r10 review finding: mmr_rerank's diversity penalty is
+    max(0, cos) — max_div zero-initializes and only raises — so a
+    candidate NEGATIVELY correlated with the picked set pays NO penalty
+    (it is already maximally diverse).  The knn_mmr_k2 closed-form
+    oracle clamps identically; this pins the greedy side."""
+    import math
+
+    # pick1 = p1 (sim 1.0); c1: sim .9, cos(c1,p1)=+0.1; c2: sim .5,
+    # cos(c2,p1)=-0.9.  Clamped: c1 scores .6*.9-.4*.1=0.50 > c2's
+    # .6*.5-0=0.30 -> pick c1.  UNclamped would flip (c2 = 0.66).
+    a = math.sqrt(1 - 0.1 ** 2)
+    b = math.sqrt(1 - 0.9 ** 2)
+    cands = spark.createDataFrame(
+        [(0, 10, 1.0, [1.0, 0.0]),
+         (0, 11, 0.9, [0.1, a]),
+         (0, 12, 0.5, [-0.9, b])],
+        "qid long, vec_id long, sim double, cvec array<double>")
+    out = knn.mmr_rerank(cands, k=2, lambda_=0.6)
+    rows = {r["rank"]: (r["vec_id"], r["mmr_score"])
+            for r in out.collect()}
+    assert rows[1] == (10, 0.6)
+    assert rows[2][0] == 11 and abs(rows[2][1] - 0.5) < 1e-9
