@@ -226,12 +226,26 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
                             vector.mean_pool(F.col(vector_name)))
                 .filter(F.col("_pooled").isNotNull())
                 .select(id_col, "_pooled"))
-    if kind == "ivf_bq":
-        # a NULL vector (delete_vectors) can never score in the exact
-        # scan — drop it before training/assignment (the numpy paths
-        # crash on None); the mv sibling gets this from the pooled
-        # isNotNull filter above
+    if not is_mv:
+        # a NULLed vector (delete_vectors) can never score in the exact
+        # scan — drop it before training/encoding for EVERY dense kind
+        # (the numpy train/assign/encode paths crash on None); the mv
+        # kinds get this from the pooled isNotNull filter above
         data = data.filter(F.col(vector_name).isNotNull())
+    if kind in ("ivf_bq", "ivf_mv_bq"):
+        # probe the TRUE dimension BEFORE assignment — binary_pack_expr
+        # must use the data's real width (packing past it would treat
+        # missing dims as sign-0 bits and corrupt every distance), the
+        # meta's declared size is only enforced on update_vectors
+        # patches, and probing after the assign would re-run the
+        # pandas-UDF lineage for one scalar
+        pack_col = "_pooled" if is_mv else vector_name
+        probe = data.select(F.size(pack_col).alias("n")).first()
+        if probe is None or probe["n"] is None:
+            raise ValueError(
+                f"collection {collection!r}/{vector_name!r} has no "
+                f"non-NULL vectors to binary-quantize")
+        imeta["dim"] = int(probe["n"])
     if kind in ("ivf", "ivf_pq", "ivf_sq", "ivf_bq") or is_mv:
         train_col = "_pooled" if is_mv else vector_name
         # data == corpus for the non-mv kinds that don't pre-filter, so
@@ -252,7 +266,7 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
         # trains/encodes the POOLED representatives (m bytes a point,
         # the smallest mv artifact; the max-sim rescore stays exact)
         pq_src, pq_col = ((data, "_pooled") if kind == "ivf_mv_pq"
-                          else (corpus, vector_name))
+                          else (data, vector_name))
         books = quantize.pq_train(
             pq_src, vec_col=pq_col, m=m, ksub=ksub, iters=iters,
             sample_cap=sample_cap, seed=seed)
@@ -270,7 +284,7 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
         # scalar quantization (the Qdrant quantization_config model): one
         # distributed (min, max) pass per dimension; the params are a
         # 2×dim float list — they live in the index meta JSON directly
-        mins, scales = quantize.sq_train(corpus, vec_col=vector_name)
+        mins, scales = quantize.sq_train(data, vec_col=vector_name)
         data = quantize.sq_encode(data, mins, scales, vec_col=vector_name)
         imeta["sq_mins"] = mins
         imeta["sq_scales"] = scales
@@ -285,21 +299,13 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
         # Qdrant quantization_config mode): one sign bit per dimension
         # packed into 32-bit words, 32x smaller than the float artifact;
         # search ranks popcount-of-XOR Hamming inside the probed lists
-        # and the exact rescore recovers the declared metric.  The pack
-        # MUST use the data's true dimension (binary_pack_expr's
-        # contract — packing past it would treat missing dims as sign-0
-        # and corrupt every distance), probed once here and persisted
-        # for refresh/search to reuse.
-        pack_col = "_pooled" if is_mv else vector_name
-        probe = data.select(F.size(pack_col).alias("n")).first()
-        if probe is None or probe["n"] is None:
-            raise ValueError(
-                f"collection {collection!r}/{vector_name!r} has no "
-                f"non-NULL vectors to binary-quantize")
-        dim = int(probe["n"])
+        # and the exact rescore recovers the declared metric.  The dim
+        # was probed before assignment and persists in the meta for
+        # refresh/search to reuse.
         data = data.withColumn(
-            "bq_codes", quantize.binary_pack_expr(F.col(pack_col), dim))
-        imeta["dim"] = dim
+            "bq_codes", quantize.binary_pack_expr(
+                F.col("_pooled" if is_mv else vector_name),
+                int(imeta["dim"])))
 
     data_dir = os.path.join(staging, "data")
     gen0 = F.lit(0).alias("gen")

@@ -652,6 +652,20 @@ def refresh_payload_index(spark: SparkSession, root: str, collection: str,
         raise ValueError(
             f"no persisted payload index for {collection!r}/{column!r}; "
             f"run build_payload_index first")
+    if imeta.get("index_type", "keyword") == "text" \
+            and imeta.get("text_format") != TEXT_FORMAT:
+        # r10 review finding: refreshing an older-format text index
+        # would append CURRENT-format postings (different delimiter
+        # class; for prefix, a different layout and bucket hash) into
+        # the old artifact and mark it fresh — while every probe and
+        # the router refuse it.  Fail here with the same contract the
+        # probes enforce.
+        raise ValueError(
+            f"text payload index for {collection!r}/{column!r} was built "
+            f"by an older text format "
+            f"({imeta.get('text_format', 1)} != {TEXT_FORMAT}); a refresh "
+            f"would mix tokenization formats — rebuild with "
+            f"build_payload_index(index_type='text', ...)")
     ipath = index_path(root, collection, _payload_index_name(column))
     id_col = imeta["id_col"]
 

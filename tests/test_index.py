@@ -1254,3 +1254,25 @@ def test_ivf_mv_bq_full_probe_covering_rerank_equals_exact(spark, sf_dir,
                                 n_probe=None, rerank_factor=200)
     assert _rows(via) == _rows(exact2)
     assert via.filter(F.col("vec_id") == 7).count() == 0
+
+
+def test_dense_builds_drop_nulled_vectors(spark, sf_dir, tmp_path):
+    """r10 review finding: a NULLed vector (delete_vectors) can never
+    score in the exact scan, so every dense build drops it instead of
+    crashing the numpy train/assign/encode paths — full probe with a
+    covering rerank still equals the exact scan."""
+    for kind in ("ivf", "ivf_sq", "ivf_pq", "pq"):
+        root = str(tmp_path / f"store_{kind}")
+        emb = _mk_store(spark, sf_dir, root)
+        upsert.delete_vectors(spark, root, "vecs", [3, 4], ["embedding"])
+        index.build_vector_index(spark, root, "vecs", kind=kind,
+                                 n_lists=4, m=8, ksub=16, iters=2)
+        q = _queries(emb, 2)
+        exact = knn.search_collection(spark, root, "vecs", q, k=5,
+                                      corpus_id="id", exclude_self=True,
+                                      use_index=False)
+        full = index.search_indexed(spark, root, "vecs", q, k=5,
+                                    n_probe=None, rerank_factor=200,
+                                    exclude_self=True)
+        assert _rows(full) == _rows(exact), kind
+        assert full.filter(F.col("vec_id").isin("3", "4")).count() == 0

@@ -1382,6 +1382,10 @@ def test_text_index_stopwords_and_stemmer(spark, tmp_path):
         json.dump(m, fh)
     with pytest.raises(ValueError, match="older text format"):
         text_match_ids(spark, root3, "c", "body", "stat", prefix=True)
+    # ... and refresh refuses too (r10 review finding: it would append
+    # current-format postings into the old artifact and mark it fresh)
+    with pytest.raises(ValueError, match="older text format"):
+        refresh_payload_index(spark, root3, "c", "body")
     ids, residual = filter_match_ids(
         spark, root3, "c",
         Filter(must=[MatchTextPrefix("body", "stat",
