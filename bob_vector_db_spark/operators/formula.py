@@ -341,10 +341,12 @@ def formula_rescore(spark: SparkSession, root: str, collection: str,
     clash = sorted((payload_keys - skip) & set(cand.columns))
     if clash:
         raise ValueError(
-            f"formula references payload field(s) {clash} that collide "
-            f"with the rescore frame's columns (the candidate ids / "
-            f"branch scores); rename the payload field or rescore "
-            f"through a view that aliases it")
+            f"formula references column(s) {clash} that collide with the "
+            f"rescore frame's columns (the candidate ids / branch "
+            f"scores). If this came from a HasId leaf, pass the "
+            f"collection's real id column (HasId(ids, "
+            f"id_col={id_col!r})); if it is a stored payload field, "
+            f"rename it or rescore through a view that aliases it")
     fetch_keys = sorted(payload_keys - skip)
     if fetch_keys:
         rows = read_rows_for_ids(spark, root, collection,

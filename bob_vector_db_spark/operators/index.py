@@ -248,8 +248,9 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
         imeta["dim"] = int(probe["n"])
     if kind in ("ivf", "ivf_pq", "ivf_sq", "ivf_bq") or is_mv:
         train_col = "_pooled" if is_mv else vector_name
-        # data == corpus for the non-mv kinds that don't pre-filter, so
-        # training on ``data`` is the one spelling that serves them all
+        # train on ``data`` — the NULL-filtered frame (mv: pooled) —
+        # never raw ``corpus``: a NULLed vector would crash the numpy
+        # sample path or shift sq ranges
         cents = quantize.ivf_train(
             data, vec_col=train_col,
             n_lists=n_lists, iters=iters,

@@ -736,12 +736,21 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
                 # where the pushed-predicate scan wins outright.  The
                 # capped count is exact whenever it is <= the cap, so
                 # it feeds the fallback's resolution as n_pre too — the
-                # scan path never re-counts.
+                # scan path never re-counts.  A set that passes the
+                # guard is provably bounded, so materialize it ONCE
+                # (capped driver roundtrip, lazy fallback past the
+                # internal cap) — the widening loop and the final page
+                # then reuse rows instead of re-running the posting
+                # probe per consumer (r10 review finding).
                 n_cand = ids_r.limit(max_candidates + 1).count()
-                resolution = (ids_r, residual, n_cand)
                 if n_cand > max_candidates:
+                    resolution = (ids_r, residual, n_cand)
                     routable = False
                 else:
+                    from .upsert import materialize_small  # noqa: PLC0415
+
+                    ids_r = materialize_small(spark, ids_r)
+                    resolution = (ids_r, residual, n_cand)
                     cand_ids = ids_r
         if routable:
             coll = read_collection(spark, root, collection)
