@@ -6679,6 +6679,76 @@ def q_store_filtered_indexed_search(spark: SparkSession,
                       "sim", F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "store_bq_filtered_indexed",
+    # round 10: the composed filtered search THROUGH the binary-
+    # quantization artifact — payload-index candidate ids semi-join
+    # inside the probed list partitions of the packed-sign-bit layout,
+    # the Hamming coarse stage ranks only the survivors, and the exact
+    # rescore recovers the metric; at full probe with a covering rerank
+    # the composition equals the exact filtered kNN (hash-checked).
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id AS id, embedding,
+         'g' || CAST(label % 4 AS VARCHAR) AS grp,
+         vec_id % 3 AS parity
+  FROM embeddings
+),
+flt AS (SELECT * FROM corpus WHERE {_FIS_FLT.to_sql()}),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3
+),
+pairs AS (
+  SELECT q.qid, f.id AS vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(f.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(f.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM q, flt f
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank
+      FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_store_bq_filtered_indexed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Filtered search composed with the BINARY-quantization artifact
+    (round 10): the filter's candidates semi-join INSIDE the probed
+    list partitions of the packed sign-word layout, Hamming ranks only
+    the survivors (integer codegen over 32x-compressed codes), and the
+    bucket-pruned exact rescore recovers cosine — payload pruning, list
+    pruning and the 32x artifact compression in ONE plan.  Full probe +
+    covering rerank == the exact filtered kNN."""
+    from .operators import query_api  # noqa: PLC0415
+    from .operators.payload_index import build_payload_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "bqfidx")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"), "embedding",
+        F.concat(F.lit("g"), (F.col("label") % 4).cast("string")).alias("grp"),
+        (F.col("vec_id") % 3).alias("parity"))
+    upsert.create_collection(
+        spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    build_payload_index(spark, base, "vecs", "grp", n_val_buckets=16)
+    index.build_vector_index(spark, base, "vecs", kind="ivf_bq",
+                             n_lists=8, iters=4)
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = query_api.search_points(spark, base, "vecs", qdf, flt=_FIS_FLT,
+                                  k=10, use_index="always", n_probe=None,
+                                  use_payload_index="always",
+                                  rerank_factor=1000)
+    return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"),
+                      "sim", F.col("rank").cast("long").alias("rank"))
+
+
 _NESTED_FLT = Filter(
     must=[MatchValue("meta.lang", "en"),
           Range("meta.n_chars", gte=150),
@@ -8656,6 +8726,7 @@ _PRIORITY = [
     # new this round (round 10) — never driver-adjudicated
     "store_indexed_bq", "store_mv_indexed_bq", "knn_manhattan_metric",
     "api_text_stopword_indexed", "api_text_stemmed_indexed", "knn_mmr_k2",
+    "store_bq_filtered_indexed",
     # new in round 9
     "api_match_phrase_indexed", "api_text_prefix_indexed",
     "api_match_text_word", "store_mv_indexed_sq", "store_tenant_mv_indexed",
