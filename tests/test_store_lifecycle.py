@@ -185,8 +185,11 @@ def test_resolve_metric_aliases_and_rejects_unknown():
     assert knn.resolve_metric("Cosine") == "cosine"
     assert knn.resolve_metric("IP") == "dot"
     assert knn.resolve_metric("L2") == "euclid"
+    # round 10: Distance.MANHATTAN is the fourth declared metric
+    assert knn.resolve_metric("Manhattan") == "manhattan"
+    assert knn.resolve_metric("l1") == "manhattan"
     with pytest.raises(ValueError, match="unknown distance metric"):
-        knn.resolve_metric("manhattan")
+        knn.resolve_metric("chebyshev")
 
 
 def test_multi_topic_pipeline_backpressure(spark, tmp_path):
