@@ -12,7 +12,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from bob_vector_db_spark.operators import knn, upsert
+from bob_vector_db_spark.operators import index, knn, upsert
 from bob_vector_db_spark.plans.inspect import (
     assert_partition_filters,
     formatted_plan,
@@ -435,3 +435,46 @@ def test_read_rows_for_ids_tenant_scope_prunes_both_levels(spark, tmp_path):
     ids2 = spark.createDataFrame([(1,), (2,)], "`i` long")
     assert _ids(read_rows_for_ids(spark, root, "mt", ids2, tenant="t1")) \
         == [1]
+
+
+def test_tenant_bq_artifact_scoped_and_exact(spark, tmp_path):
+    """Round 10: the binary-quantization artifact composes with the
+    per-tenant index plumbing (kind-agnostic row_filter + refresh) —
+    a tenant-scoped ivf_bq at full probe with a covering rerank equals
+    the tenant-pruned exact scan, through churn."""
+    root = str(tmp_path / "s")
+    rows = [(i, f"t{i % 2}", [float((i * 7 + d * 3) % 11) - 5.0
+                              for d in range(6)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows,
+                               "id long, tenant string, vec array<double>")
+    upsert.create_collection(
+        spark, root, "vt", df=df, id_col="id", n_buckets=4,
+        tenant_col="tenant",
+        vector_config={"vec": {"size": 6, "distance": "cosine"}})
+    index.build_vector_index(spark, root, "vt", "vec", kind="ivf_bq",
+                             n_lists=4, iters=3, tenant="t1")
+    q = spark.createDataFrame([(0, [1.0, -1.0, 2.0, 0.5, -2.0, 1.5])],
+                              "qid long, qvec array<double>")
+    key = lambda d: sorted(map(tuple, d.collect()))
+    via = knn.search_collection(spark, root, "vt", q, k=5, corpus_id="id",
+                                tenant="t1", use_index="always",
+                                n_probe=None, rerank_factor=20)
+    exact = knn.search_collection(spark, root, "vt", q, k=5,
+                                  corpus_id="id", tenant="t1",
+                                  use_index=False)
+    assert key(via) == key(exact)
+    # churn: an id moves OUT of the tenant — the refreshed artifact
+    # masks it while the store serves it under its new tenant
+    upsert.upsert(spark, root, "vt", spark.createDataFrame(
+        [(1, "t0", [9.0] * 6)], "id long, tenant string, vec array<double>"))
+    index.refresh_vector_index(spark, root, "vt", "vec", tenant="t1")
+    via2 = knn.search_collection(spark, root, "vt", q, k=5,
+                                 corpus_id="id", tenant="t1",
+                                 use_index="always", n_probe=None,
+                                 rerank_factor=20)
+    exact2 = knn.search_collection(spark, root, "vt", q, k=5,
+                                   corpus_id="id", tenant="t1",
+                                   use_index=False)
+    assert key(via2) == key(exact2)
+    assert via2.filter(F.col("vec_id") == 1).count() == 0
