@@ -842,13 +842,42 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
     return local.select(*cols), next_cursor
 
 
+def _group_topk(scored: DataFrame, ascending: bool,
+                k_groups: int, group_size: int) -> DataFrame:
+    """The two-window group ranking shared by ``search_groups`` and
+    ``recommend_groups``: rank-in-group over (qid, group) cuts each group
+    to ``group_size`` hits, then groups rank by their BEST hit's score
+    (ties by group value) and only the top ``k_groups`` survive.  Input
+    is the scored frame (qid, vec_id, group, sim); nothing here scales
+    with the corpus — only with |distinct groups| · group_size."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    order = F.asc("sim") if ascending else F.desc("sim")
+    w_in = Window.partitionBy("qid", "group").orderBy(order, F.asc("vec_id"))
+    top_in = (scored.withColumn("rank_in_group", F.row_number().over(w_in))
+              .filter(F.col("rank_in_group") <= group_size))
+    # each group's representative score is its best hit's (rank_in_group 1)
+    w_grp = Window.partitionBy("qid", "group")
+    best = (F.min("sim").over(w_grp) if ascending
+            else F.max("sim").over(w_grp))
+    ranked = top_in.withColumn("_best", best)
+    g_order = [F.asc("_best") if ascending else F.desc("_best"),
+               F.asc("group")]
+    w_rank = Window.partitionBy("qid").orderBy(*g_order)
+    return (ranked.withColumn("group_rank", F.dense_rank().over(w_rank))
+            .filter(F.col("group_rank") <= k_groups)
+            .select("qid", "group", "group_rank", "vec_id", "sim",
+                    "rank_in_group"))
+
+
 def search_groups(spark: SparkSession, root: str, collection: str,
                   queries: DataFrame, group_by: str,
                   k_groups: int = 5, group_size: int = 3,
                   flt=None, vector_name: str | None = None,
                   query_id: str = "qid", query_vec: str = "qvec",
                   round_to: int | None = 6,
-                  tenant: str | None = None) -> DataFrame:
+                  tenant: str | None = None,
+                  _exclude_ids: list[str] | None = None) -> DataFrame:
     """Grouped kNN — the Qdrant ``search_groups`` / ``query_groups`` API:
     per query, the best ``k_groups`` groups (a group = one distinct value
     of the ``group_by`` payload key), each carrying its own top
@@ -869,7 +898,6 @@ def search_groups(spark: SparkSession, root: str, collection: str,
     of distinct groups."""
     from .knn import resolve_metric  # noqa: PLC0415
     from ..functions import vector  # noqa: PLC0415
-    from pyspark.sql import Window  # noqa: PLC0415
 
     meta = collection_meta(root, collection) or {}
     id_col = meta.get("id_col", "id")
@@ -885,6 +913,9 @@ def search_groups(spark: SparkSession, root: str, collection: str,
     corpus = read_collection(spark, root, collection, tenant=tenant)
     if flt is not None:
         corpus = corpus.filter(as_filter(flt).to_column())
+    if _exclude_ids:  # recommend_groups: example ids never appear as hits
+        corpus = corpus.filter(
+            ~F.col(id_col).cast("string").isin(list(_exclude_ids)))
     # Qdrant's search_groups excludes points MISSING the group_by key —
     # a NULL group must never consume a k_groups slot (and under euclid's
     # ascending order it would otherwise sort first on ties)
@@ -917,22 +948,7 @@ def search_groups(spark: SparkSession, root: str, collection: str,
         sim = F.round(sim, round_to)
     scored = (pairs.select("qid", "vec_id", "group", sim.alias("sim"))
               .filter(F.col("sim").isNotNull() & ~F.isnan("sim")))
-    order = F.asc("sim") if ascending else F.desc("sim")
-    w_in = Window.partitionBy("qid", "group").orderBy(order, F.asc("vec_id"))
-    top_in = (scored.withColumn("rank_in_group", F.row_number().over(w_in))
-              .filter(F.col("rank_in_group") <= group_size))
-    # each group's representative score is its best hit's (rank_in_group 1)
-    w_grp = Window.partitionBy("qid", "group")
-    best = (F.min("sim").over(w_grp) if ascending
-            else F.max("sim").over(w_grp))
-    ranked = top_in.withColumn("_best", best)
-    g_order = [F.asc("_best") if ascending else F.desc("_best"),
-               F.asc("group")]
-    w_rank = Window.partitionBy("qid").orderBy(*g_order)
-    return (ranked.withColumn("group_rank", F.dense_rank().over(w_rank))
-            .filter(F.col("group_rank") <= k_groups)
-            .select("qid", "group", "group_rank", "vec_id", "sim",
-                    "rank_in_group"))
+    return _group_topk(scored, ascending, k_groups, group_size)
 
 
 def _resolve_lookup(root: str, collection: str, meta: dict,
@@ -1231,6 +1247,44 @@ def search_points_mmr(spark: SparkSession, root: str, collection: str,
     return mmr_rerank(withvec, k=k, lambda_=lambda_)
 
 
+def _fetch_example_vectors(spark: SparkSession, root: str, collection: str,
+                           meta: dict, vector_name: str, ex_ids: list[str],
+                           lookup_from_collection: str | None,
+                           lookup_from_vector: str | None,
+                           caller: str = "recommend_points"):
+    """Resolve example POINT IDS to their stored dense vectors (Qdrant
+    ``lookup_from`` semantics) — the shared head of recommend_points /
+    recommend_groups.  The ids fetch through the store's static id-bucket
+    filter (``read_rows_for_ids`` — O(|examples|), never a scan); missing
+    ids and ids whose vector was removed from the space both raise.
+    Returns ``(got: {id → list[float]}, same_coll)``."""
+    lk_coll, same_coll, lk_meta, lk_vec = _resolve_lookup(
+        root, collection, meta, vector_name,
+        lookup_from_collection, lookup_from_vector)
+    if lk_meta.get("vectors", {}).get(lk_vec, {}) \
+            .get("multivector") is not None:
+        raise ValueError(
+            f"recommend examples need a DENSE space; {lk_coll!r}/"
+            f"{lk_vec!r} is multivector")
+    lk_id_col = lk_meta.get("id_col", "id")
+    ids_df = spark.createDataFrame([(i,) for i in ex_ids], "`_r_id` string")
+    rows = read_rows_for_ids(spark, root, lk_coll, ids_df)
+    fetched = {} if rows is None else {
+        str(r[lk_id_col]): r[lk_vec]
+        for r in rows.select(lk_id_col, lk_vec).collect()}
+    missing = [i for i in ex_ids if i not in fetched]
+    if missing:
+        raise ValueError(
+            f"{caller}: example ids {missing} not in {lk_coll!r}")
+    nulled = [i for i, v in fetched.items() if v is None or len(v) == 0]
+    if nulled:
+        raise ValueError(
+            f"{caller}: example ids {nulled} have no vector in "
+            f"space {lk_vec!r} (deleted via delete_vectors?); pick "
+            f"examples that carry the space")
+    return {i: list(v) for i, v in fetched.items()}, same_coll
+
+
 def recommend_points(spark: SparkSession, root: str, collection: str,
                      positive: list, negative: list | None = None,
                      strategy: str = "average_vector", k: int = 10,
@@ -1240,7 +1294,7 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
                      lookup_from_collection: str | None = None,
                      lookup_from_vector: str | None = None) -> DataFrame:
     """Qdrant ``recommend``: positive/negative POINT IDS (their stored
-    vectors are the examples) with both strategies:
+    vectors are the examples) with all three strategies:
 
     - ``average_vector`` (default): query = mean(positives) −
       mean(negatives), then one plain kNN — one query vector, built
@@ -1253,6 +1307,12 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
       are negative, where a bare sign flip would promote it).  The
       examples broadcast; the corpus scans once — the exact-kNN plan
       shape with a wider broadcast side.
+    - ``sum_scores``: each candidate scores ``Σ sim(c, pᵢ) − Σ sim(c,
+      nⱼ)`` over ALL examples (Qdrant's third RecoQuery strategy) — the
+      same broadcast-pairs scan as best_score with a sum fold instead of
+      the max pair.  Per-pair sims round to ``round_to`` BEFORE the sum
+      (the discover convention) so the fold is engine-stable, then the
+      sum rounds once more.
 
     Example ids are excluded from the results (Qdrant semantics) — but
     only when they resolve in THIS collection:
@@ -1260,7 +1320,9 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
     ``RecommendRequest.lookup_from``) fetch the example vectors from
     another collection / named DENSE space instead, and ids from a
     different collection are a different namespace, so nothing is
-    excluded.  Returns (vec_id, score, rank).
+    excluded.  Points that carry no vector in the searched space score
+    NULL and are dropped (Qdrant skips them).  Returns
+    (vec_id, score, rank).
     """
     from .knn import resolve_metric  # noqa: PLC0415
     from ..functions import vector  # noqa: PLC0415
@@ -1281,32 +1343,10 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
     metric = resolve_metric(
         vectors.get(vector_name, {}).get("distance", "cosine"))
     # LookupLocation: example ids resolve in the lookup collection/space
-    lk_coll, same_coll, lk_meta, lk_vec = _resolve_lookup(
-        root, collection, meta, vector_name,
-        lookup_from_collection, lookup_from_vector)
-    if lk_meta.get("vectors", {}).get(lk_vec, {}) \
-            .get("multivector") is not None:
-        raise ValueError(
-            f"recommend examples need a DENSE space; {lk_coll!r}/"
-            f"{lk_vec!r} is multivector")
-    lk_id_col = lk_meta.get("id_col", "id")
     ex_ids = [str(i) for i in positive] + [str(i) for i in negative]
-    ids_df = spark.createDataFrame([(i,) for i in ex_ids], "`_r_id` string")
-    rows = read_rows_for_ids(spark, root, lk_coll, ids_df)
-    fetched = {} if rows is None else {
-        str(r[lk_id_col]): r[lk_vec]
-        for r in rows.select(lk_id_col, lk_vec).collect()}
-    missing = [i for i in ex_ids if i not in fetched]
-    if missing:
-        raise ValueError(
-            f"recommend_points: example ids {missing} not in {lk_coll!r}")
-    nulled = [i for i, v in fetched.items() if v is None or len(v) == 0]
-    if nulled:
-        raise ValueError(
-            f"recommend_points: example ids {nulled} have no vector in "
-            f"space {lk_vec!r} (deleted via delete_vectors?); pick "
-            f"examples that carry the space")
-    got = {i: list(v) for i, v in fetched.items()}
+    got, same_coll = _fetch_example_vectors(
+        spark, root, collection, meta, vector_name, ex_ids,
+        lookup_from_collection, lookup_from_vector)
 
     corpus = read_collection(spark, root, collection, tenant=tenant)
     if flt is not None:
@@ -1331,10 +1371,10 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
                        corpus_id=id_col, corpus_vec=vector_name,
                        exclude_self=False, round_to=round_to, metric=metric)
         return out.select("vec_id", F.col("sim").alias("score"), "rank")
-    if strategy != "best_score":
+    if strategy not in ("best_score", "sum_scores"):
         raise ValueError(
             f"unknown strategy {strategy!r} "
-            f"(expected 'average_vector' or 'best_score')")
+            f"(expected 'average_vector', 'best_score' or 'sum_scores')")
 
     ex = spark.createDataFrame(
         [(i, got[i], 1 if i in {str(p) for p in positive} else -1)
@@ -1352,20 +1392,153 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
         sim = vector.dot(F.col("_e_vec"), F.col("_cv"))
     else:
         raise ValueError(
-            "best_score recommend is defined for similarity metrics "
+            f"{strategy} recommend is defined for similarity metrics "
             "(cosine/dot); euclid/manhattan collections should use "
             "average_vector")
     pairs = c.join(F.broadcast(ex), how="cross")
-    agg = (pairs.select("vec_id", F.col("_e_s").alias("s"), sim.alias("_s"))
-           .groupBy("vec_id")
-           .agg(F.max(F.when(F.col("s") == 1, F.col("_s"))).alias("_bp"),
-                F.max(F.when(F.col("s") == -1, F.col("_s"))).alias("_bn")))
-    score = F.when(F.col("_bn").isNull() | (F.col("_bp") > F.col("_bn")),
-                   F.col("_bp")).otherwise(-(F.col("_bn") * F.col("_bn")))
-    scored = agg.select("vec_id", F.round(score, round_to).alias("score"))
+    if strategy == "sum_scores":
+        # per-pair sims round BEFORE the sum — a 3-term double fold is
+        # order-sensitive at the last bit, and rounding first makes the
+        # sum identical across engines (the discover convention)
+        term = F.round(sim, round_to) * F.col("_e_s")
+        agg = (pairs.select("vec_id", term.alias("_t"))
+               .groupBy("vec_id").agg(F.sum("_t").alias("_sum")))
+        score = F.col("_sum")
+    else:
+        agg = (pairs.select("vec_id", F.col("_e_s").alias("s"),
+                            sim.alias("_s"))
+               .groupBy("vec_id")
+               .agg(F.max(F.when(F.col("s") == 1, F.col("_s"))).alias("_bp"),
+                    F.max(F.when(F.col("s") == -1, F.col("_s"))).alias("_bn")))
+        score = F.when(F.col("_bn").isNull() | (F.col("_bp") > F.col("_bn")),
+                       F.col("_bp")).otherwise(-(F.col("_bn") * F.col("_bn")))
+    scored = (agg.select("vec_id", F.round(score, round_to).alias("score"))
+              .filter(F.col("score").isNotNull()))
     topk = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def recommend_groups(spark: SparkSession, root: str, collection: str,
+                     positive: list, group_by: str,
+                     negative: list | None = None,
+                     strategy: str = "average_vector",
+                     k_groups: int = 5, group_size: int = 3,
+                     flt=None, vector_name: str | None = None,
+                     round_to: int = 6,
+                     tenant: str | None = None,
+                     lookup_from_collection: str | None = None,
+                     lookup_from_vector: str | None = None) -> DataFrame:
+    """Qdrant ``recommend_groups``: recommend-by-example scoring with the
+    grouped result shape — the best ``k_groups`` distinct values of the
+    ``group_by`` payload key, each carrying its own top ``group_size``
+    recommendations.  All three recommend strategies:
+
+    - ``average_vector``: the synthetic query (mean positives − mean
+      negatives) runs through ``search_groups``' scan — the scoring and
+      both ranking windows are literally the shared code;
+    - ``best_score`` / ``sum_scores``: the broadcast example-pairs scan
+      (``recommend_points``' shape) keeps the ``group_by`` column through
+      the fold, then the same two-window group ranking cuts it.
+
+    Example ids never appear as hits (when they resolve in THIS
+    collection — ``lookup_from`` ids are a different namespace); points
+    missing the ``group_by`` key never consume a slot (the
+    ``search_groups`` contract).  Returns (group, group_rank, vec_id,
+    score, rank_in_group) — group-major, deterministic ties."""
+    from .knn import resolve_metric  # noqa: PLC0415
+    from ..functions import vector  # noqa: PLC0415
+
+    negative = negative or []
+    if not positive:
+        raise ValueError("recommend_groups needs at least one positive id")
+    meta = collection_meta(root, collection) or {}
+    id_col = meta.get("id_col", "id")
+    vectors = meta.get("vectors", {})
+    if vector_name is None:
+        if len(vectors) != 1:
+            raise ValueError(
+                f"collection {collection!r} declares {sorted(vectors)} "
+                f"vector spaces; pass vector_name")
+        vector_name = next(iter(vectors))
+    metric = resolve_metric(
+        vectors.get(vector_name, {}).get("distance", "cosine"))
+    ex_ids = [str(i) for i in positive] + [str(i) for i in negative]
+    got, same_coll = _fetch_example_vectors(
+        spark, root, collection, meta, vector_name, ex_ids,
+        lookup_from_collection, lookup_from_vector,
+        caller="recommend_groups")
+
+    if strategy == "average_vector":
+        dim = len(got[str(positive[0])])
+        qv = [0.0] * dim
+        for i in positive:
+            for j, x in enumerate(got[str(i)]):
+                qv[j] += x / len(positive)
+        for i in negative:
+            for j, x in enumerate(got[str(i)]):
+                qv[j] -= x / len(negative)
+        q = spark.createDataFrame([(0, qv)], "qid long, qvec array<double>")
+        out = search_groups(
+            spark, root, collection, q, group_by,
+            k_groups=k_groups, group_size=group_size, flt=flt,
+            vector_name=vector_name, round_to=round_to, tenant=tenant,
+            _exclude_ids=ex_ids if same_coll else None)
+        return out.select("group", "group_rank", "vec_id",
+                          F.col("sim").alias("score"), "rank_in_group")
+    if strategy not in ("best_score", "sum_scores"):
+        raise ValueError(
+            f"unknown strategy {strategy!r} "
+            f"(expected 'average_vector', 'best_score' or 'sum_scores')")
+
+    corpus = read_collection(spark, root, collection, tenant=tenant)
+    if flt is not None:
+        corpus = corpus.filter(as_filter(flt).to_column())
+    if same_coll:
+        corpus = corpus.filter(
+            ~F.col(id_col).cast("string").isin(ex_ids))
+    c = (corpus.filter(F.col(group_by).isNotNull())
+         .select(F.col(id_col).alias("vec_id"),
+                 F.col(vector_name).alias("_cv"),
+                 F.col(group_by).alias("group")))
+    ex = spark.createDataFrame(
+        [(i, got[i], 1 if i in {str(p) for p in positive} else -1)
+         for i in ex_ids],
+        "`_e_id` string, `_e_vec` array<double>, `_e_s` int")
+    if metric == "cosine":
+        ex = ex.withColumn("_en", vector.l2_norm(F.col("_e_vec")))
+        c = c.withColumn("_cn", vector.l2_norm(F.col("_cv")))
+        denom = F.col("_en") * F.col("_cn")
+        sim = F.when(denom != 0.0,
+                     vector.dot(F.col("_e_vec"), F.col("_cv")) / denom)
+    elif metric == "dot":
+        sim = vector.dot(F.col("_e_vec"), F.col("_cv"))
+    else:
+        raise ValueError(
+            f"{strategy} recommend is defined for similarity metrics "
+            "(cosine/dot); euclid/manhattan collections should use "
+            "average_vector")
+    pairs = c.join(F.broadcast(ex), how="cross")
+    if strategy == "sum_scores":
+        term = F.round(sim, round_to) * F.col("_e_s")
+        agg = (pairs.select("vec_id", "group", term.alias("_t"))
+               .groupBy("vec_id", "group").agg(F.sum("_t").alias("_sum")))
+        score = F.col("_sum")
+    else:
+        agg = (pairs.select("vec_id", "group", F.col("_e_s").alias("s"),
+                            sim.alias("_s"))
+               .groupBy("vec_id", "group")
+               .agg(F.max(F.when(F.col("s") == 1, F.col("_s"))).alias("_bp"),
+                    F.max(F.when(F.col("s") == -1, F.col("_s"))).alias("_bn")))
+        score = F.when(F.col("_bn").isNull() | (F.col("_bp") > F.col("_bn")),
+                       F.col("_bp")).otherwise(-(F.col("_bn") * F.col("_bn")))
+    scored = (agg.select(F.lit(0).alias("qid"), "vec_id", "group",
+                         F.round(score, round_to).alias("sim"))
+              .filter(F.col("sim").isNotNull()))
+    out = _group_topk(scored, ascending=False,
+                      k_groups=k_groups, group_size=group_size)
+    return out.select("group", "group_rank", "vec_id",
+                      F.col("sim").alias("score"), "rank_in_group")
 
 
 def with_group_lookup(spark: SparkSession, root: str,

@@ -6182,6 +6182,202 @@ def q_api_recommend_best_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "api_recommend_sum_scores",
+    # sum_scores strategy: score = sum(sim to positives) - sum(sim to
+    # negatives); per-pair sims round to 6 BEFORE the sum on both engines
+    # (the discover convention) so the 3-term double fold is order-stable.
+    oracle=f"""
+WITH ex AS (
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id IN (0, 1) THEN 1 ELSE -1 END AS s
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+corpus AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < 300 AND vec_id NOT IN (0, 1, 2)),
+sims AS (
+  SELECT c.vec_id, e.s, {_duck_cos('c.embedding', 'e.embedding')} AS sim
+  FROM corpus c, ex e
+),
+agg AS (
+  SELECT vec_id, round(SUM(sim * s), 6) AS score FROM sims GROUP BY vec_id
+)
+SELECT vec_id, score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT vec_id, score,
+             row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+      FROM agg)
+WHERE rank <= 10
+""",
+)
+def q_api_recommend_sum_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant recommend with the SUM_SCORES strategy (the third RecoQuery
+    strategy): each candidate scores the SUM of its similarities to every
+    positive example minus the sum to every negative — all examples pull,
+    not just the best pair.  Same physical shape as best_score: the
+    examples broadcast, the corpus scans once, one partial-aggregated
+    groupBy folds the pair terms."""
+    from .operators.query_api import recommend_points  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "recsum")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 300)
+        .select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    out = recommend_points(spark, base, "vecs", positive=[0, 1],
+                           negative=[2], strategy="sum_scores", k=10)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      "score", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "api_recommend_groups",
+    # recommend_groups with best_score: per-point RecoQuery score keeps
+    # the label through the fold, then the search_groups two-window cut:
+    # top-3 per label, labels ranked by their best point, top-5 labels.
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id IN (0, 1) THEN 1 ELSE -1 END AS s
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+corpus AS (SELECT vec_id, embedding, label FROM embeddings
+           WHERE vec_id < 300 AND vec_id NOT IN (0, 1, 2)
+             AND label IS NOT NULL),
+sims AS (
+  SELECT c.vec_id, c.label, e.s,
+         (SELECT SUM(a*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS a,
+                                       unnest(c.embedding)::DOUBLE AS b))
+         / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(e.embedding)::DOUBLE AS a)))
+           * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS b)))) AS sim
+  FROM corpus c, ex e
+),
+agg AS (
+  SELECT vec_id, label,
+         round(CASE WHEN bn IS NULL OR bp > bn THEN bp
+                    ELSE -(bn*bn) END, 6) AS score
+  FROM (SELECT vec_id, label,
+               MAX(CASE WHEN s = 1 THEN sim END) AS bp,
+               MAX(CASE WHEN s = -1 THEN sim END) AS bn
+        FROM sims GROUP BY vec_id, label)
+),
+cut AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY label
+                                 ORDER BY score DESC, vec_id)
+              AS rank_in_group
+    FROM agg)
+  WHERE rank_in_group <= 3
+),
+ranked AS (
+  SELECT *, dense_rank() OVER (ORDER BY best DESC, label) AS group_rank
+  FROM (SELECT *, MAX(score) OVER (PARTITION BY label) AS best FROM cut)
+)
+SELECT CAST(label AS BIGINT) AS "group",
+       CAST(group_rank AS BIGINT) AS group_rank,
+       vec_id, score, CAST(rank_in_group AS BIGINT) AS rank_in_group
+FROM ranked WHERE group_rank <= 5
+""",
+)
+def q_api_recommend_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``recommend_groups`` (best_score strategy): recommend-by-
+    example scoring with the grouped result shape — the 5 best labels,
+    each carrying its top 3 recommendations, groups ranked by their best
+    point's score.  The broadcast example-pairs scan keeps the group
+    column through the fold; nothing after the scan scales with the
+    corpus — only with |labels|·group_size."""
+    from .operators.query_api import recommend_groups  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "recgrp")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 300)
+        .select(F.col("vec_id").alias("id"), "embedding", "label"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    out = recommend_groups(spark, base, "vecs", positive=[0, 1],
+                           negative=[2], strategy="best_score",
+                           group_by="label", k_groups=5, group_size=3)
+    return out.select(F.col("group").cast("long").alias("group"),
+                      F.col("group_rank").cast("long").alias("group_rank"),
+                      F.col("vec_id").cast("long").alias("vec_id"),
+                      "score",
+                      F.col("rank_in_group").cast("long")
+                      .alias("rank_in_group"))
+
+
+@register(
+    "api_recommend_groups_avg",
+    # recommend_groups with average_vector: the synthetic query (mean of
+    # positives - mean of negatives, folded in the same index order as
+    # the driver-side python loop) runs through the search_groups scan.
+    oracle="""
+WITH refs AS (
+  SELECT (SELECT embedding FROM embeddings WHERE vec_id = 0) AS p1,
+         (SELECT embedding FROM embeddings WHERE vec_id = 1) AS p2,
+         (SELECT embedding FROM embeddings WHERE vec_id = 2) AS n1
+),
+qv AS (
+  SELECT list_transform(range(1, len(p1) + 1),
+           i -> p1[i]::DOUBLE / 2 + p2[i]::DOUBLE / 2 - n1[i]::DOUBLE) AS q
+  FROM refs
+),
+corpus AS (SELECT vec_id, embedding, label FROM embeddings
+           WHERE vec_id < 300 AND vec_id NOT IN (0, 1, 2)
+             AND label IS NOT NULL),
+sims AS (
+  SELECT c.vec_id, c.label,
+         round((SELECT SUM(a*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                                             unnest(q.q) AS b))
+         / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(c.embedding)::DOUBLE AS a)))
+           * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(q.q) AS b)))), 6) AS sim
+  FROM corpus c, qv q
+),
+cut AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY label
+                                 ORDER BY sim DESC, vec_id)
+              AS rank_in_group
+    FROM sims)
+  WHERE rank_in_group <= 2
+),
+ranked AS (
+  SELECT *, dense_rank() OVER (ORDER BY best DESC, label) AS group_rank
+  FROM (SELECT *, MAX(sim) OVER (PARTITION BY label) AS best FROM cut)
+)
+SELECT CAST(label AS BIGINT) AS "group",
+       CAST(group_rank AS BIGINT) AS group_rank,
+       vec_id, sim AS score, CAST(rank_in_group AS BIGINT) AS rank_in_group
+FROM ranked WHERE group_rank <= 4
+""",
+)
+def q_api_recommend_groups_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``recommend_groups`` (average_vector strategy): the mean-of-
+    examples query vector builds driver-side (O(|examples|) fetched rows)
+    and the grouped ranking is literally the shared ``search_groups``
+    code — one broadcast-query corpus scan, two windows, example ids
+    excluded before grouping."""
+    from .operators.query_api import recommend_groups  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "recgrpavg")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 300)
+        .select(F.col("vec_id").alias("id"), "embedding", "label"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    out = recommend_groups(spark, base, "vecs", positive=[0, 1],
+                           negative=[2], strategy="average_vector",
+                           group_by="label", k_groups=4, group_size=2)
+    return out.select(F.col("group").cast("long").alias("group"),
+                      F.col("group_rank").cast("long").alias("group_rank"),
+                      F.col("vec_id").cast("long").alias("vec_id"),
+                      "score",
+                      F.col("rank_in_group").cast("long")
+                      .alias("rank_in_group"))
+
+
+@register(
     "t14_stream_tenant_ingest",
     # final state: all 100 docs hash-embedded; corpus = tenant 'en' only;
     # exact cosine top-5 for query docs 0-2.
@@ -8726,7 +8922,8 @@ _PRIORITY = [
     # new this round (round 10) — never driver-adjudicated
     "store_indexed_bq", "store_mv_indexed_bq", "knn_manhattan_metric",
     "api_text_stopword_indexed", "api_text_stemmed_indexed", "knn_mmr_k2",
-    "store_bq_filtered_indexed",
+    "store_bq_filtered_indexed", "api_recommend_sum_scores",
+    "api_recommend_groups", "api_recommend_groups_avg",
     # new in round 9
     "api_match_phrase_indexed", "api_text_prefix_indexed",
     "api_match_text_word", "store_mv_indexed_sq", "store_tenant_mv_indexed",

@@ -508,6 +508,81 @@ def test_recommend_points_strategies(spark, tmp_path):
         query_api.recommend_points(spark, root, "c", positive=[])
 
 
+def test_recommend_sum_scores(spark, tmp_path):
+    """sum_scores: ALL examples pull — score = Σ sim(c,p) − Σ sim(c,n),
+    per-pair sims rounded to 6 before the sum (engine-stable fold)."""
+    import math
+
+    root = str(tmp_path / "store")
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+            (10, [0.9, 0.1, 0.0]), (11, [0.8, 0.0, 0.2]),
+            (12, [0.01, 0.99, 0.0]), (13, [0.0, 0.0, 1.0])]
+    upsert.create_collection(
+        spark, root, "c", id_col="id", n_buckets=4,
+        df=spark.createDataFrame(rows, "id long, vec array<double>"),
+        vector_config={"vec": {"size": 3, "distance": "cosine"}})
+    got = query_api.recommend_points(
+        spark, root, "c", positive=[1], negative=[2],
+        strategy="sum_scores", k=4).orderBy("rank").collect()
+    ids = [r["vec_id"] for r in got]
+    assert set(ids) == {10, 11, 12, 13} and 1 not in ids and 2 not in ids
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(y * y for y in b)))
+
+    vecs = dict((i, v) for i, v in rows)
+    for r in got:
+        want = round(round(cos(vecs[r["vec_id"]], vecs[1]), 6)
+                     - round(cos(vecs[r["vec_id"]], vecs[2]), 6), 6)
+        assert r["score"] == pytest.approx(want, abs=1e-9)
+    # the negative look-alike sinks below the neutral point
+    assert ids.index(12) > ids.index(13)
+
+
+def test_recommend_groups(spark, tmp_path):
+    """recommend_groups: grouped recommend shape — example ids excluded,
+    NULL-group points never consume a slot, groups ranked by best hit,
+    all three strategies dispatch."""
+    root = str(tmp_path / "store")
+    rows = [(1, [1.0, 0.0, 0.0], "a"), (2, [0.0, 1.0, 0.0], "b"),
+            (10, [0.9, 0.1, 0.0], "a"), (11, [0.8, 0.0, 0.2], "a"),
+            (12, [0.01, 0.99, 0.0], "b"), (13, [0.0, 0.0, 1.0], "c"),
+            (15, [0.95, 0.05, 0.0], None)]
+    upsert.create_collection(
+        spark, root, "c", id_col="id", n_buckets=4,
+        df=spark.createDataFrame(
+            rows, "id long, vec array<double>, g string"),
+        vector_config={"vec": {"size": 3, "distance": "cosine"}})
+    # group a wins under every strategy, but its representative differs:
+    # best_score keeps 10 (best positive sim, negative ignored while the
+    # positive dominates); sum_scores and average_vector subtract the
+    # negative pull, where 10's 0.1 on the negative axis sinks it below 11
+    for strategy, best_vec in (("best_score", 10), ("sum_scores", 11),
+                               ("average_vector", 11)):
+        out = query_api.recommend_groups(
+            spark, root, "c", positive=[1], negative=[2],
+            strategy=strategy, group_by="g",
+            k_groups=2, group_size=1).collect()
+        by_rank = sorted(out, key=lambda r: r["group_rank"])
+        # examples and the NULL-group point never appear
+        assert all(r["vec_id"] not in (1, 2, 15) for r in out)
+        assert by_rank[0]["group"] == "a"
+        assert by_rank[0]["vec_id"] == best_vec, strategy
+        assert len(out) == 2 and len({r["group"] for r in out}) == 2
+        assert all(r["rank_in_group"] == 1 for r in out)
+    # group_size widens the per-group cut
+    wide = query_api.recommend_groups(
+        spark, root, "c", positive=[1], negative=[2],
+        strategy="best_score", group_by="g",
+        k_groups=1, group_size=3).collect()
+    assert {r["vec_id"] for r in wide} == {10, 11}  # all of group a
+    with pytest.raises(ValueError, match="unknown strategy"):
+        query_api.recommend_groups(spark, root, "c", positive=[1],
+                                   strategy="median", group_by="g")
+
+
 def test_match_phrase_collapses_space_runs(spark):
     """ADVICE r6: 'hello  world' (double space) must match the phrase
     'hello world' — adjacency is token-based, not single-space-based —
