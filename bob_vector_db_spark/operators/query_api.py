@@ -1007,7 +1007,16 @@ def query_points(spark: SparkSession, root: str, collection: str,
       Qdrant's lookup semantics);
     - ``prefetch`` a list (with ``fusion`` = 'rrf' | 'dbsf'): a fusion
       tree — defers to :func:`fuse_prefetch`; each element is a ranked
-      DataFrame or a nested fusion dict.
+      DataFrame or a nested fusion dict;
+    - ``query`` a **dict node** (Qdrant's typed query inputs):
+      ``{'formula': ...}`` rescores prefetch candidates,
+      ``{'recommend': {'positive': [...], 'negative': [...],
+      'strategy': ...}}`` → :func:`recommend_points`,
+      ``{'discover': {'target': ..., 'context': [(p, n), ...]}}`` →
+      :func:`discover_points`, ``{'context': [(p, n), ...]}`` →
+      :func:`context_points`, ``{'sample': 'random' | seed}`` →
+      :func:`sample_points` — with ``offset`` / ``score_threshold`` /
+      ``with_payload`` / ``with_vectors`` applied as post-rank shaping.
 
     Exactly one of ``query`` / ``prefetch`` must be given.
 
@@ -1054,6 +1063,77 @@ def query_points(spark: SparkSession, root: str, collection: str,
         if with_vectors:
             out = attach_vectors(spark, root, collection, out,
                                  with_vectors, id_col_out="id")
+        return out
+    if isinstance(query, dict):
+        # Qdrant universal-API query NODES: RecommendInput /
+        # DiscoverInput / ContextInput / SampleQuery — terminal queries
+        # dispatching to their dedicated operators with the common
+        # post-rank knobs (offset / score_threshold / with_payload /
+        # with_vectors) applied here, exactly like the formula branch.
+        kinds = {"recommend", "discover", "context", "sample"} & set(query)
+        if len(kinds) != 1:
+            raise ValueError(
+                "query_points dict query must carry exactly one of "
+                "'formula', 'recommend', 'discover', 'context', "
+                f"'sample'; got {sorted(query)}")
+        if prefetch is not None:
+            raise ValueError(
+                "query_points: recommend/discover/context/sample query "
+                "nodes are terminal — they don't fuse prefetch= "
+                "branches (put them INSIDE a prefetch list instead)")
+        kind = kinds.pop()
+        n_pre = k + int(offset)
+        if kind == "sample":
+            spec = query["sample"]
+            seed = "" if spec in (True, "random") else str(spec)
+            if offset:
+                raise ValueError(
+                    "query_points(sample=...) doesn't page — redraw "
+                    "with a different seed instead")
+            if score_threshold is not None:
+                raise ValueError(
+                    "score_threshold doesn't apply to a random sample")
+            return sample_points(
+                spark, root, collection, n=k, seed=seed, flt=flt,
+                use_payload_index=use_payload_index, tenant=tenant)
+        if kind == "recommend":
+            spec = query["recommend"]
+            out = recommend_points(
+                spark, root, collection,
+                positive=list(spec.get("positive", [])),
+                negative=list(spec.get("negative") or []),
+                strategy=spec.get("strategy", "average_vector"),
+                k=n_pre, flt=flt, vector_name=vector_name, tenant=tenant,
+                lookup_from_collection=lookup_from_collection,
+                lookup_from_vector=lookup_from_vector)
+            score_col = "score"
+        elif kind == "discover":
+            spec = query["discover"]
+            out = discover_points(
+                spark, root, collection, target=spec.get("target"),
+                context=list(spec.get("context", [])), k=n_pre, flt=flt,
+                vector_name=vector_name, tenant=tenant,
+                lookup_from_collection=lookup_from_collection,
+                lookup_from_vector=lookup_from_vector)
+            score_col = "sim"
+        else:  # context
+            out = context_points(
+                spark, root, collection, context=list(query["context"]),
+                k=n_pre, flt=flt, vector_name=vector_name, tenant=tenant,
+                lookup_from_collection=lookup_from_collection,
+                lookup_from_vector=lookup_from_vector)
+            score_col = "ctx_score"
+        if offset:
+            out = (out.filter(F.col("rank") > offset)
+                   .withColumn("rank", F.col("rank") - F.lit(int(offset))))
+        if score_threshold is not None:
+            out = out.filter(F.col(score_col) >= float(score_threshold))
+        if with_payload:
+            out = attach_payload(spark, root, collection, out,
+                                 with_payload, id_col_out="vec_id")
+        if with_vectors:
+            out = attach_vectors(spark, root, collection, out,
+                                 with_vectors, id_col_out="vec_id")
         return out
     if (query is None) == (prefetch is None):
         raise ValueError("query_points takes exactly one of query= (a "
@@ -1539,6 +1619,185 @@ def recommend_groups(spark: SparkSession, root: str, collection: str,
                       k_groups=k_groups, group_size=group_size)
     return out.select("group", "group_rank", "vec_id",
                       F.col("sim").alias("score"), "rank_in_group")
+
+
+def _example_vec(x, got: dict):
+    """An example in discover/context calls is either a RAW VECTOR
+    (list/tuple of numbers — used as-is) or a POINT ID (resolved through
+    the store fetch in ``got``)."""
+    if isinstance(x, (list, tuple)):
+        return [float(v) for v in x]
+    return got[str(x)]
+
+
+def _discover_refs(spark: SparkSession, root: str, collection: str,
+                   meta: dict, vector_name: str, examples: list,
+                   lookup_from_collection: str | None,
+                   lookup_from_vector: str | None, caller: str):
+    """Resolve the id-shaped examples of a discover/context call to their
+    stored vectors.  Returns ``(got, exclude_ids)`` — ``exclude_ids`` is
+    the id list to drop from the corpus (empty when every example is a
+    raw vector, or when they resolve in another collection)."""
+    ids_needed = [x for x in examples if not isinstance(x, (list, tuple))]
+    if not ids_needed:
+        return {}, []
+    ex_ids = [str(i) for i in ids_needed]
+    got, same_coll = _fetch_example_vectors(
+        spark, root, collection, meta, vector_name, ex_ids,
+        lookup_from_collection, lookup_from_vector, caller=caller)
+    return got, (ex_ids if same_coll else [])
+
+
+def _pair_sims(metric: str, ref_cols: list[str], round_to: int):
+    """Per-ref similarity expressions for the discover/context scan —
+    cosine or dot of the corpus vector column ``_cv`` against each
+    broadcast ref column, ROUNDED before any comparison so the win/loss
+    classification is engine-stable (the discover convention)."""
+    from ..functions import vector  # noqa: PLC0415
+
+    def sim(col: str):
+        if metric == "cosine":
+            denom = vector.l2_norm(F.col(col)) * vector.l2_norm(F.col("_cv"))
+            s = F.when(denom != 0.0,
+                       vector.dot(F.col(col), F.col("_cv")) / denom)
+        else:  # dot
+            s = vector.dot(F.col(col), F.col("_cv"))
+        return F.round(s, round_to)
+    return {c: sim(c) for c in ref_cols}
+
+
+def _context_scan(spark: SparkSession, root: str, collection: str,
+                  context: list, flt, vector_name: str | None,
+                  round_to: int, tenant: str | None,
+                  lookup_from_collection: str | None,
+                  lookup_from_vector: str | None,
+                  target=None, caller: str = "context_points"):
+    """Shared scan for :func:`discover_points` / :func:`context_points`:
+    one broadcast row carries the target and every (positive, negative)
+    context pair; the corpus scans ONCE with per-row JVM expressions —
+    |pairs| cosines per point, no shuffle, nothing scales with the pair
+    count but the projection width."""
+    from .knn import resolve_metric  # noqa: PLC0415
+
+    if not context and target is None:
+        raise ValueError(f"{caller} needs at least one (positive, "
+                         "negative) context pair")
+    meta = collection_meta(root, collection) or {}
+    id_col = meta.get("id_col", "id")
+    vectors = meta.get("vectors", {})
+    if vector_name is None:
+        if len(vectors) != 1:
+            raise ValueError(
+                f"collection {collection!r} declares {sorted(vectors)} "
+                f"vector spaces; pass vector_name")
+        vector_name = next(iter(vectors))
+    metric = resolve_metric(
+        vectors.get(vector_name, {}).get("distance", "cosine"))
+    if metric not in ("cosine", "dot"):
+        raise ValueError(
+            f"{caller} is defined for similarity metrics (cosine/dot); "
+            f"space {vector_name!r} declares {metric!r}")
+    examples = ([] if target is None else [target]) + \
+        [x for pair in context for x in pair]
+    got, exclude = _discover_refs(
+        spark, root, collection, meta, vector_name, examples,
+        lookup_from_collection, lookup_from_vector, caller)
+
+    ref_cols, ref_vals = [], []
+    if target is not None:
+        ref_cols.append("_t")
+        ref_vals.append(_example_vec(target, got))
+    for i, (p, n) in enumerate(context):
+        ref_cols += [f"_p{i}", f"_n{i}"]
+        ref_vals += [_example_vec(p, got), _example_vec(n, got)]
+    ref = spark.createDataFrame(
+        [tuple(ref_vals)],
+        ", ".join(f"`{c}` array<double>" for c in ref_cols))
+
+    corpus = read_collection(spark, root, collection, tenant=tenant)
+    if flt is not None:
+        corpus = corpus.filter(as_filter(flt).to_column())
+    if exclude:
+        corpus = corpus.filter(
+            ~F.col(id_col).cast("string").isin(exclude))
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vector_name).alias("_cv"))
+    joined = c.join(F.broadcast(ref), how="cross")
+    sims = _pair_sims(metric, ref_cols, round_to)
+    return joined, sims, len(context)
+
+
+def discover_points(spark: SparkSession, root: str, collection: str,
+                    target, context: list, k: int = 10, flt=None,
+                    vector_name: str | None = None, round_to: int = 6,
+                    tenant: str | None = None,
+                    lookup_from_collection: str | None = None,
+                    lookup_from_vector: str | None = None) -> DataFrame:
+    """Qdrant ``discover`` over a STORED collection: a target (point id
+    or raw vector) plus (positive, negative) context pairs — points rank
+    FIRST by how many pairs they sit on the positive side of (closer to
+    the pair's positive than its negative), THEN by similarity to the
+    target.  Id-shaped examples fetch through the store's id-bucket
+    filter (``lookup_from`` resolves them from another collection /
+    space) and are excluded from the results when they live in THIS
+    collection (Qdrant's semantics).  Returns (vec_id, ctx_wins, sim,
+    rank); sims round to ``round_to`` BEFORE comparison on both engines
+    so the classification is stable."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    joined, sims, n_pairs = _context_scan(
+        spark, root, collection, context, flt, vector_name, round_to,
+        tenant, lookup_from_collection, lookup_from_vector,
+        target=target, caller="discover_points")
+    wins = None
+    for i in range(n_pairs):
+        w = (sims[f"_p{i}"] > sims[f"_n{i}"]).cast("long")
+        wins = w if wins is None else wins + w
+    scored = (joined.select("vec_id",
+                            (wins if wins is not None
+                             else F.lit(0)).alias("ctx_wins"),
+                            sims["_t"].alias("sim"))
+              .filter(F.col("sim").isNotNull()))
+    w = Window.orderBy(F.desc("ctx_wins"), F.desc("sim"), F.asc("vec_id"))
+    return (scored.orderBy(F.desc("ctx_wins"), F.desc("sim"),
+                           F.asc("vec_id"))
+            .limit(k).withColumn("rank", F.row_number().over(w)))
+
+
+def context_points(spark: SparkSession, root: str, collection: str,
+                   context: list, k: int = 10, flt=None,
+                   vector_name: str | None = None, round_to: int = 6,
+                   tenant: str | None = None,
+                   lookup_from_collection: str | None = None,
+                   lookup_from_vector: str | None = None) -> DataFrame:
+    """Qdrant CONTEXT search over a STORED collection (discover's
+    target-less sibling): each (positive, negative) pair contributes
+    ``min(0, sim(c,p) − sim(c,n))``, so a point on the positive side of
+    every pair scores 0 (best) and violations subtract — the top-k are
+    the points deepest inside the context zone, ties by id.  Same
+    broadcast-row single scan as :func:`discover_points`; id-shaped
+    examples are excluded when they resolve in this collection.
+    Returns (vec_id, ctx_score, rank)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    joined, sims, n_pairs = _context_scan(
+        spark, root, collection, context, flt, vector_name, round_to,
+        tenant, lookup_from_collection, lookup_from_vector,
+        target=None, caller="context_points")
+    score = None
+    loss_parts = []
+    for i in range(n_pairs):
+        loss_parts.append(
+            F.least(F.lit(0.0), sims[f"_p{i}"] - sims[f"_n{i}"]))
+    score = loss_parts[0]
+    for part in loss_parts[1:]:
+        score = score + part
+    scored = (joined.select("vec_id",
+                            F.round(score, round_to).alias("ctx_score"))
+              .filter(F.col("ctx_score").isNotNull()))
+    w = Window.orderBy(F.desc("ctx_score"), F.asc("vec_id"))
+    return (scored.orderBy(F.desc("ctx_score"), F.asc("vec_id"))
+            .limit(k).withColumn("rank", F.row_number().over(w)))
 
 
 def with_group_lookup(spark: SparkSession, root: str,

@@ -6378,6 +6378,138 @@ def q_api_recommend_groups_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_discover",
+    # discover over a STORED collection through the universal query API's
+    # {'discover': ...} node: target + context ids fetch their stored
+    # vectors (id-bucket pruned) and are excluded from the results.
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id < 300 AND vec_id NOT IN (0, 10, 11, 12, 13)
+),
+ref AS (
+  SELECT (SELECT embedding FROM embeddings WHERE vec_id = 0)  AS tgt,
+         (SELECT embedding FROM embeddings WHERE vec_id = 10) AS p1,
+         (SELECT embedding FROM embeddings WHERE vec_id = 11) AS n1,
+         (SELECT embedding FROM embeddings WHERE vec_id = 12) AS p2,
+         (SELECT embedding FROM embeddings WHERE vec_id = 13) AS n2
+),
+scored AS (
+  SELECT c.vec_id,
+         {_duck_cos('c.embedding', 'r.tgt')} AS sim,
+         (CASE WHEN {_duck_cos('c.embedding', 'r.p1')}
+                  > {_duck_cos('c.embedding', 'r.n1')} THEN 1 ELSE 0 END
+        + CASE WHEN {_duck_cos('c.embedding', 'r.p2')}
+                  > {_duck_cos('c.embedding', 'r.n2')} THEN 1 ELSE 0 END)
+         AS ctx_wins
+  FROM corpus c, ref r
+)
+SELECT vec_id, CAST(ctx_wins AS BIGINT) AS ctx_wins, sim,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number()
+             OVER (ORDER BY ctx_wins DESC, sim DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= 10
+""",
+)
+def q_store_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``discover`` through the STORE and the universal
+    ``query_points`` API: ``query={'discover': {'target': 0, 'context':
+    [(10, 11), (12, 13)]}}`` — the target and context POINT IDS resolve
+    to their stored vectors via the id-bucket fetch, fold into ONE
+    broadcast row, and the collection scans once with per-row JVM
+    expressions (|pairs|+1 cosines per point, no shuffle).  Example ids
+    never appear as hits."""
+    from .operators.query_api import query_points  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "discstore")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 300)
+        .select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    out = query_points(
+        spark, base, "vecs",
+        query={"discover": {"target": 0,
+                            "context": [(10, 11), (12, 13)]}}, k=10)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      F.col("ctx_wins").cast("long").alias("ctx_wins"),
+                      "sim", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "store_context",
+    # context-only search over a STORED collection through the
+    # {'context': ...} query node: score = sum of min(0, cos(c,p)-cos(c,n))
+    # per pair; pair ids excluded from the results.
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id < 300 AND vec_id NOT IN (10, 11, 12, 13)
+),
+refs AS (
+  SELECT
+    (SELECT embedding FROM embeddings WHERE vec_id = 10) AS p1,
+    (SELECT embedding FROM embeddings WHERE vec_id = 11) AS n1,
+    (SELECT embedding FROM embeddings WHERE vec_id = 12) AS p2,
+    (SELECT embedding FROM embeddings WHERE vec_id = 13) AS n2
+),
+cosines AS (
+  SELECT c.vec_id,
+    round((SELECT SUM(a*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                                        unnest(r.p1)::DOUBLE AS b))
+      / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(c.embedding)::DOUBLE AS a)))
+        * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(r.p1)::DOUBLE AS b)))), 6) AS cp1,
+    round((SELECT SUM(a*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                                        unnest(r.n1)::DOUBLE AS b))
+      / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(c.embedding)::DOUBLE AS a)))
+        * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(r.n1)::DOUBLE AS b)))), 6) AS cn1,
+    round((SELECT SUM(a*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                                        unnest(r.p2)::DOUBLE AS b))
+      / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(c.embedding)::DOUBLE AS a)))
+        * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(r.p2)::DOUBLE AS b)))), 6) AS cp2,
+    round((SELECT SUM(a*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                                        unnest(r.n2)::DOUBLE AS b))
+      / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(c.embedding)::DOUBLE AS a)))
+        * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(r.n2)::DOUBLE AS b)))), 6) AS cn2
+  FROM corpus c, refs r
+)
+SELECT vec_id, ctx_score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT vec_id,
+             round(least(0, cp1 - cn1) + least(0, cp2 - cn2), 6)
+               AS ctx_score,
+             row_number() OVER (
+               ORDER BY round(least(0, cp1 - cn1) + least(0, cp2 - cn2), 6)
+                        DESC, vec_id) AS rank
+      FROM cosines)
+WHERE rank <= 10
+""",
+)
+def q_store_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant CONTEXT search through the STORE and the universal
+    ``query_points`` API: ``query={'context': [(10, 11), (12, 13)]}`` —
+    pair ids resolve to stored vectors, one broadcast row, one corpus
+    scan; each pair contributes ``min(0, cos(c,p) − cos(c,n))`` and the
+    top-k are the points deepest inside the context zone (0 = fully
+    inside).  Pair ids never appear as hits."""
+    from .operators.query_api import query_points  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "ctxstore")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 300)
+        .select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    out = query_points(
+        spark, base, "vecs",
+        query={"context": [(10, 11), (12, 13)]}, k=10)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      "ctx_score", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
     "t14_stream_tenant_ingest",
     # final state: all 100 docs hash-embedded; corpus = tenant 'en' only;
     # exact cosine top-5 for query docs 0-2.
@@ -8924,6 +9056,7 @@ _PRIORITY = [
     "api_text_stopword_indexed", "api_text_stemmed_indexed", "knn_mmr_k2",
     "store_bq_filtered_indexed", "api_recommend_sum_scores",
     "api_recommend_groups", "api_recommend_groups_avg",
+    "store_discover", "store_context",
     # new in round 9
     "api_match_phrase_indexed", "api_text_prefix_indexed",
     "api_match_text_word", "store_mv_indexed_sq", "store_tenant_mv_indexed",

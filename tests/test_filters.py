@@ -583,6 +583,68 @@ def test_recommend_groups(spark, tmp_path):
                                    strategy="median", group_by="g")
 
 
+def test_discover_and_context_points(spark, tmp_path):
+    """Stored-collection discover/context: id-shaped examples fetch and
+    are excluded; raw-vector examples pass through un-excluded; the
+    query_points dict nodes dispatch with post-rank shaping."""
+    root = str(tmp_path / "store")
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+            (10, [0.9, 0.1, 0.0]), (11, [0.8, 0.0, 0.2]),
+            (12, [0.01, 0.99, 0.0]), (13, [0.0, 0.0, 1.0])]
+    upsert.create_collection(
+        spark, root, "c", id_col="id", n_buckets=4,
+        df=spark.createDataFrame(rows, "id long, vec array<double>"),
+        vector_config={"vec": {"size": 3, "distance": "cosine"}})
+    # discover: target id 1, one pair (positive id 1's axis vs id 2's) —
+    # 10/11 sit on the positive side (1 win), 12 on the negative (0)
+    out = query_api.discover_points(
+        spark, root, "c", target=1, context=[(1, 2)], k=10).collect()
+    ids = [r["vec_id"] for r in out]
+    assert 1 not in ids and 2 not in ids  # id examples excluded
+    wins = {r["vec_id"]: r["ctx_wins"] for r in out}
+    assert wins[10] == 1 and wins[11] == 1 and wins[12] == 0
+    assert ids[0] == 10  # among winners, ranked by target sim
+    # raw-vector examples are NOT excluded (no id to exclude)
+    out2 = query_api.discover_points(
+        spark, root, "c", target=[1.0, 0.0, 0.0],
+        context=[([1.0, 0.0, 0.0], [0.0, 1.0, 0.0])], k=10).collect()
+    assert {r["vec_id"] for r in out2} == {1, 2, 10, 11, 12, 13}
+    # context-only: points aligned with the positive score 0 (the zone)
+    ctx = query_api.context_points(
+        spark, root, "c", context=[(1, 2)], k=10).collect()
+    scores = {r["vec_id"]: r["ctx_score"] for r in ctx}
+    assert 1 not in scores and 2 not in scores
+    assert scores[10] == 0.0 and scores[11] == 0.0
+    assert scores[12] < 0  # negative look-alike violates the pair
+    # dict-node dispatch through the universal API, with offset shaping
+    via = query_api.query_points(
+        spark, root, "c", query={"context": [(1, 2)]}, k=2,
+        offset=1).collect()
+    full = sorted(ctx, key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in sorted(via, key=lambda r: r["rank"])] \
+        == [r["vec_id"] for r in full[1:3]]
+    assert [r["rank"] for r in sorted(via, key=lambda r: r["rank"])] \
+        == [1, 2]
+    rec = query_api.query_points(
+        spark, root, "c",
+        query={"recommend": {"positive": [1], "negative": [2],
+                             "strategy": "best_score"}}, k=3).collect()
+    assert [r["vec_id"] for r in sorted(rec, key=lambda r: r["rank"])][0] \
+        == 10
+    smp = query_api.query_points(
+        spark, root, "c", query={"sample": "seed42"}, k=3).collect()
+    assert len(smp) == 3
+    with pytest.raises(ValueError, match="exactly one of"):
+        query_api.query_points(spark, root, "c",
+                               query={"context": [], "sample": True})
+    with pytest.raises(ValueError, match="terminal"):
+        query_api.query_points(spark, root, "c",
+                               query={"context": [(1, 2)]},
+                               prefetch=[None])
+    with pytest.raises(ValueError, match="at least one"):
+        query_api.context_points(spark, root, "c", context=[])
+
+
 def test_match_phrase_collapses_space_runs(spark):
     """ADVICE r6: 'hello  world' (double space) must match the phrase
     'hello world' — adjacency is token-based, not single-space-based —
