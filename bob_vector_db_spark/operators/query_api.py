@@ -1080,12 +1080,14 @@ def query_points(spark: SparkSession, root: str, collection: str,
             raise ValueError(
                 "query_points: recommend/discover/context/sample query "
                 "nodes are terminal — they don't fuse prefetch= "
-                "branches (put them INSIDE a prefetch list instead)")
+                "branches (build the branch with its operator, e.g. "
+                "recommend_points, and pass the ranked DataFrame in "
+                "the prefetch list instead)")
         kind = kinds.pop()
         n_pre = k + int(offset)
         if kind == "sample":
             spec = query["sample"]
-            seed = "" if spec in (True, "random") else str(spec)
+            seed = "" if (spec is True or spec == "random") else str(spec)
             if offset:
                 raise ValueError(
                     "query_points(sample=...) doesn't page — redraw "
@@ -1093,6 +1095,11 @@ def query_points(spark: SparkSession, root: str, collection: str,
             if score_threshold is not None:
                 raise ValueError(
                     "score_threshold doesn't apply to a random sample")
+            if with_payload or with_vectors:
+                raise ValueError(
+                    "query_points(sample=...) returns FULL stored rows "
+                    "— with_payload/with_vectors shaping doesn't apply; "
+                    "select columns on the result instead")
             return sample_points(
                 spark, root, collection, n=k, seed=seed, flt=flt,
                 use_payload_index=use_payload_index, tenant=tenant)
@@ -1365,6 +1372,77 @@ def _fetch_example_vectors(spark: SparkSession, root: str, collection: str,
     return {i: list(v) for i, v in fetched.items()}, same_coll
 
 
+def _mean_example_query(got: dict, positive: list, negative: list):
+    """The average_vector strategy's synthetic query: mean(positives) −
+    mean(negatives), folded driver-side in example order (the fold order
+    is part of the oracle contract — engines must add the same way)."""
+    dim = len(got[str(positive[0])])
+    qv = [0.0] * dim
+    for i in positive:
+        for j, x in enumerate(got[str(i)]):
+            qv[j] += x / len(positive)
+    for i in negative:
+        for j, x in enumerate(got[str(i)]):
+            qv[j] -= x / len(negative)
+    return qv
+
+
+def _reco_pair_scores(spark: SparkSession, c: DataFrame, got: dict,
+                      ex_ids: list[str], positive: list, strategy: str,
+                      metric: str, round_to: int,
+                      keys: tuple = ()) -> DataFrame:
+    """The shared example-pairs fold of recommend_points /
+    recommend_groups: ``c`` is (vec_id, _cv, *keys); the examples
+    broadcast with their signs and every candidate folds its pair sims —
+    best_score keeps the RecoQuery max formula (best positive unless the
+    best negative wins, then −best-negative²), sum_scores sums the
+    per-pair sims (rounded BEFORE the sum so the fold is engine-stable).
+    Returns (vec_id, *keys, score); unscorable points (NULL from a
+    zero-norm cosine or a missing vector, NaN from a NaN component) are
+    dropped — Qdrant skips points it cannot score."""
+    from ..functions import vector  # noqa: PLC0415
+
+    if strategy not in ("best_score", "sum_scores"):
+        raise ValueError(
+            f"unknown strategy {strategy!r} "
+            f"(expected 'average_vector', 'best_score' or 'sum_scores')")
+    ex = spark.createDataFrame(
+        [(i, got[i], 1 if i in {str(p) for p in positive} else -1)
+         for i in ex_ids],
+        "`_e_id` string, `_e_vec` array<double>, `_e_s` int")
+    if metric == "cosine":
+        ex = ex.withColumn("_en", vector.l2_norm(F.col("_e_vec")))
+        c = c.withColumn("_cn", vector.l2_norm(F.col("_cv")))
+        denom = F.col("_en") * F.col("_cn")
+        sim = F.when(denom != 0.0,
+                     vector.dot(F.col("_e_vec"), F.col("_cv")) / denom)
+    elif metric == "dot":
+        sim = vector.dot(F.col("_e_vec"), F.col("_cv"))
+    else:
+        raise ValueError(
+            f"{strategy} recommend is defined for similarity metrics "
+            "(cosine/dot); euclid/manhattan collections should use "
+            "average_vector")
+    pairs = c.join(F.broadcast(ex), how="cross")
+    keys = list(keys)
+    if strategy == "sum_scores":
+        term = F.round(sim, round_to) * F.col("_e_s")
+        agg = (pairs.select("vec_id", *keys, term.alias("_t"))
+               .groupBy("vec_id", *keys).agg(F.sum("_t").alias("_sum")))
+        score = F.col("_sum")
+    else:
+        agg = (pairs.select("vec_id", *keys, F.col("_e_s").alias("s"),
+                            sim.alias("_s"))
+               .groupBy("vec_id", *keys)
+               .agg(F.max(F.when(F.col("s") == 1, F.col("_s"))).alias("_bp"),
+                    F.max(F.when(F.col("s") == -1, F.col("_s"))).alias("_bn")))
+        score = F.when(F.col("_bn").isNull() | (F.col("_bp") > F.col("_bn")),
+                       F.col("_bp")).otherwise(-(F.col("_bn") * F.col("_bn")))
+    return (agg.select("vec_id", *keys,
+                       F.round(score, round_to).alias("score"))
+            .filter(F.col("score").isNotNull() & ~F.isnan("score")))
+
+
 def recommend_points(spark: SparkSession, root: str, collection: str,
                      positive: list, negative: list | None = None,
                      strategy: str = "average_vector", k: int = 10,
@@ -1405,7 +1483,6 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
     (vec_id, score, rank).
     """
     from .knn import resolve_metric  # noqa: PLC0415
-    from ..functions import vector  # noqa: PLC0415
     from pyspark.sql import Window  # noqa: PLC0415
 
     negative = negative or []
@@ -1436,64 +1513,18 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
             ~F.col(id_col).cast("string").isin(ex_ids))
 
     if strategy == "average_vector":
-        dim = len(got[str(positive[0])])
-        qv = [0.0] * dim
-        for i in positive:
-            for j, x in enumerate(got[str(i)]):
-                qv[j] += x / len(positive)
-        for i in negative:
-            for j, x in enumerate(got[str(i)]):
-                qv[j] -= x / len(negative)
         from .knn import knn_join  # noqa: PLC0415
 
+        qv = _mean_example_query(got, positive, negative)
         q = spark.createDataFrame([(0, qv)], "qid long, qvec array<double>")
         out = knn_join(q, corpus.select(id_col, vector_name), k=k,
                        corpus_id=id_col, corpus_vec=vector_name,
                        exclude_self=False, round_to=round_to, metric=metric)
         return out.select("vec_id", F.col("sim").alias("score"), "rank")
-    if strategy not in ("best_score", "sum_scores"):
-        raise ValueError(
-            f"unknown strategy {strategy!r} "
-            f"(expected 'average_vector', 'best_score' or 'sum_scores')")
-
-    ex = spark.createDataFrame(
-        [(i, got[i], 1 if i in {str(p) for p in positive} else -1)
-         for i in ex_ids],
-        "`_e_id` string, `_e_vec` array<double>, `_e_s` int")
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vector_name).alias("_cv"))
-    if metric == "cosine":
-        ex = ex.withColumn("_en", vector.l2_norm(F.col("_e_vec")))
-        c = c.withColumn("_cn", vector.l2_norm(F.col("_cv")))
-        denom = F.col("_en") * F.col("_cn")
-        sim = F.when(denom != 0.0,
-                     vector.dot(F.col("_e_vec"), F.col("_cv")) / denom)
-    elif metric == "dot":
-        sim = vector.dot(F.col("_e_vec"), F.col("_cv"))
-    else:
-        raise ValueError(
-            f"{strategy} recommend is defined for similarity metrics "
-            "(cosine/dot); euclid/manhattan collections should use "
-            "average_vector")
-    pairs = c.join(F.broadcast(ex), how="cross")
-    if strategy == "sum_scores":
-        # per-pair sims round BEFORE the sum — a 3-term double fold is
-        # order-sensitive at the last bit, and rounding first makes the
-        # sum identical across engines (the discover convention)
-        term = F.round(sim, round_to) * F.col("_e_s")
-        agg = (pairs.select("vec_id", term.alias("_t"))
-               .groupBy("vec_id").agg(F.sum("_t").alias("_sum")))
-        score = F.col("_sum")
-    else:
-        agg = (pairs.select("vec_id", F.col("_e_s").alias("s"),
-                            sim.alias("_s"))
-               .groupBy("vec_id")
-               .agg(F.max(F.when(F.col("s") == 1, F.col("_s"))).alias("_bp"),
-                    F.max(F.when(F.col("s") == -1, F.col("_s"))).alias("_bn")))
-        score = F.when(F.col("_bn").isNull() | (F.col("_bp") > F.col("_bn")),
-                       F.col("_bp")).otherwise(-(F.col("_bn") * F.col("_bn")))
-    scored = (agg.select("vec_id", F.round(score, round_to).alias("score"))
-              .filter(F.col("score").isNotNull()))
+    scored = _reco_pair_scores(spark, c, got, ex_ids, positive,
+                               strategy, metric, round_to)
     topk = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
     return topk.withColumn("rank", F.row_number().over(w))
@@ -1527,7 +1558,6 @@ def recommend_groups(spark: SparkSession, root: str, collection: str,
     ``search_groups`` contract).  Returns (group, group_rank, vec_id,
     score, rank_in_group) — group-major, deterministic ties."""
     from .knn import resolve_metric  # noqa: PLC0415
-    from ..functions import vector  # noqa: PLC0415
 
     negative = negative or []
     if not positive:
@@ -1550,14 +1580,7 @@ def recommend_groups(spark: SparkSession, root: str, collection: str,
         caller="recommend_groups")
 
     if strategy == "average_vector":
-        dim = len(got[str(positive[0])])
-        qv = [0.0] * dim
-        for i in positive:
-            for j, x in enumerate(got[str(i)]):
-                qv[j] += x / len(positive)
-        for i in negative:
-            for j, x in enumerate(got[str(i)]):
-                qv[j] -= x / len(negative)
+        qv = _mean_example_query(got, positive, negative)
         q = spark.createDataFrame([(0, qv)], "qid long, qvec array<double>")
         out = search_groups(
             spark, root, collection, q, group_by,
@@ -1566,11 +1589,6 @@ def recommend_groups(spark: SparkSession, root: str, collection: str,
             _exclude_ids=ex_ids if same_coll else None)
         return out.select("group", "group_rank", "vec_id",
                           F.col("sim").alias("score"), "rank_in_group")
-    if strategy not in ("best_score", "sum_scores"):
-        raise ValueError(
-            f"unknown strategy {strategy!r} "
-            f"(expected 'average_vector', 'best_score' or 'sum_scores')")
-
     corpus = read_collection(spark, root, collection, tenant=tenant)
     if flt is not None:
         corpus = corpus.filter(as_filter(flt).to_column())
@@ -1581,40 +1599,11 @@ def recommend_groups(spark: SparkSession, root: str, collection: str,
          .select(F.col(id_col).alias("vec_id"),
                  F.col(vector_name).alias("_cv"),
                  F.col(group_by).alias("group")))
-    ex = spark.createDataFrame(
-        [(i, got[i], 1 if i in {str(p) for p in positive} else -1)
-         for i in ex_ids],
-        "`_e_id` string, `_e_vec` array<double>, `_e_s` int")
-    if metric == "cosine":
-        ex = ex.withColumn("_en", vector.l2_norm(F.col("_e_vec")))
-        c = c.withColumn("_cn", vector.l2_norm(F.col("_cv")))
-        denom = F.col("_en") * F.col("_cn")
-        sim = F.when(denom != 0.0,
-                     vector.dot(F.col("_e_vec"), F.col("_cv")) / denom)
-    elif metric == "dot":
-        sim = vector.dot(F.col("_e_vec"), F.col("_cv"))
-    else:
-        raise ValueError(
-            f"{strategy} recommend is defined for similarity metrics "
-            "(cosine/dot); euclid/manhattan collections should use "
-            "average_vector")
-    pairs = c.join(F.broadcast(ex), how="cross")
-    if strategy == "sum_scores":
-        term = F.round(sim, round_to) * F.col("_e_s")
-        agg = (pairs.select("vec_id", "group", term.alias("_t"))
-               .groupBy("vec_id", "group").agg(F.sum("_t").alias("_sum")))
-        score = F.col("_sum")
-    else:
-        agg = (pairs.select("vec_id", "group", F.col("_e_s").alias("s"),
-                            sim.alias("_s"))
-               .groupBy("vec_id", "group")
-               .agg(F.max(F.when(F.col("s") == 1, F.col("_s"))).alias("_bp"),
-                    F.max(F.when(F.col("s") == -1, F.col("_s"))).alias("_bn")))
-        score = F.when(F.col("_bn").isNull() | (F.col("_bp") > F.col("_bn")),
-                       F.col("_bp")).otherwise(-(F.col("_bn") * F.col("_bn")))
-    scored = (agg.select(F.lit(0).alias("qid"), "vec_id", "group",
-                         F.round(score, round_to).alias("sim"))
-              .filter(F.col("sim").isNotNull()))
+    scored = (_reco_pair_scores(spark, c, got, ex_ids, positive,
+                                strategy, metric, round_to,
+                                keys=("group",))
+              .select(F.lit(0).alias("qid"), "vec_id", "group",
+                      F.col("score").alias("sim")))
     out = _group_topk(scored, ascending=False,
                       k_groups=k_groups, group_size=group_size)
     return out.select("group", "group_rank", "vec_id",
@@ -1745,6 +1734,10 @@ def discover_points(spark: SparkSession, root: str, collection: str,
     so the classification is stable."""
     from pyspark.sql import Window  # noqa: PLC0415
 
+    if target is None:
+        raise ValueError(
+            "discover_points needs a target (point id or raw vector) — "
+            "for target-less context search use context_points")
     joined, sims, n_pairs = _context_scan(
         spark, root, collection, context, flt, vector_name, round_to,
         tenant, lookup_from_collection, lookup_from_vector,
@@ -1757,7 +1750,7 @@ def discover_points(spark: SparkSession, root: str, collection: str,
                             (wins if wins is not None
                              else F.lit(0)).alias("ctx_wins"),
                             sims["_t"].alias("sim"))
-              .filter(F.col("sim").isNotNull()))
+              .filter(F.col("sim").isNotNull() & ~F.isnan("sim")))
     w = Window.orderBy(F.desc("ctx_wins"), F.desc("sim"), F.asc("vec_id"))
     return (scored.orderBy(F.desc("ctx_wins"), F.desc("sim"),
                            F.asc("vec_id"))
@@ -1794,7 +1787,8 @@ def context_points(spark: SparkSession, root: str, collection: str,
         score = score + part
     scored = (joined.select("vec_id",
                             F.round(score, round_to).alias("ctx_score"))
-              .filter(F.col("ctx_score").isNotNull()))
+              .filter(F.col("ctx_score").isNotNull()
+                      & ~F.isnan("ctx_score")))
     w = Window.orderBy(F.desc("ctx_score"), F.asc("vec_id"))
     return (scored.orderBy(F.desc("ctx_score"), F.asc("vec_id"))
             .limit(k).withColumn("rank", F.row_number().over(w)))

@@ -588,9 +588,12 @@ def test_discover_and_context_points(spark, tmp_path):
     are excluded; raw-vector examples pass through un-excluded; the
     query_points dict nodes dispatch with post-rank shaping."""
     root = str(tmp_path / "store")
+    # id 20 carries a NaN component: it must never steal a rank slot
+    # (desc ordering would otherwise put NaN first) in ANY scoring path
     rows = [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
             (10, [0.9, 0.1, 0.0]), (11, [0.8, 0.0, 0.2]),
-            (12, [0.01, 0.99, 0.0]), (13, [0.0, 0.0, 1.0])]
+            (12, [0.01, 0.99, 0.0]), (13, [0.0, 0.0, 1.0]),
+            (20, [float("nan"), 0.0, 0.0])]
     upsert.create_collection(
         spark, root, "c", id_col="id", n_buckets=4,
         df=spark.createDataFrame(rows, "id long, vec array<double>"),
@@ -601,6 +604,7 @@ def test_discover_and_context_points(spark, tmp_path):
         spark, root, "c", target=1, context=[(1, 2)], k=10).collect()
     ids = [r["vec_id"] for r in out]
     assert 1 not in ids and 2 not in ids  # id examples excluded
+    assert 20 not in ids  # NaN vector dropped, not ranked first
     wins = {r["vec_id"]: r["ctx_wins"] for r in out}
     assert wins[10] == 1 and wins[11] == 1 and wins[12] == 0
     assert ids[0] == 10  # among winners, ranked by target sim
