@@ -304,6 +304,53 @@ def main():
         spark, store, "docs", hid[:1000]).count())
     assert n_rt == min(1000, len(hid)), n_rt
 
+    # round-10b surfaces: recommend strategies / groups and discover —
+    # broadcast-example scans + group windows; nothing here may collect
+    # more than |examples| rows driver-side at any corpus size
+    from bob_vector_db_spark.operators.query_api import (  # noqa: PLC0415
+        discover_points,
+        recommend_groups,
+        recommend_points,
+    )
+    rec = _timed("recommend_best_score", timings, lambda: recommend_points(
+        spark, store, "vecs", positive=[100, 101], negative=[102],
+        strategy="best_score", k=10).orderBy("rank").collect())
+    assert len(rec) == 10 and rec[0]["score"] >= rec[-1]["score"]
+    _timed("recommend_sum_scores", timings, lambda: recommend_points(
+        spark, store, "vecs", positive=[100, 101], negative=[102],
+        strategy="sum_scores", k=10).count())
+    grp = _timed("recommend_groups_bestscore", timings,
+                 lambda: recommend_groups(
+                     spark, store, "vecs", positive=[100, 101],
+                     negative=[102], strategy="best_score",
+                     group_by="label", k_groups=10,
+                     group_size=3).collect())
+    # exactness tie between the grouped and flat surfaces: the flat
+    # rank-1 point must lead its own group, and that group must rank 1
+    top = rec[0]
+    g_top = [r for r in grp if r["vec_id"] == top["vec_id"]]
+    assert g_top and g_top[0]["rank_in_group"] == 1 \
+        and g_top[0]["group_rank"] == 1 \
+        and g_top[0]["score"] == top["score"], (top, g_top)
+    # discover with an empty context IS the exact target kNN (ctx_wins 0
+    # for every point) — tie it to the exact scan, excluding the target
+    disc = _timed("discover_empty_context_exact", timings,
+                  lambda: sorted((r["vec_id"], r["sim"])
+                                 for r in discover_points(
+                                     spark, store, "vecs", target=100,
+                                     context=[], k=10).collect()))
+    q1 = (emb.filter(F.col("vec_id") == 100)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("embedding").alias("qvec")))
+    exact1 = sorted((r["vec_id"], r["sim"]) for r in knn.search_collection(
+        spark, store, "vecs", q1, k=10, corpus_id="id",
+        exclude_self=True, use_index=False).collect())
+    assert disc == exact1, "discover(empty context) diverged from exact kNN"
+    n_disc = _timed("discover_2pairs", timings, lambda: discover_points(
+        spark, store, "vecs", target=100,
+        context=[(100, 102), (101, 102)], k=10).count())
+    assert n_disc == 10, n_disc
+
     _timed("compact_vecs", timings, lambda: upsert.compact_collection(
         spark, store, "vecs"))
 
