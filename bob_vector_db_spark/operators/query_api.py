@@ -896,20 +896,10 @@ def search_groups(spark: SparkSession, root: str, collection: str,
     surviving ≤ |groups|·group_size rows picks the best ``k_groups``.
     Nothing after the scan scales with the corpus — only with the number
     of distinct groups."""
-    from .knn import resolve_metric  # noqa: PLC0415
     from ..functions import vector  # noqa: PLC0415
 
-    meta = collection_meta(root, collection) or {}
-    id_col = meta.get("id_col", "id")
-    vectors = meta.get("vectors", {})
-    if vector_name is None:
-        if len(vectors) != 1:
-            raise ValueError(
-                f"collection {collection!r} declares {sorted(vectors)} "
-                f"vector spaces; pass vector_name")
-        vector_name = next(iter(vectors))
-    metric = resolve_metric(
-        vectors.get(vector_name, {}).get("distance", "cosine"))
+    meta, id_col, vector_name, metric = _resolve_search_space(
+        root, collection, vector_name)
     corpus = read_collection(spark, root, collection, tenant=tenant)
     if flt is not None:
         corpus = corpus.filter(as_filter(flt).to_column())
@@ -1034,6 +1024,14 @@ def query_points(spark: SparkSession, root: str, collection: str,
     lookup space's shape must match the searched space's (multivector
     with multivector, dense with dense).
     """
+    if isinstance(query, dict):
+        _kinds = ({"formula", "recommend", "discover", "context",
+                   "sample"} & set(query))
+        if len(_kinds) != 1:
+            raise ValueError(
+                "query_points dict query must carry exactly one of "
+                "'formula', 'recommend', 'discover', 'context', "
+                f"'sample'; got {sorted(query)}")
     if isinstance(query, dict) and "formula" in query:
         # Qdrant query=FormulaQuery(formula=..., defaults=...) WITH
         # prefetch: rescore the union of prefetch candidates by the
@@ -1070,12 +1068,7 @@ def query_points(spark: SparkSession, root: str, collection: str,
         # dispatching to their dedicated operators with the common
         # post-rank knobs (offset / score_threshold / with_payload /
         # with_vectors) applied here, exactly like the formula branch.
-        kinds = {"recommend", "discover", "context", "sample"} & set(query)
-        if len(kinds) != 1:
-            raise ValueError(
-                "query_points dict query must carry exactly one of "
-                "'formula', 'recommend', 'discover', 'context', "
-                f"'sample'; got {sorted(query)}")
+        kind = _kinds.pop()  # exactly one — validated above, pre-formula
         if prefetch is not None:
             raise ValueError(
                 "query_points: recommend/discover/context/sample query "
@@ -1083,7 +1076,6 @@ def query_points(spark: SparkSession, root: str, collection: str,
                 "branches (build the branch with its operator, e.g. "
                 "recommend_points, and pass the ranked DataFrame in "
                 "the prefetch list instead)")
-        kind = kinds.pop()
         n_pre = k + int(offset)
         if kind == "sample":
             spec = query["sample"]
@@ -1334,6 +1326,29 @@ def search_points_mmr(spark: SparkSession, root: str, collection: str,
     return mmr_rerank(withvec, k=k, lambda_=lambda_)
 
 
+def _resolve_search_space(root: str, collection: str,
+                          vector_name: str | None):
+    """Resolve the searched dense space — the boilerplate shared by
+    search_groups / recommend_points / recommend_groups / the
+    discover-context scan: collection meta, id column, the (only or
+    named) vector space, and its declared metric.
+    Returns (meta, id_col, vector_name, metric)."""
+    from .knn import resolve_metric  # noqa: PLC0415
+
+    meta = collection_meta(root, collection) or {}
+    id_col = meta.get("id_col", "id")
+    vectors = meta.get("vectors", {})
+    if vector_name is None:
+        if len(vectors) != 1:
+            raise ValueError(
+                f"collection {collection!r} declares {sorted(vectors)} "
+                f"vector spaces; pass vector_name")
+        vector_name = next(iter(vectors))
+    metric = resolve_metric(
+        vectors.get(vector_name, {}).get("distance", "cosine"))
+    return meta, id_col, vector_name, metric
+
+
 def _fetch_example_vectors(spark: SparkSession, root: str, collection: str,
                            meta: dict, vector_name: str, ex_ids: list[str],
                            lookup_from_collection: str | None,
@@ -1388,7 +1403,7 @@ def _mean_example_query(got: dict, positive: list, negative: list):
 
 
 def _reco_pair_scores(spark: SparkSession, c: DataFrame, got: dict,
-                      ex_ids: list[str], positive: list, strategy: str,
+                      positive: list, negative: list, strategy: str,
                       metric: str, round_to: int,
                       keys: tuple = ()) -> DataFrame:
     """The shared example-pairs fold of recommend_points /
@@ -1397,6 +1412,9 @@ def _reco_pair_scores(spark: SparkSession, c: DataFrame, got: dict,
     best_score keeps the RecoQuery max formula (best positive unless the
     best negative wins, then −best-negative²), sum_scores sums the
     per-pair sims (rounded BEFORE the sum so the fold is engine-stable).
+    One broadcast row PER ROLE, not per unique id — an id listed both
+    positive and negative contributes both roles (sum nets to 0, best
+    gets bp == bn), matching the average_vector mean's netting.
     Returns (vec_id, *keys, score); unscorable points (NULL from a
     zero-norm cosine or a missing vector, NaN from a NaN component) are
     dropped — Qdrant skips points it cannot score."""
@@ -1407,8 +1425,8 @@ def _reco_pair_scores(spark: SparkSession, c: DataFrame, got: dict,
             f"unknown strategy {strategy!r} "
             f"(expected 'average_vector', 'best_score' or 'sum_scores')")
     ex = spark.createDataFrame(
-        [(i, got[i], 1 if i in {str(p) for p in positive} else -1)
-         for i in ex_ids],
+        [(str(i), got[str(i)], 1) for i in positive]
+        + [(str(i), got[str(i)], -1) for i in negative],
         "`_e_id` string, `_e_vec` array<double>, `_e_s` int")
     if metric == "cosine":
         ex = ex.withColumn("_en", vector.l2_norm(F.col("_e_vec")))
@@ -1482,23 +1500,13 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
     NULL and are dropped (Qdrant skips them).  Returns
     (vec_id, score, rank).
     """
-    from .knn import resolve_metric  # noqa: PLC0415
     from pyspark.sql import Window  # noqa: PLC0415
 
     negative = negative or []
     if not positive:
         raise ValueError("recommend_points needs at least one positive id")
-    meta = collection_meta(root, collection) or {}
-    id_col = meta.get("id_col", "id")
-    vectors = meta.get("vectors", {})
-    if vector_name is None:
-        if len(vectors) != 1:
-            raise ValueError(
-                f"collection {collection!r} declares {sorted(vectors)} "
-                f"vector spaces; pass vector_name")
-        vector_name = next(iter(vectors))
-    metric = resolve_metric(
-        vectors.get(vector_name, {}).get("distance", "cosine"))
+    meta, id_col, vector_name, metric = _resolve_search_space(
+        root, collection, vector_name)
     # LookupLocation: example ids resolve in the lookup collection/space
     ex_ids = [str(i) for i in positive] + [str(i) for i in negative]
     got, same_coll = _fetch_example_vectors(
@@ -1523,7 +1531,7 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
         return out.select("vec_id", F.col("sim").alias("score"), "rank")
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vector_name).alias("_cv"))
-    scored = _reco_pair_scores(spark, c, got, ex_ids, positive,
+    scored = _reco_pair_scores(spark, c, got, positive, negative,
                                strategy, metric, round_to)
     topk = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
@@ -1557,22 +1565,12 @@ def recommend_groups(spark: SparkSession, root: str, collection: str,
     missing the ``group_by`` key never consume a slot (the
     ``search_groups`` contract).  Returns (group, group_rank, vec_id,
     score, rank_in_group) — group-major, deterministic ties."""
-    from .knn import resolve_metric  # noqa: PLC0415
 
     negative = negative or []
     if not positive:
         raise ValueError("recommend_groups needs at least one positive id")
-    meta = collection_meta(root, collection) or {}
-    id_col = meta.get("id_col", "id")
-    vectors = meta.get("vectors", {})
-    if vector_name is None:
-        if len(vectors) != 1:
-            raise ValueError(
-                f"collection {collection!r} declares {sorted(vectors)} "
-                f"vector spaces; pass vector_name")
-        vector_name = next(iter(vectors))
-    metric = resolve_metric(
-        vectors.get(vector_name, {}).get("distance", "cosine"))
+    meta, id_col, vector_name, metric = _resolve_search_space(
+        root, collection, vector_name)
     ex_ids = [str(i) for i in positive] + [str(i) for i in negative]
     got, same_coll = _fetch_example_vectors(
         spark, root, collection, meta, vector_name, ex_ids,
@@ -1599,7 +1597,7 @@ def recommend_groups(spark: SparkSession, root: str, collection: str,
          .select(F.col(id_col).alias("vec_id"),
                  F.col(vector_name).alias("_cv"),
                  F.col(group_by).alias("group")))
-    scored = (_reco_pair_scores(spark, c, got, ex_ids, positive,
+    scored = (_reco_pair_scores(spark, c, got, positive, negative,
                                 strategy, metric, round_to,
                                 keys=("group",))
               .select(F.lit(0).alias("qid"), "vec_id", "group",
@@ -1666,22 +1664,12 @@ def _context_scan(spark: SparkSession, root: str, collection: str,
     context pair; the corpus scans ONCE with per-row JVM expressions —
     |pairs| cosines per point, no shuffle, nothing scales with the pair
     count but the projection width."""
-    from .knn import resolve_metric  # noqa: PLC0415
 
     if not context and target is None:
         raise ValueError(f"{caller} needs at least one (positive, "
                          "negative) context pair")
-    meta = collection_meta(root, collection) or {}
-    id_col = meta.get("id_col", "id")
-    vectors = meta.get("vectors", {})
-    if vector_name is None:
-        if len(vectors) != 1:
-            raise ValueError(
-                f"collection {collection!r} declares {sorted(vectors)} "
-                f"vector spaces; pass vector_name")
-        vector_name = next(iter(vectors))
-    metric = resolve_metric(
-        vectors.get(vector_name, {}).get("distance", "cosine"))
+    meta, id_col, vector_name, metric = _resolve_search_space(
+        root, collection, vector_name)
     if metric not in ("cosine", "dot"):
         raise ValueError(
             f"{caller} is defined for similarity metrics (cosine/dot); "
@@ -1699,6 +1687,18 @@ def _context_scan(spark: SparkSession, root: str, collection: str,
     for i, (p, n) in enumerate(context):
         ref_cols += [f"_p{i}", f"_n{i}"]
         ref_vals += [_example_vec(p, got), _example_vec(n, got)]
+    if metric == "cosine":
+        # a zero-norm reference has no cosine to ANY point; left in, its
+        # NULL sims would silently poison every pair comparison — refuse
+        # up front (the vectors are driver-side lists, the check is free)
+        for col, v in zip(ref_cols, ref_vals):
+            if any(x != x for x in v) or not any(x != 0.0 for x in v):
+                role = ("target" if col == "_t" else
+                        f"context pair {col[2:]} "
+                        f"{'positive' if col[1] == 'p' else 'negative'}")
+                raise ValueError(
+                    f"{caller}: the {role} example has zero norm or a "
+                    "NaN component — cosine can't compare it to anything")
     ref = spark.createDataFrame(
         [tuple(ref_vals)],
         ", ".join(f"`{c}` array<double>" for c in ref_cols))
@@ -1785,8 +1785,15 @@ def context_points(spark: SparkSession, root: str, collection: str,
     score = loss_parts[0]
     for part in loss_parts[1:]:
         score = score + part
-    scored = (joined.select("vec_id",
-                            F.round(score, round_to).alias("ctx_score"))
+    # least(0.0, NULL) skips the NULL and least(0.0, NaN) returns 0.0
+    # (Spark orders NaN largest), so an UNSCORABLE candidate (zero norm,
+    # missing vector, NaN component — refs are validated in
+    # _context_scan) would otherwise score a perfect 0; require the
+    # first pair sim to resolve to a real number
+    scored = (joined.filter(sims["_p0"].isNotNull()
+                            & ~F.isnan(sims["_p0"]))
+              .select("vec_id",
+                      F.round(score, round_to).alias("ctx_score"))
               .filter(F.col("ctx_score").isNotNull()
                       & ~F.isnan("ctx_score")))
     w = Window.orderBy(F.desc("ctx_score"), F.asc("vec_id"))

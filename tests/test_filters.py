@@ -638,9 +638,30 @@ def test_discover_and_context_points(spark, tmp_path):
     smp = query_api.query_points(
         spark, root, "c", query={"sample": "seed42"}, k=3).collect()
     assert len(smp) == 3
+    assert 20 not in scores  # NaN-vector candidate can't score 0 as "in zone"
+    # an id listed both positive and negative nets out in EVERY strategy
+    both = query_api.recommend_points(
+        spark, root, "c", positive=[1], negative=[1],
+        strategy="sum_scores", k=4).collect()
+    assert both and all(r["score"] == 0.0 for r in both)
+    bs = query_api.recommend_points(
+        spark, root, "c", positive=[1], negative=[1],
+        strategy="best_score", k=4).collect()
+    assert bs and all(r["score"] <= 0.0 for r in bs)  # -(best_neg)^2
+    # zero-norm / NaN refs are refused up front, not silently NULLed
+    with pytest.raises(ValueError, match="zero norm"):
+        query_api.context_points(
+            spark, root, "c",
+            context=[([1.0, 0.0, 0.0], [0.0, 0.0, 0.0])])
+    with pytest.raises(ValueError, match="zero norm"):
+        query_api.discover_points(
+            spark, root, "c", target=[0.0, 0.0, 0.0], context=[(1, 2)])
     with pytest.raises(ValueError, match="exactly one of"):
         query_api.query_points(spark, root, "c",
                                query={"context": [], "sample": True})
+    with pytest.raises(ValueError, match="exactly one of"):
+        query_api.query_points(spark, root, "c",
+                               query={"formula": {}, "sample": True})
     with pytest.raises(ValueError, match="terminal"):
         query_api.query_points(spark, root, "c",
                                query={"context": [(1, 2)]},
