@@ -1107,6 +1107,12 @@ def query_points(spark: SparkSession, root: str, collection: str,
                 lookup_from_vector=lookup_from_vector)
             score_col = "score"
         elif kind == "discover":
+            if score_threshold is not None:
+                raise ValueError(
+                    "score_threshold doesn't apply to discover — its "
+                    "ranking is composite (ctx_wins first, target sim "
+                    "second), so a sim floor is not a suffix cut of "
+                    "the result")
             spec = query["discover"]
             out = discover_points(
                 spark, root, collection, target=spec.get("target"),
@@ -1353,7 +1359,8 @@ def _fetch_example_vectors(spark: SparkSession, root: str, collection: str,
                            meta: dict, vector_name: str, ex_ids: list[str],
                            lookup_from_collection: str | None,
                            lookup_from_vector: str | None,
-                           caller: str = "recommend_points"):
+                           caller: str = "recommend_points",
+                           metric: str | None = None):
     """Resolve example POINT IDS to their stored dense vectors (Qdrant
     ``lookup_from`` semantics) — the shared head of recommend_points /
     recommend_groups.  The ids fetch through the store's static id-bucket
@@ -1366,7 +1373,7 @@ def _fetch_example_vectors(spark: SparkSession, root: str, collection: str,
     if lk_meta.get("vectors", {}).get(lk_vec, {}) \
             .get("multivector") is not None:
         raise ValueError(
-            f"recommend examples need a DENSE space; {lk_coll!r}/"
+            f"{caller} examples need a DENSE space; {lk_coll!r}/"
             f"{lk_vec!r} is multivector")
     lk_id_col = lk_meta.get("id_col", "id")
     ids_df = spark.createDataFrame([(i,) for i in ex_ids], "`_r_id` string")
@@ -1384,6 +1391,15 @@ def _fetch_example_vectors(spark: SparkSession, root: str, collection: str,
             f"{caller}: example ids {nulled} have no vector in "
             f"space {lk_vec!r} (deleted via delete_vectors?); pick "
             f"examples that carry the space")
+    if metric == "cosine":
+        # a zero-norm or NaN example has no cosine to ANY point — left
+        # in, its NULL/NaN sims silently empty or mis-score the result
+        bad = [i for i, v in fetched.items()
+               if any(x != x for x in v) or not any(x != 0.0 for x in v)]
+        if bad:
+            raise ValueError(
+                f"{caller}: example ids {bad} have zero norm or NaN "
+                "components — cosine can't compare them to anything")
     return {i: list(v) for i, v in fetched.items()}, same_coll
 
 
@@ -1511,7 +1527,7 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
     ex_ids = [str(i) for i in positive] + [str(i) for i in negative]
     got, same_coll = _fetch_example_vectors(
         spark, root, collection, meta, vector_name, ex_ids,
-        lookup_from_collection, lookup_from_vector)
+        lookup_from_collection, lookup_from_vector, metric=metric)
 
     corpus = read_collection(spark, root, collection, tenant=tenant)
     if flt is not None:
@@ -1575,7 +1591,7 @@ def recommend_groups(spark: SparkSession, root: str, collection: str,
     got, same_coll = _fetch_example_vectors(
         spark, root, collection, meta, vector_name, ex_ids,
         lookup_from_collection, lookup_from_vector,
-        caller="recommend_groups")
+        caller="recommend_groups", metric=metric)
 
     if strategy == "average_vector":
         qv = _mean_example_query(got, positive, negative)
@@ -1639,12 +1655,16 @@ def _pair_sims(metric: str, ref_cols: list[str], round_to: int):
     """Per-ref similarity expressions for the discover/context scan —
     cosine or dot of the corpus vector column ``_cv`` against each
     broadcast ref column, ROUNDED before any comparison so the win/loss
-    classification is engine-stable (the discover convention)."""
+    classification is engine-stable (the discover convention).  Norms
+    are NOT re-folded here: the candidate norm is materialized once as
+    ``_cn`` and each ref's norm once (in the 1-row ref frame) as
+    ``<col>_n`` — with |pairs| refs the scan folds |refs| dots + ONE
+    candidate norm per row, not 2·|refs| extra norm folds."""
     from ..functions import vector  # noqa: PLC0415
 
     def sim(col: str):
         if metric == "cosine":
-            denom = vector.l2_norm(F.col(col)) * vector.l2_norm(F.col("_cv"))
+            denom = F.col(col + "_n") * F.col("_cn")
             s = F.when(denom != 0.0,
                        vector.dot(F.col(col), F.col("_cv")) / denom)
         else:  # dot
@@ -1687,18 +1707,19 @@ def _context_scan(spark: SparkSession, root: str, collection: str,
     for i, (p, n) in enumerate(context):
         ref_cols += [f"_p{i}", f"_n{i}"]
         ref_vals += [_example_vec(p, got), _example_vec(n, got)]
-    if metric == "cosine":
-        # a zero-norm reference has no cosine to ANY point; left in, its
-        # NULL sims would silently poison every pair comparison — refuse
-        # up front (the vectors are driver-side lists, the check is free)
-        for col, v in zip(ref_cols, ref_vals):
-            if any(x != x for x in v) or not any(x != 0.0 for x in v):
-                role = ("target" if col == "_t" else
-                        f"context pair {col[2:]} "
-                        f"{'positive' if col[1] == 'p' else 'negative'}")
-                raise ValueError(
-                    f"{caller}: the {role} example has zero norm or a "
-                    "NaN component — cosine can't compare it to anything")
+    # a NaN reference component poisons every sim (all candidates drop
+    # silently); a zero-norm reference additionally has no cosine to ANY
+    # point — refuse both up front (driver-side lists, the check is free)
+    for col, v in zip(ref_cols, ref_vals):
+        bad_nan = any(x != x for x in v)
+        bad_zero = metric == "cosine" and not any(x != 0.0 for x in v)
+        if bad_nan or bad_zero:
+            role = ("target" if col == "_t" else
+                    f"context pair {col[2:]} "
+                    f"{'positive' if col[1] == 'p' else 'negative'}")
+            what = ("a NaN component" if bad_nan
+                    else "zero norm — cosine can't compare it to anything")
+            raise ValueError(f"{caller}: the {role} example has {what}")
     ref = spark.createDataFrame(
         [tuple(ref_vals)],
         ", ".join(f"`{c}` array<double>" for c in ref_cols))
@@ -1711,6 +1732,14 @@ def _context_scan(spark: SparkSession, root: str, collection: str,
             ~F.col(id_col).cast("string").isin(exclude))
     c = corpus.select(F.col(id_col).alias("vec_id"),
                       F.col(vector_name).alias("_cv"))
+    if metric == "cosine":
+        # materialize every norm ONCE: each ref's in the 1-row broadcast
+        # frame, the candidate's as one _cn column per scanned row
+        from ..functions import vector  # noqa: PLC0415
+
+        for col in ref_cols:
+            ref = ref.withColumn(col + "_n", vector.l2_norm(F.col(col)))
+        c = c.withColumn("_cn", vector.l2_norm(F.col("_cv")))
     joined = c.join(F.broadcast(ref), how="cross")
     sims = _pair_sims(metric, ref_cols, round_to)
     return joined, sims, len(context)
@@ -1777,7 +1806,6 @@ def context_points(spark: SparkSession, root: str, collection: str,
         spark, root, collection, context, flt, vector_name, round_to,
         tenant, lookup_from_collection, lookup_from_vector,
         target=None, caller="context_points")
-    score = None
     loss_parts = []
     for i in range(n_pairs):
         loss_parts.append(

@@ -326,12 +326,16 @@ def main():
                      group_by="label", k_groups=10,
                      group_size=3).collect())
     # exactness tie between the grouped and flat surfaces: the flat
-    # rank-1 point must lead its own group, and that group must rank 1
+    # rank-1 point must lead its own group with the same score, and the
+    # group_rank-1 group's best must equal the flat best (not asserting
+    # WHICH group ranks 1 — two groups tying at the same round-6 best
+    # legitimately order by group value)
     top = rec[0]
     g_top = [r for r in grp if r["vec_id"] == top["vec_id"]]
     assert g_top and g_top[0]["rank_in_group"] == 1 \
-        and g_top[0]["group_rank"] == 1 \
         and g_top[0]["score"] == top["score"], (top, g_top)
+    best_r1 = max(r["score"] for r in grp if r["group_rank"] == 1)
+    assert best_r1 == top["score"], (best_r1, top)
     # discover with an empty context IS the exact target kNN (ctx_wins 0
     # for every point) — tie it to the exact scan, excluding the target
     disc = _timed("discover_empty_context_exact", timings,
