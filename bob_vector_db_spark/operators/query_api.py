@@ -1433,47 +1433,65 @@ def _reco_pair_scores(spark: SparkSession, c: DataFrame, got: dict,
     gets bp == bn), matching the average_vector mean's netting.
     Returns (vec_id, *keys, score); unscorable points (NULL from a
     zero-norm cosine or a missing vector, NaN from a NaN component) are
-    dropped — Qdrant skips points it cannot score."""
+    dropped — Qdrant skips points it cannot score.
+
+    ZERO-shuffle physical shape (the _context_scan pattern): the
+    examples fold into ONE broadcast row with a column per role, every
+    score is a per-row projection over the corpus scan (best = greatest
+    over the role sims — same NULL-skip / NaN-largest semantics as the
+    max aggregate), and nothing shuffles before the caller's top-k /
+    group windows.  Norms materialize once: each example's in the 1-row
+    ref frame, the candidate's as a single ``_cn`` column."""
     from ..functions import vector  # noqa: PLC0415
 
     if strategy not in ("best_score", "sum_scores"):
         raise ValueError(
             f"unknown strategy {strategy!r} "
             f"(expected 'average_vector', 'best_score' or 'sum_scores')")
-    ex = spark.createDataFrame(
-        [(str(i), got[str(i)], 1) for i in positive]
-        + [(str(i), got[str(i)], -1) for i in negative],
-        "`_e_id` string, `_e_vec` array<double>, `_e_s` int")
-    if metric == "cosine":
-        ex = ex.withColumn("_en", vector.l2_norm(F.col("_e_vec")))
-        c = c.withColumn("_cn", vector.l2_norm(F.col("_cv")))
-        denom = F.col("_en") * F.col("_cn")
-        sim = F.when(denom != 0.0,
-                     vector.dot(F.col("_e_vec"), F.col("_cv")) / denom)
-    elif metric == "dot":
-        sim = vector.dot(F.col("_e_vec"), F.col("_cv"))
-    else:
+    if metric not in ("cosine", "dot"):
         raise ValueError(
             f"{strategy} recommend is defined for similarity metrics "
             "(cosine/dot); euclid/manhattan collections should use "
             "average_vector")
-    pairs = c.join(F.broadcast(ex), how="cross")
+    roles = ([(f"_rp{i}", str(p), 1) for i, p in enumerate(positive)]
+             + [(f"_rn{i}", str(n), -1) for i, n in enumerate(negative)])
+    ref = spark.createDataFrame(
+        [tuple(got[i] for _, i, _s in roles)],
+        ", ".join(f"`{col}` array<double>" for col, _, _ in roles))
+    if metric == "cosine":
+        for col, _, _ in roles:
+            ref = ref.withColumn(col + "_n", vector.l2_norm(F.col(col)))
+        c = c.withColumn("_cn", vector.l2_norm(F.col("_cv")))
+    joined = c.join(F.broadcast(ref), how="cross")
+
+    def sim(col: str):
+        if metric == "cosine":
+            denom = F.col(col + "_n") * F.col("_cn")
+            return F.when(denom != 0.0,
+                          vector.dot(F.col(col), F.col("_cv")) / denom)
+        return vector.dot(F.col(col), F.col("_cv"))
+
     keys = list(keys)
     if strategy == "sum_scores":
-        term = F.round(sim, round_to) * F.col("_e_s")
-        agg = (pairs.select("vec_id", *keys, term.alias("_t"))
-               .groupBy("vec_id", *keys).agg(F.sum("_t").alias("_sum")))
-        score = F.col("_sum")
+        # per-role sims round BEFORE the sum (the discover convention)
+        # so the fixed-order fold is engine-stable
+        terms = [F.round(sim(col), round_to) * F.lit(s)
+                 for col, _, s in roles]
+        score = terms[0]
+        for t in terms[1:]:
+            score = score + t
     else:
-        agg = (pairs.select("vec_id", *keys, F.col("_e_s").alias("s"),
-                            sim.alias("_s"))
-               .groupBy("vec_id", *keys)
-               .agg(F.max(F.when(F.col("s") == 1, F.col("_s"))).alias("_bp"),
-                    F.max(F.when(F.col("s") == -1, F.col("_s"))).alias("_bn")))
-        score = F.when(F.col("_bn").isNull() | (F.col("_bp") > F.col("_bn")),
-                       F.col("_bp")).otherwise(-(F.col("_bn") * F.col("_bn")))
-    return (agg.select("vec_id", *keys,
-                       F.round(score, round_to).alias("score"))
+        pos = [sim(col) for col, _, s in roles if s == 1]
+        neg = [sim(col) for col, _, s in roles if s == -1]
+        bp = pos[0] if len(pos) == 1 else F.greatest(*pos)
+        if not neg:
+            score = bp
+        else:
+            bn = neg[0] if len(neg) == 1 else F.greatest(*neg)
+            score = F.when(bn.isNull() | (bp > bn),
+                           bp).otherwise(-(bn * bn))
+    return (joined.select("vec_id", *keys,
+                          F.round(score, round_to).alias("score"))
             .filter(F.col("score").isNotNull() & ~F.isnan("score")))
 
 

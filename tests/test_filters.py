@@ -662,6 +662,25 @@ def test_discover_and_context_points(spark, tmp_path):
     with pytest.raises(ValueError, match="exactly one of"):
         query_api.query_points(spark, root, "c",
                                query={"formula": {}, "sample": True})
+
+
+def test_recommend_fold_is_shuffle_free(spark, tmp_path):
+    """The example-pairs fold is a broadcast-row PROJECTION — the only
+    Exchange in a best_score/sum_scores recommend plan is the k-row rank
+    window's single-partition hop, never a corpus-wide groupBy shuffle."""
+    from bob_vector_db_spark.plans.inspect import count_exchanges
+
+    root = str(tmp_path / "store")
+    rows = [(i, [float(i % 7), 1.0, 0.5]) for i in range(1, 40)]
+    upsert.create_collection(
+        spark, root, "c", id_col="id", n_buckets=4,
+        df=spark.createDataFrame(rows, "id long, vec array<double>"),
+        vector_config={"vec": {"size": 3, "distance": "cosine"}})
+    for strategy in ("best_score", "sum_scores"):
+        out = query_api.recommend_points(
+            spark, root, "c", positive=[1, 2], negative=[3],
+            strategy=strategy, k=5)
+        assert count_exchanges(out) <= 1, strategy
     with pytest.raises(ValueError, match="terminal"):
         query_api.query_points(spark, root, "c",
                                query={"context": [(1, 2)]},
