@@ -419,7 +419,12 @@ class MatchText:
     doc token the index never posted); ``stemmer='english'`` maps every
     surviving token through the Harman S-stemmer on BOTH sides.  A leaf
     routes through a text index only when these params match the
-    index's exactly."""
+    index's exactly.
+
+    NOTE ``stemmer='english'`` is the **S-stemmer** (plural suffixes
+    only), not Snowball English as in upstream Qdrant — 'movies'
+    matches 'movie' but 'running' does NOT match 'run' here.  See
+    :func:`payload_index.build_payload_index` for the rationale."""
     key: str
     text: str
     tokenizer: str = "whitespace"
@@ -438,7 +443,11 @@ class MatchText:
         toks = _text_toks(self.text, self.tokenizer, self.stopwords,
                           self.stemmer)
         if not toks:
-            return "TRUE"
+            # zero surviving tokens (empty text, or every token
+            # stopworded) matches NOTHING — Qdrant's semantics for an
+            # empty-token text match, and the answer a text index's
+            # posting probe gives (no tokens → no posting ids)
+            return "FALSE"
         norm = _ws_norm_sql(_ident(self.key), self.tokenizer)
         if self.stopwords or self.stemmer:
             norm = _pipeline_sql(norm, self.stopwords, self.stemmer)
@@ -470,7 +479,7 @@ class MatchTextPrefix:
     def to_sql(self) -> str:
         toks = _text_toks(self.text, "whitespace")
         if not toks:
-            return "TRUE"
+            return "FALSE"  # empty query matches nothing (Qdrant)
         norm = _ws_norm_sql(_ident(self.key))
         if self.stopwords:
             norm = _pipeline_sql(norm, self.stopwords, None)
@@ -518,7 +527,9 @@ class MatchPhrase:
         toks = _text_toks(self.text, self.tokenizer, self.stopwords,
                           self.stemmer)
         if not toks:
-            return "TRUE"
+            # an all-stopword (or empty) phrase matches NOTHING —
+            # mirrors Qdrant and the positional index's empty probe
+            return "FALSE"
         # one delimiter pass shared with MatchText (chr(1) is a
         # delimiter there too, so it is free as the collapse marker),
         # then the stopword/stem pipeline, then runs of spaces collapse
@@ -1014,10 +1025,13 @@ def filter_match_ids(spark, root: str, collection: str, flt,
                     stopwords=tuple(payload.stopwords or ()),
                     stemmer=payload.stemmer)
                 band = imeta
-            if not toks or not _band_ok(toks, band):
+            if toks and not _band_ok(toks, band):
                 # a token outside the index's stored length band was
                 # never posted — the scan could still match it, so the
-                # leaf stays residual (exactness over pruning)
+                # leaf stays residual (exactness over pruning).  ZERO
+                # tokens (empty text / all stopwords) routes fine: the
+                # probe's empty id set IS the scan answer (FALSE —
+                # matches nothing, Qdrant's empty-token semantics)
                 return False
         elif kind == "geo":
             if itype != "geo" \

@@ -462,6 +462,16 @@ def build_payload_index(spark: SparkSession, root: str, collection: str,
     (Qdrant's nested index; a per-field index can't express the
     same-element conjunction).
 
+    ``index_type='text'`` with ``stemmer='english'`` applies **Harman's
+    S-stemmer** (plural-suffix rules only: -ies/-es/-s with protected
+    exception classes) — NOT Snowball/Porter English, which upstream
+    Qdrant's ``TextIndexParams`` uses.  Inflections beyond plurals
+    ('running' → 'run') do NOT conflate here though they would upstream;
+    the choice is deliberate (the S-stemmer is expressible as a pure
+    replace chain both engines evaluate identically on build, scan and
+    probe — see ``functions.text.S_STEM_RULES``).  The divergence is
+    internally consistent: every path stems the same way.
+
     Either way: one pass over the collection, one shuffle to cluster by
     value bucket, staged atomic swap."""
     if index_type not in ("keyword", "range", "nested", "text", "geo"):

@@ -424,7 +424,11 @@ def test_match_phrase_requires_adjacency(spark):
     anytok = Filter(must=[MatchText("text", "data table")])
     got2 = {r["id"] for r in df.filter(anytok.to_column()).collect()}
     assert got2 == {1, 2, 3}  # MatchText is any-order containment
-    assert MatchPhrase("text", "  ").to_sql() == "TRUE"
+    # an empty / all-whitespace phrase matches NOTHING (Qdrant's
+    # empty-token semantics; also what a positional index probe returns)
+    assert MatchPhrase("text", "  ").to_sql() == "FALSE"
+    empty = Filter(must=[MatchPhrase("text", "  ")])
+    assert df.filter(empty.to_column()).count() == 0
 
 
 def test_sample_points_deterministic_and_filtered(spark, tmp_path):

@@ -1311,10 +1311,10 @@ def test_text_index_stopwords_and_stemmer(spark, tmp_path):
            expect_route=False)
     parity(root, MatchText("body", "movies", stopwords="english"),
            expect_route=False)
-    # all-stopword query: scan says TRUE, so the leaf must NOT route
-    # (the probe would return empty)
-    parity(root, MatchText("body", "the a is", **both),
-           expect_route=False)
+    # all-stopword query: scan says FALSE (matches nothing — Qdrant's
+    # empty-token semantics), and the probe's empty id set agrees, so
+    # the leaf ROUTES to an instant empty answer
+    parity(root, MatchText("body", "the a is", **both))
     # refresh posts deltas through the same pipeline
     upsert.upsert(spark, root, "c", spark.createDataFrame(
         [(0, "nothing here"), (50, "many movies were showing")],
