@@ -1097,15 +1097,31 @@ def query_points(spark: SparkSession, root: str, collection: str,
                 use_payload_index=use_payload_index, tenant=tenant)
         if kind == "recommend":
             spec = query["recommend"]
+            strategy = spec.get("strategy", "average_vector")
             out = recommend_points(
                 spark, root, collection,
                 positive=list(spec.get("positive", [])),
                 negative=list(spec.get("negative") or []),
-                strategy=spec.get("strategy", "average_vector"),
+                strategy=strategy,
                 k=n_pre, flt=flt, vector_name=vector_name, tenant=tenant,
                 lookup_from_collection=lookup_from_collection,
                 lookup_from_vector=lookup_from_vector)
             score_col = "score"
+            if score_threshold is not None \
+                    and strategy == "average_vector":
+                # average_vector IS a search by the synthetic vector, so
+                # its score carries the metric's native order — on a
+                # euclid/manhattan collection that is a DISTANCE ranked
+                # ascending and the threshold is an UPPER bound (the
+                # search_points cut at the top of this module); >= would
+                # keep the worst hits.  best_score/sum_scores fold
+                # negated distances (descending) so >= stays right.
+                _, _, _, _m = _resolve_search_space(
+                    root, collection, vector_name)
+                if _m in ("euclid", "manhattan"):
+                    out = out.filter(
+                        F.col(score_col) <= float(score_threshold))
+                    score_threshold = None
         elif kind == "discover":
             if score_threshold is not None:
                 raise ValueError(
@@ -1391,15 +1407,23 @@ def _fetch_example_vectors(spark: SparkSession, root: str, collection: str,
             f"{caller}: example ids {nulled} have no vector in "
             f"space {lk_vec!r} (deleted via delete_vectors?); pick "
             f"examples that carry the space")
-    if metric == "cosine":
-        # a zero-norm or NaN example has no cosine to ANY point — left
-        # in, its NULL/NaN sims silently empty or mis-score the result
-        bad = [i for i, v in fetched.items()
-               if any(x != x for x in v) or not any(x != 0.0 for x in v)]
-        if bad:
+    if metric is not None:
+        # a NaN example component poisons its sim/distance to EVERY
+        # point (all candidates drop silently); a zero-norm example
+        # additionally has no cosine to anything — refuse both up front
+        bad_nan = [i for i, v in fetched.items()
+                   if any(x != x for x in v)]
+        if bad_nan:
             raise ValueError(
-                f"{caller}: example ids {bad} have zero norm or NaN "
-                "components — cosine can't compare them to anything")
+                f"{caller}: example ids {bad_nan} have NaN components "
+                "— they can't be compared to anything")
+        if metric == "cosine":
+            bad = [i for i, v in fetched.items()
+                   if not any(x != 0.0 for x in v)]
+            if bad:
+                raise ValueError(
+                    f"{caller}: example ids {bad} have zero norm — "
+                    "cosine can't compare them to anything")
     return {i: list(v) for i, v in fetched.items()}, same_coll
 
 
@@ -1428,6 +1452,21 @@ def _reco_pair_scores(spark: SparkSession, c: DataFrame, got: dict,
     best_score keeps the RecoQuery max formula (best positive unless the
     best negative wins, then −best-negative²), sum_scores sums the
     per-pair sims (rounded BEFORE the sum so the fold is engine-stable).
+    Metric-complete (r11): on a euclid/manhattan collection the per-pair
+    "sim" is the NEGATED distance — Qdrant's internal score order for
+    distance metrics, where RecoQuery's formula is defined on scores
+    that compare larger-is-better — so best_score/sum_scores serve every
+    declared ``Distance``; the returned score is that negated-distance
+    fold (≤ 0, still ranked descending).  Plain −d, not upstream's
+    internal −d² (euclid): through the formula the two are
+    RANK-EQUIVALENT (bp>bn is invariant under the monotone square, and
+    a bp-branch −d_a vs a bn-branch −d_b² compares like −d_a² vs −d_b⁴
+    — squaring both sides), so orderings match upstream while the score
+    value stays the interpretable negated distance.  Faithful quirk
+    carried over: a near-clone of a NEGATIVE has bn ≈ 0, so its −(bn²)
+    ≈ 0 outranks true positives' negative scores — RecoQuery's squaring
+    fold assumes scores straddle zero (cosine-like); on distance
+    metrics upstream behaves the same way.
     One broadcast row PER ROLE, not per unique id — an id listed both
     positive and negative contributes both roles (sum nets to 0, best
     gets bp == bn), matching the average_vector mean's netting.
@@ -1448,11 +1487,6 @@ def _reco_pair_scores(spark: SparkSession, c: DataFrame, got: dict,
         raise ValueError(
             f"unknown strategy {strategy!r} "
             f"(expected 'average_vector', 'best_score' or 'sum_scores')")
-    if metric not in ("cosine", "dot"):
-        raise ValueError(
-            f"{strategy} recommend is defined for similarity metrics "
-            "(cosine/dot); euclid/manhattan collections should use "
-            "average_vector")
     roles = ([(f"_rp{i}", str(p), 1) for i, p in enumerate(positive)]
              + [(f"_rn{i}", str(n), -1) for i, n in enumerate(negative)])
     ref = spark.createDataFrame(
@@ -1469,6 +1503,10 @@ def _reco_pair_scores(spark: SparkSession, c: DataFrame, got: dict,
             denom = F.col(col + "_n") * F.col("_cn")
             return F.when(denom != 0.0,
                           vector.dot(F.col(col), F.col("_cv")) / denom)
+        if metric == "euclid":
+            return -vector.l2_distance(F.col(col), F.col("_cv"))
+        if metric == "manhattan":
+            return -vector.l1_distance(F.col(col), F.col("_cv"))
         return vector.dot(F.col(col), F.col("_cv"))
 
     keys = list(keys)
@@ -1523,6 +1561,13 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
       the max pair.  Per-pair sims round to ``round_to`` BEFORE the sum
       (the discover convention) so the fold is engine-stable, then the
       sum rounds once more.
+
+    Every declared ``Distance`` is served (r11): on euclid/manhattan
+    collections ``best_score``/``sum_scores`` fold NEGATED distances
+    (Qdrant's internal score order — larger is better), so their
+    returned score is ≤ 0 and ranks descending, while
+    ``average_vector``'s score stays the metric's native order (a
+    distance, ascending) because it IS a plain search.
 
     Example ids are excluded from the results (Qdrant semantics) — but
     only when they resolve in THIS collection:
@@ -1685,6 +1730,13 @@ def _pair_sims(metric: str, ref_cols: list[str], round_to: int):
             denom = F.col(col + "_n") * F.col("_cn")
             s = F.when(denom != 0.0,
                        vector.dot(F.col(col), F.col("_cv")) / denom)
+        elif metric == "euclid":
+            # negated distance: Qdrant's internal score order for
+            # distance metrics — 'closer' compares larger, so the
+            # win/loss classification and target ranking hold verbatim
+            s = -vector.l2_distance(F.col(col), F.col("_cv"))
+        elif metric == "manhattan":
+            s = -vector.l1_distance(F.col(col), F.col("_cv"))
         else:  # dot
             s = vector.dot(F.col(col), F.col("_cv"))
         return F.round(s, round_to)
@@ -1708,10 +1760,6 @@ def _context_scan(spark: SparkSession, root: str, collection: str,
                          "negative) context pair")
     meta, id_col, vector_name, metric = _resolve_search_space(
         root, collection, vector_name)
-    if metric not in ("cosine", "dot"):
-        raise ValueError(
-            f"{caller} is defined for similarity metrics (cosine/dot); "
-            f"space {vector_name!r} declares {metric!r}")
     examples = ([] if target is None else [target]) + \
         [x for pair in context for x in pair]
     got, exclude = _discover_refs(
@@ -1778,7 +1826,11 @@ def discover_points(spark: SparkSession, root: str, collection: str,
     space) and are excluded from the results when they live in THIS
     collection (Qdrant's semantics).  Returns (vec_id, ctx_wins, sim,
     rank); sims round to ``round_to`` BEFORE comparison on both engines
-    so the classification is stable."""
+    so the classification is stable.  Served on every declared
+    ``Distance`` (r11): euclid/manhattan spaces compare NEGATED
+    distances (Qdrant's score order), so 'closer to the positive' and
+    'similar to the target' both keep their meaning — ``sim`` is then
+    ≤ 0, still ranked descending."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     if target is None:
@@ -1817,7 +1869,10 @@ def context_points(spark: SparkSession, root: str, collection: str,
     the points deepest inside the context zone, ties by id.  Same
     broadcast-row single scan as :func:`discover_points`; id-shaped
     examples are excluded when they resolve in this collection.
-    Returns (vec_id, ctx_score, rank)."""
+    Returns (vec_id, ctx_score, rank).  Euclid/manhattan spaces are
+    served through negated distances (the discover convention), so the
+    pair loss ``min(0, (−d_p) − (−d_n))`` still means 'distance past
+    the positive side'."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     joined, sims, n_pairs = _context_scan(

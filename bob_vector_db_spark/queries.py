@@ -9041,6 +9041,137 @@ def q_api_formula_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "api_recommend_euclid",
+    # best_score recommend on a DECLARED-EUCLID collection (round 11,
+    # VERDICT r10 #2): per-pair "sims" are NEGATED euclid distances
+    # (Qdrant's internal score order for distance metrics), the RecoQuery
+    # formula applies verbatim, scores are <= 0 and rank DESCENDING.
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id IN (0, 1) THEN 1 ELSE -1 END AS s
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+corpus AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < 300 AND vec_id NOT IN (0, 1, 2)),
+sims AS (
+  SELECT c.vec_id, e.s,
+         -sqrt((SELECT SUM((a-b)*(a-b))
+                FROM (SELECT unnest(e.embedding)::DOUBLE AS a,
+                             unnest(c.embedding)::DOUBLE AS b))) AS sim
+  FROM corpus c, ex e
+),
+agg AS (
+  SELECT vec_id,
+         MAX(CASE WHEN s = 1 THEN sim END) AS bp,
+         MAX(CASE WHEN s = -1 THEN sim END) AS bn
+  FROM sims GROUP BY vec_id
+),
+sc AS (
+  SELECT vec_id,
+         round(CASE WHEN bn IS NULL OR bp > bn THEN bp
+                    ELSE -(bn*bn) END, 6) AS score
+  FROM agg
+)
+SELECT vec_id, score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT vec_id, score,
+             row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+      FROM sc)
+WHERE rank <= 10
+""",
+)
+def q_api_recommend_euclid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-complete recommend (round 11, VERDICT r10 #2): best_score
+    on a collection DECLARED euclid.  Qdrant defines RecoQuery on every
+    ``Distance`` by comparing scores in internal order — negated
+    distances for euclid/manhattan — so 'best positive' means the
+    CLOSEST positive example, and a candidate whose closest example is
+    a negative sinks to −(best negative)².  Same zero-shuffle broadcast
+    projection as the cosine path; only the per-pair sim expression
+    changes (−l2_distance)."""
+    from .operators.query_api import recommend_points  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "receuc")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 300)
+        .select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "euclid"}})
+    out = recommend_points(spark, base, "vecs", positive=[0, 1],
+                           negative=[2], strategy="best_score", k=10)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      "score", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "api_discover_manhattan",
+    # discover over a DECLARED-MANHATTAN collection (round 11): pair
+    # wins and target sim compare NEGATED L1 distances, rounded to 6
+    # BEFORE comparison (the discover convention) on both engines.
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id < 300 AND vec_id NOT IN (0, 10, 11, 12, 13)
+),
+ref AS (
+  SELECT (SELECT embedding FROM embeddings WHERE vec_id = 0)  AS tgt,
+         (SELECT embedding FROM embeddings WHERE vec_id = 10) AS p1,
+         (SELECT embedding FROM embeddings WHERE vec_id = 11) AS n1,
+         (SELECT embedding FROM embeddings WHERE vec_id = 12) AS p2,
+         (SELECT embedding FROM embeddings WHERE vec_id = 13) AS n2
+),
+scored AS (
+  SELECT c.vec_id,
+         round(-(SELECT SUM(abs(a-b))
+                 FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                              unnest(r.tgt)::DOUBLE AS b)), 6) AS sim,
+         (CASE WHEN round(-(SELECT SUM(abs(a-b))
+                 FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                              unnest(r.p1)::DOUBLE AS b)), 6)
+             > round(-(SELECT SUM(abs(a-b))
+                 FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                              unnest(r.n1)::DOUBLE AS b)), 6)
+           THEN 1 ELSE 0 END
+        + CASE WHEN round(-(SELECT SUM(abs(a-b))
+                 FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                              unnest(r.p2)::DOUBLE AS b)), 6)
+             > round(-(SELECT SUM(abs(a-b))
+                 FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                              unnest(r.n2)::DOUBLE AS b)), 6)
+           THEN 1 ELSE 0 END) AS ctx_wins
+  FROM corpus c, ref r
+)
+SELECT vec_id, CAST(ctx_wins AS BIGINT) AS ctx_wins, sim,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (
+        ORDER BY ctx_wins DESC, sim DESC, vec_id) AS rank FROM scored)
+WHERE rank <= 10
+""",
+)
+def q_api_discover_manhattan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-complete discover (round 11): a manhattan collection serves
+    discover_points by comparing negated L1 distances — a point 'wins' a
+    context pair when it is CLOSER to the positive, and the target sim is
+    the negated target distance (≤ 0, ranked descending).  Same single
+    broadcast-row corpus scan as the cosine path."""
+    from .operators.query_api import discover_points  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "discman")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 300)
+        .select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "manhattan"}})
+    out = discover_points(spark, base, "vecs", target=0,
+                          context=[(10, 11), (12, 13)], k=10)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      F.col("ctx_wins").cast("long").alias("ctx_wins"),
+                      "sim", F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -9051,7 +9182,9 @@ def q_api_formula_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # new this round (round 10) — never driver-adjudicated
+    # new this round (round 11) — never driver-adjudicated
+    "api_recommend_euclid", "api_discover_manhattan",
+    # new in round 10
     "store_indexed_bq", "store_mv_indexed_bq", "knn_manhattan_metric",
     "api_text_stopword_indexed", "api_text_stemmed_indexed", "knn_mmr_k2",
     "store_bq_filtered_indexed", "api_recommend_sum_scores",

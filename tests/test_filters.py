@@ -545,6 +545,117 @@ def test_recommend_sum_scores(spark, tmp_path):
     assert ids.index(12) > ids.index(13)
 
 
+def test_recommend_discover_distance_metrics(spark, tmp_path):
+    """Metric-complete recommend/discover/context (round 11, VERDICT r10
+    #2): euclid and manhattan collections are served by comparing
+    NEGATED distances — Qdrant's internal score order — with the
+    closed-form ranking checked per metric."""
+
+    def l2(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    def l1(a, b):
+        return sum(abs(x - y) for x, y in zip(a, b))
+
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+            (10, [0.9, 0.1, 0.0]), (11, [0.8, 0.0, 0.2]),
+            (12, [0.01, 0.99, 0.0]), (13, [0.0, 0.0, 1.0])]
+    vecs = dict(rows)
+    for metric, dist in (("euclid", l2), ("manhattan", l1)):
+        root = str(tmp_path / f"s_{metric}")
+        upsert.create_collection(
+            spark, root, "c", id_col="id", n_buckets=4,
+            df=spark.createDataFrame(rows, "id long, vec array<double>"),
+            vector_config={"vec": {"size": 3, "distance": metric}})
+        # best_score: closed-form RecoQuery over negated distances
+        got = query_api.recommend_points(
+            spark, root, "c", positive=[1], negative=[2],
+            strategy="best_score", k=4).orderBy("rank").collect()
+        want = []
+        for cid in (10, 11, 12, 13):
+            bp, bn = -dist(vecs[cid], vecs[1]), -dist(vecs[cid], vecs[2])
+            want.append((cid, round(bp if bp > bn else -(bn * bn), 6)))
+        want.sort(key=lambda t: (-t[1], t[0]))
+        assert [(r["vec_id"], r["score"]) for r in got] == [
+            (cid, pytest.approx(s, abs=1e-9)) for cid, s in want], metric
+        assert all(r["score"] <= 0 for r in got)  # negated distances
+        # sum_scores: per-pair negated distances round-6 then sum
+        got2 = query_api.recommend_points(
+            spark, root, "c", positive=[1], negative=[2],
+            strategy="sum_scores", k=4).collect()
+        for r in got2:
+            w = round(round(-dist(vecs[r["vec_id"]], vecs[1]), 6)
+                      - round(-dist(vecs[r["vec_id"]], vecs[2]), 6), 6)
+            assert r["score"] == pytest.approx(w, abs=1e-9), metric
+        # discover: wins on 'closer to the pair's positive', then
+        # negated target distance — closed form [11, 10, 12]
+        disc = query_api.discover_points(
+            spark, root, "c", target=13, context=[(1, 2)],
+            k=4).orderBy("rank").collect()
+        assert [r["vec_id"] for r in disc] == [11, 10, 12], metric
+        assert [r["ctx_wins"] for r in disc] == [1, 1, 0]
+        for r in disc:
+            assert r["sim"] == pytest.approx(
+                round(-dist(vecs[r["vec_id"]], vecs[13]), 6), abs=1e-9)
+        # context: inside-the-zone points score 0, violations subtract
+        ctx = query_api.context_points(
+            spark, root, "c", context=[(1, 2)], k=5).collect()
+        by_id = {r["vec_id"]: r["ctx_score"] for r in ctx}
+        assert by_id[10] == 0.0 and by_id[11] == 0.0 and by_id[13] == 0.0
+        assert by_id[12] == pytest.approx(
+            round(round(-dist(vecs[12], vecs[1]), 6)
+                  - round(-dist(vecs[12], vecs[2]), 6), 6), abs=1e-9)
+
+
+def test_recommend_node_threshold_distance_metric(spark, tmp_path):
+    """ADVICE r10 (medium): query_points' recommend node must apply
+    score_threshold in the metric's direction — average_vector on a
+    euclid collection returns DISTANCES (ascending), so the threshold is
+    an UPPER bound; >= would keep the worst hits."""
+    root = str(tmp_path / "store")
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+            (10, [0.9, 0.1, 0.0]), (11, [0.8, 0.0, 0.2]),
+            (12, [0.01, 0.99, 0.0]), (13, [0.0, 0.0, 1.0])]
+    upsert.create_collection(
+        spark, root, "c", id_col="id", n_buckets=4,
+        df=spark.createDataFrame(rows, "id long, vec array<double>"),
+        vector_config={"vec": {"size": 3, "distance": "euclid"}})
+    # synthetic query = v1 - v2 = [1,-1,0]; distances: 11≈1.039,
+    # 10≈1.105, 13≈1.732, 12≈2.223 — threshold 1.5 keeps {10, 11}
+    got = query_api.query_points(
+        spark, root, "c",
+        query={"recommend": {"positive": [1], "negative": [2],
+                             "strategy": "average_vector"}},
+        k=4, score_threshold=1.5).collect()
+    assert {r["vec_id"] for r in got} == {10, 11}
+    assert all(r["score"] <= 1.5 for r in got)
+    # best_score folds NEGATED distances (descending) — >= stays right.
+    # NOTE the faithful RecoQuery quirk: the negative look-alike 12 has
+    # bn ≈ -0.014, so its −(bn²) ≈ -0.0002 beats the true positives'
+    # −distance scores — on distance metrics the squaring fold ranks
+    # negative clones HIGH (upstream behaves the same on its internal
+    # negated scores); 13 (bp ≈ -1.73) is the one cut by the threshold
+    got2 = query_api.query_points(
+        spark, root, "c",
+        query={"recommend": {"positive": [1], "negative": [2],
+                             "strategy": "best_score"}},
+        k=4, score_threshold=-1.0).collect()
+    assert got2 and all(r["score"] >= -1.0 for r in got2)
+    assert {r["vec_id"] for r in got2} == {10, 11, 12}
+    # a NaN-component example is refused on EVERY metric (it poisons
+    # every pair sim — all candidates would drop silently)
+    root2 = str(tmp_path / "s_nan")
+    upsert.create_collection(
+        spark, root2, "c", id_col="id", n_buckets=2,
+        df=spark.createDataFrame(
+            [(1, [float("nan"), 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+            "id long, vec array<double>"),
+        vector_config={"vec": {"size": 2, "distance": "euclid"}})
+    with pytest.raises(ValueError, match="NaN components"):
+        query_api.recommend_points(spark, root2, "c", positive=[1],
+                                   strategy="best_score")
+
+
 def test_recommend_groups(spark, tmp_path):
     """recommend_groups: grouped recommend shape — example ids excluded,
     NULL-group points never consume a slot, groups ranked by best hit,
