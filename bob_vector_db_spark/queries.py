@@ -9172,6 +9172,123 @@ def q_api_discover_manhattan(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "sim", F.col("rank").cast("long").alias("rank"))
 
 
+@register(
+    "api_query_nested_prefetch",
+    # prefetch-embedded TYPED query nodes (round 11, VERDICT r10 #1): the
+    # full Qdrant query_points(prefetch=[Prefetch(query=RecommendQuery),
+    # Prefetch(query=<bm25>)], query=FusionQuery(rrf)) tree as ONE
+    # serializable payload — a recommend node (average_vector: synthetic
+    # qvec = mean(pos) − mean(neg), examples excluded) fused with a
+    # stored-BM25 text node by RRF.
+    oracle=r"""
+WITH ex AS (
+  SELECT vec_id, CASE WHEN vec_id IN (0, 1) THEN 1 ELSE -1 END AS s,
+         unnest(embedding)::DOUBLE AS val,
+         unnest(range(0, len(embedding))) AS pos
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+qv AS (
+  SELECT pos,
+         SUM(CASE WHEN s = 1 THEN val END) / 2
+       - SUM(CASE WHEN s = -1 THEN val END) AS qval
+  FROM ex GROUP BY pos
+),
+qvec AS (SELECT list(qval ORDER BY pos) AS v FROM qv),
+reco AS (
+  SELECT id, rank FROM (
+    SELECT s.id, row_number() OVER (ORDER BY s.sim DESC, s.id) AS rank
+    FROM (
+      SELECT e.vec_id AS id,
+             round(
+               (SELECT SUM(a*b) FROM (SELECT unnest(q.v) AS a,
+                                             unnest(e.embedding)::DOUBLE AS b))
+               / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.v) AS a)))
+                 * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS b)))),
+               6) AS sim
+      FROM embeddings e, qvec q
+      WHERE e.vec_id NOT IN (0, 1, 2)) s)
+  WHERE rank <= 20
+),
+ltoks AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> length(x) > 0) AS tk
+  FROM documents
+),
+lens AS (SELECT id, len(tk) AS len FROM ltoks),
+stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),
+posting AS (
+  SELECT id, term, COUNT(*) AS tf
+  FROM (SELECT id, unnest(tk) AS term FROM ltoks)
+  WHERE term IN ('vector', 'join', 'stream')
+  GROUP BY id, term
+),
+dfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM posting GROUP BY term),
+bm25 AS (
+  SELECT id, rank FROM (
+    SELECT s.id, row_number() OVER (ORDER BY s.score DESC, s.id) AS rank
+    FROM (
+      SELECT p.id,
+             round(SUM(
+               ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / stats.avgdl))
+             ), 6) AS score
+      FROM posting p
+      JOIN dfreq ON p.term = dfreq.term
+      JOIN lens ON lens.id = p.id
+      CROSS JOIN stats
+      GROUP BY p.id) s)
+  WHERE rank <= 20
+),
+fused AS (
+  SELECT id, round(SUM(1.0 / (60 + rank)), 6) AS score
+  FROM (SELECT * FROM reco UNION ALL SELECT * FROM bm25)
+  GROUP BY id
+)
+SELECT id, score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY score DESC, id) AS rank
+      FROM fused)
+WHERE rank <= 10
+""",
+)
+def q_api_query_nested_prefetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefetch-embedded typed query nodes (round 11, VERDICT r10 #1): ONE
+    collection carries text + a dense space; the query is a fully
+    SERIALIZABLE payload — ``prefetch=[{'recommend': ...}, {'text': ...}]``
+    with RRF fusion — no caller-built DataFrames anywhere.  The recommend
+    leaf resolves its example ids through the store's id-bucket fetch and
+    runs the synthetic-vector search; the text leaf probes only its
+    terms' buckets of the persisted BM25 posting table; the fusion joins
+    2·20 rows.  Nothing but the two branch scans touches the corpus."""
+    from .operators.query_api import query_points  # noqa: PLC0415
+    from .operators.text_search import build_text_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "nestpf")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding")
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8, id_col="id",
+        df=docs.join(emb, "id"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    build_text_index(spark, base, "docs", text_col="text",
+                     n_term_buckets=16)
+    out = query_points(
+        spark, base, "docs",
+        prefetch=[
+            {"recommend": {"positive": [0, 1], "negative": [2]},
+             "limit": 20},
+            {"text": {"column": "text",
+                      "terms": ["vector", "join", "stream"]},
+             "limit": 20},
+        ],
+        fusion="rrf", k=10)
+    return out.select(F.col("id").cast("long").alias("id"), "score",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering — the driver adjudicates at most 50 queries per round and
 # walks the registry in insertion order, so names that have never received a
@@ -9183,7 +9300,8 @@ def q_api_discover_manhattan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PRIORITY = [
     # new this round (round 11) — never driver-adjudicated
-    "api_recommend_euclid", "api_discover_manhattan",
+    "api_query_nested_prefetch", "api_recommend_euclid",
+    "api_discover_manhattan",
     # new in round 10
     "store_indexed_bq", "store_mv_indexed_bq", "knn_manhattan_metric",
     "api_text_stopword_indexed", "api_text_stemmed_indexed", "knn_mmr_k2",

@@ -698,6 +698,40 @@ def test_recommend_groups(spark, tmp_path):
                                    strategy="median", group_by="g")
 
 
+def test_recommend_groups_with_group_lookup(spark, tmp_path):
+    """Contract pin (VERDICT r10 #7): recommend_groups composes with
+    with_group_lookup — the grouped recommend result's ``group`` column
+    drives the lookup fetch from ANOTHER collection, attaching the
+    record behind each group id under the ``lookup_`` prefix."""
+    root = str(tmp_path / "store")
+    rows = [(1, [1.0, 0.0, 0.0], "g1"), (2, [0.0, 1.0, 0.0], "g2"),
+            (10, [0.9, 0.1, 0.0], "g1"), (11, [0.8, 0.0, 0.2], "g1"),
+            (12, [0.01, 0.99, 0.0], "g2"), (13, [0.0, 0.0, 1.0], "g3")]
+    upsert.create_collection(
+        spark, root, "c", id_col="id", n_buckets=4,
+        df=spark.createDataFrame(
+            rows, "id long, vec array<double>, grp string"),
+        vector_config={"vec": {"size": 3, "distance": "cosine"}})
+    upsert.create_collection(
+        spark, root, "groups", id_col="gid", n_buckets=2,
+        df=spark.createDataFrame(
+            [("g1", "Group One"), ("g2", "Group Two"), ("g3", "Three")],
+            "gid string, title string"))
+    for strategy in ("best_score", "sum_scores", "average_vector"):
+        out = query_api.recommend_groups(
+            spark, root, "c", positive=[1], negative=[2],
+            strategy=strategy, group_by="grp",
+            k_groups=2, group_size=2)
+        looked = query_api.with_group_lookup(
+            spark, root, "groups", out).collect()
+        assert looked, strategy
+        titles = {r["group"]: r["lookup_title"] for r in looked}
+        assert all(v is not None for v in titles.values()), strategy
+        assert titles.get("g1") == "Group One"
+        # lookup attaches columns without disturbing the group ranking
+        assert {r["group_rank"] for r in looked} <= {1, 2}
+
+
 def test_discover_and_context_points(spark, tmp_path):
     """Stored-collection discover/context: id-shaped examples fetch and
     are excluded; raw-vector examples pass through un-excluded; the

@@ -138,6 +138,104 @@ def test_fuse_prefetch_errors(spark):
         fuse_prefetch(42)
 
 
+def test_prefetch_typed_query_nodes(spark, tmp_path):
+    """Round 11 (VERDICT r10 #1): typed dict nodes as prefetch LEAVES —
+    the fully serializable Qdrant query tree.  The payload form must
+    equal the manually-built branches, per-leaf filter/limit/using must
+    apply, nearest works by raw vector and by stored id, formula nodes
+    rescore their own typed children, and unknown node kinds / extra
+    keys / missing store context raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bob_vector_db_spark.operators import query_api, upsert
+    from bob_vector_db_spark.operators.filters import Filter, MatchValue
+    from bob_vector_db_spark.operators.text_search import build_text_index
+
+    root = str(tmp_path / "store")
+    rows = [
+        (1, [1.0, 0.0, 0.0], "alpha news today", "a"),
+        (2, [0.9, 0.1, 0.0], "vector search engine", "a"),
+        (3, [0.0, 1.0, 0.0], "vector stream join", "b"),
+        (4, [0.0, 0.9, 0.1], "weather report sunny", "b"),
+        (5, [0.5, 0.5, 0.0], "vector join stream vector", "a"),
+    ]
+    upsert.create_collection(
+        spark, root, "c", id_col="id", n_buckets=4,
+        df=spark.createDataFrame(
+            rows, "id long, vec array<double>, text string, tag string"),
+        vector_config={"vec": {"size": 3, "distance": "cosine"}})
+    build_text_index(spark, root, "c", text_col="text", n_term_buckets=4)
+
+    # the one-payload tree equals the manually-built branches
+    got = query_api.query_points(
+        spark, root, "c",
+        prefetch=[{"recommend": {"positive": [1]}, "limit": 4},
+                  {"text": {"column": "text", "terms": ["vector"]},
+                   "limit": 4}],
+        fusion="rrf", k=5).collect()
+    reco = query_api.recommend_points(
+        spark, root, "c", positive=[1], k=4).select(
+        F.col("vec_id").alias("id"), "score", "rank")
+    bm = query_api.search_text_points(spark, root, "c", ["vector"], k=4,
+                                      text_col="text")
+    manual = query_api.fuse_prefetch(
+        {"fusion": "rrf", "k": 5, "prefetch": [reco, bm]}).collect()
+    assert {(r["id"], r["score"], r["rank"]) for r in got} == \
+           {(r["id"], r["score"], r["rank"]) for r in manual}
+    # 1 is a recommend example (excluded there) and has no BM25 term hit
+    assert got and all(r["id"] != 1 for r in got)
+
+    # nearest by raw vector, scoped by a per-leaf filter + using
+    near = query_api.fuse_prefetch(
+        {"nearest": [1.0, 0.0, 0.0], "limit": 2, "using": "vec",
+         "filter": Filter(must=[MatchValue("tag", "b")])},
+        spark=spark, root=root, collection="c").collect()
+    assert near and {r["id"] for r in near} <= {3, 4}
+    # nearest by stored point id excludes the point itself
+    byid = query_api.fuse_prefetch(
+        {"nearest": 1, "limit": 3}, spark=spark, root=root,
+        collection="c").collect()
+    assert byid and all(r["id"] != 1 for r in byid)
+
+    # discover/context leaves nest under a fusion parent
+    nested = query_api.fuse_prefetch(
+        {"fusion": "dbsf", "prefetch": [
+            {"discover": {"target": 1, "context": [(2, 3)]}, "limit": 3},
+            {"context": [(2, 3)], "limit": 3},
+        ]}, spark=spark, root=root, collection="c").collect()
+    # 2 and 3 are context examples in BOTH branches (excluded); 1 is the
+    # discover target only, so the context branch may legitimately
+    # surface it in the fusion
+    assert nested and all(r["id"] not in (2, 3) for r in nested)
+
+    # a formula node rescores its own typed children
+    form = query_api.fuse_prefetch(
+        {"formula": {"sum": ["$score", 10.0]}, "limit": 3,
+         "prefetch": [{"text": {"column": "text", "terms": ["vector"]}}]},
+        spark=spark, root=root, collection="c").collect()
+    assert form and all(r["score"] > 10.0 for r in form)
+
+    # guards: unknown kind, two kinds, stray keys, missing context
+    with pytest.raises(ValueError, match="exactly one of"):
+        query_api.fuse_prefetch({"recommendz": {"positive": [1]}},
+                                spark=spark, root=root, collection="c")
+    with pytest.raises(ValueError, match="exactly one of"):
+        query_api.fuse_prefetch({"recommend": {"positive": [1]},
+                                 "context": [(2, 3)]},
+                                spark=spark, root=root, collection="c")
+    with pytest.raises(ValueError, match="unknown keys"):
+        query_api.fuse_prefetch({"recommend": {"positive": [1]},
+                                 "bogus": 1},
+                                spark=spark, root=root, collection="c")
+    with pytest.raises(ValueError, match="unknown keys"):
+        query_api.fuse_prefetch(
+            {"text": {"column": "text", "termz": ["vector"]}},
+            spark=spark, root=root, collection="c")
+    with pytest.raises(ValueError, match="STORED collection"):
+        query_api.fuse_prefetch({"recommend": {"positive": [1]}})
+
+
 def test_normalize_text_masks_pii_and_collapses(spark):
     from bob_vector_db_spark.functions.text import normalize_text
 
