@@ -73,15 +73,24 @@ def main() -> None:
     ]
     from bob_vector_db_spark.operators import dedup as _dedup  # noqa: PLC0415
 
-    def run_once(name: str) -> float:
+    def run_once(name: str) -> tuple[float, float, float]:
+        """Returns (total, build, search) seconds.  fn() runs the EAGER
+        fixture work — _tmp_base + create_collection + index training/
+        writes for the store_* queries — while .count() executes the
+        probe plan, so the two stopwatch segments separate BUILD from
+        SEARCH (VERDICT r10 #3: a probe-plan regression must not hide
+        inside k-means training noise).  For plain queries fn() is just
+        lazy plan construction and build≈0."""
         t0 = time.time()
-        registry[name].fn(spark, sf_dir).count()
-        dt = round(time.time() - t0, 3)
+        df = registry[name].fn(spark, sf_dir)
+        t1 = time.time()
+        df.count()
+        t2 = time.time()
         # queries are self-contained: drop their persisted intermediates so
         # cached blocks don't accumulate across the full-suite sequence
         _dedup.release_cache()
         spark.catalog.clearCache()
-        return dt
+        return (round(t2 - t0, 3), round(t1 - t0, 3), round(t2 - t1, 3))
 
     # Store/streaming FIXTURE queries build a collection (or run a live
     # stream) end-to-end each pass: their multi-second cost is deterministic
@@ -94,9 +103,14 @@ def main() -> None:
     single_pass = {n for n in registry if n.startswith(single_pass_prefixes)}
 
     times: dict[str, float] = {}
+    splits: dict[str, dict] = {}
     for name in order:
-        times[name] = run_once(name)
-        print(f"# {name}: {times[name]}s", file=sys.stderr)
+        total, build, search = run_once(name)
+        times[name] = total
+        if name.startswith("store_") or build >= 0.5:
+            splits[name] = {"build_sec": build, "search_sec": search}
+        print(f"# {name}: {total}s (build {build}s / search {search}s)",
+              file=sys.stderr)
     # second pass, keeping the per-query min: the first pass charges
     # whole-suite JVM state (codegen churn, GC, JIT deopt) to whoever runs
     # late in the sequence — round-1 saw 5-20× inflation on s1/s6/s7/x4.
@@ -104,9 +118,12 @@ def main() -> None:
     for name in order:
         if name in single_pass:
             continue
-        t2 = run_once(name)
-        print(f"# {name} (pass 2): {t2}s", file=sys.stderr)
-        times[name] = min(times[name], t2)
+        total, build, search = run_once(name)
+        print(f"# {name} (pass 2): {total}s", file=sys.stderr)
+        if total < times[name]:
+            times[name] = total
+            if name in splits:
+                splits[name] = {"build_sec": build, "search_sec": search}
 
     headline_total = round(sum(times[n] for n in HEADLINE if n in times), 3)
     summary = {
@@ -117,7 +134,7 @@ def main() -> None:
         "n_queries": len(times),
         "sf": sf,
     }
-    full = {**summary, "queries": times}
+    full = {**summary, "queries": times, "store_splits": splits}
     # BENCH_r02.json lost its "value" when the driver's tail window truncated
     # the (now 75-entry) per-query dict mid-JSON. Mitigation (VERDICT r2
     # "what's wrong" #2): emit the full line first, then a compact summary

@@ -1,0 +1,555 @@
+"""LLM-data-pipeline capstones: dedup family, decontamination,
+sampling/splits/shards, corpus cleaning."""
+
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector
+from ..functions.hashing import POLY_MOD, poly_hash
+from ..functions.text import ws_tokens
+from ..operators import centroid, dedup, index, knn, normalize, quantize, upsert
+from ..sources import load_table
+from ..streaming import windows
+
+from ._registry import register
+from ._shared import *  # noqa: F403 — shared oracle/fixture helpers
+
+
+
+# ---------------------------------------------------------------------------
+# F4 / dedup-exact: content-hash duplicate groups
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+SELECT md5(text) AS content_hash, COUNT(*) AS n_dups,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS ids
+FROM documents GROUP BY md5(text)
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("doc_id")),
+                            lambda x: x.cast("string")),
+                ",",
+            ).alias("ids"),
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    # max_df=50 drops ubiquitous shingles BEFORE the self-join: the fixture's
+    # tiny vocabulary makes common 3-grams appear in hundreds of docs, and a
+    # shingle with df=d contributes d² candidate pairs — the classic skew
+    # blowup this cap exists for (same cap applied in the oracle).
+    oracle=f"""
+WITH {DUCK_SHINGLES},
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n_inter
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = ia
+JOIN sizes sb ON sb.doc_id = ib
+WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+""",
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=50)
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+
+
+@register("dedup_minhash_ml", oracle=None)  # probabilistic recall, rows-only
+def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs_ml(docs, threshold=0.5)
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.simhash_pairs(docs, bits=64, max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@register(
+    "dedup_embedding_blocked",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         (SELECT SUM(x*y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x,
+                                       unnest(b.embedding)::DOUBLE AS y))
+         / ( sqrt((SELECT SUM(x*x) FROM (SELECT unnest(a.embedding)::DOUBLE AS x)))
+           * sqrt((SELECT SUM(y*y) FROM (SELECT unnest(b.embedding)::DOUBLE AS y)))),
+         6) AS sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(
+         (SELECT SUM(x*y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x,
+                                       unnest(b.embedding)::DOUBLE AS y))
+         / ( sqrt((SELECT SUM(x*x) FROM (SELECT unnest(a.embedding)::DOUBLE AS x)))
+           * sqrt((SELECT SUM(y*y) FROM (SELECT unnest(b.embedding)::DOUBLE AS y)))),
+         6) >= 0.35
+""",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs_vectorized(emb, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-clean composite: quality filter (length / alpha-ratio / langid) +
+# exact dedup (keep lowest doc_id per content hash) in ONE declarative plan —
+# the shape a real pretraining-data job takes; Catalyst pipelines all three
+# predicates into the scan and the only shuffle is the dedup group-by.
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipe_corpus_clean",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> length(x) > 0) AS tk
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, text, len(tk) AS n_tok,
+         len(list_filter(tk, x -> list_contains(
+             ['the','a','of','and','is','to','in'], lower(x)))) AS n_sw,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+  FROM t
+),
+q AS (
+  SELECT doc_id, source, text,
+         (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 0.4 ELSE 0.0 END)
+       + (CASE WHEN n_tok > 0 AND n_sw::DOUBLE / n_tok >= 0.05 THEN 0.3 ELSE 0.0 END)
+       + (CASE WHEN length(text) > 0 AND n_punct::DOUBLE / length(text) <= 0.2
+               THEN 0.3 ELSE 0.0 END) AS quality
+  FROM m
+),
+kept AS (
+  SELECT doc_id, source, md5(text) AS h,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM q WHERE quality >= 0.7
+)
+SELECT source, COUNT(*) AS n_docs
+FROM kept WHERE rn = 1
+GROUP BY source
+""",
+)
+def q_pipe_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TX  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = docs.filter(TX.quality_score(F.col("text")) >= 0.7)
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
+    deduped = (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return deduped.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "pipe_split_counts",
+    oracle=f"""
+WITH b AS (SELECT doc_id, ({_DUCK_BUCKET.format(salt='split')}) AS bkt FROM documents)
+SELECT CASE WHEN bkt < 8000 THEN 'train'
+            WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM b GROUP BY 1
+""",
+)
+def q_pipe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(sampling.assign_split(F.col("doc_id")).alias("split"))
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "pipe_hash_sample",
+    oracle=f"""
+SELECT doc_id, lang FROM documents
+WHERE ({_DUCK_BUCKET.format(salt='sample')}) < 500
+""",
+)
+def q_pipe_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", 0.05).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# RAG-ingest preprocessing (round 4): chunking + normalization — the steps
+# that precede every embed/upsert in a real vector-DB pipeline (the
+# reference embeds caller-provided documents wholesale; a corpus pipeline
+# chunks and scrubs them first).
+# ---------------------------------------------------------------------------
+
+@register(
+    "pipe_chunk_documents",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> length(x) > 0) AS tk
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, tk,
+         1 + CAST(ceil(greatest(len(tk) - 16, 0) / 12.0) AS INT) AS n_chunks
+  FROM toks
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(list_slice(tk, i*12 + 1, i*12 + 16), ' ') AS chunk
+FROM sized, unnest(range(0, n_chunks)) AS t(i)
+""",
+)
+def q_pipe_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (chunk 16, overlap 4): one output
+    row per chunk per document — what a vector collection ingests as
+    points.  Pure sequence/slice expressions + one explode, no Python."""
+    from ..functions.text import chunk_tokens  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(chunk_tokens(ws_tokens(F.col("text")),
+                                   chunk_size=16, overlap=4)).alias("c"))
+        .select("doc_id", F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+                F.col("c.chunk").alias("chunk"))
+    )
+
+
+@register(
+    "pipe_text_normalize",
+    oracle=r"""
+SELECT doc_id,
+       lower(trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', ' ', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^\s]+', '<URL>', 'g'),
+         '\s+', ' ', 'g'))) AS norm_text
+FROM documents
+""",
+)
+def q_pipe_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization (control-char strip, e-mail/URL masking,
+    whitespace collapse, casefold) — the PII-scrub stage of a pretraining
+    pipeline, all JVM regex expressions; masking behavior is pinned on
+    synthetic rows in tests/test_text_search.py."""
+    from ..functions.text import normalize_text  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalize_text(F.col("text")).alias("norm_text"))
+
+
+@register(
+    "pipe_rag_end_to_end",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> length(x) > 0) AS tk
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, tk,
+         1 + CAST(ceil(greatest(len(tk) - 16, 0) / 12.0) AS INT) AS n_chunks
+  FROM toks
+),
+chunks AS (
+  SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR) AS id,
+         doc_id, i, list_slice(tk, i*12 + 1, i*12 + 16) AS ctk
+  FROM sized, unnest(range(0, n_chunks)) AS t(i)
+),
+ctoks AS (SELECT id, unnest(ctk) AS tok FROM chunks),
+tfs AS (
+  SELECT id, ({DUCK_POLY_HASH.format(t='tok')}) % 32 AS bucket,
+         COUNT(*) AS tf
+  FROM ctoks GROUP BY id, bucket
+),
+norms AS (SELECT id, sqrt(SUM(tf*tf)) AS nrm FROM tfs GROUP BY id),
+qids AS (SELECT id FROM chunks WHERE doc_id < 3 AND i = 0),
+dots AS (
+  SELECT a.id AS qid, b.id AS vec_id, SUM(a.tf * b.tf) AS dot
+  FROM tfs a JOIN tfs b ON a.bucket = b.bucket
+  WHERE a.id IN (SELECT id FROM qids) AND a.id <> b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT q.id AS qid, c.id AS vec_id,
+         round(coalesce(d.dot, 0) / (nq.nrm * nc.nrm), 6) AS sim
+  FROM qids q
+  CROSS JOIN chunks c
+  LEFT JOIN dots d ON d.qid = q.id AND d.vec_id = c.id
+  JOIN norms nq ON nq.id = q.id
+  JOIN norms nc ON nc.id = c.id
+  WHERE q.id <> c.id
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+             AS rank FROM pairs)
+WHERE rank <= 5
+""",
+)
+def q_pipe_rag_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE lifecycle as one pipeline: chunk documents →
+    deterministic hash-embed each chunk → upsert the chunks into a REAL
+    bucketed collection (vector config declares cosine) → search the stored
+    collection with three query chunks.  Every stage is the scale-path
+    implementation (codegen chunking, one-shuffle embedding, bucketed
+    store, broadcast-query search); the oracle recomputes it all in sparse
+    integer arithmetic."""
+    from ..functions.text import chunk_tokens  # noqa: PLC0415
+    from ..operators.embed import hash_embed_df  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "rag")
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.explode(chunk_tokens(ws_tokens(F.col("text")),
+                                   chunk_size=16, overlap=4)).alias("c"))
+        .select(
+            F.concat(F.col("doc_id").cast("string"), F.lit("_"),
+                     F.col("c.chunk_idx").cast("string")).alias("id"),
+            F.col("c.chunk").alias("chunk"),
+            F.col("doc_id"), F.col("c.chunk_idx").alias("chunk_idx"))
+    )
+    embedded = hash_embed_df(chunks, text_col="chunk", id_col="id",
+                             dim=32, out_col="embedding")
+    upsert.create_collection(
+        spark, base, "rag_chunks", n_buckets=8,
+        df=embedded.select("id", "embedding"),
+        vector_config={"embedding": {"size": 32, "distance": "cosine"}})
+    q_ids = [f"{d}_0" for d in range(3)]
+    stored = upsert.read_collection(spark, base, "rag_chunks")
+    qdf = stored.filter(F.col("id").isin(q_ids)).select(
+        F.col("id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = knn.search_collection(spark, base, "rag_chunks", qdf, k=5,
+                                corpus_id="id", exclude_self=True)
+    return out.select("qid", "vec_id", "sim",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "pipe_decontaminate",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> length(x) > 0) AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(greatest(len(tk)-2, 0)),
+                                 i -> array_to_string(tk[i+1:i+3], ' '))) AS shingle
+    FROM toks)
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+hits AS (
+  SELECT s.doc_id AS id, COUNT(DISTINCT s.shingle) AS n_hits
+  FROM sh s JOIN bench USING (shingle)
+  WHERE s.doc_id >= 20
+  GROUP BY s.doc_id
+)
+SELECT id, CAST(n_hits AS BIGINT) AS n_hits FROM hits WHERE n_hits >= 1
+""",
+)
+def q_pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the eval-leakage sweep every pretraining
+    pipeline runs): training docs sharing any token 3-gram with the held-out
+    benchmark set get flagged with their contaminated-shingle count.  The
+    benchmark shingle set broadcasts (eval suites are small by
+    construction); the training corpus never shuffles — no train×benchmark
+    pair materializes."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.cross_corpus_contamination(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        text_col="text", id_col="doc_id", n=3, min_hits=1)
+    return out.select("id", F.col("n_hits").cast("long").alias("n_hits"))
+
+
+@register(
+    "pipe_stratified_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('strat' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, source, lang FROM ranked WHERE rn <= 5
+""",
+)
+def q_pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quota sampling for training-mix construction: EXACTLY 5
+    docs per source, picked by a deterministic md5 rank within the group
+    (layout-independent, unlike sampleBy's approximate fractions).  One
+    shuffle on the stratum key; the rank window sees only a group's rows."""
+    from ..operators.sampling import stratified_sample  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "source", "doc_id", 5)
+    return out.select("doc_id", "source", "lang")
+
+
+@register(
+    "pipe_dataset_build",
+    # the full training-mix build: exact dedup (min doc_id per identical
+    # text) -> benchmark decontamination (3-gram overlap with docs < 20)
+    # -> quality gate (n_chars in [150, 600], >= 25 tokens) -> stratified
+    # quota sample (10 per lang by deterministic md5 rank).
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> length(x) > 0) AS tk
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(greatest(len(tk)-2, 0)),
+                                 i -> array_to_string(tk[i+1:i+3], ' '))) AS shingle
+    FROM toks)
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle)
+  WHERE s.doc_id >= 20
+),
+dd AS (
+  SELECT * FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS rn
+    FROM documents d)
+  WHERE rn = 1
+),
+clean AS (
+  SELECT dd.doc_id, dd.lang, len(t.tk) AS n_tokens
+  FROM dd JOIN toks t USING (doc_id)
+  WHERE dd.doc_id >= 20
+    AND dd.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND dd.n_chars BETWEEN 150 AND 600
+    AND len(t.tk) >= 25
+),
+mixed AS (
+  SELECT doc_id, lang, n_tokens,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5('mix' || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn
+  FROM clean
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM mixed WHERE rn <= 10
+""",
+)
+def q_pipe_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-mix build every pretraining pipeline runs,
+    composed from this repo's operators in one plan: exact dedup (keep
+    the lowest id per identical text), benchmark DECONTAMINATION (drop
+    any doc sharing a token 3-gram with the held-out set — the broadcast
+    shingle probe, no train×bench pair materializes), a QUALITY gate
+    (length + token-count floors), and a STRATIFIED quota sample (exactly
+    10 docs per language by deterministic md5 rank).  Every stage is a
+    shuffle-minimal shape that survives 100×: one window on the content
+    hash, one broadcast join, pushed filters, one rank window per
+    stratum."""
+    from ..operators.sampling import stratified_sample  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dd = (docs.withColumn("_rn", F.row_number().over(w))
+          .filter(F.col("_rn") == 1).drop("_rn"))
+    flagged = dedup.cross_corpus_contamination(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20),
+        text_col="text", id_col="doc_id", n=3, min_hits=1
+    ).select(F.col("id").alias("doc_id"))
+    clean = (dd.filter(F.col("doc_id") >= 20)
+             .join(flagged, "doc_id", "left_anti")
+             .withColumn("n_tokens", F.size(ws_tokens(F.col("text"))))
+             .filter((F.col("n_chars") >= 150) & (F.col("n_chars") <= 600)
+                     & (F.col("n_tokens") >= 25)))
+    out = stratified_sample(clean, "lang", "doc_id", 10, salt="mix")
+    return out.select("doc_id", "lang",
+                      F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+@register(
+    "pipe_token_shards",
+    # shard = floor(tokens_before / 20000) in doc_id order; the oracle's
+    # single global cumsum equals the distributed two-phase prefix sum.
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> length(x) > 0)) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR((cum - n_tokens) / 20000.0) AS BIGINT) AS shard
+FROM c
+""",
+)
+def q_pipe_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding (the uniform-shard packing step before
+    tokenizer/loader handoff): each doc's shard is floor(tokens-before-it
+    / budget) in id order — computed as a DISTRIBUTED prefix sum
+    (contiguous deterministic id ranges cumsum locally; only the
+    range-total offsets touch the driver), not the single-task global
+    window the naive ``SUM() OVER (ORDER BY id)`` collapses into.  The
+    oracle's global cumsum must agree exactly."""
+    from ..operators.sampling import pack_token_shards  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens"))
+    out = pack_token_shards(t, "doc_id", "n_tokens", budget=20_000,
+                            n_ranges=32)
+    return out.select("doc_id", "n_tokens", "shard")

@@ -1,0 +1,1267 @@
+"""Qdrant Query API typed nodes: recommend / discover / context
+/ formula / sample / nested-prefetch trees (SURVEY J5)."""
+
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector
+from ..functions.hashing import POLY_MOD, poly_hash
+from ..functions.text import ws_tokens
+from ..operators import centroid, dedup, index, knn, normalize, quantize, upsert
+from ..sources import load_table
+from ..streaming import windows
+
+from ._registry import register
+from ._shared import *  # noqa: F403 — shared oracle/fixture helpers
+
+
+
+@register(
+    "api_recommend",
+    # qvec = sum(positives)/|P| - sum(negatives)/|N| componentwise; with
+    # |P|=2, |N|=1 every component is a single add + divide on both engines,
+    # so the query vector (and therefore each similarity) is bit-identical.
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, CASE WHEN vec_id IN (0, 1) THEN 1 ELSE -1 END AS s,
+         unnest(embedding)::DOUBLE AS val,
+         unnest(range(0, len(embedding))) AS pos
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+qv AS (
+  SELECT pos,
+         SUM(CASE WHEN s = 1 THEN val END) / 2
+       - SUM(CASE WHEN s = -1 THEN val END) AS qval
+  FROM ex GROUP BY pos
+),
+qvec AS (SELECT list(qval ORDER BY pos) AS v FROM qv),
+pairs AS (
+  SELECT e.vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.v) AS a,
+                                         unnest(e.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.v) AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM embeddings e, qvec q
+  WHERE e.vec_id NOT IN (0, 1, 2)
+)
+SELECT vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_api_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos_ids, neg_ids = [0, 1], [2]
+    ex = emb.filter(F.col("vec_id").isin(pos_ids + neg_ids)).select(
+        F.when(F.col("vec_id").isin(pos_ids), 1).otherwise(-1).alias("s"),
+        F.posexplode("embedding").alias("pos", "val"),
+    )
+    qv = ex.groupBy("pos").agg(
+        (F.sum(F.when(F.col("s") == 1, F.col("val").cast("double"))) / len(pos_ids)
+         - F.sum(F.when(F.col("s") == -1, F.col("val").cast("double"))) / len(neg_ids)
+         ).alias("qval")
+    )
+    qvec = qv.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "qval"))),
+            lambda st: st["qval"],
+        ).alias("qvec")
+    ).select(F.lit(0).alias("qid"), "qvec")
+    corpus = emb.filter(~F.col("vec_id").isin(pos_ids + neg_ids))
+    out = knn.knn_join(qvec, corpus, k=10, exclude_self=False)
+    return out.select("vec_id", "sim", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "api_discover",
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id NOT IN (0, 10, 11, 12, 13)
+),
+ref AS (
+  SELECT (SELECT embedding FROM embeddings WHERE vec_id = 0)  AS tgt,
+         (SELECT embedding FROM embeddings WHERE vec_id = 10) AS p1,
+         (SELECT embedding FROM embeddings WHERE vec_id = 11) AS n1,
+         (SELECT embedding FROM embeddings WHERE vec_id = 12) AS p2,
+         (SELECT embedding FROM embeddings WHERE vec_id = 13) AS n2
+),
+scored AS (
+  SELECT c.vec_id,
+         {_duck_cos('c.embedding', 'r.tgt')} AS sim,
+         (CASE WHEN {_duck_cos('c.embedding', 'r.p1')}
+                  > {_duck_cos('c.embedding', 'r.n1')} THEN 1 ELSE 0 END
+        + CASE WHEN {_duck_cos('c.embedding', 'r.p2')}
+                  > {_duck_cos('c.embedding', 'r.n2')} THEN 1 ELSE 0 END)
+         AS ctx_wins
+  FROM corpus c, ref r
+)
+SELECT vec_id, CAST(ctx_wins AS BIGINT) AS ctx_wins, sim,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number()
+             OVER (ORDER BY ctx_wins DESC, sim DESC, vec_id) AS rank
+      FROM scored)
+WHERE rank <= 10
+""",
+)
+def q_api_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant `discover`: a target vector plus context (positive, negative)
+    pairs — points rank FIRST by how many pairs they sit on the positive
+    side of (closer to the pair's positive than its negative), THEN by
+    similarity to the target.  The 5 reference vectors fold into a 1-row
+    broadcast frame, so the corpus is scanned once with per-row JVM
+    expressions and never shuffles; cosines are rounded to 6 on both
+    engines BEFORE comparison so the win/loss classification is
+    engine-stable."""
+    from ..functions.vector import cosine_similarity  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    names = {0: "tgt", 10: "p1", 11: "n1", 12: "p2", 13: "n2"}
+    ref = emb.filter(F.col("vec_id").isin(list(names))).groupBy().agg(*[
+        F.first(F.when(F.col("vec_id") == i, F.col("embedding")),
+                ignorenulls=True).alias(n)
+        for i, n in names.items()
+    ])
+    corpus = emb.filter(~F.col("vec_id").isin(list(names)))
+    joined = corpus.crossJoin(F.broadcast(ref))
+
+    def cos(ref_col: str):
+        return F.round(
+            cosine_similarity(F.col("embedding").cast("array<double>"),
+                              F.col(ref_col).cast("array<double>")), 6)
+
+    scored = joined.select(
+        "vec_id",
+        ((cos("p1") > cos("n1")).cast("long")
+         + (cos("p2") > cos("n2")).cast("long")).alias("ctx_wins"),
+        cos("tgt").alias("sim"))
+    w = Window.orderBy(F.desc("ctx_wins"), F.desc("sim"), F.asc("vec_id"))
+    return (scored
+            .orderBy(F.desc("ctx_wins"), F.desc("sim"), F.asc("vec_id"))
+            .limit(10)
+            .withColumn("rank", F.row_number().over(w))
+            .select("vec_id", "ctx_wins", "sim",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+@register(
+    "api_query_fusion",
+    # RRF over three independently-ranked branches, each recomputed exactly:
+    # dense = cosine over 64-bucket hash embeddings, lexical = BM25, sparse
+    # = hashed-TF dot product.  All three tie-break by id; rrf = Σ 1/(60+r).
+    oracle=f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+dtoks AS (
+  SELECT doc_id, unnest({DUCK_WS_TOKENS.format(t='text')}) AS tok FROM corpus
+),
+dtfs AS (
+  SELECT doc_id, ({DUCK_POLY_HASH.format(t='tok')}) % 64 AS bucket,
+         COUNT(*) AS tf
+  FROM dtoks GROUP BY doc_id, bucket
+),
+dvecs AS (
+  SELECT d.doc_id, list(CAST(coalesce(tf, 0) AS DOUBLE) ORDER BY r.j) AS vec
+  FROM (SELECT DISTINCT doc_id FROM corpus) d
+  CROSS JOIN range(64) r(j)
+  LEFT JOIN dtfs ON dtfs.doc_id = d.doc_id AND dtfs.bucket = r.j
+  GROUP BY d.doc_id
+),
+qb AS (
+  SELECT ({DUCK_POLY_HASH.format(t='t')}) % 64 AS bucket, COUNT(*) AS tf
+  FROM (SELECT unnest(['vector', 'join', 'stream']) AS t) GROUP BY bucket
+),
+qvec AS (
+  SELECT list(CAST(coalesce(tf, 0) AS DOUBLE) ORDER BY r.j) AS v
+  FROM range(64) r(j) LEFT JOIN qb ON qb.bucket = r.j
+),
+dense AS (
+  SELECT id, rank FROM (
+    SELECT s.id, row_number() OVER (ORDER BY s.sim DESC, s.id) AS rank
+    FROM (
+      SELECT v.doc_id AS id,
+             round(
+               (SELECT SUM(a*b) FROM (SELECT unnest(q.v) AS a,
+                                             unnest(v.vec) AS b))
+               / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.v) AS a)))
+                 * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(v.vec) AS b)))),
+               6) AS sim
+      FROM dvecs v, qvec q) s)
+  WHERE rank <= 10
+),
+ltoks AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> length(x) > 0) AS tk
+  FROM corpus
+),
+lens AS (SELECT id, len(tk) AS len FROM ltoks),
+stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),
+posting AS (
+  SELECT id, term, COUNT(*) AS tf
+  FROM (SELECT id, unnest(tk) AS term FROM ltoks)
+  WHERE term IN ('vector', 'join', 'stream')
+  GROUP BY id, term
+),
+dfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM posting GROUP BY term),
+bm25 AS (
+  SELECT id, rank FROM (
+    SELECT s.id, row_number() OVER (ORDER BY s.score DESC, s.id) AS rank
+    FROM (
+      SELECT p.id,
+             round(SUM(
+               ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / stats.avgdl))
+             ), 6) AS score
+      FROM posting p
+      JOIN dfreq ON p.term = dfreq.term
+      JOIN lens ON lens.id = p.id
+      CROSS JOIN stats
+      GROUP BY p.id) s)
+  WHERE rank <= 10
+),
+spost AS (
+  SELECT id, ({DUCK_POLY_HASH.format(t='tok')}) % 512 AS idx,
+         CAST(COUNT(*) AS DOUBLE) AS val
+  FROM (SELECT id, unnest(tk) AS tok FROM ltoks)
+  GROUP BY id, idx
+),
+sq AS (
+  SELECT ({DUCK_POLY_HASH.format(t='t')}) % 512 AS idx,
+         CAST(COUNT(*) AS DOUBLE) AS qval
+  FROM (SELECT unnest(['vector', 'join', 'stream']) AS t) GROUP BY idx
+),
+sparse AS (
+  SELECT id, rank FROM (
+    SELECT s.id, row_number() OVER (ORDER BY s.sim DESC, s.id) AS rank
+    FROM (SELECT p.id, round(SUM(p.val * sq.qval), 6) AS sim
+          FROM spost p JOIN sq ON p.idx = sq.idx GROUP BY p.id) s)
+  WHERE rank <= 10
+),
+fused AS (
+  SELECT id, round(SUM(1.0 / (60 + rank)), 6) AS rrf_score
+  FROM (SELECT * FROM dense UNION ALL SELECT * FROM bm25
+        UNION ALL SELECT * FROM sparse)
+  GROUP BY id
+)
+SELECT id, rrf_score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY rrf_score DESC, id) AS rank
+      FROM fused)
+WHERE rank <= 10
+""",
+)
+def q_api_query_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Qdrant Query API's prefetch+fusion shape as a capstone over the
+    WHOLE stored-index stack: ONE collection carries the raw text, a dense
+    hash-embedding space, and a sparse hashed-TF space; the query runs
+    three branches — dense kNN through the stored IVF index (full probe),
+    BM25 through the stored posting table, sparse dot through the stored
+    dim-bucketed index — and fuses the three top-10 lists with Reciprocal
+    Rank Fusion THROUGH the Query API's prefetch planner
+    (operators.query_api.fuse_prefetch — the same recursive entry point
+    that serves the nested tree in api_query_dbsf).  Every branch reads a
+    partition-pruned stored artifact; the fusion joins three k-row lists
+    (corpus-size-independent)."""
+    from ..operators.embed import hash_embed_df  # noqa: PLC0415
+    from ..operators.query_api import fuse_prefetch  # noqa: PLC0415
+    from ..operators.sparse import (  # noqa: PLC0415
+        build_sparse_index,
+        postings_from_text,
+        sparse_search_indexed,
+    )
+    from ..operators.text_search import (  # noqa: PLC0415
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    base = _tmp_base(sf_dir, "qfuse")
+    phrase = "vector join stream"
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    dense = hash_embed_df(docs, dim=64, out_col="vec")
+    spost = postings_from_text(docs, id_col="doc_id", text_col="text",
+                               vocab_size=512)
+    sparse_pts = (spost.groupBy("id")
+                  .agg(F.array_sort(F.collect_list(F.struct("idx", "val")))
+                       .alias("z"))
+                  .select("id", F.col("z.idx").alias("indices"),
+                          F.col("z.val").alias("values")))
+    pts = (docs.select(F.col("doc_id").alias("id"), "text")
+           .join(dense.select(F.col("doc_id").alias("id"), "vec"), "id")
+           .join(sparse_pts, "id"))
+    upsert.create_collection(
+        spark, base, "docs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"vec": {"size": 64, "distance": "cosine"}})
+    index.build_vector_index(spark, base, "docs", vector_name="vec",
+                             kind="ivf", n_lists=8, iters=3)
+    build_text_index(spark, base, "docs", text_col="text", n_term_buckets=16)
+    build_sparse_index(spark, base, "docs", n_dim_buckets=16)
+
+    qrow = spark.createDataFrame([(0, phrase)], "doc_id long, text string")
+    qvec = (hash_embed_df(qrow, dim=64, out_col="vec")
+            .select(F.lit(0).alias("qid"), F.col("vec").alias("qvec")))
+    dense_branch = (knn.search_collection(
+        spark, base, "docs", qvec, k=10, corpus_id="id",
+        use_index="always")
+        .select(F.col("vec_id").alias("id"), "rank"))
+    bm25_branch = bm25_topk_indexed(
+        spark, base, "docs", phrase.split(), k=10, text_col="text")
+    qpost = postings_from_text(qrow, id_col="doc_id", text_col="text",
+                               vocab_size=512)  # qrow's doc_id 0 → id 0
+    sparse_branch = (sparse_search_indexed(spark, base, "docs", qpost, k=10)
+                     .select(F.col("vec_id").alias("id"), "rank"))
+    fused = fuse_prefetch({
+        "fusion": "rrf", "k": 10,
+        "prefetch": [dense_branch, bm25_branch, sparse_branch],
+    })
+    return fused.select("id", F.col("score").alias("rrf_score"),
+                        F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "api_query_dbsf",
+    # Nested Query-API fusion: outer DBSF over [dense leaf, inner RRF over
+    # (dense, bm25)].  DBSF normalizes each list's scores over
+    # [mean − 3σ, mean + 3σ] (σ = population stddev) and sums; σ = 0
+    # degenerates to 0.5.  Every branch score is rounded to 6 before the
+    # stats, so both engines aggregate identical decimals.
+    oracle=f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+dtoks AS (
+  SELECT doc_id, unnest({DUCK_WS_TOKENS.format(t='text')}) AS tok FROM corpus
+),
+dtfs AS (
+  SELECT doc_id, ({DUCK_POLY_HASH.format(t='tok')}) % 64 AS bucket,
+         COUNT(*) AS tf
+  FROM dtoks GROUP BY doc_id, bucket
+),
+dvecs AS (
+  SELECT d.doc_id, list(CAST(coalesce(tf, 0) AS DOUBLE) ORDER BY r.j) AS vec
+  FROM (SELECT DISTINCT doc_id FROM corpus) d
+  CROSS JOIN range(64) r(j)
+  LEFT JOIN dtfs ON dtfs.doc_id = d.doc_id AND dtfs.bucket = r.j
+  GROUP BY d.doc_id
+),
+qb AS (
+  SELECT ({DUCK_POLY_HASH.format(t='t')}) % 64 AS bucket, COUNT(*) AS tf
+  FROM (SELECT unnest(['vector', 'join', 'stream']) AS t) GROUP BY bucket
+),
+qvec AS (
+  SELECT list(CAST(coalesce(tf, 0) AS DOUBLE) ORDER BY r.j) AS v
+  FROM range(64) r(j) LEFT JOIN qb ON qb.bucket = r.j
+),
+dense AS (
+  SELECT id, sim AS score, rank FROM (
+    SELECT s.id, s.sim, row_number() OVER (ORDER BY s.sim DESC, s.id) AS rank
+    FROM (
+      SELECT v.doc_id AS id,
+             round(
+               (SELECT SUM(a*b) FROM (SELECT unnest(q.v) AS a,
+                                             unnest(v.vec) AS b))
+               / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.v) AS a)))
+                 * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(v.vec) AS b)))),
+               6) AS sim
+      FROM dvecs v, qvec q) s)
+  WHERE rank <= 10
+),
+ltoks AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> length(x) > 0) AS tk
+  FROM corpus
+),
+lens AS (SELECT id, len(tk) AS len FROM ltoks),
+stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),
+posting AS (
+  SELECT id, term, COUNT(*) AS tf
+  FROM (SELECT id, unnest(tk) AS term FROM ltoks)
+  WHERE term IN ('vector', 'join', 'stream')
+  GROUP BY id, term
+),
+dfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM posting GROUP BY term),
+bm25 AS (
+  SELECT id, score, rank FROM (
+    SELECT s.id, s.score,
+           row_number() OVER (ORDER BY s.score DESC, s.id) AS rank
+    FROM (
+      SELECT p.id,
+             round(SUM(
+               ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / stats.avgdl))
+             ), 6) AS score
+      FROM posting p
+      JOIN dfreq ON p.term = dfreq.term
+      JOIN lens ON lens.id = p.id
+      CROSS JOIN stats
+      GROUP BY p.id) s)
+  WHERE rank <= 10
+),
+rrf AS (
+  SELECT id, rrf_score AS score, rank FROM (
+    SELECT id, rrf_score,
+           row_number() OVER (ORDER BY rrf_score DESC, id) AS rank
+    FROM (SELECT id, round(SUM(1.0 / (60 + rank)), 6) AS rrf_score
+          FROM (SELECT id, rank FROM dense
+                UNION ALL SELECT id, rank FROM bm25)
+          GROUP BY id))
+  WHERE rank <= 10
+),
+dn AS (
+  SELECT id, CASE WHEN sd > 0 THEN (score - (mu - 3*sd)) / (6*sd)
+              ELSE 0.5 END AS c
+  FROM (SELECT id, score, AVG(score) OVER () AS mu,
+               STDDEV_POP(score) OVER () AS sd FROM dense)
+),
+rn AS (
+  SELECT id, CASE WHEN sd > 0 THEN (score - (mu - 3*sd)) / (6*sd)
+              ELSE 0.5 END AS c
+  FROM (SELECT id, score, AVG(score) OVER () AS mu,
+               STDDEV_POP(score) OVER () AS sd FROM rrf)
+),
+fused AS (
+  SELECT COALESCE(dn.id, rn.id) AS id,
+         round(COALESCE(dn.c, 0) + COALESCE(rn.c, 0), 6) AS dbsf_score
+  FROM dn FULL OUTER JOIN rn ON dn.id = rn.id
+)
+SELECT id, dbsf_score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY dbsf_score DESC, id) AS rank
+      FROM fused)
+WHERE rank <= 10
+""",
+)
+def q_api_query_dbsf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Query API's SECOND fusion mode (DBSF) in a NESTED prefetch tree
+    — the recursive ``query_points(prefetch=[...], query=FusionQuery(...))``
+    shape the Qdrant store behind the reference accepts (README.md:13):
+    the inner node RRF-fuses a dense branch with a BM25 branch, and the
+    outer node DBSF-fuses the dense branch with that inner fusion's
+    output.  Both fusers and the recursive planner
+    (operators.query_api.fuse_prefetch) join only k-row lists — nothing
+    scales with the corpus."""
+    from ..operators.embed import hash_embed_df  # noqa: PLC0415
+    from ..operators.query_api import fuse_prefetch  # noqa: PLC0415
+    from ..operators.text_search import bm25_topk  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    qrow = spark.createDataFrame([(0, "vector join stream")],
+                                 "doc_id long, text string")
+    qvec = (hash_embed_df(qrow, dim=64, out_col="vec")
+            .select(F.lit(0).alias("qid"), F.col("vec").alias("qvec")))
+    dense = (knn.knn_join(
+        qvec, hash_embed_df(docs, dim=64, out_col="vec")
+        .select(F.col("doc_id").alias("id"), "vec"),
+        k=10, corpus_id="id", corpus_vec="vec", exclude_self=False)
+        .select(F.col("vec_id").alias("id"), F.col("sim").alias("score"),
+                "rank"))
+    lex = bm25_topk(docs, ["vector", "join", "stream"], k=10)
+    fused = fuse_prefetch({
+        "fusion": "dbsf", "k": 10,
+        "prefetch": [dense, {"fusion": "rrf", "prefetch": [dense, lex]}],
+    })
+    return fused.select("id", F.col("score").alias("dbsf_score"),
+                        F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "api_query_by_id",
+    oracle="""
+WITH qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7),
+corpus AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < 300 AND vec_id <> 7),
+pairs AS (
+  SELECT '7' AS qid, c.vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(c.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS b)))),
+           6) AS sim
+  FROM qv q, corpus c
+)
+SELECT qid, vec_id, sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+      FROM pairs)
+WHERE rank <= 10
+""",
+)
+def q_api_query_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query by stored point (the unified Qdrant ``query_points`` with a
+    point id): the id's vector fetches through the store's static
+    id-bucket filter (one pruned read, one row collected) and becomes the
+    query; the point itself is excluded from its own results — Qdrant's
+    lookup semantics."""
+    from ..operators.query_api import query_points  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "qbyid")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 300)
+        .select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    out = query_points(spark, base, "vecs", query=7, k=10)
+    return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"),
+                      "sim", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "api_sample",
+    oracle=f"""
+SELECT id, lang FROM (
+  SELECT CAST(doc_id AS VARCHAR) AS id, lang FROM documents
+  WHERE doc_id < 400
+)
+WHERE {_SAMPLE_FLT.to_sql()}
+ORDER BY md5('s6|' || id), id LIMIT 25
+""",
+)
+def q_api_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible random sampling (Qdrant ``query(sample=random)``): a
+    deterministic seeded draw — order by md5(seed || id), layout- and
+    partition-invariant, composed with a DSL filter; one pushed-filter
+    scan plus TakeOrderedAndProject, no full sort.  Redraw = new seed."""
+    from ..operators.query_api import sample_points  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "sample")
+    docs = load_table(spark, sf_dir, "documents")
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8, id_col="id",
+        df=docs.filter(F.col("doc_id") < 400)
+        .select(F.col("doc_id").cast("string").alias("id"), "lang"))
+    out = sample_points(spark, base, "docs", n=25, seed="s6",
+                        flt=_SAMPLE_FLT)
+    return out.select("id", "lang")
+
+
+@register(
+    "api_recommend_best_score",
+    # best_score strategy: score = best positive sim unless the best
+    # NEGATIVE beats it, then -(best negative)^2 (Qdrant RecoQuery);
+    # examples excluded.
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id IN (0, 1) THEN 1 ELSE -1 END AS s
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+corpus AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < 300 AND vec_id NOT IN (0, 1, 2)),
+sims AS (
+  SELECT c.vec_id, e.s,
+         (SELECT SUM(a*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS a,
+                                       unnest(c.embedding)::DOUBLE AS b))
+         / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(e.embedding)::DOUBLE AS a)))
+           * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS b)))) AS sim
+  FROM corpus c, ex e
+),
+agg AS (
+  SELECT vec_id,
+         MAX(CASE WHEN s = 1 THEN sim END) AS bp,
+         MAX(CASE WHEN s = -1 THEN sim END) AS bn
+  FROM sims GROUP BY vec_id
+)
+SELECT vec_id, score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT vec_id,
+             round(CASE WHEN bp > bn THEN bp ELSE -(bn*bn) END, 6) AS score,
+             row_number() OVER (
+               ORDER BY round(CASE WHEN bp > bn THEN bp ELSE -(bn*bn) END, 6)
+                        DESC, vec_id) AS rank
+      FROM agg)
+WHERE rank <= 10
+""",
+)
+def q_api_recommend_best_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant recommend with the BEST_SCORE strategy over a stored
+    collection: positive/negative point IDS fetch their stored vectors
+    (id-bucket pruned), then each candidate scores its best positive
+    similarity — unless its best NEGATIVE beats it, in which case the
+    score is -(best negative)^2 (the RecoQuery formula: non-positive even
+    when both best sims are negative), sinking negative look-alikes.
+    The examples broadcast; the corpus scans once (the exact-kNN
+    shape)."""
+    from ..operators.query_api import recommend_points  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "recbest")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 300)
+        .select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    out = recommend_points(spark, base, "vecs", positive=[0, 1],
+                           negative=[2], strategy="best_score", k=10)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      "score", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "api_recommend_sum_scores",
+    # sum_scores strategy: score = sum(sim to positives) - sum(sim to
+    # negatives); per-pair sims round to 6 BEFORE the sum on both engines
+    # (the discover convention) so the 3-term double fold is order-stable.
+    oracle=f"""
+WITH ex AS (
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id IN (0, 1) THEN 1 ELSE -1 END AS s
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+corpus AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < 300 AND vec_id NOT IN (0, 1, 2)),
+sims AS (
+  SELECT c.vec_id, e.s, {_duck_cos('c.embedding', 'e.embedding')} AS sim
+  FROM corpus c, ex e
+),
+agg AS (
+  SELECT vec_id, round(SUM(sim * s), 6) AS score FROM sims GROUP BY vec_id
+)
+SELECT vec_id, score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT vec_id, score,
+             row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+      FROM agg)
+WHERE rank <= 10
+""",
+)
+def q_api_recommend_sum_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant recommend with the SUM_SCORES strategy (the third RecoQuery
+    strategy): each candidate scores the SUM of its similarities to every
+    positive example minus the sum to every negative — all examples pull,
+    not just the best pair.  Same physical shape as best_score: the
+    examples broadcast, the corpus scans once, one partial-aggregated
+    groupBy folds the pair terms."""
+    from ..operators.query_api import recommend_points  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "recsum")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 300)
+        .select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    out = recommend_points(spark, base, "vecs", positive=[0, 1],
+                           negative=[2], strategy="sum_scores", k=10)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      "score", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "api_recommend_groups",
+    # recommend_groups with best_score: per-point RecoQuery score keeps
+    # the label through the fold, then the search_groups two-window cut:
+    # top-3 per label, labels ranked by their best point, top-5 labels.
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id IN (0, 1) THEN 1 ELSE -1 END AS s
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+corpus AS (SELECT vec_id, embedding, label FROM embeddings
+           WHERE vec_id < 300 AND vec_id NOT IN (0, 1, 2)
+             AND label IS NOT NULL),
+sims AS (
+  SELECT c.vec_id, c.label, e.s,
+         (SELECT SUM(a*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS a,
+                                       unnest(c.embedding)::DOUBLE AS b))
+         / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(e.embedding)::DOUBLE AS a)))
+           * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS b)))) AS sim
+  FROM corpus c, ex e
+),
+agg AS (
+  SELECT vec_id, label,
+         round(CASE WHEN bn IS NULL OR bp > bn THEN bp
+                    ELSE -(bn*bn) END, 6) AS score
+  FROM (SELECT vec_id, label,
+               MAX(CASE WHEN s = 1 THEN sim END) AS bp,
+               MAX(CASE WHEN s = -1 THEN sim END) AS bn
+        FROM sims GROUP BY vec_id, label)
+),
+cut AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY label
+                                 ORDER BY score DESC, vec_id)
+              AS rank_in_group
+    FROM agg)
+  WHERE rank_in_group <= 3
+),
+ranked AS (
+  SELECT *, dense_rank() OVER (ORDER BY best DESC, label) AS group_rank
+  FROM (SELECT *, MAX(score) OVER (PARTITION BY label) AS best FROM cut)
+)
+SELECT CAST(label AS BIGINT) AS "group",
+       CAST(group_rank AS BIGINT) AS group_rank,
+       vec_id, score, CAST(rank_in_group AS BIGINT) AS rank_in_group
+FROM ranked WHERE group_rank <= 5
+""",
+)
+def q_api_recommend_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``recommend_groups`` (best_score strategy): recommend-by-
+    example scoring with the grouped result shape — the 5 best labels,
+    each carrying its top 3 recommendations, groups ranked by their best
+    point's score.  The broadcast example-pairs scan keeps the group
+    column through the fold; nothing after the scan scales with the
+    corpus — only with |labels|·group_size."""
+    from ..operators.query_api import recommend_groups  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "recgrp")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 300)
+        .select(F.col("vec_id").alias("id"), "embedding", "label"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    out = recommend_groups(spark, base, "vecs", positive=[0, 1],
+                           negative=[2], strategy="best_score",
+                           group_by="label", k_groups=5, group_size=3)
+    return out.select(F.col("group").cast("long").alias("group"),
+                      F.col("group_rank").cast("long").alias("group_rank"),
+                      F.col("vec_id").cast("long").alias("vec_id"),
+                      "score",
+                      F.col("rank_in_group").cast("long")
+                      .alias("rank_in_group"))
+
+
+@register(
+    "api_recommend_groups_avg",
+    # recommend_groups with average_vector: the synthetic query (mean of
+    # positives - mean of negatives, folded in the same index order as
+    # the driver-side python loop) runs through the search_groups scan.
+    oracle="""
+WITH refs AS (
+  SELECT (SELECT embedding FROM embeddings WHERE vec_id = 0) AS p1,
+         (SELECT embedding FROM embeddings WHERE vec_id = 1) AS p2,
+         (SELECT embedding FROM embeddings WHERE vec_id = 2) AS n1
+),
+qv AS (
+  SELECT list_transform(range(1, len(p1) + 1),
+           i -> p1[i]::DOUBLE / 2 + p2[i]::DOUBLE / 2 - n1[i]::DOUBLE) AS q
+  FROM refs
+),
+corpus AS (SELECT vec_id, embedding, label FROM embeddings
+           WHERE vec_id < 300 AND vec_id NOT IN (0, 1, 2)
+             AND label IS NOT NULL),
+sims AS (
+  SELECT c.vec_id, c.label,
+         round((SELECT SUM(a*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                                             unnest(q.q) AS b))
+         / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(c.embedding)::DOUBLE AS a)))
+           * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(q.q) AS b)))), 6) AS sim
+  FROM corpus c, qv q
+),
+cut AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY label
+                                 ORDER BY sim DESC, vec_id)
+              AS rank_in_group
+    FROM sims)
+  WHERE rank_in_group <= 2
+),
+ranked AS (
+  SELECT *, dense_rank() OVER (ORDER BY best DESC, label) AS group_rank
+  FROM (SELECT *, MAX(sim) OVER (PARTITION BY label) AS best FROM cut)
+)
+SELECT CAST(label AS BIGINT) AS "group",
+       CAST(group_rank AS BIGINT) AS group_rank,
+       vec_id, sim AS score, CAST(rank_in_group AS BIGINT) AS rank_in_group
+FROM ranked WHERE group_rank <= 4
+""",
+)
+def q_api_recommend_groups_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``recommend_groups`` (average_vector strategy): the mean-of-
+    examples query vector builds driver-side (O(|examples|) fetched rows)
+    and the grouped ranking is literally the shared ``search_groups``
+    code — one broadcast-query corpus scan, two windows, example ids
+    excluded before grouping."""
+    from ..operators.query_api import recommend_groups  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "recgrpavg")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 300)
+        .select(F.col("vec_id").alias("id"), "embedding", "label"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    out = recommend_groups(spark, base, "vecs", positive=[0, 1],
+                           negative=[2], strategy="average_vector",
+                           group_by="label", k_groups=4, group_size=2)
+    return out.select(F.col("group").cast("long").alias("group"),
+                      F.col("group_rank").cast("long").alias("group_rank"),
+                      F.col("vec_id").cast("long").alias("vec_id"),
+                      "score",
+                      F.col("rank_in_group").cast("long")
+                      .alias("rank_in_group"))
+
+
+@register(
+    "api_context_search",
+    # context-only: score = sum over pairs of min(0, cos(c,p) - cos(c,n));
+    # 0 = fully "inside" the context, negatives rank below; ties by id.
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id NOT IN (10, 11, 12, 13)
+),
+refs AS (
+  SELECT
+    (SELECT embedding FROM embeddings WHERE vec_id = 10) AS p1,
+    (SELECT embedding FROM embeddings WHERE vec_id = 11) AS n1,
+    (SELECT embedding FROM embeddings WHERE vec_id = 12) AS p2,
+    (SELECT embedding FROM embeddings WHERE vec_id = 13) AS n2
+),
+cosines AS (
+  SELECT c.vec_id,
+    round((SELECT SUM(a*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                                        unnest(r.p1)::DOUBLE AS b))
+      / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(c.embedding)::DOUBLE AS a)))
+        * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(r.p1)::DOUBLE AS b)))), 6) AS cp1,
+    round((SELECT SUM(a*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                                        unnest(r.n1)::DOUBLE AS b))
+      / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(c.embedding)::DOUBLE AS a)))
+        * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(r.n1)::DOUBLE AS b)))), 6) AS cn1,
+    round((SELECT SUM(a*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                                        unnest(r.p2)::DOUBLE AS b))
+      / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(c.embedding)::DOUBLE AS a)))
+        * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(r.p2)::DOUBLE AS b)))), 6) AS cp2,
+    round((SELECT SUM(a*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                                        unnest(r.n2)::DOUBLE AS b))
+      / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(c.embedding)::DOUBLE AS a)))
+        * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(r.n2)::DOUBLE AS b)))), 6) AS cn2
+  FROM corpus c, refs r
+)
+SELECT vec_id, ctx_score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT vec_id,
+             round(least(0, cp1 - cn1) + least(0, cp2 - cn2), 6)
+               AS ctx_score,
+             row_number() OVER (
+               ORDER BY round(least(0, cp1 - cn1) + least(0, cp2 - cn2), 6)
+                        DESC, vec_id) AS rank
+      FROM cosines)
+WHERE rank <= 10
+""",
+)
+def q_api_context_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant CONTEXT search (discover's target-less sibling): rank by how
+    deep inside the context a point sits — each (positive, negative) pair
+    contributes ``min(0, cos(c,p) − cos(c,n))``, so a point on the
+    positive side of every pair scores 0 (best) and violations subtract.
+    The 4 reference vectors fold into one broadcast row; the corpus scans
+    once with per-row JVM expressions — cosines round to 6 on both
+    engines BEFORE the pair differences, keeping the classification
+    engine-stable."""
+    from ..functions.vector import cosine_similarity  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    names = {10: "p1", 11: "n1", 12: "p2", 13: "n2"}
+    ref = emb.filter(F.col("vec_id").isin(list(names))).groupBy().agg(*[
+        F.first(F.when(F.col("vec_id") == i, F.col("embedding")),
+                ignorenulls=True).alias(n)
+        for i, n in names.items()
+    ])
+    corpus = emb.filter(~F.col("vec_id").isin(list(names)))
+    joined = corpus.crossJoin(F.broadcast(ref))
+
+    def cos(ref_col: str):
+        return F.round(
+            cosine_similarity(F.col("embedding").cast("array<double>"),
+                              F.col(ref_col).cast("array<double>")), 6)
+
+    score = F.round(
+        F.least(F.lit(0.0), cos("p1") - cos("n1"))
+        + F.least(F.lit(0.0), cos("p2") - cos("n2")), 6)
+    scored = joined.select("vec_id", score.alias("ctx_score"))
+    w = Window.orderBy(F.desc("ctx_score"), F.asc("vec_id"))
+    return (scored.orderBy(F.desc("ctx_score"), F.asc("vec_id")).limit(10)
+            .withColumn("rank", F.row_number().over(w))
+            .select("vec_id", "ctx_score",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+@register(
+    "api_formula_boost",
+    # Formula rescoring (Qdrant FormulaQuery): candidates = the dense
+    # prefetch's top-40, final score = $score + 0.25·[grp='g1'] + 0.01·n.
+    # The oracle interpolates the SAME compiled formula text (duckdb
+    # dialect differs only in the epoch primitive, unused here) over the
+    # prefetch scores aliased _score_0 — compiler parity by construction.
+    oracle=f"""
+WITH corpus AS (
+  SELECT vec_id AS id, embedding,
+         'g' || CAST(label % 3 AS VARCHAR) AS grp,
+         vec_id % 97 AS n
+  FROM embeddings WHERE vec_id < 300
+),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT c.id, c.grp, c.n,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.qvec)::DOUBLE AS a,
+                                         unnest(c.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.qvec)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(c.embedding)::DOUBLE AS b)))),
+           6) AS _score_0
+  FROM q, corpus c
+),
+pre AS (
+  SELECT * FROM (SELECT p.*, row_number()
+                   OVER (ORDER BY _score_0 DESC, id) AS prank
+                 FROM pairs p)
+  WHERE prank <= 40
+),
+scored AS (SELECT id, round({_FB_DUCK}, 6) AS score FROM pre)
+SELECT CAST(id AS BIGINT) AS id, score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number()
+        OVER (ORDER BY score DESC, CAST(id AS VARCHAR)) AS rank
+      FROM scored)
+WHERE rank <= 10
+""",
+)
+def q_api_formula_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score boosting (Qdrant ``query_points(prefetch=...,
+    query=FormulaQuery(...))``): the dense prefetch's top-40 rescored by
+    ``$score + 0.25·[grp='g1'] + 0.01·n`` — the formula compiles to ONE
+    shared-dialect SQL scalar (operators/formula.py) evaluated JVM-side
+    over the prefetch scores joined with the hits' bucket-pruned payload
+    fetch; no UDFs, no second collection scan."""
+    from ..operators import query_api  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "fboost")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.filter(F.col("vec_id") < 300).select(
+        F.col("vec_id").alias("id"), "embedding",
+        F.concat(F.lit("g"), (F.col("label") % 3).cast("string"))
+        .alias("grp"),
+        (F.col("vec_id") % 97).alias("n"))
+    upsert.create_collection(
+        spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    pre = query_api.search_points(spark, base, "vecs", qdf, k=40)
+    branch = pre.select(F.col("vec_id").alias("id"),
+                        F.col("sim").alias("score"))
+    out = query_api.query_points(spark, base, "vecs",
+                                 query={"formula": _FB_FORMULA},
+                                 prefetch=[branch], k=10)
+    return out.select(F.col("id").cast("long").alias("id"), "score",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "api_formula_decay",
+    # Decay-kernel boosting (Qdrant gauss_decay/exp_decay + geo_distance
+    # + datetime_key): revenue-ranked prefetch rescored by freshness
+    # around 08:00 and haversine proximity to (10, 20).  Both engines
+    # evaluate the SAME compiled kernel text except the epoch primitive
+    # (unix_timestamp vs floor(epoch)) — exercised here on purpose.
+    oracle=f"""
+WITH pts AS (
+  SELECT o_orderkey AS id,
+         (o_orderkey % 17000) / 100.0 - 85.0 AS lat,
+         ((o_orderkey * 13 + o_custkey) % 36000) / 100.0 - 180.0 AS lon,
+         to_timestamp(1704067200 + (o_orderkey % 1440) * 60) AS ts,
+         o_totalprice
+  FROM orders WHERE o_orderkey < 3000
+),
+pre AS (
+  SELECT * FROM (SELECT p.*, round(o_totalprice / 100000, 6) AS _score_0,
+                        row_number() OVER (ORDER BY o_totalprice DESC,
+                                           id) AS prank
+                 FROM pts p)
+  WHERE prank <= 60
+),
+scored AS (SELECT id, round({_FD_DUCK}, 6) AS score FROM pre)
+SELECT CAST(id AS BIGINT) AS id, score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number()
+        OVER (ORDER BY score DESC, CAST(id AS VARCHAR)) AS rank
+      FROM scored)
+WHERE rank <= 12
+""",
+)
+def q_api_formula_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decay-kernel rescoring (Qdrant FormulaQuery's gauss_decay /
+    exp_decay / geo_distance / datetime_key): a revenue-ranked prefetch
+    over a payload-only collection (no vector spaces — Qdrant allows it;
+    prefetches need not be vector searches) rescored by a time-of-day
+    gaussian around 08:00 (λ folded driver-side from scale/midpoint) and
+    an exponential haversine-proximity kernel — all whole-stage-codegen
+    arithmetic on the prefetch's 60 rows plus one bucket-pruned payload
+    fetch."""
+    from ..operators import query_api  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "fdecay")
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.filter(F.col("o_orderkey") < 3000).select(
+        F.col("o_orderkey").alias("id"),
+        ((F.col("o_orderkey") % 17000) / 100.0 - 85.0).alias("lat"),
+        (((F.col("o_orderkey") * 13 + F.col("o_custkey")) % 36000) / 100.0
+         - 180.0).alias("lon"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("o_orderkey") % 1440) * 60)
+        .alias("ts"),
+        F.col("o_totalprice"))
+    upsert.create_collection(spark, base, "geo_pts", df=pts, id_col="id",
+                             n_buckets=8)
+    branch = (pts.orderBy(F.col("o_totalprice").desc(), "id").limit(60)
+              .select(F.col("id"),
+                      F.round(F.col("o_totalprice") / 100000, 6)
+                      .alias("score")))
+    out = query_api.query_points(spark, base, "geo_pts",
+                                 query={"formula": _FD_FORMULA},
+                                 prefetch=[branch], k=12)
+    return out.select(F.col("id").cast("long").alias("id"), "score",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "api_recommend_euclid",
+    # best_score recommend on a DECLARED-EUCLID collection (round 11,
+    # VERDICT r10 #2): per-pair "sims" are NEGATED euclid distances
+    # (Qdrant's internal score order for distance metrics), the RecoQuery
+    # formula applies verbatim, scores are <= 0 and rank DESCENDING.
+    oracle="""
+WITH ex AS (
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id IN (0, 1) THEN 1 ELSE -1 END AS s
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+corpus AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < 300 AND vec_id NOT IN (0, 1, 2)),
+sims AS (
+  SELECT c.vec_id, e.s,
+         -sqrt((SELECT SUM((a-b)*(a-b))
+                FROM (SELECT unnest(e.embedding)::DOUBLE AS a,
+                             unnest(c.embedding)::DOUBLE AS b))) AS sim
+  FROM corpus c, ex e
+),
+agg AS (
+  SELECT vec_id,
+         MAX(CASE WHEN s = 1 THEN sim END) AS bp,
+         MAX(CASE WHEN s = -1 THEN sim END) AS bn
+  FROM sims GROUP BY vec_id
+),
+sc AS (
+  SELECT vec_id,
+         round(CASE WHEN bn IS NULL OR bp > bn THEN bp
+                    ELSE -(bn*bn) END, 6) AS score
+  FROM agg
+)
+SELECT vec_id, score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT vec_id, score,
+             row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+      FROM sc)
+WHERE rank <= 10
+""",
+)
+def q_api_recommend_euclid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-complete recommend (round 11, VERDICT r10 #2): best_score
+    on a collection DECLARED euclid.  Qdrant defines RecoQuery on every
+    ``Distance`` by comparing scores in internal order — negated
+    distances for euclid/manhattan — so 'best positive' means the
+    CLOSEST positive example, and a candidate whose closest example is
+    a negative sinks to −(best negative)².  Same zero-shuffle broadcast
+    projection as the cosine path; only the per-pair sim expression
+    changes (−l2_distance)."""
+    from ..operators.query_api import recommend_points  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "receuc")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 300)
+        .select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "euclid"}})
+    out = recommend_points(spark, base, "vecs", positive=[0, 1],
+                           negative=[2], strategy="best_score", k=10)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      "score", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "api_discover_manhattan",
+    # discover over a DECLARED-MANHATTAN collection (round 11): pair
+    # wins and target sim compare NEGATED L1 distances, rounded to 6
+    # BEFORE comparison (the discover convention) on both engines.
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id < 300 AND vec_id NOT IN (0, 10, 11, 12, 13)
+),
+ref AS (
+  SELECT (SELECT embedding FROM embeddings WHERE vec_id = 0)  AS tgt,
+         (SELECT embedding FROM embeddings WHERE vec_id = 10) AS p1,
+         (SELECT embedding FROM embeddings WHERE vec_id = 11) AS n1,
+         (SELECT embedding FROM embeddings WHERE vec_id = 12) AS p2,
+         (SELECT embedding FROM embeddings WHERE vec_id = 13) AS n2
+),
+scored AS (
+  SELECT c.vec_id,
+         round(-(SELECT SUM(abs(a-b))
+                 FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                              unnest(r.tgt)::DOUBLE AS b)), 6) AS sim,
+         (CASE WHEN round(-(SELECT SUM(abs(a-b))
+                 FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                              unnest(r.p1)::DOUBLE AS b)), 6)
+             > round(-(SELECT SUM(abs(a-b))
+                 FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                              unnest(r.n1)::DOUBLE AS b)), 6)
+           THEN 1 ELSE 0 END
+        + CASE WHEN round(-(SELECT SUM(abs(a-b))
+                 FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                              unnest(r.p2)::DOUBLE AS b)), 6)
+             > round(-(SELECT SUM(abs(a-b))
+                 FROM (SELECT unnest(c.embedding)::DOUBLE AS a,
+                              unnest(r.n2)::DOUBLE AS b)), 6)
+           THEN 1 ELSE 0 END) AS ctx_wins
+  FROM corpus c, ref r
+)
+SELECT vec_id, CAST(ctx_wins AS BIGINT) AS ctx_wins, sim,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (
+        ORDER BY ctx_wins DESC, sim DESC, vec_id) AS rank FROM scored)
+WHERE rank <= 10
+""",
+)
+def q_api_discover_manhattan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-complete discover (round 11): a manhattan collection serves
+    discover_points by comparing negated L1 distances — a point 'wins' a
+    context pair when it is CLOSER to the positive, and the target sim is
+    the negated target distance (≤ 0, ranked descending).  Same single
+    broadcast-row corpus scan as the cosine path."""
+    from ..operators.query_api import discover_points  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "discman")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 300)
+        .select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "manhattan"}})
+    out = discover_points(spark, base, "vecs", target=0,
+                          context=[(10, 11), (12, 13)], k=10)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      F.col("ctx_wins").cast("long").alias("ctx_wins"),
+                      "sim", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "api_query_nested_prefetch",
+    # prefetch-embedded TYPED query nodes (round 11, VERDICT r10 #1): the
+    # full Qdrant query_points(prefetch=[Prefetch(query=RecommendQuery),
+    # Prefetch(query=<bm25>)], query=FusionQuery(rrf)) tree as ONE
+    # serializable payload — a recommend node (average_vector: synthetic
+    # qvec = mean(pos) − mean(neg), examples excluded) fused with a
+    # stored-BM25 text node by RRF.
+    oracle=r"""
+WITH ex AS (
+  SELECT vec_id, CASE WHEN vec_id IN (0, 1) THEN 1 ELSE -1 END AS s,
+         unnest(embedding)::DOUBLE AS val,
+         unnest(range(0, len(embedding))) AS pos
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+qv AS (
+  SELECT pos,
+         SUM(CASE WHEN s = 1 THEN val END) / 2
+       - SUM(CASE WHEN s = -1 THEN val END) AS qval
+  FROM ex GROUP BY pos
+),
+qvec AS (SELECT list(qval ORDER BY pos) AS v FROM qv),
+reco AS (
+  SELECT id, rank FROM (
+    SELECT s.id, row_number() OVER (ORDER BY s.sim DESC, s.id) AS rank
+    FROM (
+      SELECT e.vec_id AS id,
+             round(
+               (SELECT SUM(a*b) FROM (SELECT unnest(q.v) AS a,
+                                             unnest(e.embedding)::DOUBLE AS b))
+               / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.v) AS a)))
+                 * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS b)))),
+               6) AS sim
+      FROM embeddings e, qvec q
+      WHERE e.vec_id NOT IN (0, 1, 2)) s)
+  WHERE rank <= 20
+),
+ltoks AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> length(x) > 0) AS tk
+  FROM documents
+),
+lens AS (SELECT id, len(tk) AS len FROM ltoks),
+stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),
+posting AS (
+  SELECT id, term, COUNT(*) AS tf
+  FROM (SELECT id, unnest(tk) AS term FROM ltoks)
+  WHERE term IN ('vector', 'join', 'stream')
+  GROUP BY id, term
+),
+dfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM posting GROUP BY term),
+bm25 AS (
+  SELECT id, rank FROM (
+    SELECT s.id, row_number() OVER (ORDER BY s.score DESC, s.id) AS rank
+    FROM (
+      SELECT p.id,
+             round(SUM(
+               ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / stats.avgdl))
+             ), 6) AS score
+      FROM posting p
+      JOIN dfreq ON p.term = dfreq.term
+      JOIN lens ON lens.id = p.id
+      CROSS JOIN stats
+      GROUP BY p.id) s)
+  WHERE rank <= 20
+),
+fused AS (
+  SELECT id, round(SUM(1.0 / (60 + rank)), 6) AS score
+  FROM (SELECT * FROM reco UNION ALL SELECT * FROM bm25)
+  GROUP BY id
+)
+SELECT id, score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY score DESC, id) AS rank
+      FROM fused)
+WHERE rank <= 10
+""",
+)
+def q_api_query_nested_prefetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefetch-embedded typed query nodes (round 11, VERDICT r10 #1): ONE
+    collection carries text + a dense space; the query is a fully
+    SERIALIZABLE payload — ``prefetch=[{'recommend': ...}, {'text': ...}]``
+    with RRF fusion — no caller-built DataFrames anywhere.  The recommend
+    leaf resolves its example ids through the store's id-bucket fetch and
+    runs the synthetic-vector search; the text leaf probes only its
+    terms' buckets of the persisted BM25 posting table; the fusion joins
+    2·20 rows.  Nothing but the two branch scans touches the corpus."""
+    from ..operators.query_api import query_points  # noqa: PLC0415
+    from ..operators.text_search import build_text_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "nestpf")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding")
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8, id_col="id",
+        df=docs.join(emb, "id"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    build_text_index(spark, base, "docs", text_col="text",
+                     n_term_buckets=16)
+    out = query_points(
+        spark, base, "docs",
+        prefetch=[
+            {"recommend": {"positive": [0, 1], "negative": [2]},
+             "limit": 20},
+            {"text": {"column": "text",
+                      "terms": ["vector", "join", "stream"]},
+             "limit": 20},
+        ],
+        fusion="rrf", k=10)
+    return out.select(F.col("id").cast("long").alias("id"), "score",
+                      F.col("rank").cast("long").alias("rank"))

@@ -354,6 +354,23 @@ def main():
         spark, store, "vecs", target=100,
         context=[(100, 102), (101, 102)], k=10).count())
     assert n_disc == 10, n_disc
+    # round-11: the remaining recommend strategy + context at scale —
+    # average_vector is ONE plain kNN by the synthetic mean vector;
+    # context is the same broadcast-pair scan as discover with the
+    # min(0, ·) fold — neither may collect more than |examples| rows
+    from bob_vector_db_spark.operators.query_api import (  # noqa: PLC0415
+        context_points,
+    )
+    n_avg = _timed("recommend_average_vector", timings,
+                   lambda: recommend_points(
+                       spark, store, "vecs", positive=[100, 101],
+                       negative=[102], strategy="average_vector",
+                       k=10).count())
+    assert n_avg == 10, n_avg
+    n_ctx = _timed("context_2pairs", timings, lambda: context_points(
+        spark, store, "vecs", context=[(100, 102), (101, 102)],
+        k=10).count())
+    assert n_ctx == 10, n_ctx
 
     _timed("compact_vecs", timings, lambda: upsert.compact_collection(
         spark, store, "vecs"))
@@ -704,6 +721,46 @@ def main():
             .collect())))
     assert l1_idx == l1_exact, "manhattan indexed diverged from exact"
     print("  manhattan indexed == exact    OK")
+
+    # round-11: metric-complete recommend at scale — best_score on the
+    # manhattan collection folds NEGATED L1 distances in the same
+    # zero-shuffle broadcast projection; scores ≤ 0, ranked descending
+    l1_rec = _timed("recommend_bestscore_manhattan", timings,
+                    lambda: recommend_points(
+                        spark, store, "l1", positive=[100, 101],
+                        negative=[102], strategy="best_score",
+                        k=10).orderBy("rank").collect())
+    assert len(l1_rec) == 10 and all(r["score"] <= 0 for r in l1_rec)
+    assert l1_rec[0]["score"] >= l1_rec[-1]["score"]
+
+    # round-11: the serializable nested-prefetch tree at scale — a
+    # recommend node fused with a stored-BM25 text node by RRF in ONE
+    # query_points payload; both branches ride their pruned physical
+    # plans (broadcast-example scan / term-bucket posting probe) and the
+    # fusion joins 2·k rows regardless of corpus size.  The docs store
+    # churned (bulk delete halved it) after its BM25 index was built, so
+    # rebuild the text index first — the realistic "refresh before
+    # serving" step.
+    from bob_vector_db_spark.operators.query_api import (  # noqa: PLC0415
+        query_points,
+    )
+    _timed("rebuild_bm25_post_churn", timings, lambda: build_text_index(
+        spark, store, "docs", text_col="text", n_term_buckets=32))
+    n_np = _timed("nested_prefetch_reco_bm25", timings, lambda: query_points(
+        spark, store, "vecs",
+        prefetch=[{"recommend": {"positive": [100, 101],
+                                 "negative": [102],
+                                 "strategy": "best_score"},
+                   "limit": 20}],
+        fusion="rrf", k=10).count())
+    assert n_np == 10, n_np
+    n_np2 = _timed("nested_prefetch_text_only", timings, lambda: query_points(
+        spark, store, "docs",
+        prefetch=[{"text": {"column": "text",
+                            "terms": ["vector", "join", "stream"]},
+                   "limit": 20}],
+        fusion="rrf", k=10).count())
+    assert n_np2 == 10, n_np2
 
     summary = {"n_docs": n_docs, "n_emb": n_emb,
                "total_s": round(time.time() - t_all, 2), "timings": timings}
