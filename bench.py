@@ -122,7 +122,9 @@ def main() -> None:
         print(f"# {name} (pass 2): {total}s", file=sys.stderr)
         if total < times[name]:
             times[name] = total
-            if name in splits:
+            # re-decide split membership on the KEPT pass so the split
+            # always describes the run the total came from
+            if name.startswith("store_") or build >= 0.5 or name in splits:
                 splits[name] = {"build_sec": build, "search_sec": search}
 
     headline_total = round(sum(times[n] for n in HEADLINE if n in times), 3)

@@ -1977,19 +1977,45 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
     limit = int(node.get("limit", node.get("k", k)))
     flt = node.get("filter")
     using = node.get("using")
+    def _spec_keys(spec: dict, ok: set, what: str):
+        bad = sorted(set(spec) - ok)
+        if bad:
+            raise ValueError(
+                f"{what} node spec has unknown keys {bad}; "
+                f"allowed: {sorted(ok)}")
+
+    def _internal_order(score_df: DataFrame) -> DataFrame:
+        # branch scores carry Qdrant's INTERNAL order (larger is better)
+        # so every fusion parent — DBSF normalizes by score — sees one
+        # convention: a nearest / average_vector branch on a euclid or
+        # manhattan collection negates its raw (ascending) distance
+        _, _, _, m = _resolve_search_space(root, collection, using)
+        if m in ("euclid", "manhattan"):
+            return score_df.withColumn("score", -F.col("score"))
+        return score_df
+
     if kind == "recommend":
         spec = node["recommend"]
+        _spec_keys(spec, {"positive", "negative", "strategy",
+                          "lookup_from_collection", "lookup_from_vector"},
+                   "recommend")
+        strategy = spec.get("strategy", "average_vector")
         out = recommend_points(
             spark, root, collection,
             positive=list(spec.get("positive", [])),
             negative=list(spec.get("negative") or []),
-            strategy=spec.get("strategy", "average_vector"),
+            strategy=strategy,
             k=limit, flt=flt, vector_name=using, round_to=round_to,
             lookup_from_collection=spec.get("lookup_from_collection"),
             lookup_from_vector=spec.get("lookup_from_vector"))
-        return out.select(F.col("vec_id").alias("id"), "score", "rank")
+        out = out.select(F.col("vec_id").alias("id"), "score", "rank")
+        # best_score/sum_scores already fold negated distances
+        return _internal_order(out) if strategy == "average_vector" else out
     if kind == "discover":
         spec = node["discover"]
+        _spec_keys(spec, {"target", "context",
+                          "lookup_from_collection", "lookup_from_vector"},
+                   "discover")
         out = discover_points(
             spark, root, collection, target=spec.get("target"),
             context=list(spec.get("context", [])), k=limit, flt=flt,
@@ -2024,16 +2050,17 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
         else:  # stored point id (self-excluding by-id search)
             out = query_points(spark, root, collection, query=spec,
                                k=limit, flt=flt, vector_name=using)
-        return out.select(F.col("vec_id").alias("id"),
-                          F.col("sim").alias("score"), "rank")
+        return _internal_order(
+            out.select(F.col("vec_id").alias("id"),
+                       F.col("sim").alias("score"), "rank"))
     if kind == "text":
         spec = node["text"]
-        unknown = sorted(set(spec) - {"column", "field", "terms", "query",
-                                      "k1", "b"})
-        if unknown:
+        _spec_keys(spec, {"column", "field", "terms", "query", "k1", "b"},
+                   "text")
+        if "terms" not in spec and "query" not in spec:
             raise ValueError(
-                f"text node spec has unknown keys {unknown}; allowed: "
-                f"['column'|'field', 'terms'|'query', 'k1', 'b']")
+                "text node spec needs 'terms' (a token list) or "
+                "'query' (a whitespace-split string)")
         terms = (list(spec["terms"]) if "terms" in spec
                  else str(spec["query"]).split())
         out = search_text_points(
@@ -2108,8 +2135,17 @@ def fuse_prefetch(node, k: int = 10, round_to: int = 6, spark=None,
     if kind != "fusion":
         return _resolve_typed_node(spark, root, collection, kind, node,
                                    k=k, round_to=round_to)
+    stray = sorted(set(node) - {"fusion", "prefetch", "k", "limit"})
+    if stray:
+        # a filter/using on a FUSION node would be silently dropped —
+        # per-branch knobs live on the leaves (the typed leaves raise on
+        # stray keys too; the guards must match)
+        raise ValueError(
+            f"fusion node has unknown keys {stray}; allowed: "
+            f"['fusion', 'prefetch', 'k'|'limit'] — put filter/using on "
+            f"the leaf nodes, not the fusion")
     fusion = str(node.get("fusion", "rrf")).lower()
-    kk = int(node.get("k", k))
+    kk = int(node.get("limit", node.get("k", k)))
     children = [fuse_prefetch(c, k=kk, round_to=round_to, spark=spark,
                               root=root, collection=collection)
                 for c in node.get("prefetch", [])]

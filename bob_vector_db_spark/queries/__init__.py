@@ -39,20 +39,13 @@ from . import (  # noqa: E402,F401
 # submodule), and flagship() below needs the header bindings
 
 
-import os
 from collections.abc import Callable
-from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import vector
-from ..functions.hashing import POLY_MOD, poly_hash
-from ..functions.text import ws_tokens
-from ..operators import centroid, dedup, index, knn, normalize, quantize, upsert
+from ..operators import knn
 from ..sources import load_table
-from ..streaming import windows
-
 
 
 # ---------------------------------------------------------------------------

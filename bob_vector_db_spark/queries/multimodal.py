@@ -4,22 +4,14 @@
 from __future__ import annotations
 
 import os
-from collections.abc import Callable
-from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import vector
-from ..functions.hashing import POLY_MOD, poly_hash
-from ..functions.text import ws_tokens
-from ..operators import centroid, dedup, index, knn, normalize, quantize, upsert
 from ..sources import load_table
-from ..streaming import windows
 
 from ._registry import register
 from ._shared import *  # noqa: F403 — shared oracle/fixture helpers
-
 
 
 # ---------------------------------------------------------------------------

@@ -4,23 +4,17 @@
 
 from __future__ import annotations
 
-import os
-from collections.abc import Callable
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector
-from ..functions.hashing import POLY_MOD, poly_hash
-from ..functions.text import ws_tokens
-from ..operators import centroid, dedup, index, knn, normalize, quantize, upsert
+from ..operators import index, knn, upsert
 from ..sources import load_table
 from ..streaming import windows
 
 from ._registry import register
 from ._shared import *  # noqa: F403 — shared oracle/fixture helpers
-
 
 
 @register(
@@ -1183,15 +1177,19 @@ reco AS (
                / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.v) AS a)))
                  * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS b)))),
                6) AS sim
-      FROM embeddings e, qvec q
-      WHERE e.vec_id NOT IN (0, 1, 2)) s)
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id, qvec q
+      WHERE e.vec_id < 300 AND e.vec_id NOT IN (0, 1, 2)) s)
   WHERE rank <= 20
 ),
 ltoks AS (
-  SELECT doc_id AS id,
-         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+  -- the Spark collection is documents INNER JOIN embeddings, both
+  -- bounded to id < 300 — the oracle corpus must bound BOTH tables the
+  -- same way (at sf0.1 the two id domains genuinely differ)
+  SELECT d.doc_id AS id,
+         list_filter(regexp_split_to_array(trim(lower(d.text)), '\s+'),
                      x -> length(x) > 0) AS tk
-  FROM documents
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.doc_id < 300
 ),
 lens AS (SELECT id, len(tk) AS len FROM ltoks),
 stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),
@@ -1243,8 +1241,8 @@ def q_api_query_nested_prefetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_search import build_text_index  # noqa: PLC0415
 
     base = _tmp_base(sf_dir, "nestpf")
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("id"), "text")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300).select(F.col("doc_id").alias("id"), "text")
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), "embedding")
     upsert.create_collection(

@@ -216,6 +216,28 @@ def test_prefetch_typed_query_nodes(spark, tmp_path):
         spark=spark, root=root, collection="c").collect()
     assert form and all(r["score"] > 10.0 for r in form)
 
+    # internal score order (review r11): a nearest / average_vector leaf
+    # on a DISTANCE-metric collection negates its raw distance so every
+    # branch feeds a DBSF parent the same larger-is-better convention
+    root_e = str(tmp_path / "s_euclid")
+    upsert.create_collection(
+        spark, root_e, "c", id_col="id", n_buckets=2,
+        df=spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.5, 0.5])],
+            "id long, vec array<double>"),
+        vector_config={"vec": {"size": 2, "distance": "euclid"}})
+    near_e = query_api.fuse_prefetch(
+        {"nearest": [1.0, 0.0], "limit": 3}, spark=spark, root=root_e,
+        collection="c").orderBy("rank").collect()
+    assert near_e and all(r["score"] <= 0 for r in near_e)
+    assert near_e[0]["id"] == 1  # closest ranks first, score = -distance
+    assert near_e[0]["score"] >= near_e[-1]["score"]
+    avg_e = query_api.fuse_prefetch(
+        {"recommend": {"positive": [1], "strategy": "average_vector"},
+         "limit": 2}, spark=spark, root=root_e,
+        collection="c").collect()
+    assert avg_e and all(r["score"] <= 0 for r in avg_e)
+
     # guards: unknown kind, two kinds, stray keys, missing context
     with pytest.raises(ValueError, match="exactly one of"):
         query_api.fuse_prefetch({"recommendz": {"positive": [1]}},
@@ -231,6 +253,24 @@ def test_prefetch_typed_query_nodes(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown keys"):
         query_api.fuse_prefetch(
             {"text": {"column": "text", "termz": ["vector"]}},
+            spark=spark, root=root, collection="c")
+    # typos INSIDE a recommend/discover spec raise too (review r11)
+    with pytest.raises(ValueError, match="unknown keys"):
+        query_api.fuse_prefetch(
+            {"recommend": {"positive": [1], "negitive": [2]}},
+            spark=spark, root=root, collection="c")
+    with pytest.raises(ValueError, match="unknown keys"):
+        query_api.fuse_prefetch(
+            {"discover": {"target": 1, "contxt": [(2, 3)]}},
+            spark=spark, root=root, collection="c")
+    # a filter on a FUSION node would be silently dropped — refuse
+    with pytest.raises(ValueError, match="unknown keys"):
+        query_api.fuse_prefetch(
+            {"fusion": "rrf", "prefetch": [reco], "filter": "x"},
+            spark=spark, root=root, collection="c")
+    with pytest.raises(ValueError, match="'terms'.*or.*'query'"):
+        query_api.fuse_prefetch(
+            {"text": {"column": "text"}},
             spark=spark, root=root, collection="c")
     with pytest.raises(ValueError, match="STORED collection"):
         query_api.fuse_prefetch({"recommend": {"positive": [1]}})
