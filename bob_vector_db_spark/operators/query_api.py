@@ -366,6 +366,12 @@ def search_points(spark: SparkSession, root: str, collection: str,
                                            else use_index),
                                 n_probe=n_probe,
                                 rerank_factor=rerank_factor)
+        if round_to is not None and round_to != 6:
+            # search_collection's scorers round to the repo-wide 6;
+            # honor a caller's coarser/finer round_to here (the filtered
+            # branches below thread it natively) — ranks computed at 6
+            # stay, a deterministic refinement of the coarser ties
+            out = out.withColumn("sim", F.round("sim", int(round_to)))
     else:
         id_col = meta.get("id_col", "id")
         out, resolution = None, None
@@ -982,6 +988,7 @@ def query_points(spark: SparkSession, root: str, collection: str,
                  use_index: str | bool = "auto",
                  n_probe: int | None = None,
                  rerank_factor: int = 5,
+                 round_to: int = 6,
                  lookup_from_collection: str | None = None,
                  lookup_from_vector: str | None = None,
                  with_payload: bool | list = False,
@@ -1111,6 +1118,7 @@ def query_points(spark: SparkSession, root: str, collection: str,
                 negative=list(spec.get("negative") or []),
                 strategy=strategy,
                 k=n_pre, flt=flt, vector_name=vector_name, tenant=tenant,
+                round_to=round_to,
                 lookup_from_collection=lookup_from_collection,
                 lookup_from_vector=lookup_from_vector)
             score_col = "score"
@@ -1140,7 +1148,7 @@ def query_points(spark: SparkSession, root: str, collection: str,
             out = discover_points(
                 spark, root, collection, target=spec.get("target"),
                 context=list(spec.get("context", [])), k=n_pre, flt=flt,
-                vector_name=vector_name, tenant=tenant,
+                vector_name=vector_name, tenant=tenant, round_to=round_to,
                 lookup_from_collection=lookup_from_collection,
                 lookup_from_vector=lookup_from_vector)
             score_col = "sim"
@@ -1148,6 +1156,7 @@ def query_points(spark: SparkSession, root: str, collection: str,
             out = context_points(
                 spark, root, collection, context=list(query["context"]),
                 k=n_pre, flt=flt, vector_name=vector_name, tenant=tenant,
+                round_to=round_to,
                 lookup_from_collection=lookup_from_collection,
                 lookup_from_vector=lookup_from_vector)
             score_col = "ctx_score"
@@ -1195,7 +1204,7 @@ def query_points(spark: SparkSession, root: str, collection: str,
         return out
     if isinstance(query, DataFrame):
         return search_points(spark, root, collection, query, flt=flt, k=k,
-                             vector_name=vector_name,
+                             vector_name=vector_name, round_to=round_to,
                              use_payload_index=use_payload_index,
                              tenant=tenant, score_threshold=score_threshold,
                              offset=offset, use_index=use_index,
@@ -1256,7 +1265,7 @@ def query_points(spark: SparkSession, root: str, collection: str,
 
     out = search_points(spark, root, collection, qdf, flt=flt,
                         k=k + 1 + int(offset),
-                        vector_name=vector_name,
+                        vector_name=vector_name, round_to=round_to,
                         use_payload_index=use_payload_index, tenant=tenant,
                         score_threshold=score_threshold,
                         use_index=use_index, n_probe=n_probe,
@@ -1707,18 +1716,23 @@ def _example_vec(x, got: dict):
 def _discover_refs(spark: SparkSession, root: str, collection: str,
                    meta: dict, vector_name: str, examples: list,
                    lookup_from_collection: str | None,
-                   lookup_from_vector: str | None, caller: str):
+                   lookup_from_vector: str | None, caller: str,
+                   metric: str | None = None):
     """Resolve the id-shaped examples of a discover/context call to their
     stored vectors.  Returns ``(got, exclude_ids)`` — ``exclude_ids`` is
     the id list to drop from the corpus (empty when every example is a
-    raw vector, or when they resolve in another collection)."""
+    raw vector, or when they resolve in another collection).  ``metric``
+    makes the fetch refuse NaN / zero-norm examples with an id-specific
+    message (``_context_scan`` re-validates every resolved ref anyway —
+    this is the earlier, clearer failure)."""
     ids_needed = [x for x in examples if not isinstance(x, (list, tuple))]
     if not ids_needed:
         return {}, []
     ex_ids = [str(i) for i in ids_needed]
     got, same_coll = _fetch_example_vectors(
         spark, root, collection, meta, vector_name, ex_ids,
-        lookup_from_collection, lookup_from_vector, caller=caller)
+        lookup_from_collection, lookup_from_vector, caller=caller,
+        metric=metric)
     return got, (ex_ids if same_coll else [])
 
 
@@ -1772,7 +1786,7 @@ def _context_scan(spark: SparkSession, root: str, collection: str,
         [x for pair in context for x in pair]
     got, exclude = _discover_refs(
         spark, root, collection, meta, vector_name, examples,
-        lookup_from_collection, lookup_from_vector, caller)
+        lookup_from_collection, lookup_from_vector, caller, metric=metric)
 
     ref_cols, ref_vals = [], []
     if target is not None:
@@ -1967,6 +1981,9 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
     allowed = {kind, "limit", "k", "filter", "using"}
     if kind == "formula":
         allowed |= {"prefetch", "defaults"}
+    if kind == "text":
+        allowed -= {"using"}  # BM25 has no vector space — a stray
+        # 'using' would be silently meaningless, so it raises below
     extra = sorted(set(node) - allowed)
     if extra:
         raise ValueError(
@@ -2049,7 +2066,8 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
                                 round_to=round_to)
         else:  # stored point id (self-excluding by-id search)
             out = query_points(spark, root, collection, query=spec,
-                               k=limit, flt=flt, vector_name=using)
+                               k=limit, flt=flt, vector_name=using,
+                               round_to=round_to)
         return _internal_order(
             out.select(F.col("vec_id").alias("id"),
                        F.col("sim").alias("score"), "rank"))

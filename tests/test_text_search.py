@@ -192,11 +192,13 @@ def test_prefetch_typed_query_nodes(spark, tmp_path):
          "filter": Filter(must=[MatchValue("tag", "b")])},
         spark=spark, root=root, collection="c").collect()
     assert near and {r["id"] for r in near} <= {3, 4}
-    # nearest by stored point id excludes the point itself
+    # nearest by stored point id excludes the point itself, and honors
+    # the tree's round_to like the raw-vector form (review r11 pass 2)
     byid = query_api.fuse_prefetch(
-        {"nearest": 1, "limit": 3}, spark=spark, root=root,
+        {"nearest": 1, "limit": 3}, round_to=2, spark=spark, root=root,
         collection="c").collect()
     assert byid and all(r["id"] != 1 for r in byid)
+    assert all(round(r["score"], 2) == r["score"] for r in byid)
 
     # discover/context leaves nest under a fusion parent
     nested = query_api.fuse_prefetch(

@@ -39,7 +39,8 @@ def main() -> int:
                 print(f"REFUSED: freezing would drop {len(gone)} names: "
                       f"{gone}")
                 return 1
-        json.dump({"names": names, "n_oracled": len(oracles)},
+        json.dump({"names": names, "oracled": sorted(oracles),
+                   "n_oracled": len(oracles)},
                   open(MANIFEST, "w"), indent=1)
         print(f"froze {len(names)} names ({len(oracles)} oracled)")
         return 0
@@ -49,6 +50,14 @@ def main() -> int:
     if missing:
         print(f"FAIL: {len(missing)} promised queries missing from the "
               f"registry (decorator displaced?): {missing}")
+        return 1
+    # a displaced spec can also keep the NAME but lose its ORACLE
+    # (re-registering with oracle=None) — the frozen oracled list
+    # catches the silent downgrade to a rows-only check
+    lost = sorted(set(want.get("oracled", [])) - set(oracles))
+    if lost:
+        print(f"FAIL: {len(lost)} queries lost their DuckDB oracle "
+              f"(spec displaced?): {lost}")
         return 1
     extra = sorted(set(names) - set(want["names"]))
     print(f"OK: all {len(want['names'])} manifest names registered"
