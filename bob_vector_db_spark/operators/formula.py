@@ -302,8 +302,8 @@ def formula_rescore(spark: SparkSession, root: str, collection: str,
     if not prefetch:
         raise ValueError("formula_rescore needs at least one prefetch "
                          "branch — candidates come from the prefetches")
-    branches = [fuse_prefetch(b, spark=spark, root=root,
-                              collection=collection)
+    branches = [fuse_prefetch(b, k=k, round_to=round_to, spark=spark,
+                              root=root, collection=collection)
                 if isinstance(b, dict) else b
                 for b in prefetch]
     scored = []

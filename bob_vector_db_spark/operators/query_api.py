@@ -366,11 +366,14 @@ def search_points(spark: SparkSession, root: str, collection: str,
                                            else use_index),
                                 n_probe=n_probe,
                                 rerank_factor=rerank_factor)
-        if round_to is not None and round_to != 6:
+        if round_to is not None and round_to < 6:
             # search_collection's scorers round to the repo-wide 6;
-            # honor a caller's coarser/finer round_to here (the filtered
-            # branches below thread it natively) — ranks computed at 6
-            # stay, a deterministic refinement of the coarser ties
+            # honor a COARSER round_to by re-rounding (ranks computed at
+            # 6 stay — a deterministic refinement of the coarser ties).
+            # A finer-than-6 request cannot recover precision on this
+            # branch (the 6-decimal value is already the stored truth);
+            # callers needing more decimals use the filtered path or
+            # knn_join directly, which thread round_to natively.
             out = out.withColumn("sim", F.round("sim", int(round_to)))
     else:
         id_col = meta.get("id_col", "id")
@@ -1063,7 +1066,8 @@ def query_points(spark: SparkSession, root: str, collection: str,
                 "— apply query_filter/tenant scope inside each branch")
         out = formula_rescore(
             spark, root, collection, list(prefetch), query["formula"],
-            defaults=query.get("defaults"), k=k + int(offset))
+            defaults=query.get("defaults"), k=k + int(offset),
+            round_to=round_to)
         if offset:
             out = (out.filter(F.col("rank") > offset)
                    .withColumn("rank", F.col("rank") - F.lit(int(offset))))
@@ -1111,6 +1115,9 @@ def query_points(spark: SparkSession, root: str, collection: str,
                 use_payload_index=use_payload_index, tenant=tenant)
         if kind == "recommend":
             spec = query["recommend"]
+            _check_spec_keys(spec, {"positive", "negative", "strategy",
+                                    "lookup_from_collection",
+                                    "lookup_from_vector"}, "recommend")
             strategy = spec.get("strategy", "average_vector")
             out = recommend_points(
                 spark, root, collection,
@@ -1119,8 +1126,10 @@ def query_points(spark: SparkSession, root: str, collection: str,
                 strategy=strategy,
                 k=n_pre, flt=flt, vector_name=vector_name, tenant=tenant,
                 round_to=round_to,
-                lookup_from_collection=lookup_from_collection,
-                lookup_from_vector=lookup_from_vector)
+                lookup_from_collection=spec.get("lookup_from_collection",
+                                                lookup_from_collection),
+                lookup_from_vector=spec.get("lookup_from_vector",
+                                            lookup_from_vector))
             score_col = "score"
             if score_threshold is not None \
                     and strategy == "average_vector":
@@ -1145,12 +1154,17 @@ def query_points(spark: SparkSession, root: str, collection: str,
                     "second), so a sim floor is not a suffix cut of "
                     "the result")
             spec = query["discover"]
+            _check_spec_keys(spec, {"target", "context",
+                                    "lookup_from_collection",
+                                    "lookup_from_vector"}, "discover")
             out = discover_points(
                 spark, root, collection, target=spec.get("target"),
                 context=list(spec.get("context", [])), k=n_pre, flt=flt,
                 vector_name=vector_name, tenant=tenant, round_to=round_to,
-                lookup_from_collection=lookup_from_collection,
-                lookup_from_vector=lookup_from_vector)
+                lookup_from_collection=spec.get("lookup_from_collection",
+                                                lookup_from_collection),
+                lookup_from_vector=spec.get("lookup_from_vector",
+                                            lookup_from_vector))
             score_col = "sim"
         else:  # context
             out = context_points(
@@ -1186,6 +1200,7 @@ def query_points(spark: SparkSession, root: str, collection: str,
                 "which k hits survive fusion")
         out = fuse_prefetch({"fusion": fusion, "k": k + int(offset),
                              "prefetch": list(prefetch)},
+                            round_to=round_to,
                             spark=spark, root=root, collection=collection)
         # the search params apply to the FUSED ranking (Qdrant applies
         # limit/offset/threshold after fusion): rrf/dbsf scores both
@@ -1964,6 +1979,21 @@ _NODE_KINDS = ("fusion", "formula", "recommend", "discover", "context",
                "nearest", "text")
 
 
+def _check_spec_keys(spec, ok: set, what: str) -> None:
+    """Typo guard for serialized query-node SPECS (the inner dicts of
+    ``{'recommend': {...}}`` etc.): unknown keys raise loudly — a typo
+    like ``'negitive'`` would otherwise silently change the query.
+    Shared by the prefetch-leaf resolver and the terminal ``query=``
+    dict branches so both entry points enforce one contract."""
+    if not isinstance(spec, dict):
+        return  # context nodes carry a pair LIST, not a spec dict
+    bad = sorted(set(spec) - ok)
+    if bad:
+        raise ValueError(
+            f"{what} node spec has unknown keys {bad}; "
+            f"allowed: {sorted(ok)}")
+
+
 def _resolve_typed_node(spark, root: str | None, collection: str | None,
                         kind: str, node: dict, k: int,
                         round_to: int) -> DataFrame:
@@ -1994,13 +2024,6 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
     limit = int(node.get("limit", node.get("k", k)))
     flt = node.get("filter")
     using = node.get("using")
-    def _spec_keys(spec: dict, ok: set, what: str):
-        bad = sorted(set(spec) - ok)
-        if bad:
-            raise ValueError(
-                f"{what} node spec has unknown keys {bad}; "
-                f"allowed: {sorted(ok)}")
-
     def _internal_order(score_df: DataFrame) -> DataFrame:
         # branch scores carry Qdrant's INTERNAL order (larger is better)
         # so every fusion parent — DBSF normalizes by score — sees one
@@ -2013,7 +2036,7 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
 
     if kind == "recommend":
         spec = node["recommend"]
-        _spec_keys(spec, {"positive", "negative", "strategy",
+        _check_spec_keys(spec, {"positive", "negative", "strategy",
                           "lookup_from_collection", "lookup_from_vector"},
                    "recommend")
         strategy = spec.get("strategy", "average_vector")
@@ -2030,7 +2053,7 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
         return _internal_order(out) if strategy == "average_vector" else out
     if kind == "discover":
         spec = node["discover"]
-        _spec_keys(spec, {"target", "context",
+        _check_spec_keys(spec, {"target", "context",
                           "lookup_from_collection", "lookup_from_vector"},
                    "discover")
         out = discover_points(
@@ -2073,7 +2096,7 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
                        F.col("sim").alias("score"), "rank"))
     if kind == "text":
         spec = node["text"]
-        _spec_keys(spec, {"column", "field", "terms", "query", "k1", "b"},
+        _check_spec_keys(spec, {"column", "field", "terms", "query", "k1", "b"},
                    "text")
         if "terms" not in spec and "query" not in spec:
             raise ValueError(
@@ -2090,17 +2113,20 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
     # kind == "formula": rescore the node's OWN prefetch branches
     from .formula import formula_rescore  # noqa: PLC0415
 
-    children = [fuse_prefetch(c, k=limit, round_to=round_to, spark=spark,
-                              root=root, collection=collection)
-                for c in node.get("prefetch", [])]
-    if not children:
+    # guards BEFORE child resolution: resolving a typed child runs eager
+    # store work (example-vector fetches), wasted on an always-rejected
+    # input
+    if not node.get("prefetch"):
         raise ValueError(
             "a formula prefetch node needs its own prefetch=[...] "
             "children — candidates come from them (FormulaQuery)")
     if flt is not None or using is not None:
         raise ValueError(
-            "a formula node rescored branches — apply filter/using "
+            "a formula node rescores branches — apply filter/using "
             "inside each child branch, not to the rescoring node")
+    children = [fuse_prefetch(c, k=limit, round_to=round_to, spark=spark,
+                              root=root, collection=collection)
+                for c in node.get("prefetch", [])]
     return formula_rescore(spark, root, collection, children,
                            node["formula"], defaults=node.get("defaults"),
                            k=limit, round_to=round_to)
