@@ -1043,12 +1043,12 @@ def query_points(spark: SparkSession, root: str, collection: str,
     """
     if isinstance(query, dict):
         _kinds = ({"formula", "recommend", "discover", "context",
-                   "sample"} & set(query))
+                   "sample", "nearest"} & set(query))
         if len(_kinds) != 1:
             raise ValueError(
                 "query_points dict query must carry exactly one of "
                 "'formula', 'recommend', 'discover', 'context', "
-                f"'sample'; got {sorted(query)}")
+                f"'sample', 'nearest'; got {sorted(query)}")
     if isinstance(query, dict) and "formula" in query:
         # Qdrant query=FormulaQuery(formula=..., defaults=...) WITH
         # prefetch: rescore the union of prefetch candidates by the
@@ -1079,6 +1079,57 @@ def query_points(spark: SparkSession, root: str, collection: str,
         if with_vectors:
             out = attach_vectors(spark, root, collection, out,
                                  with_vectors, id_col_out="id")
+        return out
+    if isinstance(query, dict) and "nearest" in query:
+        # Qdrant NearestQuery node.  WITH prefetch this is the Query
+        # API's two-stage shape — the branches retrieve, the nearest
+        # query RESCORES their candidate union (rescore_by_nearest);
+        # without prefetch it is sugar for query=<vector-or-id>.
+        spec = query["nearest"]
+        if prefetch is None:
+            if isinstance(spec, (list, tuple)):
+                if spec and isinstance(spec[0], (list, tuple)):
+                    qdf = spark.createDataFrame(
+                        [(0, [[float(x) for x in r] for r in spec])],
+                        "qid long, qvec array<array<double>>")
+                else:
+                    qdf = spark.createDataFrame(
+                        [(0, [float(x) for x in spec])],
+                        "qid long, qvec array<double>")
+            else:
+                qdf = spec  # stored point id — the by-id path below
+            return query_points(
+                spark, root, collection, query=qdf, k=k, flt=flt,
+                vector_name=vector_name,
+                use_payload_index=use_payload_index, tenant=tenant,
+                score_threshold=score_threshold, offset=offset,
+                use_index=use_index, n_probe=n_probe,
+                rerank_factor=rerank_factor, round_to=round_to,
+                lookup_from_collection=lookup_from_collection,
+                lookup_from_vector=lookup_from_vector,
+                with_payload=with_payload, with_vectors=with_vectors)
+        out = rescore_by_nearest(
+            spark, root, collection, list(prefetch), spec,
+            k=k + int(offset), flt=flt, vector_name=vector_name,
+            round_to=round_to, tenant=tenant,
+            lookup_from_collection=lookup_from_collection,
+            lookup_from_vector=lookup_from_vector)
+        if offset:
+            out = (out.filter(F.col("rank") > offset)
+                   .withColumn("rank", F.col("rank") - F.lit(int(offset))))
+        if score_threshold is not None:
+            _, _, _, _m = _resolve_search_space(
+                root, collection, vector_name)
+            cut = (F.col("score") <= float(score_threshold)
+                   if _m in ("euclid", "manhattan")
+                   else F.col("score") >= float(score_threshold))
+            out = out.filter(cut)
+        if with_payload:
+            out = attach_payload(spark, root, collection, out,
+                                 with_payload, id_col_out="vec_id")
+        if with_vectors:
+            out = attach_vectors(spark, root, collection, out,
+                                 with_vectors, id_col_out="vec_id")
         return out
     if isinstance(query, dict):
         # Qdrant universal-API query NODES: RecommendInput /
@@ -2000,7 +2051,10 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
     """Resolve one serialized typed query node against the stored
     collection, normalized to the branch contract ``(id, score, rank)``.
     Per-node knobs: ``limit`` (alias ``k``), ``filter`` (the payload
-    DSL), ``using`` (named vector space) — Qdrant's Prefetch fields.
+    DSL), ``using`` (named vector space), ``score_threshold`` (cut in
+    the kind's NATIVE score convention — a rank-suffix cut for every
+    kind that accepts it; discover refuses, its ranking is composite)
+    — Qdrant's Prefetch fields.
     Unknown keys raise loudly: these nodes travel as serialized payloads
     where a typo would otherwise silently change the query."""
     if spark is None or root is None or collection is None:
@@ -2008,22 +2062,31 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
             f"prefetch node {{{kind!r}: ...}} resolves against a STORED "
             f"collection — reach it through query_points(prefetch=...) "
             f"or pass spark/root/collection to fuse_prefetch")
-    allowed = {kind, "limit", "k", "filter", "using"}
+    allowed = {kind, "limit", "k", "filter", "using", "score_threshold"}
     if kind == "formula":
         allowed |= {"prefetch", "defaults"}
     if kind == "text":
         allowed -= {"using"}  # BM25 has no vector space — a stray
         # 'using' would be silently meaningless, so it raises below
+    if kind == "discover":
+        # composite ranking (ctx_wins first) — a sim floor is not a
+        # suffix cut; same refusal as the terminal discover node
+        allowed -= {"score_threshold"}
     extra = sorted(set(node) - allowed)
     if extra:
         raise ValueError(
             f"prefetch node {{{kind!r}: ...}} has unknown keys {extra}; "
-            f"allowed besides the kind: ['filter', 'k', 'limit', 'using']"
+            f"allowed besides the kind: "
+            f"['filter', 'k', 'limit', 'score_threshold', 'using']"
             + (", plus ['prefetch', 'defaults']" if kind == "formula"
-               else ""))
+               else "")
+            + (" (score_threshold doesn't apply to discover's composite "
+               "ranking)" if kind == "discover" else ""))
     limit = int(node.get("limit", node.get("k", k)))
     flt = node.get("filter")
     using = node.get("using")
+    thr = node.get("score_threshold")
+    thr = None if thr is None else float(thr)
     def _internal_order(score_df: DataFrame) -> DataFrame:
         # branch scores carry Qdrant's INTERNAL order (larger is better)
         # so every fusion parent — DBSF normalizes by score — sees one
@@ -2049,7 +2112,18 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
             lookup_from_collection=spec.get("lookup_from_collection"),
             lookup_from_vector=spec.get("lookup_from_vector"))
         out = out.select(F.col("vec_id").alias("id"), "score", "rank")
-        # best_score/sum_scores already fold negated distances
+        if thr is not None:
+            # native-order cut (the terminal recommend node's logic):
+            # average_vector carries the metric's native score order so
+            # distance metrics cut <=; best/sum fold internal (negated)
+            # scores — >= always.  The cut is a rank SUFFIX for every
+            # allowed kind (score IS the ranking key), so the surviving
+            # ranks stay contiguous for RRF parents.
+            _, _, _, _m = _resolve_search_space(root, collection, using)
+            _asc = (strategy == "average_vector"
+                    and _m in ("euclid", "manhattan"))
+            out = out.filter(F.col("score") <= thr if _asc
+                             else F.col("score") >= thr)
         return _internal_order(out) if strategy == "average_vector" else out
     if kind == "discover":
         spec = node["discover"]
@@ -2071,8 +2145,9 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
         out = context_points(
             spark, root, collection, context=list(node["context"]),
             k=limit, flt=flt, vector_name=using, round_to=round_to)
-        return out.select(F.col("vec_id").alias("id"),
-                          F.col("ctx_score").alias("score"), "rank")
+        out = out.select(F.col("vec_id").alias("id"),
+                         F.col("ctx_score").alias("score"), "rank")
+        return out if thr is None else out.filter(F.col("score") >= thr)
     if kind == "nearest":
         spec = node["nearest"]
         if isinstance(spec, (list, tuple)):  # raw query vector
@@ -2086,11 +2161,12 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
                     "qid long, qvec array<double>")
             out = search_points(spark, root, collection, q, k=limit,
                                 flt=flt, vector_name=using,
-                                round_to=round_to)
+                                round_to=round_to,
+                                score_threshold=thr)
         else:  # stored point id (self-excluding by-id search)
             out = query_points(spark, root, collection, query=spec,
                                k=limit, flt=flt, vector_name=using,
-                               round_to=round_to)
+                               round_to=round_to, score_threshold=thr)
         return _internal_order(
             out.select(F.col("vec_id").alias("id"),
                        F.col("sim").alias("score"), "rank"))
@@ -2109,7 +2185,8 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
             text_col=spec.get("column", spec.get("field", "document")),
             k1=float(spec.get("k1", 1.2)), b=float(spec.get("b", 0.75)),
             round_to=round_to)
-        return out.select("id", "score", "rank")
+        out = out.select("id", "score", "rank")
+        return out if thr is None else out.filter(F.col("score") >= thr)
     # kind == "formula": rescore the node's OWN prefetch branches
     from .formula import formula_rescore  # noqa: PLC0415
 
@@ -2127,9 +2204,10 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
     children = [fuse_prefetch(c, k=limit, round_to=round_to, spark=spark,
                               root=root, collection=collection)
                 for c in node.get("prefetch", [])]
-    return formula_rescore(spark, root, collection, children,
-                           node["formula"], defaults=node.get("defaults"),
-                           k=limit, round_to=round_to)
+    out = formula_rescore(spark, root, collection, children,
+                          node["formula"], defaults=node.get("defaults"),
+                          k=limit, round_to=round_to)
+    return out if thr is None else out.filter(F.col("score") >= thr)
 
 
 def fuse_prefetch(node, k: int = 10, round_to: int = 6, spark=None,
@@ -2152,7 +2230,8 @@ def fuse_prefetch(node, k: int = 10, round_to: int = 6, spark=None,
       "prefetch": [...]}`` — resolved against the stored collection
       given by ``spark``/``root``/``collection`` (threaded through
       automatically by ``query_points(prefetch=...)``), each with
-      optional per-node ``limit``/``filter``/``using``.
+      optional per-node ``limit``/``filter``/``using``/
+      ``score_threshold``.
 
     Every node's output is normalized to ``(id, score, rank)`` so it can
     itself be a branch of its parent — arbitrary nesting depth for free.
@@ -2202,3 +2281,101 @@ def fuse_prefetch(node, k: int = 10, round_to: int = 6, spark=None,
         out = dbsf_fuse(children, k=kk, round_to=round_to)
         return out.select("id", F.col("dbsf_score").alias("score"), "rank")
     raise ValueError(f"unknown fusion {fusion!r} (expected 'rrf' or 'dbsf')")
+
+
+def rescore_by_nearest(spark: SparkSession, root: str, collection: str,
+                       prefetch: list, nearest, k: int = 10, flt=None,
+                       vector_name: str | None = None, round_to: int = 6,
+                       tenant: str | None = None,
+                       lookup_from_collection: str | None = None,
+                       lookup_from_vector: str | None = None) -> DataFrame:
+    """Qdrant ``query_points(prefetch=[...], query=NearestQuery(...))`` —
+    the two-stage retrieval the Query API tree is built around: the
+    prefetch branches RETRIEVE candidates (the union of their ids —
+    k·n_branches rows by construction), and the nearest query RESCORES
+    exactly those candidates against the dense space.  The classic
+    "retrieve by BM25, rescore by embedding" pattern is
+    ``prefetch=[{'text': ...}], query={'nearest': <vec>}``.
+
+    ``nearest`` is a raw vector (list of floats) or a stored point id
+    (``lookup_from`` resolves it from another collection / space; the
+    id is excluded from the candidates when it lives in THIS
+    collection).  The candidate vectors fetch through the store's
+    static id-bucket filter (``read_rows_for_ids`` — O(|candidates|),
+    never a collection scan); ``flt`` narrows the candidates (the
+    Qdrant top-level filter applies to the final stage — per-branch
+    filters belong on the prefetch leaves).  Candidates missing the
+    space are skipped (Qdrant's semantics).  Returns (vec_id, score,
+    rank) with the metric's NATIVE score order — similarity descending,
+    distance ascending — exactly like :func:`search_points`."""
+    from ..functions import vector  # noqa: PLC0415
+
+    if not prefetch:
+        raise ValueError(
+            "rescore_by_nearest needs prefetch=[...] branches — the "
+            "candidates come from them (pass query= alone for a plain "
+            "search)")
+    meta, id_col, vector_name, metric = _resolve_search_space(
+        root, collection, vector_name)
+    if meta.get("vectors", {}).get(vector_name, {}) \
+            .get("multivector") is not None:
+        raise ValueError(
+            f"rescore-by-nearest serves DENSE spaces; {collection!r}/"
+            f"{vector_name!r} is multivector — search it directly")
+    branches = [fuse_prefetch(b, k=k, round_to=round_to, spark=spark,
+                              root=root, collection=collection)
+                for b in prefetch]
+    ids = branches[0].select("id")
+    for b in branches[1:]:
+        ids = ids.unionByName(b.select("id"))
+    ids = ids.distinct()
+
+    if isinstance(nearest, (list, tuple)):
+        qv = [float(x) for x in nearest]
+        if any(x != x for x in qv) or (
+                metric == "cosine" and not any(x != 0.0 for x in qv)):
+            raise ValueError(
+                "rescore_by_nearest: the query vector has a NaN "
+                "component or zero norm — it can't score anything")
+        exclude = None
+    else:
+        got, same_coll = _fetch_example_vectors(
+            spark, root, collection, meta, vector_name, [str(nearest)],
+            lookup_from_collection, lookup_from_vector,
+            caller="rescore_by_nearest", metric=metric)
+        qv = got[str(nearest)]
+        exclude = str(nearest) if same_coll else None
+
+    empty_schema = "vec_id string, score double, rank int"
+    rows = read_rows_for_ids(spark, root, collection, ids, tenant=tenant)
+    if rows is None:  # empty branches / empty store
+        return spark.createDataFrame([], empty_schema)
+    if flt is not None:
+        rows = rows.filter(as_filter(flt).to_column())
+    c = rows.select(F.col(id_col).alias("vec_id"),
+                    F.col(vector_name).alias("_cv"))
+    if exclude is not None:
+        c = c.filter(F.col("vec_id").cast("string") != exclude)
+    ref = spark.createDataFrame([(qv,)], "`_q` array<double>")
+    if metric == "cosine":
+        ref = ref.withColumn("_qn", vector.l2_norm(F.col("_q")))
+        denom = F.col("_qn") * vector.l2_norm(F.col("_cv"))
+        sim = F.when(denom != 0.0,
+                     vector.dot(F.col("_q"), F.col("_cv")) / denom)
+    elif metric == "euclid":
+        sim = vector.l2_distance(F.col("_q"), F.col("_cv"))
+    elif metric == "manhattan":
+        sim = vector.l1_distance(F.col("_q"), F.col("_cv"))
+    else:  # dot
+        sim = vector.dot(F.col("_q"), F.col("_cv"))
+    scored = (c.join(F.broadcast(ref), how="cross")
+              .select("vec_id", F.round(sim, round_to).alias("score"))
+              .filter(F.col("score").isNotNull() & ~F.isnan("score")))
+    asc = metric in ("euclid", "manhattan")
+    order = ([F.asc("score"), F.asc("vec_id")] if asc
+             else [F.desc("score"), F.asc("vec_id")])
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.orderBy(*order)
+    return (scored.orderBy(*order).limit(k)
+            .withColumn("rank", F.row_number().over(w)))

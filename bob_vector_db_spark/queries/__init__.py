@@ -59,6 +59,7 @@ from ..sources import load_table
 
 _PRIORITY = [
     # new this round (round 11) — never driver-adjudicated
+    "api_query_rescore_nearest",
     "api_query_nested_prefetch", "api_recommend_euclid",
     "api_discover_manhattan",
     # new in round 10

@@ -1263,3 +1263,93 @@ def q_api_query_nested_prefetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         fusion="rrf", k=10)
     return out.select(F.col("id").cast("long").alias("id"), "score",
                       F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "api_query_rescore_nearest",
+    # prefetch + NearestQuery (round 11): the Query API's two-stage
+    # retrieval — a stored-BM25 branch RETRIEVES 20 candidates, the
+    # nearest query (stored point 0's vector) RESCORES exactly them by
+    # cosine; the point itself is excluded (Qdrant lookup semantics).
+    oracle=r"""
+WITH ltoks AS (
+  SELECT d.doc_id AS id,
+         list_filter(regexp_split_to_array(trim(lower(d.text)), '\s+'),
+                     x -> length(x) > 0) AS tk
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.doc_id < 300
+),
+lens AS (SELECT id, len(tk) AS len FROM ltoks),
+stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),
+posting AS (
+  SELECT id, term, COUNT(*) AS tf
+  FROM (SELECT id, unnest(tk) AS term FROM ltoks)
+  WHERE term IN ('vector', 'join', 'stream')
+  GROUP BY id, term
+),
+dfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM posting GROUP BY term),
+bm25 AS (
+  SELECT id FROM (
+    SELECT s.id, row_number() OVER (ORDER BY s.score DESC, s.id) AS rank
+    FROM (
+      SELECT p.id,
+             round(SUM(
+               ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (p.tf * 2.2)
+               / (p.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / stats.avgdl))
+             ), 6) AS score
+      FROM posting p
+      JOIN dfreq ON p.term = dfreq.term
+      JOIN lens ON lens.id = p.id
+      CROSS JOIN stats
+      GROUP BY p.id) s)
+  WHERE rank <= 20
+),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+rescored AS (
+  SELECT e.vec_id,
+         round(
+           (SELECT SUM(a*b) FROM (SELECT unnest(q.v)::DOUBLE AS a,
+                                         unnest(e.embedding)::DOUBLE AS b))
+           / ( sqrt((SELECT SUM(a*a) FROM (SELECT unnest(q.v)::DOUBLE AS a)))
+             * sqrt((SELECT SUM(b*b) FROM (SELECT unnest(e.embedding)::DOUBLE AS b)))),
+           6) AS score
+  FROM embeddings e JOIN bm25 b ON e.vec_id = b.id, qv q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, score, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+      FROM rescored)
+WHERE rank <= 10
+""",
+)
+def q_api_query_rescore_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (round 11): ``query_points(prefetch=[{'text':
+    ...}], query={'nearest': 0})`` — retrieve by the persisted BM25
+    posting index, rescore the 20 candidates by cosine against stored
+    point 0's vector, self excluded.  The candidate fetch goes through
+    the store's static id-bucket filter (O(|candidates|), never a
+    corpus scan); the rescore joins a broadcast 1-row ref frame — the
+    whole second stage is corpus-size-independent."""
+    from ..operators.query_api import query_points  # noqa: PLC0415
+    from ..operators.text_search import build_text_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "resnear")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 300).select(F.col("doc_id").alias("id"), "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding")
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8, id_col="id",
+        df=docs.join(emb, "id"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    build_text_index(spark, base, "docs", text_col="text",
+                     n_term_buckets=16)
+    out = query_points(
+        spark, base, "docs",
+        prefetch=[{"text": {"column": "text",
+                            "terms": ["vector", "join", "stream"]},
+                   "limit": 20}],
+        query={"nearest": 0}, k=10)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"), "score",
+                      F.col("rank").cast("long").alias("rank"))

@@ -240,6 +240,53 @@ def test_prefetch_typed_query_nodes(spark, tmp_path):
         collection="c").collect()
     assert avg_e and all(r["score"] <= 0 for r in avg_e)
 
+    # prefetch + NearestQuery (Qdrant's two-stage retrieval): the text
+    # branch RETRIEVES {2,3,5} ('vector' docs), point 1's stored vector
+    # RESCORES exactly them by cosine (self excluded, native order)
+    two = query_api.query_points(
+        spark, root, "c",
+        prefetch=[{"text": {"column": "text", "terms": ["vector"]},
+                   "limit": 4}],
+        query={"nearest": 1}, k=3).orderBy("rank").collect()
+    assert [r["vec_id"] for r in two] == [2, 5, 3]
+    assert two[0]["score"] > two[1]["score"] > two[2]["score"]
+    # the node without prefetch is sugar for a plain (by-id) search
+    sugar = query_api.query_points(
+        spark, root, "c", query={"nearest": [1.0, 0.0, 0.0]},
+        k=2).collect()
+    plain = query_api.search_points(
+        spark, root, "c",
+        spark.createDataFrame([(0, [1.0, 0.0, 0.0])],
+                              "qid long, qvec array<double>"),
+        k=2).collect()
+    assert {(r["vec_id"], r["sim"]) for r in sugar} == \
+           {(r["vec_id"], r["sim"]) for r in plain}
+    with pytest.raises(ValueError, match="needs prefetch"):
+        query_api.query_points(spark, root, "c", prefetch=[],
+                               query={"nearest": 1})
+
+    # per-leaf score_threshold (Qdrant Prefetch.score_threshold): cut in
+    # the kind's NATIVE convention — BM25 >=, euclid nearest <= —
+    # and a rank-suffix cut, so surviving ranks stay contiguous
+    t_thr = query_api.fuse_prefetch(
+        {"text": {"column": "text", "terms": ["vector"]},
+         "score_threshold": 0.3, "limit": 5},
+        spark=spark, root=root, collection="c").orderBy("rank").collect()
+    assert all(r["score"] >= 0.3 for r in t_thr)
+    assert [r["rank"] for r in t_thr] == list(range(1, len(t_thr) + 1))
+    n_thr = query_api.fuse_prefetch(
+        {"nearest": [1.0, 0.0], "limit": 3, "score_threshold": 1.2},
+        spark=spark, root=root_e, collection="c").collect()
+    # euclid: the threshold is a MAX DISTANCE (native), applied before
+    # the internal-order negation — scores return negated, so ≥ -1.2
+    assert n_thr and all(r["score"] >= -1.2 for r in n_thr)
+    assert {r["id"] for r in n_thr} == {1, 3}  # 2 is at distance √2
+    with pytest.raises(ValueError, match="unknown keys"):
+        query_api.fuse_prefetch(
+            {"discover": {"target": 1, "context": [(2, 3)]},
+             "score_threshold": 0.5},
+            spark=spark, root=root, collection="c")
+
     # guards: unknown kind, two kinds, stray keys, missing context
     with pytest.raises(ValueError, match="exactly one of"):
         query_api.fuse_prefetch({"recommendz": {"positive": [1]}},
