@@ -2065,6 +2065,12 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
     allowed = {kind, "limit", "k", "filter", "using", "score_threshold"}
     if kind == "formula":
         allowed |= {"prefetch", "defaults"}
+    if kind == "nearest":
+        # a nearest node with its OWN prefetch is Qdrant's multi-stage
+        # chain (Prefetch(prefetch=[coarse...], query=NearestQuery) —
+        # retrieve coarse, rescore by this vector), nestable like any
+        # other node
+        allowed |= {"prefetch"}
     if kind == "text":
         allowed -= {"using"}  # BM25 has no vector space — a stray
         # 'using' would be silently meaningless, so it raises below
@@ -2150,6 +2156,22 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
         return out if thr is None else out.filter(F.col("score") >= thr)
     if kind == "nearest":
         spec = node["nearest"]
+        if node.get("prefetch"):
+            # multi-stage: this node's own prefetch branches retrieve,
+            # the nearest vector rescores their candidate union; the
+            # result normalizes to internal order like every leaf
+            out = rescore_by_nearest(
+                spark, root, collection, list(node["prefetch"]), spec,
+                k=limit, flt=flt, vector_name=using, round_to=round_to)
+            if thr is not None:
+                _, _, _, _m = _resolve_search_space(root, collection,
+                                                    using)
+                out = out.filter(
+                    F.col("score") <= thr
+                    if _m in ("euclid", "manhattan")
+                    else F.col("score") >= thr)
+            return _internal_order(
+                out.select(F.col("vec_id").alias("id"), "score", "rank"))
         if isinstance(spec, (list, tuple)):  # raw query vector
             if spec and isinstance(spec[0], (list, tuple)):  # multivector
                 q = spark.createDataFrame(
@@ -2346,10 +2368,13 @@ def rescore_by_nearest(spark: SparkSession, root: str, collection: str,
         qv = got[str(nearest)]
         exclude = str(nearest) if same_coll else None
 
-    empty_schema = "vec_id string, score double, rank int"
     rows = read_rows_for_ids(spark, root, collection, ids, tenant=tenant)
-    if rows is None:  # empty branches / empty store
-        return spark.createDataFrame([], empty_schema)
+    if rows is None:  # empty branches / empty store — keep the stored
+        # id type so the empty frame unions/joins like the filled one
+        return (read_collection(spark, root, collection).limit(0)
+                .select(F.col(id_col).alias("vec_id"),
+                        F.lit(0.0).alias("score"),
+                        F.lit(0).cast("int").alias("rank")))
     if flt is not None:
         rows = rows.filter(as_filter(flt).to_column())
     c = rows.select(F.col(id_col).alias("vec_id"),

@@ -264,6 +264,17 @@ def test_prefetch_typed_query_nodes(spark, tmp_path):
     with pytest.raises(ValueError, match="needs prefetch"):
         query_api.query_points(spark, root, "c", prefetch=[],
                                query={"nearest": 1})
+    # multi-stage as a NESTED node: a nearest leaf with its OWN prefetch
+    # (Qdrant Prefetch(prefetch=[...], query=NearestQuery)) — the text
+    # stage retrieves, point 1's vector rescores, usable as a branch
+    ms = query_api.fuse_prefetch(
+        {"nearest": 1, "limit": 3,
+         "prefetch": [{"text": {"column": "text", "terms": ["vector"]},
+                       "limit": 4}]},
+        spark=spark, root=root, collection="c").orderBy("rank").collect()
+    assert [r["id"] for r in ms] == [2, 5, 3]
+    assert [(r["id"], r["score"], r["rank"]) for r in ms] == \
+           [(r["vec_id"], r["score"], r["rank"]) for r in two]
 
     # per-leaf score_threshold (Qdrant Prefetch.score_threshold): cut in
     # the kind's NATIVE convention — BM25 >=, euclid nearest <= —
