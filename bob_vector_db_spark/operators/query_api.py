@@ -25,7 +25,7 @@ it helps and is fresh, "always" raises when it can't, False scans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .filters import (
@@ -425,10 +425,8 @@ def search_points(spark: SparkSession, root: str, collection: str,
         out = (out.filter(F.col("rank") > offset)
                .withColumn("rank", F.col("rank") - F.lit(int(offset))))
     if score_threshold is not None:
-        cut = (F.col("sim") <= float(score_threshold)
-               if metric in ("euclid", "manhattan")
-               else F.col("sim") >= float(score_threshold))
-        out = out.filter(cut)
+        out = out.filter(_native_cut(F.col("sim"), score_threshold,
+                                     metric))
     if with_payload:
         out = attach_payload(spark, root, collection, out,
                              with_payload, meta=meta)
@@ -1049,6 +1047,16 @@ def query_points(spark: SparkSession, root: str, collection: str,
                 "query_points dict query must carry exactly one of "
                 "'formula', 'recommend', 'discover', 'context', "
                 f"'sample', 'nearest'; got {sorted(query)}")
+        _extra = sorted(set(query) - _kinds
+                        - ({"defaults"} if "formula" in query else set()))
+        if _extra:
+            # at the TOP level, limit/filter/using/score_threshold are
+            # the query_points ARGUMENTS — a sibling key in the dict
+            # (valid on a prefetch LEAF) would be silently dropped here
+            raise ValueError(
+                f"query_points dict query has sibling keys {_extra} — "
+                "pass k/flt/vector_name/score_threshold as query_points "
+                "arguments (per-node keys apply to prefetch leaves)")
     if isinstance(query, dict) and "formula" in query:
         # Qdrant query=FormulaQuery(formula=..., defaults=...) WITH
         # prefetch: rescore the union of prefetch candidates by the
@@ -1087,17 +1095,9 @@ def query_points(spark: SparkSession, root: str, collection: str,
         # without prefetch it is sugar for query=<vector-or-id>.
         spec = query["nearest"]
         if prefetch is None:
-            if isinstance(spec, (list, tuple)):
-                if spec and isinstance(spec[0], (list, tuple)):
-                    qdf = spark.createDataFrame(
-                        [(0, [[float(x) for x in r] for r in spec])],
-                        "qid long, qvec array<array<double>>")
-                else:
-                    qdf = spark.createDataFrame(
-                        [(0, [float(x) for x in spec])],
-                        "qid long, qvec array<double>")
-            else:
-                qdf = spec  # stored point id — the by-id path below
+            qdf = (_vec_query_df(spark, spec)
+                   if isinstance(spec, (list, tuple))
+                   else spec)  # stored point id — the by-id path below
             return query_points(
                 spark, root, collection, query=qdf, k=k, flt=flt,
                 vector_name=vector_name,
@@ -1108,10 +1108,18 @@ def query_points(spark: SparkSession, root: str, collection: str,
                 lookup_from_collection=lookup_from_collection,
                 lookup_from_vector=lookup_from_vector,
                 with_payload=with_payload, with_vectors=with_vectors)
+        if tenant is not None:
+            raise ValueError(
+                "query_points(prefetch=..., query={'nearest': ...}) "
+                "can't scope tenant= — the prefetch branches retrieve "
+                "tenant-UNscoped, so a post-hoc tenant cut would "
+                "silently change which k hits survive; scope each "
+                "branch (e.g. a tenant-filtered ranked DataFrame) "
+                "instead")
         out = rescore_by_nearest(
             spark, root, collection, list(prefetch), spec,
             k=k + int(offset), flt=flt, vector_name=vector_name,
-            round_to=round_to, tenant=tenant,
+            round_to=round_to,
             lookup_from_collection=lookup_from_collection,
             lookup_from_vector=lookup_from_vector)
         if offset:
@@ -1120,10 +1128,8 @@ def query_points(spark: SparkSession, root: str, collection: str,
         if score_threshold is not None:
             _, _, _, _m = _resolve_search_space(
                 root, collection, vector_name)
-            cut = (F.col("score") <= float(score_threshold)
-                   if _m in ("euclid", "manhattan")
-                   else F.col("score") >= float(score_threshold))
-            out = out.filter(cut)
+            out = out.filter(_native_cut(F.col("score"),
+                                         score_threshold, _m))
         if with_payload:
             out = attach_payload(spark, root, collection, out,
                                  with_payload, id_col_out="vec_id")
@@ -2030,6 +2036,26 @@ _NODE_KINDS = ("fusion", "formula", "recommend", "discover", "context",
                "nearest", "text")
 
 
+def _native_cut(col: Column, thr: float, metric: str) -> Column:
+    """The metric-directional ``score_threshold`` comparison in the
+    NATIVE score convention — distances (euclid/manhattan) cut as an
+    upper bound, similarities as a lower bound.  One definition for
+    every node kind so the direction logic can't drift."""
+    return (col <= float(thr) if metric in ("euclid", "manhattan")
+            else col >= float(thr))
+
+
+def _vec_query_df(spark: SparkSession, spec) -> DataFrame:
+    """A 1-row (qid, qvec) query frame from a raw serialized vector —
+    nested list-of-lists builds the multivector shape."""
+    if spec and isinstance(spec[0], (list, tuple)):
+        return spark.createDataFrame(
+            [(0, [[float(x) for x in row] for row in spec])],
+            "qid long, qvec array<array<double>>")
+    return spark.createDataFrame(
+        [(0, [float(x) for x in spec])], "qid long, qvec array<double>")
+
+
 def _check_spec_keys(spec, ok: set, what: str) -> None:
     """Typo guard for serialized query-node SPECS (the inner dicts of
     ``{'recommend': {...}}`` etc.): unknown keys raise loudly — a typo
@@ -2082,10 +2108,7 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
     if extra:
         raise ValueError(
             f"prefetch node {{{kind!r}: ...}} has unknown keys {extra}; "
-            f"allowed besides the kind: "
-            f"['filter', 'k', 'limit', 'score_threshold', 'using']"
-            + (", plus ['prefetch', 'defaults']" if kind == "formula"
-               else "")
+            f"allowed besides the kind: {sorted(allowed - {kind})}"
             + (" (score_threshold doesn't apply to discover's composite "
                "ranking)" if kind == "discover" else ""))
     limit = int(node.get("limit", node.get("k", k)))
@@ -2126,10 +2149,9 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
             # allowed kind (score IS the ranking key), so the surviving
             # ranks stay contiguous for RRF parents.
             _, _, _, _m = _resolve_search_space(root, collection, using)
-            _asc = (strategy == "average_vector"
-                    and _m in ("euclid", "manhattan"))
-            out = out.filter(F.col("score") <= thr if _asc
-                             else F.col("score") >= thr)
+            out = out.filter(_native_cut(
+                F.col("score"), thr,
+                _m if strategy == "average_vector" else "cosine"))
         return _internal_order(out) if strategy == "average_vector" else out
     if kind == "discover":
         spec = node["discover"]
@@ -2156,31 +2178,23 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
         return out if thr is None else out.filter(F.col("score") >= thr)
     if kind == "nearest":
         spec = node["nearest"]
-        if node.get("prefetch"):
+        if "prefetch" in node:
             # multi-stage: this node's own prefetch branches retrieve,
             # the nearest vector rescores their candidate union; the
-            # result normalizes to internal order like every leaf
+            # result normalizes to internal order like every leaf.  An
+            # EMPTY branch list is a malformed tree, not a plain search
+            # (the same input raises at the query_points top level)
             out = rescore_by_nearest(
                 spark, root, collection, list(node["prefetch"]), spec,
                 k=limit, flt=flt, vector_name=using, round_to=round_to)
             if thr is not None:
                 _, _, _, _m = _resolve_search_space(root, collection,
                                                     using)
-                out = out.filter(
-                    F.col("score") <= thr
-                    if _m in ("euclid", "manhattan")
-                    else F.col("score") >= thr)
+                out = out.filter(_native_cut(F.col("score"), thr, _m))
             return _internal_order(
                 out.select(F.col("vec_id").alias("id"), "score", "rank"))
         if isinstance(spec, (list, tuple)):  # raw query vector
-            if spec and isinstance(spec[0], (list, tuple)):  # multivector
-                q = spark.createDataFrame(
-                    [(0, [[float(x) for x in row] for row in spec])],
-                    "qid long, qvec array<array<double>>")
-            else:
-                q = spark.createDataFrame(
-                    [(0, [float(x) for x in spec])],
-                    "qid long, qvec array<double>")
+            q = _vec_query_df(spark, spec)
             out = search_points(spark, root, collection, q, k=limit,
                                 flt=flt, vector_name=using,
                                 round_to=round_to,
@@ -2344,13 +2358,19 @@ def rescore_by_nearest(spark: SparkSession, root: str, collection: str,
         raise ValueError(
             f"rescore-by-nearest serves DENSE spaces; {collection!r}/"
             f"{vector_name!r} is multivector — search it directly")
+    from .upsert import materialize_small  # noqa: PLC0415
+
     branches = [fuse_prefetch(b, k=k, round_to=round_to, spark=spark,
                               root=root, collection=collection)
                 for b in prefetch]
     ids = branches[0].select("id")
     for b in branches[1:]:
         ids = ids.unionByName(b.select("id"))
-    ids = ids.distinct()
+    # k·n_branches rows by construction — materialize ONCE through the
+    # capped driver roundtrip: read_rows_for_ids consumes the id frame
+    # twice (bucket probe + semi-join), which would otherwise re-execute
+    # every branch plan per consumer
+    ids = materialize_small(spark, ids.distinct())
 
     if isinstance(nearest, (list, tuple)):
         qv = [float(x) for x in nearest]

@@ -279,12 +279,35 @@ def test_prefetch_typed_query_nodes(spark, tmp_path):
     # per-leaf score_threshold (Qdrant Prefetch.score_threshold): cut in
     # the kind's NATIVE convention — BM25 >=, euclid nearest <= —
     # and a rank-suffix cut, so surviving ranks stay contiguous
+    t_all = query_api.fuse_prefetch(
+        {"text": {"column": "text", "terms": ["vector"]}, "limit": 5},
+        spark=spark, root=root, collection="c").collect()
+    scores = sorted(r["score"] for r in t_all)
+    assert len(t_all) >= 2 and scores[0] < scores[-1]
+    mid = (scores[-1] + scores[-2]) / 2  # cuts everything but the top hit
     t_thr = query_api.fuse_prefetch(
         {"text": {"column": "text", "terms": ["vector"]},
-         "score_threshold": 0.3, "limit": 5},
+         "score_threshold": mid, "limit": 5},
         spark=spark, root=root, collection="c").orderBy("rank").collect()
-    assert all(r["score"] >= 0.3 for r in t_thr)
-    assert [r["rank"] for r in t_thr] == list(range(1, len(t_thr) + 1))
+    assert len(t_thr) == 1 and t_thr[0]["score"] >= mid  # genuine cut
+    assert [r["rank"] for r in t_thr] == [1]
+    # recommend leaf on the euclid store: average_vector scores are
+    # distances, the cut flips to <= (then negates to internal order)
+    r_all = query_api.fuse_prefetch(
+        {"recommend": {"positive": [1], "strategy": "average_vector"},
+         "limit": 3}, spark=spark, root=root_e,
+        collection="c").orderBy("rank").collect()
+    d0 = -r_all[0]["score"]  # nearest candidate's distance
+    r_thr = query_api.fuse_prefetch(
+        {"recommend": {"positive": [1], "strategy": "average_vector"},
+         "limit": 3, "score_threshold": d0 + 1e-6},
+        spark=spark, root=root_e, collection="c").collect()
+    assert len(r_thr) == 1 and r_thr[0]["id"] == r_all[0]["id"]
+    # context leaf: >= on ctx_score (0 = inside the zone)
+    c_thr = query_api.fuse_prefetch(
+        {"context": [(2, 3)], "limit": 5, "score_threshold": -0.01},
+        spark=spark, root=root, collection="c").collect()
+    assert c_thr and all(r["score"] >= -0.01 for r in c_thr)
     n_thr = query_api.fuse_prefetch(
         {"nearest": [1.0, 0.0], "limit": 3, "score_threshold": 1.2},
         spark=spark, root=root_e, collection="c").collect()
