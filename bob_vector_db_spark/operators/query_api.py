@@ -2319,6 +2319,67 @@ def fuse_prefetch(node, k: int = 10, round_to: int = 6, spark=None,
     raise ValueError(f"unknown fusion {fusion!r} (expected 'rrf' or 'dbsf')")
 
 
+def _mv_rescore_query(spark: SparkSession, root: str, collection: str,
+                      meta: dict, vector_name: str, metric: str, nearest,
+                      lookup_from_collection: str | None,
+                      lookup_from_vector: str | None
+                      ) -> tuple[list, str | None]:
+    """Resolve the MULTIVECTOR rescoring query of
+    :func:`rescore_by_nearest`: ``nearest`` is a list of token vectors
+    (a flat list of numbers coerces to a single-token multivector,
+    Qdrant's dense-against-multivector semantics) or a stored point id
+    whose looked-up space must be multivector too.  Validates the same
+    degenerate shapes the dense path refuses — an empty token list, a
+    NaN component, or (cosine) a zero-norm token would silently poison
+    every candidate's max-sim — and returns ``(tokens, exclude_id)``."""
+    if isinstance(nearest, (list, tuple)):
+        if nearest and isinstance(nearest[0], (list, tuple)):
+            qv = [[float(x) for x in t] for t in nearest]
+        else:  # flat dense vector → one-token multivector
+            qv = [[float(x) for x in nearest]] if nearest else []
+        exclude = None
+    else:
+        lk_coll, same_coll, lk_meta, lk_vec = _resolve_lookup(
+            root, collection, meta, vector_name,
+            lookup_from_collection, lookup_from_vector)
+        if lk_meta.get("vectors", {}).get(lk_vec, {}) \
+                .get("multivector") is None:
+            raise ValueError(
+                f"rescore_by_nearest: the rescoring space {collection!r}/"
+                f"{vector_name!r} is multivector but the lookup space "
+                f"{lk_coll!r}/{lk_vec!r} is dense; query shapes can't mix")
+        lk_id_col = lk_meta.get("id_col", "id")
+        ids_df = spark.createDataFrame([(str(nearest),)], "`_r_id` string")
+        rows = read_rows_for_ids(spark, root, lk_coll, ids_df)
+        got = ([] if rows is None else
+               rows.select(lk_id_col, lk_vec).limit(2).collect())
+        if not got:
+            raise ValueError(
+                f"rescore_by_nearest: no point with id {nearest!r} in "
+                f"{lk_coll!r}")
+        v = got[0][lk_vec]
+        if v is None or len(v) == 0:
+            raise ValueError(
+                f"rescore_by_nearest: point {nearest!r} has no vector in "
+                f"space {lk_vec!r} (deleted via delete_vectors?)")
+        qv = [[float(x) for x in t] for t in v]
+        exclude = str(nearest) if same_coll else None
+    if not qv or any(len(t) == 0 for t in qv):
+        raise ValueError(
+            "rescore_by_nearest: the multivector query needs at least "
+            "one non-empty token vector — an empty token scores nothing")
+    if any(x != x for t in qv for x in t):
+        raise ValueError(
+            "rescore_by_nearest: the multivector query has a NaN "
+            "component — it can't score anything")
+    if metric == "cosine" and any(
+            not any(x != 0.0 for x in t) for t in qv):
+        raise ValueError(
+            "rescore_by_nearest: a zero-norm query token has no cosine "
+            "to anything — every candidate's max-sim would be poisoned")
+    return qv, exclude
+
+
 def rescore_by_nearest(spark: SparkSession, root: str, collection: str,
                        prefetch: list, nearest, k: int = 10, flt=None,
                        vector_name: str | None = None, round_to: int = 6,
@@ -2343,7 +2404,19 @@ def rescore_by_nearest(spark: SparkSession, root: str, collection: str,
     filters belong on the prefetch leaves).  Candidates missing the
     space are skipped (Qdrant's semantics).  Returns (vec_id, score,
     rank) with the metric's NATIVE score order — similarity descending,
-    distance ascending — exactly like :func:`search_points`."""
+    distance ascending — exactly like :func:`search_points`.
+
+    When the rescoring space is MULTIVECTOR (round 12) this is the
+    ColBERT late-interaction pattern the Query API tree is built
+    around — retrieve coarse (BM25 / dense prefetch), rescore by
+    max-sim: ``nearest`` is a LIST OF TOKEN VECTORS (a flat list is
+    treated as a single-token multivector, Qdrant's coercion) or a
+    stored point id carrying the multivector space, and each candidate
+    scores ``Σ_t max_v sim(t, v)`` (:func:`knn.maxsim_score_expr` —
+    the same expression the exact scan and the ivf_mv rescore tail
+    use, so all three paths score bit-identically).  Max-sim is
+    defined for similarity metrics only (dot/cosine) — a euclid or
+    manhattan multivector space raises, like everywhere else."""
     from ..functions import vector  # noqa: PLC0415
 
     if not prefetch:
@@ -2353,11 +2426,8 @@ def rescore_by_nearest(spark: SparkSession, root: str, collection: str,
             "search)")
     meta, id_col, vector_name, metric = _resolve_search_space(
         root, collection, vector_name)
-    if meta.get("vectors", {}).get(vector_name, {}) \
-            .get("multivector") is not None:
-        raise ValueError(
-            f"rescore-by-nearest serves DENSE spaces; {collection!r}/"
-            f"{vector_name!r} is multivector — search it directly")
+    mv = meta.get("vectors", {}).get(vector_name, {}) \
+        .get("multivector") is not None
     from .upsert import materialize_small  # noqa: PLC0415
 
     branches = [fuse_prefetch(b, k=k, round_to=round_to, spark=spark,
@@ -2372,7 +2442,11 @@ def rescore_by_nearest(spark: SparkSession, root: str, collection: str,
     # every branch plan per consumer
     ids = materialize_small(spark, ids.distinct())
 
-    if isinstance(nearest, (list, tuple)):
+    if mv:
+        qv, exclude = _mv_rescore_query(
+            spark, root, collection, meta, vector_name, metric, nearest,
+            lookup_from_collection, lookup_from_vector)
+    elif isinstance(nearest, (list, tuple)):
         qv = [float(x) for x in nearest]
         if any(x != x for x in qv) or (
                 metric == "cosine" and not any(x != 0.0 for x in qv)):
@@ -2401,18 +2475,28 @@ def rescore_by_nearest(spark: SparkSession, root: str, collection: str,
                     F.col(vector_name).alias("_cv"))
     if exclude is not None:
         c = c.filter(F.col("vec_id").cast("string") != exclude)
-    ref = spark.createDataFrame([(qv,)], "`_q` array<double>")
-    if metric == "cosine":
-        ref = ref.withColumn("_qn", vector.l2_norm(F.col("_q")))
-        denom = F.col("_qn") * vector.l2_norm(F.col("_cv"))
-        sim = F.when(denom != 0.0,
-                     vector.dot(F.col("_q"), F.col("_cv")) / denom)
-    elif metric == "euclid":
-        sim = vector.l2_distance(F.col("_q"), F.col("_cv"))
-    elif metric == "manhattan":
-        sim = vector.l1_distance(F.col("_q"), F.col("_cv"))
-    else:  # dot
-        sim = vector.dot(F.col("_q"), F.col("_cv"))
+    if mv:
+        from .knn import maxsim_score_expr  # noqa: PLC0415
+
+        # a candidate whose token list is NULL or empty scores NULL
+        # (array_max over zero token sims) and drops through the same
+        # isNotNull filter as the dense path — "missing the space is
+        # skipped", never a crash (the pinned degenerate-shape class)
+        ref = spark.createDataFrame([(qv,)], "`_q` array<array<double>>")
+        sim = maxsim_score_expr(F.col("_q"), F.col("_cv"), metric)
+    else:
+        ref = spark.createDataFrame([(qv,)], "`_q` array<double>")
+        if metric == "cosine":
+            ref = ref.withColumn("_qn", vector.l2_norm(F.col("_q")))
+            denom = F.col("_qn") * vector.l2_norm(F.col("_cv"))
+            sim = F.when(denom != 0.0,
+                         vector.dot(F.col("_q"), F.col("_cv")) / denom)
+        elif metric == "euclid":
+            sim = vector.l2_distance(F.col("_q"), F.col("_cv"))
+        elif metric == "manhattan":
+            sim = vector.l1_distance(F.col("_q"), F.col("_cv"))
+        else:  # dot
+            sim = vector.dot(F.col("_q"), F.col("_cv"))
     scored = (c.join(F.broadcast(ref), how="cross")
               .select("vec_id", F.round(sim, round_to).alias("score"))
               .filter(F.col("score").isNotNull() & ~F.isnan("score")))

@@ -58,7 +58,9 @@ from ..sources import load_table
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # new this round (round 11) — never driver-adjudicated
+    # new this round (round 12) — never driver-adjudicated
+    "api_query_rescore_maxsim",
+    # new in round 11
     "api_query_rescore_nearest",
     "api_query_nested_prefetch", "api_recommend_euclid",
     "api_discover_manhattan",
