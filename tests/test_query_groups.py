@@ -1,0 +1,235 @@
+"""query_points_groups (round 12, VERDICT r11 #4): Qdrant's universal
+grouped endpoint — any typed query node + group_by/group_size — routed
+through the shared two-window cut, pinned exact against the dedicated
+grouped operators it composes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bob_vector_db_spark.operators import upsert
+from bob_vector_db_spark.operators import query_api
+from bob_vector_db_spark.operators.query_tree import query_points_groups
+
+
+def _mk_store(spark, tmp_path):
+    root = str(tmp_path / "store")
+    rows = [(1, [1.0, 0.0, 0.0], "g1"), (2, [0.0, 1.0, 0.0], "g2"),
+            (10, [0.9, 0.1, 0.0], "g1"), (11, [0.8, 0.0, 0.2], "g1"),
+            (12, [0.01, 0.99, 0.0], "g2"), (13, [0.0, 0.0, 1.0], "g3"),
+            (14, [0.7, 0.3, 0.0], "g2"), (15, [0.6, 0.1, 0.3], None)]
+    upsert.create_collection(
+        spark, root, "c", id_col="id", n_buckets=4,
+        df=spark.createDataFrame(
+            rows, "id long, vec array<double>, grp string"),
+        vector_config={"vec": {"size": 3, "distance": "cosine"}})
+    return root
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_recommend_node_ties_to_recommend_groups(spark, tmp_path):
+    """The VERDICT r11 #4 exactness tie: a typed recommend node through
+    query_points_groups IS recommend_groups, for all three strategies."""
+    root = _mk_store(spark, tmp_path)
+    for strategy in ("average_vector", "best_score", "sum_scores"):
+        got = query_points_groups(
+            spark, root, "c", "grp",
+            query={"recommend": {"positive": [1], "negative": [2],
+                                 "strategy": strategy}},
+            k_groups=2, group_size=2)
+        want = query_api.recommend_groups(
+            spark, root, "c", positive=[1], negative=[2],
+            strategy=strategy, group_by="grp",
+            k_groups=2, group_size=2)
+        assert _rows(got) == _rows(want), strategy
+
+
+def test_by_id_and_raw_vector_tie_to_search_groups(spark, tmp_path):
+    root = _mk_store(spark, tmp_path)
+    # by stored point id: self-excluded, like every by-id query
+    got = query_points_groups(spark, root, "c", "grp", query=1,
+                              k_groups=3, group_size=2)
+    rows = got.collect()
+    assert rows and all(r["vec_id"] != 1 for r in rows)
+    # the NULL-group point never consumes a slot
+    assert all(r["group"] is not None for r in rows)
+    # raw vector ({'nearest': [...]} sugar) ties to search_groups
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0])],
+                              "qid long, qvec array<double>")
+    want = query_api.search_groups(spark, root, "c", q, "grp",
+                                   k_groups=3, group_size=2)
+    got2 = query_points_groups(spark, root, "c", "grp",
+                               query={"nearest": [1.0, 0.0, 0.0]},
+                               k_groups=3, group_size=2)
+    assert _rows(got2) == _rows(want.select(
+        "group", "group_rank", "vec_id",
+        F.col("sim").alias("score"), "rank_in_group"))
+    # a DataFrame query keeps its qid (multi-query grouped search)
+    got3 = query_points_groups(spark, root, "c", "grp", query=q,
+                               k_groups=3, group_size=2)
+    assert got3.columns[0] == "qid"
+
+
+def test_prefetch_tree_groups_candidate_bounded(spark, tmp_path):
+    """Grouping a fusion tree: the pool is the fused top
+    k_groups·group_size, group values fetch by id, the fused rank
+    drives both windows, and the real scores ride along."""
+    root = _mk_store(spark, tmp_path)
+    out = query_points_groups(
+        spark, root, "c", "grp",
+        prefetch=[{"nearest": [1.0, 0.0, 0.0], "limit": 6},
+                  {"recommend": {"positive": [1]}, "limit": 6}],
+        fusion="rrf", k_groups=2, group_size=2).collect()
+    assert out
+    assert all(r["rank_in_group"] <= 2 and r["group_rank"] <= 2
+               for r in out)
+    assert all(r["group"] is not None for r in out)
+    # group 1's best fused rank beats group 2's best fused rank: the
+    # pool is rank-ordered, so group_rank follows first appearance
+    pool = query_api.query_points(
+        spark, root, "c",
+        prefetch=[{"nearest": [1.0, 0.0, 0.0], "limit": 6},
+                  {"recommend": {"positive": [1]}, "limit": 6}],
+        fusion="rrf", k=4).orderBy("rank").collect()
+    grp = {1: "g1", 2: "g2", 10: "g1", 11: "g1", 12: "g2",
+           13: "g3", 14: "g2", 15: None}
+    first_groups = []
+    for r in pool:
+        g = grp.get(r["id"])
+        if g is not None and g not in first_groups:
+            first_groups.append(g)
+    by_rank = sorted({(r["group_rank"], r["group"]) for r in out})
+    assert [g for _, g in by_rank] == first_groups[:len(by_rank)]
+
+
+def test_with_lookup_and_score_threshold(spark, tmp_path):
+    root = _mk_store(spark, tmp_path)
+    upsert.create_collection(
+        spark, root, "groups", id_col="gid", n_buckets=2,
+        df=spark.createDataFrame(
+            [("g1", "One"), ("g2", "Two"), ("g3", "Three")],
+            "gid string, title string"))
+    out = query_points_groups(spark, root, "c", "grp", query=1,
+                              k_groups=2, group_size=2,
+                              with_lookup="groups").collect()
+    assert out and all(r["lookup_title"] is not None for r in out)
+    # threshold: the cut is a suffix at both window levels
+    full = query_points_groups(spark, root, "c", "grp", query=1,
+                               k_groups=3, group_size=3).collect()
+    thr = sorted(r["score"] for r in full)[len(full) // 2]
+    cut = query_points_groups(spark, root, "c", "grp", query=1,
+                              k_groups=3, group_size=3,
+                              score_threshold=thr)
+    want = [tuple(r) for r in full if r["score"] >= thr]
+    assert sorted(map(tuple, cut.collect())) == sorted(want)
+
+
+def test_groups_guards(spark, tmp_path):
+    root = _mk_store(spark, tmp_path)
+    with pytest.raises(ValueError, match="exactly one"):
+        query_points_groups(spark, root, "c", "grp")
+    with pytest.raises(ValueError, match="prefetch leaf"):
+        query_points_groups(spark, root, "c", "grp",
+                            query={"discover": {"target": 1,
+                                                "context": [(1, 2)]}})
+    with pytest.raises(ValueError, match="prefetch"):
+        query_points_groups(
+            spark, root, "c", "grp",
+            query={"nearest": {"indices": [1], "values": [1.0]}})
+    with pytest.raises(ValueError, match="unknown keys"):
+        query_points_groups(
+            spark, root, "c", "grp",
+            query={"recommend": {"positve": [1]}})
+
+
+# ---------------------------------------------------------------------------
+# The MMR node (round 12, VERDICT r11 #5): Qdrant NearestQuery.mmr as a
+# serialized payload — terminal and as a prefetch leaf.
+# ---------------------------------------------------------------------------
+
+def test_mmr_node_ties_to_search_points_mmr(spark, tmp_path):
+    root = _mk_store(spark, tmp_path)
+    got = query_api.query_points(
+        spark, root, "c",
+        query={"nearest": [1.0, 0.0, 0.0],
+               "mmr": {"diversity": 0.4, "candidates_limit": 6}},
+        k=3)
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0])],
+                              "qid long, qvec array<double>")
+    want = query_api.search_points_mmr(spark, root, "c", q, k=3,
+                                       pool=6, lambda_=0.6)
+    assert _rows(got) == _rows(want)
+    # diversity 0 == the plain ranking over the pool
+    plain = query_api.query_points(
+        spark, root, "c",
+        query={"nearest": [1.0, 0.0, 0.0],
+               "mmr": {"diversity": 0.0, "candidates_limit": 8}}, k=3)
+    base = query_api.query_points(
+        spark, root, "c", query={"nearest": [1.0, 0.0, 0.0]}, k=3)
+    assert [r["vec_id"] for r in plain.orderBy("rank").collect()] == \
+           [r["vec_id"] for r in base.orderBy("rank").collect()]
+
+
+def test_mmr_node_by_id_excludes_self_and_rides_tree(spark, tmp_path):
+    root = _mk_store(spark, tmp_path)
+    got = query_api.query_points(
+        spark, root, "c",
+        query={"nearest": 1,
+               "mmr": {"diversity": 0.3, "candidates_limit": 6}}, k=3)
+    rows = got.collect()
+    assert rows and all(r["vec_id"] != 1 for r in rows)
+    # as a typed prefetch leaf: branch contract (id, score=sim, rank)
+    fused = query_api.query_points(
+        spark, root, "c",
+        prefetch=[
+            {"nearest": [1.0, 0.0, 0.0],
+             "mmr": {"diversity": 0.4, "candidates_limit": 6},
+             "limit": 3},
+            {"nearest": [0.0, 1.0, 0.0], "limit": 3},
+        ],
+        fusion="rrf", k=4)
+    out = fused.orderBy("rank").collect()
+    assert len(out) == 4
+    assert [r["rank"] for r in out] == [1, 2, 3, 4]
+
+
+def test_mmr_node_guards(spark, tmp_path):
+    root = _mk_store(spark, tmp_path)
+    with pytest.raises(ValueError, match="diversity"):
+        query_api.query_points(
+            spark, root, "c",
+            query={"nearest": [1.0, 0, 0], "mmr": {"diversity": 2.0}})
+    with pytest.raises(ValueError, match="unknown keys"):
+        query_api.query_points(
+            spark, root, "c",
+            query={"nearest": [1.0, 0, 0], "mmr": {"lambda": 0.5}})
+    with pytest.raises(ValueError, match="candidates_limit"):
+        query_api.query_points(
+            spark, root, "c",
+            query={"nearest": [1.0, 0, 0],
+                   "mmr": {"candidates_limit": 2}}, k=5)
+    with pytest.raises(ValueError, match="sibling keys"):
+        query_api.query_points(
+            spark, root, "c",
+            query={"recommend": {"positive": [1]},
+                   "mmr": {"diversity": 0.5}})
+    with pytest.raises(ValueError, match="rescore stage"):
+        query_api.query_points(
+            spark, root, "c",
+            prefetch=[{"nearest": [1.0, 0, 0], "limit": 3}],
+            query={"nearest": [1.0, 0, 0], "mmr": {"diversity": 0.5}})
+    # a euclid space refuses (MMR needs one similarity scale)
+    root2 = str(tmp_path / "store_e")
+    upsert.create_collection(
+        spark, root2, "e", id_col="id", n_buckets=2,
+        df=spark.createDataFrame([(1, [0.0, 0.0])],
+                                 "id long, vec array<double>"),
+        vector_config={"vec": {"size": 2, "distance": "euclid"}})
+    with pytest.raises(ValueError, match="similarity-ranked"):
+        query_api.query_points(
+            spark, root2, "e",
+            query={"nearest": [1.0, 0.0], "mmr": {"diversity": 0.5}})

@@ -393,3 +393,197 @@ def test_idf_modifier_declared_config_and_refresh(spark, tmp_path):
     rebuilt = _ranked(sparse_search_indexed(spark, root, "sp", q, k=5,
                                             exclude_self=True))
     assert after == rebuilt
+
+
+# ---------------------------------------------------------------------------
+# Typed sparse query nodes (round 12): Qdrant's SparseVector as a
+# serializable nearest leaf — terminal query= and prefetch branches —
+# plus the dense-surface refusals that keep the two shapes apart.
+# ---------------------------------------------------------------------------
+
+def _mk_hybrid_store(spark, tmp_path, modifier=None):
+    """A collection declaring BOTH a dense space ('vec') and a sparse
+    space ('text_sparse'), sparse index built — the hybrid fixture."""
+    from bob_vector_db_spark.operators import upsert
+    from bob_vector_db_spark.operators.sparse import build_sparse_index
+
+    root = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 13} tok{i % 7} shared word{i % 3}")
+         for i in range(60)],
+        "doc_id long, text string")
+    post = postings_from_text(docs, vocab_size=128)
+    pts = (post.groupBy("id")
+           .agg(F.array_sort(F.collect_list(F.struct("idx", "val")))
+                .alias("z"))
+           .select("id", F.col("z.idx").alias("indices"),
+                   F.col("z.val").alias("values"),
+                   F.array(*[(F.col("id") % (3 + j)).cast("double")
+                             for j in range(4)]).alias("vec")))
+    cfg = {"kind": "sparse"}
+    if modifier:
+        cfg["modifier"] = modifier
+    upsert.create_collection(
+        spark, root, "sp", df=pts, id_col="id", n_buckets=4,
+        vector_config={"vec": {"size": 4, "distance": "cosine"},
+                       "text_sparse": cfg})
+    build_sparse_index(spark, root, "sp", n_dim_buckets=8)
+    return root, post
+
+
+def _query_spec(post, qid=0):
+    rows = (post.filter(F.col("id") == qid)
+            .select("idx", "val").collect())
+    return {"indices": [int(r["idx"]) for r in rows],
+            "values": [float(r["val"]) for r in rows]}
+
+
+def test_terminal_sparse_nearest_matches_direct(spark, tmp_path):
+    from bob_vector_db_spark.operators.query_api import (
+        query_points,
+        search_sparse_points,
+    )
+
+    root, post = _mk_hybrid_store(spark, tmp_path)
+    spec = _query_spec(post, qid=0)
+    got = query_points(spark, root, "sp",
+                       query={"nearest": spec},
+                       vector_name="text_sparse", k=5)
+    qpost = (post.filter(F.col("id") == 0)
+             .select(F.lit(0).cast("long").alias("id"), "idx", "val"))
+    want = search_sparse_points(spark, root, "sp", qpost, k=5)
+    assert _ranked(got) == _ranked(want)
+
+
+def test_typed_sparse_leaf_rides_the_prefetch_tree(spark, tmp_path):
+    """The canonical hybrid payload: a sparse leaf and a dense leaf
+    fused by RRF — one serializable tree, no caller DataFrames."""
+    from bob_vector_db_spark.operators.query_api import (
+        query_points,
+        search_sparse_points,
+    )
+
+    root, post = _mk_hybrid_store(spark, tmp_path)
+    spec = _query_spec(post, qid=0)
+    out = query_points(
+        spark, root, "sp",
+        prefetch=[
+            {"nearest": spec, "using": "text_sparse", "limit": 5},
+            {"nearest": [1.0, 2.0, 0.0, 1.0], "using": "vec", "limit": 5},
+        ],
+        fusion="rrf", k=5).collect()
+    assert len(out) == 5
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    # the sparse branch alone, through the tree, preserves the direct
+    # search's ranking (score = sim, internal order, no negation)
+    solo = query_points(
+        spark, root, "sp",
+        prefetch=[{"nearest": spec, "using": "text_sparse", "limit": 5},
+                  {"nearest": spec, "using": "text_sparse", "limit": 5}],
+        fusion="rrf", k=5)
+    qpost = (post.filter(F.col("id") == 0)
+             .select(F.lit(0).cast("long").alias("id"), "idx", "val"))
+    want = search_sparse_points(spark, root, "sp", qpost, k=5)
+    assert [r["id"] for r in solo.orderBy("rank").collect()] == \
+           [r["vec_id"] for r in want.orderBy("rank").collect()]
+
+
+def test_typed_sparse_leaf_honors_declared_idf(spark, tmp_path):
+    from bob_vector_db_spark.operators.query_api import (
+        query_points,
+        search_sparse_points,
+    )
+
+    root, post = _mk_hybrid_store(spark, tmp_path, modifier="idf")
+    spec = _query_spec(post, qid=0)
+    got = query_points(spark, root, "sp", query={"nearest": spec},
+                       vector_name="text_sparse", k=5)
+    qpost = (post.filter(F.col("id") == 0)
+             .select(F.lit(0).cast("long").alias("id"), "idx", "val"))
+    with_idf = search_sparse_points(spark, root, "sp", qpost, k=5,
+                                    modifier="idf")
+    without = search_sparse_points(spark, root, "sp", qpost, k=5,
+                                   modifier=None)
+    assert _ranked(got) == _ranked(with_idf)
+    # the modifier genuinely changed the scores (else this test is void)
+    assert {t[2] for t in _ranked(got)} != {t[2] for t in _ranked(without)}
+
+
+def test_sparse_leaf_score_threshold_is_suffix_cut(spark, tmp_path):
+    from bob_vector_db_spark.operators.query_api import fuse_prefetch
+
+    root, post = _mk_hybrid_store(spark, tmp_path)
+    spec = _query_spec(post, qid=0)
+    full = fuse_prefetch({"nearest": spec, "using": "text_sparse",
+                          "limit": 10},
+                         spark=spark, root=root, collection="sp"
+                         ).orderBy("rank").collect()
+    assert len(full) > 2
+    thr = full[1]["score"]  # keep ranks 1..j where score >= thr
+    cut = fuse_prefetch({"nearest": spec, "using": "text_sparse",
+                         "limit": 10, "score_threshold": thr},
+                        spark=spark, root=root, collection="sp"
+                        ).orderBy("rank").collect()
+    keep = [r for r in full if r["score"] >= thr]
+    assert [(r["id"], r["score"], r["rank"]) for r in cut] == \
+           [(r["id"], r["score"], r["rank"]) for r in keep]
+
+
+def test_dense_surfaces_refuse_sparse_spaces(spark, tmp_path):
+    from bob_vector_db_spark.operators.query_api import (
+        query_points,
+        search_points,
+    )
+
+    root, post = _mk_hybrid_store(spark, tmp_path)
+    spec = _query_spec(post, qid=0)
+    # recommend over the sparse space
+    with pytest.raises(ValueError, match="SPARSE"):
+        query_points(spark, root, "sp",
+                     query={"recommend": {"positive": [0]}},
+                     vector_name="text_sparse", k=5)
+    # discover leaf in a tree over the sparse space
+    with pytest.raises(ValueError, match="SPARSE"):
+        query_points(spark, root, "sp",
+                     prefetch=[{"discover": {"target": 0,
+                                             "context": [(1, 2)]},
+                                "using": "text_sparse"}],
+                     fusion="rrf", k=5)
+    # a dense query vector against the sparse space
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])],
+                              "qid long, qvec array<double>")
+    with pytest.raises(ValueError, match="SPARSE"):
+        search_points(spark, root, "sp", q, k=5,
+                      vector_name="text_sparse")
+    # a sparse query against the dense space
+    with pytest.raises(ValueError, match="sparse"):
+        query_points(spark, root, "sp", query={"nearest": spec},
+                     vector_name="vec", k=5)
+
+
+def test_sparse_rescore_and_degenerate_shapes_raise(spark, tmp_path):
+    from bob_vector_db_spark.operators.query_api import query_points
+
+    root, post = _mk_hybrid_store(spark, tmp_path)
+    spec = _query_spec(post, qid=0)
+    with pytest.raises(ValueError, match="prefetch BRANCH"):
+        query_points(spark, root, "sp",
+                     prefetch=[{"nearest": spec, "using": "text_sparse"}],
+                     query={"nearest": spec},
+                     vector_name="text_sparse", k=5)
+    with pytest.raises(ValueError, match="prefetch BRANCH"):
+        query_points(spark, root, "sp",
+                     prefetch=[{"nearest": spec, "using": "text_sparse",
+                                "prefetch": [{"nearest": spec,
+                                              "using": "text_sparse"}]}],
+                     fusion="rrf", k=5)
+    for bad, msg in [
+        ({"indices": [1, 2], "values": [1.0]}, "ragged"),
+        ({"indices": [], "values": []}, "empty"),
+        ({"indices": [1, 1], "values": [1.0, 2.0]}, "repeats"),
+        ({"indices": [1], "values": [float("nan")]}, "NaN"),
+        ({"indices": [1], "values": [1.0], "vals": []}, "unknown keys"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            query_points(spark, root, "sp", query={"nearest": bad},
+                         vector_name="text_sparse", k=5)
