@@ -51,6 +51,29 @@ HEADLINE = [
     "t3_hourly_event_windows",
 ]
 
+# Probe-only headline (FROZEN, round 12 — VERDICT r11 #6): one PROBE per
+# persisted-artifact family.  Fixture queries time build (training +
+# artifact writes) and search separately (run_once's split); summing the
+# SEARCH legs of this frozen set gives "headline_probe_sec" — a scalar
+# that moves when a probe PLAN regresses and ignores build-cost noise, so
+# cross-round probe comparisons stop depending on per-query diffs against
+# host drift.  First recorded figure = PERF_NOTES round-12 probe baseline.
+PROBE_HEADLINE = [
+    "store_indexed_search",           # ivf, full probe
+    "store_indexed_probe",            # ivf, n_probe < n_lists + rerank
+    "store_indexed_pq",               # pq ADC
+    "store_indexed_sq",               # sq
+    "store_indexed_bq",               # bq
+    "store_multivector_indexed",      # ivf_mv max-sim
+    "store_mv_indexed_pq",            # ivf_mv_pq
+    "store_mv_indexed_sq",            # ivf_mv_sq
+    "store_mv_indexed_bq",            # ivf_mv_bq
+    "store_sparse_indexed",           # sparse posting index
+    "text_bm25_indexed",              # BM25 posting index
+    "store_filtered_indexed_search",  # payload-index ∘ vector-index
+    "store_tenant_indexed",           # per-tenant artifact
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,7 +130,8 @@ def main() -> None:
     for name in order:
         total, build, search = run_once(name)
         times[name] = total
-        if name.startswith("store_") or build >= 0.5:
+        if name.startswith("store_") or build >= 0.5 \
+                or name in PROBE_HEADLINE:
             splits[name] = {"build_sec": build, "search_sec": search}
         print(f"# {name}: {total}s (build {build}s / search {search}s)",
               file=sys.stderr)
@@ -128,10 +152,13 @@ def main() -> None:
                 splits[name] = {"build_sec": build, "search_sec": search}
 
     headline_total = round(sum(times[n] for n in HEADLINE if n in times), 3)
+    probe_total = round(sum(splits[n]["search_sec"] for n in PROBE_HEADLINE
+                            if n in splits), 3)
     summary = {
         "metric": "headline_query_wall_sec",
         "value": headline_total,
         "unit": "sec",
+        "headline_probe_sec": probe_total,
         "all_queries_sec": round(sum(times.values()), 3),
         "n_queries": len(times),
         "sf": sf,

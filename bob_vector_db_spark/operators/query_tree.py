@@ -639,6 +639,8 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
                 score_threshold=thr)  # cuts the CANDIDATES, pre-rerank
             return out.select(F.col("vec_id").alias("id"),
                               F.col("sim").alias("score"), "rank")
+        if isinstance(spec, dict):
+            # Qdrant SparseVector leaf ({'indices': ..., 'values': ...},
             # 'using' names the sparse space) — the canonical hybrid
             # payload's sparse branch, served by the PERSISTED sparse
             # index (dim-bucket pruned probe, declared IDF modifier
@@ -1042,8 +1044,6 @@ def query_points_groups(spark: SparkSession, root: str, collection: str,
     Returns (group, group_rank, vec_id, score, rank_in_group) —
     group-major, deterministic ties; a DataFrame query keeps its
     ``qid`` as the leading column (multi-query grouped search)."""
-    from pyspark.sql import Window  # noqa: PLC0415
-
     from .query_recommend import recommend_groups  # noqa: PLC0415
     from .query_search import (  # noqa: PLC0415
         _group_topk,
@@ -1051,11 +1051,11 @@ def query_points_groups(spark: SparkSession, root: str, collection: str,
         with_group_lookup,
     )
 
-    if (query is None) == (prefetch is None):
+    if query is None and prefetch is None:
         raise ValueError(
-            "query_points_groups takes exactly one of query= or "
-            "prefetch= (embed a terminal query over branches as "
-            "prefetch=[...], query=... through query_points first)")
+            "query_points_groups needs a query= node, a prefetch= tree, "
+            "or both (prefetch retrieves, query={'nearest': ...} "
+            "rescores, the grouped cut shapes the result)")
 
     def _finish(out: DataFrame, metric: str | None) -> DataFrame:
         if score_threshold is not None:
@@ -1065,7 +1065,7 @@ def query_points_groups(spark: SparkSession, root: str, collection: str,
             out = with_group_lookup(spark, root, with_lookup, out)
         return out
 
-    if isinstance(query, dict):
+    if isinstance(query, dict) and prefetch is None:
         kinds = ({"recommend", "nearest"} & set(query))
         bad = sorted(set(query) - kinds)
         if len(kinds) != 1 or bad:
@@ -1111,7 +1111,7 @@ def query_points_groups(spark: SparkSession, root: str, collection: str,
         pool = query_points(
             spark, root, collection, query=query, prefetch=prefetch,
             fusion=fusion, k=int(k_groups) * int(group_size), flt=flt,
-            vector_name=vector_name, round_to=round_to,
+            vector_name=vector_name, round_to=round_to, tenant=tenant,
             score_threshold=score_threshold,
             lookup_from_collection=lookup_from_collection,
             lookup_from_vector=lookup_from_vector)
@@ -1126,10 +1126,15 @@ def query_points_groups(spark: SparkSession, root: str, collection: str,
         rows = read_rows_for_ids(spark, root, collection,
                                  pool.select("vec_id"))
         if rows is None:
-            out = pool.limit(0).select(
-                F.lit(None).alias("group"),
-                F.lit(0).cast("int").alias("group_rank"), "vec_id",
-                "score", F.lit(0).cast("int").alias("rank_in_group"))
+            # typed empty frame: the group column keeps the STORED
+            # group_by type (the r11 empty-result-schema rule), so the
+            # empty result unions/joins like a filled one
+            out = (read_collection(spark, root, collection).limit(0)
+                   .select(F.col(group_by).alias("group"),
+                           F.lit(0).cast("int").alias("group_rank"),
+                           F.col(id_col).alias("vec_id"),
+                           F.lit(0.0).alias("score"),
+                           F.lit(0).cast("int").alias("rank_in_group")))
             return _finish(out, None)
         gmap = rows.select(F.col(id_col).cast("string").alias("_gid"),
                            F.col(group_by).alias("group"))
@@ -1156,6 +1161,13 @@ def query_points_groups(spark: SparkSession, root: str, collection: str,
 
     meta, id_col, vector_name, metric = _resolve_search_space(
         root, collection, vector_name)
+    if meta.get("vectors", {}).get(vector_name, {}) \
+            .get("multivector") is not None:
+        raise ValueError(
+            f"query_points_groups searches a DENSE space; "
+            f"{collection!r}/{vector_name!r} is multivector — group a "
+            f"multivector retrieval through the prefetch path "
+            f"(prefetch=[{{'nearest': <id-or-tokens>}}])")
     if isinstance(query, DataFrame):
         out = search_groups(spark, root, collection, query, group_by,
                             k_groups=k_groups, group_size=group_size,
@@ -1212,6 +1224,10 @@ def _nearest_mmr(spark: SparkSession, root: str, collection: str,
     from .filters import HasId  # noqa: PLC0415
     from .query_search import search_points_mmr  # noqa: PLC0415
 
+    if not isinstance(mmr, dict):
+        raise ValueError(
+            "mmr must be a spec dict {'diversity': d, "
+            f"'candidates_limit': n}}, got {type(mmr).__name__}")
     _check_spec_keys(mmr, {"diversity", "candidates_limit"}, "mmr")
     diversity = float(mmr.get("diversity", 0.5))
     if not 0.0 <= diversity <= 1.0:

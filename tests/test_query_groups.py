@@ -130,7 +130,7 @@ def test_with_lookup_and_score_threshold(spark, tmp_path):
 
 def test_groups_guards(spark, tmp_path):
     root = _mk_store(spark, tmp_path)
-    with pytest.raises(ValueError, match="exactly one"):
+    with pytest.raises(ValueError, match="needs a query"):
         query_points_groups(spark, root, "c", "grp")
     with pytest.raises(ValueError, match="prefetch leaf"):
         query_points_groups(spark, root, "c", "grp",
@@ -233,3 +233,24 @@ def test_mmr_node_guards(spark, tmp_path):
         query_api.query_points(
             spark, root2, "e",
             query={"nearest": [1.0, 0.0], "mmr": {"diversity": 0.5}})
+
+
+def test_rescore_then_group(spark, tmp_path):
+    """query= + prefetch= together: the tree retrieves, the nearest
+    query rescores the candidate union, the grouped cut shapes it."""
+    root = _mk_store(spark, tmp_path)
+    out = query_points_groups(
+        spark, root, "c", "grp",
+        prefetch=[{"nearest": [0.5, 0.5, 0.0], "limit": 6}],
+        query={"nearest": [1.0, 0.0, 0.0]},
+        k_groups=2, group_size=2).collect()
+    assert out
+    assert all(r["group_rank"] <= 2 and r["rank_in_group"] <= 2
+               for r in out)
+    # rescored candidates ⊆ the retrieval branch
+    branch = query_api.query_points(
+        spark, root, "c",
+        prefetch=[{"nearest": [0.5, 0.5, 0.0], "limit": 6}],
+        fusion="rrf", k=6)
+    branch_ids = {r["id"] for r in branch.collect()}
+    assert {r["vec_id"] for r in out} <= branch_ids

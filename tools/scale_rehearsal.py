@@ -762,6 +762,121 @@ def main():
         fusion="rrf", k=10).count())
     assert n_np2 == 10, n_np2
 
+    # round-12 (VERDICT r11 #3): the two-stage rescore, the hybrid
+    # sparse+dense tree, per-leaf score_threshold, grouped + MMR nodes —
+    # every surface that landed AFTER the round-11 rehearsal window.
+    # One collection carries text + a dense space + a declared-IDF
+    # sparse space (the Qdrant hybrid shape); the ids are the
+    # docs ∩ embeddings domain.
+    from bob_vector_db_spark.operators.query_api import (  # noqa: PLC0415
+        fuse_prefetch,
+        query_points_groups,
+    )
+
+    hyb_post = postings_from_text(docs, id_col="doc_id", text_col="text",
+                                  vocab_size=4096)
+    hyb_sparse = (hyb_post.groupBy("id")
+                  .agg(F.array_sort(F.collect_list(F.struct("idx", "val")))
+                       .alias("z"))
+                  .select("id", F.col("z.idx").alias("indices"),
+                          F.col("z.val").alias("values")))
+    hyb_pts = (docs.select(F.col("doc_id").alias("id"), "text")
+               .join(emb.select(F.col("vec_id").alias("id"), "embedding"),
+                     "id")
+               .join(hyb_sparse, "id"))
+    _timed("create_hybrid_collection", timings,
+           lambda: upsert.create_collection(
+               spark, store, "hyb", df=hyb_pts, id_col="id", n_buckets=32,
+               vector_config={
+                   "embedding": {"size": 64, "distance": "cosine"},
+                   "text_sparse": {"kind": "sparse", "modifier": "idf"}}))
+    _timed("build_hybrid_bm25", timings, lambda: build_text_index(
+        spark, store, "hyb", text_col="text", n_term_buckets=32))
+    _timed("build_hybrid_sparse_idf", timings, lambda: build_sparse_index(
+        spark, store, "hyb", n_dim_buckets=32))
+
+    # two-stage rescore: BM25 retrieves 200 candidates, stored point 0's
+    # dense vector rescores exactly them — candidate fetch via the
+    # static id-bucket filter, broadcast 1-row ref, rank over ≤200 rows
+    res = _timed("rescore_bm25_to_dense", timings, lambda: query_points(
+        spark, store, "hyb",
+        prefetch=[{"text": {"column": "text",
+                            "terms": ["vector", "join", "stream"]},
+                   "limit": 200}],
+        query={"nearest": 0}, vector_name="embedding",
+        k=10).orderBy("rank").collect())
+    assert len(res) == 10 and 0 not in {r["vec_id"] for r in res}
+    assert all(res[i]["score"] >= res[i + 1]["score"]
+               for i in range(len(res) - 1))
+
+    # per-leaf score_threshold (landed post-r11-rehearsal): the
+    # thresholded leaf is the suffix cut of the unthresholded one
+    base_leaf = fuse_prefetch(
+        {"text": {"column": "text", "terms": ["vector", "join", "stream"]},
+         "limit": 50},
+        spark=spark, root=store, collection="hyb").orderBy("rank").collect()
+    thr = base_leaf[9]["score"]
+    cut_leaf = _timed("leaf_score_threshold_cut", timings,
+                      lambda: fuse_prefetch(
+                          {"text": {"column": "text",
+                                    "terms": ["vector", "join", "stream"]},
+                           "limit": 50, "score_threshold": thr},
+                          spark=spark, root=store,
+                          collection="hyb").orderBy("rank").collect())
+    want_leaf = [(r["id"], r["score"], r["rank"]) for r in base_leaf
+                 if r["score"] >= thr]
+    assert [(r["id"], r["score"], r["rank"]) for r in cut_leaf] == want_leaf
+
+    # the canonical hybrid payload as ONE serializable tree: sparse IDF
+    # leaf + dense nearest leaf fused by RRF — both branches ride their
+    # partition-pruned artifacts, the fusion joins 2·k rows
+    sq_rows = (hyb_post.filter(F.col("id") == 0)
+               .select("idx", "val").collect())
+    qv0 = [float(x) for x in
+           emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    n_hyb = _timed("hybrid_sparse_dense_tree", timings, lambda: query_points(
+        spark, store, "hyb",
+        prefetch=[
+            {"nearest": {"indices": [int(r["idx"]) for r in sq_rows],
+                         "values": [float(r["val"]) for r in sq_rows]},
+             "using": "text_sparse", "limit": 20},
+            {"nearest": qv0, "using": "embedding", "limit": 20},
+        ],
+        fusion="rrf", k=10).count())
+    assert n_hyb == 10, n_hyb
+
+    # max-sim rescore (ColBERT retrieve-then-rescore) on the mv store:
+    # a coarse multivector leaf retrieves 100, stored point 5's token
+    # list rescores exactly them
+    n_maxsim = _timed("rescore_maxsim_candidates", timings,
+                      lambda: query_points(
+                          spark, store, "mv",
+                          prefetch=[{"nearest": 3, "limit": 100}],
+                          query={"nearest": 5}, k=10).count())
+    assert n_maxsim == 10, n_maxsim
+
+    # grouped universal endpoint: a typed recommend node through the
+    # shared two-window cut (exactness ties are pytest-pinned; at scale
+    # this watches the label-window shuffle and the slot bounds)
+    grp12 = _timed("query_groups_recommend_node", timings,
+                   lambda: query_points_groups(
+                       spark, store, "vecs", "label",
+                       query={"recommend": {"positive": [100, 101],
+                                            "negative": [102],
+                                            "strategy": "sum_scores"}},
+                       k_groups=5, group_size=3).collect())
+    assert grp12 and all(r["group_rank"] <= 5 and r["rank_in_group"] <= 3
+                         for r in grp12)
+
+    # MMR as a serialized node: by-id query, 100-candidate pool through
+    # the bucket fetch, greedy rerank over pool-sized frames only
+    n_mmr12 = _timed("mmr_node_by_id", timings, lambda: query_points(
+        spark, store, "vecs",
+        query={"nearest": 100,
+               "mmr": {"diversity": 0.4, "candidates_limit": 100}},
+        k=10).count())
+    assert n_mmr12 == 10, n_mmr12
+
     summary = {"n_docs": n_docs, "n_emb": n_emb,
                "total_s": round(time.time() - t_all, 2), "timings": timings}
     print(json.dumps(summary))
