@@ -63,6 +63,7 @@ from .query_tree import (  # noqa: F401
     _nearest_mmr,
     _resolve_typed_node,
     fuse_prefetch,
+    query_batch_points,
     query_points,
     query_points_groups,
     rescore_by_nearest,

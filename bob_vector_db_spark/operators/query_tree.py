@@ -1278,3 +1278,63 @@ def _nearest_mmr(spark: SparkSession, root: str, collection: str,
         out = (out.filter(F.col("rank") > offset)
                .withColumn("rank", F.col("rank") - F.lit(int(offset))))
     return out
+
+
+def query_batch_points(spark: SparkSession, root: str, collection: str,
+                       requests: list, k: int = 10,
+                       round_to: int = 6) -> DataFrame:
+    """Qdrant ``query_batch_points`` — N universal-endpoint requests
+    against one collection in one call, as ONE serializable payload:
+    each request is a dict of ``query_points`` fields (``query`` /
+    ``prefetch`` / ``fusion`` / ``limit`` / ``filter`` / ``using`` /
+    ``score_threshold`` / ``offset``), resolved independently so every
+    request keeps the physical plan its node kind earns (pruned
+    artifact probes, broadcast example scans, fused trees).
+
+    Results union to one frame normalized to (req, id, score, rank) —
+    ``req`` is the request's position — so a batch of k-row rankings
+    stays k·n_requests rows end-to-end (corpus-size-independent past
+    the per-request scans).  Qdrant's batch endpoint exists to
+    amortize transport, not to change semantics: each request here is
+    exactly ``query_points(**request)``, pytest-pinned."""
+    if not requests:
+        raise ValueError("query_batch_points needs at least one request")
+    _ALLOWED = {"query", "prefetch", "fusion", "limit", "k", "filter",
+                "using", "score_threshold", "offset"}
+    outs = []
+    for i, req in enumerate(requests):
+        if not isinstance(req, dict):
+            raise ValueError(
+                f"request #{i} must be a dict of query_points fields, "
+                f"got {type(req).__name__}")
+        bad = sorted(set(req) - _ALLOWED)
+        if bad:
+            raise ValueError(
+                f"request #{i} has unknown keys {bad}; "
+                f"allowed: {sorted(_ALLOWED)}")
+        if isinstance(req.get("query"), dict) and "sample" in req["query"]:
+            raise ValueError(
+                f"request #{i}: sample returns full stored rows, not a "
+                f"ranking — it doesn't batch; call query_points("
+                f"query={{'sample': ...}}) directly")
+        out = query_points(
+            spark, root, collection,
+            query=req.get("query"), prefetch=req.get("prefetch"),
+            fusion=req.get("fusion", "rrf"),
+            k=int(req.get("limit", req.get("k", k))),
+            flt=req.get("filter"), vector_name=req.get("using"),
+            score_threshold=req.get("score_threshold"),
+            offset=int(req.get("offset", 0)), round_to=round_to)
+        cols = set(out.columns)
+        idc = "vec_id" if "vec_id" in cols else "id"
+        score = ("sim" if "sim" in cols
+                 else "score" if "score" in cols else "rrf_score")
+        outs.append(out.select(
+            F.lit(i).cast("int").alias("req"),
+            F.col(idc).alias("id"),
+            F.col(score).cast("double").alias("score"),
+            F.col("rank").cast("int").alias("rank")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -1789,3 +1789,74 @@ def q_api_query_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("vec_id").cast("long").alias("vec_id"),
                       "sim", "mmr_score",
                       F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "api_query_batch",
+    # round 12: Qdrant query_batch_points — N universal-endpoint
+    # requests in one serializable payload, results normalized to
+    # (req, id, score, rank).  Request 0: by-id cosine search (point 0,
+    # self-excluded); request 1: sum_scores recommend (per-pair sims
+    # round to 6 before the signed sum).  Each request keeps its own
+    # plan; the union is k·n_requests rows.
+    oracle=f"""
+WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+near AS (
+  SELECT e.vec_id, {_duck_cos('e.embedding', 'q.q')} AS sim
+  FROM embeddings e, qv q
+  WHERE e.vec_id < 300 AND e.vec_id <> 0
+),
+req0 AS (
+  SELECT 0 AS req, vec_id AS id, sim AS score,
+         row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+  FROM near
+),
+ex AS (
+  SELECT vec_id, embedding,
+         CASE WHEN vec_id IN (0, 1) THEN 1 ELSE -1 END AS s
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+sims AS (
+  SELECT c.vec_id, e.s, {_duck_cos('c.embedding', 'e.embedding')} AS sim
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id < 300 AND vec_id NOT IN (0, 1, 2)) c, ex e
+),
+req1 AS (
+  SELECT 1 AS req, vec_id AS id, score,
+         row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+  FROM (SELECT vec_id, round(SUM(sim * s), 6) AS score
+        FROM sims GROUP BY vec_id)
+)
+SELECT CAST(req AS INT) AS req, id, score, CAST(rank AS INT) AS rank
+FROM (SELECT * FROM req0 WHERE rank <= 5
+      UNION ALL SELECT * FROM req1 WHERE rank <= 5)
+""",
+)
+def q_api_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``query_batch_points`` (round 12): two universal-endpoint
+    requests — a by-id nearest search and a sum_scores recommend — in
+    ONE serialized batch payload against one collection.  Each request
+    resolves through exactly the plan its node kind earns (the id-bucket
+    example fetch + broadcast scan twice here) and the union is
+    k·n_requests rows; Qdrant's batch endpoint amortizes transport, not
+    semantics."""
+    from ..operators.query_tree import query_batch_points  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "qbatch")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.filter(F.col("vec_id") < 300)
+        .select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    out = query_batch_points(
+        spark, base, "vecs",
+        requests=[
+            {"query": {"nearest": 0}, "limit": 5},
+            {"query": {"recommend": {"positive": [0, 1],
+                                     "negative": [2],
+                                     "strategy": "sum_scores"}},
+             "limit": 5},
+        ])
+    return out.select("req", F.col("id").cast("long").alias("id"),
+                      "score", "rank")

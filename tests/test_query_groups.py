@@ -254,3 +254,102 @@ def test_rescore_then_group(spark, tmp_path):
         fusion="rrf", k=6)
     branch_ids = {r["id"] for r in branch.collect()}
     assert {r["vec_id"] for r in out} <= branch_ids
+
+
+# ---------------------------------------------------------------------------
+# query_batch_points (round 12): N universal-endpoint requests, one
+# serialized payload, each pinned to exactly query_points(**request).
+# ---------------------------------------------------------------------------
+
+def test_batch_matches_individual_requests(spark, tmp_path):
+    from bob_vector_db_spark.operators.query_tree import query_batch_points
+
+    root = _mk_store(spark, tmp_path)
+    reqs = [
+        {"query": {"nearest": [1.0, 0.0, 0.0]}, "limit": 3},
+        {"query": {"recommend": {"positive": [1], "negative": [2]}},
+         "limit": 3},
+        {"prefetch": [{"nearest": [0.0, 1.0, 0.0], "limit": 4},
+                      {"recommend": {"positive": [2]}, "limit": 4}],
+         "fusion": "rrf", "limit": 3},
+    ]
+    batch = query_batch_points(spark, root, "c", reqs)
+    rows = batch.orderBy("req", "rank").collect()
+    assert {r["req"] for r in rows} == {0, 1, 2}
+    for i, req in enumerate(reqs):
+        single = query_api.query_points(
+            spark, root, "c", query=req.get("query"),
+            prefetch=req.get("prefetch"),
+            fusion=req.get("fusion", "rrf"),
+            k=req["limit"]).orderBy("rank").collect()
+        got = [r for r in rows if r["req"] == i]
+        want = [(s["vec_id"] if "vec_id" in s.asDict() else s["id"],
+                 s["rank"]) for s in single]
+        assert [(g["id"], g["rank"]) for g in got] == want, i
+
+
+def test_batch_guards(spark, tmp_path):
+    from bob_vector_db_spark.operators.query_tree import query_batch_points
+
+    root = _mk_store(spark, tmp_path)
+    with pytest.raises(ValueError, match="at least one"):
+        query_batch_points(spark, root, "c", [])
+    with pytest.raises(ValueError, match="unknown keys"):
+        query_batch_points(spark, root, "c",
+                           [{"query": {"nearest": [1.0, 0, 0]},
+                             "limt": 3}])
+    with pytest.raises(ValueError, match="sample"):
+        query_batch_points(spark, root, "c",
+                           [{"query": {"sample": "random"}}])
+
+
+def test_sparse_retrieve_dense_rescore_composes(spark, tmp_path):
+    """The SPLADE pattern: a SPARSE prefetch branch retrieves, the dense
+    nearest query rescores exactly those candidates — one payload."""
+    from bob_vector_db_spark.operators.sparse import (
+        build_sparse_index,
+        postings_from_text,
+    )
+
+    root = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 13} tok{i % 7} shared word{i % 3}",
+          [1.0 - 0.01 * i, 0.01 * i, (i % 3) * 0.1])
+         for i in range(40)],
+        "id long, text string, vec array<double>")
+    post = postings_from_text(docs, id_col="id", text_col="text",
+                              vocab_size=128)
+    pts = (post.groupBy("id")
+           .agg(F.array_sort(F.collect_list(F.struct("idx", "val")))
+                .alias("z"))
+           .select("id", F.col("z.idx").alias("indices"),
+                   F.col("z.val").alias("values"))
+           .join(docs.select("id", "vec"), "id"))
+    upsert.create_collection(
+        spark, root, "sp", df=pts, id_col="id", n_buckets=4,
+        vector_config={"vec": {"size": 3, "distance": "cosine"},
+                       "text_sparse": {"kind": "sparse"}})
+    build_sparse_index(spark, root, "sp", n_dim_buckets=8)
+    qrows = (post.filter(F.col("id") == 0)
+             .select("idx", "val").collect())
+    spec = {"indices": [int(r["idx"]) for r in qrows],
+            "values": [float(r["val"]) for r in qrows]}
+    out = query_api.query_points(
+        spark, root, "sp",
+        prefetch=[{"nearest": spec, "using": "text_sparse",
+                   "limit": 8}],
+        query={"nearest": [1.0, 0.0, 0.0]}, vector_name="vec",
+        k=5).orderBy("rank").collect()
+    assert out
+    branch = query_api.query_points(
+        spark, root, "sp",
+        prefetch=[{"nearest": spec, "using": "text_sparse",
+                   "limit": 8},
+                  {"nearest": spec, "using": "text_sparse",
+                   "limit": 8}],
+        fusion="rrf", k=8)
+    branch_ids = {r["id"] for r in branch.collect()}
+    assert {r["vec_id"] for r in out} <= branch_ids
+    # rescored scores are the dense cosine, ranked native descending
+    assert all(out[i]["score"] >= out[i + 1]["score"]
+               for i in range(len(out) - 1))
