@@ -6,9 +6,15 @@ round 12; import through ``operators.query_api`` or here, both work).
 A query travels as PLAIN DATA — nested dicts/lists of the exact shapes
 Qdrant's client serializes (NearestQuery / RecommendQuery /
 DiscoverQuery / ContextQuery / FusionQuery / FormulaQuery /
-SparseVector / Prefetch) — and every node resolves against the stored
-collection to a ranked DataFrame normalized to ``(id, score, rank)``,
-so arbitrary nesting composes for free.
+SparseVector / Mmr / Prefetch) — and every node resolves against the
+stored collection to a ranked DataFrame normalized to
+``(id, score, rank)``, so arbitrary nesting composes for free.
+
+Reference provenance: the reference node delegates this entire query
+surface to its Qdrant server (README.md:13 "Query the DB and return
+the results"; qdrant_embedder.py:119-128 builds the payloads,
+:95-103 attaches the per-collection vector config the named spaces
+here mirror — dense, named multivector, and the sparse/IDF params).
 """
 
 from __future__ import annotations
