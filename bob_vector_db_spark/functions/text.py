@@ -306,3 +306,42 @@ def normalize_text(text: Column) -> Column:
     t = F.regexp_replace(t, r"https?://[^\s]+", "<URL>")
     t = F.regexp_replace(t, r"\s+", " ")
     return F.lower(F.trim(t))
+
+
+# PII scrub patterns — one definition for the Spark expressions AND the
+# DuckDB oracles (both regex engines accept this conservative subset:
+# no lookarounds, no backrefs).  Replacement order matters and is fixed:
+# URLs first (an e-mail inside a URL is part of the URL), then e-mail,
+# IPv4, phone.
+PII_PATTERNS = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[- .]\d{3,4}[- .]\d{4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """The PII-redaction pass of a pretraining pipeline (the C4/Dolma
+    tagger family): URLs, e-mail addresses, IPv4 addresses, and
+    phone-shaped numbers each collapse to a stable placeholder — all
+    JVM ``regexp_replace`` chains (whole-stage codegen, no Python), in
+    the fixed :data:`PII_PATTERNS` order so engines agree bit-for-bit.
+    Unlike :func:`normalize_text` this does NOT touch case/whitespace —
+    compose them in either order."""
+    t = text
+    for _, pat, repl in PII_PATTERNS:
+        t = F.regexp_replace(t, pat, repl)
+    return t
+
+
+def pii_counts(text: Column) -> list[tuple[str, Column]]:
+    """Per-kind PII hit counts over the RAW text — the audit columns a
+    scrub job writes next to the cleaned corpus.  Counted in the same
+    fixed order the scrub replaces, but each count runs on the input
+    (a URL-embedded e-mail counts as URL only after scrubbing, yet
+    both patterns match the raw text — callers wanting post-scrub
+    residuals count on :func:`scrub_pii`'s output instead)."""
+    return [(name, F.size(F.regexp_extract_all(text, F.lit(pat), 0)))
+            for name, pat, _ in PII_PATTERNS]

@@ -421,3 +421,48 @@ def embedding_neardup_pairs_vectorized(df: DataFrame, id_col: str = "vec_id",
         .groupBy("_blk")
         .applyInPandas(per_block, "id_a long, id_b long, sim double")
     )
+
+
+def paragraph_dedup(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", min_repeats: int = 2,
+                    sep: str = "\n") -> DataFrame:
+    """Paragraph-level corpus dedup — the CCNet/Dolma pass a training
+    pipeline runs BEFORE document-level near-dup: split every document
+    on ``sep``, drop each paragraph whose exact content appears in
+    ``min_repeats`` or more DISTINCT documents (boilerplate headers,
+    cookie banners, license blocks), and reassemble the survivors in
+    their original order.  Every input id survives — a document whose
+    paragraphs were all boilerplate comes back with empty text, so
+    callers can count/filter the casualties explicitly.
+
+    Physical shape (100 TB-safe): explode → ONE hash aggregate keyed by
+    ``sha2(paragraph)`` (narrow shuffle rows — the 256-bit digest, not
+    the paragraph text), a same-key join back, and one per-document
+    reassembly aggregate.  Nothing driver-side; whitespace-only
+    segments are dropped up front (they would otherwise count as the
+    corpus's most-repeated "paragraph" and hot-key the shuffle).
+
+    ``sep`` is a LITERAL separator (regex-escaped before the split).
+    Returns (id_col, text_col) with the same id type as the input."""
+    import re  # noqa: PLC0415
+
+    paras = (docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep), -1))
+        .alias("_pos", "_para"))
+        .filter(F.length(F.trim("_para")) > 0)
+        .withColumn("_ph", F.sha2(F.col("_para"), 256)))
+    counts = (paras.groupBy("_ph")
+              .agg(F.countDistinct(id_col).alias("_ndocs"))
+              .filter(F.col("_ndocs") >= int(min_repeats))
+              .select("_ph"))
+    kept = paras.join(counts, "_ph", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(F.struct("_pos", "_para")))
+                    .alias("_z"))
+               .select(id_col,
+                       F.concat_ws(sep, F.col("_z._para")).alias(text_col)))
+    return (docs.select(id_col)
+            .join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col(text_col), F.lit("")).alias(text_col)))

@@ -547,3 +547,114 @@ def q_pipe_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pack_token_shards(t, "doc_id", "n_tokens", budget=20_000,
                             n_ranges=32)
     return out.select("doc_id", "n_tokens", "shard")
+
+
+@register(
+    "pipe_paragraph_dedup",
+    # round 12: CCNet/Dolma paragraph-level corpus dedup — the synthetic
+    # corpus gives every base text < 50 FOUR carrier documents (itself
+    # plus three doc_id%50 echoes), so those paragraphs cross the
+    # min_repeats=2 bar and vanish from every document, while the
+    # singleton paragraphs survive in original order; every input id
+    # survives (empty text when all paragraphs were boilerplate).
+    oracle="""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+synth AS (
+  SELECT b.doc_id, b.text || chr(10) || s.text AS text
+  FROM base b JOIN base s ON s.doc_id = b.doc_id % 50
+),
+paras AS (
+  SELECT doc_id, unnest(ps) AS para, unnest(range(0, len(ps))) AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM synth)
+),
+np AS (SELECT * FROM paras WHERE length(trim(para)) > 0),
+hot AS (SELECT para FROM np GROUP BY para
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+kept AS (SELECT * FROM np WHERE para NOT IN (SELECT para FROM hot)),
+agg AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+        FROM kept GROUP BY doc_id)
+SELECT s.doc_id, coalesce(a.text, '') AS text
+FROM synth s LEFT JOIN agg a USING (doc_id)
+""",
+)
+def q_pipe_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level corpus dedup (CCNet/Dolma boilerplate removal, the
+    pass that runs BEFORE document near-dup): paragraphs repeated across
+    ≥2 distinct documents vanish from all of them, survivors reassemble
+    in original order, and every input id survives (empty text = fully
+    boilerplate).  One hash aggregate keyed by sha2(paragraph) + a
+    left-anti join back + one per-document reassembly — nothing
+    driver-side, narrow shuffle rows (the digest, not the text)."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200).select("doc_id", "text"))
+    echo = (docs.filter(F.col("doc_id") < 50)
+            .select(F.col("doc_id").alias("_k"), F.col("text").alias("_t2")))
+    synth = (docs.withColumn("_k", F.col("doc_id") % 50)
+             .join(echo, "_k")
+             .select("doc_id",
+                     F.concat_ws("\n", "text", "_t2").alias("text")))
+    return dedup.paragraph_dedup(synth, min_repeats=2)
+
+
+_PII_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com via https://ex.com/p?u=' || CAST(doc_id AS VARCHAR)
+         || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.7 tel 555-012-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         t, '@URL@', '<URL>', 'g'), '@EMAIL@', '<EMAIL>', 'g'),
+         '@IPV4@', '<IP>', 'g'), '@PHONE@', '<PHONE>', 'g') AS clean,
+       CAST(len(regexp_extract_all(t, '@URL@')) AS INT) AS n_url,
+       CAST(len(regexp_extract_all(t, '@EMAIL@')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(t, '@IPV4@')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '@PHONE@')) AS INT) AS n_phone
+FROM raw
+"""
+
+
+def _pii_oracle() -> str:
+    from ..functions.text import PII_PATTERNS  # noqa: PLC0415
+
+    sql = _PII_SQL
+    for name, pat, _ in PII_PATTERNS:
+        sql = sql.replace(f"@{name.upper()}@", pat)
+    return sql
+
+
+@register(
+    "pipe_pii_scrub",
+    # round 12: the C4/Dolma PII-redaction tagger — URL/e-mail/IPv4/phone
+    # collapse to stable placeholders in ONE fixed order; per-kind hit
+    # counts audit the raw text.  The patterns interpolate from the same
+    # PII_PATTERNS tuple the Spark expressions compile from, so the two
+    # engines can never drift.
+    oracle=_pii_oracle(),
+)
+def q_pipe_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (the C4/Dolma tagger family): deterministic synthetic
+    PII (an e-mail, a URL, an IPv4, a phone number derived from doc_id)
+    injects into each document, `scrub_pii` collapses each kind to its
+    placeholder via JVM regexp_replace chains (whole-stage codegen, no
+    Python), and per-kind `pii_counts` audit the raw text.  Both engines
+    compile the SAME PII_PATTERNS tuple."""
+    from ..functions.text import pii_counts, scrub_pii  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.substring("text", 1, 40), F.lit(" contact user"), d,
+        F.lit("@example.com via https://ex.com/p?u="), d,
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel 555-012-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    out = docs.select("doc_id", raw.alias("_t"))
+    counts = [c.cast("int").alias(f"n_{name}")
+              for name, c in pii_counts(F.col("_t"))]
+    return out.select("doc_id", scrub_pii(F.col("_t")).alias("clean"),
+                      *counts)

@@ -190,3 +190,35 @@ def test_cross_corpus_contamination(spark):
            for r in cross_corpus_contamination(train, bench, n=3).collect()}
     assert set(out) == {1, 3}
     assert out[3] > out[1] >= 1
+
+
+def test_paragraph_dedup_semantics(spark):
+    """CCNet/Dolma paragraph dedup pins: a paragraph in >= min_repeats
+    DISTINCT docs vanishes from all of them; survivors keep original
+    order; in-doc repeats below the bar stay; whitespace-only segments
+    never count as paragraphs; every input id survives."""
+    from bob_vector_db_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "boiler\nunique one\nboiler"),   # boiler also in docs 2,3
+         (2, "unique two\nboiler"),
+         (3, "boiler\n \nunique three\nunique three"),  # ws-only segment
+         (4, "all alone")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in paragraph_dedup(docs, min_repeats=2).collect()}
+    assert out[1] == "unique one"
+    assert out[2] == "unique two"
+    # in-doc repeat (1 distinct doc) survives BOTH times, order kept
+    assert out[3] == "unique three\nunique three"
+    assert out[4] == "all alone"
+    # min_repeats raises the bar: nothing removed at 4
+    out4 = {r["doc_id"]: r["text"]
+            for r in paragraph_dedup(docs, min_repeats=4).collect()}
+    assert out4[1] == "boiler\nunique one\nboiler"
+    # fully-boilerplate doc comes back EMPTY, not missing
+    docs2 = spark.createDataFrame(
+        [(1, "b"), (2, "b"), (3, "keep")], "doc_id long, text string")
+    out2 = {r["doc_id"]: r["text"]
+            for r in paragraph_dedup(docs2, min_repeats=2).collect()}
+    assert out2 == {1: "", 2: "", 3: "keep"}

@@ -825,3 +825,35 @@ def test_rescore_by_nearest_maxsim(spark, tmp_path):
             spark, root2, "c",
             prefetch=[{"text": {"column": "text", "terms": ["vector"]}}],
             query={"nearest": [[0.0, 0.0]]}, k=2, vector_name="colbert")
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    """PII scrub pins: each kind collapses to its placeholder; an e-mail
+    inside a URL is part of the URL (fixed replacement order); counts
+    audit the raw text per kind."""
+    from bob_vector_db_spark.functions.text import pii_counts, scrub_pii
+
+    rows = [
+        (1, "mail me at a.b+c@ex-ample.org today"),
+        (2, "see https://ex.com/p?who=x@y.org deep link"),
+        (3, "host 192.168.001.7 port open"),
+        (4, "call 555-012-3456 or 555 0123 4567"),
+        (5, "clean text, no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r["id"]: r for r in df.select(
+        "id", scrub_pii(F.col("t")).alias("c"),
+        *[c.alias(f"n_{n}") for n, c in pii_counts(F.col("t"))]
+    ).collect()}
+    assert got[1]["c"] == "mail me at <EMAIL> today"
+    assert got[1]["n_email"] == 1 and got[1]["n_url"] == 0
+    # URL wins: the embedded e-mail never surfaces as <EMAIL>
+    assert got[2]["c"] == "see <URL> deep link"
+    assert got[2]["n_url"] == 1
+    assert got[3]["c"] == "host <IP> port open"
+    assert got[3]["n_ipv4"] == 1
+    assert got[4]["c"].startswith("call <PHONE> or")
+    assert got[4]["n_phone"] >= 1
+    assert got[5]["c"] == rows[4][1]
+    assert all(got[5][f"n_{n}"] == 0
+               for n in ("url", "email", "ipv4", "phone"))
