@@ -146,7 +146,8 @@ def _filter_candidate_ids(spark: SparkSession, root: str, collection: str,
 
 
 def search_sparse_points(spark: SparkSession, root: str, collection: str,
-                         query_postings: DataFrame, flt=None, k: int = 10,
+                         query_postings: DataFrame, flt=None,
+                         k: int | None = 10,
                          indices_col: str = "indices",
                          use_payload_index: str | bool = "auto",
                          exclude_self: bool = False,
@@ -174,7 +175,7 @@ def search_sparse_points(spark: SparkSession, root: str, collection: str,
 
 
 def search_text_points(spark: SparkSession, root: str, collection: str,
-                       terms: list[str], flt=None, k: int = 10,
+                       terms: list[str], flt=None, k: int | None = 10,
                        text_col: str = "document",
                        use_payload_index: str | bool = "auto",
                        k1: float = 1.2, b: float = 0.75,

@@ -1034,13 +1034,18 @@ def query_points_groups(spark: SparkSession, root: str, collection: str,
       :func:`query_recommend.recommend_groups` — the grouped cut IS the
       flat recommend scoring + the shared two-window ranking, so the
       grouped result ties exactly to :func:`recommend_points`;
+    - ``{'text': {...}}`` (stored BM25) and ``{'nearest': {'indices':
+      ..., 'values': ...}}`` (sparse) → the posting index scores EVERY
+      matching doc (``k=None`` — no global cut) and the shared grouped
+      tail ranks per group ("top docs per source", the flagship
+      diversification) — corpus-complete like the dense scan;
     - a **prefetch tree** (typed leaves / fusion / rescore-by-nearest):
       the tree retrieves its fused top ``k_groups·group_size`` pool,
       then the pool's ids fetch their ``group_by`` values through the
       store's static id-bucket filter and the same two-window cut
       shapes them — CANDIDATE-BOUNDED grouping (the tree's own per-leaf
       ``limit``s bound the pool; raise them for fuller groups).  This
-      is also the grouped route for sparse / text / discover / context
+      is also the grouped route for discover / context / formula / mmr
       queries: embed the node as a prefetch leaf.
 
     ``score_threshold`` cuts hits in the node's NATIVE score convention;
@@ -1072,14 +1077,57 @@ def query_points_groups(spark: SparkSession, root: str, collection: str,
         return out
 
     if isinstance(query, dict) and prefetch is None:
-        kinds = ({"recommend", "nearest"} & set(query))
+        kinds = ({"recommend", "nearest", "text"} & set(query))
         bad = sorted(set(query) - kinds)
         if len(kinds) != 1 or bad:
             raise ValueError(
                 "query_points_groups dict query carries exactly one of "
-                "'recommend', 'nearest' — group a sparse / text / "
-                "discover / context / formula node by embedding it as a "
+                "'recommend', 'nearest', 'text' — group a discover / "
+                "context / formula / mmr node by embedding it as a "
                 f"prefetch leaf; got keys {sorted(query)}")
+        meta_g = collection_meta(root, collection) or {}
+        id_col_g = meta_g.get("id_col", "id")
+        if "text" in query:
+            # EXACT grouped BM25 ("top docs per source"): the probed
+            # posting buckets score EVERY term-matching doc (k=None —
+            # no global cut, no global sort), then the shared grouped
+            # tail
+            spec = query["text"]
+            _check_spec_keys(spec, {"column", "field", "terms", "query",
+                                    "k1", "b"}, "text")
+            if "terms" not in spec and "query" not in spec:
+                raise ValueError(
+                    "text node spec needs 'terms' (a token list) or "
+                    "'query' (a whitespace-split string)")
+            terms = (list(spec["terms"]) if "terms" in spec
+                     else str(spec["query"]).split())
+            scored = search_text_points(
+                spark, root, collection, terms, flt=flt, k=None,
+                text_col=spec.get("column", spec.get("field",
+                                                     "document")),
+                k1=float(spec.get("k1", 1.2)),
+                b=float(spec.get("b", 0.75)), round_to=round_to)
+            return _grouped_from_scored(
+                spark, root, collection,
+                scored.select(F.col("id").alias("vec_id"), "score"),
+                group_by, k_groups, group_size, score_threshold,
+                with_lookup, id_col_g)
+        if "nearest" in query and isinstance(query["nearest"], dict):
+            # EXACT grouped SPARSE search: every dim-sharing doc scores
+            # through the persisted index (k=None), then the shared
+            # grouped tail — Qdrant groups sparse queries too
+            qpost = _sparse_query_postings(spark, query["nearest"],
+                                           "nearest")
+            _, _, _sp, icol = _resolve_sparse_space(root, collection,
+                                                    vector_name)
+            scored = search_sparse_points(
+                spark, root, collection, qpost, flt=flt, k=None,
+                indices_col=icol, round_to=round_to)
+            return _grouped_from_scored(
+                spark, root, collection,
+                scored.select("vec_id", F.col("sim").alias("score")),
+                group_by, k_groups, group_size, score_threshold,
+                with_lookup, id_col_g)
         if "recommend" in query:
             spec = query["recommend"]
             _check_spec_keys(spec, {"positive", "negative", "strategy",
@@ -1182,11 +1230,6 @@ def query_points_groups(spark: SparkSession, root: str, collection: str,
         out = out.select("qid", "group", "group_rank", "vec_id",
                          F.col("sim").alias("score"), "rank_in_group")
         return _finish(out, metric)
-    if isinstance(query, dict):
-        raise ValueError(
-            "query_points_groups: a sparse nearest query groups through "
-            "the prefetch path — prefetch=[{'nearest': {'indices': ..., "
-            "'values': ...}, 'using': ...}]")
     if isinstance(query, (list, tuple)):  # raw query vector
         qdf = _vec_query_df(spark, query)
         exclude = None
@@ -1344,3 +1387,51 @@ def query_batch_points(spark: SparkSession, root: str, collection: str,
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def _grouped_from_scored(spark: SparkSession, root: str, collection: str,
+                         scored: DataFrame, group_by: str,
+                         k_groups: int, group_size: int,
+                         score_threshold: float | None,
+                         with_lookup: str | None,
+                         id_col: str) -> DataFrame:
+    """Shared tail of the posting-index grouped searches (sparse / BM25
+    text): ``scored`` is the COMPLETE (vec_id, score) set of matching
+    docs (similarity order, larger is better — docs sharing no
+    dimension/term score nothing, Qdrant's "no match"), the group
+    values fetch through the store's static id-bucket filter
+    (O(|matching docs|), never a collection scan), and the same
+    two-window cut that serves search_groups/recommend_groups shapes
+    the result.  The group join deliberately does NOT broadcast — the
+    matching set is unbounded, AQE picks the join shape.  The threshold
+    cuts the scored set BEFORE the windows (Qdrant drops sub-threshold
+    hits before grouping; post-window it would still be a suffix at
+    both levels, same result — pre-window is just cheaper)."""
+    from .query_search import _group_topk, with_group_lookup  # noqa: PLC0415
+
+    if score_threshold is not None:
+        scored = scored.filter(F.col("score") >= float(score_threshold))
+    rows = read_rows_for_ids(spark, root, collection,
+                             scored.select("vec_id").distinct())
+    if rows is None:
+        out = (read_collection(spark, root, collection).limit(0)
+               .select(F.col(group_by).alias("group"),
+                       F.lit(0).cast("int").alias("group_rank"),
+                       F.col(id_col).alias("vec_id"),
+                       F.lit(0.0).alias("score"),
+                       F.lit(0).cast("int").alias("rank_in_group")))
+    else:
+        gmap = rows.select(F.col(id_col).cast("string").alias("_gid"),
+                           F.col(group_by).alias("group"))
+        j = (scored.join(
+            gmap, F.col("vec_id").cast("string") == F.col("_gid"))
+            .filter(F.col("group").isNotNull())
+            .select(F.lit(0).alias("qid"), "vec_id", "group",
+                    F.col("score").alias("sim")))
+        out = (_group_topk(j, ascending=False, k_groups=k_groups,
+                           group_size=group_size)
+               .select("group", "group_rank", "vec_id",
+                       F.col("sim").alias("score"), "rank_in_group"))
+    if with_lookup:
+        out = with_group_lookup(spark, root, with_lookup, out)
+    return out

@@ -69,7 +69,7 @@ def postings_from_arrays(points: DataFrame, id_col: str = "id",
 
 
 def sparse_dot_topk(query_postings: DataFrame, corpus_postings: DataFrame,
-                    k: int = 10, exclude_self: bool = False,
+                    k: int | None = 10, exclude_self: bool = False,
                     round_to: int | None = 6) -> DataFrame:
     """Top-k corpus ids per query by sparse dot product; returns
     (qid, vec_id, sim, rank), ties broken by vec_id.
@@ -92,6 +92,12 @@ def sparse_dot_topk(query_postings: DataFrame, corpus_postings: DataFrame,
         sim = F.round(sim, round_to)
     scored = (pairs.groupBy("qid", F.col("id").alias("vec_id"))
               .agg(sim.alias("sim")))
+    if k is None:
+        # no cut, no rank: the full (qid, vec_id, sim) set of
+        # dim-sharing docs — the grouped search's input (it ranks per
+        # GROUP; a global per-qid window here would shuffle every
+        # scored doc into one partition for nothing)
+        return scored
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
@@ -283,7 +289,7 @@ def idf_weight(df, n_points) -> "F.Column":
 
 
 def sparse_search_indexed(spark, root: str, collection: str,
-                          query_postings: DataFrame, k: int = 10,
+                          query_postings: DataFrame, k: int | None = 10,
                           indices_col: str = "indices",
                           exclude_self: bool = False,
                           round_to: int | None = 6,

@@ -70,7 +70,8 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
     return _score_posting(posting, n_docs, avgdl, k, k1, b, round_to)
 
 
-def _score_posting(posting: DataFrame, n_docs: int, avgdl: float, k: int,
+def _score_posting(posting: DataFrame, n_docs: int, avgdl: float,
+                   k: int | None,
                    k1: float, b: float, round_to: int,
                    df_t: DataFrame | None = None) -> DataFrame:
     """Shared BM25 scoring tail over a (id, term, tf, len) posting stream
@@ -80,7 +81,10 @@ def _score_posting(posting: DataFrame, n_docs: int, avgdl: float, k: int,
     pre-narrowing ``df_t`` so IDF stays corpus-global.  The final top-k
     is TakeOrderedAndProject (per-partition heaps + one k-row merge),
     not a global row_number window that would shuffle every scored doc
-    into one partition."""
+    into one partition.  ``k=None`` skips the cut AND the rank column —
+    the full (id, score) set of term-matching docs, the input the
+    grouped search's two-window cut consumes (it ranks per GROUP, so a
+    global rank here would be a corpus-wide sort for nothing)."""
     if df_t is None:
         df_t = posting.groupBy("term").agg(
             F.countDistinct("id").alias("df"))
@@ -95,6 +99,8 @@ def _score_posting(posting: DataFrame, n_docs: int, avgdl: float, k: int,
         .groupBy("id")
         .agg(F.round(F.sum("contrib"), round_to).alias("score"))
     )
+    if k is None:
+        return scored
     topk = scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("id"))
     return topk.withColumn("rank", F.row_number().over(w))

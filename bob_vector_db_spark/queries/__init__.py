@@ -61,7 +61,7 @@ _PRIORITY = [
     # new this round (round 12) — never driver-adjudicated
     "api_query_rescore_maxsim", "api_query_hybrid_sparse_dense",
     "api_query_groups_nested", "api_query_mmr", "api_query_batch",
-    "pipe_paragraph_dedup", "pipe_pii_scrub",
+    "pipe_paragraph_dedup", "pipe_pii_scrub", "api_query_groups_text",
     # new in round 11
     "api_query_rescore_nearest",
     "api_query_nested_prefetch", "api_recommend_euclid",

@@ -1860,3 +1860,98 @@ def q_api_query_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ])
     return out.select("req", F.col("id").cast("long").alias("id"),
                       "score", "rank")
+
+
+@register(
+    "api_query_groups_text",
+    # round 12: EXACT grouped BM25 through query_points_groups — "top 2
+    # docs per lang, best 3 langs" (the flagship diversified text
+    # retrieval).  The posting index scores EVERY term-matching doc
+    # (k=None, no global cut), docs missing lang never consume a slot,
+    # groups rank by their best hit's score (ties by lang), hits within
+    # a group by score (ties by id).
+    oracle=r"""
+WITH corpus AS (SELECT doc_id, text, lang FROM documents
+                WHERE doc_id < 300),
+ltoks AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> length(x) > 0) AS tk
+  FROM corpus
+),
+lens AS (SELECT id, len(tk) AS len FROM ltoks),
+stats AS (SELECT COUNT(*) AS n, AVG(len) AS avgdl FROM lens),
+posting AS (
+  SELECT id, term, COUNT(*) AS tf
+  FROM (SELECT id, unnest(tk) AS term FROM ltoks)
+  WHERE term IN ('vector', 'join', 'stream')
+  GROUP BY id, term
+),
+dfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM posting GROUP BY term),
+scored AS (
+  SELECT p.id,
+         round(SUM(
+           ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / stats.avgdl))
+         ), 6) AS score
+  FROM posting p
+  JOIN dfreq ON p.term = dfreq.term
+  JOIN lens ON lens.id = p.id
+  CROSS JOIN stats
+  GROUP BY p.id
+),
+grouped AS (
+  SELECT c.lang AS grp, s.id, s.score
+  FROM scored s JOIN corpus c ON c.doc_id = s.id
+  WHERE c.lang IS NOT NULL
+),
+cut AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY grp
+                                 ORDER BY score DESC, id)
+              AS rank_in_group
+    FROM grouped)
+  WHERE rank_in_group <= 2
+),
+ranked AS (
+  SELECT *, dense_rank() OVER (ORDER BY best DESC, grp) AS group_rank
+  FROM (SELECT *, MAX(score) OVER (PARTITION BY grp) AS best FROM cut)
+)
+SELECT grp AS "group", CAST(group_rank AS BIGINT) AS group_rank,
+       id AS vec_id, score, CAST(rank_in_group AS BIGINT) AS rank_in_group
+FROM ranked WHERE group_rank <= 3
+""",
+)
+def q_api_query_groups_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped full-text search (round 12): ``query_points_groups(
+    query={'text': {...}}, group_by='lang')`` — top 2 documents per
+    language, best 3 languages, the flagship "diversify by source"
+    retrieval.  The persisted BM25 posting index scores EVERY
+    term-matching doc (k=None — no global top-k cut, no global sort),
+    the group values fetch through the store's static id-bucket filter
+    (O(|matching docs|)), and the shared two-window cut ranks per group
+    — corpus-complete grouped semantics, same stats as the flat BM25
+    (IDF/avgdl corpus-global)."""
+    from ..operators.query_tree import query_points_groups  # noqa: PLC0415
+    from ..operators.text_search import build_text_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "qgrptext")
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 300)
+            .select(F.col("doc_id").alias("id"), "text", "lang"))
+    upsert.create_collection(spark, base, "docs", df=docs, id_col="id",
+                             n_buckets=8)
+    build_text_index(spark, base, "docs", text_col="text",
+                     n_term_buckets=16)
+    out = query_points_groups(
+        spark, base, "docs", "lang",
+        query={"text": {"column": "text",
+                        "terms": ["vector", "join", "stream"]}},
+        k_groups=3, group_size=2)
+    return out.select("group",
+                      F.col("group_rank").cast("long").alias("group_rank"),
+                      F.col("vec_id").cast("long").alias("vec_id"),
+                      "score",
+                      F.col("rank_in_group").cast("long")
+                      .alias("rank_in_group"))

@@ -136,7 +136,8 @@ def test_groups_guards(spark, tmp_path):
         query_points_groups(spark, root, "c", "grp",
                             query={"discover": {"target": 1,
                                                 "context": [(1, 2)]}})
-    with pytest.raises(ValueError, match="prefetch"):
+    # a sparse grouped query on a collection with no sparse space
+    with pytest.raises(ValueError, match="sparse"):
         query_points_groups(
             spark, root, "c", "grp",
             query={"nearest": {"indices": [1], "values": [1.0]}})
@@ -353,3 +354,73 @@ def test_sparse_retrieve_dense_rescore_composes(spark, tmp_path):
     # rescored scores are the dense cosine, ranked native descending
     assert all(out[i]["score"] >= out[i + 1]["score"]
                for i in range(len(out) - 1))
+
+
+def test_grouped_text_and_sparse_exact(spark, tmp_path):
+    """EXACT grouped posting-index searches (round 12): the BM25 and
+    sparse grouped cuts are corpus-complete — the flat ranking's top hit
+    leads group_rank 1, per-group hits are score-ordered suffix-free,
+    NULL groups never consume slots."""
+    from bob_vector_db_spark.operators.sparse import (
+        build_sparse_index,
+        postings_from_text,
+    )
+    from bob_vector_db_spark.operators.text_search import build_text_index
+    from bob_vector_db_spark.operators.query_tree import (
+        query_points_groups as qpg,
+    )
+
+    root = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{i % 3} shared",
+          f"g{i % 4}" if i % 7 else None)
+         for i in range(40)],
+        "id long, text string, grp string")
+    post = postings_from_text(docs, id_col="id", text_col="text",
+                              vocab_size=64)
+    pts = (post.groupBy("id")
+           .agg(F.array_sort(F.collect_list(F.struct("idx", "val")))
+                .alias("z"))
+           .select("id", F.col("z.idx").alias("indices"),
+                   F.col("z.val").alias("values"))
+           .join(docs, "id"))
+    upsert.create_collection(
+        spark, root, "d", df=pts, id_col="id", n_buckets=4,
+        vector_config={"text_sparse": {"kind": "sparse"}})
+    build_text_index(spark, root, "d", text_col="text", n_term_buckets=8)
+    build_sparse_index(spark, root, "d", n_dim_buckets=8)
+
+    # grouped BM25
+    gt = qpg(spark, root, "d", "grp",
+             query={"text": {"column": "text",
+                             "terms": ["tok1", "shared"]}},
+             k_groups=3, group_size=2).collect()
+    assert gt and all(r["group"] is not None for r in gt)
+    flat = query_api.search_text_points(spark, root, "d",
+                                        ["tok1", "shared"], k=40,
+                                        text_col="text")
+    top_by_group = {}
+    for r in flat.orderBy("rank").collect():
+        g = f"g{r['id'] % 4}" if r["id"] % 7 else None
+        if g is not None and g not in top_by_group:
+            top_by_group[g] = r["score"]
+    best = {r["group"]: r["score"] for r in gt if r["rank_in_group"] == 1}
+    assert best == {g: top_by_group[g]
+                    for g in sorted(top_by_group,
+                                    key=lambda x: (-top_by_group[x], x))[:3]}
+
+    # grouped sparse
+    qrows = post.filter(F.col("id") == 0).select("idx", "val").collect()
+    spec = {"indices": [int(r["idx"]) for r in qrows],
+            "values": [float(r["val"]) for r in qrows]}
+    gs = qpg(spark, root, "d", "grp", query={"nearest": spec},
+             k_groups=3, group_size=2).collect()
+    assert gs and all(r["group"] is not None for r in gs)
+    assert all(r["rank_in_group"] <= 2 and r["group_rank"] <= 3
+               for r in gs)
+    flat_s = query_api.search_sparse_points(
+        spark, root, "d",
+        post.filter(F.col("id") == 0), k=40)
+    fs = {r["vec_id"]: r["sim"] for r in flat_s.collect()}
+    # every grouped hit carries its flat sparse score
+    assert all(abs(fs[r["vec_id"]] - r["score"]) < 1e-9 for r in gs)
