@@ -1408,9 +1408,15 @@ def _grouped_from_scored(spark: SparkSession, root: str, collection: str,
     hits before grouping; post-window it would still be a suffix at
     both levels, same result — pre-window is just cheaper)."""
     from .query_search import _group_topk, with_group_lookup  # noqa: PLC0415
+    from .upsert import materialize_small  # noqa: PLC0415
 
     if score_threshold is not None:
         scored = scored.filter(F.col("score") >= float(score_threshold))
+    # the scored plan feeds THREE consumers (bucket probe, semi-join,
+    # group join) — materialize once through the capped roundtrip;
+    # past the cap it falls back to lazy re-execution of the pruned
+    # posting probe (the documented trade)
+    scored = materialize_small(spark, scored)
     rows = read_rows_for_ids(spark, root, collection,
                              scored.select("vec_id").distinct())
     if rows is None:
