@@ -62,6 +62,7 @@ _PRIORITY = [
     "api_query_rescore_maxsim", "api_query_hybrid_sparse_dense",
     "api_query_groups_nested", "api_query_mmr", "api_query_batch",
     "pipe_paragraph_dedup", "pipe_pii_scrub", "api_query_groups_text",
+    "api_query_groups_sparse",
     # new in round 11
     "api_query_rescore_nearest",
     "api_query_nested_prefetch", "api_recommend_euclid",

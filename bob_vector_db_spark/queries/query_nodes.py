@@ -1955,3 +1955,94 @@ def q_api_query_groups_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "score",
                       F.col("rank_in_group").cast("long")
                       .alias("rank_in_group"))
+
+
+@register(
+    "api_query_groups_sparse",
+    # round 12: EXACT grouped SPARSE search through query_points_groups —
+    # every dim-sharing doc scores through the persisted index (k=None),
+    # NULL groups never consume a slot, groups rank by their best hit
+    # (ties by group), hits by score (ties by id).  Self NOT excluded
+    # (Qdrant: a literal sparse query has no self).
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest({DUCK_WS_TOKENS.format(t='lower(text)')}) AS tok
+  FROM documents WHERE doc_id < 300
+),
+post AS (
+  SELECT id, ({DUCK_POLY_HASH.format(t='tok')}) % 512 AS idx,
+         CAST(COUNT(*) AS DOUBLE) AS val
+  FROM toks GROUP BY id, idx
+),
+q AS (SELECT idx, val AS qval FROM post WHERE id = 0),
+scored AS (
+  SELECT p.id, round(SUM(p.val * q.qval), 6) AS score
+  FROM post p JOIN q USING (idx) GROUP BY p.id
+),
+grouped AS (
+  SELECT CASE WHEN id % 11 = 0 THEN NULL ELSE id % 5 END AS grp, id, score
+  FROM scored
+),
+cut AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY grp
+                                 ORDER BY score DESC, id)
+              AS rank_in_group
+    FROM grouped WHERE grp IS NOT NULL)
+  WHERE rank_in_group <= 2
+),
+ranked AS (
+  SELECT *, dense_rank() OVER (ORDER BY best DESC, grp) AS group_rank
+  FROM (SELECT *, MAX(score) OVER (PARTITION BY grp) AS best FROM cut)
+)
+SELECT CAST(grp AS BIGINT) AS "group",
+       CAST(group_rank AS BIGINT) AS group_rank,
+       id AS vec_id, score, CAST(rank_in_group AS BIGINT) AS rank_in_group
+FROM ranked WHERE group_rank <= 3
+""",
+)
+def q_api_query_groups_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped sparse search (round 12): ``query_points_groups(
+    query={'nearest': {'indices': ..., 'values': ...}}, group_by=
+    'parity')`` — the persisted dim-bucketed index scores EVERY
+    dim-sharing doc (k=None, no global cut), group values fetch through
+    the id-bucket filter, points with a NULL group never consume a
+    slot, and the shared two-window cut shapes the result.  The query
+    travels as the plain SparseVector dict (doc 0's hashed-TF
+    postings, collected O(|query dims|))."""
+    from ..operators.query_tree import query_points_groups  # noqa: PLC0415
+    from ..operators.sparse import (  # noqa: PLC0415
+        build_sparse_index,
+        postings_from_text,
+    )
+
+    base = _tmp_base(sf_dir, "qgrpsp")
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 300))
+    post = postings_from_text(docs, id_col="doc_id", text_col="text",
+                              vocab_size=512)
+    pts = (post.groupBy("id")
+           .agg(F.array_sort(F.collect_list(F.struct("idx", "val")))
+                .alias("z"))
+           .select("id", F.col("z.idx").alias("indices"),
+                   F.col("z.val").alias("values"),
+                   F.when(F.col("id") % 11 == 0, F.lit(None))
+                   .otherwise(F.col("id") % 5).alias("parity")))
+    upsert.create_collection(
+        spark, base, "sp", df=pts, id_col="id", n_buckets=8,
+        vector_config={"text_sparse": {"kind": "sparse",
+                                       "distance": "dot"}})
+    build_sparse_index(spark, base, "sp", n_dim_buckets=16)
+    qrows = (post.filter(F.col("id") == 0)
+             .select("idx", "val").collect())
+    out = query_points_groups(
+        spark, base, "sp", "parity",
+        query={"nearest": {"indices": [int(r["idx"]) for r in qrows],
+                           "values": [float(r["val"]) for r in qrows]}},
+        k_groups=3, group_size=2)
+    return out.select(F.col("group").cast("long").alias("group"),
+                      F.col("group_rank").cast("long").alias("group_rank"),
+                      F.col("vec_id").cast("long").alias("vec_id"),
+                      "score",
+                      F.col("rank_in_group").cast("long")
+                      .alias("rank_in_group"))
