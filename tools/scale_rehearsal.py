@@ -877,6 +877,42 @@ def main():
         k=10).count())
     assert n_mmr12 == 10, n_mmr12
 
+    # round-12b: EXACT grouped posting-index searches + the batch
+    # endpoint at scale — the k=None scored set (every matching doc)
+    # through the shared grouped tail, and two requests in one payload
+    from bob_vector_db_spark.operators.query_api import (  # noqa: PLC0415
+        query_batch_points,
+    )
+
+    gt = _timed("grouped_bm25_by_lang", timings,
+                lambda: query_points_groups(
+                    spark, store, "docs", "lang",
+                    query={"text": {"column": "text",
+                                    "terms": ["vector", "join",
+                                              "stream"]}},
+                    k_groups=3, group_size=2).collect())
+    assert gt and all(r["group_rank"] <= 3 and r["rank_in_group"] <= 2
+                      for r in gt)
+    n_b = _timed("batch_two_requests", timings, lambda: query_batch_points(
+        spark, store, "vecs",
+        requests=[{"query": {"nearest": 100}, "limit": 10},
+                  {"query": {"recommend": {"positive": [100, 101]}},
+                   "limit": 10}]).count())
+    assert n_b == 20, n_b
+
+    # round-12b: paragraph dedup at corpus scale — one sha2 hash
+    # aggregate over ~L exploded paragraphs, anti-join, reassembly
+    from bob_vector_db_spark.operators.dedup import paragraph_dedup  # noqa: PLC0415
+
+    para_docs = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"),
+                    F.lit("SHARED BOILERPLATE FOOTER")).alias("text"))
+    n_pd = _timed("paragraph_dedup_corpus", timings, lambda: (
+        paragraph_dedup(para_docs).filter(
+            F.col("text").contains("BOILERPLATE")).count()))
+    assert n_pd == 0, n_pd  # the footer vanished from every doc
+
     summary = {"n_docs": n_docs, "n_emb": n_emb,
                "total_s": round(time.time() - t_all, 2), "timings": timings}
     print(json.dumps(summary))
