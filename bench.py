@@ -75,6 +75,40 @@ PROBE_HEADLINE = [
 ]
 
 
+# Probe-band regression alarm (VERDICT r12 #7): the frozen probe baseline
+# recorded in PERF_NOTES (round 12: 13.3–15.0 s at sf0.1 on the contended
+# driver host).  Past the WARN threshold the bench prints a loud stderr
+# line so a probe-plan regression is caught at bench time, not judge time.
+PROBE_BAND_WARN_SEC = 16.5
+
+
+def check_probe_band(probe_total: float,
+                     warn_sec: float = PROBE_BAND_WARN_SEC) -> str | None:
+    """Return a WARN line when the summed probe wall-time exceeds the
+    recorded band's alarm threshold, else None.  Pure so the alarm path
+    is unit-testable with an injected threshold."""
+    if probe_total > warn_sec:
+        return (f"WARNING: headline_probe_sec {probe_total}s exceeds the "
+                f"recorded probe band (baseline 13.3-15.0s, alarm at "
+                f"{warn_sec}s) — a probe PLAN likely regressed; diff "
+                f"store_splits in BENCH_DETAIL.json against PERF_NOTES")
+    return None
+
+
+def probe_split_total(splits: dict[str, dict],
+                      probe_names: list[str]) -> float:
+    """Sum the SEARCH legs of the frozen probe set.  Raises if any frozen
+    name is missing from splits — a renamed or dropped fixture must fail
+    the bench loudly, not silently shrink the baseline (ADVICE r12)."""
+    missing = sorted(set(probe_names) - set(splits))
+    if missing:
+        raise RuntimeError(
+            f"PROBE_HEADLINE fixtures missing from store_splits: {missing} "
+            f"— a frozen probe query was renamed or dropped; fix the "
+            f"registry (or update the frozen list deliberately)")
+    return round(sum(splits[n]["search_sec"] for n in probe_names), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -152,8 +186,10 @@ def main() -> None:
                 splits[name] = {"build_sec": build, "search_sec": search}
 
     headline_total = round(sum(times[n] for n in HEADLINE if n in times), 3)
-    probe_total = round(sum(splits[n]["search_sec"] for n in PROBE_HEADLINE
-                            if n in splits), 3)
+    probe_total = probe_split_total(splits, PROBE_HEADLINE)
+    warn = check_probe_band(probe_total)
+    if warn:
+        print(warn, file=sys.stderr)
     summary = {
         "metric": "headline_query_wall_sec",
         "value": headline_total,

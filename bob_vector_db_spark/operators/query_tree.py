@@ -1092,6 +1092,10 @@ def query_points_groups(spark: SparkSession, root: str, collection: str,
             # posting buckets score EVERY term-matching doc (k=None —
             # no global cut, no global sort), then the shared grouped
             # tail
+            if tenant is not None:
+                raise ValueError(
+                    "text search doesn't thread tenant= — scope the "
+                    "query_filter instead (flt on the tenant field)")
             spec = query["text"]
             _check_spec_keys(spec, {"column", "field", "terms", "query",
                                     "k1", "b"}, "text")
@@ -1116,6 +1120,10 @@ def query_points_groups(spark: SparkSession, root: str, collection: str,
             # EXACT grouped SPARSE search: every dim-sharing doc scores
             # through the persisted index (k=None), then the shared
             # grouped tail — Qdrant groups sparse queries too
+            if tenant is not None:
+                raise ValueError(
+                    "sparse search doesn't thread tenant= — scope the "
+                    "query_filter instead (flt on the tenant field)")
             qpost = _sparse_query_postings(spark, query["nearest"],
                                            "nearest")
             _, _, _sp, icol = _resolve_sparse_space(root, collection,

@@ -288,7 +288,7 @@ def refresh_text_index(spark: SparkSession, root: str, collection: str,
 
 
 def bm25_topk_indexed(spark: SparkSession, root: str, collection: str,
-                      terms: list[str], k: int = 10,
+                      terms: list[str], k: int | None = 10,
                       text_col: str = "document",
                       k1: float = 1.2, b: float = 0.75,
                       round_to: int = 6,
@@ -324,8 +324,10 @@ def bm25_topk_indexed(spark: SparkSession, root: str, collection: str,
             f"{collection_version(root, collection)}; refresh_text_index "
             f"absorbs the mutations incrementally (or rebuild)")
     if not imeta["n_docs"]:
-        return spark.createDataFrame(
-            [], f"id {imeta['id_type']}, score double, rank int")
+        # mirror _score_posting's k=None shape (no rank column)
+        cols = (f"id {imeta['id_type']}, score double" if k is None
+                else f"id {imeta['id_type']}, score double, rank int")
+        return spark.createDataFrame([], cols)
     terms_l = sorted({t.lower() for t in terms})
     # the probed buckets come from the SAME hash Spark wrote with — computed
     # on a |terms|-row literal frame, collected O(|terms|)

@@ -558,7 +558,8 @@ def q_pipe_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # singleton paragraphs survive in original order; every input id
     # survives (empty text when all paragraphs were boilerplate).
     oracle="""
-WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+WITH base AS (SELECT doc_id, text FROM documents
+              WHERE doc_id < 200 AND text IS NOT NULL),
 synth AS (
   SELECT b.doc_id, b.text || chr(10) || s.text AS text
   FROM base b JOIN base s ON s.doc_id = b.doc_id % 50
@@ -585,8 +586,12 @@ def q_pipe_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate).  One hash aggregate keyed by sha2(paragraph) + a
     left-anti join back + one per-document reassembly — nothing
     driver-side, narrow shuffle rows (the digest, not the text)."""
+    # text IS NOT NULL on BOTH engines: Spark's concat_ws skips NULLs
+    # while DuckDB's '||' propagates them — filtering identically keeps
+    # the synth corpora byte-equal if a future fixture carries NULL text
     docs = (load_table(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 200).select("doc_id", "text"))
+            .filter(F.col("doc_id") < 200)
+            .filter(F.col("text").isNotNull()).select("doc_id", "text"))
     echo = (docs.filter(F.col("doc_id") < 50)
             .select(F.col("doc_id").alias("_k"), F.col("text").alias("_t2")))
     synth = (docs.withColumn("_k", F.col("doc_id") % 50)

@@ -424,3 +424,20 @@ def test_grouped_text_and_sparse_exact(spark, tmp_path):
     fs = {r["vec_id"]: r["sim"] for r in flat_s.collect()}
     # every grouped hit carries its flat sparse score
     assert all(abs(fs[r["vec_id"]] - r["score"]) < 1e-9 for r in gs)
+
+
+def test_grouped_text_and_sparse_refuse_tenant(spark, tmp_path):
+    """ADVICE r12: the grouped BM25 / sparse branches must REFUSE tenant=
+    (like query_points' sparse terminal) instead of silently returning
+    cross-tenant hits — tenant scoping composes through the filter DSL."""
+    root = _mk_store(spark, tmp_path)
+    with pytest.raises(ValueError, match="doesn't thread tenant="):
+        query_points_groups(
+            spark, root, "c", "grp",
+            query={"text": {"column": "text", "terms": ["tok1"]}},
+            k_groups=2, group_size=2, tenant="t1")
+    with pytest.raises(ValueError, match="doesn't thread tenant="):
+        query_points_groups(
+            spark, root, "c", "grp",
+            query={"nearest": {"indices": [1], "values": [1.0]}},
+            k_groups=2, group_size=2, tenant="t1")
