@@ -808,7 +808,9 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
                    max_queries: int = 100_000,
                    allow_stale: bool = False,
                    tenant: str | None = None,
-                   candidate_ids: DataFrame | None = None) -> DataFrame:
+                   candidate_ids: DataFrame | None = None,
+                   rescore: bool = True,
+                   oversampling: float | None = None) -> DataFrame:
     """Top-k over the PERSISTED index; (qid, vec_id, sim, rank) in the
     declared metric for every kind (cosine/dot descending, euclid
     ascending — the ``search_collection`` contract).
@@ -836,6 +838,22 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
     compose in one plan — the Qdrant filtered-HNSW twin for this store
     (``query_api.search_points(use_index=...)`` wires the filter DSL to
     it).  Ranks count only the surviving points.
+
+    ``rescore`` / ``oversampling`` are Qdrant's
+    ``QuantizationSearchParams`` (round 13).  ``oversampling`` sizes the
+    quantized candidate stage at ``ceil(oversampling · k)`` rows per
+    query instead of ``rerank_factor · k`` — the Qdrant knob, threaded
+    to every rescoring kind (sq/pq/bq families, incl. multivector).
+    ``rescore=False`` SKIPS the exact-rescore fetch entirely and
+    returns the quantized-score ranking — the cheap-recall mode every
+    quantized deployment uses: sim is the dequantized metric score
+    (ivf_sq, native order), the integer Hamming distance (ivf_bq,
+    ascending), or the ADC code-space distance (pq/ivf_pq, ascending).
+    On kind='ivf' it is a no-op (the stored vectors ARE the originals —
+    Qdrant likewise ignores quantization params on unquantized
+    collections); multivector kinds raise (their rescore is the
+    SEMANTIC max-sim comparator, not a quantization refinement — there
+    is no meaningful 'skip').
     """
     meta = collection_meta(root, collection) or {}
     vector_name = _resolve_vector_name(meta, collection, vector_name)
@@ -857,6 +875,28 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
             f"absorbs the mutations incrementally (or rebuild, or search "
             f"with use_index='auto' to fall back to the exact scan)")
     kind, metric, id_col = imeta["kind"], imeta["metric"], imeta["id_col"]
+    if oversampling is not None and float(oversampling) < 1.0:
+        raise ValueError(
+            f"oversampling must be >= 1.0 (it multiplies k into the "
+            f"quantized candidate budget); got {oversampling}")
+    # the quantized candidate budget per query: Qdrant's oversampling
+    # knob when given, else the repo's rerank_factor
+    if oversampling is not None:
+        import math  # noqa: PLC0415
+
+        n_cand = max(k, math.ceil(float(oversampling) * k))
+    else:
+        n_cand = rerank_factor * k
+    if not rescore and kind in MV_KINDS:
+        raise ValueError(
+            f"rescore=False doesn't apply to multivector kind {kind!r}: "
+            f"the rescore stage is the SEMANTIC max-sim comparator, not "
+            f"a quantization refinement — lower rerank_factor/"
+            f"oversampling to cheapen it instead")
+    if not rescore and kind == "ivf":
+        rescore = True  # no-op: ivf stores the original floats, so the
+        # 'quantized' score IS the exact score (Qdrant ignores
+        # quantization params on unquantized collections)
     if n_probe is None:
         # probe every list: the stored layout is used but the answer equals
         # the exact scan — accuracy is only traded when the caller asks
@@ -933,13 +973,13 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
             cands = _adc_candidates(
                 pruned, qp, "qid", "_qpool",
                 _load_codebooks(spark, ipath), cents, n_probe, id_col,
-                rerank_factor * k, exclude_self, probed_lists=True)
+                n_cand, exclude_self, probed_lists=True)
         elif kind == "ivf_mv_bq":
             # Hamming coarse stage over the pooled sign bits — the ONE
             # binary-distance implementation, on the packed pooled query
             cands = _bq_candidates(
                 pruned, qp, "qid", "_qpool", int(imeta["dim"]), cents,
-                n_probe, id_col, rerank_factor * k, exclude_self)
+                n_probe, id_col, n_cand, exclude_self)
         else:
             if kind == "ivf_mv_sq":
                 deq = quantize.sq_decode_expr(
@@ -947,7 +987,7 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
                 pruned = pruned.select(id_col, deq.alias("pooled"),
                                        "list_id")
             cands = quantize.ivf_knn(
-                qp, pruned, cents, k=rerank_factor * k, n_probe=n_probe,
+                qp, pruned, cents, k=n_cand, n_probe=n_probe,
                 query_id="qid", query_vec="_qpool", corpus_id=id_col,
                 corpus_vec="pooled", exclude_self=exclude_self,
                 round_to=None, metric=metric).select("qid", "vec_id")
@@ -999,8 +1039,16 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
         deq = quantize.sq_decode_expr(
             F.col("codes"), imeta["sq_mins"], imeta["sq_scales"])
         approx = pruned.select(id_col, deq.alias("_deq"), "list_id")
+        if not rescore:
+            # quantized-score page: the dequantized metric ranking IS
+            # the answer — no candidate over-fetch, no store fetch
+            return quantize.ivf_knn(
+                queries, approx, cents, k=k, n_probe=n_probe,
+                query_id=query_id, query_vec=query_vec, corpus_id=id_col,
+                corpus_vec="_deq", exclude_self=exclude_self,
+                round_to=round_to, metric=metric)
         cands = quantize.ivf_knn(
-            queries, approx, cents, k=rerank_factor * k, n_probe=n_probe,
+            queries, approx, cents, k=n_cand, n_probe=n_probe,
             query_id=query_id, query_vec=query_vec, corpus_id=id_col,
             corpus_vec="_deq", exclude_self=exclude_self,
             round_to=None, metric=metric).select("qid", "vec_id")
@@ -1021,9 +1069,15 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
         pruned = _narrow(_apply_masks(
             spark, ipath, data.filter(F.col("list_id").isin(probed)), id_col
         ).drop("gen"))
+        if not rescore:
+            # quantized-score page: sim = the integer Hamming distance,
+            # ranked ascending — the Qdrant rescore=False BQ contract
+            return _bq_candidates(
+                pruned, queries, query_id, query_vec, int(imeta["dim"]),
+                cents, n_probe, id_col, k, exclude_self, keep_score=True)
         cands = _bq_candidates(
             pruned, queries, query_id, query_vec, int(imeta["dim"]),
-            cents, n_probe, id_col, rerank_factor * k, exclude_self)
+            cents, n_probe, id_col, n_cand, exclude_self)
         return _exact_rescore(spark, root, collection, queries, cands,
                               id_col, vector_name, metric,
                               query_id, query_vec, k, round_to,
@@ -1038,15 +1092,27 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
         data = _narrow(_apply_masks(
             spark, ipath, data.filter(F.col("list_id").isin(probed)), id_col
         ).drop("gen"))
+        if not rescore:
+            # quantized-score page: sim = the ADC code-space distance,
+            # ranked ascending (rounded pre-rank so ties follow values)
+            return _adc_candidates(data, queries, query_id, query_vec,
+                                   books, cents, n_probe, id_col,
+                                   k, exclude_self, probed_lists=True,
+                                   keep_score=True, round_to=round_to)
         cands = _adc_candidates(data, queries, query_id, query_vec,
                                 books, cents, n_probe, id_col,
-                                rerank_factor * k, exclude_self,
+                                n_cand, exclude_self,
                                 probed_lists=True)
     else:  # pq: full codes scan (no list layout)
         data = _narrow(_apply_masks(spark, ipath, data, id_col).drop("gen"))
+        if not rescore:
+            return _adc_candidates(data, queries, query_id, query_vec,
+                                   books, None, n_probe, id_col,
+                                   k, exclude_self, probed_lists=False,
+                                   keep_score=True, round_to=round_to)
         cands = _adc_candidates(data, queries, query_id, query_vec,
                                 books, None, n_probe, id_col,
-                                rerank_factor * k, exclude_self,
+                                n_cand, exclude_self,
                                 probed_lists=False)
     return _exact_rescore(spark, root, collection, queries, cands,
                           id_col, vector_name, metric,
@@ -1057,12 +1123,17 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
 def _adc_candidates(pruned: DataFrame, queries: DataFrame, query_id: str,
                     query_vec: str, books, cents, n_probe: int,
                     id_col: str, n_cand: int, exclude_self: bool,
-                    probed_lists: bool) -> DataFrame:
+                    probed_lists: bool,
+                    keep_score: bool = False,
+                    round_to: int | None = None) -> DataFrame:
     """The ONE ADC candidate stage every PQ kind shares (pq / ivf_pq /
     ivf_mv_pq): per-query LUT (NULL query vector → NULL LUT → the pair
     drops), optional probe-list explode joined against the pruned code
     partitions, chained element_at distance in codegen, top-``n_cand``
-    per query ascending."""
+    per query ascending.  ``keep_score`` returns the full
+    (qid, vec_id, sim, rank) page with sim = the ADC distance (rounded
+    BEFORE ranking when ``round_to`` is set, so rank ties follow the
+    emitted values) — the ``rescore=False`` search shape."""
     make_lut = quantize.make_lut_udf(books)
     if probed_lists:
         probe = quantize.probe_lists_udf(cents, n_probe)
@@ -1079,17 +1150,23 @@ def _adc_candidates(pruned: DataFrame, queries: DataFrame, query_id: str,
         pairs = pairs.filter(F.col("qid") != F.col(id_col))
     dist = quantize.adc_dist_expr(F.col("_lut"), F.col("pq_codes"),
                                   len(books))
-    return quantize._rank_topk(
+    if keep_score and round_to is not None:
+        dist = F.round(dist, round_to)
+    ranked = quantize._rank_topk(
         pairs.select("qid", F.col(id_col).alias("vec_id"),
                      dist.alias("dist")),
-        n_cand, ascending=True, score_col="dist",
-    ).select("qid", "vec_id")
+        n_cand, ascending=True, score_col="dist")
+    if keep_score:
+        return ranked.select("qid", "vec_id",
+                             F.col("dist").alias("sim"), "rank")
+    return ranked.select("qid", "vec_id")
 
 
 def _bq_candidates(pruned: DataFrame, queries: DataFrame, query_id: str,
                    query_vec: str, dim: int, cents, n_probe: int,
                    id_col: str, n_cand: int,
-                   exclude_self: bool) -> DataFrame:
+                   exclude_self: bool,
+                   keep_score: bool = False) -> DataFrame:
     """The ONE binary-quantized candidate stage (ivf_bq / ivf_mv_bq):
     the query packs to the same 32-bit sign words as the stored codes
     (pure codegen — :func:`quantize.binary_pack_expr`), the probe-list
@@ -1107,11 +1184,16 @@ def _bq_candidates(pruned: DataFrame, queries: DataFrame, query_id: str,
     if exclude_self:
         pairs = pairs.filter(F.col("qid") != F.col(id_col))
     ham = quantize.hamming_expr(F.col("_pq"), F.col("bq_codes"), dim)
-    return quantize._rank_topk(
+    ranked = quantize._rank_topk(
         pairs.select("qid", F.col(id_col).alias("vec_id"),
                      ham.cast("double").alias("dist")),
-        n_cand, ascending=True, score_col="dist",
-    ).select("qid", "vec_id")
+        n_cand, ascending=True, score_col="dist")
+    if keep_score:
+        # rescore=False page: sim = the integer Hamming distance (exact
+        # — no rounding concern), ranked ascending with id tie-break
+        return ranked.select("qid", "vec_id",
+                             F.col("dist").alias("sim"), "rank")
+    return ranked.select("qid", "vec_id")
 
 
 def _maxsim_rescore(spark: SparkSession, root: str, collection: str,

@@ -125,6 +125,8 @@ def search_collection(
     rerank_factor: int = 5,
     tenant: str | None = None,
     vectorized: str | bool = "auto",
+    rescore: bool = True,
+    oversampling: float | None = None,
 ) -> DataFrame:
     """Search a stored collection with the metric its meta DECLARES.
 
@@ -174,6 +176,16 @@ def search_collection(
     (the right plan for most tenants: the slice is small and the
     partition subtree is the pruning unit), "always" raises unless the
     tenant's own index exists and is fresh.
+
+    ``rescore`` / ``oversampling`` are Qdrant's
+    ``QuantizationSearchParams`` (round 13), threaded to the stored
+    artifact: ``rescore=False`` returns the QUANTIZED-score ranking for
+    the sq/pq/bq kinds (skipping the exact-rescore fetch — the
+    cheap-recall mode), ``oversampling`` sizes the candidate stage at
+    ``ceil(oversampling·k)``.  Because they describe the quantized
+    artifact, a non-default value FORCES index dispatch (use_index
+    becomes 'always'): silently answering from the exact scan would
+    return exact scores where the caller asked for quantized ones.
     """
     from .index import (  # noqa: PLC0415
         index_is_fresh,
@@ -192,6 +204,16 @@ def search_collection(
         vector_name = next(iter(vectors))
     declared = vectors.get(vector_name, {}).get("distance", "cosine")
     if use_index is True:  # the natural bool complement of False
+        use_index = "always"
+    if not rescore or oversampling is not None:
+        # quantization search params describe the stored artifact — the
+        # exact-scan fallback can't honor them, so they imply 'always'
+        if use_index is False:
+            raise ValueError(
+                "rescore=False / oversampling describe the quantized "
+                "artifact's search — they can't combine with "
+                "use_index=False (the exact scan has no quantized "
+                "stage)")
         use_index = "always"
     multivector = vectors.get(vector_name, {}).get("multivector")
     if multivector is not None:
@@ -239,7 +261,8 @@ def search_collection(
                     vector_name=vector_name, n_probe=n_probe,
                     query_id=query_id, query_vec=query_vec,
                     exclude_self=exclude_self, tenant=tenant,
-                    rerank_factor=rerank_factor)
+                    rerank_factor=rerank_factor,
+                    rescore=rescore, oversampling=oversampling)
         corpus = read_collection(spark, root, collection, tenant=tenant)
         if vectorized != False and _maxsim_blas_ok(  # noqa: E712
                 vectorized, queries, query_id, corpus, corpus_id):
@@ -281,7 +304,8 @@ def search_collection(
                 vector_name=vector_name, n_probe=n_probe,
                 query_id=query_id, query_vec=query_vec,
                 exclude_self=exclude_self, tenant=tenant,
-                rerank_factor=rerank_factor)
+                rerank_factor=rerank_factor,
+                rescore=rescore, oversampling=oversampling)
     if metric is None:
         metric = declared
     corpus = read_collection(spark, root, collection, tenant=tenant)

@@ -209,7 +209,9 @@ def _filtered_indexed_search(spark: SparkSession, root: str, collection: str,
                              rerank_factor: int,
                              index_candidate_threshold: int,
                              tenant: str | None,
-                             id_col: str
+                             id_col: str,
+                             rescore: bool = True,
+                             oversampling: float | None = None,
                              ) -> tuple[DataFrame | None, tuple | None]:
     """Compose the payload index with the persisted ANN artifact: filter →
     candidate ids (pruned posting probes), residual conditions evaluated on
@@ -297,6 +299,7 @@ def _filtered_indexed_search(spark: SparkSession, root: str, collection: str,
                           query_id=query_id, query_vec=query_vec,
                           exclude_self=False, round_to=round_to,
                           rerank_factor=rerank_factor,
+                          rescore=rescore, oversampling=oversampling,
                           tenant=tenant, candidate_ids=final_ids), None
 
 
@@ -315,7 +318,9 @@ def search_points(spark: SparkSession, root: str, collection: str,
                   rerank_factor: int = 5,
                   index_candidate_threshold: int = 100_000,
                   with_payload: bool | list = False,
-                  with_vectors: bool | list = False) -> DataFrame:
+                  with_vectors: bool | list = False,
+                  rescore: bool = True,
+                  oversampling: float | None = None) -> DataFrame:
     """Filtered kNN with the collection's declared metric — the Qdrant
     ``search(query_vector, query_filter=Filter(...))`` twin.  With no
     filter this defers to ``knn.search_collection`` (which may dispatch
@@ -350,7 +355,15 @@ def search_points(spark: SparkSession, root: str, collection: str,
     payload back on via the bucket-pruned fetch (:func:`attach_payload`)
     — the Qdrant hit shape with payload attached; ``with_vectors``
     (True, or a list of space names) likewise attaches the stored
-    vector data (:func:`attach_vectors`)."""
+    vector data (:func:`attach_vectors`).
+
+    ``rescore`` / ``oversampling`` (round 13) are Qdrant's
+    ``QuantizationSearchParams``, threaded to the stored quantized
+    artifact: ``rescore=False`` returns the quantized-score ranking
+    (sq/pq/bq families — no exact-rescore fetch), ``oversampling``
+    sizes the candidate stage at ``ceil(oversampling·k)``.  A
+    non-default value forces ``use_index='always'`` — the exact scan
+    has no quantized stage to honor them with."""
     from .knn import knn_join, resolve_metric, search_collection  # noqa: PLC0415
 
     meta = collection_meta(root, collection) or {}
@@ -372,6 +385,16 @@ def search_points(spark: SparkSession, root: str, collection: str,
         vectors.get(vector_name, {}).get("distance", "cosine"))
     if use_index is True:  # the bool complement of False, on BOTH branches
         use_index = "always"
+    if not rescore or oversampling is not None:
+        # quantization search params describe the stored artifact; the
+        # exact paths can't honor them — require the composed plan
+        if use_index is False:
+            raise ValueError(
+                "rescore=False / oversampling describe the quantized "
+                "artifact's search — they can't combine with "
+                "use_index=False (the exact scan has no quantized "
+                "stage)")
+        use_index = "always"
     if flt is None:
         out = search_collection(spark, root, collection, queries,
                                 k=k + offset,
@@ -380,7 +403,8 @@ def search_points(spark: SparkSession, root: str, collection: str,
                                 use_index=("auto" if use_index is None
                                            else use_index),
                                 n_probe=n_probe,
-                                rerank_factor=rerank_factor)
+                                rerank_factor=rerank_factor,
+                                rescore=rescore, oversampling=oversampling)
         if round_to is not None and round_to < 6:
             # search_collection's scorers round to the repo-wide 6;
             # honor a COARSER round_to by re-rounding (ranks computed at
@@ -398,7 +422,8 @@ def search_points(spark: SparkSession, root: str, collection: str,
                 spark, root, collection, queries, flt, k + offset,
                 vector_name, metric, query_id, query_vec, round_to,
                 use_index, use_payload_index, n_probe, rerank_factor,
-                index_candidate_threshold, tenant, id_col)
+                index_candidate_threshold, tenant, id_col,
+                rescore=rescore, oversampling=oversampling)
         if out is None:
             cand, _residual = _resolve_candidates(
                 spark, root, collection, flt, use_payload_index,
@@ -440,8 +465,20 @@ def search_points(spark: SparkSession, root: str, collection: str,
         out = (out.filter(F.col("rank") > offset)
                .withColumn("rank", F.col("rank") - F.lit(int(offset))))
     if score_threshold is not None:
+        cut_metric = metric
+        if not rescore:
+            # rescore=False pages carry the QUANTIZED score: bq/pq
+            # kinds emit distances (Hamming / ADC — lower is better),
+            # so the threshold cuts as an upper bound there; sq emits
+            # the metric score and keeps its native direction
+            from .index import vector_index_meta  # noqa: PLC0415
+
+            _im = vector_index_meta(root, collection, vector_name,
+                                    tenant) or {}
+            if _im.get("kind") in ("ivf_bq", "pq", "ivf_pq"):
+                cut_metric = "euclid"
         out = out.filter(_native_cut(F.col("sim"), score_threshold,
-                                     metric))
+                                     cut_metric))
     if with_payload:
         out = attach_payload(spark, root, collection, out,
                              with_payload, meta=meta)

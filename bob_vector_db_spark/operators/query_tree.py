@@ -76,7 +76,9 @@ def query_points(spark: SparkSession, root: str, collection: str,
                  lookup_from_collection: str | None = None,
                  lookup_from_vector: str | None = None,
                  with_payload: bool | list = False,
-                 with_vectors: bool | list = False) -> DataFrame:
+                 with_vectors: bool | list = False,
+                 rescore: bool = True,
+                 oversampling: float | None = None) -> DataFrame:
     """The unified Query API entry (Qdrant ``query_points``), dispatching
     on the query's shape:
 
@@ -126,6 +128,19 @@ def query_points(spark: SparkSession, root: str, collection: str,
     lookup space's shape must match the searched space's (multivector
     with multivector, dense with dense).
     """
+    if (not rescore or oversampling is not None) and not (
+            prefetch is None
+            and (isinstance(query, (DataFrame, int, str))
+                 or (isinstance(query, dict) and "nearest" in query
+                     and "mmr" not in query
+                     and not isinstance(query.get("nearest"), dict)))):
+        # the quantization search params thread only to the DENSE
+        # terminal shapes (DataFrame / raw vector / by-id) — refusing
+        # loudly beats a silently ignored knob (the tenant-leak lesson)
+        raise ValueError(
+            "rescore=False / oversampling apply to a dense quantized "
+            "search — pass a DataFrame, raw-vector or by-id query "
+            "(other node kinds and prefetch trees don't thread them)")
     if isinstance(query, dict):
         _kinds = ({"formula", "recommend", "discover", "context",
                    "sample", "nearest"} & set(query))
@@ -265,6 +280,7 @@ def query_points(spark: SparkSession, root: str, collection: str,
                 score_threshold=score_threshold, offset=offset,
                 use_index=use_index, n_probe=n_probe,
                 rerank_factor=rerank_factor, round_to=round_to,
+                rescore=rescore, oversampling=oversampling,
                 lookup_from_collection=lookup_from_collection,
                 lookup_from_vector=lookup_from_vector,
                 with_payload=with_payload, with_vectors=with_vectors)
@@ -442,7 +458,8 @@ def query_points(spark: SparkSession, root: str, collection: str,
                              offset=offset, use_index=use_index,
                              n_probe=n_probe, rerank_factor=rerank_factor,
                              with_payload=with_payload,
-                             with_vectors=with_vectors)
+                             with_vectors=with_vectors,
+                             rescore=rescore, oversampling=oversampling)
     # query by stored point id
     meta = collection_meta(root, collection) or {}
     id_col = meta.get("id_col", "id")
@@ -501,7 +518,8 @@ def query_points(spark: SparkSession, root: str, collection: str,
                         use_payload_index=use_payload_index, tenant=tenant,
                         score_threshold=score_threshold,
                         use_index=use_index, n_probe=n_probe,
-                        rerank_factor=rerank_factor)
+                        rerank_factor=rerank_factor,
+                        rescore=rescore, oversampling=oversampling)
     # Qdrant excludes the looked-up point itself from its own results —
     # but ONLY when the lookup collection is the searched one (an id
     # from another collection is another namespace): over-fetch by one,

@@ -1,0 +1,192 @@
+"""Qdrant QuantizationSearchParams (round 13, VERDICT r12 #1):
+``rescore=False`` returns the quantized-score ranking without the
+exact-rescore fetch; ``oversampling`` sizes the quantized candidate
+stage at ceil(oversampling·k).  Pinned here: the no-rescore page IS the
+candidate-stage ordering of the rescored path, for every quantized kind
+that can serve it."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bob_vector_db_spark.operators import index, knn, quantize, upsert
+from bob_vector_db_spark.operators.query_search import search_points
+from bob_vector_db_spark.operators.query_tree import query_points
+from bob_vector_db_spark.sources import load_table
+
+
+def _mk_store(spark, sf_dir, root, kind, **build_kw):
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, root, "vecs", n_buckets=8, id_col="id",
+        df=emb.select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    index.build_vector_index(spark, root, "vecs", kind=kind, **build_kw)
+    return emb
+
+
+def _queries(emb, n=4):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+
+
+def _rows(df):
+    return sorted(map(tuple,
+                      df.select("qid", "vec_id", "sim", "rank").collect()))
+
+
+def test_bq_no_rescore_is_the_hamming_ranking(spark, sf_dir, tmp_path):
+    """rescore=False on ivf_bq at full probe == Hamming over sign bits,
+    computed independently with the raw pack/hamming expressions."""
+    root = str(tmp_path / "s")
+    emb = _mk_store(spark, sf_dir, root, "ivf_bq", n_lists=8, iters=3)
+    q = _queries(emb)
+    got = index.search_indexed(spark, root, "vecs", q, k=10, n_probe=None,
+                               exclude_self=True, rescore=False)
+    # independent oracle: pack both sides, popcount-of-XOR, rank asc
+    qp = q.select("qid", quantize.binary_pack_expr(
+        F.col("qvec"), 64).alias("_qp"))
+    cp = emb.select(F.col("vec_id"), quantize.binary_pack_expr(
+        F.col("embedding"), 64).alias("_cp"))
+    pairs = (cp.crossJoin(F.broadcast(qp))
+             .filter(F.col("qid") != F.col("vec_id"))
+             .select("qid", "vec_id",
+                     quantize.hamming_expr(F.col("_qp"), F.col("_cp"), 64)
+                     .cast("double").alias("sim")))
+    want = quantize._rank_topk(pairs, 10, ascending=True)
+    assert _rows(got) == _rows(want)
+    # the quantized page is integer-valued Hamming, never a similarity
+    assert all(r["sim"] == int(r["sim"]) and r["sim"] >= 0
+               for r in got.collect())
+
+
+def test_no_rescore_ties_candidate_stage_of_rescored_path(
+        spark, sf_dir, tmp_path):
+    """The VERDICT r12 tie: the rescored path with rerank_factor=1 draws
+    its candidates from EXACTLY the rescore=False page (n_cand == k), so
+    the two id sets match per query — the rescore only reorders."""
+    root = str(tmp_path / "s")
+    emb = _mk_store(spark, sf_dir, root, "ivf_bq", n_lists=8, iters=3)
+    q = _queries(emb)
+    nores = index.search_indexed(spark, root, "vecs", q, k=10,
+                                 n_probe=None, exclude_self=True,
+                                 rescore=False)
+    res = index.search_indexed(spark, root, "vecs", q, k=10, n_probe=None,
+                               exclude_self=True, rerank_factor=1)
+
+    def ids(df):
+        byq = {}
+        for r in df.collect():
+            byq.setdefault(r["qid"], set()).add(r["vec_id"])
+        return byq
+
+    assert ids(nores) == ids(res)
+
+
+def test_sq_no_rescore_is_the_dequantized_ranking(spark, sf_dir, tmp_path):
+    """rescore=False on ivf_sq at full probe == exact kNN over the
+    DEQUANTIZED stored codes (read straight from the artifact)."""
+    root = str(tmp_path / "s")
+    emb = _mk_store(spark, sf_dir, root, "ivf_sq", n_lists=8, iters=3)
+    q = _queries(emb)
+    got = index.search_indexed(spark, root, "vecs", q, k=10, n_probe=None,
+                               exclude_self=True, rescore=False)
+    imeta = index.vector_index_meta(root, "vecs", "embedding")
+    ipath = index.index_path(root, "vecs", "embedding")
+    art = spark.read.parquet(os.path.join(ipath, "data"))
+    deq = art.select(
+        F.col("id").alias("vec_id"),
+        quantize.sq_decode_expr(F.col("codes"), imeta["sq_mins"],
+                                imeta["sq_scales"]).alias("_deq"))
+    want = knn.knn_join(q, deq, k=10, corpus_id="vec_id",
+                        corpus_vec="_deq", exclude_self=True,
+                        metric="cosine")
+    assert _rows(got) == _rows(want)
+
+
+def test_oversampling_equals_matching_rerank_factor(spark, sf_dir,
+                                                    tmp_path):
+    """oversampling=2.0 at k=10 sizes the candidate stage at 20 rows —
+    identical to rerank_factor=2 (and the result pages tie exactly)."""
+    root = str(tmp_path / "s")
+    emb = _mk_store(spark, sf_dir, root, "ivf_sq", n_lists=8, iters=3)
+    q = _queries(emb)
+    over = index.search_indexed(spark, root, "vecs", q, k=10, n_probe=None,
+                                exclude_self=True, oversampling=2.0)
+    rf = index.search_indexed(spark, root, "vecs", q, k=10, n_probe=None,
+                              exclude_self=True, rerank_factor=2)
+    assert _rows(over) == _rows(rf)
+
+
+def test_search_points_and_query_points_thread_params(spark, sf_dir,
+                                                      tmp_path):
+    """The store entry points carry the params end-to-end: the unfiltered
+    search_points page equals search_indexed's, and the by-id
+    query_points page drops self with Hamming scores intact."""
+    root = str(tmp_path / "s")
+    emb = _mk_store(spark, sf_dir, root, "ivf_bq", n_lists=8, iters=3)
+    q = _queries(emb)
+    via_sp = search_points(spark, root, "vecs", q, k=10, n_probe=None,
+                           rescore=False)
+    direct = index.search_indexed(spark, root, "vecs", q, k=10,
+                                  n_probe=None, exclude_self=False,
+                                  rescore=False)
+    assert _rows(via_sp) == _rows(direct)
+    by_id = query_points(spark, root, "vecs", query=1, k=5, n_probe=None,
+                         rescore=False)
+    rows = by_id.collect()
+    assert rows and all(r["vec_id"] != 1 for r in rows)
+    assert all(r["sim"] == int(r["sim"]) for r in rows)
+
+
+def test_quantization_param_guards(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "s")
+    emb = _mk_store(spark, sf_dir, root, "ivf", n_lists=4, iters=3)
+    q = _queries(emb)
+    # ivf: rescore=False is a no-op (stored floats ARE the originals)
+    noop = index.search_indexed(spark, root, "vecs", q, k=5, n_probe=None,
+                                exclude_self=True, rescore=False)
+    exact = index.search_indexed(spark, root, "vecs", q, k=5, n_probe=None,
+                                 exclude_self=True)
+    assert _rows(noop) == _rows(exact)
+    with pytest.raises(ValueError, match="oversampling must be >= 1"):
+        index.search_indexed(spark, root, "vecs", q, k=5,
+                             oversampling=0.5)
+    with pytest.raises(ValueError, match="use_index=False"):
+        search_points(spark, root, "vecs", q, k=5, rescore=False,
+                      use_index=False)
+    with pytest.raises(ValueError, match="dense quantized search"):
+        query_points(spark, root, "vecs",
+                     query={"recommend": {"positive": [1]}},
+                     k=5, rescore=False)
+    with pytest.raises(ValueError, match="dense quantized search"):
+        query_points(spark, root, "vecs",
+                     query={"nearest": {"indices": [1], "values": [1.0]}},
+                     k=5, oversampling=2.0)
+
+
+def test_mv_kind_refuses_no_rescore(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "s")
+    emb = load_table(spark, sf_dir, "embeddings").limit(40)
+    mv = emb.select(
+        F.col("vec_id").alias("id"),
+        F.array(F.col("embedding"),
+                F.reverse(F.col("embedding"))).alias("toks"))
+    upsert.create_collection(
+        spark, root, "mv", n_buckets=4, id_col="id", df=mv,
+        vector_config={"toks": {"size": 64, "distance": "cosine",
+                                "multivector": "max_sim"}})
+    index.build_vector_index(spark, root, "mv", kind="ivf_mv",
+                             n_lists=4, iters=3)
+    q = mv.filter(F.col("id") < 2).select(
+        F.col("id").alias("qid"), F.col("toks").alias("qvec"))
+    with pytest.raises(ValueError, match="SEMANTIC max-sim"):
+        index.search_indexed(spark, root, "mv", q, k=5, n_probe=None,
+                             rescore=False)
+    # but oversampling DOES size the mv candidate pool
+    out = index.search_indexed(spark, root, "mv", q, k=5, n_probe=None,
+                               oversampling=50.0, exclude_self=True)
+    assert out.count() > 0
