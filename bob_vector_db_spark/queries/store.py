@@ -2048,3 +2048,109 @@ def q_store_nested_filter_indexed(spark: SparkSession,
                                   k=10, use_payload_index="always")
     return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"),
                       "sim", F.col("rank").cast("long").alias("rank"))
+
+
+_MATRIX_SAMPLE_SQL = """
+sample AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id < 500
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 10
+),
+mpairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round(
+           (SELECT SUM(x*y) FROM (SELECT unnest(a.embedding)::DOUBLE AS x,
+                                         unnest(b.embedding)::DOUBLE AS y))
+           / ( sqrt((SELECT SUM(x*x) FROM (SELECT unnest(a.embedding)::DOUBLE AS x)))
+             * sqrt((SELECT SUM(y*y) FROM (SELECT unnest(b.embedding)::DOUBLE AS y)))),
+           6) AS score
+  FROM sample a, sample b
+  WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY score DESC, b_id)
+           AS rank
+  FROM mpairs
+)
+"""
+
+
+@register(
+    "api_search_matrix_pairs",
+    # round 13 (VERDICT r12 #2): Qdrant search_matrix_pairs — the
+    # distance-matrix API's flat-pairs wire shape.  The sample is the
+    # DETERMINISTIC md5 rank over the id (random in Qdrant; md5 computes
+    # the same hex in both engines), the pairing a broadcast self-join
+    # of the 10 sampled rows — the corpus is touched only by the pushed
+    # sample filter.
+    oracle=f"""
+WITH {_MATRIX_SAMPLE_SQL}
+SELECT a_id, b_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+)
+def q_api_search_matrix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qdrant ``search_matrix_pairs`` over a stored collection with a
+    filter: filter → md5-deterministic 10-point sample → each sample's
+    top-3 neighbours within the sample, flat (a_id, b_id, score) rows
+    in the collection's declared metric."""
+    from ..operators.filters import Filter, Range
+    from ..operators.matrix import search_matrix_pairs
+
+    base = _tmp_base(sf_dir, "mtxp")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    out = search_matrix_pairs(
+        spark, base, "vecs", sample=10, limit=3,
+        flt=Filter(must=[Range("id", lt=500)]))
+    return out.select(F.col("a_id").cast("long").alias("a_id"),
+                      F.col("b_id").cast("long").alias("b_id"), "score",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "api_search_matrix_offsets",
+    # the offsets wire shape: ONE row of parallel arrays — ids (sample,
+    # ascending), offsets_row/offsets_col positions into ids, flat
+    # scores — ordered row-major (row position, then neighbour rank),
+    # assembled with array_sort(collect_list(struct)) so the order is
+    # deterministic without a single-partition sort.
+    oracle=f"""
+WITH {_MATRIX_SAMPLE_SQL},
+pos AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+           AS pos
+  FROM sample
+),
+flat AS (
+  SELECT pa.pos AS r, pb.pos AS c, p.score, p.rank
+  FROM (SELECT * FROM ranked WHERE rank <= 3) p
+  JOIN pos pa ON p.a_id = pa.vec_id
+  JOIN pos pb ON p.b_id = pb.vec_id
+)
+SELECT (SELECT list(vec_id ORDER BY vec_id) FROM sample) AS ids,
+       (SELECT list(r ORDER BY r, rank) FROM flat) AS offsets_row,
+       (SELECT list(c ORDER BY r, rank) FROM flat) AS offsets_col,
+       (SELECT list(score ORDER BY r, rank) FROM flat) AS scores
+""",
+)
+def q_api_search_matrix_offsets(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Qdrant ``search_matrix_offsets``: the same sampled matrix as one
+    row of parallel arrays (ids / offsets_row / offsets_col / scores) —
+    the sparse-matrix form clients hand to clustering libraries."""
+    from ..operators.filters import Filter, Range
+    from ..operators.matrix import search_matrix_offsets
+
+    base = _tmp_base(sf_dir, "mtxo")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, base, "vecs", n_buckets=8, id_col="id",
+        df=emb.select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    return search_matrix_offsets(
+        spark, base, "vecs", sample=10, limit=3,
+        flt=Filter(must=[Range("id", lt=500)]))
