@@ -320,7 +320,8 @@ def search_points(spark: SparkSession, root: str, collection: str,
                   with_payload: bool | list = False,
                   with_vectors: bool | list = False,
                   rescore: bool = True,
-                  oversampling: float | None = None) -> DataFrame:
+                  oversampling: float | None = None,
+                  strict=None) -> DataFrame:
     """Filtered kNN with the collection's declared metric — the Qdrant
     ``search(query_vector, query_filter=Filter(...))`` twin.  With no
     filter this defers to ``knn.search_collection`` (which may dispatch
@@ -363,7 +364,13 @@ def search_points(spark: SparkSession, root: str, collection: str,
     (sq/pq/bq families — no exact-rescore fetch), ``oversampling``
     sizes the candidate stage at ``ceil(oversampling·k)``.  A
     non-default value forces ``use_index='always'`` — the exact scan
-    has no quantized stage to honor them with."""
+    has no quantized stage to honor them with.
+
+    ``strict`` (round 13 — Qdrant ``StrictModeConfig``): True applies
+    the default :class:`operators.strict.StrictMode` caps (refuse
+    unindexed driving filters, cap limit/offset, refuse full-probe /
+    exact scans over quantized spaces); pass an instance to tune.  All
+    checks are driver-side metadata reads — a refusal costs no job."""
     from .knn import knn_join, resolve_metric, search_collection  # noqa: PLC0415
 
     meta = collection_meta(root, collection) or {}
@@ -383,6 +390,16 @@ def search_points(spark: SparkSession, root: str, collection: str,
             f"through query_points, or search_sparse_points directly")
     metric = resolve_metric(
         vectors.get(vector_name, {}).get("distance", "cosine"))
+    from .strict import resolve_strict  # noqa: PLC0415
+
+    _sm = resolve_strict(strict)
+    if _sm is not None:
+        from . import strict as strict_mod  # noqa: PLC0415
+
+        strict_mod.check_limits(_sm, k, offset)
+        strict_mod.check_filter(spark, root, collection, flt, _sm)
+        strict_mod.check_probe(root, collection, vector_name, tenant,
+                               _sm, n_probe, use_index)
     if use_index is True:  # the bool complement of False, on BOTH branches
         use_index = "always"
     if not rescore or oversampling is not None:
@@ -726,7 +743,8 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
                   start_from=None,
                   with_payload: bool | list = True,
                   with_vectors: bool | list = False,
-                  return_cursor: bool = False):
+                  return_cursor: bool = False,
+                  strict=None):
     """Qdrant ``scroll``: filtered pagination with a KEYSET cursor (no
     OFFSET rescans).  Default order is by id; ``order_by`` pages by a
     payload field with an (value, id) composite cursor — the id tiebreak
@@ -757,6 +775,14 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
     back as ``cursor=``), or None when the page came back short (the
     scroll is exhausted).  The page materializes once (it is ≤ ``limit``
     rows by construction) so deriving the cursor costs no second scan."""
+    from .strict import resolve_strict  # noqa: PLC0415
+
+    _sm = resolve_strict(strict)
+    if _sm is not None:
+        from . import strict as strict_mod  # noqa: PLC0415
+
+        strict_mod.check_limits(_sm, limit, 0)
+        strict_mod.check_filter(spark, root, collection, flt, _sm)
     meta = collection_meta(root, collection) or {}
     id_col = meta.get("id_col", "id")
     page, resolution = None, None

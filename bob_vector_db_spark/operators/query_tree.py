@@ -78,7 +78,8 @@ def query_points(spark: SparkSession, root: str, collection: str,
                  with_payload: bool | list = False,
                  with_vectors: bool | list = False,
                  rescore: bool = True,
-                 oversampling: float | None = None) -> DataFrame:
+                 oversampling: float | None = None,
+                 strict=None) -> DataFrame:
     """The unified Query API entry (Qdrant ``query_points``), dispatching
     on the query's shape:
 
@@ -128,6 +129,20 @@ def query_points(spark: SparkSession, root: str, collection: str,
     lookup space's shape must match the searched space's (multivector
     with multivector, dense with dense).
     """
+    from .strict import resolve_strict  # noqa: PLC0415
+
+    _sm = resolve_strict(strict)
+    if _sm is not None:
+        # strict checks run ONCE up front for every node kind
+        # (driver-side metadata only); they are NOT re-threaded into the
+        # inner search_points calls — the by-id path's +1 self-exclusion
+        # overfetch must not trip the cap the user-facing k respects
+        from . import strict as strict_mod  # noqa: PLC0415
+
+        strict_mod.check_limits(_sm, k, offset)
+        strict_mod.check_filter(spark, root, collection, flt, _sm)
+        strict_mod.check_probe(root, collection, vector_name, tenant,
+                               _sm, n_probe, use_index)
     if (not rescore or oversampling is not None) and not (
             prefetch is None
             and (isinstance(query, (DataFrame, int, str))
@@ -1357,7 +1372,7 @@ def _nearest_mmr(spark: SparkSession, root: str, collection: str,
 
 def query_batch_points(spark: SparkSession, root: str, collection: str,
                        requests: list, k: int = 10,
-                       round_to: int = 6) -> DataFrame:
+                       round_to: int = 6, strict=None) -> DataFrame:
     """Qdrant ``query_batch_points`` — N universal-endpoint requests
     against one collection in one call, as ONE serializable payload:
     each request is a dict of ``query_points`` fields (``query`` /
@@ -1374,6 +1389,13 @@ def query_batch_points(spark: SparkSession, root: str, collection: str,
     exactly ``query_points(**request)``, pytest-pinned."""
     if not requests:
         raise ValueError("query_batch_points needs at least one request")
+    from .strict import resolve_strict  # noqa: PLC0415
+
+    _sm = resolve_strict(strict)
+    if _sm is not None:
+        from . import strict as strict_mod  # noqa: PLC0415
+
+        strict_mod.check_batch(_sm, len(requests))
     _ALLOWED = {"query", "prefetch", "fusion", "limit", "k", "filter",
                 "using", "score_threshold", "offset"}
     outs = []
@@ -1399,7 +1421,8 @@ def query_batch_points(spark: SparkSession, root: str, collection: str,
             k=int(req.get("limit", req.get("k", k))),
             flt=req.get("filter"), vector_name=req.get("using"),
             score_threshold=req.get("score_threshold"),
-            offset=int(req.get("offset", 0)), round_to=round_to)
+            offset=int(req.get("offset", 0)), round_to=round_to,
+            strict=strict)
         cols = set(out.columns)
         idc = "vec_id" if "vec_id" in cols else "id"
         score = ("sim" if "sim" in cols

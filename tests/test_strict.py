@@ -1,0 +1,134 @@
+"""Strict mode (round 13, VERDICT r12 #3) — Qdrant StrictModeConfig:
+every refusal class pinned, plus the pass-throughs that must NOT refuse.
+All checks are driver-side metadata reads; a refusal costs no job."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bob_vector_db_spark.operators import index, upsert
+from bob_vector_db_spark.operators.filters import (
+    Filter,
+    MatchValue,
+    Range,
+)
+from bob_vector_db_spark.operators.payload_index import build_payload_index
+from bob_vector_db_spark.operators.query_search import (
+    scroll_points,
+    search_points,
+)
+from bob_vector_db_spark.operators.query_tree import (
+    query_batch_points,
+    query_points,
+)
+from bob_vector_db_spark.operators.strict import StrictMode
+from bob_vector_db_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def store(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("strict") / "store")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, root, "vecs", n_buckets=4, id_col="id",
+        df=emb.select(F.col("vec_id").alias("id"), "embedding",
+                      (F.col("vec_id") % 3).alias("grp"),
+                      (F.col("vec_id") % 100).alias("num")),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    build_payload_index(spark, root, "vecs", "grp", n_val_buckets=4)
+    index.build_vector_index(spark, root, "vecs", kind="ivf_sq",
+                             n_lists=8, iters=3)
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return root, q
+
+
+def test_unindexed_filter_refused_naming_the_index(spark, store):
+    root, q = store
+    with pytest.raises(ValueError, match=r"Missing payload index.*num"):
+        search_points(spark, root, "vecs", q, k=5, n_probe=4,
+                      flt=Filter(must=[MatchValue("num", 7)]),
+                      strict=True)
+    # same refusal through scroll
+    with pytest.raises(ValueError, match=r"Missing payload index.*num"):
+        scroll_points(spark, root, "vecs",
+                      flt=Filter(must=[Range("num", lt=10)]),
+                      limit=5, strict=True)
+    # indexed driving leaf: passes (the unindexed residual rides along)
+    out = search_points(
+        spark, root, "vecs", q, k=5, n_probe=4,
+        flt=Filter(must=[MatchValue("grp", 1), MatchValue("num", 7)]),
+        strict=True)
+    assert out.count() >= 0
+    # the relax knob admits the scan deliberately
+    out2 = search_points(spark, root, "vecs", q, k=5, n_probe=4,
+                         flt=Filter(must=[MatchValue("num", 7)]),
+                         strict=StrictMode(unindexed_filtering=True))
+    assert out2.count() >= 0
+
+
+def test_limit_offset_and_batch_caps(spark, store):
+    root, q = store
+    with pytest.raises(ValueError, match="max_query_limit"):
+        search_points(spark, root, "vecs", q, k=2000, n_probe=4,
+                      strict=True)
+    with pytest.raises(ValueError, match="max_offset"):
+        search_points(spark, root, "vecs", q, k=5, offset=20_000,
+                      n_probe=4, strict=True)
+    with pytest.raises(ValueError, match="max_query_limit"):
+        query_points(spark, root, "vecs", query=1, k=2000, n_probe=4,
+                     strict=True)
+    with pytest.raises(ValueError, match="max_batch"):
+        query_batch_points(
+            spark, root, "vecs",
+            [{"query": 1}] * 5, strict=StrictMode(max_batch=4))
+    # tuned caps admit
+    out = search_points(spark, root, "vecs", q, k=2000, n_probe=4,
+                        strict=StrictMode(max_query_limit=None))
+    assert out.count() >= 0
+
+
+def test_quantized_space_refuses_full_probe_and_exact_scan(spark, store):
+    root, q = store
+    with pytest.raises(ValueError, match="full probe"):
+        search_points(spark, root, "vecs", q, k=5, n_probe=None,
+                      strict=True)
+    with pytest.raises(ValueError, match="exact full scan"):
+        search_points(spark, root, "vecs", q, k=5, use_index=False,
+                      strict=True)
+    # narrowed probe passes; search_allow_exact overrides the refusal
+    assert search_points(spark, root, "vecs", q, k=5, n_probe=2,
+                         strict=True).count() > 0
+    assert search_points(
+        spark, root, "vecs", q, k=5, n_probe=None,
+        strict=StrictMode(search_allow_exact=True)).count() > 0
+
+
+def test_unquantized_space_never_trips_probe_check(spark, sf_dir,
+                                                   tmp_path):
+    root = str(tmp_path / "s")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, root, "vecs", n_buckets=4, id_col="id",
+        df=emb.select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}})
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    # no artifact at all: strict full scan is fine (nothing declared)
+    assert search_points(spark, root, "vecs", q, k=5,
+                         strict=True).count() > 0
+    # float ivf artifact: full probe == exact answer, not a bypass
+    index.build_vector_index(spark, root, "vecs", kind="ivf",
+                             n_lists=4, iters=3)
+    assert search_points(spark, root, "vecs", q, k=5, n_probe=None,
+                         strict=True).count() > 0
+
+
+def test_strict_arg_validation(spark, store):
+    root, q = store
+    with pytest.raises(ValueError, match="StrictMode instance"):
+        search_points(spark, root, "vecs", q, k=5, strict="yes")
+    # strict=False / None are the no-check defaults
+    assert search_points(spark, root, "vecs", q, k=5, n_probe=None,
+                         strict=False).count() > 0
