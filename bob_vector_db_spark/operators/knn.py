@@ -127,6 +127,7 @@ def search_collection(
     vectorized: str | bool = "auto",
     rescore: bool = True,
     oversampling: float | None = None,
+    probe_per_token: bool = False,
 ) -> DataFrame:
     """Search a stored collection with the metric its meta DECLARES.
 
@@ -186,6 +187,11 @@ def search_collection(
     artifact, a non-default value FORCES index dispatch (use_index
     becomes 'always'): silently answering from the exact scan would
     return exact scores where the caller asked for quantized ones.
+
+    ``probe_per_token`` (round 13 — multivector artifacts only): probe
+    the union of every query TOKEN's nearest lists alongside the pooled
+    query's, recovering recall the mean-pool loses on semantically
+    scattered token sets; see :func:`index.search_indexed`.
     """
     from .index import (  # noqa: PLC0415
         index_is_fresh,
@@ -262,7 +268,8 @@ def search_collection(
                     query_id=query_id, query_vec=query_vec,
                     exclude_self=exclude_self, tenant=tenant,
                     rerank_factor=rerank_factor,
-                    rescore=rescore, oversampling=oversampling)
+                    rescore=rescore, oversampling=oversampling,
+                    probe_per_token=probe_per_token)
         corpus = read_collection(spark, root, collection, tenant=tenant)
         if vectorized != False and _maxsim_blas_ok(  # noqa: E712
                 vectorized, queries, query_id, corpus, corpus_id):
@@ -305,7 +312,14 @@ def search_collection(
                 query_id=query_id, query_vec=query_vec,
                 exclude_self=exclude_self, tenant=tenant,
                 rerank_factor=rerank_factor,
-                rescore=rescore, oversampling=oversampling)
+                rescore=rescore, oversampling=oversampling,
+                probe_per_token=probe_per_token)
+    if probe_per_token:
+        raise ValueError(
+            "probe_per_token widens a multivector artifact's pooled "
+            "probe — this search resolved to a single-vector or exact "
+            "path that can't honor it (the silently-ignored-knob "
+            "refusal)")
     if metric is None:
         metric = declared
     corpus = read_collection(spark, root, collection, tenant=tenant)

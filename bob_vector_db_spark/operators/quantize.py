@@ -131,13 +131,26 @@ def sq_knn(queries: DataFrame, corpus: DataFrame, k: int = 10,
 # ---------------------------------------------------------------------------
 
 def _sample_to_driver(corpus: DataFrame, vec_col: str, sample_cap: int,
-                      seed: int):
+                      seed: int, order_col: str | None = None):
     """Driver-side float64 training sample, CAPPED at ``sample_cap`` rows
     (loud failure beyond it, like the kNN query-side collect) — index
     structures train on samples by design; the full corpus is only ever
-    ENCODED/ASSIGNED, distributed."""
+    ENCODED/ASSIGNED, distributed.
+
+    With ``order_col`` (round 13, VERDICT r12 #4) the sample is the
+    md5-RANKED top-``sample_cap`` over that column: ONE TakeOrdered pass
+    (no count job, no fraction sample), and — unlike ``df.sample`` —
+    independent of the physical partition layout, so the trained
+    artifact is bit-reproducible across file orderings.  Qdrant trains
+    its quantizers on samples too; only the CANDIDATE stage sees the
+    trained structure, the exact rescore never does."""
     import numpy as np  # noqa: PLC0415
 
+    if order_col is not None:
+        rows = (corpus.orderBy(F.md5(F.col(order_col).cast("string")),
+                               F.col(order_col))
+                .limit(int(sample_cap)).select(vec_col).collect())
+        return np.array([r[0] for r in rows], dtype=np.float64)
     n = corpus.count()
     if n > sample_cap:
         corpus = corpus.sample(fraction=sample_cap / float(n), seed=seed)
@@ -173,14 +186,15 @@ def _kmeans(X, k: int, iters: int, rng):
 
 def pq_train(corpus: DataFrame, vec_col: str = "embedding", m: int = 8,
              ksub: int = 64, iters: int = 10, sample_cap: int = 250_000,
-             seed: int = 42):
+             seed: int = 42, order_col: str | None = None):
     """Train m per-subspace codebooks of ksub centroids (numpy k-means,
     seeded — deterministic given the same sample).  Returns list of
-    (ksub, dsub) float64 arrays.
+    (ksub, dsub) float64 arrays.  ``order_col`` switches the sample to
+    the layout-independent md5 rank (see :func:`_sample_to_driver`).
     """
     import numpy as np  # noqa: PLC0415
 
-    X = _sample_to_driver(corpus, vec_col, sample_cap, seed)
+    X = _sample_to_driver(corpus, vec_col, sample_cap, seed, order_col)
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -468,11 +482,14 @@ def binary_knn_rerank(queries: DataFrame, corpus: DataFrame, k: int = 10,
 
 def ivf_train(corpus: DataFrame, vec_col: str = "embedding",
               n_lists: int = 16, iters: int = 10,
-              sample_cap: int = 250_000, seed: int = 42):
-    """(n_lists, dim) float64 coarse centroids via seeded k-means."""
+              sample_cap: int = 250_000, seed: int = 42,
+              order_col: str | None = None):
+    """(n_lists, dim) float64 coarse centroids via seeded k-means.
+    ``order_col`` switches to the layout-independent md5-ranked sample
+    (see :func:`_sample_to_driver`)."""
     import numpy as np  # noqa: PLC0415
 
-    X = _sample_to_driver(corpus, vec_col, sample_cap, seed)
+    X = _sample_to_driver(corpus, vec_col, sample_cap, seed, order_col)
     return _kmeans(X, n_lists, iters, np.random.default_rng(seed))
 
 

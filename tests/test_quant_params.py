@@ -190,3 +190,61 @@ def test_mv_kind_refuses_no_rescore(spark, sf_dir, tmp_path):
     out = index.search_indexed(spark, root, "mv", q, k=5, n_probe=None,
                                oversampling=50.0, exclude_self=True)
     assert out.count() > 0
+
+
+def _mk_mv(spark, sf_dir, root):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.array(*[F.slice(F.col("embedding"), 1 + 16 * i, 16)
+                  for i in range(4)]).alias("colbert"))
+    upsert.create_collection(
+        spark, root, "vecs", df=pts, id_col="id", n_buckets=8,
+        vector_config={"colbert": {"size": 16, "distance": "dot",
+                                   "multivector": "max_sim"}})
+    index.build_vector_index(spark, root, "vecs", kind="ivf_mv",
+                             n_lists=8, iters=3)
+    q = pts.filter(F.col("id") < 4).select(
+        F.col("id").alias("qid"), F.col("colbert").alias("qvecs"))
+    return pts, q
+
+
+def test_probe_per_token_recall_superset(spark, sf_dir, tmp_path):
+    """VERDICT r12 #5 ties: per-token probing covers a SUPERSET of the
+    pooled probe's lists, so recall vs the exact max-sim scan can only
+    rise at equal n_probe; at full probe both equal the exact scan."""
+    root = str(tmp_path / "s")
+    pts, q = _mk_mv(spark, sf_dir, root)
+    from bob_vector_db_spark.operators.knn import knn_join_maxsim
+
+    exact = knn_join_maxsim(q, pts, corpus_id="id", corpus_vec="colbert",
+                            query_vec="qvecs", k=10, exclude_self=True)
+    ex = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    for n_probe in (1, 2):
+        pooled = index.search_indexed(
+            spark, root, "vecs", q, k=10, n_probe=n_probe,
+            query_vec="qvecs", exclude_self=True)
+        per_tok = index.search_indexed(
+            spark, root, "vecs", q, k=10, n_probe=n_probe,
+            query_vec="qvecs", exclude_self=True, probe_per_token=True)
+        rp = len({(r["qid"], r["vec_id"])
+                  for r in pooled.collect()} & ex) / len(ex)
+        rt = len({(r["qid"], r["vec_id"])
+                  for r in per_tok.collect()} & ex) / len(ex)
+        assert rt >= rp, (n_probe, rt, rp)
+    # full probe: per-token changes nothing (every list already probed)
+    full_tok = index.search_indexed(
+        spark, root, "vecs", q, k=10, n_probe=None, query_vec="qvecs",
+        rerank_factor=100, exclude_self=True, probe_per_token=True)
+    assert {(r["qid"], r["vec_id"], r["sim"])
+            for r in full_tok.collect()} == \
+           {(r["qid"], r["vec_id"], r["sim"]) for r in exact.collect()}
+
+
+def test_probe_per_token_refused_on_single_vector_kinds(spark, sf_dir,
+                                                        tmp_path):
+    root = str(tmp_path / "s")
+    emb = _mk_store(spark, sf_dir, root, "ivf", n_lists=4, iters=3)
+    with pytest.raises(ValueError, match="probe_per_token"):
+        index.search_indexed(spark, root, "vecs", _queries(emb), k=5,
+                             probe_per_token=True)

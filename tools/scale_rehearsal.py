@@ -913,6 +913,118 @@ def main():
             F.col("text").contains("BOILERPLATE")).count()))
     assert n_pd == 0, n_pd  # the footer vanished from every doc
 
+    # ---- round 13 stages (VERDICT r12 #3/#5/#6) -------------------------
+
+    # hot-term materialize fallback: 'vector' matches a large share of
+    # the corpus; with the cap forced tiny, _grouped_from_scored's
+    # materialize_small takes the LAZY-fallback branch (the pruned
+    # posting probe re-executes per consumer) — the grouped page must be
+    # IDENTICAL to the materialized path's
+    gq = {"text": {"column": "text", "terms": ["vector", "join"]}}
+    base_gt = _timed("grouped_bm25_materialized", timings,
+                     lambda: sorted(map(tuple, query_points_groups(
+                         spark, store, "docs", "lang", query=gq,
+                         k_groups=3, group_size=2).collect())))
+
+    def _fallback_run():
+        os.environ["BVDS_MATERIALIZE_CAP"] = "500"
+        try:
+            return sorted(map(tuple, query_points_groups(
+                spark, store, "docs", "lang", query=gq,
+                k_groups=3, group_size=2).collect()))
+        finally:
+            os.environ.pop("BVDS_MATERIALIZE_CAP", None)
+
+    fb_gt = _timed("grouped_bm25_lazy_fallback", timings, _fallback_run)
+    assert fb_gt == base_gt, "lazy-fallback grouped page diverged"
+
+    # PII scrub at scale: pure JVM regexp chains over every document —
+    # the last unrehearsed r12 surface (cheap by design; this pins it)
+    from bob_vector_db_spark.functions.text import (  # noqa: PLC0415
+        pii_counts,
+        scrub_pii,
+    )
+
+    pii_src = docs.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 40),
+                 F.lit(" mail a@b.co via http://x.io from 10.1.2.3 "
+                       "tel 555-010-2233")).alias("_t"))
+    n_pii = _timed("pii_scrub_corpus", timings, lambda: (
+        pii_src.select(
+            "doc_id", scrub_pii(F.col("_t")).alias("clean"),
+            *[c.cast("int").alias(f"n_{n}")
+              for n, c in pii_counts(F.col("_t"))])
+        .filter(F.col("clean").contains("<EMAIL>")
+                & F.col("clean").contains("<URL>")
+                & F.col("clean").contains("<IP>")
+                & F.col("clean").contains("<PHONE>")).count()))
+    assert n_pii == n_docs, (n_pii, n_docs)
+
+    # strict mode at scale: the refusals fire BEFORE any job — an
+    # unindexed filter (here a would-be full corpus scan) and a full
+    # probe over the freshly-quantized artifact both refuse driver-side
+    from bob_vector_db_spark.operators.strict import StrictMode  # noqa: PLC0415
+
+    def _strict_refusals():
+        # vecs' last build was ivf_bq + churn + refresh; re-freshen so
+        # the quantized-probe refusal provably sees a FRESH artifact
+        index.refresh_all_indexes(spark, store, "vecs")
+        try:
+            # 'id' carries no payload index on vecs — the driving-leaf
+            # refusal names it (the probe check is isolated away)
+            from bob_vector_db_spark.operators.filters import (  # noqa: PLC0415
+                MatchValue,
+            )
+
+            search_points(spark, store, "vecs", q, k=10,
+                          flt=Filter(must=[MatchValue("id", 123)]),
+                          strict=StrictMode(search_allow_exact=True))
+            raise AssertionError("unindexed filter was not refused")
+        except ValueError as e:
+            assert "payload index" in str(e), e
+        try:
+            search_points(spark, store, "vecs", q, k=10, n_probe=None,
+                          strict=True)
+            raise AssertionError("quantized full probe was not refused")
+        except ValueError as e:
+            assert "full probe" in str(e), e
+        return True
+
+    _timed("strict_refusals_fire", timings, _strict_refusals)
+
+    # per-token multivector probing (mv's current artifact: ivf_mv_bq):
+    # at equal n_probe the union probe's recall vs the exact max-sim
+    # scan is >= the pooled probe's, and full probe + covering rerank
+    # through the per-token path still equals the exact scan
+    mvq = {(r["qid"], r["vec_id"]) for r in knn.search_collection(
+        spark, store, "mv", q_mv, k=10, corpus_id="id",
+        query_vec="qvecs", exclude_self=True, use_index=False).collect()}
+    pooled = _timed("mv_pooled_probe2", timings, lambda: {
+        (r["qid"], r["vec_id"])
+        for r in index.search_indexed(
+            spark, store, "mv", q_mv, k=10, n_probe=2,
+            query_vec="qvecs", rerank_factor=50,
+            exclude_self=True).collect()})
+    per_tok = _timed("mv_per_token_probe2", timings, lambda: {
+        (r["qid"], r["vec_id"])
+        for r in index.search_indexed(
+            spark, store, "mv", q_mv, k=10, n_probe=2,
+            query_vec="qvecs", rerank_factor=50, exclude_self=True,
+            probe_per_token=True).collect()})
+    r_pool = len(pooled & mvq) / len(mvq)
+    r_tok = len(per_tok & mvq) / len(mvq)
+    print(f"  per-token recall {r_tok:.3f} vs pooled {r_pool:.3f}",
+          flush=True)
+    assert r_tok >= r_pool, (r_tok, r_pool)
+    tok_full = _timed("mv_per_token_full_covering", timings, lambda: {
+        (r["qid"], r["vec_id"])
+        for r in index.search_indexed(
+            spark, store, "mv", q_mv, k=10, n_probe=None,
+            query_vec="qvecs", rerank_factor=rr_cover,
+            exclude_self=True, probe_per_token=True).collect()})
+    assert tok_full == mvq, "per-token full probe diverged from exact"
+
     summary = {"n_docs": n_docs, "n_emb": n_emb,
                "total_s": round(time.time() - t_all, 2), "timings": timings}
     print(json.dumps(summary))
