@@ -248,3 +248,25 @@ def test_probe_per_token_refused_on_single_vector_kinds(spark, sf_dir,
     with pytest.raises(ValueError, match="probe_per_token"):
         index.search_indexed(spark, root, "vecs", _queries(emb), k=5,
                              probe_per_token=True)
+
+
+def test_no_rescore_plan_keeps_partition_pruning(spark, sf_dir, tmp_path):
+    """The scale contract of the cheap-recall mode: rescore=False must
+    still reach the artifact through the static list_id partition filter
+    — and with NO rescore stage, the plan contains no id_bucket fetch at
+    all (the quantized page is the only scan)."""
+    from bob_vector_db_spark.plans.inspect import (
+        assert_partition_filters,
+        formatted_plan,
+    )
+
+    root = str(tmp_path / "s")
+    _mk_store(spark, sf_dir, root, "ivf_bq", n_lists=8, iters=3)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries(emb)
+    out = index.search_indexed(spark, root, "vecs", q, k=5, n_probe=2,
+                               exclude_self=True, rescore=False)
+    assert_partition_filters(out, "list_id")
+    plan = formatted_plan(out)
+    assert "id_bucket" not in plan, \
+        "rescore=False must not fetch store buckets"
