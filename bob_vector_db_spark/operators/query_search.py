@@ -390,9 +390,9 @@ def search_points(spark: SparkSession, root: str, collection: str,
             f"through query_points, or search_sparse_points directly")
     metric = resolve_metric(
         vectors.get(vector_name, {}).get("distance", "cosine"))
-    from .strict import resolve_strict  # noqa: PLC0415
+    from .strict import resolve_strict_for  # noqa: PLC0415
 
-    _sm = resolve_strict(strict)
+    _sm = resolve_strict_for(root, collection, strict)
     if _sm is not None:
         from . import strict as strict_mod  # noqa: PLC0415
 
@@ -775,9 +775,9 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
     back as ``cursor=``), or None when the page came back short (the
     scroll is exhausted).  The page materializes once (it is ≤ ``limit``
     rows by construction) so deriving the cursor costs no second scan."""
-    from .strict import resolve_strict  # noqa: PLC0415
+    from .strict import resolve_strict_for  # noqa: PLC0415
 
-    _sm = resolve_strict(strict)
+    _sm = resolve_strict_for(root, collection, strict)
     if _sm is not None:
         from . import strict as strict_mod  # noqa: PLC0415
 
@@ -1118,7 +1118,8 @@ def search_points_mmr(spark: SparkSession, root: str, collection: str,
         spark, root, collection, queries, flt=flt, k=pool,
         vector_name=vector_name, query_id=query_id, query_vec=query_vec,
         use_payload_index=use_payload_index, tenant=tenant,
-        score_threshold=score_threshold))
+        score_threshold=score_threshold,
+        strict=False))  # internal pool fetch — the PUBLIC entry checks
     # the pool search executes ONCE (pool·|queries| rows materialize via
     # the capped driver roundtrip — no persist leak, no re-execution)
     # and the pool vectors fetch through the store's static id-bucket

@@ -129,9 +129,9 @@ def query_points(spark: SparkSession, root: str, collection: str,
     lookup space's shape must match the searched space's (multivector
     with multivector, dense with dense).
     """
-    from .strict import resolve_strict  # noqa: PLC0415
+    from .strict import resolve_strict_for  # noqa: PLC0415
 
-    _sm = resolve_strict(strict)
+    _sm = resolve_strict_for(root, collection, strict)
     if _sm is not None:
         # strict checks run ONCE up front for every node kind
         # (driver-side metadata only); they are NOT re-threaded into the
@@ -296,6 +296,7 @@ def query_points(spark: SparkSession, root: str, collection: str,
                 use_index=use_index, n_probe=n_probe,
                 rerank_factor=rerank_factor, round_to=round_to,
                 rescore=rescore, oversampling=oversampling,
+                strict=False,  # checks already ran at this entry
                 lookup_from_collection=lookup_from_collection,
                 lookup_from_vector=lookup_from_vector,
                 with_payload=with_payload, with_vectors=with_vectors)
@@ -474,7 +475,8 @@ def query_points(spark: SparkSession, root: str, collection: str,
                              n_probe=n_probe, rerank_factor=rerank_factor,
                              with_payload=with_payload,
                              with_vectors=with_vectors,
-                             rescore=rescore, oversampling=oversampling)
+                             rescore=rescore, oversampling=oversampling,
+                             strict=False)  # checks ran at this entry
     # query by stored point id
     meta = collection_meta(root, collection) or {}
     id_col = meta.get("id_col", "id")
@@ -534,7 +536,8 @@ def query_points(spark: SparkSession, root: str, collection: str,
                         score_threshold=score_threshold,
                         use_index=use_index, n_probe=n_probe,
                         rerank_factor=rerank_factor,
-                        rescore=rescore, oversampling=oversampling)
+                        rescore=rescore, oversampling=oversampling,
+                        strict=False)  # checks ran at this entry
     # Qdrant excludes the looked-up point itself from its own results —
     # but ONLY when the lookup collection is the searched one (an id
     # from another collection is another namespace): over-fetch by one,
@@ -721,11 +724,13 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
             out = search_points(spark, root, collection, q, k=limit,
                                 flt=flt, vector_name=using,
                                 round_to=round_to,
-                                score_threshold=thr)
+                                score_threshold=thr,
+                                strict=False)  # prefetch-leaf fetch
         else:  # stored point id (self-excluding by-id search)
             out = query_points(spark, root, collection, query=spec,
                                k=limit, flt=flt, vector_name=using,
-                               round_to=round_to, score_threshold=thr)
+                               round_to=round_to, score_threshold=thr,
+                               strict=False)  # prefetch-leaf fetch
         return _internal_order(
             out.select(F.col("vec_id").alias("id"),
                        F.col("sim").alias("score"), "rank"))
@@ -1208,6 +1213,7 @@ def query_points_groups(spark: SparkSession, root: str, collection: str,
             fusion=fusion, k=int(k_groups) * int(group_size), flt=flt,
             vector_name=vector_name, round_to=round_to, tenant=tenant,
             score_threshold=score_threshold,
+            strict=False,  # internal pool fetch (k_groups·group_size)
             lookup_from_collection=lookup_from_collection,
             lookup_from_vector=lookup_from_vector)
         idc = "vec_id" if "vec_id" in pool.columns else "id"
@@ -1389,9 +1395,9 @@ def query_batch_points(spark: SparkSession, root: str, collection: str,
     exactly ``query_points(**request)``, pytest-pinned."""
     if not requests:
         raise ValueError("query_batch_points needs at least one request")
-    from .strict import resolve_strict  # noqa: PLC0415
+    from .strict import resolve_strict_for  # noqa: PLC0415
 
-    _sm = resolve_strict(strict)
+    _sm = resolve_strict_for(root, collection, strict)
     if _sm is not None:
         from . import strict as strict_mod  # noqa: PLC0415
 

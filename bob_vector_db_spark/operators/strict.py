@@ -63,6 +63,37 @@ def resolve_strict(strict) -> StrictMode | None:
         f"got {type(strict).__name__}")
 
 
+def validate_strict_config(cfg: dict) -> dict:
+    """Validate a JSON-able strict-mode config dict against the
+    :class:`StrictMode` fields (the shape persisted in the collection
+    meta sidecar — Qdrant's ``strict_mode_config``)."""
+    bad = sorted(set(cfg) - set(StrictMode.__dataclass_fields__))
+    if bad:
+        raise ValueError(
+            f"unknown strict_mode keys {bad}; valid: "
+            f"{sorted(StrictMode.__dataclass_fields__)}")
+    StrictMode(**cfg)  # type-check through the constructor
+    return dict(cfg)
+
+
+def resolve_strict_for(root: str, collection: str,
+                       strict) -> StrictMode | None:
+    """Per-request ``strict`` composed with the COLLECTION-DECLARED
+    config (Qdrant persists ``strict_mode_config`` on the collection;
+    ``set_strict_mode`` / ``create_collection(strict_mode=...)`` write
+    it here).  Explicit False disables even a declared config; explicit
+    True / an instance overrides it; None (the default) applies the
+    declared config when one exists."""
+    if strict is False:
+        return None
+    if strict is None:
+        from .upsert import collection_meta  # noqa: PLC0415
+
+        cfg = (collection_meta(root, collection) or {}).get("strict_mode")
+        return StrictMode(**cfg) if cfg else None
+    return resolve_strict(strict)
+
+
 def check_limits(sm: StrictMode, k: int, offset: int = 0) -> None:
     if sm.max_query_limit is not None and int(k) > sm.max_query_limit:
         raise ValueError(

@@ -293,7 +293,8 @@ def create_collection(spark: SparkSession, root: str, collection: str,
                       df: DataFrame | None = None, id_col: str = "id",
                       n_buckets: int = DEFAULT_N_BUCKETS,
                       vector_config: dict[str, dict] | None = None,
-                      tenant_col: str | None = None) -> bool:
+                      tenant_col: str | None = None,
+                      strict_mode: dict | None = None) -> bool:
     """Idempotent create (S5): returns True if newly created.
 
     Mirrors the exists-check at qdrant_embedder.py:92 — existing collections
@@ -308,6 +309,13 @@ def create_collection(spark: SparkSession, root: str, collection: str,
     tenant's subtree.  The tenant column is a payload column like any
     other — it just ALSO drives the physical layout, which is why its
     values are charset-validated (see ``_TENANT_VALUE_RE``).
+
+    ``strict_mode`` (round 13 — Qdrant ``strict_mode_config``): a dict
+    of :class:`operators.strict.StrictMode` fields persisted in the meta
+    sidecar; the search entry points apply it as the collection's
+    DEFAULT when the caller passes no explicit ``strict=`` (False still
+    opts a single request out).  Toggle later with
+    :func:`set_strict_mode`.
     """
     if collection in _read_aliases(root):
         raise ValueError(
@@ -344,8 +352,33 @@ def create_collection(spark: SparkSession, root: str, collection: str,
     }
     if tenant_col is not None:
         meta["tenant_col"] = tenant_col
+    if strict_mode is not None:
+        from .strict import validate_strict_config  # noqa: PLC0415
+
+        meta["strict_mode"] = validate_strict_config(strict_mode)
     _write_meta(path, meta)
     return True
+
+
+def set_strict_mode(root: str, collection: str,
+                    strict_mode: dict | None) -> dict:
+    """Qdrant ``update_collection(strict_mode_config=...)``: persist (or
+    clear, with None) the collection's declared strict-mode config —
+    the search entry points pick it up as their default on the next
+    request (the sidecar is re-read per call, so no restart).  Returns
+    the updated meta."""
+    path = collection_path(root, collection)
+    meta = collection_meta(root, collection)
+    if meta is None:
+        raise ValueError(f"collection {collection!r} has no meta sidecar")
+    if strict_mode is None:
+        meta.pop("strict_mode", None)
+    else:
+        from .strict import validate_strict_config  # noqa: PLC0415
+
+        meta["strict_mode"] = validate_strict_config(strict_mode)
+    _write_meta(path, meta)
+    return meta
 
 
 def collection_meta(root: str, collection: str) -> dict | None:

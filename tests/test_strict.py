@@ -132,3 +132,40 @@ def test_strict_arg_validation(spark, store):
     # strict=False / None are the no-check defaults
     assert search_points(spark, root, "vecs", q, k=5, n_probe=None,
                          strict=False).count() > 0
+
+
+def test_collection_declared_strict_mode(spark, sf_dir, tmp_path):
+    """Qdrant persists strict_mode_config ON the collection: declared at
+    create (or via set_strict_mode), it gates the public entry points by
+    DEFAULT; strict=False opts a single request out; set_strict_mode(None)
+    clears it.  Internal fetches (prefetch leaves, pools, the by-id +1
+    overfetch) never re-apply it."""
+    root = str(tmp_path / "s")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, root, "vecs", n_buckets=4, id_col="id",
+        df=emb.select(F.col("vec_id").alias("id"), "embedding"),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}},
+        strict_mode={"max_query_limit": 50})
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    with pytest.raises(ValueError, match="max_query_limit"):
+        search_points(spark, root, "vecs", q, k=60)
+    # per-request opt-out
+    assert search_points(spark, root, "vecs", q, k=60,
+                         strict=False).count() > 0
+    # the by-id +1 overfetch at exactly the cap must NOT trip it
+    assert query_points(spark, root, "vecs", query=1, k=50).count() > 0
+    # declared config + unindexed filter refusal through query_points
+    from bob_vector_db_spark.operators.filters import MatchValue as MV
+    with pytest.raises(ValueError, match="payload index"):
+        query_points(spark, root, "vecs", query=1, k=5,
+                     flt=Filter(must=[MV("nope", 1)]))
+    # update_collection twin: clear, then re-declare
+    upsert.set_strict_mode(root, "vecs", None)
+    assert search_points(spark, root, "vecs", q, k=60).count() > 0
+    upsert.set_strict_mode(root, "vecs", {"max_query_limit": 10})
+    with pytest.raises(ValueError, match="max_query_limit"):
+        search_points(spark, root, "vecs", q, k=11)
+    with pytest.raises(ValueError, match="unknown strict_mode keys"):
+        upsert.set_strict_mode(root, "vecs", {"max_limit": 1})
