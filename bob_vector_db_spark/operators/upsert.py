@@ -654,6 +654,25 @@ def materialize_small(spark: SparkSession, df: DataFrame,
     results against the materialized path (round 13, VERDICT r12 #6)."""
     if cap is None:
         cap = int(os.environ.get("BVDS_MATERIALIZE_CAP", "1000000"))
+    # Arrow roundtrip first (round 13): a rows-form local relation
+    # evaluates through pickled-row Python workers and costs seconds PER
+    # downstream ACTION; toArrow → createDataFrame keeps the literal
+    # frame JVM-side AND is value-exact (Arrow distinguishes NULL from
+    # NaN, unlike a pandas hop).  Types Arrow can't carry fall back to
+    # the rows form — same values either way.
+    try:
+        tbl = df.limit(cap + 1).toArrow()
+    except Exception:  # noqa: BLE001 — unsupported type: rows-form path
+        tbl = None
+    if tbl is not None:
+        if tbl.num_rows > cap:
+            return df
+        if tbl.num_rows == 0:
+            return df.limit(0)
+        try:
+            return spark.createDataFrame(tbl, schema=df.schema)
+        except Exception:  # noqa: BLE001
+            pass
     rows = df.limit(cap + 1).collect()
     if len(rows) > cap:
         return df
