@@ -652,11 +652,20 @@ def retrieve_points(spark: SparkSession, root: str, collection: str,
 def count_points(spark: SparkSession, root: str, collection: str,
                  flt=None, use_payload_index: str | bool = "auto",
                  max_candidates: int = 1_000_000,
-                 tenant: str | None = None) -> int:
+                 tenant: str | None = None, strict=None) -> int:
     """Qdrant ``count(count_filter=...)``: exact filtered cardinality.
     The count itself is a distributed aggregate either way; the index
     path avoids touching the collection entirely when the residual is
-    empty (the posting probe already knows the answer)."""
+    empty (the posting probe already knows the answer).  ``strict``
+    applies the unindexed-filter refusal (per-request or the
+    collection-declared config)."""
+    from .strict import resolve_strict_for  # noqa: PLC0415
+
+    _sm = resolve_strict_for(root, collection, strict)
+    if _sm is not None:
+        from . import strict as strict_mod  # noqa: PLC0415
+
+        strict_mod.check_filter(spark, root, collection, flt, _sm)
     if flt is None:
         return read_collection(spark, root, collection, tenant=tenant).count()
     flt = as_filter(flt)
@@ -686,7 +695,7 @@ def facet_values(spark: SparkSession, root: str, collection: str,
                  key: str, flt=None, limit: int = 10,
                  use_payload_index: str | bool = "auto",
                  max_candidates: int = 1_000_000,
-                 tenant: str | None = None) -> DataFrame:
+                 tenant: str | None = None, strict=None) -> DataFrame:
     """Qdrant ``facet``: distinct values of a payload key with counts,
     under a filter — (value, count) descending.  Qdrant semantics
     throughout: a NULL (missing) payload never forms a group, and an
@@ -696,9 +705,18 @@ def facet_values(spark: SparkSession, root: str, collection: str,
     partial-aggregated groupBy; only |distinct values| rows move.  An
     UNFILTERED, UNTENANTED facet over a freshly-indexed key answers from
     the posting table alone (index-only aggregate — the collection's
-    data files never open; the 100 TB facet plan)."""
+    data files never open; the 100 TB facet plan).  ``strict`` applies
+    the unindexed-filter refusal (per-request or collection-declared)."""
     from pyspark.sql.types import ArrayType  # noqa: PLC0415
 
+    from .strict import resolve_strict_for  # noqa: PLC0415
+
+    _sm = resolve_strict_for(root, collection, strict)
+    if _sm is not None:
+        from . import strict as strict_mod  # noqa: PLC0415
+
+        strict_mod.check_filter(spark, root, collection, flt, _sm)
+        strict_mod.check_limits(_sm, limit, 0)
     if flt is None:
         if use_payload_index is not False and tenant is None:
             from .payload_index import facet_from_index  # noqa: PLC0415

@@ -169,3 +169,26 @@ def test_collection_declared_strict_mode(spark, sf_dir, tmp_path):
         search_points(spark, root, "vecs", q, k=11)
     with pytest.raises(ValueError, match="unknown strict_mode keys"):
         upsert.set_strict_mode(root, "vecs", {"max_limit": 1})
+
+
+def test_count_and_facet_respect_strict(spark, store):
+    """count/facet are entry points too (Qdrant strict applies to
+    count_filter): the unindexed-filter refusal gates them, indexed
+    filters pass, and the declared-config default reaches them."""
+    from bob_vector_db_spark.operators.query_search import (
+        count_points,
+        facet_values,
+    )
+
+    root, _q = store
+    with pytest.raises(ValueError, match=r"Missing payload index.*num"):
+        count_points(spark, root, "vecs",
+                     flt=Filter(must=[MatchValue("num", 7)]), strict=True)
+    assert count_points(spark, root, "vecs",
+                        flt=Filter(must=[MatchValue("grp", 1)]),
+                        strict=True) > 0
+    with pytest.raises(ValueError, match=r"Missing payload index.*num"):
+        facet_values(spark, root, "vecs", "grp",
+                     flt=Filter(must=[MatchValue("num", 7)]), strict=True)
+    assert facet_values(spark, root, "vecs", "grp",
+                        strict=True).count() > 0

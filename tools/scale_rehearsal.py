@@ -993,6 +993,26 @@ def main():
 
     _timed("strict_refusals_fire", timings, _strict_refusals)
 
+    # QuantizationSearchParams at scale (vecs' current artifact:
+    # ivf_bq, re-freshened above): the rescore=False page must carry the
+    # SAME id set per query as the rescored path at n_cand == k (the
+    # candidate stage IS the page; the rescore only reorders), with no
+    # store fetch in its plan
+    def _nores_tie():
+        a, b = {}, {}
+        for r in index.search_indexed(spark, store, "vecs", q, k=10,
+                                      n_probe=4, exclude_self=True,
+                                      rescore=False).collect():
+            a.setdefault(r["qid"], set()).add(r["vec_id"])
+        for r in index.search_indexed(spark, store, "vecs", q, k=10,
+                                      n_probe=4, exclude_self=True,
+                                      rerank_factor=1).collect():
+            b.setdefault(r["qid"], set()).add(r["vec_id"])
+        assert a == b, "no-rescore page diverged from candidate stage"
+        return True
+
+    _timed("bq_no_rescore_ties_candidates", timings, _nores_tie)
+
     # per-token multivector probing (mv's current artifact: ivf_mv_bq):
     # at equal n_probe the union probe's recall vs the exact max-sim
     # scan is >= the pooled probe's, and full probe + covering rerank
