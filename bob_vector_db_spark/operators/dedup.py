@@ -466,3 +466,71 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
             .join(rebuilt, id_col, "left")
             .select(id_col,
                     F.coalesce(F.col(text_col), F.lit("")).alias(text_col)))
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iterations: int = 25) -> DataFrame:
+    """Duplicate-CLUSTER resolution (round 13): the step every near-dup
+    pipeline runs AFTER pair generation — transitive closure over the
+    candidate pairs, so "A~B, B~C" collapses to ONE cluster and a keep
+    policy (lowest id, best quality, ...) applies per cluster instead of
+    per pair.  Returns (node, component) for every node appearing in
+    ``pairs``, with component = the MINIMUM id reachable from the node.
+
+    Algorithm: distributed min-label propagation — each iteration joins
+    the current labels across the (undirected) edge set and keeps the
+    per-node minimum; converges in O(cluster diameter) rounds, which
+    for near-dup graphs is tiny (clusters are near-cliques: every
+    member pairs with most others, so labels cross a cluster in 1-2
+    hops).  Each round is ONE self-contained shuffle
+    (join + groupBy-min) and the frame is ``localCheckpoint``-ed so
+    lineage stays O(1) instead of O(iterations) — the standard Spark
+    iterative-algorithm hygiene; adversarial long-chain graphs would
+    want the O(log n) large-star/small-star alternation instead, which
+    this API could swap in without changing the contract.  Raises after
+    ``max_iterations`` rather than silently returning a non-converged
+    labeling."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (e.unionByName(e.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+             .distinct())
+    labels = (edges.select(F.col("src").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(int(max_iterations)):
+        # push each node's label to its neighbors, keep the per-node min
+        pushed = (edges.join(labels.withColumnRenamed("node", "src"),
+                             "src")
+                  .select(F.col("dst").alias("node"), "label"))
+        new = (labels.unionByName(pushed)
+               .groupBy("node").agg(F.min("label").alias("label"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new
+        if changed == 0:
+            return labels.select(F.col("node"),
+                                 F.col("label").alias("component"))
+    raise ValueError(
+        f"connected_components did not converge in {max_iterations} "
+        f"iterations — the pair graph has chains longer than expected "
+        f"for near-dup clusters; raise max_iterations (or switch this "
+        f"call to a log-round star-contraction variant)")
+
+
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b",
+                       max_iterations: int = 25) -> DataFrame:
+    """Cluster SUMMARY over :func:`connected_components`: one row per
+    duplicate cluster — (cluster, n_members, member ids ascending, the
+    kept id under the lowest-id keep policy).  The survivors of a dedup
+    pass are "kept id per cluster" ∪ "every unpaired document"."""
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b,
+                              max_iterations=max_iterations)
+    return (cc.groupBy(F.col("component").alias("cluster"))
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.array_sort(F.collect_list("node")).alias("members"))
+            .withColumn("keep", F.element_at(F.col("members"), 1)))

@@ -663,3 +663,53 @@ def q_pipe_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
               for name, c in pii_counts(F.col("_t"))]
     return out.select("doc_id", scrub_pii(F.col("_t")).alias("clean"),
                       *counts)
+
+
+@register(
+    "dedup_duplicate_clusters",
+    # round 13: duplicate-CLUSTER resolution — the step every near-dup
+    # pipeline runs after pair generation.  Spark: min-label propagation
+    # (one shuffle per round, localCheckpoint lineage hygiene) over the
+    # exact-oracled n-gram Jaccard pair set; DuckDB: the same pairs +
+    # a RECURSIVE transitive-closure CTE — component = min reachable id,
+    # so "A~B, B~C" provably collapses to one cluster on both engines.
+    oracle=f"""
+WITH RECURSIVE {DUCK_SHINGLES},
+keep0 AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep0 USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n_inter
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT ia AS a, ib AS b FROM inter
+  JOIN sizes sa ON sa.doc_id = ia
+  JOIN sizes sb ON sb.doc_id = ib
+  WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+),
+edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+reach(n, m) AS (
+  SELECT a AS n, b AS m FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+),
+comp AS (SELECT n AS node, LEAST(n, MIN(m)) AS component
+         FROM reach GROUP BY n)
+SELECT component AS cluster, COUNT(*) AS n_members,
+       list(node ORDER BY node) AS members,
+       MIN(node) AS keep
+FROM comp GROUP BY component
+""",
+)
+def q_dedup_duplicate_clusters(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Duplicate clusters over the exact n-gram Jaccard pairs: transitive
+    closure via distributed min-label propagation
+    (dedup.connected_components), summarized one row per cluster with
+    the lowest-id keep policy — survivors of the dedup pass are "keep
+    per cluster" plus every unpaired document."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=50)
+    return dedup.duplicate_clusters(pairs)

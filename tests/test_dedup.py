@@ -222,3 +222,37 @@ def test_paragraph_dedup_semantics(spark):
     out2 = {r["doc_id"]: r["text"]
             for r in paragraph_dedup(docs2, min_repeats=2).collect()}
     assert out2 == {1: "", 2: "", 3: "keep"}
+
+
+def test_connected_components_known_graph(spark):
+    """Transitive closure on a known graph: two clusters + the chain
+    case (A-B, B-C collapses even though A-C never paired)."""
+    from bob_vector_db_spark.operators.dedup import (
+        connected_components,
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 4)], "id_a long, id_b long")
+    cc = {r["node"]: r["component"]
+          for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    summ = {r["cluster"]: (r["n_members"], list(r["members"]), r["keep"])
+            for r in duplicate_clusters(pairs).collect()}
+    assert summ == {1: (4, [1, 2, 3, 4], 1), 10: (2, [10, 11], 10)}
+
+
+def test_connected_components_long_chain_and_cap(spark):
+    """A 12-node chain needs ~6 propagation rounds (min label moves one
+    hop per round from each side) — converges under the default cap;
+    an adversarial cap raises instead of returning a bad labeling."""
+    import pytest as _pytest
+
+    from bob_vector_db_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long")
+    cc = connected_components(chain)
+    assert {r["component"] for r in cc.collect()} == {0}
+    with _pytest.raises(ValueError, match="did not converge"):
+        connected_components(chain, max_iterations=2)
