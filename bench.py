@@ -156,7 +156,8 @@ def main() -> None:
     # the min-of-2.
     single_pass_prefixes = ("store_", "t9_", "t10_", "t12_", "t13_",
                             "pipe_rag", "text_bm25_refresh",
-                            "api_query_fusion", "api_quantized")
+                            "api_query_fusion", "api_quantized",
+                            "dedup_duplicate")  # iterative CC, ~15s
     single_pass = {n for n in registry if n.startswith(single_pass_prefixes)}
 
     times: dict[str, float] = {}

@@ -494,7 +494,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (e.unionByName(e.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
-             .distinct())
+             .distinct()
+             # materialize ONCE: the pair-generation plan upstream (an
+             # n-gram self-join, an LSH bucket join, ...) is the
+             # expensive part — without this every propagation round
+             # AND every convergence probe would re-execute it
+             .localCheckpoint(eager=True))
     labels = (edges.select(F.col("src").alias("node"))
               .distinct()
               .withColumn("label", F.col("node")))
