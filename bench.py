@@ -76,10 +76,14 @@ PROBE_HEADLINE = [
 
 
 # Probe-band regression alarm (VERDICT r12 #7): the frozen probe baseline
-# recorded in PERF_NOTES (round 12: 13.3–15.0 s at sf0.1 on the contended
-# driver host).  Past the WARN threshold the bench prints a loud stderr
-# line so a probe-plan regression is caught at bench time, not judge time.
-PROBE_BAND_WARN_SEC = 16.5
+# recorded in PERF_NOTES.  Round-14 re-record (VERDICT r13 #6, after the
+# Arrow local-frame sweep moved the scroll/recommend/by-id probe legs
+# down): two same-session quiet-host readings 11.6 s and 13.6 s at sf0.1
+# — the alarm sits ~1.1x over the band top, the same margin the r12 band
+# used, so host drift stays distinguishable from plan regressions.  Past
+# the WARN threshold the bench prints a loud stderr line so a probe-plan
+# regression is caught at bench time, not judge time.
+PROBE_BAND_WARN_SEC = 15.0
 
 
 def check_probe_band(probe_total: float,
@@ -89,7 +93,7 @@ def check_probe_band(probe_total: float,
     is unit-testable with an injected threshold."""
     if probe_total > warn_sec:
         return (f"WARNING: headline_probe_sec {probe_total}s exceeds the "
-                f"recorded probe band (baseline 13.3-15.0s, alarm at "
+                f"recorded probe band (baseline 11.6-13.6s, alarm at "
                 f"{warn_sec}s) — a probe PLAN likely regressed; diff "
                 f"store_splits in BENCH_DETAIL.json against PERF_NOTES")
     return None
@@ -157,7 +161,8 @@ def main() -> None:
     single_pass_prefixes = ("store_", "t9_", "t10_", "t12_", "t13_",
                             "pipe_rag", "text_bm25_refresh",
                             "api_query_fusion", "api_quantized",
-                            "dedup_duplicate")  # iterative CC, ~15s
+                            "dedup_duplicate",  # iterative CC, ~15s
+                            "pipe_dataset_build_neardup")  # LSH + star CC
     single_pass = {n for n in registry if n.startswith(single_pass_prefixes)}
 
     times: dict[str, float] = {}

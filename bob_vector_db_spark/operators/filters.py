@@ -1078,8 +1078,10 @@ def filter_match_ids(spark, root: str, collection: str, flt,
             # the leaf's literal ids ARE the candidate frame (Qdrant
             # resolves HasIdCondition from its native id index); the
             # downstream fetch stays bucket-pruned on them
-            got = spark.createDataFrame(
-                [(str(v),) for v in payload.ids], "id string")
+            from .localframe import local_frame  # noqa: PLC0415
+
+            got = local_frame(
+                spark, [(str(v),) for v in payload.ids], "id string")
         elif kind == "text":
             got = text_match_ids(spark, root, collection, key,
                                  payload.text, allow_stale=allow_stale)

@@ -50,10 +50,12 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import vector
 from . import quantize
 from .knn import resolve_metric
+from .localframe import local_frame
 from .upsert import (
     atomic_replace_dir,  # noqa: F401  (re-export: text_search imports it here)
     collection_meta,
@@ -129,7 +131,8 @@ def _resolve_vector_name(meta: dict, collection: str,
 def build_vector_index(spark: SparkSession, root: str, collection: str,
                        vector_name: str | None = None, kind: str = "ivf",
                        n_lists: int = 16, m: int = 8, ksub: int = 64,
-                       iters: int = 10, sample_cap: int = 25_000,
+                       iters: int = 10,
+                       sample_cap: int = quantize.TRAIN_SAMPLE_CAP,
                        seed: int = 42,
                        files_per_list: int = 1,
                        tenant: str | None = None) -> dict:
@@ -152,8 +155,10 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
     Training samples (round 13, VERDICT r12 #4): k-means (IVF lists, PQ
     codebooks) trains on the md5-RANKED top-``sample_cap`` rows by id —
     ONE TakeOrdered pass, layout-independent (bit-reproducible artifact
-    across file orderings), capped at 25k by default (≥390 samples per
-    ksub=64 centroid — Qdrant trains quantizers on samples too).  Only
+    across file orderings), capped at ``quantize.TRAIN_SAMPLE_CAP`` (25k)
+    — the ONE default, shared with the direct ``quantize.ivf_train`` /
+    ``pq_train`` entries (≥390 samples per ksub=64 centroid — Qdrant
+    trains quantizers on samples too; round 14, ADVICE r13 #4).  Only
     the CANDIDATE stage sees the trained structure; exact rescores (and
     full-probe exactness fixtures) are invariant to the training input.
     """
@@ -999,19 +1004,38 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
                 f"search_indexed computes probe lists driver-side; got "
                 f">{max_queries} queries — raise max_queries or batch "
                 f"the input")
-        pool_vecs = [r["_qpool"] for r in qinfo
-                     if r["_qpool"] is not None]
-        probe_vecs = list(pool_vecs)
+        probe_frame = None
         if probe_per_token:
-            # each token assigns its own n_probe lists; the probe set is
-            # the UNION (pooled ∪ per-token) — a superset of the pooled
-            # probe, so recall can only rise at equal n_probe
-            probe_vecs += [t for r in qinfo
-                           if r["_qvs"] is not None
-                           for t in r["_qvs"] if t is not None]
-        probed = (sorted({int(x) for row in quantize.probe_list_ids(
-            probe_vecs, cents, n_probe) for x in row})
-            if probe_vecs else [])
+            # each token assigns its own n_probe lists; each query's
+            # probe set is the UNION (pooled ∪ per-token) — a superset
+            # of the pooled probe, so recall can only rise at equal
+            # n_probe.  The per-QID sets are computed DRIVER-side with
+            # the same probe_list_ids arithmetic as the candidate-stage
+            # UDF and handed down as an explicit exploded
+            # (qid, list_id) frame, so the static prune AND the
+            # candidate equi-join cover the same widened set (round 14,
+            # ADVICE r13 #1: widening only the static filter was a
+            # no-op — the stages re-derived pooled-only lists).  A NULL
+            # pool probes nothing, the pooled-probe policy.
+            pairs = []
+            for r in qinfo:
+                if r["_qpool"] is None:
+                    continue
+                vecs = [r["_qpool"]] + [t for t in (r["_qvs"] or [])
+                                        if t is not None]
+                lids = quantize.probe_list_ids(vecs, cents, n_probe)
+                pairs += [(r["qid"], lid) for lid in
+                          sorted({int(x) for row in lids for x in row})]
+            probed = sorted({lid for _, lid in pairs})
+            probe_frame = local_frame(spark, pairs, T.StructType([
+                T.StructField("qid", qp.schema["qid"].dataType),
+                T.StructField("list_id", T.IntegerType())]))
+        else:
+            pool_vecs = [r["_qpool"] for r in qinfo
+                         if r["_qpool"] is not None]
+            probed = (sorted({int(x) for row in quantize.probe_list_ids(
+                pool_vecs, cents, n_probe) for x in row})
+                if pool_vecs else [])
         pruned = _narrow(_apply_masks(
             spark, ipath, data.filter(F.col("list_id").isin(probed)), id_col
         ).drop("gen"))
@@ -1021,13 +1045,15 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
             cands = _adc_candidates(
                 pruned, qp, "qid", "_qpool",
                 _load_codebooks(spark, ipath), cents, n_probe, id_col,
-                n_cand, exclude_self, probed_lists=True)
+                n_cand, exclude_self, probed_lists=True,
+                probe_frame=probe_frame)
         elif kind == "ivf_mv_bq":
             # Hamming coarse stage over the pooled sign bits — the ONE
             # binary-distance implementation, on the packed pooled query
             cands = _bq_candidates(
                 pruned, qp, "qid", "_qpool", int(imeta["dim"]), cents,
-                n_probe, id_col, n_cand, exclude_self)
+                n_probe, id_col, n_cand, exclude_self,
+                probe_frame=probe_frame)
         else:
             if kind == "ivf_mv_sq":
                 deq = quantize.sq_decode_expr(
@@ -1038,7 +1064,8 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
                 qp, pruned, cents, k=n_cand, n_probe=n_probe,
                 query_id="qid", query_vec="_qpool", corpus_id=id_col,
                 corpus_vec="pooled", exclude_self=exclude_self,
-                round_to=None, metric=metric).select("qid", "vec_id")
+                round_to=None, metric=metric,
+                probe_frame=probe_frame).select("qid", "vec_id")
         out = _maxsim_rescore(spark, root, collection, qp, cands,
                               id_col, vector_name, metric, k, round_to,
                               tenant=tenant)
@@ -1053,8 +1080,8 @@ def search_indexed(spark: SparkSession, root: str, collection: str,
         # the common no-empty-query path.
         empty_rows = [(r["qid"],) for r in qinfo if r["_nt"] == 0]
         if empty_rows:
-            empty_qids = spark.createDataFrame(
-                empty_rows, qp.select("qid").schema)
+            empty_qids = local_frame(
+                spark, empty_rows, qp.select("qid").schema)
             allpts = _narrow(read_collection(spark, root, collection,
                                              tenant=tenant))
             # every sim is identically 0.0, so the page is just the k
@@ -1173,7 +1200,8 @@ def _adc_candidates(pruned: DataFrame, queries: DataFrame, query_id: str,
                     id_col: str, n_cand: int, exclude_self: bool,
                     probed_lists: bool,
                     keep_score: bool = False,
-                    round_to: int | None = None) -> DataFrame:
+                    round_to: int | None = None,
+                    probe_frame: DataFrame | None = None) -> DataFrame:
     """The ONE ADC candidate stage every PQ kind shares (pq / ivf_pq /
     ivf_mv_pq): per-query LUT (NULL query vector → NULL LUT → the pair
     drops), optional probe-list explode joined against the pruned code
@@ -1181,9 +1209,17 @@ def _adc_candidates(pruned: DataFrame, queries: DataFrame, query_id: str,
     per query ascending.  ``keep_score`` returns the full
     (qid, vec_id, sim, rank) page with sim = the ADC distance (rounded
     BEFORE ranking when ``round_to`` is set, so rank ties follow the
-    emitted values) — the ``rescore=False`` search shape."""
+    emitted values) — the ``rescore=False`` search shape.
+    ``probe_frame`` (round 14): an explicit (qid, list_id) probe set
+    replaces the pooled-query derivation — the per-token probing path."""
     make_lut = quantize.make_lut_udf(books)
-    if probed_lists:
+    if probe_frame is not None:
+        q = queries.select(
+            F.col(query_id).alias("qid"),
+            make_lut(F.col(query_vec)).alias("_lut"),
+        ).join(probe_frame.toDF("qid", "list_id"), "qid")
+        pairs = pruned.join(F.broadcast(q), "list_id")
+    elif probed_lists:
         probe = quantize.probe_lists_udf(cents, n_probe)
         q = queries.select(
             F.col(query_id).alias("qid"),
@@ -1214,7 +1250,8 @@ def _bq_candidates(pruned: DataFrame, queries: DataFrame, query_id: str,
                    query_vec: str, dim: int, cents, n_probe: int,
                    id_col: str, n_cand: int,
                    exclude_self: bool,
-                   keep_score: bool = False) -> DataFrame:
+                   keep_score: bool = False,
+                   probe_frame: DataFrame | None = None) -> DataFrame:
     """The ONE binary-quantized candidate stage (ivf_bq / ivf_mv_bq):
     the query packs to the same 32-bit sign words as the stored codes
     (pure codegen — :func:`quantize.binary_pack_expr`), the probe-list
@@ -1222,12 +1259,20 @@ def _bq_candidates(pruned: DataFrame, queries: DataFrame, query_id: str,
     Hamming (:func:`quantize.hamming_expr`) ranks ascending, top
     ``n_cand`` per query.  A NULL query vector probes no lists
     (``probe_lists_udf`` emits []), so it emits no candidates — the
-    degenerate-query policy every coarse stage shares."""
-    probe = quantize.probe_lists_udf(cents, n_probe)
-    q = queries.select(
-        F.col(query_id).alias("qid"),
-        quantize.binary_pack_expr(F.col(query_vec), dim).alias("_pq"),
-        F.explode(probe(F.col(query_vec))).alias("list_id"))
+    degenerate-query policy every coarse stage shares.
+    ``probe_frame`` (round 14): an explicit (qid, list_id) probe set
+    replaces the pooled-query derivation — the per-token probing path."""
+    if probe_frame is not None:
+        q = queries.select(
+            F.col(query_id).alias("qid"),
+            quantize.binary_pack_expr(F.col(query_vec), dim).alias("_pq"),
+        ).join(probe_frame.toDF("qid", "list_id"), "qid")
+    else:
+        probe = quantize.probe_lists_udf(cents, n_probe)
+        q = queries.select(
+            F.col(query_id).alias("qid"),
+            quantize.binary_pack_expr(F.col(query_vec), dim).alias("_pq"),
+            F.explode(probe(F.col(query_vec))).alias("list_id"))
     pairs = pruned.join(F.broadcast(q), "list_id")
     if exclude_self:
         pairs = pairs.filter(F.col("qid") != F.col(id_col))

@@ -270,6 +270,17 @@ def search_collection(
                     rerank_factor=rerank_factor,
                     rescore=rescore, oversampling=oversampling,
                     probe_per_token=probe_per_token)
+        if probe_per_token:
+            # the silently-ignored-knob refusal, mirrored from the
+            # single-vector tail (round 14, ADVICE r13 #3): 'auto' with
+            # an absent/stale mv index resolves to the exact max-sim
+            # scan, which has no probe stage to widen
+            raise ValueError(
+                "probe_per_token tunes the ivf_mv artifact's probe — "
+                "this search resolved to the exact max-sim scan (no "
+                "fresh multivector index); build/refresh the index, "
+                "search with use_index='always', or drop the flag "
+                "(the silently-ignored-knob refusal)")
         corpus = read_collection(spark, root, collection, tenant=tenant)
         if vectorized != False and _maxsim_blas_ok(  # noqa: E712
                 vectorized, queries, query_id, corpus, corpus_id):

@@ -123,10 +123,21 @@ def search_matrix_pairs(spark: SparkSession, root: str, collection: str,
                         sample: int = 10, limit: int = 3, flt=None,
                         vector_name: str | None = None,
                         tenant: str | None = None,
-                        round_to: int | None = 6) -> DataFrame:
+                        round_to: int | None = 6,
+                        strict=None) -> DataFrame:
     """Qdrant ``search_matrix_pairs`` over a stored collection: filter →
     deterministic sample → pairwise top-``limit`` in the declared
-    metric, as flat pair rows."""
+    metric, as flat pair rows.
+
+    ``strict`` (round 14, VERDICT r13 #5): the matrix APIs drive the
+    same filtered scan strict mode gates everywhere — the driving
+    filter must resolve through a fresh payload index, and ``sample``
+    (the cost driver: the self-join is sample-bounded) caps against
+    ``max_query_limit``."""
+    from . import strict as strict_mod  # noqa: PLC0415
+
+    strict_mod.check_entry(spark, root, collection, strict,
+                           flt=flt, limit=sample)
     df, id_col, vec, metric = _collection_frame(
         spark, root, collection, vector_name, flt, tenant)
     return matrix_pairs(df, id_col, vec, sample=sample, limit=limit,
@@ -137,9 +148,15 @@ def search_matrix_offsets(spark: SparkSession, root: str, collection: str,
                           sample: int = 10, limit: int = 3, flt=None,
                           vector_name: str | None = None,
                           tenant: str | None = None,
-                          round_to: int | None = 6) -> DataFrame:
+                          round_to: int | None = 6,
+                          strict=None) -> DataFrame:
     """Qdrant ``search_matrix_offsets`` over a stored collection: the
-    same sampled matrix as one row of parallel offset/score arrays."""
+    same sampled matrix as one row of parallel offset/score arrays.
+    ``strict`` — see :func:`search_matrix_pairs`."""
+    from . import strict as strict_mod  # noqa: PLC0415
+
+    strict_mod.check_entry(spark, root, collection, strict,
+                           flt=flt, limit=sample)
     df, id_col, vec, metric = _collection_frame(
         spark, root, collection, vector_name, flt, tenant)
     return matrix_offsets(df, id_col, vec, sample=sample, limit=limit,

@@ -40,6 +40,7 @@ from .index import (
     index_path,
     vector_index_meta,
 )
+from .localframe import local_frame
 from .upsert import (
     BUCKET_COL,
     _store_exists,
@@ -387,8 +388,8 @@ def geo_match_ids(spark: SparkSession, root: str, collection: str,
         return spark.createDataFrame([], "id string")
     n = imeta["n_val_buckets"]
     buckets = sorted(
-        r[0] for r in spark.createDataFrame([(c,) for c in cells],
-                                            "val string")
+        r[0] for r in local_frame(spark, [(c,) for c in cells],
+                                  "val string")
         .select(F.pmod(F.xxhash64("val"), F.lit(n)).cast("int").alias("b"))
         .distinct().collect())
     post = (spark.read.parquet(pdir)
@@ -1142,7 +1143,7 @@ def range_ordered_page(spark: SparkSession, root: str, collection: str,
         # exhausted short: rows invisible to the index (NULL order
         # values) may belong on this page — let the scan decide
         return None
-    return spark.createDataFrame(rows, "id string")
+    return local_frame(spark, rows, "id string")
 
 
 def _range_probe(spark: SparkSession, root: str, collection: str,

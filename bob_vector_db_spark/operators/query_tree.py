@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .filters import as_filter
+from .localframe import local_frame
 from .upsert import (
     collection_meta,
     read_collection,
@@ -378,7 +379,9 @@ def query_points(spark: SparkSession, root: str, collection: str,
                 lookup_from_collection=spec.get("lookup_from_collection",
                                                 lookup_from_collection),
                 lookup_from_vector=spec.get("lookup_from_vector",
-                                            lookup_from_vector))
+                                            lookup_from_vector),
+                strict=False)  # checks ran at this entry (incl. the
+            # n_pre=k+offset overfetch, which must not re-trip the cap)
             score_col = "score"
             if score_threshold is not None \
                     and strategy == "average_vector":
@@ -413,7 +416,8 @@ def query_points(spark: SparkSession, root: str, collection: str,
                 lookup_from_collection=spec.get("lookup_from_collection",
                                                 lookup_from_collection),
                 lookup_from_vector=spec.get("lookup_from_vector",
-                                            lookup_from_vector))
+                                            lookup_from_vector),
+                strict=False)  # checks ran at this entry
             score_col = "sim"
         else:  # context
             out = context_points(
@@ -421,7 +425,8 @@ def query_points(spark: SparkSession, root: str, collection: str,
                 k=n_pre, flt=flt, vector_name=vector_name, tenant=tenant,
                 round_to=round_to,
                 lookup_from_collection=lookup_from_collection,
-                lookup_from_vector=lookup_from_vector)
+                lookup_from_vector=lookup_from_vector,
+                strict=False)  # checks ran at this entry
             score_col = "ctx_score"
         if offset:
             out = (out.filter(F.col("rank") > offset)
@@ -503,7 +508,7 @@ def query_points(spark: SparkSession, root: str, collection: str,
             f"{'multivector' if tgt_mv else 'dense'}; query shapes "
             f"can't mix")
     lk_id_col = lk_meta.get("id_col", "id")
-    ids = spark.createDataFrame([(str(query),)], "`_q_id` string")
+    ids = local_frame(spark, [(str(query),)], "`_q_id` string")
     rows = read_rows_for_ids(spark, root, lk_coll, ids)
     got = ([] if rows is None else
            rows.select(lk_id_col, lk_vec).limit(2).collect())
@@ -520,12 +525,12 @@ def query_points(spark: SparkSession, root: str, collection: str,
     if tgt_mv:
         # multivector space (declared in the collection meta): query
         # with the nested shape — max-sim scoring dispatches downstream
-        qdf = spark.createDataFrame(
-            [(got[0][lk_id_col], [list(t) for t in v])],
+        qdf = local_frame(
+            spark, [(str(got[0][lk_id_col]), [list(t) for t in v])],
             "qid string, qvec array<array<double>>")
     else:
-        qdf = spark.createDataFrame(
-            [(got[0][lk_id_col], list(v))],
+        qdf = local_frame(
+            spark, [(str(got[0][lk_id_col]), list(v))],
             "qid string, qvec array<double>")
     from pyspark.sql import Window  # noqa: PLC0415
 
@@ -627,7 +632,8 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
             strategy=strategy,
             k=limit, flt=flt, vector_name=using, round_to=round_to,
             lookup_from_collection=spec.get("lookup_from_collection"),
-            lookup_from_vector=spec.get("lookup_from_vector"))
+            lookup_from_vector=spec.get("lookup_from_vector"),
+            strict=False)  # prefetch-leaf fetch
         out = out.select(F.col("vec_id").alias("id"), "score", "rank")
         if thr is not None:
             # native-order cut (the terminal recommend node's logic):
@@ -651,7 +657,8 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
             context=list(spec.get("context", [])), k=limit, flt=flt,
             vector_name=using, round_to=round_to,
             lookup_from_collection=spec.get("lookup_from_collection"),
-            lookup_from_vector=spec.get("lookup_from_vector"))
+            lookup_from_vector=spec.get("lookup_from_vector"),
+            strict=False)  # prefetch-leaf fetch
         # branch score = target sim (the composite ctx_wins ordering
         # lives in `rank`, which is what RRF parents consume; a DBSF
         # parent normalizes the sim column — documented shape)
@@ -660,7 +667,8 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
     if kind == "context":
         out = context_points(
             spark, root, collection, context=list(node["context"]),
-            k=limit, flt=flt, vector_name=using, round_to=round_to)
+            k=limit, flt=flt, vector_name=using, round_to=round_to,
+            strict=False)  # prefetch-leaf fetch
         out = out.select(F.col("vec_id").alias("id"),
                          F.col("ctx_score").alias("score"), "rank")
         return out if thr is None else out.filter(F.col("score") >= thr)
@@ -877,7 +885,7 @@ def _mv_rescore_query(spark: SparkSession, root: str, collection: str,
                 f"{vector_name!r} is multivector but the lookup space "
                 f"{lk_coll!r}/{lk_vec!r} is dense; query shapes can't mix")
         lk_id_col = lk_meta.get("id_col", "id")
-        ids_df = spark.createDataFrame([(str(nearest),)], "`_r_id` string")
+        ids_df = local_frame(spark, [(str(nearest),)], "`_r_id` string")
         rows = read_rows_for_ids(spark, root, lk_coll, ids_df)
         got = ([] if rows is None else
                rows.select(lk_id_col, lk_vec).limit(2).collect())
@@ -1016,10 +1024,10 @@ def rescore_by_nearest(spark: SparkSession, root: str, collection: str,
         # (array_max over zero token sims) and drops through the same
         # isNotNull filter as the dense path — "missing the space is
         # skipped", never a crash (the pinned degenerate-shape class)
-        ref = spark.createDataFrame([(qv,)], "`_q` array<array<double>>")
+        ref = local_frame(spark, [(qv,)], "`_q` array<array<double>>")
         sim = maxsim_score_expr(F.col("_q"), F.col("_cv"), metric)
     else:
-        ref = spark.createDataFrame([(qv,)], "`_q` array<double>")
+        ref = local_frame(spark, [(qv,)], "`_q` array<double>")
         if metric == "cosine":
             ref = ref.withColumn("_qn", vector.l2_norm(F.col("_q")))
             denom = F.col("_qn") * vector.l2_norm(F.col("_cv"))
@@ -1053,8 +1061,8 @@ def query_points_groups(spark: SparkSession, root: str, collection: str,
                         score_threshold: float | None = None,
                         with_lookup: str | None = None,
                         lookup_from_collection: str | None = None,
-                        lookup_from_vector: str | None = None
-                        ) -> DataFrame:
+                        lookup_from_vector: str | None = None,
+                        strict=None) -> DataFrame:
     """Qdrant ``query_points_groups`` — the universal endpoint's grouped
     variant: any query node + ``group_by``/``group_size``, returning the
     best ``k_groups`` distinct values of the ``group_by`` payload key,
@@ -1105,6 +1113,13 @@ def query_points_groups(spark: SparkSession, root: str, collection: str,
             "query_points_groups needs a query= node, a prefetch= tree, "
             "or both (prefetch retrieves, query={'nearest': ...} "
             "rescores, the grouped cut shapes the result)")
+    from . import strict as strict_mod  # noqa: PLC0415
+
+    # round 14 (VERDICT r13 #5): the grouped universal endpoint gates
+    # HERE, once — every internal delegation below (pool fetch,
+    # search_groups, recommend_groups) runs strict=False
+    strict_mod.check_entry(spark, root, collection, strict,
+                           flt=flt, limit=int(k_groups) * int(group_size))
 
     def _finish(out: DataFrame, metric: str | None) -> DataFrame:
         if score_threshold is not None:
@@ -1191,7 +1206,8 @@ def query_points_groups(spark: SparkSession, root: str, collection: str,
                 lookup_from_collection=spec.get("lookup_from_collection",
                                                 lookup_from_collection),
                 lookup_from_vector=spec.get("lookup_from_vector",
-                                            lookup_from_vector))
+                                            lookup_from_vector),
+                strict=False)  # internal: checked at entry, once
             # the terminal recommend node's threshold convention:
             # average_vector carries the metric's native score order,
             # best/sum fold internal (negated-distance) scores — >=
@@ -1273,7 +1289,8 @@ def query_points_groups(spark: SparkSession, root: str, collection: str,
         out = search_groups(spark, root, collection, query, group_by,
                             k_groups=k_groups, group_size=group_size,
                             flt=flt, vector_name=vector_name,
-                            round_to=round_to, tenant=tenant)
+                            round_to=round_to, tenant=tenant,
+                            strict=False)  # internal: checked at entry
         out = out.select("qid", "group", "group_rank", "vec_id",
                          F.col("sim").alias("score"), "rank_in_group")
         return _finish(out, metric)
@@ -1285,15 +1302,16 @@ def query_points_groups(spark: SparkSession, root: str, collection: str,
             spark, root, collection, meta, vector_name, [str(query)],
             lookup_from_collection, lookup_from_vector,
             caller="query_points_groups", metric=metric)
-        qdf = spark.createDataFrame(
-            [(0, [float(x) for x in got[str(query)]])],
+        qdf = local_frame(
+            spark, [(0, [float(x) for x in got[str(query)]])],
             "qid long, qvec array<double>")
         exclude = [str(query)] if same_coll else None
     out = search_groups(spark, root, collection, qdf, group_by,
                         k_groups=k_groups, group_size=group_size,
                         flt=flt, vector_name=vector_name,
                         round_to=round_to, tenant=tenant,
-                        _exclude_ids=exclude)
+                        _exclude_ids=exclude,
+                        strict=False)  # internal: checked at entry
     out = out.select("group", "group_rank", "vec_id",
                      F.col("sim").alias("score"), "rank_in_group")
     return _finish(out, metric)
@@ -1355,8 +1373,8 @@ def _nearest_mmr(spark: SparkSession, root: str, collection: str,
             spark, root, collection, meta, vector_name, [str(spec)],
             lookup_from_collection, lookup_from_vector,
             caller="query_points(mmr)", metric=metric)
-        qdf = spark.createDataFrame(
-            [(0, [float(x) for x in got[str(spec)]])],
+        qdf = local_frame(
+            spark, [(0, [float(x) for x in got[str(spec)]])],
             "qid long, qvec array<double>")
         if same_coll:
             from .filters import Filter  # noqa: PLC0415
@@ -1369,7 +1387,10 @@ def _nearest_mmr(spark: SparkSession, root: str, collection: str,
         spark, root, collection, qdf, k=k + int(offset), pool=pool,
         lambda_=1.0 - diversity, flt=flt, vector_name=vector_name,
         use_payload_index=use_payload_index, tenant=tenant,
-        score_threshold=score_threshold)
+        score_threshold=score_threshold,
+        strict=False)  # internal: query_points checked at its entry
+    # (the composed must_not HasId self-exclusion would otherwise trip
+    # the driving-filter check a declared config applies by default)
     if offset:
         out = (out.filter(F.col("rank") > offset)
                .withColumn("rank", F.col("rank") - F.lit(int(offset))))

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import POLY_MOD, poly_hash
 from ..functions.text import ws_tokens
+from .localframe import local_frame
 
 
 def postings_from_text(docs: DataFrame, id_col: str = "doc_id",
@@ -348,8 +349,8 @@ def sparse_search_indexed(spark, root: str, collection: str,
             f"or batch the input")
     n = imeta["n_dim_buckets"]
     buckets = sorted(
-        r[0] for r in spark.createDataFrame([(int(d),) for d in dims],
-                                            "idx long")
+        r[0] for r in local_frame(spark, [(int(d),) for d in dims],
+                                  "idx long")
         .select(F.pmod(F.xxhash64("idx"), F.lit(n)).cast("int").alias("b"))
         .distinct().collect()) if dims else []
     ipath = index_path(root, collection, _sparse_index_name(indices_col))

@@ -94,6 +94,27 @@ def resolve_strict_for(root: str, collection: str,
     return resolve_strict(strict)
 
 
+def check_entry(spark, root: str, collection: str, strict, *,
+                flt=None, limit: int | None = None, offset: int = 0,
+                batch: int | None = None) -> StrictMode | None:
+    """The one-call entry-point gate (round 14, VERDICT r13 #5): resolve
+    the per-request ``strict`` against the collection-declared config,
+    then run the applicable caps — ``limit`` against max_query_limit /
+    max_offset, ``batch`` against max_batch, and the driving-filter
+    index check.  Returns the resolved :class:`StrictMode` (or None) so
+    callers with extra checks (``check_probe``) can chain.  All checks
+    stay driver-side metadata reads — a refusal costs no job."""
+    sm = resolve_strict_for(root, collection, strict)
+    if sm is None:
+        return None
+    if limit is not None:
+        check_limits(sm, limit, offset)
+    if batch is not None:
+        check_batch(sm, batch)
+    check_filter(spark, root, collection, flt, sm)
+    return sm
+
+
 def check_limits(sm: StrictMode, k: int, offset: int = 0) -> None:
     if sm.max_query_limit is not None and int(k) > sm.max_query_limit:
         raise ValueError(

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import ws_tokens
+from .localframe import local_frame
 
 
 def bm25_topk(docs: DataFrame, terms: list[str], k: int = 10,
@@ -332,8 +333,8 @@ def bm25_topk_indexed(spark: SparkSession, root: str, collection: str,
     # the probed buckets come from the SAME hash Spark wrote with — computed
     # on a |terms|-row literal frame, collected O(|terms|)
     buckets = sorted(
-        r[0] for r in spark.createDataFrame([(t,) for t in terms_l],
-                                            "term string")
+        r[0] for r in local_frame(spark, [(t,) for t in terms_l],
+                                  "term string")
         .select(F.pmod(F.xxhash64("term"),
                        F.lit(imeta["n_term_buckets"])).cast("int").alias("b"))
         .distinct().collect())
@@ -394,8 +395,8 @@ def match_text_ids(spark: SparkSession, root: str, collection: str,
     if not imeta["n_docs"]:
         return spark.createDataFrame([], f"id {imeta['id_type']}")
     buckets = sorted(
-        r[0] for r in spark.createDataFrame([(t,) for t in terms],
-                                            "term string")
+        r[0] for r in local_frame(spark, [(t,) for t in terms],
+                                  "term string")
         .select(F.pmod(F.xxhash64("term"),
                        F.lit(imeta["n_term_buckets"])).cast("int").alias("b"))
         .distinct().collect())

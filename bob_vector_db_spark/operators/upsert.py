@@ -931,8 +931,10 @@ def delete_points(spark: SparkSession, root: str, collection: str,
     if isinstance(ids, DataFrame):
         doomed = ids.select(F.col(ids.columns[0]).cast("string").alias("_del_id"))
     else:
-        doomed = spark.createDataFrame(
-            [(str(i),) for i in ids], "`_del_id` string")
+        from .localframe import local_frame  # noqa: PLC0415
+
+        doomed = local_frame(
+            spark, [(str(i),) for i in ids], "`_del_id` string")
     doomed = _with_bucket(doomed, "_del_id", n_buckets)
     # O(n_buckets) driver-side list, same bound as upsert's touched set
     touched_buckets = sorted(
@@ -1202,8 +1204,11 @@ def _null_patch(spark: SparkSession, root: str, collection: str,
         ids_df = ids.select(F.col(ids.columns[0]).cast("string")
                             .alias("_z_id")).distinct()
     else:
-        ids_df = spark.createDataFrame(
-            [(str(i),) for i in dict.fromkeys(ids)], "`_z_id` string")
+        from .localframe import local_frame  # noqa: PLC0415
+
+        ids_df = local_frame(
+            spark, [(str(i),) for i in dict.fromkeys(ids)],
+            "`_z_id` string")
     patch = ids_df.select(
         "_z_id", *[F.lit(None).cast(stored[c]).alias(c) for c in columns])
     update_columns(spark, root, collection, patch, id_col=id_col)

@@ -59,7 +59,10 @@ sh AS (
 _POLY_H = DUCK_POLY_HASH.format(t="shingle")
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_ctes(num_hashes: int = 16, bands: int = 4) -> str:
+    """The MinHash-LSH banding pipeline as a reusable CTE chain (follows
+    ``DUCK_SHINGLES``): hashed → sig → banded.  Shared by the pair query
+    oracle and the near-dup dataset-build capstone (round 14)."""
     from ..functions.hashing import MINHASH_PRIME, minhash_params  # noqa: PLC0415
 
     params = minhash_params(num_hashes)
@@ -74,13 +77,17 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
         )
         for b in range(bands)
     )
-    return f"""
-WITH {DUCK_SHINGLES},
-hashed AS (SELECT doc_id, ({_POLY_H}) AS h FROM sh),
+    return f"""hashed AS (SELECT doc_id, ({_POLY_H}) AS h FROM sh),
 sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 banded AS (
   {band_rows}
-)
+)"""
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    return f"""
+WITH {DUCK_SHINGLES},
+{_minhash_ctes(num_hashes, bands)}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands_matched
 FROM banded a
 JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -489,6 +496,7 @@ __all__ = [
     "_WP_FLT",
     "_duck_cos",
     "_langid_oracle",
+    "_minhash_ctes",
     "_minhash_oracle",
     "_simhash_oracle",
     "_tmp_base",

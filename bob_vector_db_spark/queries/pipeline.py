@@ -509,6 +509,94 @@ def q_pipe_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_dataset_build_neardup",
+    # round 14 (VERDICT r13 #1): the REALISTIC 100 TB training-mix shape
+    # — near-dup dedup is pairs -> clusters -> keep, not pairs alone.
+    # MinHash-LSH banded candidate pairs (the exact-oracled banding of
+    # dedup_minhash_lsh) -> connected components (Spark: the O(log n)
+    # large-star/small-star alternation, algorithm='star'; DuckDB: a
+    # RECURSIVE transitive-closure CTE) -> lowest-id keep -> benchmark
+    # decontamination -> quality gate -> stratified per-language quota.
+    # ONE composed plan, hash-matched end-to-end.
+    oracle=f"""
+WITH RECURSIVE {DUCK_SHINGLES},
+{_minhash_ctes()},
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+reach(n, m) AS (
+  SELECT a AS n, b AS m FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+),
+comp AS (SELECT n AS node, LEAST(n, MIN(m)) AS component
+         FROM reach GROUP BY n),
+dropped AS (SELECT node FROM comp WHERE node <> component),
+dd AS (SELECT d.* FROM documents d
+       WHERE d.doc_id NOT IN (SELECT node FROM dropped)),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle)
+  WHERE s.doc_id >= 20
+),
+clean AS (
+  SELECT dd.doc_id, dd.lang, len(t.tk) AS n_tokens
+  FROM dd JOIN toks t USING (doc_id)
+  WHERE dd.doc_id >= 20
+    AND dd.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND dd.n_chars BETWEEN 150 AND 600
+    AND len(t.tk) >= 25
+),
+mixed AS (
+  SELECT doc_id, lang, n_tokens,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5('mixnd' || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn
+  FROM clean
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM mixed WHERE rn <= 10
+""",
+)
+def q_pipe_dataset_build_neardup(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The NEAR-DUP training-mix build (round 14, VERDICT r13 #1):
+    MinHash-LSH banded pairs → duplicate-cluster resolution (connected
+    components via the O(log n) star alternation) → lowest-id keep →
+    benchmark decontamination → quality gate → stratified per-language
+    quota, composed in one plan.  Every stage is the 100 TB shape: the
+    pair join is band-bucketed (never all-pairs), CC shuffles the edge
+    set only, the bench shingle set broadcasts, the quota is one rank
+    window per stratum.  Survivors of the dedup stage are "cluster
+    minimum" ∪ "every unpaired document" — pairs alone are not a dedup."""
+    from ..operators.sampling import stratified_sample  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    cc = dedup.connected_components(pairs, algorithm="star")
+    dropped = (cc.filter(F.col("node") != F.col("component"))
+               .select(F.col("node").alias("doc_id")))
+    dd = docs.join(dropped, "doc_id", "left_anti")
+    flagged = dedup.cross_corpus_contamination(
+        dd.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20),
+        text_col="text", id_col="doc_id", n=3, min_hits=1
+    ).select(F.col("id").alias("doc_id"))
+    clean = (dd.filter(F.col("doc_id") >= 20)
+             .join(flagged, "doc_id", "left_anti")
+             .withColumn("n_tokens", F.size(ws_tokens(F.col("text"))))
+             .filter((F.col("n_chars") >= 150) & (F.col("n_chars") <= 600)
+                     & (F.col("n_tokens") >= 25)))
+    out = stratified_sample(clean, "lang", "doc_id", 10, salt="mixnd")
+    return out.select("doc_id", "lang",
+                      F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+@register(
     "pipe_token_shards",
     # shard = floor(tokens_before / 20000) in doc_id order; the oracle's
     # single global cumsum equals the distributed two-phase prefix sum.

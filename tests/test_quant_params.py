@@ -241,6 +241,64 @@ def test_probe_per_token_recall_superset(spark, sf_dir, tmp_path):
            {(r["qid"], r["vec_id"], r["sim"]) for r in exact.collect()}
 
 
+def _mk_scattered_mv(spark, root):
+    """A corpus built so per-token probing PROVABLY adds hits at
+    n_probe=1 (round 14, ADVICE r13 #1 — the old superset test passed
+    with rt == rp, which a per-token no-op satisfies):
+
+      - 10 'filler' points, tokens ≈ (4,4)      → pooled blob at (4,4)
+      -  5 'spike A' points, tokens ≈ (10,0)    → pooled blob at (10,0)
+      -  5 'spike B' points, tokens ≈ (0,10)    → pooled blob at (0,10)
+
+    The query's tokens are [(10,0), (0,10)] → pooled (5,5), NEAREST THE
+    FILLER BLOB, while its exact max-sim top-4 are all spike points
+    (sim ≈ 100 each vs filler ≈ 80).  At n_probe=1 the pooled probe
+    sees only the filler list; each query TOKEN's own nearest list is a
+    spike blob, so the pooled∪per-token union reaches them."""
+    def tok(x, y, j):
+        return [[float(x) + 0.01 * j, float(y) + 0.01 * j]] * 2
+
+    rows = ([(i, tok(4, 4, i)) for i in range(10)]
+            + [(100 + i, tok(10, 0, i)) for i in range(5)]
+            + [(200 + i, tok(0, 10, i)) for i in range(5)])
+    pts = spark.createDataFrame(rows, "id long, colbert array<array<float>>")
+    upsert.create_collection(
+        spark, root, "vecs", df=pts, id_col="id", n_buckets=4,
+        vector_config={"colbert": {"size": 2, "distance": "dot",
+                                   "multivector": "max_sim"}})
+    index.build_vector_index(spark, root, "vecs", kind="ivf_mv",
+                             n_lists=3, iters=8)
+    q = spark.createDataFrame(
+        [(1000, [[10.0, 0.0], [0.0, 10.0]])],
+        "qid long, qvecs array<array<float>>")
+    return pts, q
+
+
+def test_probe_per_token_strictly_beats_pooled(spark, tmp_path):
+    """The per-token probe must CONTRIBUTE candidates, not just widen
+    the static partition filter: on the scattered-token corpus the
+    pooled n_probe=1 recall is 0 and per-token recall is 1 — a strict
+    inequality a pooled-only no-op cannot satisfy."""
+    from bob_vector_db_spark.operators.knn import knn_join_maxsim
+
+    root = str(tmp_path / "s")
+    pts, q = _mk_scattered_mv(spark, root)
+    exact = knn_join_maxsim(q, pts, corpus_id="id", corpus_vec="colbert",
+                            query_vec="qvecs", k=4, exclude_self=False)
+    ex = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    assert all(v >= 100 for _, v in ex), "fixture: top-4 must be spikes"
+    pooled = index.search_indexed(
+        spark, root, "vecs", q, k=4, n_probe=1, query_vec="qvecs",
+        rerank_factor=100)
+    per_tok = index.search_indexed(
+        spark, root, "vecs", q, k=4, n_probe=1, query_vec="qvecs",
+        rerank_factor=100, probe_per_token=True)
+    rp = len({(r["qid"], r["vec_id"]) for r in pooled.collect()} & ex)
+    rt = len({(r["qid"], r["vec_id"]) for r in per_tok.collect()} & ex)
+    assert rp == 0, f"fixture: pooled n_probe=1 must miss spikes, hit {rp}"
+    assert rt == len(ex), f"per-token must recover all spikes, got {rt}"
+
+
 def test_probe_per_token_refused_on_single_vector_kinds(spark, sf_dir,
                                                         tmp_path):
     root = str(tmp_path / "s")
@@ -248,6 +306,27 @@ def test_probe_per_token_refused_on_single_vector_kinds(spark, sf_dir,
     with pytest.raises(ValueError, match="probe_per_token"):
         index.search_indexed(spark, root, "vecs", _queries(emb), k=5,
                              probe_per_token=True)
+
+
+def test_probe_per_token_refused_on_mv_exact_fallback(spark, tmp_path):
+    """ADVICE r13 #3: 'auto' with NO mv index resolves to the exact
+    max-sim scan — probe_per_token must refuse there too (same
+    silently-ignored-knob policy as the single-vector tail), not
+    silently ignore the flag."""
+    root = str(tmp_path / "s")
+    pts = spark.createDataFrame(
+        [(i, [[float(i), 0.0]] * 2) for i in range(6)],
+        "id long, colbert array<array<float>>")
+    upsert.create_collection(
+        spark, root, "vecs", df=pts, id_col="id", n_buckets=2,
+        vector_config={"colbert": {"size": 2, "distance": "dot",
+                                   "multivector": "max_sim"}})
+    q = pts.limit(1).select(F.col("id").alias("qid"),
+                            F.col("colbert").alias("qvecs"))
+    with pytest.raises(ValueError, match="probe_per_token"):
+        knn.search_collection(spark, root, "vecs", q, k=3,
+                              query_vec="qvecs", use_index="auto",
+                              probe_per_token=True)
 
 
 def test_no_rescore_plan_keeps_partition_pruning(spark, sf_dir, tmp_path):

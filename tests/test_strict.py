@@ -171,6 +171,111 @@ def test_collection_declared_strict_mode(spark, sf_dir, tmp_path):
         upsert.set_strict_mode(root, "vecs", {"max_limit": 1})
 
 
+def test_strict_reaches_every_remaining_entry_point(spark, store):
+    """Round 14 (VERDICT r13 #5 + ADVICE r13 #2): strict gates MMR,
+    recommend / discover / context, grouped search, the grouped
+    universal endpoint, and the matrix APIs — the unindexed-filter
+    refusal and the caps fire per entry, and the relax knob admits."""
+    from bob_vector_db_spark.operators.matrix import (
+        search_matrix_offsets,
+        search_matrix_pairs,
+    )
+    from bob_vector_db_spark.operators.query_recommend import (
+        context_points,
+        discover_points,
+        recommend_points,
+    )
+    from bob_vector_db_spark.operators.query_search import (
+        search_groups,
+        search_points_mmr,
+    )
+    from bob_vector_db_spark.operators.query_tree import query_points_groups
+
+    root, q = store
+    bad = Filter(must=[MatchValue("num", 7)])
+    ok = Filter(must=[MatchValue("grp", 1)])
+    with pytest.raises(ValueError, match=r"Missing payload index.*num"):
+        search_points_mmr(spark, root, "vecs", q, k=3, pool=10, flt=bad,
+                          strict=True)
+    with pytest.raises(ValueError, match=r"Missing payload index.*num"):
+        recommend_points(spark, root, "vecs", positive=[0], flt=bad,
+                         strict=True)
+    with pytest.raises(ValueError, match=r"Missing payload index.*num"):
+        discover_points(spark, root, "vecs", target=0, context=[(1, 2)],
+                        flt=bad, strict=True)
+    with pytest.raises(ValueError, match=r"Missing payload index.*num"):
+        context_points(spark, root, "vecs", context=[(1, 2)], flt=bad,
+                       strict=True)
+    with pytest.raises(ValueError, match=r"Missing payload index.*num"):
+        search_groups(spark, root, "vecs", q, "grp", flt=bad, strict=True)
+    with pytest.raises(ValueError, match=r"Missing payload index.*num"):
+        query_points_groups(spark, root, "vecs", "grp", query=q, flt=bad,
+                            strict=True)
+    with pytest.raises(ValueError, match=r"Missing payload index.*num"):
+        search_matrix_pairs(spark, root, "vecs", sample=6, limit=2,
+                            flt=bad, strict=True)
+    with pytest.raises(ValueError, match=r"Missing payload index.*num"):
+        search_matrix_offsets(spark, root, "vecs", sample=6, limit=2,
+                              flt=bad, strict=True)
+    # caps: MMR checks the POOL (the fetch it drives), matrix checks
+    # the SAMPLE (the self-join cost driver), groups the page
+    with pytest.raises(ValueError, match="max_query_limit"):
+        search_points_mmr(spark, root, "vecs", q, k=3, pool=9,
+                          strict=StrictMode(max_query_limit=8,
+                                            search_allow_exact=True))
+    with pytest.raises(ValueError, match="max_query_limit"):
+        search_matrix_pairs(spark, root, "vecs", sample=9,
+                            strict=StrictMode(max_query_limit=8))
+    with pytest.raises(ValueError, match="max_query_limit"):
+        search_groups(spark, root, "vecs", q, "grp", k_groups=3,
+                      group_size=3,
+                      strict=StrictMode(max_query_limit=8))
+    with pytest.raises(ValueError, match="max_query_limit"):
+        recommend_points(spark, root, "vecs", positive=[0], k=9,
+                         strict=StrictMode(max_query_limit=8))
+    # indexed driving filter + caps in range: every entry passes
+    assert search_points_mmr(
+        spark, root, "vecs", q, k=3, pool=10, flt=ok,
+        strict=StrictMode(search_allow_exact=True)).count() > 0
+    assert recommend_points(spark, root, "vecs", positive=[0], flt=ok,
+                            strict=True).count() > 0
+    assert search_groups(spark, root, "vecs", q, "grp", flt=ok,
+                         strict=True).count() > 0
+    assert search_matrix_pairs(spark, root, "vecs", sample=6, limit=2,
+                               flt=ok, strict=True).count() > 0
+
+
+def test_declared_strict_reaches_mmr_and_groups(spark, sf_dir, tmp_path):
+    """The ADVICE r13 #2 scenario verbatim: a COLLECTION-DECLARED strict
+    config must gate direct MMR (and grouped) calls by default — no
+    per-request strict= needed — and strict=False opts out."""
+    from bob_vector_db_spark.operators.query_search import (
+        search_groups,
+        search_points_mmr,
+    )
+
+    root = str(tmp_path / "s")
+    emb = load_table(spark, sf_dir, "embeddings")
+    upsert.create_collection(
+        spark, root, "vecs", n_buckets=4, id_col="id",
+        df=emb.select(F.col("vec_id").alias("id"), "embedding",
+                      (F.col("vec_id") % 3).alias("grp")),
+        vector_config={"embedding": {"size": 64, "distance": "cosine"}},
+        strict_mode={"max_query_limit": 20})
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    with pytest.raises(ValueError, match="max_query_limit"):
+        search_points_mmr(spark, root, "vecs", q, k=5, pool=30)
+    with pytest.raises(ValueError, match="max_query_limit"):
+        search_groups(spark, root, "vecs", q, "grp", k_groups=7,
+                      group_size=3)
+    # in-cap requests pass; strict=False opts a single request out
+    assert search_points_mmr(spark, root, "vecs", q, k=5,
+                             pool=15).count() > 0
+    assert search_points_mmr(spark, root, "vecs", q, k=5, pool=30,
+                             strict=False).count() > 0
+
+
 def test_count_and_facet_respect_strict(spark, store):
     """count/facet are entry points too (Qdrant strict applies to
     count_filter): the unindexed-filter refusal gates them, indexed

@@ -1045,6 +1045,81 @@ def main():
             exclude_self=True, probe_per_token=True).collect()})
     assert tok_full == mvq, "per-token full probe diverged from exact"
 
+    # ---- round 14 stages (VERDICT r13 #1/#5/#7) -------------------------
+
+    # duplicate-cluster resolution on a SKEWED cluster-size distribution:
+    # one giant 5,000-member near-clique (the boilerplate-template shape
+    # LSH banding actually emits: every member pairs with the exemplar,
+    # plus chain drift) + a 10,000-cluster long tail.  Min-label must
+    # converge in ≤6 rounds (near-clique: the min crosses in 1-2 hops —
+    # a tight max_iterations PROVES the round count) and the lowest-id
+    # keep must leave exactly one survivor per cluster.
+    from bob_vector_db_spark.operators.dedup import (  # noqa: PLC0415
+        connected_components,
+        duplicate_clusters,
+    )
+
+    g0, t0 = 10_000_000, 20_000_000
+    giant_star = spark.range(1, 5000).select(
+        F.lit(g0).cast("long").alias("id_a"),
+        (F.col("id") + g0).alias("id_b"))
+    giant_ring = spark.range(1, 4999).select(
+        (F.col("id") + g0).alias("id_a"),
+        (F.col("id") + g0 + 1).alias("id_b"))
+    tail = (spark.range(0, 40_000).filter(F.col("id") % 4 != 3)
+            .select((t0 + F.col("id")).alias("id_a"),
+                    (t0 + F.col("id") + 1).alias("id_b")))
+    skew_pairs = giant_star.unionByName(giant_ring).unionByName(tail)
+    clusters = _timed("cc_skewed_clusters", timings, lambda: {
+        r["cluster"]: (r["n_members"], r["keep"])
+        for r in duplicate_clusters(skew_pairs, max_iterations=6)
+        .collect()})
+    assert len(clusters) == 10_001, len(clusters)
+    assert clusters[g0] == (5000, g0), clusters[g0]
+    assert all(clusters[t0 + 4 * c] == (4, t0 + 4 * c)
+               for c in range(0, 10_000, 997)), "tail cluster keep broke"
+
+    # algorithm='star' on the ADVERSARIAL long-chain graph: a
+    # 50,000-node path (diameter 49,999 — min-label would need ~25k
+    # rounds) converges inside the default 25-alternation budget
+    path = spark.range(0, 49_999).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    star_lab = _timed("cc_star_50k_path", timings, lambda:
+                      connected_components(path, algorithm="star")
+                      .agg(F.countDistinct("component").alias("nc"),
+                           F.count(F.lit(1)).alias("nn")).first())
+    assert (star_lab["nc"], star_lab["nn"]) == (1, 50_000), star_lab
+
+    # strict refusals on the round-14 entry points: grouped and matrix
+    # requests driving an unindexed filter refuse DRIVER-side (no job)
+    def _strict_refusals_r14():
+        from bob_vector_db_spark.operators.filters import (  # noqa: PLC0415
+            MatchValue,
+        )
+        from bob_vector_db_spark.operators.matrix import (  # noqa: PLC0415
+            search_matrix_pairs,
+        )
+        from bob_vector_db_spark.operators.query_tree import (  # noqa: PLC0415
+            query_points_groups,
+        )
+
+        bad = Filter(must=[MatchValue("id", 123)])
+        try:
+            query_points_groups(spark, store, "vecs", "label", query=q,
+                                flt=bad, strict=True)
+            raise AssertionError("grouped unindexed filter not refused")
+        except ValueError as e:
+            assert "payload index" in str(e), e
+        try:
+            search_matrix_pairs(spark, store, "vecs", sample=5, flt=bad,
+                                strict=True)
+            raise AssertionError("matrix unindexed filter not refused")
+        except ValueError as e:
+            assert "payload index" in str(e), e
+        return True
+
+    _timed("strict_refusals_grouped_matrix", timings, _strict_refusals_r14)
+
     summary = {"n_docs": n_docs, "n_emb": n_emb,
                "total_s": round(time.time() - t_all, 2), "timings": timings}
     print(json.dumps(summary))
