@@ -146,6 +146,28 @@ def _filter_candidate_ids(spark: SparkSession, root: str, collection: str,
             .filter(flt_o.to_column()).select(id_col))
 
 
+def _check_strict_k(spark, root: str, collection: str, strict, flt,
+                    k: int | None, what: str) -> None:
+    """Strict gate shared by the text/sparse posting entries (round 14):
+    the driving-filter check plus the limit cap, where ``k=None``
+    (corpus-complete scoring — the grouped search's input) counts as an
+    UNCAPPED request and refuses under an active ``max_query_limit``."""
+    from . import strict as strict_mod  # noqa: PLC0415
+
+    sm = strict_mod.resolve_strict_for(root, collection, strict)
+    if sm is None:
+        return
+    if k is None and sm.max_query_limit is not None:
+        raise ValueError(
+            f"strict mode: {what}(k=None) scores the corpus-complete "
+            f"matching set — pass a k within max_query_limit "
+            f"({sm.max_query_limit}), or raise "
+            f"StrictMode(max_query_limit=None)")
+    if k is not None:
+        strict_mod.check_limits(sm, k, 0)
+    strict_mod.check_filter(spark, root, collection, flt, sm)
+
+
 def search_sparse_points(spark: SparkSession, root: str, collection: str,
                          query_postings: DataFrame, flt=None,
                          k: int | None = 10,
@@ -154,16 +176,24 @@ def search_sparse_points(spark: SparkSession, root: str, collection: str,
                          exclude_self: bool = False,
                          round_to: int | None = 6,
                          allow_stale: bool = False,
-                         modifier: str | None = "auto") -> DataFrame:
+                         modifier: str | None = "auto",
+                         strict=None) -> DataFrame:
     """FILTERED sparse search — Qdrant's ``query_points`` over a sparse
     space with a ``query_filter``: the filter resolves to candidate ids
     (:func:`_filter_candidate_ids`) and the id set semi-joins INSIDE the
     probed posting lists of the persisted sparse index — dimension
     pruning AND payload pruning in one plan, the sparse twin of the
     dense composed search.  With no filter this is plain
-    ``sparse_search_indexed``."""
+    ``sparse_search_indexed``.
+
+    ``strict`` (round 14): the Qdrant ``StrictModeConfig`` contract on
+    the sparse entry — driving-filter and limit checks; ``k=None``
+    (the corpus-complete scored set) counts as an uncapped request, so
+    an active ``max_query_limit`` refuses it."""
     from .sparse import sparse_search_indexed  # noqa: PLC0415
 
+    _check_strict_k(spark, root, collection, strict, flt, k,
+                    "search_sparse_points")
     meta = collection_meta(root, collection) or {}
     id_col = meta.get("id_col", "id")
     cand = (None if flt is None else _filter_candidate_ids(
@@ -181,16 +211,20 @@ def search_text_points(spark: SparkSession, root: str, collection: str,
                        use_payload_index: str | bool = "auto",
                        k1: float = 1.2, b: float = 0.75,
                        round_to: int = 6,
-                       allow_stale: bool = False) -> DataFrame:
+                       allow_stale: bool = False,
+                       strict=None) -> DataFrame:
     """FILTERED full-text search — BM25 over the persisted posting index
     with a payload ``query_filter``: the filter resolves to candidate
     ids (:func:`_filter_candidate_ids`) and the id set semi-joins INSIDE
     the probed term buckets — term pruning AND payload pruning in one
     plan, with corpus-global BM25 statistics (a filter narrows
     candidates, not term rarity).  With no filter this is plain
-    ``bm25_topk_indexed``."""
+    ``bm25_topk_indexed``.  ``strict`` — see
+    :func:`search_sparse_points` (same contract)."""
     from .text_search import bm25_topk_indexed  # noqa: PLC0415
 
+    _check_strict_k(spark, root, collection, strict, flt, k,
+                    "search_text_points")
     meta = collection_meta(root, collection) or {}
     id_col = meta.get("id_col", "id")
     cand = (None if flt is None else _filter_candidate_ids(

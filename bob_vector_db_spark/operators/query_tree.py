@@ -271,7 +271,8 @@ def query_points(spark: SparkSession, root: str, collection: str,
             out = search_sparse_points(
                 spark, root, collection, qpost, flt=flt,
                 k=k + int(offset), indices_col=icol, round_to=round_to,
-                use_payload_index=use_payload_index)
+                use_payload_index=use_payload_index,
+                strict=False)  # checks ran at this entry
             if offset:
                 out = (out.filter(F.col("rank") > offset)
                        .withColumn("rank",
@@ -707,7 +708,8 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
                                                     using)
             out = search_sparse_points(
                 spark, root, collection, qpost, flt=flt, k=limit,
-                indices_col=icol, round_to=round_to)
+                indices_col=icol, round_to=round_to,
+                strict=False)  # prefetch-leaf fetch
             out = out.select(F.col("vec_id").alias("id"),
                              F.col("sim").alias("score"), "rank")
             return out if thr is None else out.filter(
@@ -756,7 +758,7 @@ def _resolve_typed_node(spark, root: str | None, collection: str | None,
             spark, root, collection, terms, flt=flt, k=limit,
             text_col=spec.get("column", spec.get("field", "document")),
             k1=float(spec.get("k1", 1.2)), b=float(spec.get("b", 0.75)),
-            round_to=round_to)
+            round_to=round_to, strict=False)  # prefetch-leaf fetch
         out = out.select("id", "score", "rank")
         return out if thr is None else out.filter(F.col("score") >= thr)
     # kind == "formula": rescore the node's OWN prefetch branches
@@ -1163,7 +1165,8 @@ def query_points_groups(spark: SparkSession, root: str, collection: str,
                 text_col=spec.get("column", spec.get("field",
                                                      "document")),
                 k1=float(spec.get("k1", 1.2)),
-                b=float(spec.get("b", 0.75)), round_to=round_to)
+                b=float(spec.get("b", 0.75)), round_to=round_to,
+                strict=False)  # internal corpus-complete grouped input
             return _grouped_from_scored(
                 spark, root, collection,
                 scored.select(F.col("id").alias("vec_id"), "score"),
@@ -1183,7 +1186,8 @@ def query_points_groups(spark: SparkSession, root: str, collection: str,
                                                     vector_name)
             scored = search_sparse_points(
                 spark, root, collection, qpost, flt=flt, k=None,
-                indices_col=icol, round_to=round_to)
+                indices_col=icol, round_to=round_to,
+                strict=False)  # internal corpus-complete grouped input
             return _grouped_from_scored(
                 spark, root, collection,
                 scored.select("vec_id", F.col("sim").alias("score")),

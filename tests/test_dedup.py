@@ -274,6 +274,54 @@ def test_connected_components_star_long_path(spark):
     assert {r["node"] for r in rows} == set(range(1000))
 
 
+def _union_find_components(pairs):
+    """Driver-side union-find reference: node → min id of its component
+    (the connected_components contract), over every node in ``pairs``."""
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def test_cc_property_both_algorithms_match_union_find(spark):
+    """Property: on arbitrary small graphs (self-loops, dups, reversed
+    duplicates included) BOTH algorithms reproduce the union-find
+    labeling exactly.  Pins the star alternation's fixed-point logic
+    against an independent sequential reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bob_vector_db_spark.operators.dedup import connected_components
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+                    min_size=1, max_size=35))
+    def run(edges):
+        want = _union_find_components(edges)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        for algo in ("label", "star"):
+            got = {r["node"]: r["component"]
+                   for r in connected_components(
+                       pairs, algorithm=algo).collect()}
+            assert got == want, (algo, sorted(edges))
+
+    run()
+
+
 def test_connected_components_star_matches_label(spark):
     """Both algorithms are the same contract: identical (node,
     component) labeling on a mixed graph (two clusters, one chain, one

@@ -276,6 +276,49 @@ def test_declared_strict_reaches_mmr_and_groups(spark, sf_dir, tmp_path):
                              strict=False).count() > 0
 
 
+def test_strict_reaches_text_and_sparse_entries(spark, sf_dir, tmp_path):
+    """Round 14: the posting-index entries (`search_text_points` /
+    `search_sparse_points`) carry the same strict contract — filter and
+    limit checks, and k=None (corpus-complete scoring) counts as an
+    uncapped request under an active max_query_limit."""
+    from bob_vector_db_spark.operators.query_search import (
+        search_sparse_points,
+        search_text_points,
+    )
+    from bob_vector_db_spark.operators.text_search import build_text_index
+
+    root = str(tmp_path / "s")
+    docs = load_table(spark, sf_dir, "documents")
+    upsert.create_collection(
+        spark, root, "docs", n_buckets=4, id_col="id",
+        df=docs.limit(300).select(F.col("doc_id").alias("id"),
+                                  F.col("text").alias("document"),
+                                  "lang"))
+    build_text_index(spark, root, "docs", text_col="document")
+    with pytest.raises(ValueError, match=r"Missing payload index.*lang"):
+        search_text_points(spark, root, "docs", ["the"], k=5,
+                           flt=Filter(must=[MatchValue("lang", "en")]),
+                           strict=True)
+    with pytest.raises(ValueError, match="max_query_limit"):
+        search_text_points(spark, root, "docs", ["the"], k=5000,
+                           strict=True)
+    with pytest.raises(ValueError, match="k=None"):
+        search_text_points(spark, root, "docs", ["the"], k=None,
+                           strict=True)
+    with pytest.raises(ValueError, match="k=None"):
+        search_sparse_points(
+            spark, root, "docs",
+            spark.createDataFrame([(0, 1, 1.0)],
+                                  "id long, idx long, val double"),
+            k=None, strict=True)
+    # in-cap unfiltered request passes; the uncapped config admits k=None
+    assert search_text_points(spark, root, "docs", ["the"], k=5,
+                              strict=True).count() > 0
+    assert search_text_points(
+        spark, root, "docs", ["the"], k=None,
+        strict=StrictMode(max_query_limit=None)).count() > 0
+
+
 def test_count_and_facet_respect_strict(spark, store):
     """count/facet are entry points too (Qdrant strict applies to
     count_filter): the unindexed-filter refusal gates them, indexed
