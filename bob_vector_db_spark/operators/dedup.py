@@ -616,15 +616,44 @@ def _cc_star(edges: DataFrame, max_iterations: int) -> DataFrame:
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                        id_b: str = "id_b",
                        max_iterations: int = 25,
-                       algorithm: str = "label") -> DataFrame:
+                       algorithm: str = "label",
+                       quality: DataFrame | None = None,
+                       quality_id: str = "id",
+                       quality_col: str = "score") -> DataFrame:
     """Cluster SUMMARY over :func:`connected_components`: one row per
     duplicate cluster — (cluster, n_members, member ids ascending, the
-    kept id under the lowest-id keep policy).  The survivors of a dedup
-    pass are "kept id per cluster" ∪ "every unpaired document".
-    ``algorithm`` passes through ('label' | 'star')."""
+    kept id).  The survivors of a dedup pass are "kept id per cluster"
+    ∪ "every unpaired document".  ``algorithm`` passes through
+    ('label' | 'star').
+
+    Keep policy: lowest id by default; with ``quality`` (an
+    (id, score) frame — length, quality-classifier score, …) the kept
+    id is the cluster's HIGHEST-score member, ties by lowest id — what
+    a real near-dup pass keeps (the best copy, not the oldest).  A
+    member missing from ``quality`` scores NULL and only wins when the
+    whole cluster is unscored (then lowest id).  The quality join adds
+    one broadcast-or-shuffle join on the node id; the per-cluster pick
+    is the same single aggregate."""
     cc = connected_components(pairs, id_a=id_a, id_b=id_b,
                               max_iterations=max_iterations,
                               algorithm=algorithm)
+    if quality is not None:
+        qf = quality.select(
+            F.col(quality_id).alias("_q_id"),
+            F.col(quality_col).cast("double").alias("_q_score"))
+        cc = cc.join(qf, cc["node"] == qf["_q_id"], "left").drop("_q_id")
+        # min_by over (NEGATED score, node): the smallest negated score
+        # is the highest score (a NULL score negates to +Infinity and
+        # loses to any scored member), ties break to the LOWEST node —
+        # id-type-agnostic (the node is only a tiebreaker field, never
+        # negated)
+        best = F.expr(
+            "min_by(node, struct(-coalesce(_q_score, cast('-Infinity' "
+            "as double)), node))")
+        return (cc.groupBy(F.col("component").alias("cluster"))
+                .agg(F.count(F.lit(1)).alias("n_members"),
+                     F.array_sort(F.collect_list("node")).alias("members"),
+                     best.alias("keep")))
     return (cc.groupBy(F.col("component").alias("cluster"))
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.array_sort(F.collect_list("node")).alias("members"))

@@ -73,6 +73,46 @@ def stratified_sample(df: DataFrame, group_col: str, id_col: str,
             .drop("_rn"))
 
 
+def temperature_mix(df: DataFrame, stratum_col: str, id_col: str,
+                    n_target: int, alpha: float = 0.5,
+                    salt: str = "mix") -> DataFrame:
+    """Temperature-based domain mixing (round 14): per-stratum quotas
+    ∝ count^α — the standard multilingual/multi-source rebalancing
+    (α=1 keeps the natural distribution, α→0 approaches uniform; the
+    α≈0.3–0.7 range is the usual pretraining-mix temperature).  Each
+    stratum contributes ``max(1, floor(n_target · count^α / Σ count^α))``
+    rows (never more than it has), picked by the same deterministic
+    md5(salt ⊕ id) rank as :func:`stratified_sample`.
+
+    Scale shape: ONE tiny count aggregate (map-side combined) computes
+    the quota table — |strata| rows, broadcast back onto the corpus —
+    then one rank window per stratum cuts it; the corpus shuffles once
+    on the stratum key.  The quota arithmetic rounds the ratio to 6
+    decimals BEFORE the floor so engine-order float summation can't
+    flip a boundary (the oracle-determinism rule every float surface
+    here follows)."""
+    counts = (df.groupBy(stratum_col)
+              .agg(F.count(F.lit(1)).alias("_cnt")))
+    tot = counts.agg(F.sum(F.pow(F.col("_cnt").cast("double"),
+                                 F.lit(float(alpha)))).alias("_tot"))
+    quota = (counts.crossJoin(F.broadcast(tot))
+             .select(stratum_col,
+                     F.greatest(
+                         F.lit(1),
+                         F.floor(F.round(
+                             F.lit(float(n_target))
+                             * F.pow(F.col("_cnt").cast("double"),
+                                     F.lit(float(alpha)))
+                             / F.col("_tot"), 6)).cast("int"))
+                     .alias("_quota")))
+    order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(order, F.col(id_col))
+    return (df.join(F.broadcast(quota), stratum_col)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= F.col("_quota"))
+            .drop("_rn", "_quota"))
+
+
 def pack_token_shards(df: DataFrame, id_col: str, tokens_col: str,
                       budget: int, n_ranges: int = 64) -> DataFrame:
     """Shard a corpus into contiguous training shards of ~``budget`` tokens

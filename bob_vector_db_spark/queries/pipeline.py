@@ -801,3 +801,98 @@ def q_dedup_duplicate_clusters(spark: SparkSession,
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=50)
     return dedup.duplicate_clusters(pairs)
+
+
+@register(
+    "dedup_cluster_keep_quality",
+    # round 14: the QUALITY keep policy — real near-dup passes keep the
+    # BEST copy per cluster (longest / highest classifier score), not
+    # the oldest id.  Same exact-oracled Jaccard pair set and RECURSIVE
+    # closure as dedup_duplicate_clusters; keep = highest n_chars, ties
+    # by lowest id (a rank window on both engines — deterministic).
+    oracle=f"""
+WITH RECURSIVE {DUCK_SHINGLES},
+keep0 AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep0 USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS n_inter
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT ia AS a, ib AS b FROM inter
+  JOIN sizes sa ON sa.doc_id = ia
+  JOIN sizes sb ON sb.doc_id = ib
+  WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+),
+edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+reach(n, m) AS (
+  SELECT a AS n, b AS m FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+),
+comp AS (SELECT n AS node, LEAST(n, MIN(m)) AS component
+         FROM reach GROUP BY n),
+scored AS (
+  SELECT c.node, c.component, d.n_chars,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.node) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+)
+SELECT component AS cluster, COUNT(*) AS n_members,
+       MIN(CASE WHEN rn = 1 THEN node END) AS keep
+FROM scored GROUP BY component
+""",
+)
+def q_dedup_cluster_keep_quality(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Duplicate clusters with the QUALITY keep policy: per cluster keep
+    the member with the highest ``n_chars`` (ties by lowest id) — what a
+    real near-dup pass keeps.  The quality frame joins onto the labeled
+    nodes once; the pick is one ``min_by`` aggregate (negated score,
+    node) — no per-cluster sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=50)
+    out = dedup.duplicate_clusters(
+        pairs, quality=docs.select("doc_id", "n_chars"),
+        quality_id="doc_id", quality_col="n_chars")
+    return out.select("cluster", "n_members", "keep")
+
+
+@register(
+    "pipe_domain_mix_temperature",
+    # round 14: temperature-based domain mixing — per-language quota
+    # ∝ count^0.5 (α=0.5), the standard multilingual rebalancing between
+    # natural (α=1) and uniform (α→0).  The ratio rounds to 6 decimals
+    # BEFORE the floor on both engines so summation order can't flip a
+    # quota boundary.
+    oracle="""
+WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+t AS (SELECT SUM(pow(cnt, 0.5)) AS tot FROM c),
+q AS (SELECT lang,
+             GREATEST(1, CAST(FLOOR(ROUND(60 * pow(cnt, 0.5) / tot, 6))
+                              AS INT)) AS quota
+      FROM c, t),
+r AS (SELECT d.doc_id, d.lang, q.quota,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5('mix' || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+               AS rn
+      FROM documents d JOIN q USING (lang))
+SELECT doc_id, lang FROM r WHERE rn <= quota
+""",
+)
+def q_pipe_domain_mix_temperature(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Temperature mixing (α=0.5, N=60) over the documents table by
+    language: one tiny count aggregate builds the quota table (|langs|
+    rows, broadcast), one rank window per stratum cuts the corpus —
+    the domain-rebalancing step every multilingual pretraining mix
+    runs between dedup and sharding."""
+    from ..operators.sampling import temperature_mix  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_mix(docs, "lang", "doc_id", n_target=60, alpha=0.5,
+                          salt="mix")
+    return out.select("doc_id", "lang")

@@ -274,6 +274,51 @@ def test_connected_components_star_long_path(spark):
     assert {r["node"] for r in rows} == set(range(1000))
 
 
+def test_duplicate_clusters_quality_keep(spark):
+    """Quality keep policy: highest score wins, ties break to the lowest
+    id, unscored members lose to any scored member, and a fully
+    unscored cluster falls back to the lowest id."""
+    from bob_vector_db_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long")
+    quality = spark.createDataFrame(
+        # cluster {1,2,3}: 3 has top score; {10,11}: tie -> lowest id;
+        # {20,21}: 21 scored, 20 not -> 21 wins despite higher id
+        [(1, 5.0), (2, 7.0), (3, 9.0), (10, 4.0), (11, 4.0), (21, 0.5)],
+        "id long, score double")
+    out = {r["cluster"]: r["keep"]
+           for r in duplicate_clusters(pairs, quality=quality).collect()}
+    assert out == {1: 3, 10: 10, 20: 21}
+    # a fully unscored cluster keeps the lowest id
+    out2 = {r["cluster"]: r["keep"] for r in duplicate_clusters(
+        pairs, quality=quality.filter("id < 0")).collect()}
+    assert out2 == {1: 1, 10: 10, 20: 20}
+
+
+def test_temperature_mix_quotas(spark):
+    """Temperature mixing: quotas ∝ count^α with the min-1 floor; a
+    stratum never contributes more rows than it has; α=1 with a big
+    target keeps everything (natural distribution, capped by counts)."""
+    from bob_vector_db_spark.operators.sampling import temperature_mix
+
+    rows = ([(i, "big") for i in range(90)]
+            + [(100 + i, "mid") for i in range(9)]
+            + [(200, "tiny")])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix(df, "lang", "doc_id", n_target=20, alpha=0.5)
+    got = {r["lang"] for r in out.collect()}
+    by = {lang: 0 for lang in got}
+    for r in out.collect():
+        by[r["lang"]] += 1
+    # sqrt weights: 90^.5≈9.487, 9^.5=3, 1 -> tot≈13.487
+    # quotas: floor(20*9.487/13.487)=14, floor(20*3/13.487)=4, max(1,1)=1
+    assert by == {"big": 14, "mid": 4, "tiny": 1}, by
+    # alpha=1, huge target: every stratum capped by its own size
+    full = temperature_mix(df, "lang", "doc_id", n_target=10_000, alpha=1.0)
+    assert full.count() == 100
+
+
 def _union_find_components(pairs):
     """Driver-side union-find reference: node → min id of its component
     (the connected_components contract), over every node in ``pairs``."""

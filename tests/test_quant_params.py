@@ -268,8 +268,10 @@ def _mk_scattered_mv(spark, root):
                                    "multivector": "max_sim"}})
     index.build_vector_index(spark, root, "vecs", kind="ivf_mv",
                              n_lists=3, iters=8)
-    q = spark.createDataFrame(
-        [(1000, [[10.0, 0.0], [0.0, 10.0]])],
+    from bob_vector_db_spark.operators.localframe import local_frame
+
+    q = local_frame(
+        spark, [(1000, [[10.0, 0.0], [0.0, 10.0]])],
         "qid long, qvecs array<array<float>>")
     return pts, q
 
@@ -297,6 +299,29 @@ def test_probe_per_token_strictly_beats_pooled(spark, tmp_path):
     rt = len({(r["qid"], r["vec_id"]) for r in per_tok.collect()} & ex)
     assert rp == 0, f"fixture: pooled n_probe=1 must miss spikes, hit {rp}"
     assert rt == len(ex), f"per-token must recover all spikes, got {rt}"
+
+
+def test_probe_per_token_plan_keeps_partition_pruning(spark, tmp_path):
+    """The per-qid probe-frame rework must not cost the scale contract:
+    the per-token search still reaches the artifact through a STATIC
+    list_id partition filter (the widened union set), and the probe
+    frame itself is an Arrow-form LocalTableScan — no pickled-rows
+    ExistingRDD relation anywhere in the plan."""
+    from bob_vector_db_spark.plans.inspect import (
+        assert_partition_filters,
+        formatted_plan,
+    )
+
+    root = str(tmp_path / "s")
+    _, q = _mk_scattered_mv(spark, root)
+    out = index.search_indexed(
+        spark, root, "vecs", q, k=4, n_probe=1, query_vec="qvecs",
+        rerank_factor=100, probe_per_token=True)
+    assert_partition_filters(out, "list_id")
+    plan = formatted_plan(out)
+    assert "Scan ExistingRDD" not in plan, \
+        "a rows-form local relation leaked into the per-token plan"
+    assert "LocalTableScan" in plan  # the Arrow-form probe frame
 
 
 def test_probe_per_token_refused_on_single_vector_kinds(spark, sf_dir,
