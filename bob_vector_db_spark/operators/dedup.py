@@ -200,13 +200,27 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       num_hashes: int = 16, bands: int = 4,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42,
+                      max_band_size: int | None = None) -> DataFrame:
     """LSH candidate pairs: ids whose signatures agree on ≥1 full band.
 
     Band key = (band index, the band's slice of the signature); candidates
     come from an equi-join on the band key — the scale path that avoids any
     all-pairs comparison.  Returns (id_a, id_b, n_bands_matched).
-    """
+
+    ``max_band_size`` (round 14 — the LSH twin of the n-gram path's
+    ``max_df`` skew cap): a boilerplate template at 100 TB puts millions
+    of documents into ONE band bucket, and the self-join would emit n²
+    pairs from it.  With a cap, an over-cap bucket emits STAR edges
+    instead — every member pairs with the bucket's MINIMUM id — so the
+    downstream cluster step (:func:`connected_components` /
+    :func:`duplicate_clusters`) sees the SAME connectivity (the cluster
+    survives intact) from n−1 edges instead of n(n−1)/2.  Dropping the
+    bucket (the max_df approach) is right for ubiquitous SHINGLES, wrong
+    here: a full-signature-band collision IS the near-duplicate signal.
+    ``n_bands_matched`` keeps counting the bands in which a pair was
+    EMITTED (star pairs count their bucket; non-anchor co-members of an
+    over-cap bucket aren't emitted there by design)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
     banded = sig.select(  # persisted below: both self-join sides read it
@@ -222,6 +236,31 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         ).alias("band", "band_key"),
     )
     banded = banded.persist()
+    if max_band_size is not None:
+        # one tiny aggregate per bucket (size + anchor), broadcast back:
+        # under-cap buckets keep the all-pairs join, over-cap buckets
+        # emit (anchor=min id, member) star edges — n−1 rows, same
+        # transitive closure
+        bsz = (banded.groupBy("band", "band_key")
+               .agg(F.count(F.lit(1)).alias("_bn"),
+                    F.min("id").alias("_anchor")))
+        tagged = banded.join(bsz, ["band", "band_key"])
+        small = tagged.filter(F.col("_bn") <= int(max_band_size))
+        a, b = small.alias("a"), small.alias("b")
+        pairs_small = (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b")))
+        pairs_big = (tagged.filter(F.col("_bn") > int(max_band_size))
+                     .filter(F.col("id") != F.col("_anchor"))
+                     .select(F.col("_anchor").alias("id_a"),
+                             F.col("id").alias("id_b")))
+        pairs = (pairs_small.unionByName(pairs_big)
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count("*").alias("n_bands_matched")))
+        return _finalize(pairs, banded)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))

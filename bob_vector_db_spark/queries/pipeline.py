@@ -79,6 +79,40 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
 
 
+@register(
+    "dedup_minhash_lsh_capped",
+    # round 14: the band-size skew cap — the LSH twin of the n-gram
+    # path's max_df.  Over-cap buckets (the boilerplate-template shape:
+    # ONE band bucket holding a giant near-clique, n² pairs at 100 TB)
+    # emit STAR edges to the bucket's minimum id instead — n−1 rows,
+    # identical transitive closure for the downstream cluster step.
+    # Cap=2 on this fixture exercises BOTH branches (buckets of size 3
+    # go star, size 2 stay all-pairs).
+    oracle=f"""
+WITH {DUCK_SHINGLES},
+{_minhash_ctes()},
+bsz AS (SELECT band, band_key, COUNT(*) AS bn, MIN(doc_id) AS anchor
+        FROM banded GROUP BY band, band_key),
+tagged AS (SELECT b.doc_id, b.band, b.band_key, s.bn, s.anchor
+           FROM banded b JOIN bsz s USING (band, band_key)),
+ps AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM tagged a
+       JOIN tagged b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+       WHERE a.bn <= 2),
+pb AS (SELECT anchor AS id_a, doc_id AS id_b FROM tagged
+       WHERE bn > 2 AND doc_id <> anchor)
+SELECT id_a, id_b, COUNT(*) AS n_bands_matched
+FROM (SELECT * FROM ps UNION ALL SELECT * FROM pb)
+GROUP BY 1, 2
+""",
+)
+def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                                   max_band_size=2)
+
+
 @register("dedup_minhash_ml", oracle=None)  # probabilistic recall, rows-only
 def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -274,6 +274,37 @@ def test_connected_components_star_long_path(spark):
     assert {r["node"] for r in rows} == set(range(1000))
 
 
+def test_minhash_band_cap_preserves_clusters(spark, sf_dir):
+    """The band-size cap must never change the CLUSTERING: over-cap
+    buckets emit star edges (n−1 rows) whose transitive closure equals
+    the all-pairs bucket's, so connected components over capped pairs ==
+    components over uncapped pairs — while the capped pair count per
+    over-cap bucket is linear, not quadratic."""
+    from bob_vector_db_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from bob_vector_db_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    capped = minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                               max_band_size=2)
+    n_full, n_capped = full.count(), capped.count()
+    assert n_capped <= n_full
+    cc_full = {(r["node"], r["component"])
+               for r in connected_components(full).collect()}
+    cc_capped = {(r["node"], r["component"])
+                 for r in connected_components(capped).collect()}
+    assert cc_full == cc_capped, "band cap changed the clustering"
+    # degenerate cap: EVERY bucket goes star — clustering still equal
+    allstar = minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                                max_band_size=1)
+    cc_star = {(r["node"], r["component"])
+               for r in connected_components(allstar).collect()}
+    assert cc_star == cc_full
+
+
 def test_duplicate_clusters_quality_keep(spark):
     """Quality keep policy: highest score wins, ties break to the lowest
     id, unscored members lose to any scored member, and a fully
