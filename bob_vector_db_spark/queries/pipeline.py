@@ -611,7 +611,15 @@ def q_pipe_dataset_build_neardup(spark: SparkSession,
     from ..operators.sampling import stratified_sample  # noqa: PLC0415
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+    # max_band_size: the skew cap's star edges preserve the transitive
+    # closure EXACTLY (test_minhash_band_cap_preserves_clusters), and
+    # this pipeline consumes only the CLUSTERS — so the capped Spark
+    # plan hash-matches the uncapped oracle while exercising the
+    # 100 TB-shaped branch (cap=2 fires on this fixture's 3-member
+    # buckets; at crawl scale the cap bounds a boilerplate bucket's
+    # pair blowup to n−1 rows)
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                                    max_band_size=2)
     cc = dedup.connected_components(pairs, algorithm="star")
     dropped = (cc.filter(F.col("node") != F.col("component"))
                .select(F.col("node").alias("doc_id")))

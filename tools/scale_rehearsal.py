@@ -1090,6 +1090,30 @@ def main():
                            F.count(F.lit(1)).alias("nn")).first())
     assert (star_lab["nc"], star_lab["nn"]) == (1, 50_000), star_lab
 
+    # LSH band-size cap at scale: the fixture gives every text COPIES
+    # identical copies, so EVERY band bucket is a ≥COPIES-member
+    # near-clique — the uncapped self-join would emit ~bn²/2 pairs per
+    # bucket (~25M pairs at 100×); the cap's star edges stay LINEAR
+    # (≤ bands·n_docs pair-band rows) and the downstream cluster step
+    # still groups every copy set intact (the closure-preserving
+    # property pinned in test_minhash_band_cap_preserves_clusters)
+    from bob_vector_db_spark.operators.dedup import (  # noqa: PLC0415
+        minhash_lsh_pairs,
+    )
+
+    capped_pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                                     max_band_size=8)
+    n_capped = _timed("lsh_band_cap_pairs", timings, capped_pairs.count)
+    assert n_capped <= 16 * n_docs, (n_capped, n_docs)
+    cl = _timed("lsh_band_cap_clusters", timings, lambda:
+                duplicate_clusters(capped_pairs)
+                .agg(F.min("n_members").alias("mn"),
+                     F.count(F.lit(1)).alias("nc")).first())
+    # every cluster contains at least one full copy set
+    assert cl["mn"] >= COPIES, cl
+    print(f"  lsh cap: {n_capped} pairs, {cl['nc']} clusters "
+          f"(min size {cl['mn']})", flush=True)
+
     # strict refusals on the round-14 entry points: grouped and matrix
     # requests driving an unindexed filter refuse DRIVER-side (no job)
     def _strict_refusals_r14():
