@@ -248,6 +248,81 @@ def quality_score(text: Column) -> Column:
     return len_ok + sw_ok + punct_ok
 
 
+# The Gopher repetition/quality rule set's required English function
+# words (Rae et al. 2021, "Scaling Language Models: Methods, Analysis &
+# Insights from Training Gopher", appendix A — public paper): a document
+# must contain at least 2 of these to count as running English text.
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have",
+                         "with")
+
+
+def gopher_rules(text: Column, min_words: int = 50,
+                 max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_word_ratio: float = 0.1,
+                 max_bullet_line_frac: float = 0.9,
+                 max_ellipsis_line_frac: float = 0.3,
+                 min_alpha_word_frac: float = 0.8,
+                 min_required_words: int = 2) -> dict[str, Column]:
+    """The Gopher quality-rule battery (Rae et al. 2021) as pure
+    whole-stage-codegen column expressions — the standard pretraining
+    corpus gate between language-ID and dedup.  Returns one boolean
+    Column per rule plus ``passes`` (their conjunction); every rule is
+    integer-count arithmetic over identical string primitives on both
+    engines, so the DuckDB oracle reproduces the flags bit-for-bit.
+
+    Rules: word-count band; mean word length band; symbol-to-word ratio
+    ('#' and '...' symbols) cap; bullet-started line fraction cap;
+    ellipsis-ended line fraction cap; alphabetic-word fraction floor;
+    ≥``min_required_words`` distinct Gopher function words present.
+    Bounds default to the paper's; callers tune per corpus (the
+    fixture query lowers min_words — sf documents are short)."""
+    toks = ws_tokens(text)
+    n = F.size(toks)
+    mean_len = avg_token_len(toks)
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ell = (F.length(text)
+             - F.length(F.regexp_replace(text, r"\.\.\.", ""))) / 3
+    lines = F.filter(F.split(text, "\n"),
+                     lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda x: F.substring(F.ltrim(x), 1, 2).isin("- ", "* ")
+        | (F.substring(F.ltrim(x), 1, 1) == "•")))
+    n_ell_end = F.size(F.filter(
+        lines, lambda x: F.substring(F.rtrim(x), -3, 3) == "..."))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    low = F.transform(toks, F.lower)
+    n_req = F.size(F.filter(
+        F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+        lambda s: F.array_contains(low, s)))
+    # try_divide, not `/`: ANSI mode (the Spark 4 default) raises on a
+    # zero denominator and boolean AND does NOT short-circuit the
+    # division away — an empty document must FAIL the gate, not crash it
+    # (NULL ratios conjoin to false through coalesce below)
+    flags = {
+        "n_words_ok": (n >= min_words) & (n <= max_words),
+        "mean_len_ok": (n > 0) & (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "symbol_ok": (n > 0)
+        & (F.try_divide(n_hash + n_ell, n) <= max_symbol_word_ratio),
+        "bullet_ok": (n_lines == 0)
+        | (F.try_divide(n_bullet, n_lines) <= max_bullet_line_frac),
+        "ellipsis_ok": (n_lines == 0)
+        | (F.try_divide(n_ell_end, n_lines) <= max_ellipsis_line_frac),
+        "alpha_ok": (n > 0)
+        & (F.try_divide(n_alpha, n) >= min_alpha_word_frac),
+        "required_ok": n_req >= min_required_words,
+    }
+    flags = {k: F.coalesce(c, F.lit(False)) for k, c in flags.items()}
+    passes = None
+    for c in flags.values():
+        passes = c if passes is None else (passes & c)
+    flags["passes"] = passes
+    return flags
+
+
 def lang_scores(tokens: Column) -> dict[str, Column]:
     """Marker-token hit count per language (the n-gram heuristic)."""
     out = {}

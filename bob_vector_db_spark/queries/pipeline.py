@@ -903,6 +903,80 @@ def q_dedup_cluster_keep_quality(spark: SparkSession,
 
 
 @register(
+    "pipe_gopher_rules",
+    # round 14: the Gopher quality-rule battery (Rae et al. 2021) — the
+    # standard pretraining gate between language-ID and dedup.  Every
+    # rule is integer-count arithmetic over identical string primitives,
+    # reproduced rule-for-rule in DuckDB (min_words lowered to 20 and
+    # min_required_words to 1: the fixture's documents are short and
+    # its synthetic vocabulary carries only 'the' of the Gopher
+    # function-word set — 382/500 docs hit it, so the flag is a real
+    # discriminator instead of a constant).
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> length(x) > 0) AS tk,
+         list_filter(regexp_split_to_array(text, '\n'),
+                     x -> length(trim(x)) > 0) AS lines,
+         length(text) - length(regexp_replace(text, '#', '', 'g'))
+           AS n_hash,
+         (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g')))
+           / 3 AS n_ell
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(tk) AS n, n_hash, n_ell, len(lines) AS n_lines,
+         list_sum(list_transform(tk, x -> length(x))) AS tot_len,
+         len(list_filter(lines,
+             x -> substr(ltrim(x), 1, 2) IN ('- ', '* ')
+                  OR substr(ltrim(x), 1, 1) = '•')) AS n_bullet,
+         len(list_filter(lines,
+             x -> right(rtrim(x), 3) = '...')) AS n_ell_end,
+         len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+           AS n_alpha,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             s -> list_contains(list_transform(tk, x -> lower(x)), s)))
+           AS n_req
+  FROM t
+),
+f AS (
+  SELECT doc_id,
+         CAST(n >= 20 AND n <= 100000 AS INT) AS n_words_ok,
+         CAST(n > 0 AND tot_len / n >= 3.0 AND tot_len / n <= 10.0
+              AS INT) AS mean_len_ok,
+         CAST(n > 0 AND (n_hash + n_ell) / n <= 0.1 AS INT) AS symbol_ok,
+         CAST(n_lines = 0 OR n_bullet / n_lines <= 0.9 AS INT)
+           AS bullet_ok,
+         CAST(n_lines = 0 OR n_ell_end / n_lines <= 0.3 AS INT)
+           AS ellipsis_ok,
+         CAST(n > 0 AND n_alpha / n >= 0.8 AS INT) AS alpha_ok,
+         CAST(n_req >= 1 AS INT) AS required_ok
+  FROM m
+)
+SELECT doc_id, n_words_ok, mean_len_ok, symbol_ok, bullet_ok,
+       ellipsis_ok, alpha_ok, required_ok,
+       CAST(n_words_ok = 1 AND mean_len_ok = 1 AND symbol_ok = 1
+            AND bullet_ok = 1 AND ellipsis_ok = 1 AND alpha_ok = 1
+            AND required_ok = 1 AS INT) AS passes
+FROM f
+""",
+)
+def q_pipe_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules over the documents table: per-rule flags +
+    the conjunction, one codegen projection over a single scan — no
+    shuffle, no UDF.  The canonical corpus gate a 100 TB pretraining
+    pipeline runs on every document before dedup."""
+    from ..functions.text import gopher_rules  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_rules(F.col("text"), min_words=20,
+                         min_required_words=1)
+    return docs.select(
+        "doc_id", *[v.cast("int").alias(k) for k, v in flags.items()])
+
+
+@register(
     "pipe_domain_mix_temperature",
     # round 14: temperature-based domain mixing — per-language quota
     # ∝ count^0.5 (α=0.5), the standard multilingual rebalancing between

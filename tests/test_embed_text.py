@@ -78,3 +78,45 @@ def test_ml_embedder_missing_dep_raises_not_implemented(spark):
     with pytest.raises(Exception) as ei:
         out.collect()
     assert "NotImplementedError" in str(ei.value) or "sentence-transformers" in str(ei.value)
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """Gopher battery edge cases the parquet fixture can't exercise (it
+    has no newlines or symbols): each rule fails exactly on its crafted
+    violator while a clean document passes everything."""
+    from pyspark.sql import functions as F
+
+    from bob_vector_db_spark.functions.text import gopher_rules
+
+    good = "the quick brown fox jumps over the lazy dog and runs away"
+    docs = spark.createDataFrame(
+        [
+            (0, good),                                    # passes all
+            (1, "the of and"),                            # too few words
+            (2, "a " * 12 + "the of"),                    # mean len < 3
+            (3, ("the fox " * 6) + "# # # #"),            # symbol ratio
+            (4, "\n".join(["- the fox runs"] * 5)),       # bullets
+            (5, "\n".join(["the fox runs..."] * 5)),      # ellipsis ends
+            (6, ("123 456 789 " * 4) + "the of"),         # alpha frac
+            (7, "quick brown fox jumps over lazy dogs " * 2),  # no req
+        ],
+        "doc_id long, text string",
+    )
+    flags = gopher_rules(F.col("text"), min_words=5, min_required_words=1)
+    out = {r["doc_id"]: r.asDict() for r in docs.select(
+        "doc_id", *[v.alias(k) for k, v in flags.items()]).collect()}
+    assert out[0]["passes"] is True
+    assert out[1]["n_words_ok"] is False
+    assert out[2]["mean_len_ok"] is False
+    assert out[3]["symbol_ok"] is False
+    assert out[4]["bullet_ok"] is False
+    assert out[5]["ellipsis_ok"] is False
+    assert out[6]["alpha_ok"] is False
+    assert out[7]["required_ok"] is False
+    for i in range(1, 8):
+        assert out[i]["passes"] is False
+    # empty text: everything length-gated fails, nothing crashes
+    empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    e = empty.select(*[v.alias(k) for k, v in gopher_rules(
+        F.col("text")).items()]).first()
+    assert e["passes"] is False and e["n_words_ok"] is False
