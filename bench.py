@@ -162,6 +162,7 @@ def main() -> None:
                             "pipe_rag", "text_bm25_refresh",
                             "api_query_fusion", "api_quantized",
                             "dedup_duplicate",  # iterative CC, ~15s
+                            "dedup_cluster_keep",  # iterative CC + quality
                             "pipe_dataset_build_neardup")  # LSH + star CC
     single_pass = {n for n in registry if n.startswith(single_pass_prefixes)}
 
