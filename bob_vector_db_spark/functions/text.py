@@ -265,12 +265,20 @@ def gopher_rules(text: Column, min_words: int = 50,
                  max_ellipsis_line_frac: float = 0.3,
                  min_alpha_word_frac: float = 0.8,
                  min_required_words: int = 2) -> dict[str, Column]:
-    """The Gopher quality-rule battery (Rae et al. 2021) as pure
-    whole-stage-codegen column expressions — the standard pretraining
-    corpus gate between language-ID and dedup.  Returns one boolean
-    Column per rule plus ``passes`` (their conjunction); every rule is
-    integer-count arithmetic over identical string primitives on both
-    engines, so the DuckDB oracle reproduces the flags bit-for-bit.
+    """The Gopher quality-rule battery (Rae et al. 2021) as JVM column
+    expressions — the standard pretraining corpus gate between
+    language-ID and dedup.  Returns one boolean Column per rule plus
+    ``passes`` (their conjunction); every rule is integer-count
+    arithmetic over identical string primitives on both engines, so the
+    DuckDB oracle reproduces the flags bit-for-bit.
+
+    Physical shape: the '#'/'...' symbol counts are codegen'd
+    regexp/length arithmetic, but the per-line and per-token fractions
+    use ``F.filter``/``F.transform`` higher-order functions, which
+    Catalyst INTERPRETS rather than codegens (the same caveat
+    ``doc_shingles`` documents — VERDICT r14).  Still one scan, no
+    shuffle, no Python, and linear in corpus size; the HOF tax is per
+    token/line, acceptable for a gate that reads every byte anyway.
 
     Rules: word-count band; mean word length band; symbol-to-word ratio
     ('#' and '...' symbols) cap; bullet-started line fraction cap;

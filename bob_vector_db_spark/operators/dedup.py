@@ -237,10 +237,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     )
     banded = banded.persist()
     if max_band_size is not None:
-        # one tiny aggregate per bucket (size + anchor), broadcast back:
-        # under-cap buckets keep the all-pairs join, over-cap buckets
-        # emit (anchor=min id, member) star edges — n−1 rows, same
-        # transitive closure
+        # per-bucket size + anchor via one aggregate, rejoined on the
+        # band key — a SHUFFLE join by design: bsz is O(#buckets) rows
+        # (one per band bucket, up to bands×n_docs at full dispersion),
+        # not broadcast-small at crawl scale, and both sides are already
+        # hash-partitioned on the same key from the aggregate.  Under-cap
+        # buckets keep the all-pairs join, over-cap buckets emit
+        # (anchor=min id, member) star edges — n−1 rows, same transitive
+        # closure (ADVICE r14 #3: this was mislabeled "broadcast back")
         bsz = (banded.groupBy("band", "band_key")
                .agg(F.count(F.lit(1)).alias("_bn"),
                     F.min("id").alias("_anchor")))
@@ -677,9 +681,16 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                               max_iterations=max_iterations,
                               algorithm=algorithm)
     if quality is not None:
-        qf = quality.select(
+        # one score per id BEFORE the node join (max, ties irrelevant):
+        # duplicate (id, score) rows in a caller's quality frame would
+        # otherwise multiply cluster nodes through the left join,
+        # inflating n_members and duplicating members entries (ADVICE
+        # r14 #2) — the dedupe is one extra aggregate on a frame that is
+        # at most |corpus| rows, and F.max keeps NULL-only ids NULL
+        qf = (quality.select(
             F.col(quality_id).alias("_q_id"),
             F.col(quality_col).cast("double").alias("_q_score"))
+            .groupBy("_q_id").agg(F.max("_q_score").alias("_q_score")))
         cc = cc.join(qf, cc["node"] == qf["_q_id"], "left").drop("_q_id")
         # min_by over (NEGATED score, node): the smallest negated score
         # is the highest score (a NULL score negates to +Infinity and

@@ -32,15 +32,30 @@ def local_frame(spark: SparkSession, rows: Sequence[Iterable[Any]],
         raise TypeError(f"local_frame needs a StructType, got {schema!r}")
     if not rows:
         return spark.createDataFrame([], schema)
+    names = [f.name for f in schema.fields]
+    # Row objects may nest (struct payloads on a scroll page) —
+    # asDict(recursive=True) gives Arrow the plain-dict form.  Plain
+    # tuples/lists must match the schema arity EXACTLY before the
+    # dict(zip(...)) — zip would silently drop extra values and
+    # from_pylist would null-fill missing keys, turning an arity bug the
+    # rows-form path rejects loudly into silent NULLs (ADVICE r14 #1).
+    # The check runs OUTSIDE the Arrow try so a mismatch raises instead
+    # of falling back.
+    dicts = []
+    for r in rows:
+        if hasattr(r, "asDict"):
+            dicts.append(r.asDict(recursive=True))
+            continue
+        vals = list(r)
+        if len(vals) != len(names):
+            raise ValueError(
+                f"local_frame row has {len(vals)} values but the "
+                f"schema has {len(names)} fields {names}: {r!r}")
+        dicts.append(dict(zip(names, vals)))
     try:
         import pyarrow as pa  # noqa: PLC0415
         from pyspark.sql.pandas.types import to_arrow_schema  # noqa: PLC0415
 
-        names = [f.name for f in schema.fields]
-        # Row objects may nest (struct payloads on a scroll page) —
-        # asDict(recursive=True) gives Arrow the plain-dict form
-        dicts = [r.asDict(recursive=True) if hasattr(r, "asDict")
-                 else dict(zip(names, r)) for r in rows]
         tbl = pa.Table.from_pylist(dicts, schema=to_arrow_schema(schema))
         return spark.createDataFrame(tbl, schema=schema)
     except Exception:  # noqa: BLE001 — unsupported type: rows-form path

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vector
 from ..operators import index, knn, upsert
+from ..operators.localframe import local_frame
 from ..sources import load_table
 from ..streaming import windows
 
@@ -299,7 +300,7 @@ def q_api_query_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_text_index(spark, base, "docs", text_col="text", n_term_buckets=16)
     build_sparse_index(spark, base, "docs", n_dim_buckets=16)
 
-    qrow = spark.createDataFrame([(0, phrase)], "doc_id long, text string")
+    qrow = local_frame(spark, [(0, phrase)], "doc_id long, text string")
     qvec = (hash_embed_df(qrow, dim=64, out_col="vec")
             .select(F.lit(0).alias("qid"), F.col("vec").alias("qvec")))
     dense_branch = (knn.search_collection(
@@ -446,8 +447,8 @@ def q_api_query_dbsf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_search import bm25_topk  # noqa: PLC0415
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    qrow = spark.createDataFrame([(0, "vector join stream")],
-                                 "doc_id long, text string")
+    qrow = local_frame(spark, [(0, "vector join stream")],
+                       "doc_id long, text string")
     qvec = (hash_embed_df(qrow, dim=64, out_col="vec")
             .select(F.lit(0).alias("qid"), F.col("vec").alias("qvec")))
     dense = (knn.knn_join(
@@ -1609,7 +1610,7 @@ def q_api_query_hybrid_sparse_dense(spark: SparkSession,
     # the query travels as PLAIN DATA: the phrase's hashed-TF postings
     # and its hash embedding, both collected from 1-row frames (driver
     # cost O(|query|)) so the tree below is a pure serialized payload
-    qrow = spark.createDataFrame([(0, phrase)], "doc_id long, text string")
+    qrow = local_frame(spark, [(0, phrase)], "doc_id long, text string")
     qp = (postings_from_text(qrow, id_col="doc_id", text_col="text",
                              vocab_size=512)
           .select("idx", "val").collect())

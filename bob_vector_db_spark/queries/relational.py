@@ -12,6 +12,7 @@ from ..functions import vector
 from ..functions.hashing import POLY_MOD, poly_hash
 from ..functions.text import ws_tokens
 from ..operators import centroid, index, knn, normalize, upsert
+from ..operators.localframe import local_frame
 from ..sources import load_table
 from ..streaming import windows
 
@@ -576,7 +577,8 @@ def q_j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.asof import range_join  # noqa: PLC0415
 
     ev = load_table(spark, sf_dir, "events")
-    bands = spark.createDataFrame(VALUE_BANDS, "band string, lo double, hi double")
+    bands = local_frame(spark, VALUE_BANDS,
+                        "band string, lo double, hi double")
     joined = range_join(
         ev, bands, (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
     )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vector
 from ..operators import index, knn, quantize, upsert
+from ..operators.localframe import local_frame
 from ..sources import load_table
 
 from ._registry import register
@@ -140,8 +141,8 @@ def q_store_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert.drop_collection(base, "cat_beta")
     rows = [(m["collection"], int(m["n_buckets"]), len(m.get("vectors", {})))
             for m in upsert.list_collections(base)]
-    return spark.createDataFrame(
-        rows, "collection string, n_buckets long, n_vectors long")
+    return local_frame(
+        spark, rows, "collection string, n_buckets long, n_vectors long")
 
 
 # ---------------------------------------------------------------------------
@@ -723,8 +724,9 @@ def q_store_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("id"), "text"))
     upsert.snapshot_collection(base, "docs", name="before")
     upsert.delete_points(spark, base, "docs", list(range(0, 200, 3)))
-    upsert.upsert(spark, base, "docs", spark.createDataFrame(
-        [(5, "overwritten"), (9999, "junk row")], "id long, text string"))
+    upsert.upsert(spark, base, "docs", local_frame(
+        spark, [(5, "overwritten"), (9999, "junk row")],
+        "id long, text string"))
     upsert.restore_collection(base, "docs", "before")
     return upsert.read_collection(spark, base, "docs").select("id", "text")
 
@@ -947,12 +949,14 @@ def q_store_batch_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").cast("string").alias("id"),
                 F.col("text").alias("document"), "lang",
                 F.lit(0).alias("flagged")))
-    up = spark.createDataFrame(
+    up = local_frame(
+        spark,
         [(str(i), f"rewritten {i}", "en", 0) for i in range(5)]
         + [(str(300 + i), f"new doc {i}", "xx", 0) for i in range(10)],
         "id string, document string, lang string, flagged int")
-    patch = spark.createDataFrame(
-        [(str(k), 1) for k in range(0, 310, 20)], "id string, flagged int")
+    patch = local_frame(
+        spark, [(str(k), 1) for k in range(0, 310, 20)],
+        "id string, flagged int")
     versions = upsert.batch_update_points(spark, base, "docs", [
         ("upsert", up),
         ("delete", [str(i) for i in range(5, 10)]),
