@@ -197,33 +197,14 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return agg.select("id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"))
 
 
-def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", n: int = 3,
-                      num_hashes: int = 16, bands: int = 4,
-                      seed: int = 42,
-                      max_band_size: int | None = None) -> DataFrame:
-    """LSH candidate pairs: ids whose signatures agree on ≥1 full band.
-
-    Band key = (band index, the band's slice of the signature); candidates
-    come from an equi-join on the band key — the scale path that avoids any
-    all-pairs comparison.  Returns (id_a, id_b, n_bands_matched).
-
-    ``max_band_size`` (round 14 — the LSH twin of the n-gram path's
-    ``max_df`` skew cap): a boilerplate template at 100 TB puts millions
-    of documents into ONE band bucket, and the self-join would emit n²
-    pairs from it.  With a cap, an over-cap bucket emits STAR edges
-    instead — every member pairs with the bucket's MINIMUM id — so the
-    downstream cluster step (:func:`connected_components` /
-    :func:`duplicate_clusters`) sees the SAME connectivity (the cluster
-    survives intact) from n−1 edges instead of n(n−1)/2.  Dropping the
-    bucket (the max_df approach) is right for ubiquitous SHINGLES, wrong
-    here: a full-signature-band collision IS the near-duplicate signal.
-    ``n_bands_matched`` keeps counting the bands in which a pair was
-    EMITTED (star pairs count their bucket; non-anchor co-members of an
-    over-cap bucket aren't emitted there by design)."""
+def band_signatures(sig: DataFrame, num_hashes: int,
+                    bands: int) -> DataFrame:
+    """(id, band, band_key) rows from an (id, sig) signature frame — the
+    band key is the comma-joined slice of the signature covering the band.
+    Shared by the in-memory pair finder and the persisted near-dup index
+    (round 15), so both materialize IDENTICAL band keys."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
-    banded = sig.select(  # persisted below: both self-join sides read it
+    return sig.select(
         "id",
         F.posexplode(
             F.array(*[
@@ -235,7 +216,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             ])
         ).alias("band", "band_key"),
     )
-    banded = banded.persist()
+
+
+def banded_pairs(banded: DataFrame,
+                 max_band_size: int | None = None) -> DataFrame:
+    """Candidate pairs from an (id, band, band_key) frame: equi-join on the
+    band key, ``max_band_size`` switching over-cap buckets to star edges
+    (see :func:`minhash_lsh_pairs` for the full semantics).  The caller
+    persists ``banded`` (both self-join sides read it) and finalizes the
+    result; this helper only declares the plan."""
     if max_band_size is not None:
         # per-bucket size + anchor via one aggregate, rejoined on the
         # band key — a SHUFFLE join by design: bsz is O(#buckets) rows
@@ -261,19 +250,47 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                      .filter(F.col("id") != F.col("_anchor"))
                      .select(F.col("_anchor").alias("id_a"),
                              F.col("id").alias("id_b")))
-        pairs = (pairs_small.unionByName(pairs_big)
-                 .groupBy("id_a", "id_b")
-                 .agg(F.count("*").alias("n_bands_matched")))
-        return _finalize(pairs, banded)
+        return (pairs_small.unionByName(pairs_big)
+                .groupBy("id_a", "id_b")
+                .agg(F.count("*").alias("n_bands_matched")))
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_bands_matched"))
     )
-    return _finalize(pairs, banded)
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      num_hashes: int = 16, bands: int = 4,
+                      seed: int = 42,
+                      max_band_size: int | None = None) -> DataFrame:
+    """LSH candidate pairs: ids whose signatures agree on ≥1 full band.
+
+    Band key = (band index, the band's slice of the signature); candidates
+    come from an equi-join on the band key — the scale path that avoids any
+    all-pairs comparison.  Returns (id_a, id_b, n_bands_matched).
+
+    ``max_band_size`` (round 14 — the LSH twin of the n-gram path's
+    ``max_df`` skew cap): a boilerplate template at 100 TB puts millions
+    of documents into ONE band bucket, and the self-join would emit n²
+    pairs from it.  With a cap, an over-cap bucket emits STAR edges
+    instead — every member pairs with the bucket's MINIMUM id — so the
+    downstream cluster step (:func:`connected_components` /
+    :func:`duplicate_clusters`) sees the SAME connectivity (the cluster
+    survives intact) from n−1 edges instead of n(n−1)/2.  Dropping the
+    bucket (the max_df approach) is right for ubiquitous SHINGLES, wrong
+    here: a full-signature-band collision IS the near-duplicate signal.
+    ``n_bands_matched`` keeps counting the bands in which a pair was
+    EMITTED (star pairs count their bucket; non-anchor co-members of an
+    over-cap bucket aren't emitted there by design)."""
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    # persisted: both self-join sides in banded_pairs read it
+    banded = band_signatures(sig, num_hashes, bands).persist()
+    return _finalize(banded_pairs(banded, max_band_size), banded)
 
 
 def minhash_lsh_pairs_ml(df: DataFrame, text_col: str = "text",

@@ -58,7 +58,18 @@ from ..sources import load_table
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # new this round (round 12) — never driver-adjudicated
+    # new this round (round 15) — never driver-adjudicated
+    "store_neardup_index", "store_neardup_refresh", "store_neardup_probe",
+    # rounds 13-14 — registered for two rounds but the driver sampled the
+    # identical 50 names both times (VERDICT r14 task 7): promote to the
+    # head so they finally receive a CORRECTNESS row
+    "api_quantized_no_rescore", "api_quantized_oversampling",
+    "api_search_matrix_pairs", "api_search_matrix_offsets",
+    "store_mv_probe_per_token", "dedup_duplicate_clusters",
+    "pipe_dataset_build_neardup", "dedup_cluster_keep_quality",
+    "pipe_domain_mix_temperature", "dedup_minhash_lsh_capped",
+    "pipe_gopher_rules",
+    # round 12
     "api_query_rescore_maxsim", "api_query_hybrid_sparse_dense",
     "api_query_groups_nested", "api_query_mmr", "api_query_batch",
     "pipe_paragraph_dedup", "pipe_pii_scrub", "api_query_groups_text",

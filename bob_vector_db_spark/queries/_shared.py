@@ -42,11 +42,11 @@ VALUE_BANDS = [("low", 0.0, 10.0), ("mid", 10.0, 50.0), ("high", 50.0, 1e9)]
 # shingles per doc (DuckDB mirror of operators.dedup.doc_shingles).
 # ---------------------------------------------------------------------------
 
-DUCK_SHINGLES = r"""
+_DUCK_SHINGLES_TMPL = r"""
 toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
                              x -> length(x) > 0) AS tk
-  FROM documents
+  FROM {src}
 ),
 sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
@@ -55,6 +55,14 @@ sh AS (
                                  i -> array_to_string(tk[i+1:i+3], ' '))) AS shingle
     FROM toks)
 )"""
+
+DUCK_SHINGLES = _DUCK_SHINGLES_TMPL.format(src="documents")
+
+
+def duck_shingles_from(src: str) -> str:
+    """``DUCK_SHINGLES`` over an arbitrary (doc_id, text) CTE — the store
+    near-dup index oracles band a MUTATED corpus, not the raw table."""
+    return _DUCK_SHINGLES_TMPL.format(src=src)
 
 _POLY_H = DUCK_POLY_HASH.format(t="shingle")
 
@@ -500,5 +508,6 @@ __all__ = [
     "_minhash_oracle",
     "_simhash_oracle",
     "_tmp_base",
-    "compile_formula"
+    "compile_formula",
+    "duck_shingles_from"
 ]

@@ -2233,3 +2233,154 @@ def q_api_search_matrix_offsets(spark: SparkSession,
     return search_matrix_offsets(
         spark, base, "vecs", sample=10, limit=3,
         flt=Filter(must=[Range("id", lt=500)]))
+
+
+# ---------------------------------------------------------------------------
+# J8 / round 15: persisted near-dup (MinHash-LSH) index + incremental
+# refresh — the dedup family on the store's delta-log maintenance model
+# (the Qdrant index-at-upsert shape, reference qdrant_embedder.py:95-103).
+# ---------------------------------------------------------------------------
+
+@register(
+    "store_neardup_index",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+),
+{duck_shingles_from("corpus")},
+{_minhash_ctes()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands_matched
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+)
+def q_store_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the persisted banded-MinHash posting table for a stored
+    collection, then read candidate pairs straight off it — zero
+    shingling at query time; must equal ``dedup.minhash_lsh_pairs`` over
+    the same corpus (which is what the oracle recomputes)."""
+    from ..operators import neardup_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "ndidx")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8, id_col="id",
+        df=docs.select(F.col("doc_id").alias("id"), "text"))
+    neardup_index.build_neardup_index(spark, base, "docs", text_col="text",
+                                      n_band_buckets=16)
+    return neardup_index.neardup_pairs_indexed(spark, base, "docs",
+                                               text_col="text")
+
+
+@register(
+    "store_neardup_refresh",
+    # final corpus = (initial 0..149 minus deletes 10..19, with doc 3's
+    # text overwritten by doc 77's — a guaranteed exact-dup pair) plus
+    # the 150..179 snapshot delta; the oracle re-bands that FINAL state
+    # from scratch, the Spark side absorbs it with ONE O(|delta|) refresh
+    oracle=f"""
+WITH corpus AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id = 3
+              THEN (SELECT text FROM documents WHERE doc_id = 77)
+              ELSE d.text END AS text
+  FROM documents d
+  WHERE (d.doc_id < 150 AND d.doc_id NOT BETWEEN 10 AND 19)
+     OR d.doc_id BETWEEN 150 AND 179
+),
+{duck_shingles_from("corpus")},
+{_minhash_ctes()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands_matched
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+)
+def q_store_neardup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup maintenance end-to-end: build the posting
+    table over the initial corpus, then upsert a crawl-snapshot delta
+    (30 new docs + 1 overwrite that MAKES a duplicate) and delete 10 —
+    and absorb it all with ONE refresh_neardup_index call (delta log →
+    O(|delta|) re-shingle → band-posting append at generation 1 + masks).
+    No full-corpus re-shingle happens; the pair set must equal a from-
+    scratch rebuild over the final corpus (the oracle's recomputation)."""
+    from ..operators import neardup_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "ndref")
+    docs = load_table(spark, sf_dir, "documents")
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8, id_col="id",
+        df=docs.filter(F.col("doc_id") < 150)
+               .select(F.col("doc_id").alias("id"), "text"))
+    neardup_index.build_neardup_index(spark, base, "docs", text_col="text",
+                                      n_band_buckets=16)
+    snapshot = (docs.filter(F.col("doc_id").between(150, 179))
+                .select(F.col("doc_id").alias("id"), "text"))
+    overwrite = (docs.filter(F.col("doc_id") == 77)
+                 .select(F.lit(3).cast("long").alias("id"), "text"))
+    upsert.upsert(spark, base, "docs", snapshot.unionByName(overwrite),
+                  id_col="id")
+    upsert.delete_points(spark, base, "docs", list(range(10, 20)))
+    neardup_index.refresh_neardup_index(spark, base, "docs",
+                                        text_col="text")
+    return neardup_index.neardup_pairs_indexed(spark, base, "docs",
+                                               text_col="text")
+
+
+@register(
+    "store_neardup_probe",
+    # pairs involving the snapshot's ids ONLY — the O(|delta|) question a
+    # real ingest loop asks ("which stored docs does this snapshot
+    # duplicate"); the oracle filters the full re-banded pair set to the
+    # probe ids, the Spark side never bands anything but the delta and
+    # reads only the delta bands' hash buckets of the posting table
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id BETWEEN 150 AND 179
+  UNION ALL
+  SELECT 100077, text FROM documents WHERE doc_id = 77
+),
+{duck_shingles_from("corpus")},
+{_minhash_ctes()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands_matched
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+WHERE a.doc_id BETWEEN 150 AND 179 OR b.doc_id BETWEEN 150 AND 179
+   OR a.doc_id = 100077 OR b.doc_id = 100077
+GROUP BY 1, 2
+""",
+)
+def q_store_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental probe: after a snapshot upsert + refresh, ask for
+    near-dup pairs INVOLVING the snapshot ids only.  The probe re-bands
+    just those ids (O(|delta|)) and hits the posting table through a
+    static band_bucket IN (...) partition filter — doc 100077 carries doc
+    77's text, so the probe must surface the cross-generation duplicate
+    against the stored corpus."""
+    from ..operators import neardup_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "ndprb")
+    docs = load_table(spark, sf_dir, "documents")
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8, id_col="id",
+        df=docs.filter(F.col("doc_id") < 150)
+               .select(F.col("doc_id").alias("id"), "text"))
+    neardup_index.build_neardup_index(spark, base, "docs", text_col="text",
+                                      n_band_buckets=16)
+    snapshot = (docs.filter(F.col("doc_id").between(150, 179))
+                .select(F.col("doc_id").alias("id"), "text")
+                .unionByName(
+                    docs.filter(F.col("doc_id") == 77)
+                    .select(F.lit(100077).cast("long").alias("id"), "text")))
+    upsert.upsert(spark, base, "docs", snapshot, id_col="id")
+    neardup_index.refresh_neardup_index(spark, base, "docs",
+                                        text_col="text")
+    probe_ids = list(range(150, 180)) + [100077]
+    return neardup_index.neardup_pairs_for_ids(spark, base, "docs",
+                                               probe_ids, text_col="text")

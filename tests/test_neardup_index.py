@@ -1,0 +1,170 @@
+"""Persisted near-dup index (operators/neardup_index.py): build/refresh/
+probe — the dedup family on the store's delta-log maintenance model
+(round 15).  The core invariant: a REFRESHED artifact's pair set is
+identical to a from-scratch REBUILD over the final corpus, and both equal
+the in-memory ``dedup.minhash_lsh_pairs`` over the same rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bob_vector_db_spark.operators import dedup, neardup_index, upsert
+from bob_vector_db_spark.plans.inspect import assert_partition_filters
+from bob_vector_db_spark.sources import load_table
+
+
+def _mk_docs_store(spark, sf_dir, root, hi=120):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < hi)
+    upsert.create_collection(
+        spark, root, "docs", n_buckets=8, id_col="id",
+        df=docs.select(F.col("doc_id").alias("id"), "text"))
+    return docs
+
+
+def _pairs(df):
+    return sorted(map(tuple,
+                      df.select("id_a", "id_b", "n_bands_matched").collect()))
+
+
+def test_indexed_pairs_equal_in_memory_finder(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "store")
+    _mk_docs_store(spark, sf_dir, root)
+    neardup_index.build_neardup_index(spark, root, "docs", text_col="text",
+                                      n_band_buckets=8)
+    got = neardup_index.neardup_pairs_indexed(spark, root, "docs",
+                                              text_col="text")
+    want = dedup.minhash_lsh_pairs(
+        upsert.read_collection(spark, root, "docs"),
+        text_col="text", id_col="id")
+    assert _pairs(got) == _pairs(want)
+
+
+def test_refresh_equals_rebuild_after_churn(spark, sf_dir, tmp_path):
+    """Upsert new docs, overwrite one, delete some — ONE refresh must land
+    the exact pair set a full rebuild over the final corpus produces."""
+    root = str(tmp_path / "store")
+    docs = load_table(spark, sf_dir, "documents")
+    _mk_docs_store(spark, sf_dir, root, hi=100)
+    neardup_index.build_neardup_index(spark, root, "docs", text_col="text",
+                                      n_band_buckets=8)
+    delta = (docs.filter(F.col("doc_id").between(100, 119))
+             .select(F.col("doc_id").alias("id"), "text")
+             .unionByName(
+                 docs.filter(F.col("doc_id") == 50)
+                 .select(F.lit(7).cast("long").alias("id"), "text")))
+    upsert.upsert(spark, root, "docs", delta, id_col="id")
+    upsert.delete_points(spark, root, "docs", list(range(20, 30)))
+    neardup_index.refresh_neardup_index(spark, root, "docs",
+                                        text_col="text")
+    refreshed = _pairs(neardup_index.neardup_pairs_indexed(
+        spark, root, "docs", text_col="text"))
+    # rebuild from scratch over the same final corpus
+    neardup_index.build_neardup_index(spark, root, "docs", text_col="text",
+                                      n_band_buckets=8)
+    rebuilt = _pairs(neardup_index.neardup_pairs_indexed(
+        spark, root, "docs", text_col="text"))
+    assert refreshed == rebuilt
+    # the forced overwrite makes (7, 50) an exact-dup pair: all 4 bands
+    assert (7, 50, 4) in refreshed
+
+
+def test_refresh_equals_rebuild_with_mask_compaction(spark, sf_dir,
+                                                     tmp_path):
+    """threshold=0 forces the mask-fold path on every refresh; pairs must
+    still tie the rebuild."""
+    root = str(tmp_path / "store")
+    docs = load_table(spark, sf_dir, "documents")
+    _mk_docs_store(spark, sf_dir, root, hi=80)
+    neardup_index.build_neardup_index(spark, root, "docs", text_col="text",
+                                      n_band_buckets=8)
+    upsert.upsert(spark, root, "docs",
+                  docs.filter(F.col("doc_id").between(80, 99))
+                  .select(F.col("doc_id").alias("id"), "text"),
+                  id_col="id")
+    neardup_index.refresh_neardup_index(spark, root, "docs",
+                                        text_col="text",
+                                        mask_compact_threshold=0)
+    refreshed = _pairs(neardup_index.neardup_pairs_indexed(
+        spark, root, "docs", text_col="text"))
+    neardup_index.build_neardup_index(spark, root, "docs", text_col="text",
+                                      n_band_buckets=8)
+    assert refreshed == _pairs(neardup_index.neardup_pairs_indexed(
+        spark, root, "docs", text_col="text"))
+
+
+def test_stale_index_refuses(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "store")
+    docs = _mk_docs_store(spark, sf_dir, root, hi=50)
+    neardup_index.build_neardup_index(spark, root, "docs", text_col="text")
+    upsert.delete_points(spark, root, "docs", [1, 2])
+    with pytest.raises(ValueError, match="STALE"):
+        neardup_index.neardup_pairs_indexed(spark, root, "docs",
+                                            text_col="text")
+    with pytest.raises(ValueError, match="STALE"):
+        neardup_index.neardup_pairs_for_ids(spark, root, "docs", [3],
+                                            text_col="text")
+    # refresh clears the staleness gate
+    neardup_index.refresh_neardup_index(spark, root, "docs",
+                                        text_col="text")
+    neardup_index.neardup_pairs_indexed(spark, root, "docs",
+                                        text_col="text").count()
+    del docs
+
+
+def test_probe_matches_filtered_full_pairs(spark, sf_dir, tmp_path):
+    """pairs_for_ids == the full pair set restricted to pairs touching the
+    probe ids (including probe-vs-probe pairs exactly once)."""
+    root = str(tmp_path / "store")
+    _mk_docs_store(spark, sf_dir, root, hi=120)
+    neardup_index.build_neardup_index(spark, root, "docs", text_col="text",
+                                      n_band_buckets=8)
+    probe = [5, 17, 40, 41, 99]
+    got = _pairs(neardup_index.neardup_pairs_for_ids(
+        spark, root, "docs", probe, text_col="text"))
+    full = neardup_index.neardup_pairs_indexed(spark, root, "docs",
+                                               text_col="text")
+    want = _pairs(full.filter(F.col("id_a").isin(probe)
+                              | F.col("id_b").isin(probe)))
+    assert got == want
+
+
+def test_probe_prunes_band_buckets(spark, sf_dir, tmp_path):
+    """The posting scan under a probe must carry a static band_bucket
+    partition filter — the O(|delta|) read contract."""
+    root = str(tmp_path / "store")
+    _mk_docs_store(spark, sf_dir, root, hi=120)
+    # many buckets so a single-doc probe cannot touch them all
+    neardup_index.build_neardup_index(spark, root, "docs", text_col="text",
+                                      n_band_buckets=64)
+    imeta = neardup_index.neardup_index_meta(root, "docs", "text")
+    assert imeta["n_band_buckets"] == 64
+    # the public wrapper checkpoints its result (cutting the visible
+    # plan), so assert pruning on the internal probe plan: one doc's 4
+    # bands touch ≤4 of the 64 buckets
+    rows = upsert.read_rows_for_ids(
+        spark, root, "docs",
+        spark.range(5, 6).select(F.col("id")))
+    pb = neardup_index._band_postings(rows, "id", "text", imeta, gen=0)
+    touched = sorted(r[0] for r in
+                     pb.select("band_bucket").distinct().collect())
+    assert 0 < len(touched) <= 4
+    plan_df = neardup_index._probe_pairs_plan(spark, root, "docs", "text",
+                                              pb, touched)
+    assert_partition_filters(plan_df, "band_bucket")
+    # and the wrapper end-to-end still answers
+    out = neardup_index.neardup_pairs_for_ids(spark, root, "docs", [5],
+                                              text_col="text")
+    out.count()
+
+
+def test_empty_probe_and_missing_ids(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "store")
+    _mk_docs_store(spark, sf_dir, root, hi=30)
+    neardup_index.build_neardup_index(spark, root, "docs", text_col="text")
+    none = neardup_index.neardup_pairs_for_ids(
+        spark, root, "docs", [999999], text_col="text")
+    assert none.count() == 0
+    empty = neardup_index.neardup_pairs_for_ids(
+        spark, root, "docs", [], text_col="text")
+    assert empty.count() == 0

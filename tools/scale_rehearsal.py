@@ -1144,6 +1144,48 @@ def main():
 
     _timed("strict_refusals_grouped_matrix", timings, _strict_refusals_r14)
 
+    # round-15: persisted near-dup index — ONE full-corpus build, then a
+    # 1% crawl snapshot (every snapshot doc duplicates a stored doc's
+    # text) absorbed by ONE O(|delta|) refresh.  The incremental path
+    # must come in well under the rebuild, and the snapshot probe answers
+    # "which stored docs does this snapshot duplicate" off the pruned
+    # posting table without banding anything but the delta.
+    from bob_vector_db_spark.operators import neardup_index  # noqa: PLC0415
+
+    _timed("neardup_create_collection", timings,
+           lambda: upsert.create_collection(
+               spark, store, "nd_docs", n_buckets=32, id_col="id",
+               df=docs.select(F.col("doc_id").alias("id"), "text")))
+    _timed("neardup_build_full", timings,
+           lambda: neardup_index.build_neardup_index(
+               spark, store, "nd_docs", text_col="text", n_band_buckets=32))
+    n_nd_pairs = _timed("neardup_pairs_indexed_capped", timings, lambda:
+                        neardup_index.neardup_pairs_indexed(
+                            spark, store, "nd_docs", text_col="text",
+                            max_band_size=8).count())
+    # copy sets are exact dups → every band bucket is over-cap → star
+    # edges keep the pair count LINEAR in the corpus
+    assert n_nd_pairs <= 16 * n_docs, (n_nd_pairs, n_docs)
+    snap = (docs.filter(F.col("doc_id") % 100 == 0)
+            .select((F.col("doc_id") + 10_000_000).alias("id"), "text"))
+    _timed("neardup_snapshot_upsert", timings,
+           lambda: upsert.upsert(spark, store, "nd_docs", snap,
+                                 id_col="id"))
+    _timed("neardup_refresh_delta", timings,
+           lambda: neardup_index.refresh_neardup_index(
+               spark, store, "nd_docs", text_col="text"))
+    assert (timings["neardup_refresh_delta"]
+            < timings["neardup_build_full"]), (
+        "O(|delta|) refresh should beat the full rebuild", timings)
+    n_probe = _timed("neardup_probe_snapshot", timings, lambda:
+                     neardup_index.neardup_pairs_for_ids(
+                         spark, store, "nd_docs", snap.select("id"),
+                         text_col="text").count())
+    # every snapshot doc is an exact dup of its source copy set
+    assert n_probe >= snap.count(), (n_probe,)
+    print(f"  neardup index: {n_nd_pairs} capped pairs, "
+          f"{n_probe} probe pairs", flush=True)
+
     summary = {"n_docs": n_docs, "n_emb": n_emb,
                "total_s": round(time.time() - t_all, 2), "timings": timings}
     print(json.dumps(summary))
