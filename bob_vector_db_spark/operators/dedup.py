@@ -528,6 +528,71 @@ def paragraph_dedup(docs: DataFrame, text_col: str = "text",
                     F.coalesce(F.col(text_col), F.lit("")).alias(text_col)))
 
 
+def substring_dedup(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", width: int = 50,
+                    min_repeats: int = 2) -> DataFrame:
+    """Exact-substring (span-level) dedup — the ExactSubstr pass of Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better" (public): drop every token covered by a ``width``-token
+    window whose exact content appears in ``min_repeats`` or more
+    DISTINCT documents, and reassemble the survivors in order.  Sits
+    between paragraph dedup (exact whole-segment) and MinHash
+    (whole-document, fuzzy) in a real pretraining pipeline: it removes
+    the repeated ≥width-token SPANS (licenses, templates, quoted
+    passages) that neither neighbor catches.  Every input id survives —
+    a fully-boilerplate document comes back with empty text.
+
+    Token-level semantics (like the reference algorithm, which operates
+    on token streams): output text is the kept tokens joined by single
+    spaces; original inter-token whitespace is not preserved.
+
+    Physical shape (100 TB-safe, the paragraph_dedup idiom at window
+    granularity): windows come from Spark ML's NGram (compiled sliding
+    window — the doc_shingles rationale) and are immediately projected
+    to a sha2 digest, so the repeat-count shuffle moves 32-byte keys,
+    never window text; the duplicated-window set joins back on the
+    digest; coverage expands each duplicated window into its ``width``
+    positions (a bounded ×width explode of the DUPLICATED region only)
+    followed by one distinct + anti-join on (id, pos) and one
+    per-document reassembly aggregate.  The map-side window
+    materialization is O(n·width) bytes per task before the digest
+    projection — transient; a rolling Rabin-Karp over per-token hashes
+    would avoid it at the cost of an interpreted fold (slower in
+    practice, see doc_shingles' NGram-vs-HOF measurement)."""
+    from pyspark.ml.feature import NGram  # noqa: PLC0415
+
+    toks = docs.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("_tk"))
+    tok = toks.select(id_col, F.posexplode("_tk").alias("_pos", "_tok"))
+    ng = NGram(n=int(width), inputCol="_tk", outputCol="_w").transform(toks)
+    wins = (ng.select(id_col, F.posexplode("_w").alias("_pos", "_wstr"))
+            .select(id_col, "_pos", F.sha2(F.col("_wstr"), 256).alias("_wh")))
+    rep = (wins.groupBy("_wh")
+           .agg(F.countDistinct(id_col).alias("_nd"))
+           .filter(F.col("_nd") >= int(min_repeats))
+           .select("_wh"))
+    covered = (wins.join(rep, "_wh")
+               .select(F.col(id_col),
+                       F.explode(F.sequence(
+                           F.col("_pos"),
+                           F.col("_pos") + F.lit(int(width) - 1)))
+                       .alias("_cpos"))
+               .distinct())
+    kept = tok.join(
+        covered,
+        (tok[id_col] == covered[id_col])
+        & (F.col("_pos") == F.col("_cpos")),
+        "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(F.struct("_pos", "_tok")))
+                    .alias("_z"))
+               .select(id_col,
+                       F.concat_ws(" ", F.col("_z._tok")).alias(text_col)))
+    return (docs.select(id_col)
+            .join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col(text_col), F.lit("")).alias(text_col)))
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iterations: int = 25,

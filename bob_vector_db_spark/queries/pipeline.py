@@ -639,6 +639,109 @@ def q_pipe_dataset_build_neardup(spark: SparkSession,
 
 
 @register(
+    "pipe_dataset_build_v2",
+    # round 15 (VERDICT r14 task 2): the capstone now composes the r14
+    # keep/mix machinery — per-cluster QUALITY keep (highest n_chars,
+    # ties lowest id, via duplicate_clusters(quality=)) instead of
+    # lowest-id, and TEMPERATURE mixing (quota ∝ count^0.5) instead of
+    # fixed per-language quotas.  Same exact-oracled MinHash banding and
+    # RECURSIVE transitive closure as v1; the realistic 100 TB build:
+    # keep the BEST copy, rebalance the mix.
+    oracle=f"""
+WITH RECURSIVE {DUCK_SHINGLES},
+{_minhash_ctes()},
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+reach(n, m) AS (
+  SELECT a AS n, b AS m FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+),
+comp AS (SELECT n AS node, LEAST(n, MIN(m)) AS component
+         FROM reach GROUP BY n),
+scored AS (
+  SELECT c.node, c.component,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.node) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+dropped AS (SELECT node FROM scored WHERE rn > 1),
+dd AS (SELECT d.* FROM documents d
+       WHERE d.doc_id NOT IN (SELECT node FROM dropped)),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (shingle)
+  WHERE s.doc_id >= 20
+),
+clean AS (
+  SELECT dd.doc_id, dd.lang, len(t.tk) AS n_tokens
+  FROM dd JOIN toks t USING (doc_id)
+  WHERE dd.doc_id >= 20
+    AND dd.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND dd.n_chars BETWEEN 150 AND 600
+    AND len(t.tk) >= 25
+),
+c AS (SELECT lang, COUNT(*) AS cnt FROM clean GROUP BY lang),
+t2 AS (SELECT SUM(pow(cnt, 0.5)) AS tot FROM c),
+q AS (SELECT lang,
+             GREATEST(1, CAST(FLOOR(ROUND(60 * pow(cnt, 0.5) / tot, 6))
+                              AS INT)) AS quota
+      FROM c, t2),
+r AS (SELECT cl.doc_id, cl.lang, cl.n_tokens, q.quota,
+             row_number() OVER (
+               PARTITION BY cl.lang
+               ORDER BY md5('mixv2' || CAST(cl.doc_id AS VARCHAR)),
+                        cl.doc_id) AS rn
+      FROM clean cl JOIN q USING (lang))
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM r WHERE rn <= quota
+""",
+)
+def q_pipe_dataset_build_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v2 training-mix build (round 15): MinHash-LSH banded pairs
+    (skew-capped, closure-preserving) → duplicate clusters via star CC
+    with the QUALITY keep policy (highest n_chars per cluster — the best
+    copy survives, not the oldest) → benchmark decontamination → quality
+    gate → TEMPERATURE mixing (per-language quota ∝ count^0.5).  One
+    composed plan: the pair join is band-bucketed, the cluster pick is a
+    single min_by aggregate, the bench shingle set broadcasts, the quota
+    table is |langs| rows broadcast onto one rank window per stratum."""
+    from ..operators.sampling import temperature_mix  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                                    max_band_size=2)
+    clusters = dedup.duplicate_clusters(
+        pairs, algorithm="star",
+        quality=docs.select("doc_id", "n_chars"),
+        quality_id="doc_id", quality_col="n_chars")
+    dropped = (clusters.select(F.explode("members").alias("doc_id"),
+                               "keep")
+               .filter(F.col("doc_id") != F.col("keep"))
+               .select("doc_id"))
+    dd = docs.join(dropped, "doc_id", "left_anti")
+    flagged = dedup.cross_corpus_contamination(
+        dd.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20),
+        text_col="text", id_col="doc_id", n=3, min_hits=1
+    ).select(F.col("id").alias("doc_id"))
+    clean = (dd.filter(F.col("doc_id") >= 20)
+             .join(flagged, "doc_id", "left_anti")
+             .withColumn("n_tokens", F.size(ws_tokens(F.col("text"))))
+             .filter((F.col("n_chars") >= 150) & (F.col("n_chars") <= 600)
+                     & (F.col("n_tokens") >= 25)))
+    out = temperature_mix(clean, "lang", "doc_id", n_target=60, alpha=0.5,
+                          salt="mixv2")
+    return out.select("doc_id", "lang",
+                      F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+@register(
     "pipe_token_shards",
     # shard = floor(tokens_before / 20000) in doc_id order; the oracle's
     # single global cumsum equals the distributed two-phase prefix sum.
@@ -729,6 +832,73 @@ def q_pipe_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id",
                      F.concat_ws("\n", "text", "_t2").alias("text")))
     return dedup.paragraph_dedup(synth, min_repeats=2)
+
+
+@register(
+    "pipe_substring_dedup",
+    # round 15 (VERDICT r14 task 3): ExactSubstr span-level dedup (Lee
+    # et al. 2022) — the synthetic corpus appends doc (doc_id % 50)'s
+    # text to every doc < 200, so the borrowed segment's 8-token windows
+    # repeat across the ~4 docs sharing a base while windows SPANNING
+    # the splice boundary stay unique — exactly the span-level shape the
+    # pass removes (the whole borrowed segment vanishes, the boundary
+    # tokens survive only where no repeated window covers them).
+    oracle=r"""
+WITH base AS (SELECT doc_id, text FROM documents
+              WHERE doc_id < 200 AND text IS NOT NULL),
+synth AS (
+  SELECT b.doc_id, b.text || ' ' || s.text AS text
+  FROM base b JOIN base s ON s.doc_id = b.doc_id % 50
+),
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> length(x) > 0) AS tk
+  FROM synth
+),
+w AS (
+  SELECT doc_id,
+         unnest(range(greatest(len(tk) - 7, 0))) AS pos,
+         unnest(list_transform(range(greatest(len(tk) - 7, 0)),
+                               i -> array_to_string(tk[i+1:i+8], ' ')))
+           AS wstr
+  FROM toks
+),
+rep AS (SELECT wstr FROM w GROUP BY wstr
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, pos + unnest(range(8)) AS cpos
+  FROM w JOIN rep USING (wstr)
+),
+tok AS (SELECT doc_id, unnest(range(len(tk))) AS pos, unnest(tk) AS tok
+        FROM toks),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tok t
+  WHERE NOT EXISTS (SELECT 1 FROM cov c
+                    WHERE c.doc_id = t.doc_id AND c.cpos = t.pos)
+),
+rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+            FROM kept GROUP BY doc_id)
+SELECT s.doc_id, COALESCE(r.text, '') AS text
+FROM synth s LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def q_pipe_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup over a spliced corpus: every token covered by an
+    8-token window repeated across ≥2 distinct documents is dropped and
+    the survivors reassemble in order — the span-level pass between
+    paragraph dedup and MinHash.  Digest-keyed shuffles (sha2 of the
+    window, never its text), one bounded ×width explode of the
+    duplicated region, one reassembly aggregate."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200)
+            .filter(F.col("text").isNotNull()).select("doc_id", "text"))
+    echo = (docs.filter(F.col("doc_id") < 50)
+            .select(F.col("doc_id").alias("_k"), F.col("text").alias("_t2")))
+    synth = (docs.withColumn("_k", F.col("doc_id") % 50)
+             .join(echo, "_k")
+             .select("doc_id",
+                     F.concat_ws(" ", "text", "_t2").alias("text")))
+    return dedup.substring_dedup(synth, width=8, min_repeats=2)
 
 
 _PII_SQL = """

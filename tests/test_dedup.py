@@ -424,3 +424,45 @@ def test_connected_components_star_matches_label(spark):
     assert s1 == {1: (4, 1), 10: (2, 10), 20: (3, 20)}
     with _pytest.raises(ValueError, match="algorithm"):
         connected_components(pairs, algorithm="bogus")
+
+
+def test_substring_dedup_semantics(spark):
+    """ExactSubstr: tokens covered by a width-window repeated across >=2
+    DISTINCT docs drop; unique spans survive in order; every id
+    survives."""
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        (0, f"intro one two {span} outro three four"),
+        (1, f"different lead {span} different tail entirely"),
+        (2, "no shared content here at all just singles"),
+        (3, span),                       # fully boilerplate -> empty
+        (4, f"{span} {span} within one document only is kept"),
+    ]
+    # doc 4 repeats the span only WITHIN itself — min_repeats counts
+    # DISTINCT docs, and 0/1/3 also carry it, so it still drops there;
+    # make the within-only case its own span:
+    solo = "india juliet kilo lima mike november oscar papa"
+    rows.append((5, f"{solo} {solo} repeated within a single doc"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in dedup.substring_dedup(docs, width=8).collect()}
+    assert len(out) == 6
+    for d in (0, 1, 3, 4):
+        assert span.split()[0] not in out[d].split(), (d, out[d])
+    assert out[3] == ""
+    assert out[2] == rows[2][1]          # untouched doc unchanged
+    # within-one-doc repetition does NOT cross the distinct-doc bar
+    assert solo.split()[0] in out[5].split()
+    # survivors keep their original order
+    assert out[0].startswith("intro one two")
+    assert out[0].endswith("outro three four")
+
+
+def test_substring_dedup_width_longer_than_doc(spark):
+    docs = spark.createDataFrame(
+        [(0, "short text"), (1, "short text")], "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in dedup.substring_dedup(docs, width=8).collect()}
+    # no 8-token window exists -> nothing drops (exact-dup docs pass
+    # through; the DOCUMENT-level pass catches these, not ExactSubstr)
+    assert out == {0: "short text", 1: "short text"}

@@ -1186,6 +1186,26 @@ def main():
     print(f"  neardup index: {n_nd_pairs} capped pairs, "
           f"{n_probe} probe pairs", flush=True)
 
+    # round-15: ExactSubstr span dedup on a 10% slice — the worst case
+    # for this pass (EVERY window repeats across the fixture's copies,
+    # so the ×width coverage explode fires on the whole slice); shuffles
+    # stay digest/position-narrow and the output must keep every id
+    from bob_vector_db_spark.operators.dedup import substring_dedup  # noqa: PLC0415
+
+    sub_docs = (docs.filter(F.col("doc_id") % 10 == 0)
+                .select("doc_id", "text"))
+    n_sub_in = sub_docs.count()
+    sub_out = _timed("substring_dedup_slice", timings, lambda:
+                     substring_dedup(sub_docs, width=20)
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.sum(F.when(F.col("text") == "", 1)
+                                .otherwise(0)).alias("n_empty")).first())
+    assert sub_out["n"] == n_sub_in, (sub_out, n_sub_in)
+    # copies make every >=20-token doc pure boilerplate — most come back
+    # empty; short docs (< width tokens) pass through
+    print(f"  substring dedup: {n_sub_in} docs in, "
+          f"{sub_out['n_empty']} emptied", flush=True)
+
     summary = {"n_docs": n_docs, "n_emb": n_emb,
                "total_s": round(time.time() - t_all, 2), "timings": timings}
     print(json.dumps(summary))
