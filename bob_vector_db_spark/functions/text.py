@@ -265,20 +265,26 @@ def gopher_rules(text: Column, min_words: int = 50,
                  max_ellipsis_line_frac: float = 0.3,
                  min_alpha_word_frac: float = 0.8,
                  min_required_words: int = 2) -> dict[str, Column]:
-    """The Gopher quality-rule battery (Rae et al. 2021) as JVM column
-    expressions — the standard pretraining corpus gate between
-    language-ID and dedup.  Returns one boolean Column per rule plus
-    ``passes`` (their conjunction); every rule is integer-count
-    arithmetic over identical string primitives on both engines, so the
-    DuckDB oracle reproduces the flags bit-for-bit.
+    """The Gopher quality-rule battery (Rae et al. 2021) as pure
+    whole-stage-codegen column expressions — the standard pretraining
+    corpus gate between language-ID and dedup.  Returns one boolean
+    Column per rule plus ``passes`` (their conjunction); every rule is
+    integer-count arithmetic over identical string primitives on both
+    engines, so the DuckDB oracle reproduces the flags bit-for-bit.
 
-    Physical shape: the '#'/'...' symbol counts are codegen'd
-    regexp/length arithmetic, but the per-line and per-token fractions
-    use ``F.filter``/``F.transform`` higher-order functions, which
-    Catalyst INTERPRETS rather than codegens (the same caveat
-    ``doc_shingles`` documents — VERDICT r14).  Still one scan, no
-    shuffle, no Python, and linear in corpus size; the HOF tax is per
-    token/line, acceptable for a gate that reads every byte anyway.
+    Physical shape (round 15, VERDICT r14 task 5): every count is a
+    ``regexp_count``/``rlike``/``length`` string primitive — no
+    higher-order functions, no token array, so the whole battery stays
+    inside whole-stage codegen (HOFs are interpreted; the repo's own
+    ``doc_shingles`` measured the difference at 8×).  The regexes are
+    crafted to reproduce the token/line semantics of the HOF form
+    EXACTLY (``_gopher_rules_hof`` below is the retained twin, and
+    tests/test_text_search.py pins flag-for-flag equality on crafted
+    edge cases — tab-only lines, \\r line ends, spliced bullets):
+    a token is a maximal ``\\S`` run; a non-blank line has a non-space
+    char after column-0 spaces (Spark's trim/ltrim/rtrim strip ONLY
+    0x20, hence ``[^ \\n]`` rather than ``\\S``); the ``(?d)`` flag pins
+    Java's ^/$ to \\n so multiline anchors agree with a split("\\n").
 
     Rules: word-count band; mean word length band; symbol-to-word ratio
     ('#' and '...' symbols) cap; bullet-started line fraction cap;
@@ -286,6 +292,64 @@ def gopher_rules(text: Column, min_words: int = 50,
     ≥``min_required_words`` distinct Gopher function words present.
     Bounds default to the paper's; callers tune per corpus (the
     fixture query lowers min_words — sf documents are short)."""
+    n = F.regexp_count(text, F.lit(r"\S+"))
+    # Σ token lengths ≡ count of non-whitespace chars (tokens are the
+    # maximal \S runs), so the mean needs no token array
+    tok_chars = F.length(F.regexp_replace(text, r"\s+", ""))
+    mean_len = F.when(n > 0, tok_chars.cast("double") / n) \
+        .otherwise(F.lit(0.0))
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ell = (F.length(text)
+             - F.length(F.regexp_replace(text, r"\.\.\.", ""))) / 3
+    n_lines = F.regexp_count(text, F.lit(r"(?dm)^ *[^ \n]"))
+    n_bullet = F.regexp_count(text, F.lit(r"(?dm)^ *(?:- |\* |•)"))
+    n_ell_end = F.regexp_count(text, F.lit(r"(?dm)\.\.\. *$"))
+    n_alpha = F.regexp_count(text, F.lit(r"\S*[A-Za-z]\S*"))
+    lowered = F.lower(text)
+    n_req = None
+    for w in GOPHER_REQUIRED_WORDS:
+        hit = F.when(lowered.rlike(rf"(^|\s){w}(\s|$)"), 1).otherwise(0)
+        n_req = hit if n_req is None else (n_req + hit)
+    # try_divide, not `/`: ANSI mode (the Spark 4 default) raises on a
+    # zero denominator and boolean AND does NOT short-circuit the
+    # division away — an empty document must FAIL the gate, not crash it
+    # (NULL ratios conjoin to false through coalesce below)
+    flags = {
+        "n_words_ok": (n >= min_words) & (n <= max_words),
+        "mean_len_ok": (n > 0) & (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "symbol_ok": (n > 0)
+        & (F.try_divide(n_hash + n_ell, n) <= max_symbol_word_ratio),
+        "bullet_ok": (n_lines == 0)
+        | (F.try_divide(n_bullet, n_lines) <= max_bullet_line_frac),
+        "ellipsis_ok": (n_lines == 0)
+        | (F.try_divide(n_ell_end, n_lines) <= max_ellipsis_line_frac),
+        "alpha_ok": (n > 0)
+        & (F.try_divide(n_alpha, n) >= min_alpha_word_frac),
+        "required_ok": n_req >= min_required_words,
+    }
+    flags = {k: F.coalesce(c, F.lit(False)) for k, c in flags.items()}
+    passes = None
+    for c in flags.values():
+        passes = c if passes is None else (passes & c)
+    flags["passes"] = passes
+    return flags
+
+
+def _gopher_rules_hof(text: Column, min_words: int = 50,
+                      max_words: int = 100_000,
+                      min_mean_word_len: float = 3.0,
+                      max_mean_word_len: float = 10.0,
+                      max_symbol_word_ratio: float = 0.1,
+                      max_bullet_line_frac: float = 0.9,
+                      max_ellipsis_line_frac: float = 0.3,
+                      min_alpha_word_frac: float = 0.8,
+                      min_required_words: int = 2) -> dict[str, Column]:
+    """The retained higher-order-function twin of :func:`gopher_rules`
+    (the pre-round-15 body) — kept ONLY as the equivalence oracle for
+    the codegen rewrite's regex semantics (tests pin flag-for-flag
+    equality on crafted edge cases); not exported, not on any query
+    path."""
     toks = ws_tokens(text)
     n = F.size(toks)
     mean_len = avg_token_len(toks)
@@ -305,10 +369,6 @@ def gopher_rules(text: Column, min_words: int = 50,
     n_req = F.size(F.filter(
         F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
         lambda s: F.array_contains(low, s)))
-    # try_divide, not `/`: ANSI mode (the Spark 4 default) raises on a
-    # zero denominator and boolean AND does NOT short-circuit the
-    # division away — an empty document must FAIL the gate, not crash it
-    # (NULL ratios conjoin to false through coalesce below)
     flags = {
         "n_words_ok": (n >= min_words) & (n <= max_words),
         "mean_len_ok": (n > 0) & (mean_len >= min_mean_word_len)

@@ -120,3 +120,47 @@ def test_gopher_rules_each_rule_fires(spark):
     e = empty.select(*[v.alias(k) for k, v in gopher_rules(
         F.col("text")).items()]).first()
     assert e["passes"] is False and e["n_words_ok"] is False
+
+
+def test_gopher_codegen_equals_hof_twin(spark, sf_dir):
+    """Round 15: gopher_rules is rewritten as pure regexp/string codegen
+    primitives — pin flag-for-flag equality against the retained HOF twin
+    on the parquet fixture PLUS the edge cases where the regex semantics
+    could drift (tab-only lines, \\r line ends, bullet/ellipsis
+    whitespace, punctuation-glued required words, empty/NULL text)."""
+    from pyspark.sql import functions as F
+
+    from bob_vector_db_spark.functions.text import (
+        _gopher_rules_hof,
+        gopher_rules,
+    )
+    from bob_vector_db_spark.sources import load_table
+
+    edge = spark.createDataFrame(
+        [
+            (1000, "\t\t\nthe fox\n   \n\t- not a bullet after tab"),
+            (1001, "line one\r\nthe two...\r\n- spaced bullet "),
+            (1002, "  - bullet with leading spaces\n\t* tab bullet"),
+            (1003, "ends with dots...   \nplain line\n..."),
+            (1004, "the. of, and! that?"),          # glued punctuation
+            (1005, "The OF aNd tHaT have"),          # case folding
+            (1006, ""),
+            (1007, None),
+            (1008, " \n \n "),
+            (1009, "•bullet no space\n• bullet with space"),
+            (1010, "a.b.c ... d...e\n...... the end"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").unionByName(edge))
+    new = gopher_rules(F.col("text"), min_words=5, min_required_words=1)
+    old = _gopher_rules_hof(F.col("text"), min_words=5,
+                            min_required_words=1)
+    cmp = docs.select(
+        "doc_id",
+        *[new[k].alias(f"n_{k}") for k in new],
+        *[old[k].alias(f"o_{k}") for k in old])
+    bad = cmp.filter(
+        " OR ".join(f"(n_{k} IS DISTINCT FROM o_{k})" for k in new))
+    assert bad.count() == 0, bad.limit(5).collect()
