@@ -287,6 +287,48 @@ def neardup_pairs_for_ids(spark: SparkSession, root: str, collection: str,
     return dedup._finalize(pairs, pb)
 
 
+def neardup_pairs_for_frame(spark: SparkSession, root: str,
+                            collection: str, frame: DataFrame,
+                            text_col: str = "document",
+                            id_col: str | None = None) -> DataFrame:
+    """Screen an INCOMING frame (not yet stored) against the indexed
+    corpus: near-dup candidate pairs between ``frame`` rows and STORED
+    documents — the admission check a crawl-ingest loop runs BEFORE
+    committing a snapshot (drop or audit the rows that duplicate the
+    corpus, then upsert the survivors).  Within-frame duplicates are a
+    plain ``dedup.minhash_lsh_pairs(frame)`` — this probe is
+    frame-vs-stored only.
+
+    Same physical shape as :func:`neardup_pairs_for_ids`: the frame
+    bands locally (O(|frame|)), its band buckets collect driver-side
+    (bounded by ``n_band_buckets``), and the posting scan takes the
+    static ``band_bucket IN (...)`` partition filter.  Returns
+    (id, stored_id, n_bands_matched); an incoming id that equals a
+    stored id (a re-crawl) pairs with itself when the text still
+    collides — callers decide whether that means "skip" or "update"."""
+    imeta = _require_fresh(root, collection, text_col)
+    id_col = id_col or imeta["id_col"]
+    pb = (_band_postings(frame, id_col, text_col, imeta, gen=0)
+          .persist())
+    touched = sorted(r[0] for r in
+                     pb.select("band_bucket").distinct().collect())
+    if not touched:
+        pb.unpersist()
+        return spark.createDataFrame(
+            [], f"id {imeta.get('id_type', 'string')}, "
+                f"stored_id {imeta.get('id_type', 'string')}, "
+                f"n_bands_matched bigint")
+    postings = (_masked_postings(spark, root, collection, text_col)
+                .filter(F.col("band_bucket").isin(touched)))
+    pairs = (pb.select("band", "band_key", F.col("id"))
+             .join(postings.select("band", "band_key",
+                                   F.col("id").alias("stored_id")),
+                   ["band", "band_key"])
+             .groupBy("id", "stored_id")
+             .agg(F.count("*").alias("n_bands_matched")))
+    return dedup._finalize(pairs, pb)
+
+
 def _probe_pairs_plan(spark: SparkSession, root: str, collection: str,
                       text_col: str, pb: DataFrame,
                       touched: list[int]) -> DataFrame:

@@ -2384,3 +2384,69 @@ def q_store_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_ids = list(range(150, 180)) + [100077]
     return neardup_index.neardup_pairs_for_ids(spark, base, "docs",
                                                probe_ids, text_col="text")
+
+
+@register(
+    "store_snapshot_screen_ingest",
+    # round 15: the full incremental-ingest loop — screen an incoming
+    # crawl snapshot against the indexed corpus BEFORE committing it,
+    # ingest only the survivors, refresh, and read the final corpus
+    # back.  The incoming batch = 50 genuinely-new docs (+10000 ids)
+    # plus 10 planted duplicates (+20000 ids carrying stored docs'
+    # text); a screened id is any incoming id sharing >=1 full
+    # signature band with a STORED doc.  The oracle re-bands everything
+    # from scratch and recomputes the admission set.
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id BETWEEN 150 AND 199
+  UNION ALL
+  SELECT doc_id + 20000, text FROM documents WHERE doc_id < 10
+),
+{duck_shingles_from("corpus")},
+{_minhash_ctes()},
+dup_inc AS (
+  SELECT DISTINCT i.doc_id
+  FROM banded i
+  JOIN banded s ON i.band = s.band AND i.band_key = s.band_key
+  WHERE i.doc_id >= 10000 AND s.doc_id < 150
+)
+SELECT doc_id AS id FROM corpus
+WHERE doc_id < 150
+   OR (doc_id >= 10000 AND doc_id NOT IN (SELECT doc_id FROM dup_inc))
+""",
+)
+def q_store_snapshot_screen_ingest(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Incremental crawl ingest end-to-end: stored corpus + near-dup
+    index -> an incoming snapshot screens against the posting table
+    (neardup_pairs_for_frame — the frame bands locally, the corpus side
+    is a pruned posting probe, nothing is committed yet) -> only the
+    non-duplicate survivors upsert -> one O(|delta|) refresh keeps the
+    index fresh for the next snapshot.  The planted duplicates (+20000
+    ids carrying stored text) must be rejected; the final corpus equals
+    the oracle's recomputed admission set."""
+    from ..operators import neardup_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "ndscr")
+    docs = load_table(spark, sf_dir, "documents")
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8, id_col="id",
+        df=docs.filter(F.col("doc_id") < 150)
+               .select(F.col("doc_id").alias("id"), "text"))
+    neardup_index.build_neardup_index(spark, base, "docs", text_col="text",
+                                      n_band_buckets=16)
+    incoming = (docs.filter(F.col("doc_id").between(150, 199))
+                .select((F.col("doc_id") + 10000).alias("id"), "text")
+                .unionByName(
+                    docs.filter(F.col("doc_id") < 10)
+                    .select((F.col("doc_id") + 20000).alias("id"), "text")))
+    hits = neardup_index.neardup_pairs_for_frame(
+        spark, base, "docs", incoming, text_col="text", id_col="id")
+    survivors = incoming.join(hits.select("id").distinct(), "id",
+                              "left_anti")
+    upsert.upsert(spark, base, "docs", survivors, id_col="id")
+    neardup_index.refresh_neardup_index(spark, base, "docs",
+                                        text_col="text")
+    return upsert.read_collection(spark, base, "docs").select("id")

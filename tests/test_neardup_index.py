@@ -168,3 +168,30 @@ def test_empty_probe_and_missing_ids(spark, sf_dir, tmp_path):
     empty = neardup_index.neardup_pairs_for_ids(
         spark, root, "docs", [], text_col="text")
     assert empty.count() == 0
+
+
+def test_pairs_for_frame_screens_incoming(spark, sf_dir, tmp_path):
+    """Frame-vs-stored screening: an incoming frame carrying a stored
+    doc's text must pair with it WITHOUT being committed; genuinely new
+    text pairs with nothing; the collection is untouched."""
+    root = str(tmp_path / "store")
+    docs = _mk_docs_store(spark, sf_dir, root, hi=100)
+    neardup_index.build_neardup_index(spark, root, "docs", text_col="text",
+                                      n_band_buckets=8)
+    n_before = upsert.read_collection(spark, root, "docs").count()
+    incoming = (docs.filter(F.col("doc_id") == 42)
+                .select(F.lit(9001).cast("long").alias("id"), "text")
+                .unionByName(
+                    spark.createDataFrame(
+                        [(9002, "totally novel text that matches nothing "
+                                "in the stored corpus at all")],
+                        "id long, text string")))
+    hits = neardup_index.neardup_pairs_for_frame(
+        spark, root, "docs", incoming, text_col="text", id_col="id")
+    rows = {(r["id"], r["stored_id"]): r["n_bands_matched"]
+            for r in hits.collect()}
+    assert rows[(9001, 42)] == 4          # exact dup -> all 4 bands
+    assert all(i != 9002 for i, _ in rows)
+    # screening committed nothing
+    assert upsert.read_collection(spark, root, "docs").count() == n_before
+    assert neardup_index.neardup_index_is_fresh(root, "docs", "text")
