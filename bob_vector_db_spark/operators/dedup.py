@@ -85,11 +85,18 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     window) rather than the Catalyst transform+slice higher-order functions:
     HOFs are interpreted, not codegen'd, and the ML transformer measured 8×
     faster at sf0.1 with byte-identical output (space-joined n-grams).
+
+    NULL text coalesces to an empty token array BEFORE the transformer —
+    NGram's Scala lambda NPEs on a null Seq (round 15; matters since the
+    persisted near-dup index shingles arbitrary stored rows, not just the
+    NULL-free parquet fixtures).  A NULL/empty doc contributes no
+    shingles either way.
     """
     from pyspark.ml.feature import NGram  # noqa: PLC0415
 
     tok = df.select(F.col(id_col).alias("id"),
-                    ws_tokens(F.col(text_col)).alias("_tk"))
+                    F.coalesce(ws_tokens(F.col(text_col)),
+                               F.array().cast("array<string>")).alias("_tk"))
     ng = NGram(n=n, inputCol="_tk", outputCol="_sh").transform(tok)
     return ng.select(
         "id", F.explode(F.array_distinct(F.col("_sh"))).alias("shingle")
@@ -315,12 +322,21 @@ def minhash_lsh_pairs_ml(df: DataFrame, text_col: str = "text",
     from pyspark.ml.feature import NGram  # noqa: PLC0415
 
     tok = df.select(F.col(id_col).alias("id"),
-                    ws_tokens(F.col(text_col)).alias("_tk"))
+                    F.coalesce(ws_tokens(F.col(text_col)),
+                               F.array().cast("array<string>")).alias("_tk"))
     sh = (NGram(n=n, inputCol="_tk", outputCol="_sh").transform(tok)
           .select("id", F.array_distinct(F.col("_sh")).alias("sh"))
           .filter(F.size("sh") > 0))
     feat = HashingTF(inputCol="sh", outputCol="features",
                      numFeatures=num_features, binary=True).transform(sh)
+    # materialization barrier: approxSimilarityJoin's internal transform
+    # re-plans the lazy pipeline and evaluates the LSH hash UDF in a
+    # position where rows the size(sh)>0 filter WOULD drop (empty/NULL
+    # text, docs shorter than n tokens) still reach it — MinHashLSH
+    # raises "Must have at least 1 non zero entry" on their all-zero
+    # vectors.  The checkpoint pins the filtered feature table before
+    # the model touches it (round 15, found by the NULL-text audit).
+    feat = feat.localCheckpoint(eager=True)
     model = MinHashLSH(inputCol="features", outputCol="hashes",
                        numHashTables=num_hash_tables, seed=seed).fit(feat)
     joined = model.approxSimilarityJoin(feat, feat, 1.0 - threshold,
@@ -561,7 +577,10 @@ def substring_dedup(docs: DataFrame, text_col: str = "text",
     practice, see doc_shingles' NGram-vs-HOF measurement)."""
     from pyspark.ml.feature import NGram  # noqa: PLC0415
 
-    toks = docs.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("_tk"))
+    toks = docs.select(F.col(id_col),
+                       F.coalesce(ws_tokens(F.col(text_col)),
+                                  F.array().cast("array<string>"))
+                       .alias("_tk"))
     tok = toks.select(id_col, F.posexplode("_tk").alias("_pos", "_tok"))
     ng = NGram(n=int(width), inputCol="_tk", outputCol="_w").transform(toks)
     wins = (ng.select(id_col, F.posexplode("_w").alias("_pos", "_wstr"))

@@ -466,3 +466,25 @@ def test_substring_dedup_width_longer_than_doc(spark):
     # no 8-token window exists -> nothing drops (exact-dup docs pass
     # through; the DOCUMENT-level pass catches these, not ExactSubstr)
     assert out == {0: "short text", 1: "short text"}
+
+
+def test_null_and_empty_text_every_ngram_path(spark):
+    """Round 15: NULL text NPE'd Spark ML's NGram lambda and zero-shingle
+    docs crashed MinHashLSH's approxSimilarityJoin ("at least 1 non zero
+    entry") — matters because the persisted near-dup index shingles
+    arbitrary stored rows, not the NULL-free fixtures.  Every n-gram path
+    must now treat NULL/empty/too-short docs as contributing nothing."""
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, None), (2, ""), (3, "a b c d e"),
+         (4, "solo")],
+        "doc_id long, text string")
+    sh = dedup.doc_shingles(docs, n=3)
+    assert sorted(set(r["id"] for r in sh.collect())) == [0, 3]
+    pairs = dedup.minhash_lsh_pairs(docs, n=3)
+    assert [(r["id_a"], r["id_b"]) for r in pairs.collect()] == [(0, 3)]
+    ml = dedup.minhash_lsh_pairs_ml(docs, n=3, threshold=0.5)
+    assert [(r["id_a"], r["id_b"]) for r in ml.collect()] == [(0, 3)]
+    sub = {r["doc_id"]: r["text"]
+           for r in dedup.substring_dedup(docs, width=3).collect()}
+    assert sub[1] == "" and sub[2] == "" and sub[4] == "solo"
+    assert sub[0] == "" and sub[3] == ""  # exact dups fully covered
