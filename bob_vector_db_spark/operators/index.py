@@ -775,6 +775,11 @@ def refresh_all_indexes(spark: SparkSession, root: str,
 
             out.append(refresh_payload_index(
                 spark, root, collection, column=imeta["column"]))
+        elif kind == "neardup_minhash_lsh":
+            from .neardup_index import refresh_neardup_index  # noqa: PLC0415
+
+            out.append(refresh_neardup_index(
+                spark, root, collection, text_col=imeta["text_col"]))
         else:  # unknown artifact: surface it, don't silently skip
             raise ValueError(
                 f"index {imeta.get('_name')!r} of collection {collection!r} "

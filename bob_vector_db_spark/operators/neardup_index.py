@@ -111,6 +111,12 @@ def build_neardup_index(spark: SparkSession, root: str, collection: str,
         read_collection,
     )
 
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} is not divisible by bands={bands}: "
+            f"the trailing {num_hashes % bands} hashes would be silently "
+            f"ignored by the banding — a persisted artifact must not bake "
+            f"in a surprise recall change")
     meta = collection_meta(root, collection)
     if meta is None:
         raise ValueError(

@@ -195,3 +195,33 @@ def test_pairs_for_frame_screens_incoming(spark, sf_dir, tmp_path):
     # screening committed nothing
     assert upsert.read_collection(spark, root, "docs").count() == n_before
     assert neardup_index.neardup_index_is_fresh(root, "docs", "text")
+
+
+def test_refresh_all_indexes_dispatches_neardup(spark, sf_dir, tmp_path):
+    """A collection carrying a near-dup artifact must refresh through the
+    one-call refresh_all_indexes dispatcher like every other kind."""
+    from bob_vector_db_spark.operators import index as index_ops
+
+    root = str(tmp_path / "store")
+    docs = load_table(spark, sf_dir, "documents")
+    _mk_docs_store(spark, sf_dir, root, hi=60)
+    neardup_index.build_neardup_index(spark, root, "docs", text_col="text")
+    upsert.upsert(spark, root, "docs",
+                  docs.filter(F.col("doc_id").between(60, 69))
+                  .select(F.col("doc_id").alias("id"), "text"),
+                  id_col="id")
+    metas = index_ops.refresh_all_indexes(spark, root, "docs")
+    assert [m["kind"] for m in metas] == ["neardup_minhash_lsh"]
+    assert neardup_index.neardup_index_is_fresh(root, "docs", "text")
+    # listed in the catalog too
+    kinds = [m["kind"] for m in index_ops.list_indexes(root, "docs")]
+    assert "neardup_minhash_lsh" in kinds
+
+
+def test_build_rejects_non_dividing_bands(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "store")
+    _mk_docs_store(spark, sf_dir, root, hi=30)
+    with pytest.raises(ValueError, match="not divisible"):
+        neardup_index.build_neardup_index(spark, root, "docs",
+                                          text_col="text",
+                                          num_hashes=16, bands=5)
