@@ -279,7 +279,7 @@ def gopher_rules(text: Column, min_words: int = 50,
     ``doc_shingles`` measured the difference at 8×).  The regexes are
     crafted to reproduce the token/line semantics of the HOF form
     EXACTLY (``_gopher_rules_hof`` below is the retained twin, and
-    tests/test_text_search.py pins flag-for-flag equality on crafted
+    tests/test_embed_text.py pins flag-for-flag equality on crafted
     edge cases — tab-only lines, \\r line ends, spliced bullets):
     a token is a maximal ``\\S`` run; a non-blank line has a non-space
     char after column-0 spaces (Spark's trim/ltrim/rtrim strip ONLY
