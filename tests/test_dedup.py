@@ -488,3 +488,39 @@ def test_null_and_empty_text_every_ngram_path(spark):
            for r in dedup.substring_dedup(docs, width=3).collect()}
     assert sub[1] == "" and sub[2] == "" and sub[4] == "solo"
     assert sub[0] == "" and sub[3] == ""  # exact dups fully covered
+
+
+def test_substring_dedup_matches_python_reference(spark):
+    """Property: on random small-vocab corpora (guaranteeing shared
+    windows), substring_dedup must equal a direct Python implementation
+    of the spec — windows of `width` tokens, repeated across >=2 distinct
+    docs, covered tokens dropped, survivors rejoined by single spaces."""
+    import random
+
+    width = 3
+    for seed in (1, 7, 42):
+        rnd = random.Random(seed)
+        vocab = [f"w{i}" for i in range(8)]   # tiny vocab -> many repeats
+        rows = [(i, " ".join(rnd.choice(vocab)
+                             for _ in range(rnd.randint(0, 12))))
+                for i in range(14)]
+        # python reference
+        toks = {i: t.split() for i, t in rows}
+        from collections import defaultdict
+        docs_per_win = defaultdict(set)
+        for i, tk in toks.items():
+            for s in range(len(tk) - width + 1):
+                docs_per_win[tuple(tk[s:s + width])].add(i)
+        rep = {w for w, ds in docs_per_win.items() if len(ds) >= 2}
+        expect = {}
+        for i, tk in toks.items():
+            cov = set()
+            for s in range(len(tk) - width + 1):
+                if tuple(tk[s:s + width]) in rep:
+                    cov.update(range(s, s + width))
+            expect[i] = " ".join(t for p, t in enumerate(tk)
+                                 if p not in cov)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["text"]
+               for r in dedup.substring_dedup(docs, width=width).collect()}
+        assert got == expect, f"seed {seed}"

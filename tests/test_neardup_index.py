@@ -225,3 +225,97 @@ def test_build_rejects_non_dividing_bands(spark, sf_dir, tmp_path):
         neardup_index.build_neardup_index(spark, root, "docs",
                                           text_col="text",
                                           num_hashes=16, bands=5)
+
+
+def test_repeated_churn_refresh_property(spark, sf_dir, tmp_path):
+    """Three rounds of randomized churn (inserts, overwrites, deletes),
+    each absorbed by one refresh — after every round the indexed pair set
+    must equal the in-memory finder over the collection's current rows.
+    The multi-generation mask stack is what this exercises (generation 3
+    postings over generation 1-2 masks over the build)."""
+    import random
+
+    rnd = random.Random(15)
+    root = str(tmp_path / "store")
+    docs = load_table(spark, sf_dir, "documents")
+    _mk_docs_store(spark, sf_dir, root, hi=80)
+    neardup_index.build_neardup_index(spark, root, "docs", text_col="text",
+                                      n_band_buckets=8)
+    next_new = 80
+    for rnd_i in range(3):
+        lo = next_new
+        next_new += 10
+        inserts = (docs.filter(F.col("doc_id").between(lo, next_new - 1))
+                   .select(F.col("doc_id").alias("id"), "text"))
+        # overwrite 3 random live ids with other docs' text
+        src = rnd.sample(range(200, 260), 3)
+        tgt = rnd.sample(range(0, 80), 3)
+        over = None
+        for s, t in zip(src, tgt):
+            o = (docs.filter(F.col("doc_id") == s)
+                 .select(F.lit(t).cast("long").alias("id"), "text"))
+            over = o if over is None else over.unionByName(o)
+        upsert.upsert(spark, root, "docs", inserts.unionByName(over),
+                      id_col="id")
+        upsert.delete_points(spark, root, "docs",
+                             rnd.sample(range(0, 80), 4))
+        neardup_index.refresh_neardup_index(spark, root, "docs",
+                                            text_col="text")
+        got = _pairs(neardup_index.neardup_pairs_indexed(
+            spark, root, "docs", text_col="text"))
+        want = _pairs(dedup.minhash_lsh_pairs(
+            upsert.read_collection(spark, root, "docs"),
+            text_col="text", id_col="id"))
+        assert got == want, f"round {rnd_i}: indexed != in-memory"
+
+
+def test_refresh_rerun_after_simulated_crash(spark, sf_dir, tmp_path):
+    """A near-dup refresh that died after its posting append (built_version
+    never committed) must re-run safely: the rerun claims a new generation
+    and its masks hide the dead attempt's rows, so no (band, id) posting is
+    ever live twice and pairs still tie the in-memory finder."""
+    import json
+    import os
+
+    from bob_vector_db_spark.operators.index import (
+        INDEX_META_FILE,
+        index_path,
+    )
+
+    root = str(tmp_path / "store")
+    docs = load_table(spark, sf_dir, "documents")
+    _mk_docs_store(spark, sf_dir, root, hi=60)
+    neardup_index.build_neardup_index(spark, root, "docs", text_col="text",
+                                      n_band_buckets=8)
+    built0 = neardup_index.neardup_index_meta(root, "docs", "text")[
+        "built_version"]
+    upsert.upsert(spark, root, "docs",
+                  docs.filter(F.col("doc_id").between(60, 69))
+                  .select(F.col("doc_id").alias("id"), "text"),
+                  id_col="id")
+    upsert.delete_points(spark, root, "docs", [5, 6])
+    neardup_index.refresh_neardup_index(spark, root, "docs",
+                                        text_col="text")
+    # simulate the crash: roll built_version back as if commit never ran
+    ipath = index_path(root, "docs", "text__neardup")
+    mp = os.path.join(ipath, INDEX_META_FILE)
+    with open(mp) as fh:
+        imeta = json.load(fh)
+    imeta["built_version"] = built0
+    with open(mp, "w") as fh:
+        json.dump(imeta, fh)
+    imeta2 = neardup_index.refresh_neardup_index(spark, root, "docs",
+                                                 text_col="text")
+    assert imeta2["generation"] == 2  # rerun claimed a NEW generation
+    # the double-appended postings are masked: per (id, band) exactly one
+    # live row
+    live = neardup_index._masked_postings(spark, root, "docs", "text")
+    dup = (live.groupBy("id", "band").count()
+           .filter(F.col("count") > 1).count())
+    assert dup == 0
+    got = _pairs(neardup_index.neardup_pairs_indexed(
+        spark, root, "docs", text_col="text"))
+    want = _pairs(dedup.minhash_lsh_pairs(
+        upsert.read_collection(spark, root, "docs"),
+        text_col="text", id_col="id"))
+    assert got == want
