@@ -392,12 +392,41 @@ def _gopher_rules_hof(text: Column, min_words: int = 50,
 
 
 def lang_scores(tokens: Column) -> dict[str, Column]:
-    """Marker-token hit count per language (the n-gram heuristic)."""
+    """Marker-token hit count per language (the n-gram heuristic).
+
+    Higher-order-function form over a token array; prefer
+    :func:`lang_scores_text` on a raw text column — same counts as pure
+    codegen regexp primitives (the round-15 gopher-rewrite idiom)."""
     out = {}
     for lang, markers in LANG_MARKERS.items():
         marks = F.array(*[F.lit(m) for m in markers])
         out[lang] = F.size(F.filter(tokens, lambda t: F.array_contains(marks, F.lower(t))))
     return out
+
+
+def token_hits(text: Column, words) -> Column:
+    """Count of whitespace tokens whose lowercase form equals any of
+    ``words`` — the codegen `regexp_count` twin of
+    ``size(filter(tokens, array_contains(...)))`` (no token array, no
+    interpreted HOF).  Token boundaries are zero-width lookarounds
+    ``(?<![\\S]) … (?![\\S])`` (not preceded/followed by a
+    non-whitespace char — string edges count as boundaries and adjacent
+    matches don't consume each other's separator), so a marker matching
+    as a SUBSTRING of a longer token never counts — exactly the
+    token-equality semantics of the HOF form (equivalence pinned in
+    tests/test_text_search.py)."""
+    import re as _re  # noqa: PLC0415
+
+    alts = "|".join(_re.escape(w.lower()) for w in words)
+    return F.regexp_count(F.lower(text),
+                          F.lit(rf"(?<![\S])(?:{alts})(?![\S])"))
+
+
+def lang_scores_text(text: Column) -> dict[str, Column]:
+    """:func:`lang_scores` straight off the text column — one
+    ``regexp_count`` per language, whole battery codegen'd."""
+    return {lang: token_hits(text, markers)
+            for lang, markers in LANG_MARKERS.items()}
 
 
 def fingerprint(text: Column) -> Column:

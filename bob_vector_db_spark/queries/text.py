@@ -19,11 +19,11 @@ from ._shared import *  # noqa: F403 — shared oracle/fixture helpers
 
 @register("text_langid", oracle=_langid_oracle())
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import LANG_MARKERS, lang_scores  # noqa: PLC0415
+    from ..functions.text import LANG_MARKERS, lang_scores_text  # noqa: PLC0415
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = ws_tokens(F.col("text"))
-    scores = lang_scores(toks)
+    # round 15: the codegen regexp form — no token array materializes
+    scores = lang_scores_text(F.col("text"))
     ranked = F.sort_array(F.array(*[
         F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("l"))
         for lang in sorted(LANG_MARKERS)

@@ -164,3 +164,45 @@ def test_gopher_codegen_equals_hof_twin(spark, sf_dir):
     bad = cmp.filter(
         " OR ".join(f"(n_{k} IS DISTINCT FROM o_{k})" for k in new))
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_lang_scores_text_equals_hof_form(spark, sf_dir):
+    """Round 15: lang_scores_text (codegen regexp token-boundary counts)
+    must equal the HOF token-array form on the fixture plus crafted edge
+    cases — markers as substrings of longer tokens, adjacent markers,
+    case folding, punctuation-glued markers, NULL/empty text."""
+    from pyspark.sql import functions as F
+
+    from bob_vector_db_spark.functions.text import (
+        LANG_MARKERS,
+        lang_scores,
+        lang_scores_text,
+        ws_tokens,
+    )
+    from bob_vector_db_spark.sources import load_table
+
+    edge = spark.createDataFrame(
+        [
+            (1000, "the theatre of and sand is island"),  # substrings
+            (1001, "the the the a a of"),                 # adjacent repeats
+            (1002, "The A OF And IS"),                    # case folding
+            (1003, "the. ,a (of) and, is!"),              # glued punct
+            (1004, "le la les et est der die das und ist"),
+            (1005, ""),
+            (1006, None),
+            (1007, "  the\t a \n of  "),                  # mixed whitespace
+        ],
+        "doc_id long, text string",
+    )
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").unionByName(edge))
+    new = lang_scores_text(F.col("text"))
+    old = lang_scores(ws_tokens(F.col("text")))
+    cmp = docs.select(
+        "doc_id",
+        *[new[lg].alias(f"n_{lg}") for lg in LANG_MARKERS],
+        *[old[lg].alias(f"o_{lg}") for lg in LANG_MARKERS])
+    bad = cmp.filter(
+        " OR ".join(f"(n_{lg} IS DISTINCT FROM o_{lg})"
+                    for lg in LANG_MARKERS))
+    assert bad.count() == 0, bad.limit(5).collect()
