@@ -236,14 +236,28 @@ def avg_token_len(tokens: Column) -> Column:
     return F.when(F.size(tokens) > 0, total.cast("double") / F.size(tokens)).otherwise(F.lit(0.0))
 
 
+def stopword_ratio_text(text: Column) -> Column:
+    """:func:`stopword_ratio` straight off the text column — codegen
+    ``regexp_count`` boundary-lookaround counts (see :func:`token_hits`),
+    no token array; identical double arithmetic to the HOF form."""
+    n = F.regexp_count(text, F.lit(r"\S+"))
+    return F.when(n > 0,
+                  token_hits(text, STOPWORDS).cast("double") / n) \
+        .otherwise(F.lit(0.0))
+
+
 def quality_score(text: Column) -> Column:
     """Heuristic document quality in [0,1]: length band + stopword presence
     + not-too-much-punctuation.  Mirrors common LLM-corpus filters (C4-style
     rules); each component is oracle-expressible.
+
+    Round 15: pure codegen string primitives (regexp token counts, the
+    gopher-rewrite idiom) — no token array, no interpreted HOF; the
+    arithmetic is count-for-count identical to the old ws_tokens form.
     """
-    toks = ws_tokens(text)
-    len_ok = F.when((F.size(toks) >= 10) & (F.size(toks) <= 1000), 0.4).otherwise(0.0)
-    sw_ok = F.when(stopword_ratio(toks) >= 0.05, 0.3).otherwise(0.0)
+    n = F.regexp_count(text, F.lit(r"\S+"))
+    len_ok = F.when((n >= 10) & (n <= 1000), 0.4).otherwise(0.0)
+    sw_ok = F.when(stopword_ratio_text(text) >= 0.05, 0.3).otherwise(0.0)
     punct_ok = F.when(punct_ratio(text) <= 0.2, 0.3).otherwise(0.0)
     return len_ok + sw_ok + punct_ok
 

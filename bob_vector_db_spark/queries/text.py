@@ -73,7 +73,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        F.round(TX.stopword_ratio(toks), 6).alias("sw_ratio"),
+        F.round(TX.stopword_ratio_text(F.col("text")), 6).alias("sw_ratio"),
         F.round(TX.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
         F.round(TX.avg_token_len(toks), 6).alias("avg_tok_len"),
         F.round(TX.quality_score(F.col("text")), 6).alias("quality"),

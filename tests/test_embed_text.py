@@ -206,3 +206,40 @@ def test_lang_scores_text_equals_hof_form(spark, sf_dir):
         " OR ".join(f"(n_{lg} IS DISTINCT FROM o_{lg})"
                     for lg in LANG_MARKERS))
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_quality_score_codegen_equals_token_form(spark, sf_dir):
+    """Round 15: quality_score / stopword_ratio_text (codegen regexp) vs
+    the token-array arithmetic, value-for-value."""
+    from pyspark.sql import functions as F
+
+    from bob_vector_db_spark.functions.text import (
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        stopword_ratio_text,
+        ws_tokens,
+    )
+    from bob_vector_db_spark.sources import load_table
+
+    edge = spark.createDataFrame(
+        [(1000, "the a of and is " * 3), (1001, "xxx yyy zzz"),
+         (1002, "!!! ??? ..."), (1003, ""), (1004, None),
+         (1005, "the. of, and!")],
+        "doc_id long, text string")
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").unionByName(edge))
+    toks = ws_tokens(F.col("text"))
+    old_q = (F.when((F.size(toks) >= 10) & (F.size(toks) <= 1000), 0.4)
+             .otherwise(0.0)
+             + F.when(stopword_ratio(toks) >= 0.05, 0.3).otherwise(0.0)
+             + F.when(punct_ratio(F.col("text")) <= 0.2, 0.3)
+             .otherwise(0.0))
+    cmp = docs.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("n_q"), old_q.alias("o_q"),
+        stopword_ratio_text(F.col("text")).alias("n_sw"),
+        stopword_ratio(toks).alias("o_sw"))
+    bad = cmp.filter("(n_q IS DISTINCT FROM o_q) "
+                     "OR (n_sw IS DISTINCT FROM o_sw)")
+    assert bad.count() == 0, bad.limit(5).collect()
