@@ -197,7 +197,9 @@ def bpe_tokens(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    return F.size(ws_tokens(text))
+    """Whitespace token count — codegen ``regexp_count`` (a token is a
+    maximal ``\\S`` run; NULL text counts NULL), no token array."""
+    return F.regexp_count(text, F.lit(r"\S+"))
 
 
 def shingles(tokens: Column, n: int = 3) -> Column:
