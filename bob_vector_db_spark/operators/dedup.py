@@ -383,6 +383,44 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return per_doc.select("id", fp.alias("fp"))
 
 
+def simhash_chunks(fp: DataFrame, bits: int, max_hamming: int) -> DataFrame:
+    """(id, fp, chunk_idx, chunk_val) rows from an (id, fp) fingerprint
+    frame — the pigeonhole split into ``max_hamming + 1`` chunks.  Shared
+    by the in-memory pair finder and the persisted SimHash index
+    (round 15), so both materialize IDENTICAL chunk values."""
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    return fp.select(
+        "id", "fp",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("fp"), c * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            for c in range(n_chunks)
+        ])).alias("chunk_idx", "chunk_val"),
+    )
+
+
+def simhash_chunk_pairs(chunks: DataFrame, max_hamming: int) -> DataFrame:
+    """(id_a, id_b, hamming) pairs from an (id, fp, chunk_idx, chunk_val)
+    frame: candidates share ≥1 exact chunk (equi-join), then the exact
+    bit_count(xor) filter.  The caller persists ``chunks`` (both
+    self-join sides read it) and finalizes the result."""
+    a, c = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(c, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   bits: int = 64, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
@@ -396,32 +434,9 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     at 100 TB).
     """
     fp = simhash_table(df, text_col, id_col, bits)
-    n_chunks = max_hamming + 1
-    chunk_bits = bits // n_chunks
-    chunks = fp.select(
-        "id", "fp",
-        F.posexplode(F.array(*[
-            F.shiftright(F.col("fp"), c * chunk_bits)
-            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-            for c in range(n_chunks)
-        ])).alias("chunk_idx", "chunk_val"),
-    )
-    chunks = chunks.persist()  # both self-join sides read it
-    a, c = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(c, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
-        .distinct()
-    )
-    pairs = (
-        cand.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
-    return _finalize(pairs, chunks)
+    # persisted: both self-join sides in simhash_chunk_pairs read it
+    chunks = simhash_chunks(fp, bits, max_hamming).persist()
+    return _finalize(simhash_chunk_pairs(chunks, max_hamming), chunks)
 
 
 def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",

@@ -780,6 +780,11 @@ def refresh_all_indexes(spark: SparkSession, root: str,
 
             out.append(refresh_neardup_index(
                 spark, root, collection, text_col=imeta["text_col"]))
+        elif kind == "neardup_simhash":
+            from .neardup_index import refresh_simhash_index  # noqa: PLC0415
+
+            out.append(refresh_simhash_index(
+                spark, root, collection, text_col=imeta["text_col"]))
         else:  # unknown artifact: surface it, don't silently skip
             raise ValueError(
                 f"index {imeta.get('_name')!r} of collection {collection!r} "

@@ -335,6 +335,246 @@ def neardup_pairs_for_frame(spark: SparkSession, root: str,
     return dedup._finalize(pairs, pb)
 
 
+# ---------------------------------------------------------------------------
+# Second dedup-index kind (round 15): persisted SimHash chunk postings —
+# the Hamming-distance twin of the MinHash artifact, same delta-log
+# maintenance scaffold, chunk-bucket partition pruning instead of band
+# buckets.  Demonstrates the dedup-index model is a FAMILY: any
+# blocking-key near-dup strategy persists as (id, key..., gen) postings
+# with an O(|delta|) refresh.
+# ---------------------------------------------------------------------------
+
+def _simhash_index_name(text_col: str) -> str:
+    return f"{text_col}__simhash"
+
+
+def simhash_index_meta(root: str, collection: str,
+                       text_col: str = "document") -> dict | None:
+    from .index import vector_index_meta  # noqa: PLC0415
+
+    return vector_index_meta(root, collection, _simhash_index_name(text_col))
+
+
+def simhash_index_is_fresh(root: str, collection: str,
+                           text_col: str = "document") -> bool:
+    from .upsert import collection_version  # noqa: PLC0415
+
+    imeta = simhash_index_meta(root, collection, text_col)
+    if imeta is None:
+        return False
+    return int(imeta["built_version"]) == collection_version(root, collection)
+
+
+def _chunk_postings(df: DataFrame, id_col: str, text_col: str,
+                    imeta: dict, gen: int) -> DataFrame:
+    """(id, fp, chunk_idx, chunk_val, gen, chunk_bucket) posting rows —
+    the ONE chunking implementation build and refresh share.  The
+    fingerprint rides every posting row so the Hamming verify after a
+    candidate join never re-reads text."""
+    fp = dedup.simhash_table(df, text_col=text_col, id_col=id_col,
+                             bits=int(imeta["bits"]))
+    chunks = dedup.simhash_chunks(fp, int(imeta["bits"]),
+                                  int(imeta["max_hamming"]))
+    return (chunks
+            .withColumn("gen", F.lit(int(gen)))
+            .withColumn("chunk_bucket",
+                        F.pmod(F.xxhash64("chunk_idx", "chunk_val"),
+                               F.lit(int(imeta["n_chunk_buckets"])))
+                        .cast("int")))
+
+
+def build_simhash_index(spark: SparkSession, root: str, collection: str,
+                        text_col: str = "document", bits: int = 64,
+                        max_hamming: int = 3, n_chunk_buckets: int = 32,
+                        files_per_bucket: int = 1) -> dict:
+    """Materialize the SimHash chunk posting table for a stored
+    collection.  ``max_hamming`` is BAKED INTO the artifact (it fixes the
+    pigeonhole chunk count); queries may filter to any tighter distance
+    but a looser one needs a rebuild — the guarantee "every pair within
+    the distance shares a chunk" only holds for the built layout."""
+    from .index import INDEX_META_FILE, atomic_replace_dir, index_path  # noqa: PLC0415
+    from .upsert import (  # noqa: PLC0415
+        _store_exists,
+        collection_meta,
+        collection_path,
+        collection_version,
+        read_collection,
+    )
+
+    if bits % (max_hamming + 1) != 0:
+        raise ValueError(
+            f"bits={bits} is not divisible by max_hamming+1="
+            f"{max_hamming + 1}: the trailing bits would be silently "
+            f"dropped from the chunk layout")
+    meta = collection_meta(root, collection)
+    if meta is None:
+        raise ValueError(
+            f"collection {collection!r} has no meta sidecar; create it via "
+            f"create_collection/upsert before indexing")
+    id_col = meta.get("id_col", "id")
+    imeta = {
+        "kind": "neardup_simhash",
+        "text_col": text_col,
+        "id_col": id_col,
+        "bits": int(bits),
+        "max_hamming": int(max_hamming),
+        "n_chunk_buckets": int(n_chunk_buckets),
+        "built_version": collection_version(root, collection),
+        "generation": 0,
+    }
+    ipath = index_path(root, collection, _simhash_index_name(text_col))
+    staging = ipath + "__staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    if _store_exists(collection_path(root, collection)):
+        docs = read_collection(spark, root, collection)
+        imeta["id_type"] = dict(docs.dtypes)[id_col]
+        (_chunk_postings(docs, id_col, text_col, imeta, gen=0)
+         .repartition(n_chunk_buckets * files_per_bucket,
+                      F.col("chunk_bucket"))
+         .write.partitionBy("chunk_bucket")
+         .parquet(os.path.join(staging, "postings")))
+    else:
+        imeta["id_type"] = "string"
+    with open(os.path.join(staging, INDEX_META_FILE), "w") as fh:
+        json.dump(imeta, fh, indent=2, sort_keys=True)
+    atomic_replace_dir(staging, ipath)
+    return imeta
+
+
+def refresh_simhash_index(spark: SparkSession, root: str, collection: str,
+                          text_col: str = "document",
+                          mask_compact_threshold: int | None = None) -> dict:
+    """O(|delta|) refresh for the SimHash artifact — same shared scaffold
+    as every other index kind (claim g → masks → pruned fetch →
+    chunk-posting append → commit)."""
+    from .index import index_path, run_incremental_refresh  # noqa: PLC0415
+    from .upsert import collection_meta  # noqa: PLC0415
+
+    if collection_meta(root, collection) is None:
+        raise ValueError(f"collection {collection!r} has no meta sidecar")
+    imeta = simhash_index_meta(root, collection, text_col)
+    if imeta is None:
+        raise ValueError(
+            f"no persisted SimHash index for {collection!r}/{text_col!r}; "
+            f"run build_simhash_index first")
+    id_col = imeta["id_col"]
+    ipath = index_path(root, collection, _simhash_index_name(text_col))
+
+    def append_fn(fresh: DataFrame, g: int) -> None:
+        (_chunk_postings(fresh, id_col, text_col, imeta, gen=g)
+         .write.mode("append").partitionBy("chunk_bucket")
+         .parquet(os.path.join(ipath, "postings")))
+
+    return run_incremental_refresh(
+        spark, root, collection, ipath, imeta, append_fn,
+        data_layouts=[("postings", "id", "chunk_bucket")],
+        mask_compact_threshold=mask_compact_threshold)
+
+
+def _require_fresh_simhash(root: str, collection: str,
+                           text_col: str) -> dict:
+    imeta = simhash_index_meta(root, collection, text_col)
+    if imeta is None:
+        raise ValueError(
+            f"no persisted SimHash index for {collection!r}/{text_col!r}; "
+            f"run build_simhash_index first")
+    if not simhash_index_is_fresh(root, collection, text_col):
+        raise ValueError(
+            f"SimHash index for {collection!r}/{text_col!r} is STALE "
+            f"(mutations landed after built_version="
+            f"{imeta['built_version']}); run refresh_simhash_index (or "
+            f"rebuild) before querying it")
+    return imeta
+
+
+def _masked_simhash_postings(spark: SparkSession, root: str,
+                             collection: str, text_col: str) -> DataFrame:
+    from .index import _apply_masks, index_path  # noqa: PLC0415
+
+    ipath = index_path(root, collection, _simhash_index_name(text_col))
+    pdir = os.path.join(ipath, "postings")
+    if not os.path.isdir(pdir):
+        return spark.createDataFrame(
+            [], "id string, fp bigint, chunk_idx int, chunk_val bigint, "
+                "gen int, chunk_bucket int")
+    return _apply_masks(spark, ipath, spark.read.parquet(pdir), "id")
+
+
+def simhash_pairs_indexed(spark: SparkSession, root: str, collection: str,
+                          text_col: str = "document",
+                          max_hamming: int | None = None) -> DataFrame:
+    """(id_a, id_b, hamming) pairs off the persisted chunk postings —
+    identical semantics to ``dedup.simhash_pairs`` over the collection's
+    current rows.  ``max_hamming`` may TIGHTEN the stored distance (the
+    chunk layout still finds every candidate); loosening raises."""
+    imeta = _require_fresh_simhash(root, collection, text_col)
+    built_h = int(imeta["max_hamming"])
+    if max_hamming is None:
+        max_hamming = built_h
+    if max_hamming > built_h:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the built layout's "
+            f"{built_h}: the pigeonhole guarantee only covers distances "
+            f"≤ the built value — rebuild with a larger max_hamming")
+    chunks = (_masked_simhash_postings(spark, root, collection, text_col)
+              .select("id", "fp", "chunk_idx", "chunk_val")
+              .persist())  # both self-join sides read it
+    return dedup._finalize(
+        dedup.simhash_chunk_pairs(chunks, max_hamming), chunks)
+
+
+def simhash_pairs_for_ids(spark: SparkSession, root: str, collection: str,
+                          ids: DataFrame | list,
+                          text_col: str = "document") -> DataFrame:
+    """The O(|delta|) SimHash probe: pairs involving at least one of
+    ``ids`` — probe rows re-fingerprint (O(|delta|)), their chunk
+    buckets collect driver-side, and the posting scan takes the static
+    ``chunk_bucket IN (...)`` partition filter.  Returns
+    (id_a, id_b, hamming) with id_a < id_b."""
+    from .upsert import read_rows_for_ids  # noqa: PLC0415
+
+    imeta = _require_fresh_simhash(root, collection, text_col)
+    id_col = imeta["id_col"]
+    max_h = int(imeta["max_hamming"])
+    if not isinstance(ids, DataFrame):
+        from .localframe import local_frame  # noqa: PLC0415
+
+        ids = local_frame(spark, [(v,) for v in ids],
+                          f"id {imeta.get('id_type', 'string')}")
+    probe_rows = read_rows_for_ids(spark, root, collection, ids)
+    empty = spark.createDataFrame(
+        [], f"id_a {imeta.get('id_type', 'string')}, "
+            f"id_b {imeta.get('id_type', 'string')}, hamming int")
+    if probe_rows is None:
+        return empty
+    pb = (_chunk_postings(probe_rows, id_col, text_col, imeta, gen=0)
+          .persist())
+    touched = sorted(r[0] for r in
+                     pb.select("chunk_bucket").distinct().collect())
+    if not touched:
+        pb.unpersist()
+        return empty
+    postings = (_masked_simhash_postings(spark, root, collection, text_col)
+                .filter(F.col("chunk_bucket").isin(touched)))
+    joined = (pb.select("chunk_idx", "chunk_val",
+                        F.col("id").alias("_p_id"),
+                        F.col("fp").alias("_p_fp"))
+              .join(postings.select("chunk_idx", "chunk_val",
+                                    F.col("id").alias("_c_id"),
+                                    F.col("fp").alias("_c_fp")),
+                    ["chunk_idx", "chunk_val"])
+              .filter(F.col("_p_id") != F.col("_c_id")))
+    pairs = (joined.select(
+        F.least("_p_id", "_c_id").alias("id_a"),
+        F.greatest("_p_id", "_c_id").alias("id_b"),
+        F.bit_count(F.col("_p_fp").bitwiseXOR(F.col("_c_fp")))
+        .alias("hamming"))
+        .distinct()  # probe-vs-probe matches arrive once per side
+        .filter(F.col("hamming") <= max_h))
+    return dedup._finalize(pairs, pb)
+
+
 def _probe_pairs_plan(spark: SparkSession, root: str, collection: str,
                       text_col: str, pb: DataFrame,
                       touched: list[int]) -> DataFrame:

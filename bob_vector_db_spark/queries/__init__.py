@@ -62,6 +62,7 @@ _PRIORITY = [
     "store_neardup_index", "store_neardup_refresh", "store_neardup_probe",
     "pipe_dataset_build_v2", "pipe_substring_dedup",
     "store_snapshot_screen_ingest",
+    "store_simhash_index", "store_simhash_refresh",
     # rounds 13-14 — registered for two rounds but the driver sampled the
     # identical 50 names both times (VERDICT r14 task 7): promote to the
     # head so they finally receive a CORRECTNESS row

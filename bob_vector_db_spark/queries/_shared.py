@@ -103,7 +103,11 @@ GROUP BY 1, 2
 """
 
 
-def _simhash_oracle(bits: int = 64, max_hamming: int = 3) -> str:
+def _simhash_oracle(bits: int = 64, max_hamming: int = 3,
+                    src: str = "documents", prelude: str = "") -> str:
+    """SimHash pair oracle; ``src`` names the (doc_id, text) relation and
+    ``prelude`` prepends CTEs (e.g. a mutated-corpus CTE for the store
+    index queries, round 15)."""
     votes = ",\n       ".join(
         f"SUM((((h * {2 * j + 3}) % {POLY_MOD}) & 1) * 2 - 1) AS v{j}"
         for j in range(bits)
@@ -120,10 +124,10 @@ def _simhash_oracle(bits: int = 64, max_hamming: int = 3) -> str:
     chunk_vals = ", ".join(f"({c})" for c in range(n_chunks))
     tok_h = DUCK_POLY_HASH.format(t="t")
     return f"""
-WITH toks AS (
+WITH {prelude}toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
                              x -> length(x) > 0) AS tk
-  FROM documents
+  FROM {src}
 ),
 tok AS (SELECT doc_id, unnest(tk) AS t FROM toks),
 h AS (SELECT doc_id, ({tok_h}) AS h FROM tok),

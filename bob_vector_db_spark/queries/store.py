@@ -2450,3 +2450,80 @@ def q_store_snapshot_screen_ingest(spark: SparkSession,
     neardup_index.refresh_neardup_index(spark, base, "docs",
                                         text_col="text")
     return upsert.read_collection(spark, base, "docs").select("id")
+
+
+# ---------------------------------------------------------------------------
+# Round 15b: the SECOND persisted dedup-index kind — SimHash chunk
+# postings (Hamming near-dup), same delta-log maintenance scaffold,
+# chunk-bucket pruning.  The dedup-index model is a family, not a
+# one-off.
+# ---------------------------------------------------------------------------
+
+@register(
+    "store_simhash_index",
+    oracle=_simhash_oracle(
+        src="corpus",
+        prelude="corpus AS (SELECT doc_id, text FROM documents "
+                "WHERE doc_id < 200),\n"),
+)
+def q_store_simhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the persisted SimHash chunk-posting table, read Hamming
+    near-dup pairs straight off it — must equal ``dedup.simhash_pairs``
+    over the same corpus (the oracle's from-scratch recomputation)."""
+    from ..operators import neardup_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "shidx")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8, id_col="id",
+        df=docs.select(F.col("doc_id").alias("id"), "text"))
+    neardup_index.build_simhash_index(spark, base, "docs", text_col="text",
+                                      n_chunk_buckets=16)
+    out = neardup_index.simhash_pairs_indexed(spark, base, "docs",
+                                              text_col="text")
+    return out.select("id_a", "id_b",
+                      F.col("hamming").cast("long").alias("hamming"))
+
+
+@register(
+    "store_simhash_refresh",
+    # same churn shape as store_neardup_refresh: overwrite doc 3 with doc
+    # 77's text (a guaranteed hamming-0 pair), 30 new docs, 10 deletes —
+    # ONE O(|delta|) refresh must land the from-scratch pair set
+    oracle=_simhash_oracle(
+        src="corpus",
+        prelude="""corpus AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id = 3
+              THEN (SELECT text FROM documents WHERE doc_id = 77)
+              ELSE d.text END AS text
+  FROM documents d
+  WHERE (d.doc_id < 150 AND d.doc_id NOT BETWEEN 10 AND 19)
+     OR d.doc_id BETWEEN 150 AND 179
+),
+"""),
+)
+def q_store_simhash_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import neardup_index  # noqa: PLC0415
+
+    base = _tmp_base(sf_dir, "shref")
+    docs = load_table(spark, sf_dir, "documents")
+    upsert.create_collection(
+        spark, base, "docs", n_buckets=8, id_col="id",
+        df=docs.filter(F.col("doc_id") < 150)
+               .select(F.col("doc_id").alias("id"), "text"))
+    neardup_index.build_simhash_index(spark, base, "docs", text_col="text",
+                                      n_chunk_buckets=16)
+    snapshot = (docs.filter(F.col("doc_id").between(150, 179))
+                .select(F.col("doc_id").alias("id"), "text")
+                .unionByName(
+                    docs.filter(F.col("doc_id") == 77)
+                    .select(F.lit(3).cast("long").alias("id"), "text")))
+    upsert.upsert(spark, base, "docs", snapshot, id_col="id")
+    upsert.delete_points(spark, base, "docs", list(range(10, 20)))
+    neardup_index.refresh_simhash_index(spark, base, "docs",
+                                        text_col="text")
+    out = neardup_index.simhash_pairs_indexed(spark, base, "docs",
+                                              text_col="text")
+    return out.select("id_a", "id_b",
+                      F.col("hamming").cast("long").alias("hamming"))

@@ -319,3 +319,104 @@ def test_refresh_rerun_after_simulated_crash(spark, sf_dir, tmp_path):
         upsert.read_collection(spark, root, "docs"),
         text_col="text", id_col="id"))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SimHash index kind (round 15b) — the family generalization
+# ---------------------------------------------------------------------------
+
+def _sh_pairs(df):
+    return sorted(map(tuple, df.select("id_a", "id_b", "hamming").collect()))
+
+
+def test_simhash_indexed_equals_in_memory(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "store")
+    _mk_docs_store(spark, sf_dir, root, hi=120)
+    neardup_index.build_simhash_index(spark, root, "docs", text_col="text",
+                                      n_chunk_buckets=8)
+    got = neardup_index.simhash_pairs_indexed(spark, root, "docs",
+                                              text_col="text")
+    want = dedup.simhash_pairs(
+        upsert.read_collection(spark, root, "docs"),
+        text_col="text", id_col="id")
+    assert _sh_pairs(got) == _sh_pairs(want)
+    # tightening the distance filters; loosening raises
+    tight = neardup_index.simhash_pairs_indexed(spark, root, "docs",
+                                                text_col="text",
+                                                max_hamming=1)
+    assert _sh_pairs(tight) == [p for p in _sh_pairs(got) if p[2] <= 1]
+    with pytest.raises(ValueError, match="exceeds the built layout"):
+        neardup_index.simhash_pairs_indexed(spark, root, "docs",
+                                            text_col="text", max_hamming=5)
+
+
+def test_simhash_refresh_equals_rebuild(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "store")
+    docs = load_table(spark, sf_dir, "documents")
+    _mk_docs_store(spark, sf_dir, root, hi=100)
+    neardup_index.build_simhash_index(spark, root, "docs", text_col="text",
+                                      n_chunk_buckets=8)
+    delta = (docs.filter(F.col("doc_id").between(100, 119))
+             .select(F.col("doc_id").alias("id"), "text")
+             .unionByName(
+                 docs.filter(F.col("doc_id") == 50)
+                 .select(F.lit(7).cast("long").alias("id"), "text")))
+    upsert.upsert(spark, root, "docs", delta, id_col="id")
+    upsert.delete_points(spark, root, "docs", list(range(20, 30)))
+    neardup_index.refresh_simhash_index(spark, root, "docs",
+                                        text_col="text")
+    refreshed = _sh_pairs(neardup_index.simhash_pairs_indexed(
+        spark, root, "docs", text_col="text"))
+    neardup_index.build_simhash_index(spark, root, "docs", text_col="text",
+                                      n_chunk_buckets=8)
+    rebuilt = _sh_pairs(neardup_index.simhash_pairs_indexed(
+        spark, root, "docs", text_col="text"))
+    assert refreshed == rebuilt
+    assert (7, 50, 0) in refreshed      # forced overwrite: hamming 0
+
+
+def test_simhash_stale_refuses_and_probe_matches(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "store")
+    _mk_docs_store(spark, sf_dir, root, hi=120)
+    neardup_index.build_simhash_index(spark, root, "docs", text_col="text",
+                                      n_chunk_buckets=8)
+    probe = [5, 17, 40, 99]
+    got = _sh_pairs(neardup_index.simhash_pairs_for_ids(
+        spark, root, "docs", probe, text_col="text"))
+    full = neardup_index.simhash_pairs_indexed(spark, root, "docs",
+                                               text_col="text")
+    want = _sh_pairs(full.filter(F.col("id_a").isin(probe)
+                                 | F.col("id_b").isin(probe)))
+    assert got == want
+    upsert.delete_points(spark, root, "docs", [1])
+    with pytest.raises(ValueError, match="STALE"):
+        neardup_index.simhash_pairs_indexed(spark, root, "docs",
+                                            text_col="text")
+
+
+def test_refresh_all_dispatches_both_dedup_kinds(spark, sf_dir, tmp_path):
+    from bob_vector_db_spark.operators import index as index_ops
+
+    root = str(tmp_path / "store")
+    docs = load_table(spark, sf_dir, "documents")
+    _mk_docs_store(spark, sf_dir, root, hi=50)
+    neardup_index.build_neardup_index(spark, root, "docs", text_col="text")
+    neardup_index.build_simhash_index(spark, root, "docs", text_col="text")
+    upsert.upsert(spark, root, "docs",
+                  docs.filter(F.col("doc_id").between(50, 59))
+                  .select(F.col("doc_id").alias("id"), "text"),
+                  id_col="id")
+    metas = index_ops.refresh_all_indexes(spark, root, "docs")
+    assert sorted(m["kind"] for m in metas) == [
+        "neardup_minhash_lsh", "neardup_simhash"]
+    assert neardup_index.neardup_index_is_fresh(root, "docs", "text")
+    assert neardup_index.simhash_index_is_fresh(root, "docs", "text")
+
+
+def test_simhash_build_rejects_non_dividing_bits(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "store")
+    _mk_docs_store(spark, sf_dir, root, hi=30)
+    with pytest.raises(ValueError, match="not divisible"):
+        neardup_index.build_simhash_index(spark, root, "docs",
+                                          text_col="text",
+                                          bits=64, max_hamming=4)
