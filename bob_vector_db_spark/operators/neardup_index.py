@@ -1,6 +1,10 @@
-"""Persisted near-duplicate (MinHash-LSH) index for a stored collection —
-incremental dedup for a crawl-snapshot ingest loop (round 15, VERDICT r14
-task 1).
+"""Persisted near-duplicate indexes for a stored collection — incremental
+dedup for a crawl-snapshot ingest loop (round 15, VERDICT r14 task 1).
+TWO kinds share the scaffold: banded MinHash-LSH postings (the flagship,
+documented below) and SimHash pigeonhole-chunk postings (round 15b, the
+Hamming-distance twin at the bottom of the module) — any blocking-key
+near-dup strategy persists as (id, key..., gen) postings with an
+O(|delta|) delta-log refresh.
 
 The in-memory finders in :mod:`operators.dedup` recompute shingles and
 signatures from scratch every call — right for a one-shot corpus pass,

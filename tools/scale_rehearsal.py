@@ -1186,6 +1186,36 @@ def main():
     print(f"  neardup index: {n_nd_pairs} capped pairs, "
           f"{n_probe} probe pairs", flush=True)
 
+    # round-15b: the SECOND dedup-index kind — SimHash chunk postings on
+    # the same collection; both kinds must absorb one more snapshot
+    # through a single refresh_all_indexes call (the store's one-call
+    # maintenance contract extended to the dedup family)
+    from bob_vector_db_spark.operators.neardup_index import (  # noqa: PLC0415
+        build_simhash_index,
+        simhash_pairs_for_ids,
+    )
+
+    _timed("simhash_build_full", timings,
+           lambda: build_simhash_index(spark, store, "nd_docs",
+                                       text_col="text",
+                                       n_chunk_buckets=32))
+    snap2 = (docs.filter(F.col("doc_id") % 100 == 50)
+             .select((F.col("doc_id") + 20_000_000).alias("id"), "text"))
+    _timed("dedup_snapshot2_upsert", timings,
+           lambda: upsert.upsert(spark, store, "nd_docs", snap2,
+                                 id_col="id"))
+    metas = _timed("refresh_all_both_dedup_kinds", timings,
+                   lambda: index.refresh_all_indexes(spark, store,
+                                                     "nd_docs"))
+    assert sorted(m["kind"] for m in metas) == [
+        "neardup_minhash_lsh", "neardup_simhash"], metas
+    n_sh_probe = _timed("simhash_probe_snapshot2", timings, lambda:
+                        simhash_pairs_for_ids(
+                            spark, store, "nd_docs", snap2.select("id"),
+                            text_col="text").count())
+    assert n_sh_probe >= snap2.count(), (n_sh_probe,)
+    print(f"  simhash index: {n_sh_probe} probe pairs", flush=True)
+
     # round-15: ExactSubstr span dedup on a 10% slice — the worst case
     # for this pass (EVERY window repeats across the fixture's copies,
     # so the ×width coverage explode fires on the whole slice); shuffles
