@@ -1314,9 +1314,14 @@ def _maxsim_rescore(spark: SparkSession, root: str, collection: str,
     from .knn import maxsim_score_expr  # noqa: PLC0415
     from .upsert import read_rows_for_ids  # noqa: PLC0415
 
+    # id_filter=False: the inner broadcast join on vec_id below already
+    # restricts the fetch to the candidate ids — the default semi-join
+    # would re-execute the whole coarse candidate subplan a second time
+    # at action time (round 15 opt: the probe plan carried the ADC/
+    # Hamming stage TWICE; now once, both prunings still visible)
     rows = read_rows_for_ids(spark, root, collection,
                              cands.select("vec_id").distinct(),
-                             tenant=tenant)
+                             tenant=tenant, id_filter=False)
     if rows is None:  # empty candidate set / empty store
         rows = read_collection(spark, root, collection).limit(0)
     fetched = (
@@ -1351,10 +1356,13 @@ def _exact_rescore(spark: SparkSession, root: str, collection: str,
     candidate stage is a full codes scan with nothing to prune)
     materializes the ≤ rerank_factor·k·|queries| rows once through the
     capped driver roundtrip (``upsert.materialize_small``); False
-    (ivf_sq/ivf_pq) keeps the subplan lazy — it re-executes once more,
-    but both passes are list-partition-pruned and the probe's pruning
-    stays visible in the returned plan (plan-asserted in
-    tests/test_index.py).  Never ``persist()``: that would leak one
+    (ivf_sq/ivf_pq) keeps the subplan lazy — the bucket probe executes
+    it once driver-side, and the action executes it once more inside
+    the broadcast build (round 15: the fetch takes ``id_filter=False``,
+    so the old THIRD execution — a semi-join that pre-filtered rows the
+    broadcast join restricts anyway — is gone and the probe's list
+    pruning appears exactly once in the returned plan, still asserted
+    in tests/test_index.py).  Never ``persist()``: that would leak one
     cached frame per search in a long-lived serving session."""
     from .upsert import materialize_small, read_rows_for_ids  # noqa: PLC0415
 
@@ -1363,9 +1371,12 @@ def _exact_rescore(spark: SparkSession, root: str, collection: str,
     q_exact = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"),
         vector.l2_norm(F.col(query_vec)).alias("_qn"))
+    # id_filter=False — same rationale as _maxsim_rescore: the broadcast
+    # join on vec_id is the id restriction; the semi-join would run the
+    # lazy coarse stage (sq dequant / BQ Hamming / ADC) twice per action
     rows = read_rows_for_ids(spark, root, collection,
                              cands.select("vec_id").distinct(),
-                             tenant=tenant)
+                             tenant=tenant, id_filter=False)
     if rows is None:  # empty candidate set / empty store
         rows = read_collection(spark, root, collection).limit(0)
     fetched = (

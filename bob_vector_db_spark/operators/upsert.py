@@ -605,7 +605,8 @@ def read_collection(spark: SparkSession, root: str, collection: str,
 
 def read_rows_for_ids(spark: SparkSession, root: str, collection: str,
                       ids_df: DataFrame,
-                      tenant: str | None = None) -> DataFrame | None:
+                      tenant: str | None = None,
+                      id_filter: bool = True) -> DataFrame | None:
     """Collection rows whose id appears in ``ids_df`` (first column), read
     through a STATIC ``id_bucket IN (...)`` partition filter computed from
     the ids' hashes — the incremental-refresh fetch path: O(|ids| + their
@@ -614,7 +615,17 @@ def read_rows_for_ids(spark: SparkSession, root: str, collection: str,
 
     ``tenant`` adds the outer-level static tenant filter on a multitenant
     layout, so the fetch prunes BOTH partition levels (tenant subtree ∩
-    id buckets) — the scoped fetch for per-tenant index refresh/rescore."""
+    id buckets) — the scoped fetch for per-tenant index refresh/rescore.
+
+    ``id_filter=False`` skips the trailing id semi-join and returns the
+    bucket-pruned frame as-is, for callers that immediately re-join the
+    SAME id frame anyway (the quantized-rescore tails): when ``ids_df``
+    is an expensive lazy subplan (an ADC/Hamming candidate stage), the
+    semi-join would execute that whole subplan a second time at action
+    time just to pre-filter rows the caller's own inner join already
+    restricts — guide §1.2/§2.4, don't run a subtree twice for nothing.
+    The bucket probe (ONE execution of the subplan, driver-bounded by
+    n_buckets) still happens either way."""
     path = collection_path(root, collection)
     id_col, n_buckets = _resolve_layout(root, collection, None, None)
     wanted = ids_df.select(
@@ -634,6 +645,8 @@ def read_rows_for_ids(spark: SparkSession, root: str, collection: str,
                 f"scoped fetches need the multitenant layout")
         pruned = pruned.filter(F.col(tcol) == str(tenant))
     pruned = pruned.drop(BUCKET_COL)
+    if not id_filter:
+        return pruned
     return pruned.join(
         wanted, F.col(id_col).cast("string") == F.col("_m_id"), "left_semi")
 

@@ -576,7 +576,8 @@ def q_store_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select((F.col("vec_id") + 100000).alias("id"), "embedding"))
     upsert.upsert(spark, base, "vecs", overwrite.unionByName(fresh_pts),
                   id_col="id")
-    upsert.delete_points(spark, base, "vecs", list(range(10, 20)))
+    upsert.delete_points(spark, base, "vecs", list(range(10, 20)),
+                         count_removed=False)
     index.refresh_vector_index(spark, base, "vecs")
     qdf = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
@@ -723,7 +724,8 @@ def q_store_snapshot_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         df=docs.filter(F.col("doc_id") < 200)
         .select(F.col("doc_id").alias("id"), "text"))
     upsert.snapshot_collection(base, "docs", name="before")
-    upsert.delete_points(spark, base, "docs", list(range(0, 200, 3)))
+    upsert.delete_points(spark, base, "docs", list(range(0, 200, 3)),
+                         count_removed=False)
     upsert.upsert(spark, base, "docs", local_frame(
         spark, [(5, "overwritten"), (9999, "junk row")],
         "id long, text string"))
@@ -2323,7 +2325,8 @@ def q_store_neardup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select(F.lit(3).cast("long").alias("id"), "text"))
     upsert.upsert(spark, base, "docs", snapshot.unionByName(overwrite),
                   id_col="id")
-    upsert.delete_points(spark, base, "docs", list(range(10, 20)))
+    upsert.delete_points(spark, base, "docs", list(range(10, 20)),
+                         count_removed=False)
     neardup_index.refresh_neardup_index(spark, base, "docs",
                                         text_col="text")
     return neardup_index.neardup_pairs_indexed(spark, base, "docs",
@@ -2520,7 +2523,8 @@ def q_store_simhash_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     docs.filter(F.col("doc_id") == 77)
                     .select(F.lit(3).cast("long").alias("id"), "text")))
     upsert.upsert(spark, base, "docs", snapshot, id_col="id")
-    upsert.delete_points(spark, base, "docs", list(range(10, 20)))
+    upsert.delete_points(spark, base, "docs", list(range(10, 20)),
+                         count_removed=False)
     neardup_index.refresh_simhash_index(spark, base, "docs",
                                         text_col="text")
     out = neardup_index.simhash_pairs_indexed(spark, base, "docs",

@@ -307,7 +307,8 @@ def q_text_bm25_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select((F.col("doc_id") + 100000).alias("id"), "text"))
     upsert.upsert(spark, base, "docs", overwrite.unionByName(fresh_docs),
                   id_col="id")
-    upsert.delete_points(spark, base, "docs", list(range(20, 30)))
+    upsert.delete_points(spark, base, "docs", list(range(20, 30)),
+                         count_removed=False)
     refresh_text_index(spark, base, "docs", text_col="text")
     out = bm25_topk_indexed(spark, base, "docs",
                             ["vector", "join", "stream"], k=10,
