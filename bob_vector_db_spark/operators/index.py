@@ -493,11 +493,11 @@ def _mask_row_count(spark: SparkSession, ipath: str) -> int:
     return spark.read.parquet(mdir).count()
 
 
-def _delta_split(spark: SparkSession, root: str, collection: str,
-                 built_version: int) -> tuple[DataFrame, DataFrame]:
-    """(upserted_ids, deleted_ids) since ``built_version`` — one row per id,
-    classified by its LAST logged operation (each mutation holds a unique
-    version, so max(version) is a total order)."""
+def _delta_classified(spark: SparkSession, root: str, collection: str,
+                      built_version: int) -> DataFrame:
+    """(id, op) since ``built_version`` — one row per id, classified by its
+    LAST logged operation (each mutation holds a unique version, so
+    max(version) is a total order)."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     delta = read_delta(spark, root, collection, built_version)
@@ -507,10 +507,8 @@ def _delta_split(spark: SparkSession, root: str, collection: str,
             f"> {built_version} (missing or pruned); incremental refresh "
             f"cannot know what changed — rebuild the index instead")
     w = Window.partitionBy("id").orderBy(F.desc("version"))
-    last = (delta.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1))
-    return (last.filter(F.col("op") == "upsert").select("id"),
-            last.filter(F.col("op") == "delete").select("id"))
+    return (delta.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).select("id", "op"))
 
 
 def run_incremental_refresh(spark: SparkSession, root: str, collection: str,
@@ -551,19 +549,50 @@ def run_incremental_refresh(spark: SparkSession, root: str, collection: str,
 
     Mid-refresh the index is simply still stale — the version gate keeps
     dispatch off it until step 7 lands.
+
+    Physical shape (round 15, guide §1.2/§2.4 — don't re-execute subtrees):
+    the classified delta collects ONCE through the capped driver roundtrip
+    (``$BVDS_MATERIALIZE_CAP``, default 1M ids — the same knob every other
+    bounded roundtrip uses), so the delta read + window runs one time and
+    the delete-verify, the masks and the fetch all reuse the literal id
+    lists: ONE pruned store fetch serves both the still-live check and the
+    append (the rows fetched for the whole delta ARE the upserted ids'
+    current rows — a delete-classified id only has a live row when it is
+    being reclassified), the mask append writes literal ids with no store
+    scan behind it, and the mask-growth check costs no job (the row count
+    is known driver-side and accumulates in ``imeta['mask_rows']``; a
+    crash between append and commit undercounts one generation, which
+    only delays best-effort compaction, never correctness — masks apply
+    by content, not by count).  Past the cap the original all-lazy path
+    runs unchanged (forced in tests via the env knob).
     """
     cur = collection_version(root, collection)
     built = int(imeta["built_version"])
     if built == cur:
         return imeta
-    up_ids, del_ids = _delta_split(spark, root, collection, built)
+    last = _delta_classified(spark, root, collection, built)
 
     from .upsert import read_rows_for_ids  # noqa: PLC0415
 
-    # ``row_filter`` scopes a partial index (e.g. one tenant's): a row
-    # outside the filter counts as ABSENT — an id that moved out of scope
-    # keeps its delete classification (or loses its upsert append), so its
-    # masks hide it from this index while the store still serves it.
+    threshold = (DEFAULT_MASK_COMPACT_THRESHOLD
+                 if mask_compact_threshold is None
+                 else mask_compact_threshold)
+    cap = int(os.environ.get("BVDS_MATERIALIZE_CAP", "1000000"))
+    classified = last.limit(cap + 1).collect()
+    if len(classified) <= cap:
+        return _refresh_literal(spark, root, collection, ipath, imeta,
+                                append_fn, finalize_fn, data_layouts,
+                                threshold, row_filter, classified, cur)
+
+    # over-cap fallback: the delta is too big for a driver roundtrip —
+    # keep every id frame lazy (each consumer re-executes the delta
+    # window; correct, just not the fast path).  ``row_filter`` scopes a
+    # partial index (e.g. one tenant's): a row outside the filter counts
+    # as ABSENT — an id that moved out of scope keeps its delete
+    # classification (or loses its upsert append), so its masks hide it
+    # from this index while the store still serves it.
+    up_ids = last.filter(F.col("op") == "upsert").select("id")
+    del_ids = last.filter(F.col("op") == "delete").select("id")
     live = read_rows_for_ids(spark, root, collection, del_ids)
     if live is not None and row_filter is not None:
         live = live.filter(row_filter)
@@ -576,6 +605,9 @@ def run_incremental_refresh(spark: SparkSession, root: str, collection: str,
 
     g = int(imeta.get("generation", 0)) + 1
     imeta["generation"] = g
+    # lazy path: the mask count is unknown driver-side — drop the counter
+    # so the next literal refresh re-seeds it with one count job
+    imeta.pop("mask_rows", None)
     _write_index_meta(ipath, imeta)
 
     masks = (up_ids.withColumn("upto_gen", F.lit(g - 1))
@@ -589,11 +621,71 @@ def run_incremental_refresh(spark: SparkSession, root: str, collection: str,
     if fresh is not None:
         append_fn(fresh, g)
 
-    threshold = (DEFAULT_MASK_COMPACT_THRESHOLD
-                 if mask_compact_threshold is None
-                 else mask_compact_threshold)
     if data_layouts and _mask_row_count(spark, ipath) > threshold:
         compact_index_masks(spark, ipath, data_layouts)
+
+    if finalize_fn is not None:
+        finalize_fn(imeta)
+    imeta["built_version"] = cur
+    _write_index_meta(ipath, imeta)
+    return imeta
+
+
+def _refresh_literal(spark: SparkSession, root: str, collection: str,
+                     ipath: str, imeta: dict, append_fn, finalize_fn,
+                     data_layouts, threshold: int, row_filter,
+                     classified: list, cur: int) -> dict:
+    """The literal-delta refresh body (see run_incremental_refresh):
+    ``classified`` is the collected (id, op) delta, ≤ cap rows.  Same
+    claim-g → masks → append → commit order; the store is fetched ONCE
+    for the whole delta id set and the masks are literal rows."""
+    from .localframe import local_frame  # noqa: PLC0415
+    from .upsert import read_rows_for_ids  # noqa: PLC0415
+
+    up = sorted({r["id"] for r in classified if r["op"] == "upsert"})
+    dl = sorted({r["id"] for r in classified if r["op"] == "delete"})
+    fetched = None
+    live: set = set()
+    if up or dl:
+        ids_frame = local_frame(spark, [(v,) for v in up + dl], "id string")
+        fetched = read_rows_for_ids(spark, root, collection, ids_frame)
+        if fetched is not None and row_filter is not None:
+            fetched = fetched.filter(row_filter)
+        if fetched is not None:
+            id_col = imeta["id_col"]
+            live = {r[0] for r in fetched.select(
+                F.col(id_col).cast("string")).distinct().collect()}
+    # delete-verify (crash-adopted delete deltas): a delete-classified id
+    # whose row is still live reclassifies as an upsert — same contract
+    # as the lazy path, now a driver-side set test
+    still_live = [v for v in dl if v in live]
+    up2 = sorted(set(up) | set(still_live))
+    del2 = [v for v in dl if v not in live]
+
+    g = int(imeta.get("generation", 0)) + 1
+    imeta["generation"] = g
+    _write_index_meta(ipath, imeta)
+
+    mask_rows = ([(v, g - 1) for v in up2] + [(v, g) for v in del2])
+    if mask_rows:
+        (local_frame(spark, mask_rows, "id string, upto_gen int")
+         .coalesce(1).write.mode("append")
+         .parquet(os.path.join(ipath, "masks")))
+
+    # the rows fetched for the WHOLE delta are exactly the upserted ids'
+    # current rows: an id in ``del2`` has no live row by construction,
+    # and a live delete-classified id is in ``up2`` via still_live
+    if fetched is not None and up2:
+        append_fn(fetched, g)
+
+    if data_layouts:
+        prev = imeta.get("mask_rows")
+        total = (_mask_row_count(spark, ipath) if prev is None
+                 else int(prev) + len(mask_rows))
+        if total > threshold:
+            compact_index_masks(spark, ipath, data_layouts)
+            total = 0
+        imeta["mask_rows"] = total
 
     if finalize_fn is not None:
         finalize_fn(imeta)

@@ -227,6 +227,24 @@ def _tmp_base(sf_dir: str, tag: str) -> str:
     return base
 
 
+def build_concurrently(*thunks) -> None:
+    """Run INDEPENDENT index builds as overlapping Spark jobs (round-15
+    optimization, guide §2.6: actions are only sequential because the
+    driver calls them sequentially — submitting 2-3 from a small thread
+    pool lets the next build's tasks back-fill executors freed by the
+    current build's straggler tail).  Only for builds over the SAME
+    immutable collection state writing DISTINCT ``_index/<name>``
+    staging dirs (every ``build_*_index`` kind): no shared mutable
+    state, each ends in its own atomic swap.  Exceptions propagate;
+    results are discarded — builds return metadata the fixtures never
+    use."""
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    with ThreadPoolExecutor(max_workers=min(3, len(thunks))) as pool:
+        for f in [pool.submit(t) for t in thunks]:
+            f.result()
+
+
 # ---------------------------------------------------------------------------
 # Sparse vector search (round 5): the Qdrant sparse-space twin.  A sparse
 # vector lives in posting form (id, idx, val); search is an inverted-index
@@ -500,6 +518,7 @@ __all__ = [
     "_SPARSE_ORACLE",
     "_SPF_FLT",
     "_SP_FLT",
+    "build_concurrently",
     "_TPX_FLT",
     "_TST_FLT",
     "_TSW_FLT",

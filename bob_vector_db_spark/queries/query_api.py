@@ -402,9 +402,11 @@ def q_api_scroll_filtered_range_indexed(spark: SparkSession,
                       "lang")
     upsert.create_collection(spark, base, "docs", df=pts, id_col="id",
                              n_buckets=8)
-    build_payload_index(spark, base, "docs", "lang", n_val_buckets=8)
-    build_payload_index(spark, base, "docs", "n_chars", n_val_buckets=16,
-                        index_type="range")
+    build_concurrently(  # independent artifacts — overlap (guide §2.6)
+        lambda: build_payload_index(spark, base, "docs", "lang",
+                                    n_val_buckets=8),
+        lambda: build_payload_index(spark, base, "docs", "n_chars",
+                                    n_val_buckets=16, index_type="range"))
     flt = Filter(must=[MatchValue("lang", "en")])
     cand, residual = filter_match_ids(spark, base, "docs", flt)
     assert cand is not None and residual == Filter()
@@ -1052,8 +1054,10 @@ def q_api_sparse_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert.create_collection(
         spark, base, "sp", df=pts, id_col="id", n_buckets=8,
         vector_config={"text_sparse": {"kind": "sparse", "distance": "dot"}})
-    build_payload_index(spark, base, "sp", "parity", n_val_buckets=8)
-    build_sparse_index(spark, base, "sp", n_dim_buckets=16)
+    build_concurrently(  # independent artifacts — overlap (guide §2.6)
+        lambda: build_payload_index(spark, base, "sp", "parity",
+                                    n_val_buckets=8),
+        lambda: build_sparse_index(spark, base, "sp", n_dim_buckets=16))
     qpost = post.filter(F.col("id") < 3)
     out = search_sparse_points(spark, base, "sp", qpost, flt=_SPF_FLT,
                                k=10, use_payload_index="always",
@@ -1120,9 +1124,11 @@ def q_api_text_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert.create_collection(
         spark, base, "docs", n_buckets=8, id_col="id",
         df=docs.select(F.col("doc_id").alias("id"), "text", "lang"))
-    build_payload_index(spark, base, "docs", "lang", n_val_buckets=8)
-    build_text_index(spark, base, "docs", text_col="text",
-                     n_term_buckets=16)
+    build_concurrently(  # independent artifacts — overlap (guide §2.6)
+        lambda: build_payload_index(spark, base, "docs", "lang",
+                                    n_val_buckets=8),
+        lambda: build_text_index(spark, base, "docs", text_col="text",
+                                 n_term_buckets=16))
     out = search_text_points(spark, base, "docs",
                              ["vector", "join", "stream"], flt=_TXT_FLT,
                              k=10, text_col="text",

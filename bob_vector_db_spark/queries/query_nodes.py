@@ -295,10 +295,13 @@ def q_api_query_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert.create_collection(
         spark, base, "docs", df=pts, id_col="id", n_buckets=8,
         vector_config={"vec": {"size": 64, "distance": "cosine"}})
-    index.build_vector_index(spark, base, "docs", vector_name="vec",
-                             kind="ivf", n_lists=8, iters=3)
-    build_text_index(spark, base, "docs", text_col="text", n_term_buckets=16)
-    build_sparse_index(spark, base, "docs", n_dim_buckets=16)
+    build_concurrently(  # three independent artifacts — overlap (§2.6)
+        lambda: index.build_vector_index(spark, base, "docs",
+                                         vector_name="vec", kind="ivf",
+                                         n_lists=8, iters=3),
+        lambda: build_text_index(spark, base, "docs", text_col="text",
+                                 n_term_buckets=16),
+        lambda: build_sparse_index(spark, base, "docs", n_dim_buckets=16))
 
     qrow = local_frame(spark, [(0, phrase)], "doc_id long, text string")
     qvec = (hash_embed_df(qrow, dim=64, out_col="vec")

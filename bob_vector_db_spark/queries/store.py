@@ -1283,9 +1283,11 @@ def q_store_filtered_indexed_search(spark: SparkSession,
     upsert.create_collection(
         spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
         vector_config={"embedding": {"size": 64, "distance": "cosine"}})
-    build_payload_index(spark, base, "vecs", "grp", n_val_buckets=16)
-    index.build_vector_index(spark, base, "vecs", kind="ivf",
-                             n_lists=8, iters=4)
+    build_concurrently(  # independent artifacts — overlap (guide §2.6)
+        lambda: build_payload_index(spark, base, "vecs", "grp",
+                                    n_val_buckets=16),
+        lambda: index.build_vector_index(spark, base, "vecs", kind="ivf",
+                                         n_lists=8, iters=4))
     qdf = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     out = query_api.search_points(spark, base, "vecs", qdf, flt=_FIS_FLT,
@@ -1352,9 +1354,11 @@ def q_store_bq_filtered_indexed(spark: SparkSession,
     upsert.create_collection(
         spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
         vector_config={"embedding": {"size": 64, "distance": "cosine"}})
-    build_payload_index(spark, base, "vecs", "grp", n_val_buckets=16)
-    index.build_vector_index(spark, base, "vecs", kind="ivf_bq",
-                             n_lists=8, iters=4)
+    build_concurrently(  # independent artifacts — overlap (guide §2.6)
+        lambda: build_payload_index(spark, base, "vecs", "grp",
+                                    n_val_buckets=16),
+        lambda: index.build_vector_index(spark, base, "vecs", kind="ivf_bq",
+                                         n_lists=8, iters=4))
     qdf = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     out = query_api.search_points(spark, base, "vecs", qdf, flt=_FIS_FLT,
@@ -1525,10 +1529,11 @@ def q_store_range_indexed_search(spark: SparkSession,
     upsert.create_collection(
         spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
         vector_config={"embedding": {"size": 64, "distance": "cosine"}})
-    build_payload_index(spark, base, "vecs", "score", n_val_buckets=16,
-                        index_type="range")
-    index.build_vector_index(spark, base, "vecs", kind="ivf",
-                             n_lists=8, iters=4)
+    build_concurrently(  # independent artifacts — overlap (guide §2.6)
+        lambda: build_payload_index(spark, base, "vecs", "score",
+                                    n_val_buckets=16, index_type="range"),
+        lambda: index.build_vector_index(spark, base, "vecs", kind="ivf",
+                                         n_lists=8, iters=4))
     qdf = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     out = query_api.search_points(spark, base, "vecs", qdf, flt=_RIX_FLT,
@@ -2047,9 +2052,11 @@ def q_store_mv_filtered_indexed(spark: SparkSession,
         spark, base, "vecs", df=pts, id_col="id", n_buckets=8,
         vector_config={"colbert": {"size": 16, "distance": "dot",
                                    "multivector": "max_sim"}})
-    build_payload_index(spark, base, "vecs", "grp", n_val_buckets=16)
-    index.build_vector_index(spark, base, "vecs", kind="ivf_mv",
-                             n_lists=8, iters=4)
+    build_concurrently(  # independent artifacts — overlap (guide §2.6)
+        lambda: build_payload_index(spark, base, "vecs", "grp",
+                                    n_val_buckets=16),
+        lambda: index.build_vector_index(spark, base, "vecs", kind="ivf_mv",
+                                         n_lists=8, iters=4))
     q = pts.filter(F.col("id") < 3).select(
         F.col("id").alias("qid"), F.col("colbert").alias("qvecs"))
     out = query_api.search_points(

@@ -1280,3 +1280,55 @@ def test_dense_builds_drop_nulled_vectors(spark, sf_dir, tmp_path):
                                     exclude_self=True)
         assert _rows(full) == _rows(exact), kind
         assert full.filter(F.col("vec_id").isin("3", "4")).count() == 0
+
+
+def test_refresh_literal_and_lazy_paths_agree(spark, sf_dir, tmp_path,
+                                              monkeypatch):
+    """Round-15 optimization: run_incremental_refresh collects the
+    classified delta once (literal path) when it fits the
+    BVDS_MATERIALIZE_CAP roundtrip, falling back to the original
+    all-lazy plan past the cap.  Both paths must produce identical
+    indexed results and equivalent mask state after the SAME churn —
+    forced here via the env knob (cap=0 ⇒ always lazy)."""
+    rnd = __import__("random").Random(15)
+    results, mask_counts = [], []
+    for cap, sub in (("0", "lazy"), ("1000000", "literal")):
+        monkeypatch.setenv("BVDS_MATERIALIZE_CAP", cap)
+        root = str(tmp_path / f"store_{sub}")
+        emb = _mk_store(spark, sf_dir, root)
+        index.build_vector_index(spark, root, "vecs", kind="ivf",
+                                 n_lists=8, iters=3)
+        state = rnd.getstate()
+        _mutate(spark, root, rnd, 0)
+        rnd.setstate(state)  # identical churn for both stores
+        # one crash-adopted delete: published delta, data swap never ran —
+        # the refresh must reclassify the still-live id on BOTH paths
+        import os as _os
+
+        from bob_vector_db_spark.operators.upsert import (
+            _log_delta,
+            _next_version,
+            _set_version,
+            collection_path,
+        )
+        path = collection_path(root, "vecs")
+        v = _next_version(root, "vecs")
+        _log_delta(path, v, "delete",
+                   spark.createDataFrame([("7",)], "id string"))
+        _set_version(root, "vecs", v)
+        assert _os.path.isdir(_os.path.join(path, "_delta", f"v={v}"))
+        index.refresh_vector_index(spark, root, "vecs")
+        assert index.index_is_fresh(root, "vecs", "embedding")
+        q = _queries(emb)
+        full = knn.search_collection(spark, root, "vecs", q, k=10,
+                                     corpus_id="id", exclude_self=True,
+                                     use_index="always", n_probe=8)
+        results.append(_rows(full))
+        mask_counts.append(index._mask_row_count(spark, root and
+                           index.index_path(root, "vecs", "embedding")))
+    assert results[0] == results[1]
+    # same mask ROWS on both paths (id 7 reclassified upsert on both)
+    assert mask_counts[0] == mask_counts[1]
+    # and the literal path's driver-side counter matches the real count
+    imeta = index.vector_index_meta(root, "vecs", "embedding")
+    assert imeta.get("mask_rows") == mask_counts[1]
