@@ -101,6 +101,50 @@ def check_probe_band(probe_total: float,
     return None
 
 
+def per_query_lines(times: dict[str, float], max_chars: int = 900) -> list[str]:
+    """Compact JSON lines covering EVERY per-query total, each line kept
+    under ``max_chars`` so a bounded tail capture loses at most the oldest
+    lines, never a parseable suffix (VERDICT r15 #2: the driver stores only
+    the final ~2000 stdout chars, so the single 222-entry detail line can
+    never survive its window).  Lines are ordered cheapest-first so the
+    LAST lines — the ones a bounded tail keeps — carry the slowest,
+    regression-sensitive queries.  Pure function; unit-tested."""
+    names = sorted(times, key=lambda n: (times[n], n))
+    chunks: list[dict[str, float]] = [{}]
+    probe = {"metric": "per_query_sec", "part": 0, "of": 0, "queries": {}}
+    for n in names:
+        cand = dict(chunks[-1])
+        cand[n] = times[n]
+        probe["queries"] = cand
+        if chunks[-1] and len(json.dumps(probe, separators=(",", ":"))) > max_chars:
+            chunks.append({n: times[n]})
+        else:
+            chunks[-1] = cand
+    return [json.dumps({"metric": "per_query_sec", "part": i + 1,
+                        "of": len(chunks), "queries": c},
+                       separators=(",", ":"))
+            for i, c in enumerate(chunks)]
+
+
+def summary_queries(times: dict[str, float],
+                    max_chars: int = 1100) -> dict[str, float]:
+    """The per-query dict embedded in the FINAL summary line: the frozen
+    headline + probe sets (the driver's cross-round regression baselines),
+    trimmed from the cheap end if the encoded dict would push the summary
+    line past ``max_chars`` — the whole line must fit the driver's
+    ~2000-char tail window WITH room for the trailing newline and the
+    per_query_sec lines above it, or nothing parses at all."""
+    frozen = [n for n in (*HEADLINE, *PROBE_HEADLINE) if n in times]
+    keep = {n: times[n] for n in frozen}
+    # drop cheapest-first until it fits — a sub-0.2s frozen query carries
+    # the least regression signal per byte
+    for n in sorted(keep, key=lambda n: (keep[n], n)):
+        if len(json.dumps(keep, separators=(",", ":"))) <= max_chars:
+            break
+        del keep[n]
+    return keep
+
+
 def probe_split_total(splits: dict[str, dict],
                       probe_names: list[str]) -> float:
     """Sum the SEARCH legs of the frozen probe set.  Raises if any frozen
@@ -209,6 +253,11 @@ def main() -> None:
         "sf": sf,
     }
     full = {**summary, "queries": times, "store_splits": splits}
+    # round-16 ADDITION (VERDICT r15 #2): the summary line now also carries
+    # the frozen headline+probe per-query totals, sized to the driver's
+    # ~2000-char tail window, so PERF's per-query diff has data even when
+    # everything above it is truncated
+    summary["queries"] = summary_queries(times)
     # BENCH_r02.json lost its "value" when the driver's tail window truncated
     # the (now 75-entry) per-query dict mid-JSON. Mitigation (VERDICT r2
     # "what's wrong" #2): emit the full line first, then a compact summary
@@ -222,6 +271,10 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(full))
+    # every per-query total again as SMALL lines, slowest queries last —
+    # whatever suffix of stdout the driver keeps is parseable line-by-line
+    for line in per_query_lines(times):
+        print(line)
     print(json.dumps(summary))
 
 

@@ -339,7 +339,13 @@ def minhash_lsh_pairs_ml(df: DataFrame, text_col: str = "text",
     feat = feat.localCheckpoint(eager=True)
     model = MinHashLSH(inputCol="features", outputCol="hashes",
                        numHashTables=num_hash_tables, seed=seed).fit(feat)
-    joined = model.approxSimilarityJoin(feat, feat, 1.0 - threshold,
+    # materialize the hashed features ONCE (round 16, guide §1.2/§5):
+    # approxSimilarityJoin transforms any input missing its outputCol, so
+    # a lazy self-join side pays the MinHash UDF over the corpus per side
+    # per action; handing it the checkpointed transform halves that work
+    # with identical rows.  In-flow materialization, nothing persists.
+    hashed = model.transform(feat).localCheckpoint(eager=True)
+    joined = model.approxSimilarityJoin(hashed, hashed, 1.0 - threshold,
                                         distCol="jaccard_dist")
     return (
         joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
@@ -368,19 +374,28 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     dictionary = toks.select("tok").distinct().withColumn(
         "th", poly_hash(F.col("tok"), POLY_MOD)
     )
-    h = F.col("th")
+    # The vote/fingerprint expressions parse from SQL text (round 16):
+    # building them as Column chains costs ~1150 py4j roundtrips — ~1.5 s
+    # of DRIVER time per call, more than the aggregate's own execution at
+    # fixture scale.  F.expr yields the identical Catalyst tree (same
+    # integer arithmetic, same types, bit-identical fingerprints — pinned
+    # by tests/test_dedup.py and the dedup_simhash oracle) in one parser
+    # call per expression.
     votes = [
-        F.sum(((h * F.lit(2 * j + 3)) % F.lit(POLY_MOD))
-              .bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{j}")
+        F.expr(f"sum((((th * {2 * j + 3}) % {POLY_MOD}) & 1) * 2 - 1)")
+        .alias(f"v{j}")
         for j in range(bits)
     ]
     per_doc = toks.join(dictionary, "tok").groupBy("id").agg(*votes)
-    fp = F.lit(0).cast("long")
-    for j in range(bits):
-        weight = -(2 ** 63) if j == 63 else 2 ** j
-        fp = fp + F.when(F.col(f"v{j}") > 0,
-                         F.lit(weight).cast("long")).otherwise(F.lit(0).cast("long"))
-    return per_doc.select("id", fp.alias("fp"))
+    # bit 63's weight is the signed-long minimum: shiftleft(1L, 63) folds
+    # to exactly -(2^63) without a parse-hostile negative literal
+    fp_sql = " + ".join(
+        "(CASE WHEN v{j} > 0 THEN {w} ELSE CAST(0 AS BIGINT) END)".format(
+            j=j, w="shiftleft(CAST(1 AS BIGINT), 63)" if j == 63
+            else f"CAST({2 ** j} AS BIGINT)")
+        for j in range(bits)
+    )
+    return per_doc.select("id", F.expr(fp_sql).alias("fp"))
 
 
 def simhash_chunks(fp: DataFrame, bits: int, max_hamming: int) -> DataFrame:
@@ -679,13 +694,22 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
               .distinct()
               .withColumn("label", F.col("node")))
     lbl_t = labels.schema["label"].dataType
+    # delta propagation (round 16, VERDICT r15 #7): only nodes whose label
+    # CHANGED last round can lower a neighbor's label this round — an
+    # unchanged neighbor's label already fed the previous round's min.  So
+    # each round pushes from the shrinking `active` frontier instead of
+    # every node: converged components stop paying join work while
+    # stragglers finish.  Round 1 pushes from everyone (all labels "just
+    # changed" from nonexistence).  The convergence probe is unchanged —
+    # an empty frontier is exactly "nothing changed".
+    active = labels
     for _ in range(int(max_iterations)):
-        # push each node's label to its neighbors, keep the per-node
+        # push the frontier's labels to its neighbors, keep the per-node
         # min; the previous label rides the union as `_old` (NULL on
         # pushed rows — each node contributes exactly one old row, so
         # min(_old) recovers it) and the change probe becomes a plain
         # filter over THIS round's checkpoint
-        pushed = (edges.join(labels.withColumnRenamed("node", "src"),
+        pushed = (edges.join(active.withColumnRenamed("node", "src"),
                              "src")
                   .select(F.col("dst").alias("node"), "label")
                   .withColumn("_old", F.lit(None).cast(lbl_t)))
@@ -694,8 +718,9 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                   .groupBy("node").agg(F.min("label").alias("label"),
                                        F.min("_old").alias("_old"))
                   .localCheckpoint(eager=True))
-        changed = (merged.filter(F.col("label") != F.col("_old"))
-                   .limit(1).count())
+        active = (merged.filter(F.col("label") != F.col("_old"))
+                  .select("node", "label"))
+        changed = active.limit(1).count()
         labels = merged.select("node", "label")
         if changed == 0:
             return labels.select(F.col("node"),

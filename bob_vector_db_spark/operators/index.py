@@ -331,7 +331,7 @@ def build_vector_index(spark: SparkSession, root: str, collection: str,
         # refresh/search to reuse.
         data = data.withColumn(
             "bq_codes", quantize.binary_pack_expr(
-                F.col("_pooled" if is_mv else vector_name),
+                "_pooled" if is_mv else vector_name,
                 int(imeta["dim"])))
 
     data_dir = os.path.join(staging, "data")
@@ -637,8 +637,10 @@ def _refresh_literal(spark: SparkSession, root: str, collection: str,
                      classified: list, cur: int) -> dict:
     """The literal-delta refresh body (see run_incremental_refresh):
     ``classified`` is the collected (id, op) delta, ≤ cap rows.  Same
-    claim-g → masks → append → commit order; the store is fetched ONCE
-    for the whole delta id set and the masks are literal rows."""
+    claim-g → masks → append → commit order; ONE pruned fetch PLAN over
+    the whole delta id set is executed by the live-check and again by
+    the append (the rows carry full vectors, so collecting them is not
+    an option), and the masks are literal rows."""
     from .localframe import local_frame  # noqa: PLC0415
     from .upsert import read_rows_for_ids  # noqa: PLC0415
 
@@ -683,8 +685,12 @@ def _refresh_literal(spark: SparkSession, root: str, collection: str,
         total = (_mask_row_count(spark, ipath) if prev is None
                  else int(prev) + len(mask_rows))
         if total > threshold:
-            compact_index_masks(spark, ipath, data_layouts)
-            total = 0
+            # reset the counter only when a compaction actually ran: a
+            # no-op return (no data layout dir yet) leaves the masks dir
+            # populated, and a zeroed counter would then undercount until
+            # well past the threshold (ADVICE r15)
+            if compact_index_masks(spark, ipath, data_layouts):
+                total = 0
         imeta["mask_rows"] = total
 
     if finalize_fn is not None:
@@ -770,7 +776,7 @@ def refresh_vector_index(spark: SparkSession, root: str, collection: str,
                 # different width must fail loudly, not silently corrupt
                 assigned = assigned.withColumn(
                     "bq_codes", quantize.binary_pack_expr(
-                        F.col("_pooled"), int(imeta["dim"])))
+                        "_pooled", int(imeta["dim"])))
                 assigned = assigned.select(id_col, "bq_codes", geng,
                                            "list_id")
             else:
@@ -795,7 +801,7 @@ def refresh_vector_index(spark: SparkSession, root: str, collection: str,
             # pack with the STORED dimension (build-time contract)
             data = data.withColumn(
                 "bq_codes", quantize.binary_pack_expr(
-                    F.col(vn), int(imeta["dim"])))
+                    vn, int(imeta["dim"])))
         if kind == "ivf":
             (data.select(id_col, vn, geng, "list_id")
              .write.mode("append").partitionBy("list_id").parquet(data_dir))
@@ -1367,13 +1373,13 @@ def _bq_candidates(pruned: DataFrame, queries: DataFrame, query_id: str,
     if probe_frame is not None:
         q = queries.select(
             F.col(query_id).alias("qid"),
-            quantize.binary_pack_expr(F.col(query_vec), dim).alias("_pq"),
+            quantize.binary_pack_expr(query_vec, dim).alias("_pq"),
         ).join(probe_frame.toDF("qid", "list_id"), "qid")
     else:
         probe = quantize.probe_lists_udf(cents, n_probe)
         q = queries.select(
             F.col(query_id).alias("qid"),
-            quantize.binary_pack_expr(F.col(query_vec), dim).alias("_pq"),
+            quantize.binary_pack_expr(query_vec, dim).alias("_pq"),
             F.explode(probe(F.col(query_vec))).alias("list_id"))
     pairs = pruned.join(F.broadcast(q), "list_id")
     if exclude_self:

@@ -486,11 +486,19 @@ def knn_join_lsh(
 
     q = unit(queries, query_id, query_vec, "qid")
     c = unit(corpus, corpus_id, corpus_vec, "vec_id")
+    # materialize each side's normalized+hashed features ONCE (round 16,
+    # guide §1.2/§5): approxSimilarityJoin re-transforms any input missing
+    # its outputCol, so handing it lazy frames re-runs the normalize HOF +
+    # array_to_vector + hash UDF chain per join side per action (measured
+    # 5.2 s vs 2.0 s at sf0.1, identical rows).  localCheckpoint inside
+    # the fixture's timed flow — nothing survives the query.
     model = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes",
         bucketLength=bucket_length, numHashTables=num_hash_tables,
         seed=seed).fit(c)
-    joined = model.approxSimilarityJoin(q, c, max_euclidean, distCol="dist")
+    qt = model.transform(q).localCheckpoint(eager=True)
+    ct = model.transform(c).localCheckpoint(eager=True)
+    joined = model.approxSimilarityJoin(qt, ct, max_euclidean, distCol="dist")
     cand = joined.select(
         F.col("datasetA.qid").alias("qid"),
         F.col("datasetB.vec_id").alias("vec_id"),

@@ -344,7 +344,11 @@ def q_t9_rate_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
                     break
             except Exception:
                 pass  # store not created yet / bucket mid-swap
-            time.sleep(0.5)
+            # 0.15s granularity (round 16): the poll's completion check
+            # overshoots by half the sleep on average, and the count job
+            # itself is ~0.2s — a coarser sleep just adds dead time to
+            # every batch/ completion transition
+            time.sleep(0.15)
         # graceful drain: a poll can observe count >= target while the final
         # batch's _stage_and_swap is still renaming OTHER buckets — stopping
         # then could strand a bucket in its __old trash.  Wait for the
@@ -352,7 +356,7 @@ def q_t9_rate_backpressure(spark: SparkSession, sf_dir: str) -> DataFrame:
         # batch (rate values >= limit are filtered), so stopping mid-trigger
         # after this is harmless.
         while time.time() < deadline and q.status.get("isTriggerActive"):
-            time.sleep(0.2)
+            time.sleep(0.05)
     finally:
         q.stop()
     q.awaitTermination(60)
@@ -522,10 +526,14 @@ def q_t12_queue_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                     break
             except Exception:
                 pass  # store not created yet / bucket mid-swap
-            time.sleep(0.5)
+            # 0.15s granularity (round 16): the poll's completion check
+            # overshoots by half the sleep on average, and the count job
+            # itself is ~0.2s — a coarser sleep just adds dead time to
+            # every batch/ completion transition
+            time.sleep(0.15)
         # graceful drain before stop — same rationale as t9
         while time.time() < deadline and q.status.get("isTriggerActive"):
-            time.sleep(0.2)
+            time.sleep(0.05)
     finally:
         q.stop()
     q.awaitTermination(60)

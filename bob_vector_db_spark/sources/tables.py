@@ -41,9 +41,29 @@ def _ensure_session_confs(spark: SparkSession) -> None:
             pass
 
 
+# Session-scoped DataFrame memo (round 16, guide §6/§7.3): every
+# ``spark.read.parquet`` call pays 85-180 ms of driver-side work — py4j
+# roundtrips, DataSource resolution, file listing, footer schema read —
+# and a 222-query suite makes 500+ such calls over the SAME immutable
+# fixture files.  Memoizing the LAZY DataFrame per (session, dir, table)
+# removes that repeated metadata work exactly the way Spark's own
+# filesourcePartitionFileCacheSize caches listings session-wide.  This is
+# a PLAN handle, not data: every action on it still scans the parquet
+# inputs (nothing is persisted or precomputed).  Entries hold a strong
+# session ref and re-resolve when a different session asks — a restarted
+# session never sees a stale handle.  Fixture dirs are immutable for the
+# life of a session (deterministic generated test data), which is the
+# one assumption the memo adds.
+_DF_MEMO: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    key = (os.path.abspath(sf_dir), name)
+    hit = _DF_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
@@ -60,6 +80,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # reinterprets the same wall-clock value — numerically a no-op
             # and identical to DuckDB's naive reading.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _DF_MEMO[key] = (spark, df)
     return df
 
 

@@ -39,3 +39,41 @@ def test_probe_split_total_raises_on_missing_fixture():
     splits = {"a": {"build_sec": 0.0, "search_sec": 1.0}}
     with pytest.raises(RuntimeError, match="missing from store_splits"):
         probe_split_total(splits, ["a", "gone_query"])
+
+
+def test_per_query_lines_cover_everything_slowest_last():
+    from bench import per_query_lines
+    import json as _json
+
+    times = {f"q{i:03d}": i / 10.0 for i in range(120)}
+    lines = per_query_lines(times, max_chars=300)
+    assert all(len(ln) <= 300 for ln in lines)
+    seen: dict[str, float] = {}
+    parts = []
+    for ln in lines:
+        rec = _json.loads(ln)
+        assert rec["metric"] == "per_query_sec"
+        parts.append(rec["part"])
+        seen.update(rec["queries"])
+    assert seen == times                      # nothing dropped
+    assert parts == list(range(1, len(lines) + 1))
+    # the LAST line carries the slowest queries (tail-window priority)
+    last = _json.loads(lines[-1])["queries"]
+    assert max(times.values()) in last.values()
+    first = _json.loads(lines[0])["queries"]
+    assert min(times.values()) in first.values()
+
+
+def test_summary_queries_fits_window_and_keeps_slowest():
+    from bench import HEADLINE, PROBE_HEADLINE, summary_queries
+    import json as _json
+
+    times = {n: 3.0 + i for i, n in enumerate((*HEADLINE, *PROBE_HEADLINE))}
+    times["unrelated_query"] = 99.0
+    keep = summary_queries(times, max_chars=400)
+    assert "unrelated_query" not in keep      # frozen sets only
+    assert len(_json.dumps(keep, separators=(",", ":"))) <= 400
+    # trimming drops the CHEAPEST frozen entries first
+    assert max(keep, key=keep.get) in keep
+    full = summary_queries(times, max_chars=100000)
+    assert set(full) == {*HEADLINE, *PROBE_HEADLINE}

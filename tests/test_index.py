@@ -1324,8 +1324,8 @@ def test_refresh_literal_and_lazy_paths_agree(spark, sf_dir, tmp_path,
                                      corpus_id="id", exclude_self=True,
                                      use_index="always", n_probe=8)
         results.append(_rows(full))
-        mask_counts.append(index._mask_row_count(spark, root and
-                           index.index_path(root, "vecs", "embedding")))
+        mask_counts.append(index._mask_row_count(
+            spark, index.index_path(root, "vecs", "embedding")))
     assert results[0] == results[1]
     # same mask ROWS on both paths (id 7 reclassified upsert on both)
     assert mask_counts[0] == mask_counts[1]

@@ -55,9 +55,11 @@ def main() -> int:
     }, names)
     print(f"{'query':40s} {'default':>9s} {'coalesce':>9s} {'ratio':>6s}")
     for n in names:
-        print(f"{n:40s} {a[n]:9.3f} {b[n]:9.3f} {b[n]/a[n]:6.2f}")
-    print(f"{'TOTAL':40s} {sum(a.values()):9.3f} {sum(b.values()):9.3f} "
-          f"{sum(b.values())/sum(a.values()):6.2f}")
+        ratio = b[n] / a[n] if a[n] else float("inf")
+        print(f"{n:40s} {a[n]:9.3f} {b[n]:9.3f} {ratio:6.2f}")
+    ta, tb = sum(a.values()), sum(b.values())
+    print(f"{'TOTAL':40s} {ta:9.3f} {tb:9.3f} "
+          f"{tb / ta if ta else float('inf'):6.2f}")
     return 0
 
 
