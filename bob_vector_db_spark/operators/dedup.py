@@ -196,12 +196,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         "h", poly_hash(F.col("shingle"), POLY_MOD)
     )
     hashed = sh.join(dictionary, "shingle").select("id", "h")
+    # SQL-text permutations (round 16): identical Catalyst tree, one
+    # parser call per permutation instead of ~7 py4j roundtrips each —
+    # this builder runs 2-3× per neardup-index fixture
     mins = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+        F.expr(f"min((h * {a} + {b}) % {MINHASH_PRIME})").alias(f"mh{i}")
         for i, (a, b) in enumerate(params)
     ]
     agg = hashed.groupBy("id").agg(*mins)
-    return agg.select("id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"))
+    sig = "array(" + ", ".join(f"mh{i}" for i in range(num_hashes)) + ")"
+    return agg.select("id", F.expr(sig).alias("sig"))
 
 
 def band_signatures(sig: DataFrame, num_hashes: int,
