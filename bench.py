@@ -1,14 +1,19 @@
 """Benchmark runner — the driver's per-round perf probe (BASELINE.md).
 
 Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO JSON lines
-on stdout — the full record (with the per-query "queries" dict) first, then
-a compact summary line LAST, so whichever end a head/tail log window keeps
-still carries a parseable "value":
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints JSON lines
+on stdout — the full record (with the per-query "queries" dict) first,
+then small ``per_query_sec`` chunk lines covering every query (slowest
+last), then a compact summary line LAST carrying the frozen
+headline+probe per-query dict, so whichever suffix of stdout a bounded
+tail window keeps still parses line-by-line and carries "value" plus
+per-query data (round 16, VERDICT r15 #2 — the driver stores only the
+final ~2000 chars):
 
-    {"metric": "headline_query_wall_sec", "value": <total>, "unit": "sec",
-     "queries": {"<name>": <sec>, ...}, ...}     # full
-    {"metric": "headline_query_wall_sec", "value": <total>, ...}  # summary
+    {"metric": "headline_query_wall_sec", ..., "queries": {<all 222>}}  # full
+    {"metric": "per_query_sec", "part": i, "of": n, "queries": {...}}   # ×n
+    {"metric": "headline_query_wall_sec", "value": <total>, ...,
+     "queries": {<frozen sets>}}                                # summary
 
 The full record is also written to ``BENCH_DETAIL.json`` next to this
 script.  "value" sums only the FROZEN headline subset; per-query timing is
@@ -101,9 +106,11 @@ def check_probe_band(probe_total: float,
     return None
 
 
-def per_query_lines(times: dict[str, float], max_chars: int = 900) -> list[str]:
+def per_query_lines(times: dict[str, float], max_chars: int = 600) -> list[str]:
     """Compact JSON lines covering EVERY per-query total, each line kept
-    under ``max_chars`` so a bounded tail capture loses at most the oldest
+    under ``max_chars`` (600: the ~2000-char driver window minus the ~1300-char
+    summary line leaves room for one whole chunk) so a bounded tail capture
+    loses at most the oldest
     lines, never a parseable suffix (VERDICT r15 #2: the driver stores only
     the final ~2000 stdout chars, so the single 222-entry detail line can
     never survive its window).  Lines are ordered cheapest-first so the
